@@ -1,13 +1,824 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables._
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions
+import graft.multimodal.Multimodal
+import graft.operators.{Ann, Dedup, Relational, TextJobs}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 (operator inventory) and
+  * §7 (build plan). Every entry in [[queries]] has a matching DuckDB
+  * oracle in [[oracleSql]] unless the operator is not SQL-expressible
+  * (noted per query).
+  *
+  * Cross-engine determinism rules used throughout (so hash-compare
+  * against DuckDB is exact, not approximate):
+  *  - money/double sums go through per-row `cents()` (round to int,
+  *    then exact integer SUM) — double summation order never matters;
+  *  - averages are ratios of exact integers, rounded at the end;
+  *  - every query ends in a total ORDER BY (unique tiebreaker included);
+  *  - computed integers are cast to BIGINT on both sides (DuckDB's
+  *    SUM(int) widens to HUGEINT, Spark's size() narrows to int);
+  *  - hashes are md5-derived on both sides (DuckDB lacks xxhash64);
+  *  - timestamps are emitted as formatted strings (parquet ns
+  *    timestamps truncate to Spark's µs; strings at second granularity
+  *    are engine-neutral).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Per-row money→cents: round(x*100) as exact integer. IEEE double
+    * product and round are bit-identical across engines; integer sums
+    * are order-independent — this removes ALL float-accumulation
+    * divergence from oracle comparison.
+    */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  private def fmtTs(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q04_join_multiway")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- //
+  // Shared DuckDB SQL fragments (kept adjacent to the Spark twins).  //
+  // ---------------------------------------------------------------- //
+
+  /** DuckDB twin of TextFunctions.tokens. */
+  private val TOKS =
+    "CASE WHEN length(trim(text))=0 THEN []::VARCHAR[] ELSE string_split_regex(trim(text),'\\s+') END"
+
+  /** DuckDB twin of TextFunctions.tokenHash32 / tokenHash64. */
+  private def duckHash(expr: String, hexChars: Int): String =
+    s"CAST(concat('0x', substr(md5($expr),1,$hexChars)) AS BIGINT)"
+
+  /** DuckDB twin of Dedup.shingles (k=3, distinct word 3-shingles). */
+  private val SHINGLES3 =
+    s"""SELECT DISTINCT doc_id AS id, unnest(
+       |  CASE WHEN len(t) < 3 THEN [array_to_string(t,' ')]
+       |       ELSE list_transform(generate_series(1, len(t)-2), i -> array_to_string(t[i:i+2],' ')) END) AS sh
+       |FROM (SELECT doc_id, $TOKS AS t FROM documents)""".stripMargin
+
+  /** DuckDB twin of VectorFunctions.planeComponent(p, j). */
+  private def duckPlane(p: String, j: String): String =
+    s"((${duckHash(s"concat($p,'_',$j)", 7)} % 2001) - 1000)/1000.0"
+
+  /** DuckDB cosine over DOUBLE[] lists (same fold shape as
+    * VectorFunctions.cosine; differences are sub-ulp and vanish at
+    * round(...,4)).
+    */
+  private def duckCos(a: String, b: String): String =
+    s"""(CASE WHEN sqrt(list_dot_product($a,$a))*sqrt(list_dot_product($b,$b)) > 0
+       | THEN list_dot_product($a,$b)/(sqrt(list_dot_product($a,$a))*sqrt(list_dot_product($b,$b)))
+       | ELSE 0.0 END)""".stripMargin
+
+  // ---------------------------------------------------------------- //
+  // Queries                                                          //
+  // ---------------------------------------------------------------- //
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- aggregation family (reference J1/J2 generalized: partial+final hash agg) ---
+
+    "q01_agg_pricing" -> ((s, d) => {
+      lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(cents(col("l_quantity"))).as("sum_qty_c"),
+          sum(cents(col("l_extendedprice"))).as("sum_base_c"),
+          sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_c"),
+          count(lit(1)).as("n_rows"),
+          round(sum(cents(col("l_quantity"))).cast("double") / 100.0 / count(lit(1)), 4).as("avg_qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q09_agg_rollup" -> ((s, d) => {
+      lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum(cents(col("l_quantity"))).as("sum_qty_c"), count(lit(1)).as("n_rows"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    }),
+
+    "q10_agg_cube" -> ((s, d) => {
+      orders(s, d)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("total_c"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+    }),
+
+    "q11_agg_distinct" -> ((s, d) => {
+      lineitem(s, d).agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+    }),
+
+    "q17_agg_conditional" -> ((s, d) => {
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          sum(when(col("l_discount") > 0.05,
+            cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).otherwise(0L))
+            .as("disc_rev_c"),
+          sum(when(col("l_discount") > 0.05, 1L).otherwise(0L)).as("n_disc"),
+          count(lit(1)).as("n"),
+          round(sum(when(col("l_discount") > 0.05, 1L).otherwise(0L)).cast("double")
+            / count(lit(1)), 4).as("disc_share"))
+        .orderBy("l_returnflag")
+    }),
+
+    "q18_agg_having" -> ((s, d) => {
+      val g = lineitem(s, d).groupBy("l_suppkey")
+        .agg(sum(cents(col("l_quantity"))).as("sum_qty_c"))
+      val mean = g.agg(avg(col("sum_qty_c")).as("mean_qty_c"))
+      g.join(broadcast(mean))
+        .filter(col("sum_qty_c") > col("mean_qty_c"))
+        .select(col("l_suppkey"), col("sum_qty_c"))
+        .orderBy("l_suppkey")
+    }),
+
+    "q39_approx_distinct" -> ((s, d) => {
+      // HLL++ sketch — estimate differs from DuckDB's approx_distinct by
+      // design, so no SQL oracle (rows-only check); accuracy asserted in
+      // ScalaTest against exact counts instead.
+      lineitem(s, d).agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+    }),
+
+    // --- scan/filter/projection (reference J3 generalized) ---
+
+    "q02_filter_project" -> ((s, d) => {
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01") && col("l_quantity") < 25)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_quantity"), cents(col("l_extendedprice")).as("price_c"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q19_sort_limit" -> ((s, d) => {
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), cents(col("o_totalprice")).as("total_c"))
+        .orderBy(col("total_c").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // --- join family ---
+
+    "q03_join_broadcast" -> ((s, d) => {
+      // nation is 25 rows at every scale — genuinely always broadcastable;
+      // customer join is left to the planner (broadcast at test sf, shuffle
+      // at warehouse scale via AQE).
+      orders(s, d)
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_orders"), sum(cents(col("o_totalprice"))).as("total_c"))
+        .orderBy("n_name")
+    }),
+
+    "q04_join_multiway" -> ((s, d) => {
+      lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+          sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue_c"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    "q05_join_semi" -> ((s, d) => {
+      customer(s, d)
+        .join(orders(s, d).filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    "q06_join_anti" -> ((s, d) => {
+      customer(s, d)
+        .join(orders(s, d).filter(col("o_orderstatus") === "P"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+
+    "q20_join_range" -> ((s, d) => {
+      // equi-key keeps the join hash-partitioned; the range predicate
+      // rides along as a post-join filter condition.
+      lineitem(s, d)
+        .join(orders(s, d),
+          col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL '60' DAY"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue_c"))
+        .orderBy("o_orderpriority")
+    }),
+
+    "q21_join_asof" -> ((s, d) => {
+      // as-of: for each purchase event, the most recent error event of
+      // the same user at-or-before it (equi-join on user + window dedup).
+      val ev = events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_event_id"),
+          col("user_id").as("err_user_id"), col("ts").as("err_ts"))
+      Relational.asOfJoin(purchases, errors,
+          "user_id", "err_user_id", "ts", "err_ts", "event_id", "err_event_id")
+        .select(col("event_id"), col("err_event_id"))
+        .orderBy("event_id")
+    }),
+
+    // --- window functions ---
+
+    "q07_topk_group" -> ((s, d) => {
+      Relational.topKPerGroup(orders(s, d), Seq("o_orderpriority"),
+          col("o_totalprice").desc, col("o_orderkey").asc, 3)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          cents(col("o_totalprice")).as("total_c"), col("rnk").cast("long").as("rnk"))
+        .orderBy("o_orderpriority", "rnk")
+    }),
+
+    "q08_window_analytic" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      orders(s, d)
+        .withColumn("prev_total_c", lag(cents(col("o_totalprice")), 1).over(w))
+        .withColumn("run_total_c",
+          sum(cents(col("o_totalprice"))).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col("o_custkey"), col("o_orderkey"), col("prev_total_c"), col("run_total_c"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // --- set operations (reference J4 generalized) ---
+
+    "q12_setops" -> ((s, d) => {
+      val o = orders(s, d)
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+      val fin = o.filter(col("o_orderstatus") === "F").select("o_custkey")
+      urgent.except(fin).union(fin.except(urgent)).distinct()
+        .withColumnRenamed("o_custkey", "custkey")
+        .orderBy("custkey")
+    }),
+
+    // --- scalar function sampler ---
+
+    "q13_string_fns" -> ((s, d) => {
+      part(s, d)
+        .select(split(col("p_name"), " ").getItem(0).as("color"),
+          col("p_brand"), col("p_type"))
+        .groupBy("color")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("p_brand")).as("n_brands"),
+          max(concat(upper(substring(col("p_type"), 1, 3)), lit("-"), col("p_brand"))).as("max_code"),
+          max(regexp_extract(col("p_brand"), "[0-9]+", 0).cast("long")).as("max_brand_num"))
+        .orderBy("color")
+    }),
+
+    "q14_date_agg" -> ((s, d) => {
+      orders(s, d)
+        .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("total_c"))
+        .orderBy("month")
+    }),
+
+    "q16_json_extract" -> ((s, d) => {
+      events(s, d)
+        .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"),
+          round(sum(col("k")).cast("double") / count(lit(1)), 4).as("avg_k"))
+        .orderBy("event_type")
+    }),
+
+    // --- event-time operators (batch twins of the streaming surface) ---
+
+    "q22_sessionize" -> ((s, d) => {
+      Relational.sessionize(events(s, d), "user_id", "ts", 1800L)
+        .select(col("user_id"), col("session_seq"),
+          fmtTs(col("session_start")).as("session_start"),
+          fmtTs(col("session_end")).as("session_end"), col("n_events"))
+        .orderBy("user_id", "session_seq")
+    }),
+
+    "q23_window_tumbling" -> ((s, d) => {
+      events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_c"))
+        .select(fmtTs(col("window.start")).as("window_start"), col("event_type"),
+          col("n"), col("value_c"))
+        .orderBy("window_start", "event_type")
+    }),
+
+    "q24_window_sliding" -> ((s, d) => {
+      events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(fmtTs(col("window.start")).as("window_start"), col("event_type"), col("n"))
+        .orderBy("window_start", "event_type")
+    }),
+
+    // --- reference-parity text jobs over the documents table ---
+
+    "q25_letter_count" -> ((s, d) =>
+      TextJobs.letterCount(s, documents(s, d), "text")),
+
+    "q26_word_finder" -> ((s, d) =>
+      TextJobs.wordFind(documents(s, d), "text", "spark")
+        .select("doc_id").orderBy("doc_id")),
+
+    // --- text analysis ---
+
+    "q15_wordcount" -> ((s, d) => {
+      documents(s, d)
+        .select(explode(tokens(col("text"))).as("word"))
+        .groupBy("word")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word"))
+        .limit(20)
+    }),
+
+    "q27_text_stats" -> ((s, d) => {
+      documents(s, d).select(
+        col("doc_id"),
+        tokenCount(col("text")).cast("long").as("n_tokens"),
+        subwordCount(col("text")).cast("long").as("n_subwords"),
+        stopwordCount(col("text")).cast("long").as("n_stop"),
+        qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    "q28_langid" -> ((s, d) => {
+      documents(s, d)
+        .select(col("doc_id"), langId(col("text")).as("lang_guess"))
+        .orderBy("doc_id")
+    }),
+
+    "q37_rolling_hash" -> ((s, d) => {
+      documents(s, d)
+        .select(col("doc_id"), rollingHash(col("text")).as("rhash"))
+        .orderBy("doc_id")
+    }),
+
+    "q40_quality_by_source" -> ((s, d) => {
+      documents(s, d)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(qualityScore(col("text"))), 4).as("avg_quality"),
+          sum(tokenCount(col("text")).cast("long")).as("total_tokens"))
+        .orderBy("source")
+    }),
+
+    // --- deduplication family ---
+
+    "q29_dedup_exact" -> ((s, d) =>
+      Dedup.exact(documents(s, d), "doc_id", "text").orderBy("fp")),
+
+    "q30_dedup_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccard(documents(s, d), "doc_id", "text", k = 3, minJaccard = 0.05)
+        .orderBy("id_a", "id_b")),
+
+    "q31_dedup_minhash_lsh" -> ((s, d) =>
+      Dedup.minHashLsh(documents(s, d), "doc_id", "text",
+          k = 3, bands = 4, rowsPerBand = 4, minEstJaccard = 0.25)
+        .orderBy("id_a", "id_b")),
+
+    "q32_simhash" -> ((s, d) =>
+      Dedup.simHash(documents(s, d), "doc_id", "text", nBits = 16)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
+    "q33_dedup_simhash" -> ((s, d) =>
+      Dedup.simHashDup(documents(s, d), "doc_id", "text", nBits = 16)
+        .orderBy("id_a", "id_b")),
+
+    "q34_dedup_embedding" -> ((s, d) =>
+      Dedup.embeddingNearDup(embeddings(s, d), "vec_id", "embedding",
+          nBits = 8, minCosine = 0.2)
+        .orderBy("id_a", "id_b")),
+
+    // --- similarity search ---
+
+    "q35_ann_bruteforce" -> ((s, d) => {
+      val e = embeddings(s, d)
+      Ann.bruteForceTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("cos"),
+          col("rank").cast("long").as("rnk"))
+        .orderBy("query_id", "rnk")
+    }),
+
+    "q36_ann_lsh" -> ((s, d) => {
+      val e = embeddings(s, d)
+      Ann.lshTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5, nBits = 4)
+        .select(col("query_id"), col("neighbor_id"), col("cos"),
+          col("rank").cast("long").as("rnk"))
+        .orderBy("query_id", "rnk")
+    }),
+
+    // --- multimodal plumbing (decode is a deterministic stub; see
+    //     graft.multimodal.Multimodal) ---
+
+    "q38_multimodal_features" -> ((s, d) => {
+      Multimodal.mediaFeatures(s, documents(s, d))
+        .select(col("media_id"), col("kind"), col("n_bytes"), col("byte_mean"))
+        .orderBy("media_id")
+    })
+  )
+
+  // ---------------------------------------------------------------- //
+  // DuckDB oracles                                                   //
+  // ---------------------------------------------------------------- //
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q01_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(round(l_quantity*100,0) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+        | CAST(SUM(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS BIGINT) AS sum_base_c,
+        | CAST(SUM(CAST(round(l_extendedprice*(1.0-l_discount)*100,0) AS BIGINT)) AS BIGINT) AS sum_disc_c,
+        | COUNT(*) AS n_rows,
+        | round(CAST(SUM(CAST(round(l_quantity*100,0) AS BIGINT)) AS DOUBLE)/100.0/COUNT(*), 4) AS avg_qty
+        |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q09_agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(round(l_quantity*100,0) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+        | COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+
+    "q10_agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        | CAST(SUM(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS total_c
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+
+    "q11_agg_distinct" ->
+      """SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+        | COUNT(DISTINCT l_suppkey) AS n_supps,
+        | COUNT(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem""".stripMargin,
+
+    "q17_agg_conditional" ->
+      """SELECT l_returnflag,
+        | CAST(SUM(CASE WHEN l_discount > 0.05 THEN CAST(round(l_extendedprice*(1.0-l_discount)*100,0) AS BIGINT) ELSE 0 END) AS BIGINT) AS disc_rev_c,
+        | CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_disc,
+        | COUNT(*) AS n,
+        | round(CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*), 4) AS disc_share
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q18_agg_having" ->
+      """WITH g AS (
+        | SELECT l_suppkey, CAST(SUM(CAST(round(l_quantity*100,0) AS BIGINT)) AS BIGINT) AS sum_qty_c
+        | FROM lineitem GROUP BY 1)
+        |SELECT l_suppkey, sum_qty_c FROM g
+        |WHERE sum_qty_c > (SELECT avg(sum_qty_c) FROM g)
+        |ORDER BY l_suppkey""".stripMargin,
+
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+        | CAST(round(l_extendedprice*100,0) AS BIGINT) AS price_c
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_quantity < 25
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q19_sort_limit" ->
+      """SELECT o_orderkey, o_custkey, CAST(round(o_totalprice*100,0) AS BIGINT) AS total_c
+        |FROM orders ORDER BY total_c DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q03_join_broadcast" ->
+      """SELECT n_name, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS total_c
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q04_join_multiway" ->
+      """SELECT r_name, n_name,
+        | CAST(SUM(CAST(round(l_extendedprice*(1.0-l_discount)*100,0) AS BIGINT)) AS BIGINT) AS revenue_c,
+        | COUNT(*) AS n_items
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q05_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q06_join_anti" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q20_join_range" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        | CAST(SUM(CAST(round(l_extendedprice*(1.0-l_discount)*100,0) AS BIGINT)) AS BIGINT) AS revenue_c
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | AND l_shipdate >= o_orderdate AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q21_join_asof" ->
+      """SELECT event_id, err_event_id FROM (
+        | SELECT p.event_id, e.event_id AS err_event_id,
+        |  row_number() OVER (PARTITION BY p.event_id ORDER BY e.ts DESC, e.event_id DESC) AS rn
+        | FROM events p JOIN events e
+        |  ON e.user_id = p.user_id AND e.ts <= p.ts AND e.event_type = 'error'
+        | WHERE p.event_type = 'purchase')
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "q07_topk_group" ->
+      """SELECT o_orderpriority, o_orderkey,
+        | CAST(round(o_totalprice*100,0) AS BIGINT) AS total_c, rnk
+        |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk FROM orders)
+        |WHERE rnk <= 3 ORDER BY o_orderpriority, rnk""".stripMargin,
+
+    "q08_window_analytic" ->
+      """SELECT o_custkey, o_orderkey,
+        | lag(CAST(round(o_totalprice*100,0) AS BIGINT)) OVER w AS prev_total_c,
+        | CAST(SUM(CAST(round(o_totalprice*100,0) AS BIGINT))
+        |   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_total_c
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q12_setops" ->
+      """SELECT custkey FROM (
+        | (SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        | UNION
+        | (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'))
+        |ORDER BY custkey""".stripMargin,
+
+    "q13_string_fns" ->
+      """SELECT string_split(p_name, ' ')[1] AS color, COUNT(*) AS n,
+        | COUNT(DISTINCT p_brand) AS n_brands,
+        | max(concat(upper(substr(p_type,1,3)), '-', p_brand)) AS max_code,
+        | CAST(max(CAST(regexp_extract(p_brand,'[0-9]+') AS BIGINT)) AS BIGINT) AS max_brand_num
+        |FROM part GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q14_date_agg" ->
+      """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS total_c
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q16_json_extract" ->
+      """SELECT event_type,
+        | CAST(SUM(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | COUNT(*) AS n,
+        | round(CAST(SUM(CAST(json_extract_string(props,'$.k') AS BIGINT)) AS DOUBLE)/COUNT(*), 4) AS avg_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q22_sessionize" ->
+      """WITH x AS (
+        | SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        | FROM events),
+        |y AS (SELECT user_id, ts,
+        | CASE WHEN prev IS NULL OR date_diff('second', prev, ts) > 1800 THEN 1 ELSE 0 END AS brk
+        | FROM x),
+        |z AS (SELECT user_id, ts,
+        | CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        | FROM y)
+        |SELECT user_id, session_seq,
+        | strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        | strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+        | COUNT(*) AS n_events
+        |FROM z GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q23_window_tumbling" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        | event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS value_c
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q24_window_sliding" ->
+      """SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type, COUNT(*) AS n
+        |FROM (SELECT event_type, unnest([
+        |   time_bucket(INTERVAL 30 MINUTE, ts, TIMESTAMP '1970-01-01'),
+        |   time_bucket(INTERVAL 30 MINUTE, ts, TIMESTAMP '1970-01-01') - INTERVAL 30 MINUTE]) AS ws
+        |  FROM events)
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q25_letter_count" -> (
+      ('A' to 'Z').map { u =>
+        val l = u.toLower
+        s"SELECT '$u' AS letter, CAST(COALESCE(sum(length(text) - length(replace(replace(text,'$l',''),'$u',''))),0) AS BIGINT) AS cnt FROM documents"
+      }.mkString("SELECT letter, cnt FROM (", " UNION ALL ", ") ORDER BY letter")),
+
+    "q26_word_finder" ->
+      """SELECT doc_id FROM documents
+        |WHERE regexp_matches(text, '(^|[^0-9A-Za-z])spark($|[^0-9A-Za-z])')
+        |ORDER BY doc_id""".stripMargin,
+
+    "q15_wordcount" ->
+      s"""SELECT word, COUNT(*) AS cnt
+         |FROM (SELECT unnest($TOKS) AS word FROM documents)
+         |GROUP BY word ORDER BY cnt DESC, word LIMIT 20""".stripMargin,
+
+    "q27_text_stats" -> {
+      val sw = StopWords.map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, text, $TOKS AS toks FROM documents),
+         |s AS (SELECT doc_id, text,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(COALESCE(list_sum(list_transform(
+         |    list_filter(string_split_regex(text,'[^0-9A-Za-z]+'), x -> length(x) > 0),
+         |    x -> CAST(ceil(length(x)/4.0) AS BIGINT))),0)
+         |   + length(regexp_replace(text,'[0-9A-Za-z\\s]','','g')) AS BIGINT) AS n_subwords,
+         |  CAST(len(list_filter(toks, x -> x IN ($sw))) AS BIGINT) AS n_stop
+         | FROM t)
+         |SELECT doc_id, n_tokens, n_subwords, n_stop,
+         | round(least(CAST(n_tokens AS DOUBLE)/50.0, 1.0)*0.4
+         |  + least((CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE)/n_tokens ELSE 0.0 END)*4.0, 1.0)*0.3
+         |  + (CASE WHEN length(text) > 0
+         |     THEN CAST(length(regexp_replace(text,'[^A-Za-z]','','g')) AS DOUBLE)/length(text)
+         |     ELSE 0.0 END)*0.3, 4) AS quality
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+
+    "q28_langid" -> {
+      def cnt(markers: Seq[String]) = {
+        val in = markers.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(toks, x -> x IN ($in)))"
+      }
+      val m = LangMarkers.toMap
+      s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |  ${cnt(m("en"))} AS s_en, ${cnt(m("de"))} AS s_de,
+         |  ${cnt(m("fr"))} AS s_fr, ${cnt(m("es"))} AS s_es
+         | FROM t)
+         |SELECT doc_id,
+         | CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+         |      WHEN s_es > greatest(s_en, s_de, s_fr) THEN 'es'
+         |      WHEN s_fr > greatest(s_en, s_de) THEN 'fr'
+         |      WHEN s_de > s_en THEN 'de'
+         |      ELSE 'en' END AS lang_guess
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+
+    "q37_rolling_hash" ->
+      """SELECT doc_id,
+        | CAST(list_reduce(
+        |   list_prepend(CAST(0 AS BIGINT),
+        |     list_transform(regexp_split_to_array(text,''), c -> CAST(ascii(c) AS BIGINT))),
+        |   (a, b) -> (a*257 + b) % 2147483647) AS BIGINT) AS rhash
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q40_quality_by_source" -> {
+      val sw = StopWords.map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (SELECT source, text, $TOKS AS toks FROM documents),
+         |s AS (SELECT source, text, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_filter(toks, x -> x IN ($sw))) AS BIGINT) AS n_stop FROM t),
+         |q AS (SELECT source, n_tokens,
+         |  round(least(CAST(n_tokens AS DOUBLE)/50.0, 1.0)*0.4
+         |   + least((CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE)/n_tokens ELSE 0.0 END)*4.0, 1.0)*0.3
+         |   + (CASE WHEN length(text) > 0
+         |      THEN CAST(length(regexp_replace(text,'[^A-Za-z]','','g')) AS DOUBLE)/length(text)
+         |      ELSE 0.0 END)*0.3, 4) AS quality
+         | FROM s)
+         |SELECT source, COUNT(*) AS n_docs, round(avg(quality), 4) AS avg_quality,
+         | CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+         |FROM q GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "q29_dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)),'\s+',' ','g')) AS fp,
+        | CAST(min(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q30_dedup_ngram_jaccard" ->
+      s"""WITH sh AS ($SHINGLES3),
+         |sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |common AS (
+         | SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
+         | FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id GROUP BY 1,2)
+         |SELECT id_a, id_b,
+         | round(CAST(c AS DOUBLE)/(na.n + nb.n - c), 4) AS jaccard
+         |FROM common JOIN sizes na ON na.id = id_a JOIN sizes nb ON nb.id = id_b
+         |WHERE round(CAST(c AS DOUBLE)/(na.n + nb.n - c), 4) >= 0.05
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q31_dedup_minhash_lsh" ->
+      s"""WITH sh AS ($SHINGLES3),
+         |h AS (SELECT id, ${duckHash("sh", 7)} AS h FROM sh),
+         |mh AS (SELECT id, i AS hash_idx,
+         |  min((h*(2*i+1) + i*40503 + 7) % 2147483647) AS min_hash
+         | FROM h CROSS JOIN (SELECT unnest(generate_series(0,15)) AS i) GROUP BY 1,2),
+         |bk AS (SELECT id, hash_idx // 4 AS band,
+         |  md5(string_agg(CAST(min_hash AS VARCHAR), ',' ORDER BY hash_idx)) AS band_key
+         | FROM mh GROUP BY 1,2),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         | FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id),
+         |est AS (SELECT c.id_a, c.id_b,
+         |  round(avg(CASE WHEN ma.min_hash = mb.min_hash THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END), 4) AS est_jaccard
+         | FROM cand c
+         |  JOIN mh ma ON ma.id = c.id_a
+         |  JOIN mh mb ON mb.id = c.id_b AND mb.hash_idx = ma.hash_idx
+         | GROUP BY 1,2)
+         |SELECT id_a, id_b, est_jaccard FROM est
+         |WHERE est_jaccard >= 0.25 ORDER BY id_a, id_b""".stripMargin,
+
+    "q32_simhash" ->
+      s"""WITH w AS (SELECT doc_id AS id, unnest($TOKS) AS w FROM documents),
+         |h AS (SELECT id, ${duckHash("w", 15)} AS h FROM w),
+         |bits AS (SELECT id, bit,
+         |  SUM(CASE WHEN ((h >> bit) & 1) = 1 THEN 1 ELSE -1 END) AS v
+         | FROM h CROSS JOIN (SELECT unnest(generate_series(0,15)) AS bit) b GROUP BY 1,2)
+         |SELECT id AS doc_id,
+         | CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+         |FROM bits GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q33_dedup_simhash" ->
+      s"""WITH w AS (SELECT doc_id AS id, unnest($TOKS) AS w FROM documents),
+         |h AS (SELECT id, ${duckHash("w", 15)} AS h FROM w),
+         |bits AS (SELECT id, bit,
+         |  SUM(CASE WHEN ((h >> bit) & 1) = 1 THEN 1 ELSE -1 END) AS v
+         | FROM h CROSS JOIN (SELECT unnest(generate_series(0,15)) AS bit) b GROUP BY 1,2),
+         |sh AS (SELECT id,
+         |  CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+         | FROM bits GROUP BY 1)
+         |SELECT a.id AS id_a, b.id AS id_b, a.simhash
+         |FROM sh a JOIN sh b ON a.simhash = b.simhash AND a.id < b.id
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q34_dedup_embedding" -> {
+      val planes =
+        s"""SELECT p, list_transform(generate_series(0,63), j -> ${duckPlane("p", "j")}) AS c
+           |FROM (SELECT unnest(generate_series(0,7)) AS p)""".stripMargin
+      s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         |pl AS ($planes),
+         |proj AS (SELECT id, p, list_dot_product(v, c) AS proj FROM e CROSS JOIN pl),
+         |bkt AS (SELECT id,
+         |  CAST(SUM(CASE WHEN proj >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
+         | FROM proj GROUP BY 1),
+         |ev AS (SELECT e.id, e.v, bkt.bucket FROM e JOIN bkt ON e.id = bkt.id)
+         |SELECT a.id AS id_a, b.id AS id_b, round(${duckCos("a.v", "b.v")}, 4) AS cos
+         |FROM ev a JOIN ev b ON a.bucket = b.bucket AND a.id < b.id
+         |WHERE round(${duckCos("a.v", "b.v")}, 4) >= 0.2
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "q35_ann_bruteforce" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+         |s AS (SELECT query_id, e.vec_id AS neighbor_id,
+         |  round(${duckCos("qv", "e.v")}, 4) AS cos
+         | FROM e CROSS JOIN q WHERE e.vec_id <> query_id),
+         |r AS (SELECT query_id, neighbor_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+         | FROM s)
+         |SELECT query_id, neighbor_id, cos, rnk FROM r WHERE rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin,
+
+    "q36_ann_lsh" -> {
+      val planes =
+        s"""SELECT p, list_transform(generate_series(0,63), j -> ${duckPlane("p", "j")}) AS c
+           |FROM (SELECT unnest(generate_series(0,3)) AS p)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |pl AS ($planes),
+         |proj AS (SELECT vec_id, p, list_dot_product(v, c) AS proj FROM e CROSS JOIN pl),
+         |bkt AS (SELECT vec_id,
+         |  CAST(SUM(CASE WHEN proj >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
+         | FROM proj GROUP BY 1),
+         |ev AS (SELECT e.vec_id, e.v, bkt.bucket FROM e JOIN bkt ON e.vec_id = bkt.vec_id),
+         |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |  round(${duckCos("q.v", "c.v")}, 4) AS cos
+         | FROM ev c JOIN ev q ON c.bucket = q.bucket
+         | WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+         |r AS (SELECT query_id, neighbor_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+         | FROM s)
+         |SELECT query_id, neighbor_id, cos, rnk FROM r WHERE rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin
+    },
+
+    "q38_multimodal_features" ->
+      """SELECT doc_id AS media_id,
+        | CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+        | CAST(strlen(text) AS BIGINT) AS n_bytes,
+        | round(CAST(list_sum(list_transform(regexp_split_to_array(text,''), c -> ascii(c))) AS DOUBLE)
+        |   / strlen(text), 4) AS byte_mean
+        |FROM documents ORDER BY media_id""".stripMargin
+  )
 }

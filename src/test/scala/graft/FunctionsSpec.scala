@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+
+class FunctionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column): Any =
+    Seq(1).toDF("x").select(c).head().get(0)
+
+  test("tokens: blank text yields empty array, not ['']") {
+    val got = Seq("", "  ", "a b", " a  b ").toDF("t")
+      .select(size(tokens(col("t")))).as[Int].collect().toSeq
+    assert(got == Seq(0, 0, 2, 2))
+  }
+
+  test("tokenHash32 matches the DuckDB hex-cast twin (md5('hello') prefix)") {
+    // DuckDB: CAST(concat('0x', substr(md5('hello'),1,7)) AS BIGINT) = 97784834
+    assert(one(tokenHash32(lit("hello"))) == 97784834L)
+  }
+
+  test("rollingHash: known value and trailing-empty-split immunity") {
+    // h("he") = (0*257+104)%M *257 + 101 = 26829 (DuckDB list_reduce twin)
+    assert(one(rollingHash(lit("he"))) == 26829L)
+    assert(one(rollingHash(lit(""))) == 0L)
+  }
+
+  test("subwordCount: ceil(run/4) per alnum run + 1 per other non-space char") {
+    // "hello world!!" -> ceil(5/4)+ceil(5/4) + 2 = 2+2+2 = 6
+    assert(one(subwordCount(lit("hello world!!"))) == 6L)
+  }
+
+  test("qualityScore stays in [0,1] and is monotone-ish in stopwords") {
+    val q = Seq("the cat sat on the mat and it is fine",
+      "zxq qqq zzz").toDF("t").select(qualityScore(col("t"))).as[Double].collect()
+    assert(q.forall(v => v >= 0.0 && v <= 1.0))
+    assert(q(0) > q(1))
+  }
+
+  test("langId picks marker-majority language, 'und' when none hit") {
+    val got = Seq(
+      "the cat and the dog is a pet",
+      "der hund und die katze ist das",
+      "le chat et la mer est les",
+      "el mar y los rios es las",
+      "zzz qqq xxx").toDF("t").select(langId(col("t"))).as[String].collect().toSeq
+    assert(got == Seq("en", "de", "fr", "es", "und"))
+  }
+
+  test("fingerprint is whitespace/case normalized") {
+    val fps = Seq("Hello  World", "hello world", "HELLO\tWORLD ")
+      .toDF("t").select(fingerprint(col("t"))).as[String].collect()
+    assert(fps.distinct.length == 1)
+  }
+
+  test("cosine: identical vectors -> 1.0, orthogonal -> 0.0, zero-norm -> 0.0") {
+    val df = Seq(
+      (Array(1.0f, 2.0f), Array(1.0f, 2.0f)),
+      (Array(1.0f, 0.0f), Array(0.0f, 3.0f)),
+      (Array(0.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
+    val got = df.select(round(cosine(col("a"), col("b")), 6)).as[Double].collect().toSeq
+    assert(got == Seq(1.0, 0.0, 0.0))
+  }
+
+  test("lshBucket is deterministic and within [0, 2^nBits)") {
+    val df = Seq(Array.fill(64)(0.1f), Array.fill(64)(-0.1f)).toDF("v")
+    val got = df.select(lshBucket(col("v"), 8)).as[Long].collect()
+    assert(got.forall(b => b >= 0 && b < 256))
+    val again = df.select(lshBucket(col("v"), 8)).as[Long].collect()
+    assert(got.toSeq == again.toSeq)
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextJobs
+
+/** Reference-parity tests: golden vectors measured from the compiled
+  * reference (FIXTURES.md, 2026-08-12) plus the boundary/invariance
+  * properties from SURVEY.md §2a.
+  */
+class TextJobsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  val alice30 = "/root/reference/proj_2_base/input-alice30.txt"
+
+  /** Golden letter counts for input-alice30.txt (FIXTURES.md §A). */
+  val aliceGolden: Map[String, Long] = Map(
+    "A" -> 8791, "B" -> 1475, "C" -> 2399, "D" -> 4931, "E" -> 13574,
+    "F" -> 2001, "G" -> 2531, "H" -> 7374, "I" -> 7514, "J" -> 146,
+    "K" -> 1158, "L" -> 4716, "M" -> 2107, "N" -> 7016, "O" -> 8146,
+    "P" -> 1524, "Q" -> 209, "R" -> 5437, "S" -> 6500, "T" -> 10689,
+    "U" -> 3468, "V" -> 846, "W" -> 2675, "X" -> 148, "Y" -> 2264, "Z" -> 78)
+
+  test("letter counter matches reference golden vector on alice30") {
+    val got = TextJobs.letterCount(spark, spark.read.text(alice30), "value")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == aliceGolden)
+  }
+
+  test("letter counter always emits 26 rows A..Z in order, zeros included") {
+    val df = Seq("bcd").toDF("t")
+    val rows = TextJobs.letterCount(spark, df, "t").collect()
+    assert(rows.length == 26)
+    assert(rows.map(_.getString(0)).toSeq == ('A' to 'Z').map(_.toString))
+    assert(rows.count(_.getLong(1) == 0) == 23)
+  }
+
+  test("letter counter is ASCII-only and case-folding (reference isalpha/toupper)") {
+    val df = Seq("aA1! zZ café").toDF("t") // é must NOT count (ASCII isalpha)
+    val got = TextJobs.letterCount(spark, df, "t")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("A") == 3 && got("Z") == 2 && got("C") == 1 && got("F") == 1)
+    assert(got("E") == 0) // the only 'e' is é, which ASCII isalpha rejects
+    assert(got.values.sum == 7)
+  }
+
+  test("letter counter is split-count invariant (SURVEY §2a invariant 1)") {
+    val base = spark.read.text(alice30)
+    val one = TextJobs.letterCount(spark, base.repartition(1), "value").collect().toSeq
+    for (n <- Seq(3, 7, 16)) {
+      val got = TextJobs.letterCount(spark, base.repartition(n), "value").collect().toSeq
+      assert(got == one, s"mismatch at $n partitions")
+    }
+  }
+
+  test("typed 26-slot Aggregator equals the relational plan (UDAF surface)") {
+    val df = spark.read.text(alice30)
+    val typed = TextJobs.letterCountTyped(spark, df, "value")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(typed == aliceGolden)
+  }
+
+  test("word finder matches reference count: 392 'Alice' lines in alice30") {
+    assert(TextJobs.wordFind(spark.read.text(alice30), "value", "Alice").count() == 392)
+  }
+
+  test("word finder is case-sensitive: 'alice' finds nothing in alice30") {
+    assert(TextJobs.wordFind(spark.read.text(alice30), "value", "alice").count() == 0)
+  }
+
+  test("word finder boundary semantics (usr_functions.c:168-169)") {
+    val lines = Seq(
+      "word word here",   // match, emitted once
+      "word_suffix",      // match: underscore IS a boundary (not regex \b!)
+      "subword",          // no match
+      "word!",            // match: punctuation boundary
+      "3word",            // no match: digit is alnum
+      "WORD",             // no match: case-sensitive
+      "word")             // match: whole line
+    val got = TextJobs.wordFind(lines.toDF("value"), "value", "word")
+      .as[String].collect().toSet
+    assert(got == Set("word word here", "word_suffix", "word!", "word"))
+  }
+
+  test("word finder preserves one-emit-per-line (no dup on multi-occurrence)") {
+    val df = Seq("w w w").toDF("value")
+    assert(TextJobs.wordFind(df, "value", "w").count() == 1)
+  }
+
+  test("word finder is split-count invariant") {
+    val base = spark.read.text(alice30)
+    val one = TextJobs.wordFind(base.repartition(1), "value", "Alice").count()
+    for (n <- Seq(4, 16)) {
+      assert(TextJobs.wordFind(base.repartition(n), "value", "Alice").count() == one)
+    }
+  }
+}
