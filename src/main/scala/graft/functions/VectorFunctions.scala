@@ -42,24 +42,34 @@ object VectorFunctions {
       lit(0.0),
       (acc, v) => acc + v)
 
-  /** Pseudo-random hyperplane component in [-1, 1): derived from the md5
-    * of "planeId_j", so it is deterministic, seedless and BIT-IDENTICAL
-    * across engines (md5 + integer ops + one exact double division) —
-    * unlike sin/cos, whose libm vs fdlibm results can differ by 1 ulp and
-    * flip a sign bit near zero.
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Pseudo-random hyperplane for LSH: component j of plane p is
+    * ((first-7-hex-of-md5("p_j") % 2001) - 1000) / 1000.0 — in [-1, 1),
+    * deterministic, seedless and BIT-IDENTICAL across engines (md5 +
+    * integer ops + one exact double division; the DuckDB oracle rebuilds
+    * the same values in SQL). Unlike sin/cos-seeded planes, no libm vs
+    * fdlibm 1-ulp divergence can flip a sign bit near zero.
+    *
+    * Computed ONCE on the driver and shipped as an array literal — the
+    * naive formulation re-evaluated rows*nBits*dim md5 calls per query.
     */
-  def planeComponent(planeId: Int, j: Column): Column = {
-    val h = conv(substring(md5(concat(lit(planeId + "_"), j.cast("string"))), 1, 7), 16, 10)
-      .cast("long")
-    (pmod(h, lit(2001L)) - lit(1000L)).cast("double") / lit(1000.0)
-  }
+  def planeVector(planeId: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { j =>
+      val h = java.lang.Long.parseLong(md5Hex(s"${planeId}_$j").substring(0, 7), 16)
+      ((h % 2001L) - 1000L).toDouble / 1000.0
+    }
 
   /** Sign bit of the projection of `v` onto the fixed pseudo-random
     * hyperplane `planeId` — random-hyperplane LSH (Charikar, STOC'02).
+    * Same left-to-right fold order as [[dot]], so the result is exactly
+    * reproducible in SQL.
     */
-  def hyperplaneBit(v: Column, planeId: Int): Column = {
+  def hyperplaneBit(v: Column, planeId: Int, dim: Int): Column = {
     val proj = aggregate(
-      transform(v, (x, j) => x.cast("double") * planeComponent(planeId, j)),
+      zip_with(v, typedlit(planeVector(planeId, dim)), (x, c) => x.cast("double") * c),
       lit(0.0),
       (acc, x) => acc + x)
     when(proj >= 0, lit(1)).otherwise(lit(0))
@@ -71,8 +81,8 @@ object VectorFunctions {
     * so candidate generation is a single hash-partitioned exchange instead
     * of a cross join.
     */
-  def lshBucket(v: Column, nBits: Int): Column =
+  def lshBucket(v: Column, nBits: Int, dim: Int = 64): Column =
     (0 until nBits).map { p =>
-      hyperplaneBit(v, p).cast("long") * lit(1L << p)
+      hyperplaneBit(v, p, dim).cast("long") * lit(1L << p)
     }.reduce(_ + _)
 }

@@ -26,14 +26,20 @@ import graft.functions.VectorFunctions._
   */
 object Ann {
 
-  /** Exact cosine top-k of each query vector against the corpus. */
+  /** Exact cosine top-k of each query vector against the corpus. Norms
+    * are computed once per vector on each side, never per pair (the norm
+    * product is bit-identical either way).
+    */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cnrm"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qnrm"))
+    val nprod = col("qnrm") * col("cnrm")
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("qv"), col("cv")), 4).as("cos"))
+        round(when(nprod > 0, dot(col("qv"), col("cv")) / nprod).otherwise(lit(0.0)), 4).as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -47,13 +53,14 @@ object Ann {
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int, nBits: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      lshBucket(col(vecCol), nBits).as("bucket"))
+      lshBucket(col(vecCol), nBits).as("bucket"), norm(col(vecCol)).as("cnrm"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      lshBucket(col(vecCol), nBits).as("bucket"))
+      lshBucket(col(vecCol), nBits).as("bucket"), norm(col(vecCol)).as("qnrm"))
+    val nprod = col("qnrm") * col("cnrm")
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("qv"), col("cv")), 4).as("cos"))
+        round(when(nprod > 0, dot(col("qv"), col("cv")) / nprod).otherwise(lit(0.0)), 4).as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

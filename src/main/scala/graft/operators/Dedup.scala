@@ -76,9 +76,15 @@ object Dedup {
   }
 
   /** MinHash signature: `numHashes` permutations h_i(x) = (a_i*x + b_i)
-    * mod p over 61-bit shingle hashes, min per permutation. Returned as
-    * one row per (id, hash_idx, min_hash) — the exploded form feeds LSH
-    * banding directly.
+    * mod p over shingle hashes, min per permutation. Returned as one row
+    * per (id, hash_idx, min_hash).
+    *
+    * The whole signature is computed PER ROW with higher-order functions
+    * (array_min over a transformed hash array) — zero shuffle, instead of
+    * the naive explode(shingles) x explode(numHashes) plan that pushes
+    * |docs|*|shingles|*numHashes rows through an exchange. At 100 TB the
+    * signature stage is embarrassingly parallel map work; only the
+    * numHashes rows per doc leave the stage.
     */
   def minHashes(docs: DataFrame, idCol: String, textCol: String,
                 k: Int, numHashes: Int): DataFrame = {
@@ -86,17 +92,16 @@ object Dedup {
     // below 2^63: the JVM would silently wrap but DuckDB raises on BIGINT
     // overflow, so oracle parity requires staying in range.
     val P = 2147483647L // 2^31-1, Mersenne prime
-    val sh = docs.select(
-      col(idCol).as("id"),
-      explode(shingles(col(textCol), k)).as("sh"))
-      .select(col("id"), tokenHash32(col("sh")).as("h"))
-    val perms = (0 until numHashes).map { i =>
+    val entries = (0 until numHashes).map { i =>
       struct(lit(i).as("hash_idx"),
-        pmod(col("h") * lit(2L * i + 1) + lit(i * 40503L + 7L), lit(P)).as("hv"))
+        array_min(transform(col("hs"),
+          h => pmod(h * lit(2L * i + 1) + lit(i * 40503L + 7L), lit(P)))).as("hv"))
     }
-    sh.select(col("id"), explode(array(perms: _*)).as("p"))
-      .groupBy(col("id"), col("p.hash_idx").as("hash_idx"))
-      .agg(min("p.hv").as("min_hash"))
+    docs
+      .select(col(idCol).as("id"),
+        transform(shingles(col(textCol), k), s => tokenHash32(s)).as("hs"))
+      .select(col("id"), explode(array(entries: _*)).as("p"))
+      .select(col("id"), col("p.hash_idx").as("hash_idx"), col("p.hv").as("min_hash"))
   }
 
   /** MinHash + LSH banding: signatures are split into `bands` bands of
@@ -149,22 +154,19 @@ object Dedup {
     * aggregation keeps the shuffle at 64 rows per doc per partition.
     */
   def simHash(docs: DataFrame, idCol: String, textCol: String, nBits: Int = 16): DataFrame = {
-    val th = docs.select(
-      col(idCol).as("id"),
-      explode(tokens(col(textCol))).as("w"))
-      .select(col("id"), tokenHash64(col("w")).as("h"))
-    val bits = th.select(col("id"), col("h"),
-        explode(sequence(lit(0), lit(nBits - 1))).as("bit"))
-      // SQL-form shifts: functions.shiftright only takes a literal count
-      .withColumn("vote",
-        when(expr("pmod(shiftright(h, cast(bit as int)), 2)") === 1, 1L).otherwise(-1L))
-      .groupBy("id", "bit")
-      .agg(sum("vote").as("v"))
-    bits
-      .withColumn("bitval",
-        when(col("v") > 0, expr("shiftleft(1L, cast(bit as int))")).otherwise(0L))
-      .groupBy("id")
-      .agg(sum("bitval").as("simhash"))
+    // Entire hash computed per row with higher-order folds over the token
+    // hash array — no explode, no shuffle (the naive relational form
+    // exchanges |tokens|*nBits rows). Bit b's vote is a fold over token
+    // hashes; the literal shift counts keep everything codegen-friendly.
+    val sim = (0 until nBits).map { b =>
+      val vote = aggregate(col("hs"), lit(0L),
+        (acc, h) => acc + when(pmod(shiftright(h, b), lit(2)) === 1, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+    docs
+      .select(col(idCol).as("id"),
+        transform(tokens(col(textCol)), t => tokenHash64(t)).as("hs"))
+      .select(col("id"), sim.as("simhash"))
   }
 
   /** SimHash near-dup: exact-equal simhash buckets (the degenerate
@@ -186,13 +188,18 @@ object Dedup {
     */
   def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String,
                        nBits: Int, minCosine: Double): DataFrame = {
+    // Norms are computed once per VECTOR before the join, not once per
+    // candidate pair (the norm product is bit-identical either way).
     val bucketed = emb.select(
       col(idCol).as("id"), col(vecCol).as("v"),
-      VectorFunctions.lshBucket(col(vecCol), nBits).as("bucket"))
+      VectorFunctions.lshBucket(col(vecCol), nBits).as("bucket"),
+      VectorFunctions.norm(col(vecCol)).as("nrm"))
     val a = bucketed.as("a"); val b = bucketed.as("b")
+    val nprod = col("a.nrm") * col("b.nrm")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(VectorFunctions.cosine(col("a.v"), col("b.v")), 4).as("cos"))
+        round(when(nprod > 0,
+          VectorFunctions.dot(col("a.v"), col("b.v")) / nprod).otherwise(lit(0.0)), 4).as("cos"))
       .filter(col("cos") >= minCosine)
   }
 }
