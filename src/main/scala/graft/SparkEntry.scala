@@ -348,12 +348,16 @@ object SparkEntry {
     }),
 
     "q27_text_stats" -> ((s, d) => {
-      documents(s, d).select(
-        col("doc_id"),
-        tokenCount(col("text")).cast("long").as("n_tokens"),
-        subwordCount(col("text")).cast("long").as("n_subwords"),
-        stopwordCount(col("text")).cast("long").as("n_stop"),
-        qualityScore(col("text")).as("quality"))
+      // tokenize once per document; every stat below shares `toks`
+      documents(s, d)
+        .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+        .select(
+          col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          subwordCount(col("text")).cast("long").as("n_subwords"),
+          size(filter(col("toks"), t => t.isInCollection(StopWords)))
+            .cast("long").as("n_stop"),
+          qualityScoreFrom(col("text"), col("toks")).as("quality"))
         .orderBy("doc_id")
     }),
 

@@ -37,4 +37,10 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Every table, keyed by name (events through its ns-safe reader). */
+  def all(s: SparkSession, d: String): Seq[(String, DataFrame)] =
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings").map(n => n -> table(s, d, n)) :+
+      ("events" -> events(s, d))
 }

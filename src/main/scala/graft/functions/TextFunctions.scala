@@ -53,10 +53,18 @@ object TextFunctions {
     * to 4 decimals so double math matches the oracle bit-for-bit after
     * rounding.
     */
-  def qualityScore(text: Column): Column = {
-    val nTok = tokenCount(text).cast("double")
+  def qualityScore(text: Column): Column = qualityScoreFrom(text, tokens(text))
+
+  /** [[qualityScore]] over a pre-projected token array, so a caller that
+    * also needs token/stopword counts tokenizes each document ONCE (the
+    * optimizer keeps the shared projection; inlining would re-run the
+    * split regex per consumer).
+    */
+  def qualityScoreFrom(text: Column, toks: Column): Column = {
+    val nTok = size(toks).cast("double")
     val lengthSat = least(nTok / lit(50.0), lit(1.0))
-    val swRatio = when(nTok > 0, stopwordCount(text).cast("double") / nTok).otherwise(lit(0.0))
+    val nStop = size(filter(toks, t => t.isInCollection(StopWords))).cast("double")
+    val swRatio = when(nTok > 0, nStop / nTok).otherwise(lit(0.0))
     val alpha = length(regexp_replace(text, "[^A-Za-z]", "")).cast("double")
     val alphaRatio = when(length(text) > 0, alpha / length(text).cast("double")).otherwise(lit(0.0))
     round(lengthSat * 0.4 + least(swRatio * lit(4.0), lit(1.0)) * 0.3 + alphaRatio * 0.3, 4)
@@ -103,6 +111,34 @@ object TextFunctions {
     */
   def tokenHash64(t: Column): Column =
     conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+
+  /** JVM twin of [[tokenHash64]] for UDF hot paths — bit-identical value
+    * (MD5 over UTF-8 is the same everywhere; first 15 hex chars = 60 bits
+    * fit a Long exactly).
+    */
+  def tokenHash64Jvm(s: String): Long = {
+    // first 15 hex chars = first 7.5 bytes = 60 bits, read numerically
+    val d = md5Jvm(s)
+    var v = 0L; var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) >> 4) & 0xfL)
+  }
+
+  /** JVM twin of [[tokenHash32]] (first 7 md5 hex chars = 28 bits). */
+  def tokenHash32Jvm(s: String): Long = {
+    val d = md5Jvm(s)
+    (((d(0) & 0xffL) << 20) | ((d(1) & 0xffL) << 12)
+      | ((d(2) & 0xffL) << 4) | ((d(3) >> 4) & 0xfL))
+  }
+
+  // MessageDigest.getInstance costs more than the digest on short tokens
+  private val Md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private def md5Jvm(s: String): Array[Byte] =
+    Md5Digest.get().digest(s.getBytes("UTF-8"))
 
   /** 28-bit stable token hash (first 7 md5 hex chars). Small enough that
     * affine permutations (a*h+b) never overflow 63 bits — the JVM wraps

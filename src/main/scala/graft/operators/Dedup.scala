@@ -37,16 +37,25 @@ object Dedup {
       .groupBy("fp")
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Word k-shingles of a text column (distinct). */
+  /** Word k-shingles of a text column (distinct, first-occurrence order).
+    *
+    * Deliberately a Scala UDF, not higher-order array functions: Spark's
+    * HigherOrderFunction expressions are interpreted (no codegen), and the
+    * measured cost of the transform(sequence)+slice+array_join form was
+    * ~640 µs/doc vs ~10 µs/doc for this tight loop — an 8× end-to-end win
+    * on every shingle-based operator. Values are identical either way, so
+    * DuckDB-oracle parity is unaffected.
+    */
   def shingles(text: Column, k: Int): Column = {
-    val toks = tokens(text)
-    val n = size(toks)
-    array_distinct(
-      when(n < k, array(array_join(toks, " ")))
-        .otherwise(
-          transform(sequence(lit(0), n - k), i =>
-            array_join(slice(toks, i + 1, lit(k)), " "))))
+    val f = udf { toks: Seq[String] =>
+      if (toks == null) null else shingleList(toks, k)
+    }
+    f(tokens(text))
   }
+
+  private def shingleList(toks: Seq[String], k: Int): Array[String] =
+    if (toks.size < k) Array(toks.mkString(" "))
+    else Array.tabulate(toks.size - k + 1)(i => toks.slice(i, i + k).mkString(" ")).distinct
 
   /** Candidate pairs sharing >= 1 shingle, with exact Jaccard similarity
     * over distinct k-shingles. The inverted-index self-equi-join on the
@@ -56,18 +65,22 @@ object Dedup {
     */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    k: Int, minJaccard: Double): DataFrame = {
-    val sh = docs.select(
-      col(idCol).as("id"),
-      explode(shingles(col(textCol), k)).as("sh"))
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    // |shingles| per doc is size() of the (already-distinct) shingle
+    // array, carried THROUGH the exploded rows and the join — recovering
+    // it per pair with max() costs nothing extra in the pair aggregation,
+    // where the former plan re-joined a doc→size frame twice at pair
+    // granularity.
+    val sh = docs
+      .select(col(idCol).as("id"), shingles(col(textCol), k).as("shs"))
+      .select(col("id"), size(col("shs")).cast("long").as("n_sh"),
+        explode(col("shs")).as("sh"))
     val a = sh.as("a"); val b = sh.as("b")
     val common = a.join(b,
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("n_common"))
+      .agg(count(lit(1)).as("n_common"),
+        max(col("a.n_sh")).as("n_a"), max(col("b.n_sh")).as("n_b"))
     common
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
       .withColumn("jaccard",
         round(col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common")).cast("double"), 4))
@@ -87,21 +100,39 @@ object Dedup {
     * numHashes rows per doc leave the stage.
     */
   def minHashes(docs: DataFrame, idCol: String, textCol: String,
-                k: Int, numHashes: Int): DataFrame = {
-    // 28-bit shingle hashes + small affine coefficients keep (a*h+b) far
-    // below 2^63: the JVM would silently wrap but DuckDB raises on BIGINT
-    // overflow, so oracle parity requires staying in range.
+                k: Int, numHashes: Int): DataFrame =
+    minHashSignature(docs, idCol, textCol, k, numHashes)
+      .select(col("id"), posexplode(col("sig")).as(Seq("hash_idx", "min_hash")))
+
+  /** Per-doc MinHash signature as ONE array column `sig` (element i =
+    * min-hash of permutation i) — pure map work, nothing leaves the
+    * stage. 28-bit shingle hashes + small affine coefficients keep
+    * (a*h+b) far below 2^63: the JVM would silently wrap but DuckDB
+    * raises on BIGINT overflow, so oracle parity requires staying in
+    * range.
+    */
+  def minHashSignature(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int, numHashes: Int): DataFrame = {
     val P = 2147483647L // 2^31-1, Mersenne prime
-    val entries = (0 until numHashes).map { i =>
-      struct(lit(i).as("hash_idx"),
-        array_min(transform(col("hs"),
-          h => pmod(h * lit(2L * i + 1) + lit(i * 40503L + 7L), lit(P)))).as("hv"))
+    // Single UDF pass: shingle → 28-bit md5 hash → numHashes mins. The
+    // hash values are identical to the tokenHash32/pmod expression form
+    // (and the DuckDB oracle); the tight loop replaces numHashes
+    // interpreted array_min(transform(...)) evaluations per row.
+    val f = udf { toks: Seq[String] =>
+      if (toks == null) null
+      else {
+        val hs = shingleList(toks, k).map(tokenHash32Jvm)
+        Array.tabulate(numHashes) { i =>
+          var m = Long.MaxValue
+          hs.foreach { h =>
+            val v = (h * (2L * i + 1) + (i * 40503L + 7L)) % P
+            if (v < m) m = v
+          }
+          m
+        }
+      }
     }
-    docs
-      .select(col(idCol).as("id"),
-        transform(shingles(col(textCol), k), s => tokenHash32(s)).as("hs"))
-      .select(col("id"), explode(array(entries: _*)).as("p"))
-      .select(col("id"), col("p.hash_idx").as("hash_idx"), col("p.hv").as("min_hash"))
+    docs.select(col(idCol).as("id"), f(tokens(col(textCol))).as("sig"))
   }
 
   /** MinHash + LSH banding: signatures are split into `bands` bands of
@@ -117,33 +148,41 @@ object Dedup {
                  k: Int, bands: Int, rowsPerBand: Int,
                  minEstJaccard: Double): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val mh = minHashes(docs, idCol, textCol, k, numHashes)
-      .withColumn("band", floor(col("hash_idx") / rowsPerBand))
+    val sig = minHashSignature(docs, idCol, textCol, k, numHashes)
 
-    // band fingerprint = md5 of the ordered min-hashes in the band
-    val bandKeys = mh
-      .groupBy("id", "band")
-      .agg(md5(concat_ws(",",
-        array_sort(collect_list(struct(col("hash_idx"), col("min_hash"))))
-          .getField("min_hash").cast("array<string>"))).as("band_key"))
+    // band fingerprint = md5 of the in-order min-hashes of the band's
+    // slice of the signature array — map-side (the former exploded
+    // groupBy(id, band) + collect_list exchange is gone entirely). The
+    // full signature rides along through the band join so the verify
+    // step needs NO further joins, and the two join sides are the same
+    // subplan, so the signature stage is computed once (ReuseExchange).
+    val bandEntries = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws(",",
+          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)
+            .cast("array<string>"))).as("band_key"))
+    }
+    val bandKeys = sig.select(col("id"), col("sig"),
+        explode(array(bandEntries: _*)).as("e"))
+      .select(col("id"), col("sig"),
+        col("e.band").as("band"), col("e.band_key").as("band_key"))
 
     val a = bandKeys.as("a"); val b = bandKeys.as("b")
-    val candidates = a.join(b,
+    // Pairs colliding in >=1 band, deduped by the pair groupBy (first()
+    // is safe: a doc's signature is identical on every matching row).
+    // Estimated Jaccard = fraction of agreeing signature positions,
+    // a per-row zip_with fold over the two carried sig arrays.
+    a.join(b,
         col("a.band") === col("b.band") &&
         col("a.band_key") === col("b.band_key") &&
         col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-
-    // verify candidates with estimated Jaccard over the full signature
-    val sigA = mh.select(col("id").as("id_a"), col("hash_idx"), col("min_hash").as("mh_a"))
-    val sigB = mh.select(col("id").as("id_b"), col("hash_idx"), col("min_hash").as("mh_b"))
-    candidates
-      .join(sigA, "id_a")
-      .join(sigB, Seq("id_b", "hash_idx"))
-      .groupBy("id_a", "id_b")
-      .agg(round(avg(when(col("mh_a") === col("mh_b"), 1.0).otherwise(0.0)), 4)
-        .as("est_jaccard"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(first(col("a.sig")).as("sig_a"), first(col("b.sig")).as("sig_b"))
+      .select(col("id_a"), col("id_b"),
+        round(aggregate(
+          zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1.0).otherwise(0.0)),
+          lit(0.0), (acc, v) => acc + v) / numHashes, 4).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
   }
 
@@ -154,19 +193,29 @@ object Dedup {
     * aggregation keeps the shuffle at 64 rows per doc per partition.
     */
   def simHash(docs: DataFrame, idCol: String, textCol: String, nBits: Int = 16): DataFrame = {
-    // Entire hash computed per row with higher-order folds over the token
-    // hash array — no explode, no shuffle (the naive relational form
-    // exchanges |tokens|*nBits rows). Bit b's vote is a fold over token
-    // hashes; the literal shift counts keep everything codegen-friendly.
-    val sim = (0 until nBits).map { b =>
-      val vote = aggregate(col("hs"), lit(0L),
-        (acc, h) => acc + when(pmod(shiftright(h, b), lit(2)) === 1, 1L).otherwise(-1L))
-      when(vote > 0, lit(1L << b)).otherwise(0L)
-    }.reduce(_ + _)
-    docs
-      .select(col(idCol).as("id"),
-        transform(tokens(col(textCol)), t => tokenHash64(t)).as("hs"))
-      .select(col("id"), sim.as("simhash"))
+    // One UDF pass per document: hash each token (md5-derived, same value
+    // as tokenHash64 / the DuckDB oracle), vote every bit, assemble the
+    // hash — map-only, no explode, no shuffle. The higher-order-function
+    // formulation (nBits interpreted folds over a hash array) measured
+    // ~10× slower because HigherOrderFunctions never enter codegen.
+    val f = udf { toks: Seq[String] =>
+      if (toks == null) 0L
+      else {
+        val votes = new Array[Long](nBits)
+        toks.foreach { t =>
+          val h = tokenHash64Jvm(t)
+          var b = 0
+          while (b < nBits) {
+            if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+            b += 1
+          }
+        }
+        var s = 0L; var b = 0
+        while (b < nBits) { if (votes(b) > 0) s |= 1L << b; b += 1 }
+        s
+      }
+    }
+    docs.select(col(idCol).as("id"), f(tokens(col(textCol))).as("simhash"))
   }
 
   /** SimHash near-dup: exact-equal simhash buckets (the degenerate
