@@ -348,16 +348,19 @@ object SparkEntry {
     }),
 
     "q27_text_stats" -> ((s, d) => {
-      // tokenize once per document; every stat below shares `toks`
+      // one tokenize + one stats pass per document; quality is computed
+      // expression-side from the integer stats (rounding stays Spark's)
       documents(s, d)
         .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("text"),
+          textStats(col("text"), col("toks")).as("st"))
         .select(
           col("doc_id"),
-          size(col("toks")).cast("long").as("n_tokens"),
-          subwordCount(col("text")).cast("long").as("n_subwords"),
-          size(filter(col("toks"), t => t.isInCollection(StopWords)))
-            .cast("long").as("n_stop"),
-          qualityScoreFrom(col("text"), col("toks")).as("quality"))
+          col("st._1").as("n_tokens"),
+          col("st._2").as("n_subwords"),
+          col("st._3").as("n_stop"),
+          qualityScoreFromCounts(col("text"), col("st._1"), col("st._3"))
+            .as("quality"))
         .orderBy("doc_id")
     }),
 

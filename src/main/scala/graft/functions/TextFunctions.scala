@@ -5,10 +5,12 @@ import org.apache.spark.sql.functions._
 
 /** Text-analysis building blocks for the LLM-data-pipeline surface
   * (SURVEY.md §2b): tokenization, quality scoring, language-ID heuristic,
-  * fingerprinting. Everything here is composed from codegen'd built-in
-  * `org.apache.spark.sql.functions` — no Scala UDFs — so whole-stage
-  * codegen spans the full expression tree and the same semantics are
-  * reproducible in the DuckDB oracle SQL.
+  * fingerprinting. Scalar work that fits codegen'd built-in
+  * `org.apache.spark.sql.functions` stays expression-based; per-document
+  * LOOPS (stats, language scoring, hashing) are deliberately tight Scala
+  * UDFs, because Spark's higher-order array functions are interpreted
+  * (no codegen) and measured 5-10x slower. Every function keeps values
+  * reproducible in the DuckDB oracle SQL regardless of form.
   *
   * These generalize the reference's two text jobs (letter frequency =
   * usr_functions.c:19-109 at char granularity; whole-word search =
@@ -60,14 +62,56 @@ object TextFunctions {
     * optimizer keeps the shared projection; inlining would re-run the
     * split regex per consumer).
     */
-  def qualityScoreFrom(text: Column, toks: Column): Column = {
-    val nTok = size(toks).cast("double")
+  def qualityScoreFrom(text: Column, toks: Column): Column =
+    qualityScoreFromCounts(text, size(toks),
+      size(filter(toks, t => t.isInCollection(StopWords))))
+
+  /** [[qualityScore]] from pre-computed integer token/stopword counts
+    * (e.g. [[textStats]] output). All double math and the final round
+    * stay in this expression, so cross-engine rounding semantics are
+    * identical no matter how the counts were produced.
+    */
+  def qualityScoreFromCounts(text: Column, nTokens: Column, nStop: Column): Column = {
+    val nTok = nTokens.cast("double")
     val lengthSat = least(nTok / lit(50.0), lit(1.0))
-    val nStop = size(filter(toks, t => t.isInCollection(StopWords))).cast("double")
-    val swRatio = when(nTok > 0, nStop / nTok).otherwise(lit(0.0))
+    val swRatio = when(nTokens > 0, nStop.cast("double") / nTok).otherwise(lit(0.0))
     val alpha = length(regexp_replace(text, "[^A-Za-z]", "")).cast("double")
     val alphaRatio = when(length(text) > 0, alpha / length(text).cast("double")).otherwise(lit(0.0))
     round(lengthSat * 0.4 + least(swRatio * lit(4.0), lit(1.0)) * 0.3 + alphaRatio * 0.3, 4)
+  }
+
+  /** One-pass integer stats struct `(n_tokens, n_subwords, n_stop)` —
+    * same values as [[tokenCount]]/[[subwordCount]]/[[stopwordCount]],
+    * fused into a single UDF because each of those is an interpreted
+    * higher-order pass per document. Only integer math lives in the UDF;
+    * anything float-sensitive (quality) stays expression-side.
+    */
+  def textStats(text: Column, toks: Column): Column = {
+    val stopSet = StopWords.toSet
+    def isRegexSpace(c: Char): Boolean = // Java regex \s, as split("\\s+") uses
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    def isAlnum(c: Char): Boolean =
+      (c >= '0' && c <= '9') || (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')
+    val f = udf { (s: String, tk: Seq[String]) =>
+      val nTokens = if (tk == null) 0L else tk.size.toLong
+      val nStop = if (tk == null) 0L else tk.count(stopSet.contains).toLong
+      var sub = 0L
+      if (s != null) {
+        var run = 0; var i = 0
+        while (i < s.length) {
+          val c = s.charAt(i)
+          if (isAlnum(c)) run += 1
+          else {
+            if (run > 0) { sub += (run + 3) / 4; run = 0 }
+            if (!isRegexSpace(c)) sub += 1
+          }
+          i += 1
+        }
+        if (run > 0) sub += (run + 3) / 4
+      }
+      (nTokens, sub, nStop)
+    }
+    f(text, toks)
   }
 
   /** N-gram language-ID heuristic: score text against per-language marker
@@ -87,15 +131,24 @@ object TextFunctions {
     size(filter(tokens(text), t => t.isInCollection(markers)))
 
   /** Greatest-score language; ties broken by language-code order (en < de
-    * < fr < es evaluation order => first max wins via strict >).
+    * < fr < es evaluation order => first max wins via strict >). One UDF
+    * pass over the tokens — the per-language filter() chain ran nBits
+    * interpreted passes (HigherOrderFunctions never enter codegen).
     */
   def langId(text: Column): Column = {
-    val scored = LangMarkers.map { case (lang, m) => (lang, langIdScore(text, m)) }
-    val best = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
-      case ((bl, bs), (lang, s)) =>
-        (when(s > bs, lit(lang)).otherwise(bl), greatest(s, bs))
+    val markerSets = LangMarkers.map { case (l, m) => (l, m.toSet) }
+    val f = udf { toks: Seq[String] =>
+      if (toks == null) "und"
+      else {
+        var bestLang = ""; var bestScore = -1
+        markerSets.foreach { case (lang, set) =>
+          val s = toks.count(set.contains)
+          if (s > bestScore) { bestLang = lang; bestScore = s }
+        }
+        if (bestScore > 0) bestLang else "und"
+      }
     }
-    when(best._2 > 0, best._1).otherwise(lit("und"))
+    f(tokens(text))
   }
 
   /** Content fingerprint: md5 of whitespace-normalized lower-cased text.

@@ -47,9 +47,13 @@ object Dedup {
     * DuckDB-oracle parity is unaffected.
     */
   def shingles(text: Column, k: Int): Column = {
+    // asNondeterministic is a (truthful-output) optimizer hint: without
+    // it, InferFiltersFromGenerate + predicate pushdown clone the UDF
+    // into a size(..)>0 filter and the scan's data filters — measured 3
+    // evaluations per row per join side on the ngramJaccard plan.
     val f = udf { toks: Seq[String] =>
       if (toks == null) null else shingleList(toks, k)
-    }
+    }.asNondeterministic()
     f(tokens(text))
   }
 

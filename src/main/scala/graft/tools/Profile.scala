@@ -67,6 +67,8 @@ object Profile {
       Dedup.minHashLsh(docs, "doc_id", "text", 3, 4, 4, 0.25).orderBy("id_a", "id_b")
         .write.format("noop").mode("overwrite").save()
     }
+    println(Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.05)
+      .queryExecution.executedPlan.toString.take(4000))
     val sigOnly = Dedup.minHashSignature(docs, "doc_id", "text", 3, 16)
     t("minhash-sig") { sigOnly.write.format("noop").mode("overwrite").save() }
     spark.stop()
