@@ -438,6 +438,84 @@ object SparkEntry {
       Multimodal.mediaFeatures(s, documents(s, d))
         .select(col("media_id"), col("kind"), col("n_bytes"), col("byte_mean"))
         .orderBy("media_id")
+    }),
+
+    // --- tf-idf-lite (SURVEY.md §2b text analysis) ---
+
+    "q41_tfidf" -> ((s, d) => {
+      // integer-arithmetic tf-idf: idf_x1000 = (N*1000) div df — exact on
+      // both engines (no cross-engine log()/double-accumulation drift)
+      val docs = documents(s, d)
+      val tf = docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      tf.join(dfreq, "word")
+        .crossJoin(broadcast(n))
+        .withColumn("tfidf", col("tf") * ((col("n_docs") * 1000L) / col("df")).cast("long"))
+        .filter(col("tf") >= 3)
+        .select(col("doc_id"), col("word"), col("tf"), col("df"), col("tfidf"))
+        .orderBy(col("tfidf").desc, col("doc_id"), col("word"))
+        .limit(50)
+    }),
+
+    // --- set ops: intersect (q12 covers except/union) ---
+
+    "q42_setops_intersect" -> ((s, d) => {
+      val o = orders(s, d)
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+      val fin = o.filter(col("o_orderstatus") === "F").select("o_custkey")
+      urgent.intersect(fin)
+        .withColumnRenamed("o_custkey", "custkey")
+        .orderBy("custkey")
+    }),
+
+    // --- window-function sampler: rank/dense_rank/lead/ntile ---
+
+    "q43_window_ranking" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = orders(s, d).select(col("o_orderpriority"), col("o_orderkey"),
+        cents(col("o_totalprice")).as("total_c"))
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("total_c").desc, col("o_orderkey"))
+      base.select(col("o_orderpriority"), col("o_orderkey"), col("total_c"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          lead("o_orderkey", 1).over(w).as("next_key"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .filter(col("rnk") <= 10)
+        .orderBy("o_orderpriority", "rnk")
+    }),
+
+    // --- math-function sampler (IEEE-exact ops only: sqrt is correctly
+    //     rounded, products/floor/ceil/abs/mod are exact on integral-valued
+    //     doubles — no libm transcendental drift) ---
+
+    "q44_math_fns" -> ((s, d) => {
+      lineitem(s, d).groupBy("l_returnflag").agg(
+          sum(round(sqrt(col("l_quantity")) * 10000).cast("long")).as("sum_sqrt_q"),
+          sum((col("l_quantity") * col("l_quantity")).cast("long")).as("sum_sq_q"),
+          sum(floor(col("l_extendedprice")).cast("long")).as("sum_floor_p"),
+          sum(ceil(col("l_discount") * 100).cast("long")).as("sum_ceil_d"),
+          sum(abs(col("l_quantity") - 25.0).cast("long")).as("sum_absdev"),
+          sum(pmod(col("l_orderkey"), lit(7L))).as("sum_mod7"))
+        .orderBy("l_returnflag")
+    }),
+
+    // --- JSON → map functions (from_json + explode over map) ---
+
+    "q45_json_map" -> ((s, d) => {
+      import org.apache.spark.sql.types.{MapType, StringType}
+      events(s, d)
+        .select(col("event_type"),
+          explode(from_json(col("props"), MapType(StringType, StringType)))
+            .as(Seq("key", "val")))
+        .groupBy("event_type", "key")
+        .agg(count(lit(1)).as("n"),
+          min(col("val").cast("long")).as("min_v"),
+          max(col("val").cast("long")).as("max_v"))
+        .orderBy("event_type", "key")
     })
   )
 
@@ -826,6 +904,51 @@ object SparkEntry {
         | CAST(strlen(text) AS BIGINT) AS n_bytes,
         | round(CAST(list_sum(list_transform(regexp_split_to_array(text,''), c -> ascii(c))) AS DOUBLE)
         |   / strlen(text), 4) AS byte_mean
-        |FROM documents ORDER BY media_id""".stripMargin
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "q41_tfidf" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($TOKS) AS word FROM documents),
+         |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM toks GROUP BY 1,2),
+         |dfreq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+         |SELECT tf.doc_id, tf.word, tf.tf, dfreq.df,
+         | tf.tf * ((n.n_docs * 1000) // dfreq.df) AS tfidf
+         |FROM tf JOIN dfreq USING (word) CROSS JOIN n
+         |WHERE tf.tf >= 3
+         |ORDER BY tfidf DESC, doc_id, word LIMIT 50""".stripMargin,
+
+    "q42_setops_intersect" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY custkey""".stripMargin,
+
+    "q43_window_ranking" ->
+      """WITH b AS (SELECT o_orderpriority, o_orderkey,
+        |  CAST(round(o_totalprice*100,0) AS BIGINT) AS total_c FROM orders),
+        |w AS (SELECT o_orderpriority, o_orderkey, total_c,
+        |  CAST(rank() OVER win AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER win AS BIGINT) AS drnk,
+        |  lead(o_orderkey, 1) OVER win AS next_key,
+        |  CAST(ntile(4) OVER win AS BIGINT) AS quartile
+        | FROM b WINDOW win AS (PARTITION BY o_orderpriority ORDER BY total_c DESC, o_orderkey))
+        |SELECT * FROM w WHERE rnk <= 10 ORDER BY o_orderpriority, rnk""".stripMargin,
+
+    "q44_math_fns" ->
+      """SELECT l_returnflag,
+        | CAST(SUM(CAST(round(sqrt(l_quantity)*10000, 0) AS BIGINT)) AS BIGINT) AS sum_sqrt_q,
+        | CAST(SUM(CAST(l_quantity*l_quantity AS BIGINT)) AS BIGINT) AS sum_sq_q,
+        | CAST(SUM(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS sum_floor_p,
+        | CAST(SUM(CAST(ceil(l_discount*100) AS BIGINT)) AS BIGINT) AS sum_ceil_d,
+        | CAST(SUM(CAST(abs(l_quantity-25.0) AS BIGINT)) AS BIGINT) AS sum_absdev,
+        | CAST(SUM(l_orderkey % 7) AS BIGINT) AS sum_mod7
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q45_json_map" ->
+      """SELECT event_type, key, COUNT(*) AS n,
+        | MIN(CAST(json_extract_string(props, '$.'||key) AS BIGINT)) AS min_v,
+        | MAX(CAST(json_extract_string(props, '$.'||key) AS BIGINT)) AS max_v
+        |FROM (SELECT event_type, props, unnest(json_keys(props)) AS key FROM events) t
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin
   )
 }

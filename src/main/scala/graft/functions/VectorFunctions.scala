@@ -1,12 +1,13 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, GraftSqlShim}
 import org.apache.spark.sql.functions._
 
-/** Dense-vector kernels over `array<float>` embedding columns, written as
-  * higher-order built-in functions (`zip_with` + `aggregate`) so they stay
-  * inside Catalyst/codegen — no Scala UDF boxing per element — and remain
-  * expressible in the DuckDB oracle (list_dot_product / unnest forms).
+/** Dense-vector kernels over `array<float>` embedding columns. The hot
+  * kernel (dot product) is a custom codegen'd Catalyst Expression
+  * ([[DotProduct]]); everything else composes built-ins. All kernels
+  * remain expressible in the DuckDB oracle (list_dot_product / unnest
+  * forms) — fold order is left-to-right on both engines.
   *
   * Part of the similarity-search surface (SURVEY.md §2b); no reference
   * counterpart (the reference's only kernels are byte/line scans,
@@ -14,14 +15,13 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Sum of elementwise products; both sides cast to double first for a
-    * deterministic left-to-right fold order (matches DuckDB's list fold).
+  /** Sum of elementwise products; elements widened to double, accumulated
+    * left-to-right (matches DuckDB's list fold). Compiles into
+    * whole-stage codegen via [[DotProduct]].
     */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v)
+    GraftSqlShim.column(DotProduct(
+      GraftSqlShim.expression(a), GraftSqlShim.expression(b)))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -68,10 +68,7 @@ object VectorFunctions {
     * reproducible in SQL.
     */
   def hyperplaneBit(v: Column, planeId: Int, dim: Int): Column = {
-    val proj = aggregate(
-      zip_with(v, typedlit(planeVector(planeId, dim)), (x, c) => x.cast("double") * c),
-      lit(0.0),
-      (acc, x) => acc + x)
+    val proj = dot(v, typedlit(planeVector(planeId, dim)))
     when(proj >= 0, lit(1)).otherwise(lit(0))
   }
 

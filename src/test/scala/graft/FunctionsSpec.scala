@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -73,5 +74,44 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got.forall(b => b >= 0 && b < 256))
     val again = df.select(lshBucket(col("v"), 8)).as[Long].collect()
     assert(got.toSeq == again.toSeq)
+  }
+
+  test("DotProduct expression matches the higher-order-function fold bitwise") {
+    val hof = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    val vecs = Seq(
+      (Array(1.5f, -2.25f, 3.125f), Array(0.5f, 4.0f, -1.75f)),
+      (Array(0.1f, 0.2f, 0.3f), Array(0.3f, 0.2f, 0.1f)),
+      (Array.fill(64)(0.37f), Array.fill(64)(-0.91f))).toDF("a", "b")
+    val native = vecs.select(dot(col("a"), col("b"))).as[Double].collect().toSeq
+    val viaHof = vecs.select(hof(col("a"), col("b"))).as[Double].collect().toSeq
+    assert(native == viaHof) // exact, not approximate: same fold order
+  }
+
+  test("DotProduct handles float x double-literal (LSH planes) and nulls") {
+    val plane = typedlit(Array(0.5, -0.5, 1.0))
+    val df = Seq(Array(2.0f, 4.0f, 1.0f)).toDF("v")
+    assert(df.select(dot(col("v"), plane)).as[Double].head() == 2.0 * 0.5 - 4.0 * 0.5 + 1.0)
+    val withNull = Seq((Some(Array(1.0f, 2.0f)), None: Option[Array[Float]]))
+      .toDF("a", "b")
+    assert(withNull.select(dot(col("a"), col("b"))).collect().head.isNullAt(0))
+  }
+
+  test("textStats struct equals the individual stat functions") {
+    val df = Seq(
+      "the quick brown fox, it jumps over 42 lazy-dogs!",
+      "  ", "", "one",
+      "punct!!! ... ??? with    gaps\tand\ttabs").toDF("t")
+      .select(col("t"), tokens(col("t")).as("toks"))
+    val fused = df.select(textStats(col("t"), col("toks")).as("st"))
+      .select(col("st._1"), col("st._2"), col("st._3"))
+      .as[(Long, Long, Long)].collect().toSeq
+    val separate = df.select(
+        tokenCount(col("t")).cast("long"),
+        subwordCount(col("t")).cast("long"),
+        stopwordCount(col("t")).cast("long"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(fused == separate)
   }
 }
