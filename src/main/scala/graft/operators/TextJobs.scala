@@ -137,4 +137,24 @@ object TextJobs {
       .head()
     ('A' to 'Z').zip(vec).map { case (l, n) => (l.toString, n) }.toDF("letter", "cnt")
   }
+
+  /** Result sink with the reference's contract (mapreduce.c:153-157: ONE
+    * text file, rows in order): coalesce(1) keeps the sort order into a
+    * single part file. Returns the part-file path. Single-file output is
+    * a parity artifact, not a scale pattern — at warehouse scale drop the
+    * coalesce and let the sink write one file per partition.
+    */
+  def writeSingleTextFile(df: DataFrame, line: Column, outDir: String): String = {
+    df.select(line.cast("string").as("value"))
+      .coalesce(1)
+      .write.mode("overwrite").text(outDir)
+    val part = new java.io.File(outDir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".txt"))
+    require(part.length == 1, s"expected exactly one part file in $outDir")
+    part.head.getPath
+  }
+
+  /** The counter's "%c %d\n" result-line format (usr_functions.c:48). */
+  def counterResultLine(letter: Column, cnt: Column): Column =
+    concat(letter, lit(" "), cnt.cast("string"))
 }

@@ -62,4 +62,33 @@ object EventStreams {
       .select(col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"))
+
+  case class UserEvent(user_id: Long, value: Double)
+  case class UserState(n_events: Long, total_value: Double)
+  case class UserUpdate(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom keyed state via flatMapGroupsWithState (the engine's
+    * arbitrary-stateful-operator surface, SURVEY.md §2b "streaming"):
+    * per-user running event count + value total, emitted as an update per
+    * micro-batch. State is one fixed-size record per user — bounded by
+    * key cardinality, not stream length; for keys that must expire, pass
+    * a GroupStateTimeout and call state.setTimeoutDuration in the body.
+    */
+  def runningUserTotals(events: DataFrame)
+      : org.apache.spark.sql.Dataset[UserUpdate] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("user_id", "value").as[UserEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (uid: Long, it: Iterator[UserEvent], state: GroupState[UserState]) => {
+          val prev = state.getOption.getOrElse(UserState(0L, 0.0))
+          var n = prev.n_events
+          var tot = prev.total_value
+          it.foreach { e => n += 1; tot += e.value }
+          state.update(UserState(n, tot))
+          Iterator(UserUpdate(uid, n, tot))
+        })
+  }
 }

@@ -73,4 +73,25 @@ class StreamingSpec extends AnyFunSuite {
       sCount.get(u).exists(s => s == n || s == n - 1) }
     assert(agree >= bCount.size * 9 / 10)
   }
+
+  test("flatMapGroupsWithState running totals converge to the batch totals") {
+    val updates = runToMemory(
+      EventStreams.runningUserTotals(
+        EventStreams.readEventStream(spark, eventsDir)).toDF(),
+      "t_running", "update")
+    // the LAST update per user must equal the batch aggregate; with one
+    // input batch there is exactly one update per user
+    val streamed = updates.groupBy("user_id")
+      .agg(max("n_events").as("n"), max("total_value").as("tot"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val batch = engine.Tables.events(spark, SparkTestSession.sfDir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("value").as("tot"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(streamed.keySet == batch.keySet)
+    assert(batch.forall { case (u, (n, tot)) =>
+      val (sn, stot) = streamed(u)
+      sn == n && math.abs(stot - tot) < 1e-6
+    })
+  }
 }

@@ -89,6 +89,31 @@ class TextJobsSpec extends AnyFunSuite {
     assert(TextJobs.wordFind(df, "value", "w").count() == 1)
   }
 
+  test("single-file text result sink matches the reference mr.rst contract") {
+    val out = "/tmp/graft-test-mr-rst"
+    val counts = TextJobs.letterCount(spark, spark.read.text(alice30), "value")
+    val path = TextJobs.writeSingleTextFile(counts,
+      TextJobs.counterResultLine(col("letter"), col("cnt")), out)
+    val lines = scala.io.Source.fromFile(path).getLines().toSeq
+    assert(lines.size == 26)                       // all 26 rows, one file
+    assert(lines.head == s"A ${aliceGolden("A")}") // "%c %d" format, A..Z order
+    assert(lines.last == s"Z ${aliceGolden("Z")}")
+    assert(lines.map(_.split(" ")(0)) == ('A' to 'Z').map(_.toString))
+  }
+
+  test("csv and json sources round-trip the parquet schema and values") {
+    val base = spark.read.parquet(s"${SparkTestSession.sfDir}/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val tmp = "/tmp/graft-test-sources"
+    base.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
+    base.write.mode("overwrite").json(s"$tmp/json")
+    val viaCsv = spark.read.option("header", "true").schema(base.schema).csv(s"$tmp/csv")
+    val viaJson = spark.read.schema(base.schema).json(s"$tmp/json")
+    assert(viaCsv.count() == base.count() && viaJson.count() == base.count())
+    assert(viaCsv.except(base).isEmpty && base.except(viaCsv).isEmpty)
+    assert(viaJson.except(base).isEmpty && base.except(viaJson).isEmpty)
+  }
+
   test("word finder is split-count invariant") {
     val base = spark.read.text(alice30)
     val one = TextJobs.wordFind(base.repartition(1), "value", "Alice").count()
