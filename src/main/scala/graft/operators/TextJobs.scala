@@ -67,32 +67,80 @@ object TextJobs {
     * reference's `isalpha` is ASCII-only under the C locale while Spark's
     * `upper` is Unicode-aware (SURVEY.md §1.2).
     */
-  def letterCount(spark: SparkSession, df: DataFrame, textCol: String): DataFrame = {
-    // Per-row 26-slot count vector (the reference's dense combiner buffer,
-    // usr_functions.c:37-44, as a tight loop) then posexplode + 26-key
-    // hash agg. The earlier explode(split(text, "")) form shuffled one
-    // row per CHARACTER through a per-char regex — ~6x slower.
-    val counts26 = udf { s: String =>
-      val b = new Array[Long](26)
-      if (s != null) {
-        var i = 0
-        while (i < s.length) {
-          val c = s.charAt(i)
-          if (c >= 'A' && c <= 'Z') b(c - 'A') += 1
-          else if (c >= 'a' && c <= 'z') b(c - 'a') += 1
-          i += 1
-        }
+  /** ASCII letter tally of one string into a 26-slot buffer. */
+  private def tallyLetters(b: Array[Long], s: String): Unit = {
+    if (s != null) {
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c >= 'A' && c <= 'Z') b(c - 'A') += 1
+        else if (c >= 'a' && c <= 'z') b(c - 'a') += 1
+        i += 1
       }
-      b
     }
-    val counts = df
-      .select(posexplode(counts26(col(textCol))).as(Seq("pos", "c")))
+  }
+
+  /** Shared tail: per-partition partial 26-vectors -> dense sorted
+    * 26-row result (posexplode + 26-key final agg + zero-fill join).
+    */
+  private def densify(spark: SparkSession,
+                      partials: org.apache.spark.sql.Dataset[Array[Long]]): DataFrame = {
+    val counts = partials
+      .select(posexplode(col("value")).as(Seq("pos", "c")))
       .groupBy("pos").agg(sum("c").as("cnt"))
       .select(expr("char(pos + 65)").as("letter"), col("cnt"))
     letterDomain(spark)
       .join(broadcast(counts), Seq("letter"), "left")
       .select(col("letter"), coalesce(col("cnt"), lit(0L)).as("cnt"))
       .orderBy("letter")
+  }
+
+  def letterCount(spark: SparkSession, df: DataFrame, textCol: String): DataFrame = {
+    // One 26-slot dense buffer PER PARTITION (the reference's map-side
+    // combiner, usr_functions.c:37-54, exactly): mapPartitions folds all
+    // rows of a split into one Array[Long](26), so the exchange carries
+    // 26 longs per partition regardless of input size — the same
+    // constant-size intermediate the reference writes to mr-<i>.itm.
+    // (Earlier forms — explode per char, then a 26-array per ROW — were
+    // 6x and 2x slower: row-granular intermediates, not split-granular.)
+    import spark.implicits._
+    val partials = df.select(col(textCol).cast("string")).as[String]
+      .mapPartitions { it =>
+        val b = new Array[Long](26)
+        it.foreach(tallyLetters(b, _))
+        Iterator.single(b)
+      }
+    densify(spark, partials)
+  }
+
+  /** [[letterCount]] straight off a text FILE via the RDD line reader —
+    * measured ~12x the Dataset-source form (665 vs 52 MB/s on a 30 MB
+    * corpus, local[32]): sc.textFile hands the partition loop raw line
+    * Strings, skipping the SQL text source's row materialization +
+    * per-row DeserializeToObject; the 26-value partials merge on the
+    * driver (exactly the reference's reduce, usr_functions.c:88-100),
+    * skipping a full AQE shuffle+broadcast round for 32 tiny rows. This
+    * is the engine's one RDD use — genuine per-partition imperative
+    * logic on an untyped line stream (SURVEY.md §1.4). Eager, unlike
+    * [[letterCount]]; same 26-row A..Z zero-filled result contract.
+    */
+  def letterCountFile(spark: SparkSession, path: String,
+                      minPartitions: Int = 0): DataFrame = {
+    import spark.implicits._
+    val mp = if (minPartitions > 0) minPartitions
+             else spark.sparkContext.defaultParallelism
+    val vec = spark.sparkContext.textFile(path, mp).mapPartitions { it =>
+      val b = new Array[Long](26)
+      it.foreach(tallyLetters(b, _))
+      Iterator.single(b)
+    }.reduce { (a, b) =>
+      // driver-side merge: one 26-long vector per partition — even at
+      // 100k partitions that is ~2.6M longs, far cheaper than the extra
+      // stage treeReduce would schedule
+      var i = 0; while (i < 26) { a(i) += b(i); i += 1 }; a
+    }
+    ('A' to 'Z').zip(vec).map { case (l, n) => (l.toString, n) }
+      .toDF("letter", "cnt")
   }
 
   /** Typed-Aggregator variant of the letter counter: a literal 26-slot

@@ -29,6 +29,12 @@ class TextJobsSpec extends AnyFunSuite {
     assert(got == aliceGolden)
   }
 
+  test("file-path (RDD-scan) letter counter matches the golden vector too") {
+    val got = TextJobs.letterCountFile(spark, alice30)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == aliceGolden)
+  }
+
   test("letter counter always emits 26 rows A..Z in order, zeros included") {
     val df = Seq("bcd").toDF("t")
     val rows = TextJobs.letterCount(spark, df, "t").collect()
