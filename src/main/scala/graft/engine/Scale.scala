@@ -1,0 +1,83 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale patterns the planner cannot always supply on its own
+  * (SURVEY.md §2b scale notes): key-salting for skewed joins, bucketed
+  * co-located joins, and partition-pruned layouts. Each helper is plain
+  * DataFrame composition — testable at sf fixtures, unchanged at 100 TB.
+  */
+object Scale {
+
+  /** Skew-safe equi-join: salt the big (skewed) side into `saltFactor`
+    * sub-keys and replicate the small side once per salt, turning one
+    * hot key's partition into `saltFactor` even slices. Use when a key's
+    * row count exceeds what one task should hold AND AQE's skew-join
+    * splitting is not applicable (e.g. the skewed side is the OUTPUT of
+    * an exchange-free stage). Inner joins only.
+    *
+    * At 100 TB: saltFactor multiplies only the SMALL side's shuffle
+    * volume (`|small| * saltFactor` rows), while the big side's hot keys
+    * spread across `saltFactor` tasks — the classic trade.
+    */
+  def saltedEquiJoin(big: DataFrame, small: DataFrame, bigKey: String,
+                     smallKey: String, saltFactor: Int): DataFrame = {
+    val salted = big.withColumn("__salt",
+      pmod(hash(monotonically_increasing_id()), lit(saltFactor)))
+    val replicated = small
+      .withColumn("__salt", explode(array((0 until saltFactor).map(lit): _*)))
+    salted.join(replicated,
+        salted("__salt") === replicated("__salt") &&
+        col(bigKey) === col(smallKey))
+      .drop("__salt")
+  }
+
+  /** Two-phase aggregation under heavy key skew: pre-aggregate on
+    * (key, salt), then finish on key. Spark's partial aggregation
+    * already combines map-side, but when ONE key dominates the final
+    * exchange, the middle phase spreads it over `saltFactor` reducers.
+    * `aggs` must be decomposable (sum/count/min/max style).
+    */
+  def saltedSumAgg(df: DataFrame, key: String, valueCol: String,
+                   saltFactor: Int): DataFrame =
+    df.withColumn("__salt",
+        pmod(hash(monotonically_increasing_id()), lit(saltFactor)))
+      .groupBy(col(key), col("__salt"))
+      .agg(sum(col(valueCol)).as("__partial"))
+      .groupBy(col(key))
+      .agg(sum(col("__partial")).as(s"sum_$valueCol"))
+
+  /** Write `df` bucketed+sorted on `key` as a managed table: two tables
+    * bucketed the same way join with ZERO exchanges (co-located,
+    * SURVEY.md §2b "bucketing for co-located joins"). The warehouse dir
+    * is the session's `spark.sql.warehouse.dir`.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int): Unit = {
+    val spark = df.sparkSession
+    // the in-memory catalog forgets managed tables across JVMs but their
+    // warehouse directories persist — clear both or overwrite fails with
+    // LOCATION_ALREADY_EXISTS
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(wh)) fs.delete(wh, true)
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
+  }
+
+  /** Write `df` hive-partitioned by `partCol` — scans filtered on
+    * `partCol` prune to matching directories (PartitionFilters in the
+    * plan), the parquet analog of the reference's byte-range split
+    * planning (mapreduce.c:56-93) done at the LAYOUT level.
+    */
+  def writePartitioned(df: DataFrame, path: String, partCol: String): Unit =
+    df.write.mode("overwrite").partitionBy(partCol).parquet(path)
+
+  /** Count the shuffle exchanges in a plan (test/audit helper). */
+  def exchangeCount(df: DataFrame): Int =
+    "ShuffleExchange".r.findAllIn(df.queryExecution.executedPlan.toString).length
+}

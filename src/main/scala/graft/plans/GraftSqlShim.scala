@@ -15,4 +15,14 @@ object GraftSqlShim {
   /** The Catalyst Expression behind a Column (classic sessions only). */
   def expression(c: Column): Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** Register a Catalyst expression builder as a SQL temp function on an
+    * ALREADY-RUNNING session (sessionState is private[sql]; for sessions
+    * you construct yourself, prefer
+    * `builder.withExtensions(new graft.plans.GraftExtensions)`).
+    */
+  def registerFunction(spark: SparkSession, name: String,
+                       builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
 }

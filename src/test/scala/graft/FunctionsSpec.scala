@@ -98,6 +98,19 @@ class FunctionsSpec extends AnyFunSuite {
     assert(withNull.select(dot(col("a"), col("b"))).collect().head.isNullAt(0))
   }
 
+  test("graft_dot is callable from SQL after registration") {
+    org.apache.spark.sql.GraftSqlShim.registerFunction(spark, "graft_dot",
+      exprs => graft.functions.DotProduct(exprs.head, exprs(1)))
+    val got = spark.sql(
+      """SELECT graft_dot(CAST(array(1.0, 2.0, 3.0) AS array<double>),
+        |                 CAST(array(2.0, 0.5, 1.0) AS array<double>)) AS d"""
+        .stripMargin).as[Double].head()
+    assert(got == 1.0 * 2.0 + 2.0 * 0.5 + 3.0 * 1.0)
+    // the extensions class wires the same builder without error
+    new graft.plans.GraftExtensions()
+      .apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
   test("textStats struct equals the individual stat functions") {
     val df = Seq(
       "the quick brown fox, it jumps over 42 lazy-dogs!",

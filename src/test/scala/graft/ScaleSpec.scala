@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Scale
+
+/** Scale-pattern tests: salting correctness, bucketed joins planning
+  * with zero exchanges, partition pruning reaching the scan.
+  */
+class ScaleSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("saltedEquiJoin returns exactly the plain join's rows under skew") {
+    // 90% of big rows share one hot key
+    val big = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong % 7 else 42L, i))
+      .toDF("k", "v")
+    val small = Seq((42L, "hot"), (0L, "a"), (1L, "b"), (6L, "c")).toDF("sk", "name")
+    val plain = big.join(small, col("k") === col("sk"))
+      .select("k", "v", "name").collect().toSet
+    val salted = Scale.saltedEquiJoin(big, small, "k", "sk", saltFactor = 8)
+      .select("k", "v", "name").collect().toSet
+    assert(salted == plain)
+  }
+
+  test("saltedSumAgg equals plain groupBy sum") {
+    val df = (1 to 5000).map(i => (if (i % 100 == 0) i.toLong else 1L, i.toLong))
+      .toDF("k", "v")
+    val plain = df.groupBy("k").agg(sum("v").as("sum_v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val salted = Scale.saltedSumAgg(df, "k", "v", saltFactor = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(salted == plain)
+  }
+
+  test("bucketed tables join with zero shuffle exchanges") {
+    val o = spark.read.parquet(s"${SparkTestSession.sfDir}/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val l = spark.read.parquet(s"${SparkTestSession.sfDir}/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    Scale.writeBucketed(o, "b_orders", "o_orderkey", 4)
+    Scale.writeBucketed(l, "b_lineitem", "l_orderkey", 4)
+    val joined = spark.table("b_orders")
+      .join(spark.table("b_lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_custkey").agg(sum("l_quantity").as("q"))
+    // one exchange for the groupBy (custkey), NONE for the join
+    val planStr = joined.queryExecution.executedPlan.toString
+    val joinSection = planStr.split("HashAggregate").last
+    assert(!joinSection.contains("Exchange hashpartitioning(o_orderkey") &&
+      !joinSection.contains("Exchange hashpartitioning(l_orderkey"),
+      s"join should be co-located:\n$planStr")
+    // and it still computes the right thing
+    val expect = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_custkey").agg(sum("l_quantity").as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val got = joined.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == expect)
+  }
+
+  test("partitioned layout prunes partitions in the scan") {
+    val ev = engine.Tables.events(spark, SparkTestSession.sfDir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    val path = "/tmp/graft-test-partitioned"
+    Scale.writePartitioned(ev, path, "day")
+    val days = ev.select("day").distinct().as[String].collect().sorted
+    assume(days.length > 1)
+    val pruned = spark.read.parquet(path).filter(col("day") === days.head)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains(days.head))
+    assert(pruned.count() ==
+      ev.filter(col("day") === days.head).count())
+  }
+}
