@@ -84,4 +84,53 @@ object Multimodal {
     import spark.implicits._
     extractFeatures(mediaFromDocuments(spark, docs)).toDF()
   }
+
+  /** Resize stub: deterministically resample the blob to `w*h` bytes by
+    * nearest-neighbor index mapping (a real impl decodes pixels and
+    * resamples; the Spark shape — binary in, binary out, metadata
+    * updated, map-only — is identical). Rows never widen: the old blob
+    * is replaced, not retained.
+    */
+  def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.map { r =>
+      val n = w * h
+      val out = new Array[Byte](n)
+      if (r.content.length > 0) {
+        var i = 0
+        while (i < n) {
+          out(i) = r.content((i.toLong * r.content.length / n).toInt)
+          i += 1
+        }
+      }
+      r.copy(content = out, width = w, height = h)
+    }
+  }
+
+  /** One sampled frame of a (stub-decoded) video blob. */
+  case class Frame(media_id: Long, frame_idx: Int, n_bytes: Long, byte_mean: Double)
+
+  /** Frame sampling (the UDTF shape: one row in, `nFrames` rows out via
+    * flatMap): the blob is cut into `nFrames` contiguous chunks — a real
+    * impl would seek keyframes — and each frame row carries fixed-width
+    * stats only, so the expansion NARROWS the data (nFrames small rows
+    * replace one large blob) instead of multiplying blob bytes through
+    * the shuffle.
+    */
+  def sampleFrames(media: Dataset[MediaRow], nFrames: Int): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val len = r.content.length
+      (0 until nFrames).iterator.map { f =>
+        val from = (f.toLong * len / nFrames).toInt
+        val until = ((f + 1).toLong * len / nFrames).toInt
+        var sum = 0L
+        var i = from
+        while (i < until) { sum += r.content(i) & 0xff; i += 1 }
+        val n = until - from
+        val mean = if (n == 0) 0.0 else math.round(sum.toDouble / n * 10000) / 10000.0
+        Frame(r.media_id, f, n.toLong, mean)
+      }
+    }
+  }
 }

@@ -68,16 +68,30 @@ object Dedup {
     * common-count aggregation.
     */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
-                   k: Int, minJaccard: Double): DataFrame = {
+                   k: Int, minJaccard: Double,
+                   maxDocFreq: Int = Int.MaxValue): DataFrame = {
     // |shingles| per doc is size() of the (already-distinct) shingle
     // array, carried THROUGH the exploded rows and the join — recovering
     // it per pair with max() costs nothing extra in the pair aggregation,
     // where the former plan re-joined a doc→size frame twice at pair
     // granularity.
-    val sh = docs
+    val exploded = docs
       .select(col(idCol).as("id"), shingles(col(textCol), k).as("shs"))
       .select(col("id"), size(col("shs")).cast("long").as("n_sh"),
         explode(col("shs")).as("sh"))
+    // Scale guard (off by default): a shingle shared by f docs yields
+    // f(f-1)/2 candidate pairs — at corpus scale, ubiquitous "stop
+    // shingles" dominate the join quadratically while carrying no
+    // near-dup signal. Dropping shingles with doc-frequency > maxDocFreq
+    // bounds per-key pair fan-out; n_common then undercounts by at most
+    // the dropped shingles, so reported Jaccard is a lower bound.
+    val sh = if (maxDocFreq == Int.MaxValue) exploded else {
+      val hot = exploded.groupBy("sh")
+        .agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > maxDocFreq)
+        .select("sh")
+      exploded.join(hot, Seq("sh"), "left_anti")
+    }
     val a = sh.as("a"); val b = sh.as("b")
     val common = a.join(b,
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
@@ -150,7 +164,8 @@ object Dedup {
     */
   def minHashLsh(docs: DataFrame, idCol: String, textCol: String,
                  k: Int, bands: Int, rowsPerBand: Int,
-                 minEstJaccard: Double): DataFrame = {
+                 minEstJaccard: Double,
+                 maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val numHashes = bands * rowsPerBand
     val sig = minHashSignature(docs, idCol, textCol, k, numHashes)
 
@@ -166,10 +181,23 @@ object Dedup {
           slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)
             .cast("array<string>"))).as("band_key"))
     }
-    val bandKeys = sig.select(col("id"), col("sig"),
+    val allBandKeys = sig.select(col("id"), col("sig"),
         explode(array(bandEntries: _*)).as("e"))
       .select(col("id"), col("sig"),
         col("e.band").as("band"), col("e.band_key").as("band_key"))
+
+    // Scale guard (off by default): a band bucket of m docs emits
+    // m(m-1)/2 candidates — a viral duplicate cluster makes one bucket
+    // quadratic. Skipping buckets larger than maxBucketSize bounds the
+    // join fan-out; the cluster's pairs are usually still found via its
+    // other (smaller) band buckets, but recall is no longer guaranteed.
+    val bandKeys = if (maxBucketSize == Int.MaxValue) allBandKeys else {
+      val big = allBandKeys.groupBy("band", "band_key")
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > maxBucketSize)
+        .select("band", "band_key")
+      allBandKeys.join(big, Seq("band", "band_key"), "left_anti")
+    }
 
     val a = bandKeys.as("a"); val b = bandKeys.as("b")
     // Pairs colliding in >=1 band, deduped by the pair groupBy (first()

@@ -36,6 +36,42 @@ class EntrySpec extends AnyFunSuite {
     assert(f.histogram.sum == 2L)
   }
 
+  test("multimodal resize yields fixed-size blobs; frame sampling is a narrow UDTF") {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.mediaFromDocuments(spark,
+      engine.Tables.documents(spark, SparkTestSession.sfDir).limit(20))
+    val resized = Multimodal.resize(media, 8, 4).collect()
+    assert(resized.forall(r => r.content.length == 32 && r.width == 8 && r.height == 4))
+    val frames = Multimodal.sampleFrames(media, 5)
+    val perMedia = frames.groupBy("media_id").count().collect()
+    assert(perMedia.forall(_.getLong(1) == 5))
+    // frame byte counts tile the blob exactly
+    val total = frames.groupBy("media_id").sum("n_bytes").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val orig = media.collect().map(r => r.media_id -> r.content.length.toLong).toMap
+    assert(total == orig)
+  }
+
+  test("dedup scale guards keep only the capped keys' pairs") {
+    import graft.operators.Dedup
+    val docs = engine.Tables.documents(spark, SparkTestSession.sfDir)
+    val plain = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.05)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // generous cap: nothing dropped, identical result
+    val capped = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.05,
+      maxDocFreq = 1000000).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == plain)
+    // tight cap: a subset (Jaccard only ever shrinks)
+    val tight = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.05, maxDocFreq = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tight.subsetOf(plain))
+    val lshPlain = Dedup.minHashLsh(docs, "doc_id", "text", 3, 4, 4, 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshCapped = Dedup.minHashLsh(docs, "doc_id", "text", 3, 4, 4, 0.25,
+      maxBucketSize = 1000000).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lshCapped == lshPlain)
+  }
+
   test("approx_count_distinct is within 5% of exact on lineitem keys") {
     import org.apache.spark.sql.functions._
     val li = engine.Tables.lineitem(spark, SparkTestSession.sfDir)
