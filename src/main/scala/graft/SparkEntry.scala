@@ -431,6 +431,15 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    "q46_ann_ivf" -> ((s, d) => {
+      val e = embeddings(s, d)
+      Ann.ivfTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 5, nLists = 8, nProbe = 2)
+        .select(col("query_id"), col("neighbor_id"), col("cos"),
+          col("rank").cast("long").as("rnk"))
+        .orderBy("query_id", "rnk")
+    }),
+
     // --- multimodal plumbing (decode is a deterministic stub; see
     //     graft.multimodal.Multimodal) ---
 
@@ -949,6 +958,30 @@ object SparkEntry {
         | MIN(CAST(json_extract_string(props, '$.'||key) AS BIGINT)) AS min_v,
         | MAX(CAST(json_extract_string(props, '$.'||key) AS BIGINT)) AS max_v
         |FROM (SELECT event_type, props, unnest(json_keys(props)) AS key FROM events) t
-        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q46_ann_ivf" -> {
+      val dist = "round(vv - 2.0*list_dot_product(v, cv) + cc, 6)"
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |  list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS vv FROM embeddings),
+         |c AS (SELECT vec_id AS cid, v AS cv, vv AS cc FROM e ORDER BY vec_id LIMIT 8),
+         |ad AS (SELECT e.vec_id AS neighbor_id, e.v, c.cid, $dist AS d
+         | FROM e CROSS JOIN c),
+         |asgn AS (SELECT neighbor_id, v, cid FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY neighbor_id ORDER BY d, cid) AS rn FROM ad)
+         | WHERE rn = 1),
+         |pd AS (SELECT e.vec_id AS query_id, e.v AS qv, c.cid, $dist AS d
+         | FROM e CROSS JOIN c WHERE e.vec_id < 5),
+         |probes AS (SELECT query_id, qv, cid FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d, cid) AS rn FROM pd)
+         | WHERE rn <= 2),
+         |s AS (SELECT query_id, neighbor_id, round(${duckCos("qv", "asgn.v")}, 4) AS cos
+         | FROM probes JOIN asgn USING (cid) WHERE query_id <> neighbor_id),
+         |r AS (SELECT query_id, neighbor_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+         | FROM s)
+         |SELECT query_id, neighbor_id, cos, rnk FROM r WHERE rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin
+    }
   )
 }

@@ -66,4 +66,60 @@ object Ann {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** IVF-flat ANN: the corpus is split into `nLists` inverted lists by
+    * nearest centroid; a query probes its `nProbe` nearest lists and is
+    * scored exactly within them. Centroids are the embeddings of the
+    * first `nLists` ids (deterministic and oracle-reproducible — a real
+    * build would k-means here; the query path is identical). Scale
+    * shape: assignment is a broadcast cross-join + map-side
+    * min(struct(dist, cid)) partial aggregation (no window sort over the
+    * corpus), and candidate generation is an equi-join on the list id,
+    * so probing scans ~|corpus| * nProbe / nLists rows per query instead
+    * of the whole corpus.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              nLists: Int, nProbe: Int): DataFrame = {
+    val cents = corpus.orderBy(col(idCol)).limit(nLists)
+      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cv"))
+      .withColumn("cc", dot(col("cv"), col("cv")))
+    // ||v - c||^2 = vv - 2<v,c> + cc: vv is per-row, cc per-centroid, so
+    // only the cross term is evaluated per (row, centroid) pair. Rounded
+    // to 6 decimals BEFORE the argmin so list assignment is identical in
+    // the oracle even if its dot-product fold differs by an ulp.
+    def dist = round(col("vv") - lit(2.0) * dot(col("v"), col("cv")) + col("cc"), 6)
+
+    val assigned = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("v"),
+        norm(col(vecCol)).as("cnrm"))
+      .withColumn("vv", dot(col("v"), col("v")))
+      .crossJoin(broadcast(cents))
+      .groupBy("neighbor_id")
+      .agg(min(struct(dist.as("d"), col("cid"))).as("m"),
+        first("v").as("nv"), first("cnrm").as("cnrm"))
+      .select(col("neighbor_id"), col("nv").as("cv"), col("cnrm"),
+        col("m.cid").as("cid"))
+
+    val w0 = Window.partitionBy("query_id").orderBy(col("d"), col("cid"))
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("v"),
+        norm(col(vecCol)).as("qnrm"))
+      .withColumn("vv", dot(col("v"), col("v")))
+      .crossJoin(broadcast(cents))
+      .withColumn("d", dist)
+      .withColumn("rn", row_number().over(w0))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("v").as("qv"), col("qnrm"), col("cid"))
+
+    val nprod = col("qnrm") * col("cnrm")
+    val scored = assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(when(nprod > 0, dot(col("qv"), col("cv")) / nprod).otherwise(lit(0.0)), 4).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }

@@ -88,4 +88,22 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(approx.nonEmpty)
     assert((exact intersect approx).nonEmpty)
   }
+
+  test("IVF ANN: probing all lists recovers brute-force exactly; fewer lists approximates") {
+    val e = engine.Tables.embeddings(spark, SparkTestSession.sfDir)
+    val q = e.filter(col("vec_id") < 3)
+    val exact = Ann.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // nProbe == nLists => every list scanned => identical to brute force
+    val full = Ann.ivfTopK(e, q, "vec_id", "embedding", 5, nLists = 4, nProbe = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exact)
+    val approx = Ann.ivfTopK(e, q, "vec_id", "embedding", 5, nLists = 8, nProbe = 2)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(approx.nonEmpty)
+    assert((exact intersect approx).nonEmpty)
+  }
 }
