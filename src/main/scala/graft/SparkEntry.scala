@@ -804,9 +804,10 @@ object SparkEntry {
     "q30_dedup_ngram_jaccard" ->
       s"""WITH sh AS ($SHINGLES3),
          |sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |hs AS (SELECT id, ${duckHash("sh", 15)} AS h FROM sh),
          |common AS (
          | SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
-         | FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id GROUP BY 1,2)
+         | FROM hs a JOIN hs b ON a.h = b.h AND a.id < b.id GROUP BY 1,2)
          |SELECT id_a, id_b,
          | round(CAST(c AS DOUBLE)/(na.n + nb.n - c), 4) AS jaccard
          |FROM common JOIN sizes na ON na.id = id_a JOIN sizes nb ON nb.id = id_b

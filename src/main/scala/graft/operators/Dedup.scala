@@ -85,16 +85,23 @@ object Dedup {
     // near-dup signal. Dropping shingles with doc-frequency > maxDocFreq
     // bounds per-key pair fan-out; n_common then undercounts by at most
     // the dropped shingles, so reported Jaccard is a lower bound.
-    val sh = if (maxDocFreq == Int.MaxValue) exploded else {
+    val filtered = if (maxDocFreq == Int.MaxValue) exploded else {
       val hot = exploded.groupBy("sh")
         .agg(count(lit(1)).as("__df"))
         .filter(col("__df") > maxDocFreq)
         .select("sh")
       exploded.join(hot, Seq("sh"), "left_anti")
     }
+    // Join on the 60-bit md5 hash of the shingle, not the string: the
+    // exchange carries 8-byte longs instead of ~k-word strings and the
+    // join compares/hashes fixed-width keys. The oracle joins on the
+    // SAME hash (md5-derived on both engines), so any collision is seen
+    // identically — results match by construction, not by luck.
+    val sh = filtered.select(col("id"), col("n_sh"),
+      tokenHash64(col("sh")).as("h"))
     val a = sh.as("a"); val b = sh.as("b")
     val common = a.join(b,
-        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("n_common"),
         max(col("a.n_sh")).as("n_a"), max(col("b.n_sh")).as("n_b"))

@@ -89,6 +89,18 @@ class DedupAnnSpec extends AnyFunSuite {
     assert((exact intersect approx).nonEmpty)
   }
 
+  test("dedup results are partition-count invariant (SURVEY §2a invariant 1 generalized)") {
+    val docs = engine.Tables.documents(spark, SparkTestSession.sfDir)
+    def run(df: org.apache.spark.sql.DataFrame) = (
+      Dedup.ngramJaccard(df, "doc_id", "text", 3, 0.05)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet,
+      Dedup.minHashLsh(df, "doc_id", "text", 3, 4, 4, 0.25)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet)
+    val (j1, m1) = run(docs.repartition(1))
+    val (j7, m7) = run(docs.repartition(7))
+    assert(j1 == j7 && m1 == m7)
+  }
+
   test("IVF ANN: probing all lists recovers brute-force exactly; fewer lists approximates") {
     val e = engine.Tables.embeddings(spark, SparkTestSession.sfDir)
     val q = e.filter(col("vec_id") < 3)

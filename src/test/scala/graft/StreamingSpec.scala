@@ -74,6 +74,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(agree >= bCount.size * 9 / 10)
   }
 
+  test("watermark drops events later than the horizon") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(java.sql.Timestamp, String)]
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    val stream = EventStreams.tumblingCounts(
+      src.toDF().toDF("ts", "event_type").withColumn("value", lit(1.0)),
+      "10 minutes", "5 minutes")
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("t_late").start()
+    src.addData((ts(0), "a"), (ts(1), "a"), (ts(30), "a")) // watermark -> 10:25
+    q.processAllAvailable()
+    src.addData((ts(2), "late")) // 10:02 < watermark horizon: dropped
+    src.addData((ts(59), "a"))   // push watermark far past every window
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("t_late").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("window_start").toString,
+        r.getString(2), r.getLong(3)))
+    // the 10:00 window closed with ONLY the two on-time events; the late
+    // one never appears
+    assert(out.exists { case (w, t, n) => w.startsWith("2026-01-01 10:00") && t == "a" && n == 2 })
+    assert(!out.exists(_._2 == "late"))
+  }
+
   test("flatMapGroupsWithState running totals converge to the batch totals") {
     val updates = runToMemory(
       EventStreams.runningUserTotals(
