@@ -449,6 +449,21 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    "q47_frame_stats" -> ((s, d) => {
+      // frame-sampling UDTF (4 frames per media blob) aggregated per
+      // frame index; mean-sums go through x10000 integer rounding so the
+      // oracle compare is exact
+      Multimodal.sampleFrames(Multimodal.mediaFromDocuments(s, documents(s, d)), 4)
+        .toDF()
+        .groupBy("frame_idx")
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_bytes")).as("total_bytes"),
+          sum(round(col("byte_mean") * 10000).cast("long")).as("sum_mean_x1e4"))
+        .select(col("frame_idx").cast("long").as("frame_idx"), col("n"),
+          col("total_bytes"), col("sum_mean_x1e4"))
+        .orderBy("frame_idx")
+    }),
+
     // --- tf-idf-lite (SURVEY.md §2b text analysis) ---
 
     "q41_tfidf" -> ((s, d) => {
@@ -960,6 +975,20 @@ object SparkEntry {
         | MAX(CAST(json_extract_string(props, '$.'||key) AS BIGINT)) AS max_v
         |FROM (SELECT event_type, props, unnest(json_keys(props)) AS key FROM events) t
         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q47_frame_stats" ->
+      """WITH fr AS (SELECT doc_id, text, strlen(text) AS L, ff.f AS frame_idx
+        |  FROM documents, (SELECT unnest(generate_series(0,3)) AS f) ff),
+        |c AS (SELECT doc_id, frame_idx,
+        |  ((frame_idx+1)*L)//4 - (frame_idx*L)//4 AS nb,
+        |  CASE WHEN ((frame_idx+1)*L)//4 - (frame_idx*L)//4 = 0 THEN 0
+        |    ELSE list_sum(list_transform(regexp_split_to_array(substr(text, (frame_idx*L)//4 + 1, ((frame_idx+1)*L)//4 - (frame_idx*L)//4),''), ch -> ascii(ch))) END AS s
+        |  FROM fr),
+        |m AS (SELECT frame_idx, nb, CASE WHEN nb=0 THEN 0.0 ELSE round(CAST(s AS DOUBLE)/nb, 4) END AS mean FROM c)
+        |SELECT CAST(frame_idx AS BIGINT) AS frame_idx, COUNT(*) AS n,
+        | CAST(SUM(nb) AS BIGINT) AS total_bytes,
+        | CAST(SUM(CAST(round(mean*10000,0) AS BIGINT)) AS BIGINT) AS sum_mean_x1e4
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q46_ann_ivf" -> {
       val dist = "round(vv - 2.0*list_dot_product(v, cv) + cc, 6)"
