@@ -477,7 +477,9 @@ object SparkEntry {
       val n = docs.agg(count(lit(1)).as("n_docs"))
       tf.join(dfreq, "word")
         .crossJoin(broadcast(n))
-        .withColumn("tfidf", col("tf") * ((col("n_docs") * 1000L) / col("df")).cast("long"))
+        // `div` is integral long division like DuckDB's // — the `/`
+        // operator would round through double and can disagree by 1
+        .withColumn("tfidf", col("tf") * expr("(n_docs * 1000) div df"))
         .filter(col("tf") >= 3)
         .select(col("doc_id"), col("word"), col("tf"), col("df"), col("tfidf"))
         .orderBy(col("tfidf").desc, col("doc_id"), col("word"))
@@ -970,10 +972,13 @@ object SparkEntry {
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q45_json_map" ->
+      // list_distinct + TRY_CAST mirror Spark's from_json map semantics
+      // on degenerate props (duplicate keys collapse; non-numeric values
+      // null out instead of aborting the query)
       """SELECT event_type, key, COUNT(*) AS n,
-        | MIN(CAST(json_extract_string(props, '$.'||key) AS BIGINT)) AS min_v,
-        | MAX(CAST(json_extract_string(props, '$.'||key) AS BIGINT)) AS max_v
-        |FROM (SELECT event_type, props, unnest(json_keys(props)) AS key FROM events) t
+        | MIN(TRY_CAST(json_extract_string(props, '$.'||key) AS BIGINT)) AS min_v,
+        | MAX(TRY_CAST(json_extract_string(props, '$.'||key) AS BIGINT)) AS max_v
+        |FROM (SELECT event_type, props, unnest(list_distinct(json_keys(props))) AS key FROM events) t
         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
 
     "q47_frame_stats" ->

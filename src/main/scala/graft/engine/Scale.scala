@@ -27,9 +27,11 @@ object Scale {
       pmod(hash(monotonically_increasing_id()), lit(saltFactor)))
     val replicated = small
       .withColumn("__salt", explode(array((0 until saltFactor).map(lit): _*)))
+    // dataframe-qualified refs: with same-named key columns (the common
+    // equi-join case) bare col(...) would be AMBIGUOUS_REFERENCE
     salted.join(replicated,
         salted("__salt") === replicated("__salt") &&
-        col(bigKey) === col(smallKey))
+        salted(bigKey) === replicated(smallKey))
       .drop("__salt")
   }
 
@@ -77,7 +79,11 @@ object Scale {
   def writePartitioned(df: DataFrame, path: String, partCol: String): Unit =
     df.write.mode("overwrite").partitionBy(partCol).parquet(path)
 
-  /** Count the shuffle exchanges in a plan (test/audit helper). */
+  /** Count the shuffle exchanges in a plan (test/audit helper).
+    * ShuffleExchangeExec renders as the bare word "Exchange"; the \b
+    * boundaries exclude "BroadcastExchange".
+    */
   def exchangeCount(df: DataFrame): Int =
-    "ShuffleExchange".r.findAllIn(df.queryExecution.executedPlan.toString).length
+    """\bExchange\b""".r
+      .findAllIn(df.queryExecution.executedPlan.toString).length
 }

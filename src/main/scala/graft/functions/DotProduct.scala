@@ -18,8 +18,10 @@ import org.apache.spark.sql.types._
   *
   * Semantics match the HOF form bit-for-bit: elements are widened to
   * double and accumulated left-to-right (same fold order, so DuckDB's
-  * list_dot_product oracle comparisons round identically); a null array
-  * or null element yields null.
+  * list_dot_product oracle comparisons round identically); a null
+  * array, null element, or LENGTH MISMATCH yields null (zip_with pads
+  * the shorter side with nulls, nulling the fold — a truncated vector
+  * must not produce a plausible partial similarity).
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -47,7 +49,11 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xa = a.asInstanceOf[ArrayData]
     val xb = b.asInstanceOf[ArrayData]
-    val n = math.min(xa.numElements(), xb.numElements())
+    // length mismatch -> null, matching zip_with+aggregate (which pads
+    // the shorter side with nulls and so nulls the fold): a truncated
+    // embedding must NOT produce a plausible partial similarity
+    if (xa.numElements() != xb.numElements()) return null
+    val n = xa.numElements()
     val (lt, rt) = (elemType(left), elemType(right))
     var sum = 0.0
     var i = 0
@@ -78,11 +84,15 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val sum = ctx.freshName("sum")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $sum = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |  $sum += ${getter(lt, a, i)} * ${getter(rt, b, i)};
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $sum += ${getter(lt, a, i)} * ${getter(rt, b, i)};
+         |  }
          |}
          |${ev.value} = $sum;
        """.stripMargin

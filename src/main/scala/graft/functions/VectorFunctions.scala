@@ -69,14 +69,19 @@ object VectorFunctions {
     */
   def hyperplaneBit(v: Column, planeId: Int, dim: Int): Column = {
     val proj = dot(v, typedlit(planeVector(planeId, dim)))
-    when(proj >= 0, lit(1)).otherwise(lit(0))
+    // no otherwise(): a vector whose length != dim gets a NULL
+    // projection (DotProduct's strict length rule) and must surface as
+    // a NULL bit/bucket, not silently land in bucket 0
+    when(proj >= 0, lit(1)).when(proj < 0, lit(0))
   }
 
   /** nBits-bit LSH bucket signature for a vector (concatenated hyperplane
-    * sign bits packed into a long). Vectors in the same bucket are
-    * near-duplicate candidates; at scale the bucket id is the shuffle key,
-    * so candidate generation is a single hash-partitioned exchange instead
-    * of a cross join.
+    * sign bits packed into a long). `dim` MUST equal the embedding
+    * dimension — a mismatch yields a NULL bucket (dropped by the
+    * candidate equi-join), never a wrong one. Vectors in the same bucket
+    * are near-duplicate candidates; at scale the bucket id is the
+    * shuffle key, so candidate generation is a single hash-partitioned
+    * exchange instead of a cross join.
     */
   def lshBucket(v: Column, nBits: Int, dim: Int = 64): Column =
     (0 until nBits).map { p =>

@@ -51,11 +51,12 @@ object Ann {
     * the exact variant; recall < 1 by design.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
-              idCol: String, vecCol: String, k: Int, nBits: Int): DataFrame = {
+              idCol: String, vecCol: String, k: Int, nBits: Int,
+              dim: Int = 64): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      lshBucket(col(vecCol), nBits).as("bucket"), norm(col(vecCol)).as("cnrm"))
+      lshBucket(col(vecCol), nBits, dim).as("bucket"), norm(col(vecCol)).as("cnrm"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      lshBucket(col(vecCol), nBits).as("bucket"), norm(col(vecCol)).as("qnrm"))
+      lshBucket(col(vecCol), nBits, dim).as("bucket"), norm(col(vecCol)).as("qnrm"))
     val nprod = col("qnrm") * col("cnrm")
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))

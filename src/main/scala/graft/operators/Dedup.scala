@@ -114,15 +114,10 @@ object Dedup {
   }
 
   /** MinHash signature: `numHashes` permutations h_i(x) = (a_i*x + b_i)
-    * mod p over shingle hashes, min per permutation. Returned as one row
-    * per (id, hash_idx, min_hash).
-    *
-    * The whole signature is computed PER ROW with higher-order functions
-    * (array_min over a transformed hash array) — zero shuffle, instead of
-    * the naive explode(shingles) x explode(numHashes) plan that pushes
-    * |docs|*|shingles|*numHashes rows through an exchange. At 100 TB the
-    * signature stage is embarrassingly parallel map work; only the
-    * numHashes rows per doc leave the stage.
+    * mod p over shingle hashes, min per permutation — exploded to one
+    * row per (id, hash_idx, min_hash) from [[minHashSignature]]'s
+    * per-row array (zero-shuffle map work; only numHashes rows per doc
+    * leave the stage).
     */
   def minHashes(docs: DataFrame, idCol: String, textCol: String,
                 k: Int, numHashes: Int): DataFrame =
@@ -225,36 +220,34 @@ object Dedup {
       .filter(col("est_jaccard") >= minEstJaccard)
   }
 
-  /** 64-bit SimHash per document: tokens hashed to 61-bit values, each bit
-    * position votes +1/-1 weighted by token frequency, sign of the vote
-    * sets the bit. Computed relationally (explode bit positions) so the
-    * identical arithmetic runs in the oracle; the per-(doc,bit) partial
-    * aggregation keeps the shuffle at 64 rows per doc per partition.
+  /** SimHash per document: tokens hashed to 60-bit md5-derived values,
+    * each bit position votes +1/-1 per token, sign of the vote sets the
+    * bit. One UDF pass per document (hash every token, vote every bit,
+    * assemble) — map-only, no explode, no shuffle; the higher-order-
+    * function formulation (nBits interpreted folds over a hash array)
+    * measured ~10x slower because HigherOrderFunctions never enter
+    * codegen. Hash values match the tokenHash64 expression, so the
+    * DuckDB oracle reproduces them. Docs with no tokens emit NO row
+    * (matching the oracle's unnest-of-empty-list semantics).
     */
   def simHash(docs: DataFrame, idCol: String, textCol: String, nBits: Int = 16): DataFrame = {
-    // One UDF pass per document: hash each token (md5-derived, same value
-    // as tokenHash64 / the DuckDB oracle), vote every bit, assemble the
-    // hash — map-only, no explode, no shuffle. The higher-order-function
-    // formulation (nBits interpreted folds over a hash array) measured
-    // ~10× slower because HigherOrderFunctions never enter codegen.
     val f = udf { toks: Seq[String] =>
-      if (toks == null) 0L
-      else {
-        val votes = new Array[Long](nBits)
-        toks.foreach { t =>
-          val h = tokenHash64Jvm(t)
-          var b = 0
-          while (b < nBits) {
-            if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-            b += 1
-          }
+      val votes = new Array[Long](nBits)
+      toks.foreach { t =>
+        val h = tokenHash64Jvm(t)
+        var b = 0
+        while (b < nBits) {
+          if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
         }
-        var s = 0L; var b = 0
-        while (b < nBits) { if (votes(b) > 0) s |= 1L << b; b += 1 }
-        s
       }
+      var s = 0L; var b = 0
+      while (b < nBits) { if (votes(b) > 0) s |= 1L << b; b += 1 }
+      s
     }
-    docs.select(col(idCol).as("id"), f(tokens(col(textCol))).as("simhash"))
+    docs.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("id"), f(col("toks")).as("simhash"))
   }
 
   /** SimHash near-dup: exact-equal simhash buckets (the degenerate
@@ -275,12 +268,13 @@ object Dedup {
     * bucket join replaces the O(n^2) cross join entirely.
     */
   def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String,
-                       nBits: Int, minCosine: Double): DataFrame = {
+                       nBits: Int, minCosine: Double,
+                       dim: Int = 64): DataFrame = {
     // Norms are computed once per VECTOR before the join, not once per
     // candidate pair (the norm product is bit-identical either way).
     val bucketed = emb.select(
       col(idCol).as("id"), col(vecCol).as("v"),
-      VectorFunctions.lshBucket(col(vecCol), nBits).as("bucket"),
+      VectorFunctions.lshBucket(col(vecCol), nBits, dim).as("bucket"),
       VectorFunctions.norm(col(vecCol)).as("nrm"))
     val a = bucketed.as("a"); val b = bucketed.as("b")
     val nprod = col("a.nrm") * col("b.nrm")

@@ -89,6 +89,13 @@ class DedupAnnSpec extends AnyFunSuite {
     assert((exact intersect approx).nonEmpty)
   }
 
+  test("simHash emits no row for token-less docs (oracle unnest semantics)") {
+    val docs = Seq((1L, "real words here"), (2L, "   "), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = Dedup.simHash(docs, "doc_id", "text").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L))
+  }
+
   test("dedup results are partition-count invariant (SURVEY §2a invariant 1 generalized)") {
     val docs = engine.Tables.documents(spark, SparkTestSession.sfDir)
     def run(df: org.apache.spark.sql.DataFrame) = (

@@ -96,6 +96,13 @@ class FunctionsSpec extends AnyFunSuite {
     val withNull = Seq((Some(Array(1.0f, 2.0f)), None: Option[Array[Float]]))
       .toDF("a", "b")
     assert(withNull.select(dot(col("a"), col("b"))).collect().head.isNullAt(0))
+    // truncated vector -> null, never a partial sum
+    val mismatch = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f)))
+      .toDF("a", "b")
+    assert(mismatch.select(dot(col("a"), col("b"))).collect().head.isNullAt(0))
+    // and a wrong lshBucket dim surfaces as a NULL bucket, not bucket 0
+    val short = Seq(Array.fill(16)(0.5f)).toDF("v")
+    assert(short.select(lshBucket(col("v"), 4, dim = 64)).collect().head.isNullAt(0))
   }
 
   test("graft_dot is callable from SQL after registration") {

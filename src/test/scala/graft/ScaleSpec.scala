@@ -24,6 +24,23 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("saltedEquiJoin works with SAME-named key columns") {
+    val big = (1 to 200).map(i => (i.toLong % 5, i)).toDF("k", "v")
+    val small = Seq((0L, "a"), (3L, "b")).toDF("k", "name")
+    val got = Scale.saltedEquiJoin(big, small, "k", "k", 4)
+      .select(col("v"), col("name")).collect().toSet
+    val want = big.join(small.withColumnRenamed("k", "k2"), col("k") === col("k2"))
+      .select(col("v"), col("name")).collect().toSet
+    assert(got == want)
+  }
+
+  test("exchangeCount counts shuffle exchanges, not broadcasts") {
+    val df = spark.range(1000).toDF("id")
+    val shuffled = df.groupBy(col("id") % 7).count()
+    assert(Scale.exchangeCount(shuffled) >= 1)
+    assert(Scale.exchangeCount(df.select(col("id") + 1)) == 0)
+  }
+
   test("saltedSumAgg equals plain groupBy sum") {
     val df = (1 to 5000).map(i => (if (i % 100 == 0) i.toLong else 1L, i.toLong))
       .toDF("k", "v")
