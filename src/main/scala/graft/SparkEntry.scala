@@ -270,6 +270,27 @@ object SparkEntry {
         .orderBy("custkey")
     }),
 
+    "q48_pivot" -> ((s, d) => {
+      orders(s, d)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+        .orderBy("o_orderpriority")
+    }),
+
+    "q49_stringagg" -> ((s, d) => {
+      nation(s, d)
+        .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(concat_ws(",", array_sort(collect_list("n_name"))).as("nations"),
+          count(lit(1)).as("n_nations"))
+        .orderBy("r_name")
+    }),
+
     // --- scalar function sampler ---
 
     "q13_string_fns" -> ((s, d) => {
@@ -980,6 +1001,20 @@ object SparkEntry {
         | MAX(TRY_CAST(json_extract_string(props, '$.'||key) AS BIGINT)) AS max_v
         |FROM (SELECT event_type, props, unnest(list_distinct(json_keys(props))) AS key FROM events) t
         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q48_pivot" ->
+      """SELECT o_orderpriority,
+        | CAST(SUM(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+        | CAST(SUM(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+        | CAST(SUM(CASE WHEN o_orderstatus='P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q49_stringagg" ->
+      """SELECT r_name,
+        | string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        | COUNT(*) AS n_nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q47_frame_stats" ->
       """WITH fr AS (SELECT doc_id, text, strlen(text) AS L, ff.f AS frame_idx
