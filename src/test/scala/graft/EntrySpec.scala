@@ -12,6 +12,12 @@ class EntrySpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("every query has an oracle except the documented sketch exceptions") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle == Set("q39_approx_distinct"),
+      s"queries without oracle coverage: $noOracle")
+  }
+
   test("every oracleSql key has a matching queries entry") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")
