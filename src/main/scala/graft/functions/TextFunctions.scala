@@ -127,9 +127,6 @@ object TextFunctions {
     "es" -> Seq("el", "los", "y", "es", "las"),
   )
 
-  def langIdScore(text: Column, markers: Seq[String]): Column =
-    size(filter(tokens(text), t => t.isInCollection(markers)))
-
   /** Greatest-score language; ties broken by language-code order (en < de
     * < fr < es evaluation order => first max wins via strict >). One UDF
     * pass over the tokens — the per-language filter() chain ran nBits

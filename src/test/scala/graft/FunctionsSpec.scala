@@ -118,6 +118,21 @@ class FunctionsSpec extends AnyFunSuite {
       .apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
 
+  test("l2sq matches cosine-consistent hand computation") {
+    val df = Seq((Array(1.0f, 2.0f), Array(4.0f, 6.0f))).toDF("a", "b")
+    assert(df.select(l2sq(col("a"), col("b"))).as[Double].head() == 9.0 + 16.0)
+  }
+
+  test("minHashes explodes the signature with positional hash_idx") {
+    val docs = Seq((1L, "one two three four")).toDF("doc_id", "text")
+    val rows = graft.operators.Dedup.minHashes(docs, "doc_id", "text", 2, 4)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == Seq(0, 1, 2, 3))
+    val sig = graft.operators.Dedup.minHashSignature(docs, "doc_id", "text", 2, 4)
+      .collect().head.getSeq[Long](1)
+    assert(rows.map(_._2).toSeq == sig)
+  }
+
   test("textStats struct equals the individual stat functions") {
     val df = Seq(
       "the quick brown fox, it jumps over 42 lazy-dogs!",
