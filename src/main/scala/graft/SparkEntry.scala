@@ -291,6 +291,35 @@ object SparkEntry {
         .orderBy("r_name")
     }),
 
+    "q50_unpivot" -> ((s, d) => {
+      // melt the q48 pivot back to long form: unpivot is the inverse
+      val wide = orders(s, d)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("F"),
+          coalesce(col("O"), lit(0L)).as("O"),
+          coalesce(col("P"), lit(0L)).as("P"))
+      wide.unpivot(Array(col("o_orderpriority")),
+          Array(col("F"), col("O"), col("P")), "status", "n")
+        .orderBy("o_orderpriority", "status")
+    }),
+
+    "q51_median" -> ((s, d) => {
+      // exact interpolated median/quartiles over integer cents — the
+      // (n-1)*p index rule is identical in DuckDB's quantile_cont
+      orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(
+          expr("percentile(CAST(round(o_totalprice*100) AS BIGINT), 0.5)").as("median_c"),
+          expr("percentile(CAST(round(o_totalprice*100) AS BIGINT), 0.25)").as("q1_c"),
+          expr("percentile(CAST(round(o_totalprice*100) AS BIGINT), 0.75)").as("q3_c"))
+        .select(col("o_orderstatus"), round(col("median_c"), 2).as("median_c"),
+          round(col("q1_c"), 2).as("q1_c"), round(col("q3_c"), 2).as("q3_c"))
+        .orderBy("o_orderstatus")
+    }),
+
     // --- scalar function sampler ---
 
     "q13_string_fns" -> ((s, d) => {
@@ -1015,6 +1044,24 @@ object SparkEntry {
         | COUNT(*) AS n_nations
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q50_unpivot" ->
+      """WITH wide AS (SELECT o_orderpriority,
+        |  CAST(SUM(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS BIGINT) AS f,
+        |  CAST(SUM(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END) AS BIGINT) AS o,
+        |  CAST(SUM(CASE WHEN o_orderstatus='P' THEN 1 ELSE 0 END) AS BIGINT) AS p
+        | FROM orders GROUP BY 1)
+        |SELECT o_orderpriority, 'F' AS status, f AS n FROM wide
+        |UNION ALL SELECT o_orderpriority, 'O', o FROM wide
+        |UNION ALL SELECT o_orderpriority, 'P', p FROM wide
+        |ORDER BY o_orderpriority, status""".stripMargin,
+
+    "q51_median" ->
+      """SELECT o_orderstatus,
+        | round(quantile_cont(CAST(round(o_totalprice*100,0) AS BIGINT), 0.5), 2) AS median_c,
+        | round(quantile_cont(CAST(round(o_totalprice*100,0) AS BIGINT), 0.25), 2) AS q1_c,
+        | round(quantile_cont(CAST(round(o_totalprice*100,0) AS BIGINT), 0.75), 2) AS q3_c
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q47_frame_stats" ->
       """WITH fr AS (SELECT doc_id, text, strlen(text) AS L, ff.f AS frame_idx
