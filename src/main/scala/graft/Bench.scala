@@ -7,6 +7,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config(graft.engine.Tables.NanosConf, "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -20,19 +21,32 @@ object Bench {
       // Catalyst prune projection-only queries down to a row count.
       // Best of 2 runs: the first pays one-shot codegen + JIT (measured
       // ~2-5s on plans with distinct-agg/join codegen), which is noise
-      // for a throughput metric.
+      // for a throughput metric. A failure is RECORDED, never swallowed:
+      // a query that throws instantly would otherwise report a fast fake
+      // time and a regression could masquerade as a speedup.
+      var err: Option[String] = None
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case _: Throwable => () }
+        catch { case e: Throwable =>
+          err = Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+        }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      (name, times.min, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, Some(e)) => s"\"" + k + "\":" + jstr(e) }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
+    if (results.exists(_._3.isDefined)) sys.exit(1)
   }
 }

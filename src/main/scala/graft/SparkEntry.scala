@@ -440,13 +440,18 @@ object SparkEntry {
     "q29_dedup_exact" -> ((s, d) =>
       Dedup.exact(documents(s, d), "doc_id", "text").orderBy("fp")),
 
+    // Scale guards active (the oracle SQL mirrors the same doc-frequency /
+    // bucket-size prefilters, so the hash check covers the guarded plan —
+    // the one that would run at 100 TB).
     "q30_dedup_ngram_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccard(documents(s, d), "doc_id", "text", k = 3, minJaccard = 0.05)
+      Dedup.ngramJaccard(documents(s, d), "doc_id", "text", k = 3, minJaccard = 0.05,
+          maxDocFreq = 10000)
         .orderBy("id_a", "id_b")),
 
     "q31_dedup_minhash_lsh" -> ((s, d) =>
       Dedup.minHashLsh(documents(s, d), "doc_id", "text",
-          k = 3, bands = 4, rowsPerBand = 4, minEstJaccard = 0.25)
+          k = 3, bands = 4, rowsPerBand = 4, minEstJaccard = 0.25,
+          maxBucketSize = 10000)
         .orderBy("id_a", "id_b")),
 
     "q32_simhash" -> ((s, d) =>
@@ -868,10 +873,15 @@ object SparkEntry {
         | CAST(min(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // The `kept` CTE mirrors Dedup.ngramJaccard's maxDocFreq=10000 guard
+    // (an anti-join on hot shingles); sizes stay pre-filter, matching the
+    // Spark plan's carried n_sh.
     "q30_dedup_ngram_jaccard" ->
       s"""WITH sh AS ($SHINGLES3),
          |sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY 1),
-         |hs AS (SELECT id, ${duckHash("sh", 15)} AS h FROM sh),
+         |df AS (SELECT sh AS s2, COUNT(*) AS d FROM sh GROUP BY 1),
+         |kept AS (SELECT sh.* FROM sh JOIN df ON sh = s2 WHERE d <= 10000),
+         |hs AS (SELECT id, ${duckHash("sh", 15)} AS h FROM kept),
          |common AS (
          | SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
          | FROM hs a JOIN hs b ON a.h = b.h AND a.id < b.id GROUP BY 1,2)
@@ -887,9 +897,12 @@ object SparkEntry {
          |mh AS (SELECT id, i AS hash_idx,
          |  min((h*(2*i+1) + i*40503 + 7) % 2147483647) AS min_hash
          | FROM h CROSS JOIN (SELECT unnest(generate_series(0,15)) AS i) GROUP BY 1,2),
-         |bk AS (SELECT id, hash_idx // 4 AS band,
+         |bk0 AS (SELECT id, hash_idx // 4 AS band,
          |  md5(string_agg(CAST(min_hash AS VARCHAR), ',' ORDER BY hash_idx)) AS band_key
          | FROM mh GROUP BY 1,2),
+         |bsz AS (SELECT band AS b2, band_key AS k2, COUNT(*) AS n FROM bk0 GROUP BY 1,2),
+         |bk AS (SELECT bk0.* FROM bk0 JOIN bsz ON band = b2 AND band_key = k2
+         | WHERE n <= 10000),
          |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
          | FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id),
          |est AS (SELECT c.id_a, c.id_b,

@@ -25,12 +25,16 @@ object Tables {
 
   /** The events table carries parquet TIMESTAMP(NANOS) — Spark has no
     * nanosecond timestamp type and rejects the file outright
-    * (PARQUET_TYPE_ILLEGAL). Read nanos as Long (legacy conf) and floor
-    * to microseconds; DuckDB keeps full ns, but every query emits
-    * second-granularity strings / comparisons, where floor(ns)==floor(µs).
+    * (PARQUET_TYPE_ILLEGAL). Read nanos as Long (legacy conf, set ONCE in
+    * the session builder — a reader must not mutate shared session conf
+    * as a cross-query side effect) and floor to microseconds; DuckDB
+    * keeps full ns, but every query emits second-granularity strings /
+    * comparisons, where floor(ns)==floor(µs).
     */
+  val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.getOption(NanosConf).contains("true"),
+      s"""set .config("$NanosConf", "true") in the SparkSession builder to read the ns-timestamp events table""")
     import org.apache.spark.sql.functions._
     table(s, d, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))

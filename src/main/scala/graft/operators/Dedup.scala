@@ -69,7 +69,7 @@ object Dedup {
     */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    k: Int, minJaccard: Double,
-                   maxDocFreq: Int = Int.MaxValue): DataFrame = {
+                   maxDocFreq: Int = 10000): DataFrame = {
     // |shingles| per doc is size() of the (already-distinct) shingle
     // array, carried THROUGH the exploded rows and the join — recovering
     // it per pair with max() costs nothing extra in the pair aggregation,
@@ -79,12 +79,16 @@ object Dedup {
       .select(col(idCol).as("id"), shingles(col(textCol), k).as("shs"))
       .select(col("id"), size(col("shs")).cast("long").as("n_sh"),
         explode(col("shs")).as("sh"))
-    // Scale guard (off by default): a shingle shared by f docs yields
-    // f(f-1)/2 candidate pairs — at corpus scale, ubiquitous "stop
-    // shingles" dominate the join quadratically while carrying no
-    // near-dup signal. Dropping shingles with doc-frequency > maxDocFreq
-    // bounds per-key pair fan-out; n_common then undercounts by at most
-    // the dropped shingles, so reported Jaccard is a lower bound.
+    // Scale guard (ON by default, maxDocFreq=10000): a shingle shared by
+    // f docs yields f(f-1)/2 candidate pairs — at corpus scale,
+    // ubiquitous "stop shingles" ("in the", "of the") dominate the join
+    // quadratically while carrying no near-dup signal. Dropping shingles
+    // with doc-frequency > maxDocFreq bounds per-key pair fan-out to
+    // maxDocFreq²/2; n_common then undercounts by at most the dropped
+    // shingles, so reported Jaccard is a lower bound. 10⁴ keeps any
+    // genuine duplicate cluster smaller than 10⁴ docs fully intact while
+    // capping the worst key at ~5·10⁷ pairs (one AQE-splittable task).
+    // Pass Int.MaxValue to disable.
     val filtered = if (maxDocFreq == Int.MaxValue) exploded else {
       val hot = exploded.groupBy("sh")
         .agg(count(lit(1)).as("__df"))
@@ -167,7 +171,7 @@ object Dedup {
   def minHashLsh(docs: DataFrame, idCol: String, textCol: String,
                  k: Int, bands: Int, rowsPerBand: Int,
                  minEstJaccard: Double,
-                 maxBucketSize: Int = Int.MaxValue): DataFrame = {
+                 maxBucketSize: Int = 10000): DataFrame = {
     val numHashes = bands * rowsPerBand
     val sig = minHashSignature(docs, idCol, textCol, k, numHashes)
 
@@ -188,11 +192,13 @@ object Dedup {
       .select(col("id"), col("sig"),
         col("e.band").as("band"), col("e.band_key").as("band_key"))
 
-    // Scale guard (off by default): a band bucket of m docs emits
-    // m(m-1)/2 candidates — a viral duplicate cluster makes one bucket
-    // quadratic. Skipping buckets larger than maxBucketSize bounds the
-    // join fan-out; the cluster's pairs are usually still found via its
-    // other (smaller) band buckets, but recall is no longer guaranteed.
+    // Scale guard (ON by default, maxBucketSize=10000): a band bucket of
+    // m docs emits m(m-1)/2 candidates — a viral duplicate cluster makes
+    // one bucket quadratic. Skipping buckets larger than maxBucketSize
+    // bounds the join fan-out per (band, key) to maxBucketSize²/2; the
+    // cluster's pairs are usually still found via its other (smaller)
+    // band buckets, but recall is no longer guaranteed above the cap.
+    // Pass Int.MaxValue to disable.
     val bandKeys = if (maxBucketSize == Int.MaxValue) allBandKeys else {
       val big = allBandKeys.groupBy("band", "band_key")
         .agg(count(lit(1)).as("__n"))

@@ -169,7 +169,10 @@ object TextJobs {
       a
     }
     def finish(b: Array[Long]): Seq[Long] = b.toSeq
-    def bufferEncoder = org.apache.spark.sql.Encoders.javaSerialization[Array[Long]]
+    // Kryo, not javaSerialization: the buffer crosses the partial/final
+    // agg boundary once per partition; Java serialization of a 26-long
+    // array carries class-descriptor overhead per record.
+    def bufferEncoder = org.apache.spark.sql.Encoders.kryo[Array[Long]]
     def outputEncoder = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
   }
 

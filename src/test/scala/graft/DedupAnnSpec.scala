@@ -108,6 +108,36 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(j1 == j7 && m1 == m7)
   }
 
+  test("skew fixture: doc-frequency cap prunes the hot shingle's quadratic pairs") {
+    // 30 docs share exactly ONE "stop shingle" ("hot alpha beta") and are
+    // otherwise disjoint: uncapped, the hot shingle alone fans out to
+    // C(30,2)=435 pairs (each with jaccard 1/7 >= 0.05). A cap below its
+    // doc frequency removes every pair — the cap visibly changes the
+    // candidate count, which is the 100 TB failure mode in miniature.
+    val skewed = (1 to 30).map(i => (i.toLong, s"hot alpha beta u$i v$i w$i"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccard(skewed, "doc_id", "text", 3, 0.05,
+      maxDocFreq = Int.MaxValue).count()
+    val capped = Dedup.ngramJaccard(skewed, "doc_id", "text", 3, 0.05,
+      maxDocFreq = 10).count()
+    assert(uncapped == 435L)
+    assert(capped == 0L)
+  }
+
+  test("skew fixture: LSH bucket-size cap skips the viral duplicate cluster") {
+    // 30 identical docs -> identical signatures -> every band bucket holds
+    // all 30 docs. Uncapped: C(30,2)=435 est_jaccard-1.0 pairs; a bucket
+    // cap below 30 skips them all (recall traded for bounded fan-out).
+    val viral = (1 to 30).map(i => (i.toLong, "the same viral text repeated verbatim"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.minHashLsh(viral, "doc_id", "text", 3, 4, 4, 0.25,
+      maxBucketSize = Int.MaxValue).count()
+    val capped = Dedup.minHashLsh(viral, "doc_id", "text", 3, 4, 4, 0.25,
+      maxBucketSize = 10).count()
+    assert(uncapped == 435L)
+    assert(capped == 0L)
+  }
+
   test("IVF ANN: probing all lists recovers brute-force exactly; fewer lists approximates") {
     val e = engine.Tables.embeddings(spark, SparkTestSession.sfDir)
     val q = e.filter(col("vec_id") < 3)
