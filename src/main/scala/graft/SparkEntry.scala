@@ -495,6 +495,29 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    "q52_dedup_simhash_hamming" -> ((s, d) =>
+      Dedup.simHashNearDup(documents(s, d), "doc_id", "text",
+          nBits = 16, maxHamming = 2)
+        .orderBy("id_a", "id_b")),
+
+    "q53_ann_lsh_multiprobe" -> ((s, d) => {
+      val e = embeddings(s, d)
+      Ann.lshTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 5, nBits = 4, multiProbe = 2)
+        .select(col("query_id"), col("neighbor_id"), col("cos"),
+          col("rank").cast("long").as("rnk"))
+        .orderBy("query_id", "rnk")
+    }),
+
+    "q54_ann_ivf_kmeans" -> ((s, d) => {
+      val e = embeddings(s, d)
+      Ann.ivfTopKKmeans(e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 5, nLists = 8, nProbe = 2, iters = 2)
+        .select(col("query_id"), col("neighbor_id"), col("cos"),
+          col("rank").cast("long").as("rnk"))
+        .orderBy("query_id", "rnk")
+    }),
+
     // --- multimodal plumbing (decode is a deterministic stub; see
     //     graft.multimodal.Multimodal) ---
 
@@ -1102,6 +1125,107 @@ object SparkEntry {
          | WHERE rn = 1),
          |pd AS (SELECT e.vec_id AS query_id, e.v AS qv, c.cid, $dist AS d
          | FROM e CROSS JOIN c WHERE e.vec_id < 5),
+         |probes AS (SELECT query_id, qv, cid FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d, cid) AS rn FROM pd)
+         | WHERE rn <= 2),
+         |s AS (SELECT query_id, neighbor_id, round(${duckCos("qv", "asgn.v")}, 4) AS cos
+         | FROM probes JOIN asgn USING (cid) WHERE query_id <> neighbor_id),
+         |r AS (SELECT query_id, neighbor_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+         | FROM s)
+         |SELECT query_id, neighbor_id, cos, rnk FROM r WHERE rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin
+    },
+
+    // Band boundaries are DERIVED from Dedup.simHashBands(16, 2) so the
+    // SQL cannot drift from the Scala chunking; the bsz filter mirrors
+    // the default maxBucketSize=10000 guard.
+    "q52_dedup_simhash_hamming" -> {
+      val nChunks = graft.operators.Dedup.simHashBands(16, 2).size
+      val bandCase = graft.operators.Dedup.simHashBands(16, 2).map {
+        case (i, start, len) => s"WHEN $i THEN (simhash >> $start) & ${(1L << len) - 1}"
+      }.mkString(" ")
+      s"""WITH w AS (SELECT doc_id AS id, unnest($TOKS) AS w FROM documents),
+         |h AS (SELECT id, ${duckHash("w", 15)} AS h FROM w),
+         |bits AS (SELECT id, bit,
+         |  SUM(CASE WHEN ((h >> bit) & 1) = 1 THEN 1 ELSE -1 END) AS v
+         | FROM h CROSS JOIN (SELECT unnest(generate_series(0,15)) AS bit) b GROUP BY 1,2),
+         |sh AS (SELECT id,
+         |  CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+         | FROM bits GROUP BY 1),
+         |bands0 AS (SELECT id, simhash, chunk,
+         |  CASE chunk $bandCase END AS key
+         | FROM sh CROSS JOIN (SELECT unnest(generate_series(0,${nChunks - 1})) AS chunk) c),
+         |bsz AS (SELECT chunk AS c2, key AS k2, COUNT(*) AS n FROM bands0 GROUP BY 1,2),
+         |bands AS (SELECT bands0.* FROM bands0 JOIN bsz ON chunk = c2 AND key = k2
+         | WHERE n <= 10000),
+         |cand AS (SELECT a.id AS id_a, b.id AS id_b,
+         |  min(a.simhash) AS ha, min(b.simhash) AS hb
+         | FROM bands a JOIN bands b ON a.chunk = b.chunk AND a.key = b.key AND a.id < b.id
+         | GROUP BY 1,2)
+         |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(ha, hb)) <= 2
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    // q36's plan plus query-side probe explode: each query also probes
+    // its bucket with hyperplane bits 0 and 1 flipped (multiProbe=2).
+    "q53_ann_lsh_multiprobe" -> {
+      val planes =
+        s"""SELECT p, list_transform(generate_series(0,63), j -> ${duckPlane("p", "j")}) AS c
+           |FROM (SELECT unnest(generate_series(0,3)) AS p)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |pl AS ($planes),
+         |proj AS (SELECT vec_id, p, list_dot_product(v, c) AS proj FROM e CROSS JOIN pl),
+         |bkt AS (SELECT vec_id,
+         |  CAST(SUM(CASE WHEN proj >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
+         | FROM proj GROUP BY 1),
+         |ev AS (SELECT e.vec_id, e.v, bkt.bucket FROM e JOIN bkt ON e.vec_id = bkt.vec_id),
+         |qb AS (SELECT vec_id, v,
+         |  unnest([bucket, xor(bucket, 1::BIGINT), xor(bucket, 2::BIGINT)]) AS bucket
+         | FROM ev WHERE vec_id < 5),
+         |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |  round(${duckCos("q.v", "c.v")}, 4) AS cos
+         | FROM ev c JOIN qb q ON c.bucket = q.bucket
+         | WHERE c.vec_id <> q.vec_id),
+         |r AS (SELECT query_id, neighbor_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+         | FROM s)
+         |SELECT query_id, neighbor_id, cos, rnk FROM r WHERE rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin
+    },
+
+    // q46's probe path over Ann.kmeansCentroids(nLists=8, iters=2):
+    // md5-keyed seeds, two Lloyd iterations with round(·,6) means and
+    // round(·,6) distances before every argmin — bit-reproducible.
+    "q54_ann_ivf_kmeans" -> {
+      val dist = "round(vv - 2.0*list_dot_product(v, cv) + list_dot_product(cv, cv), 6)"
+      def iter(prev: String, a: String, c: String) =
+        s"""$a AS (SELECT sid, v, cid FROM (
+           |  SELECT e.vec_id AS sid, e.v, $prev.cid,
+           |   row_number() OVER (PARTITION BY e.vec_id
+           |     ORDER BY round(e.vv - 2.0*list_dot_product(e.v, $prev.cv)
+           |       + list_dot_product($prev.cv, $prev.cv), 6), $prev.cid) AS rn
+           |  FROM e CROSS JOIN $prev) t WHERE rn = 1),
+           |$c AS (SELECT cid, list(m ORDER BY pos) AS cv FROM (
+           |  SELECT cid, pos, round(avg(x), 6) AS m FROM (
+           |   SELECT cid, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM $a) u
+           |  GROUP BY 1, 2) g GROUP BY 1)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |  list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS vv FROM embeddings),
+         |seed AS (SELECT CAST(row_number() OVER (ORDER BY h, sid) AS BIGINT) AS cid, v AS cv
+         | FROM (SELECT vec_id AS sid, v,
+         |   ${duckHash("concat('ivf_', CAST(vec_id AS VARCHAR))", 15)} AS h
+         |  FROM e ORDER BY h, sid LIMIT 8) t),
+         |${iter("seed", "a1", "c1")},
+         |${iter("c1", "a2", "c2")},
+         |ad AS (SELECT e.vec_id AS neighbor_id, e.v, c2.cid, $dist AS d
+         | FROM e CROSS JOIN c2),
+         |asgn AS (SELECT neighbor_id, v, cid FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY neighbor_id ORDER BY d, cid) AS rn FROM ad)
+         | WHERE rn = 1),
+         |pd AS (SELECT e.vec_id AS query_id, e.v AS qv, c2.cid, $dist AS d
+         | FROM e CROSS JOIN c2 WHERE e.vec_id < 5),
          |probes AS (SELECT query_id, qv, cid FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d, cid) AS rn FROM pd)
          | WHERE rn <= 2),

@@ -49,14 +49,32 @@ object Ann {
   /** LSH-bucketed top-k: only candidates sharing the query's hyperplane
     * bucket are scored. Returns (query_id, neighbor_id, cos, rank) like
     * the exact variant; recall < 1 by design.
+    *
+    * `multiProbe` = number of XOR-1 neighbor buckets to probe in
+    * addition to the query's own: probing bucket^(1<<i) for the first
+    * `multiProbe` hyperplanes reaches vectors that fell on the other
+    * side of ONE hyperplane — the dominant near-miss mode, since a true
+    * neighbor's probability of disagreeing on exactly one bit is the
+    * largest failure term. The explode happens on the QUERY side (small,
+    * broadcast), so the corpus is still scanned once with one bucket per
+    * vector and candidate volume grows only (1+multiProbe)×, not by
+    * re-hashing the corpus. Probed keys are distinct, so no candidate
+    * dedup is needed.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int, nBits: Int,
-              dim: Int = 64): DataFrame = {
+              dim: Int = 64, multiProbe: Int = 0): DataFrame = {
+    require(multiProbe >= 0 && multiProbe <= nBits,
+      s"multiProbe must be in [0, nBits=$nBits]")
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       lshBucket(col(vecCol), nBits, dim).as("bucket"), norm(col(vecCol)).as("cnrm"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+    val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       lshBucket(col(vecCol), nBits, dim).as("bucket"), norm(col(vecCol)).as("qnrm"))
+    val q = if (multiProbe == 0) q0 else {
+      val probeKeys = lit(0L) +: (0 until multiProbe).map(i => lit(1L << i))
+      q0.select(col("query_id"), col("qv"), col("qnrm"),
+        explode(array(probeKeys.map(m => col("bucket").bitwiseXOR(m)): _*)).as("bucket"))
+    }
     val nprod = col("qnrm") * col("cnrm")
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -68,12 +86,60 @@ object Ann {
       .filter(col("rank") <= k)
   }
 
+  /** Deterministic k-means centroid build for IVF. Seeds are the
+    * `nLists` vectors with the smallest md5-derived key (an order-free
+    * deterministic "shuffle"; no RNG, so the DuckDB oracle rebuilds the
+    * identical centroids), then `iters` Lloyd iterations: assign every
+    * vector to its nearest centroid (broadcast cross term + map-side
+    * argmin, same shape as the probe path) and recompute per-dimension
+    * means. Means are rounded to 6 decimals so cross-engine summation-
+    * order ulp drift cannot flip a later argmin; distances are rounded
+    * before the argmin for the same reason. Empty clusters drop out
+    * (identically on both engines).
+    *
+    * `sampleOneIn` keeps only ids whose md5-key ≡ 0 (mod sampleOneIn)
+    * for the BUILD — at 100 TB the centroid estimate needs only a
+    * sample, not the corpus; the final assignment in [[ivfTopKWith]]
+    * still covers every vector.
+    */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                      nLists: Int, iters: Int = 2,
+                      sampleOneIn: Int = 1): DataFrame = {
+    import graft.functions.TextFunctions.tokenHash64
+    val keyed = corpus.select(col(idCol).cast("long").as("sid"), col(vecCol).as("v"))
+      .withColumn("h", tokenHash64(concat(lit("ivf_"), col("sid").cast("string"))))
+    val build = if (sampleOneIn <= 1) keyed
+      else keyed.filter(pmod(col("h"), lit(sampleOneIn.toLong)) === 0)
+    val seedW = Window.orderBy("h", "sid")
+    var cents = build.orderBy("h", "sid").limit(nLists)
+      .withColumn("cid", row_number().over(seedW).cast("long"))
+      .select(col("cid"), transform(col("v"), x => x.cast("double")).as("cv"))
+    for (_ <- 1 to iters) {
+      val withCc = cents.withColumn("cc", dot(col("cv"), col("cv")))
+      val d = round(col("vv") - lit(2.0) * dot(col("v"), col("cv")) + col("cc"), 6)
+      val assigned = build
+        .withColumn("vv", dot(col("v"), col("v")))
+        .crossJoin(broadcast(withCc))
+        .groupBy("sid")
+        .agg(min(struct(d.as("d"), col("cid"))).as("m"), first(col("v")).as("v"))
+        .select(col("m.cid").as("cid"), col("v"))
+      cents = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos")
+        .agg(round(avg(col("x").cast("double")), 6).as("m"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"), transform(col("pm"), e => e.getField("m")).as("cv"))
+    }
+    cents
+  }
+
   /** IVF-flat ANN: the corpus is split into `nLists` inverted lists by
     * nearest centroid; a query probes its `nProbe` nearest lists and is
     * scored exactly within them. Centroids are the embeddings of the
-    * first `nLists` ids (deterministic and oracle-reproducible — a real
-    * build would k-means here; the query path is identical). Scale
-    * shape: assignment is a broadcast cross-join + map-side
+    * first `nLists` ids (deterministic trivial build — [[ivfTopKKmeans]]
+    * is the real build; the probe path is identical). Scale shape:
+    * assignment is a broadcast cross-join + map-side
     * min(struct(dist, cid)) partial aggregation (no window sort over the
     * corpus), and candidate generation is an equi-join on the list id,
     * so probing scans ~|corpus| * nProbe / nLists rows per query instead
@@ -81,10 +147,24 @@ object Ann {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int,
-              nLists: Int, nProbe: Int): DataFrame = {
-    val cents = corpus.orderBy(col(idCol)).limit(nLists)
-      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cv"))
-      .withColumn("cc", dot(col("cv"), col("cv")))
+              nLists: Int, nProbe: Int): DataFrame =
+    ivfTopKWith(corpus, queries, idCol, vecCol, k, nProbe,
+      corpus.orderBy(col(idCol)).limit(nLists)
+        .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cv")))
+
+  /** IVF-flat ANN over [[kmeansCentroids]] — the production build. */
+  def ivfTopKKmeans(corpus: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String, k: Int,
+                    nLists: Int, nProbe: Int, iters: Int = 2,
+                    sampleOneIn: Int = 1): DataFrame =
+    ivfTopKWith(corpus, queries, idCol, vecCol, k, nProbe,
+      kmeansCentroids(corpus, idCol, vecCol, nLists, iters, sampleOneIn))
+
+  /** IVF probe/score path over an explicit centroid table (cid, cv). */
+  def ivfTopKWith(corpus: DataFrame, queries: DataFrame,
+                  idCol: String, vecCol: String, k: Int,
+                  nProbe: Int, centroids: DataFrame): DataFrame = {
+    val cents = centroids.withColumn("cc", dot(col("cv"), col("cv")))
     // ||v - c||^2 = vv - 2<v,c> + cc: vv is per-row, cc per-centroid, so
     // only the cross term is evaluated per (row, centroid) pair. Rounded
     // to 6 decimals BEFORE the argmin so list assignment is identical in

@@ -257,15 +257,74 @@ object Dedup {
   }
 
   /** SimHash near-dup: exact-equal simhash buckets (the degenerate
-    * Hamming-0 case, one equi-join). For Hamming<=d at scale, band the
-    * bits into d+1 chunks and equi-join per chunk (pigeonhole) — same
-    * join shape, d+1 keys.
+    * Hamming-0 case, one equi-join). For Hamming<=d at scale, use
+    * [[simHashNearDup]] — same join shape, d+1 band keys.
     */
   def simHashDup(docs: DataFrame, idCol: String, textCol: String, nBits: Int = 16): DataFrame = {
     val shs = simHash(docs, idCol, textCol, nBits)
     val a = shs.as("a"); val b = shs.as("b")
     a.join(b, col("a.simhash") === col("b.simhash") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("a.simhash").as("simhash"))
+  }
+
+  /** Bit-band boundaries for Hamming<=d banding: maxHamming+1 chunks
+    * covering nBits, the first (nBits % chunks) chunks one bit wider.
+    * Returns (chunkIndex, startBit, width).
+    */
+  def simHashBands(nBits: Int, maxHamming: Int): Seq[(Int, Int, Int)] = {
+    val nChunks = maxHamming + 1
+    require(nBits >= nChunks, s"need at least $nChunks bits for Hamming<=$maxHamming banding")
+    val w = nBits / nChunks; val r = nBits % nChunks
+    (0 until nChunks).map { i =>
+      val len = if (i < r) w + 1 else w
+      val start = if (i < r) i * (w + 1) else r * (w + 1) + (i - r) * w
+      (i, start, len)
+    }
+  }
+
+  /** SimHash near-dup with Hamming distance <= maxHamming, by pigeonhole
+    * banding: two nBits hashes within Hamming d differ in at most d bit
+    * positions, so when the bits are cut into d+1 contiguous chunks at
+    * least ONE chunk is bit-identical — candidate generation is d+1
+    * equi-joins on (chunk, chunk bits), folded into one join via a
+    * map-side explode (the same shape as [[minHashLsh]]'s band join; no
+    * cross join, shuffle proportional to |docs| * (d+1)). Candidates are
+    * then verified with the EXACT Hamming distance (bit_count of xor,
+    * codegen'd). The full hash rides through the join so verification
+    * needs no re-join.
+    *
+    * The same maxBucketSize guard as [[minHashLsh]] applies: a chunk
+    * value shared by m docs emits m(m-1)/2 candidates, so viral clusters
+    * are capped (ON by default; pass Int.MaxValue to disable).
+    */
+  def simHashNearDup(docs: DataFrame, idCol: String, textCol: String,
+                     nBits: Int = 16, maxHamming: Int = 2,
+                     maxBucketSize: Int = 10000): DataFrame = {
+    val shs = simHash(docs, idCol, textCol, nBits)
+    val bandCols = simHashBands(nBits, maxHamming).map { case (i, start, len) =>
+      struct(lit(i).as("chunk"),
+        shiftright(col("simhash"), start).bitwiseAND(lit((1L << len) - 1)).as("key"))
+    }
+    val allBanded = shs.select(col("id"), col("simhash"),
+        explode(array(bandCols: _*)).as("e"))
+      .select(col("id"), col("simhash"),
+        col("e.chunk").as("chunk"), col("e.key").as("key"))
+    val banded = if (maxBucketSize == Int.MaxValue) allBanded else {
+      val big = allBanded.groupBy("chunk", "key")
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > maxBucketSize)
+        .select("chunk", "key")
+      allBanded.join(big, Seq("chunk", "key"), "left_anti")
+    }
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b,
+        col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
+        col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(first(col("a.simhash")).as("ha"), first(col("b.simhash")).as("hb"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
   }
 
   /** Embedding near-dup: LSH-bucketed cosine. Vectors are bucketed by

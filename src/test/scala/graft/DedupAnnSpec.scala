@@ -138,6 +138,66 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(capped == 0L)
   }
 
+  test("simhash Hamming<=2 banding is EXACT: equals the brute-force <=2 pair set") {
+    val docs = engine.Tables.documents(spark, SparkTestSession.sfDir)
+    // pigeonhole completeness + verify-step soundness: the banded join
+    // must find exactly the pairs a full O(n^2) popcount scan finds
+    val hashes = Dedup.simHash(docs, "doc_id", "text", 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes
+      if a < b && java.lang.Long.bitCount(ha ^ hb) <= 2
+    } yield (a, b)).toSet
+    val got = Dedup.simHashNearDup(docs, "doc_id", "text", 16, 2).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet == expected)
+    assert(got.forall(_.getLong(2) <= 2))
+    // Hamming-0 pairs are a subset by construction
+    val h0 = Dedup.simHashDup(docs, "doc_id", "text", 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(h0.subsetOf(expected))
+  }
+
+  test("multi-probe LSH recall >= single-bucket recall, strictly better here") {
+    val e = engine.Tables.embeddings(spark, SparkTestSession.sfDir)
+    val q = e.filter(col("vec_id") < 8)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Ann.bruteForceTopK(e, q, "vec_id", "embedding", 5))
+    val plain = pairs(Ann.lshTopK(e, q, "vec_id", "embedding", 5, nBits = 4))
+    val probed = pairs(Ann.lshTopK(e, q, "vec_id", "embedding", 5, nBits = 4,
+      multiProbe = 4))
+    val rPlain = (exact intersect plain).size.toDouble / exact.size
+    val rProbed = (exact intersect probed).size.toDouble / exact.size
+    assert(rProbed >= rPlain)
+    assert(rProbed > rPlain, s"expected strict recall gain, got $rPlain -> $rProbed")
+  }
+
+  test("IVF k-means: all-list probe is exact; build is deterministic; sampling works") {
+    val e = engine.Tables.embeddings(spark, SparkTestSession.sfDir)
+    val q = e.filter(col("vec_id") < 3)
+    val exact = Ann.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // probing every list scans the whole corpus -> centroid quality is
+    // irrelevant to the result; completeness of the partition is not
+    val full = Ann.ivfTopKKmeans(e, q, "vec_id", "embedding", 5,
+        nLists = 4, nProbe = 4, iters = 2)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exact)
+    val c1 = Ann.kmeansCentroids(e, "vec_id", "embedding", 8, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    val c2 = Ann.kmeansCentroids(e, "vec_id", "embedding", 8, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    assert(c1.toSeq == c2.toSeq)
+    // sampled build: still yields centroids and a usable index
+    val sampled = Ann.ivfTopKKmeans(e, q, "vec_id", "embedding", 5,
+        nLists = 4, nProbe = 2, iters = 1, sampleOneIn = 2)
+      .select("query_id", "neighbor_id").collect()
+    assert(sampled.nonEmpty)
+  }
+
   test("IVF ANN: probing all lists recovers brute-force exactly; fewer lists approximates") {
     val e = engine.Tables.embeddings(spark, SparkTestSession.sfDir)
     val q = e.filter(col("vec_id") < 3)
