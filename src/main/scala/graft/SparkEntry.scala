@@ -527,6 +527,16 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    "q55_image_decode" -> ((s, d) => {
+      // REAL javax.imageio decode of generated PNG fixtures; the oracle
+      // computes the same pixel sums analytically from the pattern
+      // formula (PNG is lossless), so a hash match proves the
+      // encode→decode roundtrip bit-exact.
+      Multimodal.imageStats(Multimodal.mediaWithRealImages(s, documents(s, d)))
+        .toDF()
+        .orderBy("media_id")
+    }),
+
     "q47_frame_stats" -> ((s, d) => {
       // frame-sampling UDTF (4 frames per media blob) aggregated per
       // frame index; mean-sums go through x10000 integer rounding so the
@@ -1010,6 +1020,21 @@ object SparkEntry {
          |SELECT query_id, neighbor_id, cos, rnk FROM r WHERE rnk <= 5
          |ORDER BY query_id, rnk""".stripMargin
     },
+
+    // Analytic twin of ImageCodec.channels over every (x, y) of each even
+    // doc's fixture image — no PNG involved on the oracle side.
+    "q55_image_decode" ->
+      """WITH d AS (SELECT doc_id, (doc_id % 16) + 8 AS w, (doc_id % 12) + 8 AS h
+        | FROM documents WHERE doc_id % 2 = 0),
+        |px AS (SELECT doc_id, w, h, x, y FROM d
+        | CROSS JOIN (SELECT unnest(generate_series(0, 22)) AS x)
+        | CROSS JOIN (SELECT unnest(generate_series(0, 18)) AS y)
+        | WHERE x < w AND y < h)
+        |SELECT doc_id AS media_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        | CAST(SUM((x*7 + y*11 + doc_id*3) % 256) AS BIGINT) AS sum_r,
+        | CAST(SUM((x*13 + y*5 + doc_id*7) % 256) AS BIGINT) AS sum_g,
+        | CAST(SUM((x*3 + y*17 + doc_id*11) % 256) AS BIGINT) AS sum_b
+        |FROM px GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
 
     "q38_multimodal_features" ->
       """SELECT doc_id AS media_id,

@@ -6,10 +6,13 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: images/audio/video as opaque `binary`
   * columns with typed metadata, processed in partition-sized batches.
   *
-  * The decode step is STUBBED (this container has no image/audio codecs);
-  * `FakeDecoder` is a deterministic standin so the Spark-side plumbing —
-  * schema, batching, partitioning, output shape — is real and tested.
-  * Swapping in a real codec touches only `FakeDecoder.decode`.
+  * IMAGES are decoded for real via `javax.imageio` (JDK built-in — no
+  * external codec needed): [[ImageCodec]] encodes deterministic PNG
+  * fixtures and [[imageStats]] decodes them back to pixel statistics.
+  * Audio/video decode remains STUBBED (`FakeDecoder`, a deterministic
+  * standin) so the Spark-side plumbing — schema, batching, partitioning,
+  * output shape — is real and tested; swapping in a real codec touches
+  * only `FakeDecoder.decode`.
   *
   * Scale notes: media blobs are large, so the operators (a) never widen
   * the row (features replace the blob via select, keeping the shuffle
@@ -47,6 +50,99 @@ object Multimodal {
       val mean = if (r.content.length == 0) 0.0 else sum.toDouble / r.content.length
       MediaFeatures(r.media_id, r.kind, r.content.length.toLong,
         math.round(mean * 10000).toDouble / 10000, hist)
+    }
+  }
+
+  /** REAL image codec over `javax.imageio`. Fixture images are
+    * deterministic RGB patterns — pixel (x, y) of image `id` has
+    * channels ((x·7 + y·11 + id·3) mod 256, (x·13 + y·5 + id·7) mod 256,
+    * (x·3 + y·17 + id·11) mod 256) — so, PNG being lossless, the decoded
+    * pixel sums are computable ANALYTICALLY with integer arithmetic: the
+    * DuckDB oracle derives the expected stats from the formula without
+    * ever seeing a PNG, and a hash match proves the whole
+    * encode→decode→aggregate roundtrip bit-exact.
+    */
+  object ImageCodec {
+    def channels(id: Long, x: Int, y: Int): (Int, Int, Int) = (
+      ((x * 7L + y * 11L + id * 3L) % 256L).toInt,
+      ((x * 13L + y * 5L + id * 7L) % 256L).toInt,
+      ((x * 3L + y * 17L + id * 11L) % 256L).toInt)
+
+    /** Deterministic PNG fixture for media id (lossless TYPE_INT_RGB). */
+    def encodePng(id: Long, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val (r, g, b) = channels(id, x, y)
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Decode PNG/JPEG bytes to per-channel pixel sums (the real decode —
+      * null-safe: undecodable bytes yield null, never a fake zero row).
+      */
+    def decodeSums(bytes: Array[Byte]): Option[(Int, Int, Long, Long, Long)] = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val p = img.getRGB(x, y)
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        Some((img.getWidth, img.getHeight, sr, sg, sb))
+      }
+    }
+  }
+
+  /** Decoded image statistics: the blob is gone, fixed-width row out. */
+  case class ImageStats(media_id: Long, width: Long, height: Long,
+                        sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Media table with REAL image blobs: every even doc_id becomes a PNG
+    * fixture (w, h derived from the id; encoded on the executors, not
+    * the driver — the generate step is itself distributed map work).
+    */
+  def mediaWithRealImages(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).filter(pmod(col("doc_id"), lit(2)) === 0)
+      .as[Long]
+      .map { id =>
+        val w = (id % 16).toInt + 8
+        val h = (id % 12).toInt + 8
+        MediaRow(id, "image", ImageCodec.encodePng(id, w, h), w, h)
+      }
+  }
+
+  /** REAL decode: PNG bytes → pixel-sum stats via javax.imageio.
+    * mapPartitions so codec setup (ImageIO cache off — no temp-file I/O
+    * on the executors) happens once per partition, not once per row.
+    * Undecodable blobs are dropped, not faked.
+    */
+  def imageStats(media: Dataset[MediaRow]): Dataset[ImageStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { r =>
+        ImageCodec.decodeSums(r.content).map { case (w, h, sr, sg, sb) =>
+          ImageStats(r.media_id, w.toLong, h.toLong, sr, sg, sb)
+        }
+      }
     }
   }
 

@@ -42,6 +42,34 @@ class EntrySpec extends AnyFunSuite {
     assert(f.histogram.sum == 2L)
   }
 
+  test("real image decode: PNG roundtrip recovers the exact pixel pattern") {
+    import graft.multimodal.Multimodal.ImageCodec
+    // direct roundtrip, no Spark: decoded sums equal the analytic sums
+    val (id, w, h) = (6L, 14, 14)
+    val Some((dw, dh, sr, sg, sb)) = ImageCodec.decodeSums(ImageCodec.encodePng(id, w, h))
+    var (er, eg, eb) = (0L, 0L, 0L)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = ImageCodec.channels(id, x, y)
+      er += r; eg += g; eb += b
+    }
+    assert((dw, dh) == (w, h))
+    assert((sr, sg, sb) == (er, eg, eb))
+    // undecodable bytes are dropped, never faked
+    assert(ImageCodec.decodeSums("not a png".getBytes("UTF-8")).isEmpty)
+    // distributed path: imageStats over generated media matches per-row
+    val docs = Seq((0L, "x"), (1L, "y"), (2L, "z"), (4L, "w")).toDF("doc_id", "text")
+    val stats = Multimodal.imageStats(Multimodal.mediaWithRealImages(spark, docs))
+      .collect().map(s => s.media_id -> s).toMap
+    assert(stats.keySet == Set(0L, 2L, 4L)) // odd ids are not images
+    for ((mid, s) <- stats) {
+      val (ww, hh) = ((mid % 16).toInt + 8, (mid % 12).toInt + 8)
+      assert(s.width == ww && s.height == hh)
+      var exp = 0L
+      for (y <- 0 until hh; x <- 0 until ww) exp += ImageCodec.channels(mid, x, y)._1
+      assert(s.sum_r == exp)
+    }
+  }
+
   test("multimodal resize yields fixed-size blobs; frame sampling is a narrow UDTF") {
     import graft.multimodal.Multimodal
     val media = Multimodal.mediaFromDocuments(spark,
