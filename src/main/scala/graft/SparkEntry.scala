@@ -108,6 +108,29 @@ object SparkEntry {
         .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
     }),
 
+    "q56_grouping_sets" -> ((s, d) => {
+      // explicit GROUPING SETS (non-hierarchical — not expressible as
+      // rollup/cube): each flag-dimension independently
+      lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(cents(col("l_quantity"))).as("sum_qty_c"), count(lit(1)).as("n_rows"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    }),
+
+    "q57_setops_multiset" -> ((s, d) => {
+      // INTERSECT ALL / EXCEPT ALL multiset semantics (duplicates kept
+      // with min/ difference multiplicity), tagged and unioned
+      val a = orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("custkey"))
+      val b = orders(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("custkey"))
+      a.intersectAll(b).withColumn("op", lit("intersect_all"))
+        .unionAll(a.exceptAll(b).withColumn("op", lit("except_all")))
+        .orderBy("op", "custkey")
+    }),
+
     "q11_agg_distinct" -> ((s, d) => {
       lineitem(s, d).agg(
         countDistinct(col("l_partkey")).as("n_parts"),
@@ -660,6 +683,25 @@ object SparkEntry {
         | CAST(SUM(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS total_c
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+
+    "q56_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(round(l_quantity*100,0) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+        | COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+
+    "q57_setops_multiset" ->
+      """SELECT custkey, 'intersect_all' AS op FROM (
+        | SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        | INTERSECT ALL
+        | SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |UNION ALL
+        |SELECT custkey, 'except_all' AS op FROM (
+        | SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        | EXCEPT ALL
+        | SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |ORDER BY op, custkey""".stripMargin,
 
     "q11_agg_distinct" ->
       """SELECT COUNT(DISTINCT l_partkey) AS n_parts,

@@ -107,6 +107,75 @@ class TextJobsSpec extends AnyFunSuite {
     assert(lines.map(_.split(" ")(0)) == ('A' to 'Z').map(_.toString))
   }
 
+  val moon10 = "/root/reference/proj_2_base/input-moon10.txt"
+
+  /** Golden letter counts for input-moon10.txt (FIXTURES.md §A, measured
+    * from the compiled reference).
+    */
+  val moonGolden: Map[String, Long] = Map(
+    "A" -> 32630, "B" -> 7444, "C" -> 13776, "D" -> 16744, "E" -> 55968,
+    "F" -> 10032, "G" -> 6947, "H" -> 25884, "I" -> 30940, "J" -> 940,
+    "K" -> 2036, "L" -> 17721, "M" -> 10213, "N" -> 29622, "O" -> 31985,
+    "P" -> 8570, "Q" -> 581, "R" -> 25461, "S" -> 26567, "T" -> 42192,
+    "U" -> 11895, "V" -> 4129, "W" -> 8550, "X" -> 1031, "Y" -> 6522,
+    "Z" -> 270)
+
+  test("letter counter matches reference golden vector on moon10 (548 KB)") {
+    val got = TextJobs.letterCount(spark, spark.read.text(moon10), "value")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == moonGolden)
+    val viaFile = TextJobs.letterCountFile(spark, moon10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaFile == moonGolden)
+  }
+
+  /** warpeace (4.4 MB) ships only inside proj_2_base.zip
+    * (.MISSING_LARGE_BLOBS) — extract it to /tmp as a fixture step.
+    */
+  lazy val warpeace: String = {
+    val out = new java.io.File("/tmp/graft-test-warpeace.txt")
+    if (!out.exists() || out.length() != 4434670L) {
+      val zf = new java.util.zip.ZipFile("/root/reference/proj_2_base.zip")
+      try {
+        val entry = zf.getEntry("proj_2_base/input-warpeace.txt")
+        val in = zf.getInputStream(entry)
+        java.nio.file.Files.copy(in, out.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        in.close()
+      } finally zf.close()
+    }
+    out.getPath
+  }
+
+  test("warpeace (4.4 MB): counter matches an independent naive fold; finder matches grep semantics") {
+    // independent golden: a plain single-threaded JVM fold over the raw
+    // bytes, exactly the reference's isalpha/toupper rule
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(warpeace))
+    val expected = new Array[Long](26)
+    bytes.foreach { b =>
+      val c = b.toInt & 0xff
+      if (c >= 'A' && c <= 'Z') expected(c - 'A') += 1
+      else if (c >= 'a' && c <= 'z') expected(c - 'a') += 1
+    }
+    val golden = ('A' to 'Z').map(_.toString).zip(expected).toMap
+    val got = TextJobs.letterCount(spark, spark.read.text(warpeace), "value")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == golden)
+    val viaFile = TextJobs.letterCountFile(spark, warpeace)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaFile == golden)
+    // finder golden: independent line scan with the reference's
+    // non-alnum-boundary rule (underscore IS a boundary)
+    val lines = new String(bytes, "UTF-8").split("\n", -1)
+    val re = java.util.regex.Pattern.compile("(?<![A-Za-z0-9])Pierre(?![A-Za-z0-9])")
+    val expectedFinds = lines.count(l => re.matcher(l).find())
+    val found = TextJobs.wordFind(spark.read.text(warpeace), "value", "Pierre").count()
+    assert(found == expectedFinds && found > 0)
+    // split invariance holds at 4.4 MB too
+    val base = spark.read.text(warpeace)
+    assert(TextJobs.wordFind(base.repartition(16), "value", "Pierre").count() == found)
+  }
+
   test("csv and json sources round-trip the parquet schema and values") {
     val base = spark.read.parquet(s"${SparkTestSession.sfDir}/orders.parquet")
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
