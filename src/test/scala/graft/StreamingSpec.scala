@@ -101,6 +101,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(!out.exists(_._2 == "late"))
   }
 
+  test("checkpoint recovery: windowed file sink is exactly-once across restart") {
+    import spark.implicits._
+    val root = "/tmp/graft-test-ckpt"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm); f.delete(): Unit
+    }
+    rm(new java.io.File(root))
+    val src = s"$root/src"; val sink = s"$root/sink"; val ckpt = s"$root/ckpt"
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    def mkEvents(rows: Seq[(Long, java.sql.Timestamp)]) =
+      rows.toDF("event_id", "ts").select(col("event_id"), col("ts"),
+        lit(1L).as("user_id"), lit("a").as("event_type"),
+        lit(1.0).as("value"), lit("{}").as("props"))
+    def start() = EventStreams.tumblingCounts(
+        EventStreams.readEventStream(spark, src), "10 minutes", "5 minutes")
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt).start()
+
+    // phase 1: watermark reaches 10:15 -> only window [10:00,10:10) closes
+    mkEvents(Seq((1L, ts(10, 2)), (2L, ts(10, 7)), (3L, ts(10, 12)),
+      (4L, ts(10, 20)))).write.parquet(src)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    val p1 = spark.read.parquet(sink).collect()
+    assert(p1.length == 1 && p1.head.getAs[Long]("n") == 2)
+
+    // phase 2: a NEW query restarts from the checkpoint; one late-hour
+    // event pushes the watermark so the two pending windows close. The
+    // already-emitted window must NOT be re-emitted (exactly-once), and
+    // the recovered state must still hold the pending windows' counts.
+    mkEvents(Seq((5L, ts(11, 30)))).write.mode("append").parquet(src)
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val out = spark.read.parquet(sink).collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("window_start").toString.take(16),
+        r.getAs[String]("event_type"), r.getAs[Long]("n"))).sorted.toSeq
+    assert(out == Seq(
+      ("2026-01-01 10:00", "a", 2L),  // phase 1, exactly once
+      ("2026-01-01 10:10", "a", 1L),  // state recovered across restart
+      ("2026-01-01 10:20", "a", 1L))) // 11:30's window stays open (held back)
+  }
+
   test("flatMapGroupsWithState running totals converge to the batch totals") {
     val updates = runToMemory(
       EventStreams.runningUserTotals(
