@@ -518,9 +518,13 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
+    // 32 bits, not 16: at 16 bits a 5000-doc corpus saturates the 5-6 bit
+    // band buckets with random collisions (Hamming<=2 of 16 is ~noise);
+    // 32-bit hashes give ~11-bit bands whose candidates are dominated by
+    // true near-dups.
     "q52_dedup_simhash_hamming" -> ((s, d) =>
       Dedup.simHashNearDup(documents(s, d), "doc_id", "text",
-          nBits = 16, maxHamming = 2)
+          nBits = 32, maxHamming = 2)
         .orderBy("id_a", "id_b")),
 
     "q53_ann_lsh_multiprobe" -> ((s, d) => {
@@ -1208,15 +1212,15 @@ object SparkEntry {
     // SQL cannot drift from the Scala chunking; the bsz filter mirrors
     // the default maxBucketSize=10000 guard.
     "q52_dedup_simhash_hamming" -> {
-      val nChunks = graft.operators.Dedup.simHashBands(16, 2).size
-      val bandCase = graft.operators.Dedup.simHashBands(16, 2).map {
+      val nChunks = graft.operators.Dedup.simHashBands(32, 2).size
+      val bandCase = graft.operators.Dedup.simHashBands(32, 2).map {
         case (i, start, len) => s"WHEN $i THEN (simhash >> $start) & ${(1L << len) - 1}"
       }.mkString(" ")
       s"""WITH w AS (SELECT doc_id AS id, unnest($TOKS) AS w FROM documents),
          |h AS (SELECT id, ${duckHash("w", 15)} AS h FROM w),
          |bits AS (SELECT id, bit,
          |  SUM(CASE WHEN ((h >> bit) & 1) = 1 THEN 1 ELSE -1 END) AS v
-         | FROM h CROSS JOIN (SELECT unnest(generate_series(0,15)) AS bit) b GROUP BY 1,2),
+         | FROM h CROSS JOIN (SELECT unnest(generate_series(0,31)) AS bit) b GROUP BY 1,2),
          |sh AS (SELECT id,
          |  CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
          | FROM bits GROUP BY 1),

@@ -110,6 +110,8 @@ object Ann {
       .withColumn("h", tokenHash64(concat(lit("ivf_"), col("sid").cast("string"))))
     val build = if (sampleOneIn <= 1) keyed
       else keyed.filter(pmod(col("h"), lit(sampleOneIn.toLong)) === 0)
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val seedW = Window.orderBy("h", "sid")
     var cents = build.orderBy("h", "sid").limit(nLists)
       .withColumn("cid", row_number().over(seedW).cast("long"))
@@ -123,13 +125,20 @@ object Ann {
         .groupBy("sid")
         .agg(min(struct(d.as("d"), col("cid"))).as("m"), first(col("v")).as("v"))
         .select(col("m.cid").as("cid"), col("v"))
-      cents = assigned
+      val next = assigned
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cid", "pos")
         .agg(round(avg(col("x").cast("double")), 6).as("m"))
         .groupBy("cid")
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cid"), transform(col("pm"), e => e.getField("m")).as("cv"))
+      // Materialize the (tiny: nLists × dim doubles) centroid table on
+      // the driver between iterations — MLlib-style Lloyd. Without this
+      // the lineage RE-SCANS the corpus once per prior iteration inside
+      // every later stage (measured: the q54 plan read embeddings 6×);
+      // collect + re-literal is value-identity, so oracle parity holds.
+      cents = next.as[(Long, Array[Double])].collect().sortBy(_._1).toSeq
+        .toDF("cid", "cv")
     }
     cents
   }

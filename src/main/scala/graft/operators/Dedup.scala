@@ -61,11 +61,28 @@ object Dedup {
     if (toks.size < k) Array(toks.mkString(" "))
     else Array.tabulate(toks.size - k + 1)(i => toks.slice(i, i + k).mkString(" ")).distinct
 
+  /** Pair enumeration within a posting list: `lst` is a sorted
+    * array<struct> whose FIRST field is the unique doc id; emits every
+    * (a, b) element pair with a.id < b.id via posexplode + slice —
+    * C(m,2) rows generated streaming through two Generate operators,
+    * never materialized as one array. This is the shared candidate-
+    * generation kernel for every dedup family: the grouped form computes
+    * the (expensive) signature pipeline ONCE — the naive self-equi-join
+    * plans it twice, because the nondeterministic signature UDFs defeat
+    * exchange reuse — and makes the skew guard a free size(lst) filter
+    * instead of a second aggregation + anti-join.
+    */
+  private def postingPairs(posting: DataFrame): DataFrame =
+    posting
+      .select(posexplode(col("lst")).as(Seq("i", "a")), col("lst"))
+      .select(col("a"), explode(slice(col("lst"), col("i") + lit(2), size(col("lst")))).as("b"))
+
   /** Candidate pairs sharing >= 1 shingle, with exact Jaccard similarity
-    * over distinct k-shingles. The inverted-index self-equi-join on the
-    * shingle key IS the scale plan: shuffle is proportional to the posting
-    * lists, never |docs|^2. `minJaccard` filters after an exact
-    * common-count aggregation.
+    * over distinct k-shingles. Inverted-index shape: ONE shuffle keyed by
+    * the shingle hash builds the posting lists, so shuffle volume is
+    * proportional to the postings, never |docs|^2, and the signature
+    * pipeline (tokenize + shingle UDF) runs exactly once. `minJaccard`
+    * filters after an exact common-count aggregation.
     */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    k: Int, minJaccard: Double,
@@ -79,33 +96,29 @@ object Dedup {
       .select(col(idCol).as("id"), shingles(col(textCol), k).as("shs"))
       .select(col("id"), size(col("shs")).cast("long").as("n_sh"),
         explode(col("shs")).as("sh"))
+    // Posting lists keyed by the 60-bit md5 hash of the shingle, not the
+    // string: the exchange carries 8-byte longs instead of ~k-word
+    // strings. The oracle keys on the SAME hash (md5-derived on both
+    // engines), so any collision is seen identically — results match by
+    // construction, not by luck.
+    //
     // Scale guard (ON by default, maxDocFreq=10000): a shingle shared by
     // f docs yields f(f-1)/2 candidate pairs — at corpus scale,
-    // ubiquitous "stop shingles" ("in the", "of the") dominate the join
-    // quadratically while carrying no near-dup signal. Dropping shingles
-    // with doc-frequency > maxDocFreq bounds per-key pair fan-out to
-    // maxDocFreq²/2; n_common then undercounts by at most the dropped
-    // shingles, so reported Jaccard is a lower bound. 10⁴ keeps any
-    // genuine duplicate cluster smaller than 10⁴ docs fully intact while
-    // capping the worst key at ~5·10⁷ pairs (one AQE-splittable task).
-    // Pass Int.MaxValue to disable.
-    val filtered = if (maxDocFreq == Int.MaxValue) exploded else {
-      val hot = exploded.groupBy("sh")
-        .agg(count(lit(1)).as("__df"))
-        .filter(col("__df") > maxDocFreq)
-        .select("sh")
-      exploded.join(hot, Seq("sh"), "left_anti")
-    }
-    // Join on the 60-bit md5 hash of the shingle, not the string: the
-    // exchange carries 8-byte longs instead of ~k-word strings and the
-    // join compares/hashes fixed-width keys. The oracle joins on the
-    // SAME hash (md5-derived on both engines), so any collision is seen
-    // identically — results match by construction, not by luck.
-    val sh = filtered.select(col("id"), col("n_sh"),
-      tokenHash64(col("sh")).as("h"))
-    val a = sh.as("a"); val b = sh.as("b")
-    val common = a.join(b,
-        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+    // ubiquitous "stop shingles" ("in the", "of the") dominate
+    // quadratically while carrying no near-dup signal. In posting-list
+    // form the guard is a FREE filter on list size (= doc frequency):
+    // no second aggregation, no anti-join. n_common then undercounts by
+    // at most the dropped shingles, so reported Jaccard is a lower
+    // bound. 10⁴ keeps any genuine duplicate cluster smaller than 10⁴
+    // docs fully intact while capping the worst key at ~5·10⁷ pairs
+    // (one AQE-splittable task). Pass Int.MaxValue to disable.
+    val posting = exploded
+      .select(tokenHash64(col("sh")).as("h"), col("id"), col("n_sh"))
+      .groupBy("h")
+      .agg(sort_array(collect_list(struct(col("id"), col("n_sh")))).as("lst"))
+      .filter(size(col("lst")) >= 2 &&
+        (if (maxDocFreq == Int.MaxValue) lit(true) else size(col("lst")) <= maxDocFreq))
+    val common = postingPairs(posting)
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("n_common"),
         max(col("a.n_sh")).as("n_a"), max(col("b.n_sh")).as("n_b"))
@@ -187,35 +200,30 @@ object Dedup {
           slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)
             .cast("array<string>"))).as("band_key"))
     }
-    val allBandKeys = sig.select(col("id"), col("sig"),
+    val bandKeys = sig.select(col("id"), col("sig"),
         explode(array(bandEntries: _*)).as("e"))
       .select(col("id"), col("sig"),
         col("e.band").as("band"), col("e.band_key").as("band_key"))
 
-    // Scale guard (ON by default, maxBucketSize=10000): a band bucket of
-    // m docs emits m(m-1)/2 candidates — a viral duplicate cluster makes
-    // one bucket quadratic. Skipping buckets larger than maxBucketSize
-    // bounds the join fan-out per (band, key) to maxBucketSize²/2; the
-    // cluster's pairs are usually still found via its other (smaller)
-    // band buckets, but recall is no longer guaranteed above the cap.
-    // Pass Int.MaxValue to disable.
-    val bandKeys = if (maxBucketSize == Int.MaxValue) allBandKeys else {
-      val big = allBandKeys.groupBy("band", "band_key")
-        .agg(count(lit(1)).as("__n"))
-        .filter(col("__n") > maxBucketSize)
-        .select("band", "band_key")
-      allBandKeys.join(big, Seq("band", "band_key"), "left_anti")
-    }
-
-    val a = bandKeys.as("a"); val b = bandKeys.as("b")
+    // Posting-list candidate generation (see postingPairs): ONE shuffle
+    // on (band, band_key) builds the bucket lists and the signature UDF
+    // runs once — the former self-equi-join planned the whole signature
+    // stage per side. Scale guard (ON by default, maxBucketSize=10000):
+    // a band bucket of m docs emits m(m-1)/2 candidates — a viral
+    // duplicate cluster makes one bucket quadratic. The guard is a free
+    // filter on bucket-list size; the cluster's pairs are usually still
+    // found via its other (smaller) band buckets, but recall is no
+    // longer guaranteed above the cap. Pass Int.MaxValue to disable.
+    val posting = bandKeys
+      .groupBy("band", "band_key")
+      .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("lst"))
+      .filter(size(col("lst")) >= 2 &&
+        (if (maxBucketSize == Int.MaxValue) lit(true) else size(col("lst")) <= maxBucketSize))
     // Pairs colliding in >=1 band, deduped by the pair groupBy (first()
     // is safe: a doc's signature is identical on every matching row).
     // Estimated Jaccard = fraction of agreeing signature positions,
     // a per-row zip_with fold over the two carried sig arrays.
-    a.join(b,
-        col("a.band") === col("b.band") &&
-        col("a.band_key") === col("b.band_key") &&
-        col("a.id") < col("b.id"))
+    postingPairs(posting)
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(first(col("a.sig")).as("sig_a"), first(col("b.sig")).as("sig_b"))
       .select(col("id_a"), col("id_b"),
@@ -262,8 +270,11 @@ object Dedup {
     */
   def simHashDup(docs: DataFrame, idCol: String, textCol: String, nBits: Int = 16): DataFrame = {
     val shs = simHash(docs, idCol, textCol, nBits)
-    val a = shs.as("a"); val b = shs.as("b")
-    a.join(b, col("a.simhash") === col("b.simhash") && col("a.id") < col("b.id"))
+    // posting-list form (one simhash pass, one shuffle; see postingPairs)
+    val posting = shs.groupBy("simhash")
+      .agg(sort_array(collect_list(struct(col("id"), col("simhash")))).as("lst"))
+      .filter(size(col("lst")) >= 2)
+    postingPairs(posting)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("a.simhash").as("simhash"))
   }
 
@@ -305,21 +316,17 @@ object Dedup {
       struct(lit(i).as("chunk"),
         shiftright(col("simhash"), start).bitwiseAND(lit((1L << len) - 1)).as("key"))
     }
-    val allBanded = shs.select(col("id"), col("simhash"),
+    val banded = shs.select(col("id"), col("simhash"),
         explode(array(bandCols: _*)).as("e"))
       .select(col("id"), col("simhash"),
         col("e.chunk").as("chunk"), col("e.key").as("key"))
-    val banded = if (maxBucketSize == Int.MaxValue) allBanded else {
-      val big = allBanded.groupBy("chunk", "key")
-        .agg(count(lit(1)).as("__n"))
-        .filter(col("__n") > maxBucketSize)
-        .select("chunk", "key")
-      allBanded.join(big, Seq("chunk", "key"), "left_anti")
-    }
-    val a = banded.as("a"); val b = banded.as("b")
-    a.join(b,
-        col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
-        col("a.id") < col("b.id"))
+    // posting-list form: simhash UDF runs once; bucket cap = size filter
+    val posting = banded
+      .groupBy("chunk", "key")
+      .agg(sort_array(collect_list(struct(col("id"), col("simhash")))).as("lst"))
+      .filter(size(col("lst")) >= 2 &&
+        (if (maxBucketSize == Int.MaxValue) lit(true) else size(col("lst")) <= maxBucketSize))
+    postingPairs(posting)
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(first(col("a.simhash")).as("ha"), first(col("b.simhash")).as("hb"))
       .select(col("id_a"), col("id_b"),
@@ -335,15 +342,20 @@ object Dedup {
   def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String,
                        nBits: Int, minCosine: Double,
                        dim: Int = 64): DataFrame = {
-    // Norms are computed once per VECTOR before the join, not once per
+    // Norms are computed once per VECTOR before bucketing, not once per
     // candidate pair (the norm product is bit-identical either way).
+    // Posting-list form: the nBits hyperplane projections per vector run
+    // once (the self-join planned them per side).
     val bucketed = emb.select(
       col(idCol).as("id"), col(vecCol).as("v"),
       VectorFunctions.lshBucket(col(vecCol), nBits, dim).as("bucket"),
       VectorFunctions.norm(col(vecCol)).as("nrm"))
-    val a = bucketed.as("a"); val b = bucketed.as("b")
+    val posting = bucketed
+      .groupBy("bucket")
+      .agg(sort_array(collect_list(struct(col("id"), col("v"), col("nrm")))).as("lst"))
+      .filter(size(col("lst")) >= 2)
     val nprod = col("a.nrm") * col("b.nrm")
-    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+    postingPairs(posting)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         round(when(nprod > 0,
           VectorFunctions.dot(col("a.v"), col("b.v")) / nprod).otherwise(lit(0.0)), 4).as("cos"))

@@ -22,12 +22,15 @@ object ExplainAudit {
       val df = graft.SparkEntry.queries(name)(spark, d)
       val plan = df.queryExecution.executedPlan.toString
       val exchanges = "Exchange".r.findAllIn(plan).length
+      val reused = "ReusedExchange".r.findAllIn(plan).length
       val bhj = "BroadcastHashJoin".r.findAllIn(plan).length
       val smj = "SortMergeJoin".r.findAllIn(plan).length
       val pushed = plan.linesIterator.filter(_.contains("PushedFilters"))
         .map(_.replaceAll(".*PushedFilters: ", "").take(120)).toSeq.distinct
-      println(s"== $name: exchanges=$exchanges bhj=$bhj smj=$smj")
+      println(s"== $name: exchanges=$exchanges (reused=$reused) bhj=$bhj smj=$smj")
       pushed.foreach(p => println(s"   pushed: $p"))
+      if (sys.env.contains("SPARK_GRAFT_FULL_PLAN"))
+        println(plan.take(12000))
     }
     spark.stop()
   }
