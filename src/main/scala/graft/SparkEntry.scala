@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables._
@@ -129,6 +130,49 @@ object SparkEntry {
       a.intersectAll(b).withColumn("op", lit("intersect_all"))
         .unionAll(a.exceptAll(b).withColumn("op", lit("except_all")))
         .orderBy("op", "custkey")
+    }),
+
+    "q58_stats_agg" -> ((s, d) => {
+      // statistical aggregate family; rounding absorbs the ulp-level
+      // difference between Spark's merge-based (Welford) accumulation
+      // and DuckDB's
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+          round(stddev_samp(col("l_quantity")), 4).as("sd_q"),
+          round(var_samp(col("l_quantity")), 4).as("var_q"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("cov_qp"),
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 2).as("slope_pq"))
+        .orderBy("l_returnflag")
+    }),
+
+    "q59_edit_distance" -> ((s, d) => {
+      // integer-exact Levenshtein over the nation-name cross pairs
+      // (25×25 — a broadcast nested loop, no shuffle of note)
+      val a = nation(s, d).select(col("n_name").as("name_a"))
+      val b = nation(s, d).select(col("n_name").as("name_b"))
+      a.crossJoin(broadcast(b))
+        .filter(col("name_a") < col("name_b"))
+        .select(col("name_a"), col("name_b"),
+          levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"))
+        .filter(col("dist") <= 2)
+        .orderBy("name_a", "name_b")
+    }),
+
+    "q60_window_range_frame" -> ((s, d) => {
+      // RANGE frame over an integer day key: 30-day trailing revenue per
+      // priority — range (value-based) frames, not row-based like q08
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("day")).rangeBetween(-30, Window.currentRow)
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).as("day"),
+          cents(col("o_totalprice")).as("total_c"))
+        .withColumn("trail30_c", sum(col("total_c")).over(w))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("day").cast("long").as("day"), col("trail30_c"))
+        .orderBy("o_orderkey")
     }),
 
     "q11_agg_distinct" -> ((s, d) => {
@@ -706,6 +750,31 @@ object SparkEntry {
         | EXCEPT ALL
         | SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
         |ORDER BY op, custkey""".stripMargin,
+
+    "q58_stats_agg" ->
+      """SELECT l_returnflag,
+        | round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+        | round(stddev_samp(l_quantity), 4) AS sd_q,
+        | round(var_samp(l_quantity), 4) AS var_q,
+        | round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qp,
+        | round(regr_slope(l_extendedprice, l_quantity), 2) AS slope_pq
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q59_edit_distance" ->
+      """SELECT a.n_name AS name_a, b.n_name AS name_b,
+        | CAST(levenshtein(a.n_name, b.n_name) AS BIGINT) AS dist
+        |FROM nation a CROSS JOIN nation b
+        |WHERE a.n_name < b.n_name AND levenshtein(a.n_name, b.n_name) <= 2
+        |ORDER BY name_a, name_b""".stripMargin,
+
+    "q60_window_range_frame" ->
+      """WITH b AS (SELECT o_orderkey, o_orderpriority,
+        | date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS day,
+        | CAST(round(o_totalprice*100, 0) AS BIGINT) AS total_c FROM orders)
+        |SELECT o_orderkey, o_orderpriority, CAST(day AS BIGINT) AS day,
+        | CAST(SUM(total_c) OVER (PARTITION BY o_orderpriority ORDER BY day
+        |   RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT) AS trail30_c
+        |FROM b ORDER BY o_orderkey""".stripMargin,
 
     "q11_agg_distinct" ->
       """SELECT COUNT(DISTINCT l_partkey) AS n_parts,

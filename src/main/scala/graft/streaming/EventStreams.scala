@@ -63,6 +63,17 @@ object EventStreams {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"))
 
+  /** Streaming exact dedup: the streaming twin of Dedup.exact for
+    * at-least-once sources. dropDuplicatesWithinWatermark keeps one
+    * state entry per key only within the watermark horizon, so state is
+    * bounded by (horizon × arrival rate) — a plain dropDuplicates would
+    * grow state with stream length, which cannot run unbounded at scale.
+    */
+  def dedupEvents(events: DataFrame, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   case class UserEvent(user_id: Long, value: Double)
   case class UserState(n_events: Long, total_value: Double)
   case class UserUpdate(user_id: Long, n_events: Long, total_value: Double)

@@ -141,6 +141,23 @@ class StreamingSpec extends AnyFunSuite {
       ("2026-01-01 10:20", "a", 1L))) // 11:30's window stays open (held back)
   }
 
+  test("streaming dedup within watermark emits each event id exactly once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(Long, java.sql.Timestamp)]
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    val q = EventStreams.dedupEvents(src.toDF().toDF("event_id", "ts"), "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("t_dedup").start()
+    src.addData((1L, ts(0)), (1L, ts(1)), (2L, ts(2))) // intra-batch dup of 1
+    q.processAllAvailable()
+    src.addData((1L, ts(3)), (3L, ts(4)))              // cross-batch dup of 1
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("t_dedup").collect().map(_.getLong(0)).toSeq
+    assert(ids.sorted == Seq(1L, 2L, 3L)) // each id once, dups dropped
+  }
+
   test("flatMapGroupsWithState running totals converge to the batch totals") {
     val updates = runToMemory(
       EventStreams.runningUserTotals(
