@@ -62,6 +62,25 @@ object SparkEntry {
        |       ELSE list_transform(generate_series(1, len(t)-2), i -> array_to_string(t[i:i+2],' ')) END) AS sh
        |FROM (SELECT doc_id, $TOKS AS t FROM documents)""".stripMargin
 
+  /** GPT-2-style BPE pre-tokenizer pattern, simplified to the subset
+    * Java regex and RE2 (DuckDB) interpret identically: optional leading
+    * space + letter run / digit run / punctuation run. No lookarounds
+    * (RE2 has none). The SAME string is passed to both engines.
+    */
+  private val BpePattern =
+    " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \\t\\r\\n]+"
+
+  /** q61's ANSI SQL — one text, two engines (Spark executes it, DuckDB
+    * oracles it verbatim).
+    */
+  private val SqlApiQuery =
+    """SELECT n.n_name, COUNT(*) AS n_orders,
+      | CAST(SUM(CAST(round(o.o_totalprice*100, 0) AS BIGINT)) AS BIGINT) AS rev_c
+      |FROM orders o
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin
+
   /** DuckDB twin of VectorFunctions.planeComponent(p, j). */
   private def duckPlane(p: String, j: String): String =
     s"((${duckHash(s"concat($p,'_',$j)", 7)} % 2001) - 1000)/1000.0"
@@ -131,6 +150,25 @@ object SparkEntry {
         .unionAll(a.exceptAll(b).withColumn("op", lit("except_all")))
         .orderBy("op", "custkey")
     }),
+
+    "q61_sql_api" -> ((s, d) => {
+      // the SQL front door: the EXACT same ANSI text runs on Spark (here)
+      // and on DuckDB (as its own oracle) — revenue per nation, 3-way join
+      customer(s, d).createOrReplaceTempView("customer")
+      orders(s, d).createOrReplaceTempView("orders")
+      nation(s, d).createOrReplaceTempView("nation")
+      s.sql(SqlApiQuery)
+    }),
+
+    "q62_bpe_tokens" -> ((s, d) =>
+      // token counting both ways: whitespace tokens and a GPT-2-style
+      // BPE pre-tokenizer regex (simplified to the RE2-safe subset so the
+      // DuckDB oracle runs the identical pattern)
+      documents(s, d)
+        .select(col("doc_id"),
+          tokenCount(col("text")).cast("long").as("n_ws"),
+          regexp_count(col("text"), lit(BpePattern)).cast("long").as("n_bpe"))
+        .orderBy("doc_id")),
 
     "q58_stats_agg" -> ((s, d) => {
       // statistical aggregate family; rounding absorbs the ulp-level
@@ -750,6 +788,13 @@ object SparkEntry {
         | EXCEPT ALL
         | SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
         |ORDER BY op, custkey""".stripMargin,
+
+    "q61_sql_api" -> SqlApiQuery,
+
+    "q62_bpe_tokens" ->
+      s"""SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS n_ws,
+         | CAST(len(regexp_extract_all(text, '$BpePattern')) AS BIGINT) AS n_bpe
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q58_stats_agg" ->
       """SELECT l_returnflag,
