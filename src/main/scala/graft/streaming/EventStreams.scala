@@ -63,6 +63,29 @@ object EventStreams {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"))
 
+  /** Stream-stream interval join: each left event joins right events of
+    * the same user within [left.ts, left.ts + windowSpec]. BOTH sides
+    * carry watermarks plus the time-bound join condition, so each side's
+    * buffered state is evicted once the other side's watermark passes
+    * the interval — without the bound, stream-stream join state grows
+    * unboundedly. The equi-key (user_id) is the shuffle key at scale.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   watermark: String, within: String): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts").as("l_ts"),
+        col("event_id").as("l_event_id"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("user_id").as("r_user_id"), col("ts").as("r_ts"),
+        col("event_id").as("r_event_id"))
+    l.join(r,
+      col("user_id") === col("r_user_id") &&
+      col("r_ts") >= col("l_ts") &&
+      col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"))
+      .select(col("user_id"), col("l_event_id"), col("r_event_id"),
+        col("l_ts"), col("r_ts"))
+  }
+
   /** Streaming exact dedup: the streaming twin of Dedup.exact for
     * at-least-once sources. dropDuplicatesWithinWatermark keeps one
     * state entry per key only within the watermark horizon, so state is
