@@ -76,6 +76,29 @@ class ScaleSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("posting-list dedup plans scan the corpus exactly once (regression guard)") {
+    // the round-1 self-join form planned the signature pipeline once per
+    // join side (nondeterministic UDFs defeat exchange reuse) — measured
+    // 2x compute; keep the single-scan property pinned
+    for (q <- Seq("q30_dedup_ngram_jaccard", "q31_dedup_minhash_lsh",
+        "q52_dedup_simhash_hamming", "q33_dedup_simhash", "q34_dedup_embedding")) {
+      val df = SparkEntry.queries(q)(spark, SparkTestSession.sfDir)
+      val scans = "FileScan parquet".r
+        .findAllIn(df.queryExecution.executedPlan.toString).length
+      assert(scans == 1, s"$q should scan its input once, saw $scans")
+    }
+  }
+
+  test("orc source round-trips schema and values") {
+    val base = spark.read.parquet(s"${SparkTestSession.sfDir}/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    val tmp = "/tmp/graft-test-orc"
+    base.write.mode("overwrite").orc(tmp)
+    val viaOrc = spark.read.schema(base.schema).orc(tmp)
+    assert(viaOrc.count() == base.count())
+    assert(viaOrc.except(base).isEmpty && base.except(viaOrc).isEmpty)
+  }
+
   test("partitioned layout prunes partitions in the scan") {
     val ev = engine.Tables.events(spark, SparkTestSession.sfDir)
       .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
