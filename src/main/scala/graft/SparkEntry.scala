@@ -564,6 +564,14 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
+    "q63_dedup_clusters" -> ((s, d) =>
+      // collapse the q33 simhash dup pairs into connected components;
+      // label = canonical (min) doc id per cluster
+      Dedup.dupClusters(
+          Dedup.simHashDup(documents(s, d), "doc_id", "text", nBits = 16),
+          "id_a", "id_b", iterations = 4)
+        .orderBy("node")),
+
     "q33_dedup_simhash" -> ((s, d) =>
       Dedup.simHashDup(documents(s, d), "doc_id", "text", nBits = 16)
         .orderBy("id_a", "id_b")),
@@ -1129,6 +1137,35 @@ object SparkEntry {
          |SELECT a.id AS id_a, b.id AS id_b, a.simhash
          |FROM sh a JOIN sh b ON a.simhash = b.simhash AND a.id < b.id
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // q33's pair CTEs + 4 UNROLLED min-label-propagation iterations —
+    // generated from the same iteration count as the Spark loop, so the
+    // two cannot drift.
+    "q63_dedup_clusters" -> {
+      val iters = 4
+      val prop = (1 to iters).map { k =>
+        s"""l$k AS (SELECT node, MIN(label) AS label FROM (
+           | SELECT node, label FROM l${k - 1}
+           | UNION ALL
+           | SELECT e.u AS node, l.label FROM edges e JOIN l${k - 1} l ON e.v = l.node) t
+           | GROUP BY node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH w AS (SELECT doc_id AS id, unnest($TOKS) AS w FROM documents),
+         |h AS (SELECT id, ${duckHash("w", 15)} AS h FROM w),
+         |bits AS (SELECT id, bit,
+         |  SUM(CASE WHEN ((h >> bit) & 1) = 1 THEN 1 ELSE -1 END) AS v
+         | FROM h CROSS JOIN (SELECT unnest(generate_series(0,15)) AS bit) b GROUP BY 1,2),
+         |sh AS (SELECT id,
+         |  CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+         | FROM bits GROUP BY 1),
+         |p AS (SELECT a.id AS id_a, b.id AS id_b
+         | FROM sh a JOIN sh b ON a.simhash = b.simhash AND a.id < b.id),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM p
+         | UNION ALL SELECT id_b AS u, id_a AS v FROM p),
+         |l0 AS (SELECT DISTINCT u AS node, u AS label FROM edges),
+         |$prop
+         |SELECT node, label FROM l$iters ORDER BY node""".stripMargin
+    },
 
     "q34_dedup_embedding" -> {
       val planes =

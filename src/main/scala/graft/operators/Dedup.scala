@@ -334,6 +334,34 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Near-dup CLUSTER collapse: connected components over the candidate
+    * pair graph by iterative min-label propagation — the step after pair
+    * generation in a dedup pipeline (each doc's `label` is the smallest
+    * doc id reachable within `iterations` hops; the label IS the
+    * canonical keeper). Each iteration is one equi-join + one min
+    * aggregation (both hash-partitioned on the node id), the
+    * small-graph version of the large-star/small-star CC algorithm; at
+    * 100 TB you would add the star optimizations, but the shuffle shape
+    * (edges joined to labels on a key) is already the scale shape.
+    * `iterations` bounds work and is mirrored EXACTLY in the unrolled
+    * oracle SQL; components with diameter <= iterations are fully
+    * converged (asserted against a driver-side union-find in tests).
+    */
+  def dupClusters(pairs: DataFrame, aCol: String, bCol: String,
+                  iterations: Int): DataFrame = {
+    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .unionAll(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+    var labels = edges.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to iterations) {
+      val viaNeighbor = edges.join(labels, col("v") === col("node"))
+        .select(col("u").as("node"), col("label"))
+      labels = labels.unionAll(viaNeighbor)
+        .groupBy("node").agg(min("label").as("label"))
+    }
+    labels
+  }
+
   /** Embedding near-dup: LSH-bucketed cosine. Vectors are bucketed by
     * random-hyperplane signature (equi-join key); exact cosine verifies
     * within buckets. nBits trades recall for bucket size — at 100 TB the

@@ -198,6 +198,31 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(sampled.nonEmpty)
   }
 
+  test("dup-cluster collapse equals a driver-side union-find ground truth") {
+    val docs = engine.Tables.documents(spark, SparkTestSession.sfDir)
+    val pairs = Dedup.simHashDup(docs, "doc_id", "text", 16)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assume(pairs.nonEmpty)
+    // ground truth: classic union-find over the collected pairs
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- pairs) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val truth = parent.keys.map(n => n -> find(n)).toMap
+    val got = Dedup.dupClusters(
+        Dedup.simHashDup(docs, "doc_id", "text", 16), "id_a", "id_b", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == truth) // 4 iterations fully converge these components
+    // every label is the minimum of its cluster (the canonical keeper)
+    assert(got.groupBy(_._2).forall { case (lbl, members) =>
+      members.keys.min == lbl })
+  }
+
   test("IVF ANN: probing all lists recovers brute-force exactly; fewer lists approximates") {
     val e = engine.Tables.embeddings(spark, SparkTestSession.sfDir)
     val q = e.filter(col("vec_id") < 3)
