@@ -644,6 +644,45 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    "q64_curation_pipeline" -> ((s, d) => {
+      // end-to-end curation: exact-dedup keepers ∩ langId='en' ∩
+      // quality >= 0.5, kept doc/token counts per source — the composed
+      // form of q29 + q28 + q40
+      val docs = documents(s, d)
+      val keepers = Dedup.exact(docs, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      docs.join(keepers, Seq("doc_id"), "left_semi")
+        .filter(langId(col("text")) === "en" &&
+          qualityScore(col("text")) >= 0.5)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(tokenCount(col("text")).cast("long")).as("kept_tokens"))
+        .orderBy("source")
+    }),
+
+    "q65_hash_split" -> ((s, d) =>
+      // deterministic train/val/test split: md5-keyed bucket per doc —
+      // reproducible across runs/engines, unlike rand()-based sampling
+      documents(s, d)
+        .select(col("source"),
+          pmod(tokenHash64(concat(lit("split_"), col("doc_id").cast("string"))),
+            lit(100L)).as("b"))
+        .withColumn("split",
+          when(col("b") < 80, "train").when(col("b") < 90, "val").otherwise("test"))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("source", "split")),
+
+    "q66_image_resize" -> ((s, d) => {
+      // REAL decode → nearest-neighbor resample → re-encode → decode →
+      // stats; oracle computes the same sums from the pattern formula
+      // through the same index mapping
+      Multimodal.imageStats(
+          Multimodal.resizeImages(Multimodal.mediaWithRealImages(s, documents(s, d)), 10, 8))
+        .toDF()
+        .orderBy("media_id")
+    }),
+
     "q55_image_decode" -> ((s, d) => {
       // REAL javax.imageio decode of generated PNG fixtures; the oracle
       // computes the same pixel sums analytically from the pattern
@@ -1217,6 +1256,64 @@ object SparkEntry {
          |SELECT query_id, neighbor_id, cos, rnk FROM r WHERE rnk <= 5
          |ORDER BY query_id, rnk""".stripMargin
     },
+
+    // q29 + q28 + q40 composed: dedup keepers ∩ lang='en' ∩ quality>=0.5.
+    "q64_curation_pipeline" -> {
+      def cnt(markers: Seq[String]) = {
+        val in = markers.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(toks, x -> x IN ($in)))"
+      }
+      val m = LangMarkers.toMap
+      val sw = StopWords.map(w => s"'$w'").mkString(", ")
+      s"""WITH k AS (SELECT min(doc_id) AS doc_id FROM documents
+         | GROUP BY md5(regexp_replace(lower(trim(text)),'\\s+',' ','g'))),
+         |d2 AS (SELECT d.* FROM documents d JOIN k USING (doc_id)),
+         |t AS (SELECT source, text, $TOKS AS toks FROM d2),
+         |s AS (SELECT source, text, toks,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_filter(toks, x -> x IN ($sw))) AS BIGINT) AS n_stop,
+         |  ${cnt(m("en"))} AS s_en, ${cnt(m("de"))} AS s_de,
+         |  ${cnt(m("fr"))} AS s_fr, ${cnt(m("es"))} AS s_es
+         | FROM t),
+         |q AS (SELECT source, n_tokens,
+         |  CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+         |       WHEN s_es > greatest(s_en, s_de, s_fr) THEN 'es'
+         |       WHEN s_fr > greatest(s_en, s_de) THEN 'fr'
+         |       WHEN s_de > s_en THEN 'de'
+         |       ELSE 'en' END AS lang,
+         |  round(least(CAST(n_tokens AS DOUBLE)/50.0, 1.0)*0.4
+         |   + least((CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE)/n_tokens ELSE 0.0 END)*4.0, 1.0)*0.3
+         |   + (CASE WHEN length(text) > 0
+         |      THEN CAST(length(regexp_replace(text,'[^A-Za-z]','','g')) AS DOUBLE)/length(text)
+         |      ELSE 0.0 END)*0.3, 4) AS quality
+         | FROM s)
+         |SELECT source, COUNT(*) AS n_kept, CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens
+         |FROM q WHERE lang = 'en' AND quality >= 0.5
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "q65_hash_split" ->
+      s"""WITH b AS (SELECT source,
+         | ${duckHash("concat('split_', CAST(doc_id AS VARCHAR))", 15)} % 100 AS b
+         | FROM documents)
+         |SELECT source,
+         | CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+         | COUNT(*) AS n
+         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Resize twin of q55: the same pattern sums through the SAME
+    // nearest-neighbor index mapping ((x'·w)//10, (y'·h)//8).
+    "q66_image_resize" ->
+      """WITH d AS (SELECT doc_id, (doc_id % 16) + 8 AS w, (doc_id % 12) + 8 AS h
+        | FROM documents WHERE doc_id % 2 = 0),
+        |px AS (SELECT doc_id, (x2*w)//10 AS x, (y2*h)//8 AS y FROM d
+        | CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS x2)
+        | CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS y2))
+        |SELECT doc_id AS media_id, CAST(10 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+        | CAST(SUM((x*7 + y*11 + doc_id*3) % 256) AS BIGINT) AS sum_r,
+        | CAST(SUM((x*13 + y*5 + doc_id*7) % 256) AS BIGINT) AS sum_g,
+        | CAST(SUM((x*3 + y*17 + doc_id*11) % 256) AS BIGINT) AS sum_b
+        |FROM px GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
 
     // Analytic twin of ImageCodec.channels over every (x, y) of each even
     // doc's fixture image — no PNG involved on the oracle side.

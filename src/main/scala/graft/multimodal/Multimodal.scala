@@ -110,6 +110,50 @@ object Multimodal {
     }
   }
 
+  /** REAL image resize: decode via javax.imageio, nearest-neighbor
+    * resample (source pixel of (x', y') is (x'·w/w', y'·h/h'), integer
+    * floor — the same index mapping the byte-level [[resize]] stub uses,
+    * so the oracle can compute resized pixel sums analytically from the
+    * fixture pattern), re-encode PNG. None when the blob is not an image.
+    */
+  def resizeImagePng(bytes: Array[Byte], w2: Int, h2: Int): Option[Array[Byte]] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    if (img == null) None
+    else {
+      val out = new java.awt.image.BufferedImage(
+        w2, h2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h2) {
+        var x = 0
+        while (x < w2) {
+          out.setRGB(x, y, img.getRGB(
+            (x.toLong * img.getWidth / w2).toInt,
+            (y.toLong * img.getHeight / h2).toInt))
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      Some(bos.toByteArray)
+    }
+  }
+
+  /** Resize every image blob (real decode → resample → re-encode);
+    * non-decodable blobs are dropped. Map-only: blob replaced in place,
+    * metadata updated, rows never widen.
+    */
+  def resizeImages(media: Dataset[MediaRow], w2: Int, h2: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { r =>
+        resizeImagePng(r.content, w2, h2)
+          .map(b => r.copy(content = b, width = w2, height = h2))
+      }
+    }
+  }
+
   /** Decoded image statistics: the blob is gone, fixed-width row out. */
   case class ImageStats(media_id: Long, width: Long, height: Long,
                         sum_r: Long, sum_g: Long, sum_b: Long)
