@@ -446,6 +446,55 @@ object SparkEntry {
         .orderBy("month")
     }),
 
+    "q67_date_arith" -> ((s, d) =>
+      // date arithmetic family: +30 days, month end, days-to-month-end,
+      // ISO weekday (both engines' dayofweek origins normalized to
+      // Monday=0)
+      orders(s, d)
+        .select(col("o_orderkey"),
+          date_format(date_add(col("o_orderdate").cast("date"), 30), "yyyy-MM-dd").as("d30"),
+          date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("eom"),
+          datediff(last_day(col("o_orderdate")), col("o_orderdate")).cast("long").as("days_left"),
+          ((dayofweek(col("o_orderdate")) + 5) % 7).cast("long").as("dow"))
+        .orderBy("o_orderkey")),
+
+    "q68_join_left_outer" -> ((s, d) => {
+      // LEFT OUTER join with null-preserving aggregation: order-count
+      // histogram over ALL customers (including order-less ones — an
+      // inner join would silently drop them)
+      val perCust = customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+      perCust.groupBy("n_orders")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("n_orders")
+    }),
+
+    "q69_join_full_outer" -> ((s, d) => {
+      // FULL OUTER join of two aggregate views; coalesce resolves the
+      // side-missing keys
+      val urgent = orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy(col("o_custkey").as("ck_a")).agg(count(lit(1)).as("n_urgent"))
+      val done = orders(s, d).filter(col("o_orderstatus") === "F")
+        .groupBy(col("o_custkey").as("ck_b")).agg(count(lit(1)).as("n_finished"))
+      urgent.join(done, col("ck_a") === col("ck_b"), "full_outer")
+        .select(coalesce(col("ck_a"), col("ck_b")).as("custkey"),
+          coalesce(col("n_urgent"), lit(0L)).as("n_urgent"),
+          coalesce(col("n_finished"), lit(0L)).as("n_finished"))
+        .orderBy("custkey")
+    }),
+
+    "q70_approx_percentile" -> ((s, d) =>
+      // quantile sketch (no SQL oracle — Spark's approx algorithm differs
+      // from DuckDB's by design; rows-only check here, accuracy vs the
+      // exact percentile asserted in EntrySpec)
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_approx"),
+          percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95_approx"))
+        .orderBy("l_returnflag")),
+
     "q16_json_extract" -> ((s, d) => {
       events(s, d)
         .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
@@ -873,6 +922,30 @@ object SparkEntry {
         | COUNT(DISTINCT l_suppkey) AS n_supps,
         | COUNT(DISTINCT l_orderkey) AS n_orders
         |FROM lineitem""".stripMargin,
+
+    "q67_date_arith" ->
+      """SELECT o_orderkey,
+        | strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS d30,
+        | strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS eom,
+        | CAST(date_diff('day', CAST(o_orderdate AS DATE), last_day(CAST(o_orderdate AS DATE))) AS BIGINT) AS days_left,
+        | CAST((dayofweek(CAST(o_orderdate AS DATE)) + 6) % 7 AS BIGINT) AS dow
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q68_join_left_outer" ->
+      """WITH pc AS (SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        | FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY 1)
+        |SELECT n_orders, COUNT(*) AS n_customers FROM pc
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q69_join_full_outer" ->
+      """WITH u AS (SELECT o_custkey AS ck_a, COUNT(*) AS n_urgent FROM orders
+        |  WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+        |f AS (SELECT o_custkey AS ck_b, COUNT(*) AS n_finished FROM orders
+        |  WHERE o_orderstatus = 'F' GROUP BY 1)
+        |SELECT coalesce(ck_a, ck_b) AS custkey,
+        | coalesce(n_urgent, 0) AS n_urgent,
+        | coalesce(n_finished, 0) AS n_finished
+        |FROM u FULL OUTER JOIN f ON ck_a = ck_b ORDER BY custkey""".stripMargin,
 
     "q17_agg_conditional" ->
       """SELECT l_returnflag,

@@ -14,7 +14,7 @@ class EntrySpec extends AnyFunSuite {
 
   test("every query has an oracle except the documented sketch exceptions") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle == Set("q39_approx_distinct"),
+    assert(noOracle == Set("q39_approx_distinct", "q70_approx_percentile"),
       s"queries without oracle coverage: $noOracle")
   }
 
@@ -104,6 +104,16 @@ class EntrySpec extends AnyFunSuite {
     val lshCapped = Dedup.minHashLsh(docs, "doc_id", "text", 3, 4, 4, 0.25,
       maxBucketSize = 1000000).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lshCapped == lshPlain)
+  }
+
+  test("approx percentile is within 2% of the exact percentile") {
+    import org.apache.spark.sql.functions._
+    val li = engine.Tables.lineitem(spark, SparkTestSession.sfDir)
+    val rows = li.agg(
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).cast("double"),
+      expr("percentile(l_extendedprice, 0.5)").cast("double")).head()
+    val (approx, exact) = (rows.getDouble(0), rows.getDouble(1))
+    assert(math.abs(approx - exact) / exact < 0.02)
   }
 
   test("approx_count_distinct is within 5% of exact on lineitem keys") {
