@@ -89,13 +89,20 @@ object Dedup {
                    maxDocFreq: Int = 10000): DataFrame = {
     // |shingles| per doc is size() of the (already-distinct) shingle
     // array, carried THROUGH the exploded rows and the join — recovering
-    // it per pair with max() costs nothing extra in the pair aggregation,
-    // where the former plan re-joined a doc→size frame twice at pair
-    // granularity.
+    // it per pair with max() costs nothing extra in the pair aggregation.
+    // Shingles are hashed to their 60-bit md5 keys INSIDE the UDF
+    // (string-distinct first, hash second — identical order to the
+    // oracle's DISTINCT-then-hash), so the explode carries 8-byte longs
+    // and the expression-layer md5→substring→conv hex-string chain never
+    // runs; values equal tokenHash64(shingle string) bit-for-bit.
+    val hashUdf = udf { toks: Seq[String] =>
+      if (toks == null) null
+      else shingleList(toks, k).map(graft.functions.TextFunctions.tokenHash64Jvm)
+    }.asNondeterministic()
     val exploded = docs
-      .select(col(idCol).as("id"), shingles(col(textCol), k).as("shs"))
-      .select(col("id"), size(col("shs")).cast("long").as("n_sh"),
-        explode(col("shs")).as("sh"))
+      .select(col(idCol).as("id"), hashUdf(tokens(col(textCol))).as("hs"))
+      .select(col("id"), size(col("hs")).cast("long").as("n_sh"),
+        explode(col("hs")).as("h"))
     // Posting lists keyed by the 60-bit md5 hash of the shingle, not the
     // string: the exchange carries 8-byte longs instead of ~k-word
     // strings. The oracle keys on the SAME hash (md5-derived on both
@@ -113,7 +120,6 @@ object Dedup {
     // docs fully intact while capping the worst key at ~5·10⁷ pairs
     // (one AQE-splittable task). Pass Int.MaxValue to disable.
     val posting = exploded
-      .select(tokenHash64(col("sh")).as("h"), col("id"), col("n_sh"))
       .groupBy("h")
       .agg(sort_array(collect_list(struct(col("id"), col("n_sh")))).as("lst"))
       .filter(size(col("lst")) >= 2 &&
