@@ -108,8 +108,12 @@ object Ann {
     import graft.functions.TextFunctions.tokenHash64
     val keyed = corpus.select(col(idCol).cast("long").as("sid"), col(vecCol).as("v"))
       .withColumn("h", tokenHash64(concat(lit("ivf_"), col("sid").cast("string"))))
-    val build = if (sampleOneIn <= 1) keyed
-      else keyed.filter(pmod(col("h"), lit(sampleOneIn.toLong)) === 0)
+    // materialized once (localCheckpoint): the seed scan plus every
+    // Lloyd iteration references this frame — without truncation each
+    // reference re-plans the corpus scan + hash projection
+    val build = (if (sampleOneIn <= 1) keyed
+      else keyed.filter(pmod(col("h"), lit(sampleOneIn.toLong)) === 0))
+      .localCheckpoint(true)
     val spark = corpus.sparkSession
     import spark.implicits._
     val seedW = Window.orderBy("h", "sid")
