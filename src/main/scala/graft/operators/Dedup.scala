@@ -251,6 +251,9 @@ object Dedup {
     * (matching the oracle's unnest-of-empty-list semantics).
     */
   def simHash(docs: DataFrame, idCol: String, textCol: String, nBits: Int = 16): DataFrame = {
+    // 63, not 64: the hash lives in a Long and band masks are built as
+    // (1L << len) - 1, which wraps at a 64-bit shift (1L << 64 == 1L)
+    require(nBits >= 1 && nBits <= 63, s"nBits must be in [1, 63], got $nBits")
     val f = udf { toks: Seq[String] =>
       val votes = new Array[Long](nBits)
       toks.foreach { t =>

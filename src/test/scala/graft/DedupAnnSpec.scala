@@ -157,6 +157,37 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(h0.subsetOf(expected))
   }
 
+  test("simHashBands covers every bit exactly once for all (nBits, d)") {
+    for (nBits <- Seq(8, 16, 20, 32, 48, 63); d <- 0 to 4 if nBits >= d + 1) {
+      val bands = Dedup.simHashBands(nBits, d)
+      assert(bands.size == d + 1)
+      assert(bands.map(_._3).sum == nBits)
+      assert(bands.map(_._3).max - bands.map(_._3).min <= 1) // widths within 1
+      // contiguous, in order, starting at bit 0
+      bands.sliding(2).foreach {
+        case Seq((_, s1, l1), (_, s2, _)) => assert(s2 == s1 + l1)
+        case _ =>
+      }
+      assert(bands.head._2 == 0)
+    }
+  }
+
+  test("simhash Hamming<=d banding stays exact at other (nBits, d) shapes") {
+    // remainder chunks (nBits not divisible by d+1) and wider hashes
+    val docs = engine.Tables.documents(spark, SparkTestSession.sfDir).limit(150)
+    for ((nBits, d) <- Seq((20, 3), (63, 1))) {
+      val hashes = Dedup.simHash(docs, "doc_id", "text", nBits).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val expected = (for {
+        (a, ha) <- hashes; (b, hb) <- hashes
+        if a < b && java.lang.Long.bitCount(ha ^ hb) <= d
+      } yield (a, b)).toSet
+      val got = Dedup.simHashNearDup(docs, "doc_id", "text", nBits, d)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected, s"mismatch at nBits=$nBits d=$d")
+    }
+  }
+
   test("multi-probe LSH recall >= single-bucket recall, strictly better here") {
     val e = engine.Tables.embeddings(spark, SparkTestSession.sfDir)
     val q = e.filter(col("vec_id") < 8)
