@@ -45,6 +45,45 @@ object Relational {
       .drop("__rn")
   }
 
+  /** As-of join, merge form — the 100 TB shape. [[asOfJoin]] fans out
+    * EVERY right row with rightTime <= leftTime per left row before the
+    * window dedups (a hot key with n lefts × m rights materializes n·m
+    * join rows). This form never builds pairs: both sides are tagged and
+    * unioned, one exchange on the key, one sort by (time, side,
+    * tieBreak), and a cumulative last(right payload, ignoreNulls) hands
+    * each left row its latest preceding right row. Rights sort before
+    * lefts at equal time, so the match is inclusive (rightTime <=
+    * leftTime), and the max tieBreak wins among equal times — exactly
+    * [[asOfJoin]]'s pick. Inner semantics: lefts with no preceding right
+    * are dropped. Output = left columns ++ right columns (both inputs
+    * must carry distinct names).
+    */
+  def asOfJoinMerge(left: DataFrame, right: DataFrame,
+                    leftKey: String, rightKey: String,
+                    leftTime: String, rightTime: String,
+                    rightTieBreak: String): DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    val lCols = left.columns.toSeq
+    val rCols = right.columns.toSeq
+    val lPart = left.select(col(leftKey).as("__k"), col(leftTime).as("__t"),
+      lit(1).as("__side"),
+      lit(null).cast(right.schema(rightTieBreak).dataType).as("__tb"),
+      struct(lCols.map(col): _*).as("__l"),
+      lit(null).cast(StructType(right.schema.fields)).as("__r"))
+    val rPart = right.select(col(rightKey).as("__k"), col(rightTime).as("__t"),
+      lit(0).as("__side"),
+      col(rightTieBreak).as("__tb"),
+      lit(null).cast(StructType(left.schema.fields)).as("__l"),
+      struct(rCols.map(col): _*).as("__r"))
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__t").asc, col("__side").asc, col("__tb").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lPart.unionAll(rPart)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1 && col("__m").isNotNull)
+      .select(lCols.map(c => col(s"__l.$c")) ++ rCols.map(c => col(s"__m.$c")): _*)
+  }
+
   /** Batch sessionization: events per user are split into sessions
     * whenever the gap to the previous event exceeds `gapSeconds`; returns
     * one row per session with start/end/count. The lag + running-sum of

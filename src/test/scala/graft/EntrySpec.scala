@@ -106,6 +106,25 @@ class EntrySpec extends AnyFunSuite {
     assert(lshCapped == lshPlain)
   }
 
+  test("as-of join merge form equals the join+window form") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Relational
+    val ev = engine.Tables.events(spark, SparkTestSession.sfDir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_event_id"),
+        col("user_id").as("err_user_id"), col("ts").as("err_ts"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id", "err_event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaJoin = pairs(Relational.asOfJoin(purchases, errors,
+      "user_id", "err_user_id", "ts", "err_ts", "event_id", "err_event_id"))
+    val viaMerge = pairs(Relational.asOfJoinMerge(purchases, errors,
+      "user_id", "err_user_id", "ts", "err_ts", "err_event_id"))
+    assert(viaMerge == viaJoin && viaMerge.nonEmpty)
+  }
+
   test("approx percentile is within 2% of the exact percentile") {
     import org.apache.spark.sql.functions._
     val li = engine.Tables.lineitem(spark, SparkTestSession.sfDir)
