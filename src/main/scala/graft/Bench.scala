@@ -35,15 +35,11 @@ object Bench {
       }
       (name, times.min, err)
     }
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-      } + "\""
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => s"\"" + k + "\":" + jstr(e) }
-      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e)) =>
+      s"\"" + k + "\":" + Verify.jsonString(e)
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()

@@ -154,10 +154,13 @@ object SparkEntry {
     "q61_sql_api" -> ((s, d) => {
       // the SQL front door: the EXACT same ANSI text runs on Spark (here)
       // and on DuckDB (as its own oracle) — revenue per nation, 3-way join
+      // views exist only for the (eager) analysis of s.sql — dropped
+      // immediately so no session-global name keeps serving this sfDir
       customer(s, d).createOrReplaceTempView("customer")
       orders(s, d).createOrReplaceTempView("orders")
       nation(s, d).createOrReplaceTempView("nation")
-      s.sql(SqlApiQuery)
+      try s.sql(SqlApiQuery)
+      finally Seq("customer", "orders", "nation").foreach(s.catalog.dropTempView)
     }),
 
     "q62_bpe_tokens" -> ((s, d) =>
@@ -702,12 +705,14 @@ object SparkEntry {
       val docs = documents(s, d)
       val keepers = Dedup.exact(docs, "doc_id", "text")
         .select(col("keep_id").as("doc_id"))
+      // one tokenize per surviving doc, shared by lang + quality + count
       docs.join(keepers, Seq("doc_id"), "left_semi")
-        .filter(langId(col("text")) === "en" &&
-          qualityScore(col("text")) >= 0.5)
+        .withColumn("toks", tokens(col("text")))
+        .filter(langIdFrom(col("toks")) === "en" &&
+          qualityScoreFrom(col("text"), col("toks")) >= 0.5)
         .groupBy("source")
         .agg(count(lit(1)).as("n_kept"),
-          sum(tokenCount(col("text")).cast("long")).as("kept_tokens"))
+          sum(size(col("toks")).cast("long")).as("kept_tokens"))
         .orderBy("source")
     }),
 

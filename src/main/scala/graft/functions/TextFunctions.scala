@@ -132,20 +132,25 @@ object TextFunctions {
     * pass over the tokens — the per-language filter() chain ran nBits
     * interpreted passes (HigherOrderFunctions never enter codegen).
     */
-  def langId(text: Column): Column = {
+  def langId(text: Column): Column = langIdFrom(tokens(text))
+
+  /** [[langId]] over a pre-projected token array, so a caller that also
+    * needs token counts / quality tokenizes each document ONCE.
+    */
+  def langIdFrom(toks: Column): Column = {
     val markerSets = LangMarkers.map { case (l, m) => (l, m.toSet) }
-    val f = udf { toks: Seq[String] =>
-      if (toks == null) "und"
+    val f = udf { ts: Seq[String] =>
+      if (ts == null) "und"
       else {
         var bestLang = ""; var bestScore = -1
         markerSets.foreach { case (lang, set) =>
-          val s = toks.count(set.contains)
+          val s = ts.count(set.contains)
           if (s > bestScore) { bestLang = lang; bestScore = s }
         }
         if (bestScore > 0) bestLang else "und"
       }
     }
-    f(tokens(text))
+    f(toks)
   }
 
   /** Content fingerprint: md5 of whitespace-normalized lower-cased text.

@@ -166,10 +166,13 @@ object Multimodal {
     import spark.implicits._
     docs.select(col("doc_id")).filter(pmod(col("doc_id"), lit(2)) === 0)
       .as[Long]
-      .map { id =>
-        val w = (id % 16).toInt + 8
-        val h = (id % 12).toInt + 8
-        MediaRow(id, "image", ImageCodec.encodePng(id, w, h), w, h)
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // no temp-file I/O per encode
+        it.map { id =>
+          val w = (id % 16).toInt + 8
+          val h = (id % 12).toInt + 8
+          MediaRow(id, "image", ImageCodec.encodePng(id, w, h), w, h)
+        }
       }
   }
 
