@@ -173,6 +173,19 @@ object SparkEntry {
           regexp_count(col("text"), lit(BpePattern)).cast("long").as("n_bpe"))
         .orderBy("doc_id")),
 
+    "q71_array_fns" -> ((s, d) =>
+      // array construction + manipulation family over grouped collects
+      // (sort_array makes the nondeterministic collect_set order stable)
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(sort_array(collect_set(col("l_linestatus"))).as("arr"))
+        .select(col("l_returnflag"), col("arr"),
+          size(col("arr")).cast("long").as("n"),
+          element_at(col("arr"), 1).as("first_e"),
+          array_join(col("arr"), ",").as("joined"),
+          array_contains(col("arr"), "F").as("has_f"))
+        .orderBy("l_returnflag")),
+
     "q58_stats_agg" -> ((s, d) => {
       // statistical aggregate family; rounding absorbs the ulp-level
       // difference between Spark's merge-based (Welford) accumulation
@@ -898,6 +911,15 @@ object SparkEntry {
       s"""SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS n_ws,
          | CAST(len(regexp_extract_all(text, '$BpePattern')) AS BIGINT) AS n_bpe
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q71_array_fns" ->
+      """WITH a AS (SELECT l_returnflag,
+        |  list_sort(list(DISTINCT l_linestatus)) AS arr FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, arr, CAST(len(arr) AS BIGINT) AS n,
+        | arr[1] AS first_e,
+        | array_to_string(arr, ',') AS joined,
+        | list_contains(arr, 'F') AS has_f
+        |FROM a ORDER BY l_returnflag""".stripMargin,
 
     "q58_stats_agg" ->
       """SELECT l_returnflag,
