@@ -1,0 +1,107 @@
+package graft
+
+import org.scalacheck.{Gen, rng}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+/** Model-based property tests of the dedup family: ScalaCheck-generated
+  * corpora (planted exact copies, whitespace variants, case flips, token
+  * edits — fixed seed) are checked against direct Scala models of each
+  * operator's CONTRACT, evaluated in one Spark job per operator. The
+  * models replicate the documented token/shingle semantics
+  * (trim + split on \s+; distinct k-shingles, short-doc degenerate
+  * shingle), not the implementation.
+  */
+class DedupPropertySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // --- generated corpus --------------------------------------------------
+  private val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+    "zeta", "Eta", "theta", "IOTA", "kappa")
+  private val baseGen: Gen[List[String]] =
+    Gen.chooseNum(1, 10).flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab)))
+  private val mutateGen: Gen[List[String] => String] = Gen.oneOf(
+    (t: List[String]) => t.mkString(" "),                      // verbatim
+    (t: List[String]) => "  " + t.mkString("\t ") + " ",       // whitespace variant
+    (t: List[String]) => t.mkString(" ").toUpperCase,          // case flip
+    (t: List[String]) => (t :+ "omega").mkString(" "),         // append token
+    (t: List[String]) => t.reverse.mkString(" "))              // reorder
+
+  private lazy val docs: Vector[(Long, String)] = {
+    val params = Gen.Parameters.default
+    val gen = for { b <- baseGen; m <- mutateGen } yield m(b)
+    Iterator.iterate(rng.Seed(7L))(_.next).take(160)
+      .map(s => gen.pureApply(params, s)).toVector.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+  }
+
+  // --- contract models ---------------------------------------------------
+  private def toks(t: String): Array[String] = {
+    val s = t.trim
+    if (s.isEmpty) Array.empty else s.split("\\s+")
+  }
+
+  private def shingles3(t: String): Set[String] = {
+    val ts = toks(t)
+    if (ts.isEmpty) Set(ts.mkString(" "))
+    else if (ts.length < 3) Set(ts.mkString(" "))
+    else ts.sliding(3).map(_.mkString(" ")).toSet
+  }
+
+  test("exact dedup equals the normalize-group-min model") {
+    val model = docs
+      .groupBy { case (_, t) => t.trim.toLowerCase.replaceAll("\\s+", " ") }
+      .map { case (_, ds) => (ds.map(_._1).min, ds.size.toLong) }
+      .toSet
+    val got = Dedup.exact(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .select("keep_id", "n_copies").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == model)
+  }
+
+  test("ngram Jaccard (uncapped) equals the exact set-similarity model") {
+    val sh = docs.map { case (id, t) => id -> shingles3(t) }.toMap
+    val model = (for {
+      (a, sa) <- sh; (b, sb) <- sh if a < b
+      inter = (sa intersect sb).size
+      if inter > 0
+      // HALF_UP to match Spark's round(), not rint's HALF_EVEN
+      j = BigDecimal(inter.toDouble / (sa.size + sb.size - inter))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if j >= 0.2
+    } yield (a, b, j)).toSet
+    val got = Dedup.ngramJaccard(docs.toDF("doc_id", "text"), "doc_id", "text",
+        k = 3, minJaccard = 0.2, maxDocFreq = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == model)
+  }
+
+  test("Hamming<=d near-dup equals the brute-force popcount model on this corpus") {
+    val df = docs.toDF("doc_id", "text")
+    val hashes = Dedup.simHash(df, "doc_id", "text", 24).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val model = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes
+      if a < b && java.lang.Long.bitCount(ha ^ hb) <= 2
+    } yield (a, b)).toSet
+    val got = Dedup.simHashNearDup(df, "doc_id", "text", 24, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == model)
+  }
+
+  test("MinHash-LSH finds every identical-token pair with est_jaccard 1.0") {
+    // docs with the same token stream have identical signatures, so they
+    // collide in EVERY band and must surface with estimate exactly 1.0
+    val sameToks = docs.groupBy { case (_, t) => toks(t).toList }
+      .values.filter(_.size >= 2)
+      .flatMap(g => for ((a, _) <- g; (b, _) <- g if a < b) yield (a, b)).toSet
+    assume(sameToks.nonEmpty)
+    val got = Dedup.minHashLsh(docs.toDF("doc_id", "text"), "doc_id", "text",
+        k = 3, bands = 4, rowsPerBand = 4, minEstJaccard = 0.0,
+        maxBucketSize = Int.MaxValue)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    sameToks.foreach { p => assert(got.get(p).contains(1.0), s"missing pair $p") }
+  }
+}
