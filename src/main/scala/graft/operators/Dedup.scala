@@ -11,14 +11,15 @@ import graft.functions.VectorFunctions
   *
   * Scale design notes (these run on ~100 TB corpora, not just the sf
   * fixtures):
-  *  - NOTHING here is a cross join. Every candidate-generation step is a
-  *    hash-partitioned equi-join on a derived key (fingerprint, LSH band,
-  *    shared shingle, LSH bucket), so the shuffle volume is O(data), and
-  *    skewed keys are handled by AQE's skew-join splitting.
+  *  - NOTHING here is a cross join. Every candidate-generation step is
+  *    ONE hash-partitioned shuffle on a derived key (fingerprint, LSH
+  *    band, shared shingle hash, LSH bucket) into posting lists
+  *    ([[postingPairs]]), so shuffle volume is O(data); skew guards cap
+  *    per-key fan-out and AQE splits oversized partitions.
   *  - All hashes are md5-derived (tokenHash64) => deterministic across
   *    engines, which makes every variant DuckDB-oracle-checkable.
-  *  - Pair enumeration dedupes with `a.id < b.id` inside the join
-  *    condition, halving the candidate space before the shuffle.
+  *  - Pair enumeration emits each unordered pair once (sorted posting
+  *    list + slice), halving the candidate space at the source.
   *
   * The reference has no dedup operators (SURVEY.md §2a covers its entire
   * 876-LoC surface); these generalize its scan→agg shape
