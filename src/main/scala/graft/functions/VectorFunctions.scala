@@ -83,8 +83,11 @@ object VectorFunctions {
     * shuffle key, so candidate generation is a single hash-partitioned
     * exchange instead of a cross join.
     */
-  def lshBucket(v: Column, nBits: Int, dim: Int = 64): Column =
+  def lshBucket(v: Column, nBits: Int, dim: Int = 64): Column = {
+    // 63, not 64: bits are packed into a Long via 1L << p
+    require(nBits >= 1 && nBits <= 63, s"nBits must be in [1, 63], got $nBits")
     (0 until nBits).map { p =>
       hyperplaneBit(v, p, dim).cast("long") * lit(1L << p)
     }.reduce(_ + _)
+  }
 }

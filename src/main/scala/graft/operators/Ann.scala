@@ -105,6 +105,8 @@ object Ann {
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                       nLists: Int, iters: Int = 2,
                       sampleOneIn: Int = 1): DataFrame = {
+    require(nLists >= 1 && iters >= 0 && sampleOneIn >= 1,
+      s"need nLists >= 1, iters >= 0, sampleOneIn >= 1; got $nLists/$iters/$sampleOneIn")
     import graft.functions.TextFunctions.tokenHash64
     val keyed = corpus.select(col(idCol).cast("long").as("sid"), col(vecCol).as("v"))
       .withColumn("h", tokenHash64(concat(lit("ivf_"), col("sid").cast("string"))))

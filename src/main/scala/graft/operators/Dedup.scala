@@ -88,6 +88,8 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    k: Int, minJaccard: Double,
                    maxDocFreq: Int = 10000): DataFrame = {
+    require(k >= 1, s"shingle size k must be >= 1, got $k")
+    require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
     // |shingles| per doc is size() of the (already-distinct) shingle
     // array, carried THROUGH the exploded rows and the join — recovering
     // it per pair with max() costs nothing extra in the pair aggregation.
@@ -192,6 +194,9 @@ object Dedup {
                  k: Int, bands: Int, rowsPerBand: Int,
                  minEstJaccard: Double,
                  maxBucketSize: Int = 10000): DataFrame = {
+    require(bands >= 1 && rowsPerBand >= 1,
+      s"bands/rowsPerBand must be >= 1, got $bands/$rowsPerBand")
+    require(maxBucketSize >= 1, s"maxBucketSize must be >= 1, got $maxBucketSize")
     val numHashes = bands * rowsPerBand
     val sig = minHashSignature(docs, idCol, textCol, k, numHashes)
 

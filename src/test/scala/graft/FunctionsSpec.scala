@@ -25,6 +25,17 @@ class FunctionsSpec extends AnyFunSuite {
     assert(one(tokenHash32(lit("hello"))) == 97784834L)
   }
 
+  test("JVM hash twins equal the expression forms (load-bearing for in-UDF hashing)") {
+    // ngramJaccard/minHash/simHash hash inside UDFs via the *Jvm forms;
+    // the oracle rebuilds the EXPRESSION forms — pin their equality
+    val samples = Seq("hello", "a b c", "", "ümlaut", "123", "the quick brown")
+    val df = samples.toDF("s")
+    assert(df.select(tokenHash64(col("s"))).as[Long].collect().toSeq ==
+      samples.map(tokenHash64Jvm))
+    assert(df.select(tokenHash32(col("s"))).as[Long].collect().toSeq ==
+      samples.map(tokenHash32Jvm))
+  }
+
   test("rollingHash: known value and trailing-empty-split immunity") {
     // h("he") = (0*257+104)%M *257 + 101 = 26829 (DuckDB list_reduce twin)
     assert(one(rollingHash(lit("he"))) == 26829L)
