@@ -8,7 +8,7 @@ import graft.engine.Tables._
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions
 import graft.multimodal.Multimodal
-import graft.operators.{Ann, Dedup, Relational, TextJobs}
+import graft.operators.{Ann, Curation, Dedup, Relational, TextJobs}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (operator inventory) and
   * §7 (build plan). Every entry in [[queries]] has a matching DuckDB
@@ -729,6 +729,21 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "q72_source_mix" -> ((s, d) =>
+      // deterministic weighted mixing: downsample three sources, keep the
+      // rest; per-source kept counts prove the mix
+      Curation.sourceMix(documents(s, d), "source", "doc_id",
+          Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.0))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy("source")),
+
+    "q73_hash_sample_k" -> ((s, d) =>
+      // fixed 5-doc eval carve-out per source, stable across runs
+      Curation.hashSamplePerGroup(documents(s, d), "source", "doc_id", 5)
+        .select(col("source"), col("doc_id"))
+        .orderBy("source", "doc_id")),
+
     "q65_hash_split" -> ((s, d) =>
       // deterministic train/val/test split: md5-keyed bucket per doc —
       // reproducible across runs/engines, unlike rand()-based sampling
@@ -1393,6 +1408,26 @@ object SparkEntry {
          |FROM q WHERE lang = 'en' AND quality >= 0.5
          |GROUP BY 1 ORDER BY 1""".stripMargin
     },
+
+    "q72_source_mix" ->
+      s"""WITH m AS (SELECT source,
+         | ${duckHash("concat('mix_', CAST(doc_id AS VARCHAR))", 15)} % 1000000 AS key
+         | FROM documents)
+         |SELECT source, COUNT(*) AS n_kept FROM m
+         |WHERE key < (CASE WHEN source = 'src0' THEN 500000
+         |                  WHEN source = 'src1' THEN 250000
+         |                  WHEN source = 'src2' THEN 0
+         |                  ELSE 1000000 END)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q73_hash_sample_k" ->
+      s"""WITH m AS (SELECT source, doc_id,
+         | ${duckHash("concat('mix_', CAST(doc_id AS VARCHAR))", 15)} % 1000000 AS key
+         | FROM documents),
+         |r AS (SELECT source, doc_id,
+         |  row_number() OVER (PARTITION BY source ORDER BY key, doc_id) AS rn FROM m)
+         |SELECT source, doc_id FROM r WHERE rn <= 5
+         |ORDER BY source, doc_id""".stripMargin,
 
     "q65_hash_split" ->
       s"""WITH b AS (SELECT source,

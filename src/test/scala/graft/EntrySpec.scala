@@ -106,6 +106,30 @@ class EntrySpec extends AnyFunSuite {
     assert(lshCapped == lshPlain)
   }
 
+  test("curation sampling is deterministic and respects weights/caps") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Curation
+    val docs = engine.Tables.documents(spark, SparkTestSession.sfDir)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    // same mix on repeated runs and under different partitioning
+    val m1 = ids(Curation.sourceMix(docs, "source", "doc_id", Map("src0" -> 0.5)))
+    val m2 = ids(Curation.sourceMix(docs.repartition(7), "source", "doc_id",
+      Map("src0" -> 0.5)))
+    assert(m1 == m2 && m1.nonEmpty)
+    // weight 0 drops the source entirely; weight 1 keeps everything else
+    val dropped = Curation.sourceMix(docs, "source", "doc_id", Map("src0" -> 0.0))
+    assert(dropped.filter(col("source") === "src0").count() == 0)
+    assert(dropped.count() == docs.filter(col("source") =!= "src0").count())
+    // per-group carve-out: exactly k per group, stable across runs
+    val s1 = ids(Curation.hashSamplePerGroup(docs, "source", "doc_id", 3))
+    val s2 = ids(Curation.hashSamplePerGroup(docs.repartition(5), "source", "doc_id", 3))
+    assert(s1 == s2)
+    val perGroup = Curation.hashSamplePerGroup(docs, "source", "doc_id", 3)
+      .groupBy("source").count().collect().map(_.getLong(1))
+    assert(perGroup.forall(_ == 3))
+  }
+
   test("as-of join merge form equals the join+window form") {
     import org.apache.spark.sql.functions._
     import graft.operators.Relational
