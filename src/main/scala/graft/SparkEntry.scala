@@ -729,6 +729,17 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "q74_embedding_centroids" -> ((s, d) => {
+      // grouped mean pooling: per-bucket embedding centroid + its norm
+      val e = embeddings(s, d)
+        .withColumn("bucket", pmod(col("vec_id"), lit(8L)))
+      Ann.meanPool(e, "bucket", "embedding")
+        .select(col("bucket"),
+          round(VectorFunctions.norm(col("centroid")), 4).as("c_norm"),
+          col("centroid"))
+        .orderBy("bucket")
+    }),
+
     "q72_source_mix" -> ((s, d) =>
       // deterministic weighted mixing: downsample three sources, keep the
       // rest; per-source kept counts prove the mix
@@ -1408,6 +1419,16 @@ object SparkEntry {
          |FROM q WHERE lang = 'en' AND quality >= 0.5
          |GROUP BY 1 ORDER BY 1""".stripMargin
     },
+
+    "q74_embedding_centroids" ->
+      """WITH e AS (SELECT vec_id % 8 AS bucket, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (SELECT bucket, pos, round(avg(x), 6) AS m FROM (
+        |  SELECT bucket, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e) u
+        | GROUP BY 1, 2),
+        |c AS (SELECT bucket, list(m ORDER BY pos) AS centroid FROM p GROUP BY 1)
+        |SELECT bucket, round(sqrt(list_dot_product(centroid, centroid)), 4) AS c_norm,
+        | centroid
+        |FROM c ORDER BY bucket""".stripMargin,
 
     "q72_source_mix" ->
       s"""WITH m AS (SELECT source,

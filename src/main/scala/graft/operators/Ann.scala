@@ -131,13 +131,8 @@ object Ann {
         .groupBy("sid")
         .agg(min(struct(d.as("d"), col("cid"))).as("m"), first(col("v")).as("v"))
         .select(col("m.cid").as("cid"), col("v"))
-      val next = assigned
-        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cid", "pos")
-        .agg(round(avg(col("x").cast("double")), 6).as("m"))
-        .groupBy("cid")
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cid"), transform(col("pm"), e => e.getField("m")).as("cv"))
+      val next = meanPool(assigned, "cid", "v")
+        .withColumnRenamed("centroid", "cv")
       // Materialize the (tiny: nLists × dim doubles) centroid table on
       // the driver between iterations — MLlib-style Lloyd. Without this
       // the lineage RE-SCANS the corpus once per prior iteration inside
@@ -148,6 +143,21 @@ object Ann {
     }
     cents
   }
+
+  /** Per-key mean pooling of vectors — grouped embedding centroids (the
+    * k-means mean step, exposed as its own operator: per-dimension
+    * partial avg over a posexplode, reassembled in position order).
+    * Means are rounded to 6 decimals for cross-engine reproducibility.
+    * Scale: one shuffle on (key, pos) with map-side partial sums — never
+    * collects a group's vectors anywhere.
+    */
+  def meanPool(df: DataFrame, keyCol: String, vecCol: String): DataFrame =
+    df.select(col(keyCol), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(keyCol, "pos")
+      .agg(round(avg(col("x").cast("double")), 6).as("m"))
+      .groupBy(keyCol)
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col(keyCol), transform(col("pm"), e => e.getField("m")).as("centroid"))
 
   /** IVF-flat ANN: the corpus is split into `nLists` inverted lists by
     * nearest centroid; a query probes its `nProbe` nearest lists and is
