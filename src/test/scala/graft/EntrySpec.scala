@@ -23,6 +23,16 @@ class EntrySpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("no query plans a cartesian product (global plan invariant)") {
+    // crossJoin is only ever used against a broadcast side (centroids,
+    // probes, 25-row nation) => BroadcastNestedLoopJoin; a true
+    // CartesianProduct anywhere is a scale bug
+    for ((name, fn) <- SparkEntry.queries) {
+      val plan = fn(spark, SparkTestSession.sfDir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian product")
+    }
+  }
+
   test("all queries execute and return a readable schema at sf0.001") {
     for ((name, fn) <- SparkEntry.queries) {
       val df = fn(spark, SparkTestSession.sfDir)
