@@ -631,6 +631,13 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
+    "q75_winnow_overlap" -> ((s, d) =>
+      // winnowing (MOSS) partial-overlap detection: local fingerprints,
+      // pairs sharing >= 2
+      Dedup.winnowOverlap(documents(s, d), "doc_id", "text",
+          k = 3, w = 4, minShared = 2)
+        .orderBy("id_a", "id_b")),
+
     "q63_dedup_clusters" -> ((s, d) =>
       // collapse the q33 simhash dup pairs into connected components;
       // label = canonical (min) doc id per cluster
@@ -1281,6 +1288,28 @@ object SparkEntry {
          | GROUP BY 1,2)
          |SELECT id_a, id_b, est_jaccard FROM est
          |WHERE est_jaccard >= 0.25 ORDER BY id_a, id_b""".stripMargin,
+
+    // POSITIONAL k-gram hashes (no DISTINCT — repeats matter for window
+    // minima), window-of-4 minima, distinct per doc, then the same
+    // doc-frequency-capped pair pattern as q30.
+    "q75_winnow_overlap" -> {
+      val posHash = s"${duckHash("array_to_string(t[i:i+2], ' ')", 15)}"
+      s"""WITH tt AS (SELECT doc_id AS id, $TOKS AS t FROM documents),
+         |hs AS (SELECT id,
+         |  CASE WHEN len(t) < 3 THEN [${duckHash("array_to_string(t, ' ')", 15)}]
+         |       ELSE list_transform(generate_series(1, len(t)-2), i -> $posHash) END AS hs
+         | FROM tt),
+         |fp AS (SELECT DISTINCT id, unnest(
+         |  CASE WHEN len(hs) <= 4 THEN [list_min(hs)]
+         |       ELSE list_transform(generate_series(1, len(hs)-3), i -> list_min(hs[i:i+3])) END) AS fp
+         | FROM hs),
+         |df AS (SELECT fp AS f2, COUNT(*) AS d FROM fp GROUP BY 1),
+         |kept AS (SELECT fp.* FROM fp JOIN df ON fp = f2 WHERE d <= 10000)
+         |SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_shared
+         |FROM kept a JOIN kept b ON a.fp = b.fp AND a.id < b.id
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+         |ORDER BY id_a, id_b""".stripMargin
+    },
 
     "q32_simhash" ->
       s"""WITH w AS (SELECT doc_id AS id, unnest($TOKS) AS w FROM documents),

@@ -389,6 +389,52 @@ object Dedup {
     labels
   }
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03 —
+    * the MOSS algorithm): positional k-gram hashes, sliding window of
+    * `w`, keep the minimum of each window, distinct per doc. Guarantees
+    * any shared run of >= w+k-1 tokens between two docs produces >= 1
+    * shared fingerprint — LOCAL fingerprints, so partial overlap
+    * (contamination, quotation, boilerplate) is caught where whole-doc
+    * MinHash dilutes it away. Positional sequence, NOT the distinct
+    * shingle set: repeats matter for window minima. One UDF pass per
+    * doc; output exploded to (id, fp).
+    */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int, w: Int): DataFrame = {
+    require(k >= 1 && w >= 1, s"k and w must be >= 1, got $k/$w")
+    val f = udf { toks: Seq[String] =>
+      if (toks == null) null
+      else {
+        val hs =
+          if (toks.size < k) Array(tokenHash64Jvm(toks.mkString(" ")))
+          else Array.tabulate(toks.size - k + 1)(i =>
+            tokenHash64Jvm(toks.slice(i, i + k).mkString(" ")))
+        if (hs.length <= w) Array(hs.min)
+        else hs.sliding(w).map(_.min).toArray.distinct
+      }
+    }.asNondeterministic()
+    docs.select(col(idCol).as("id"), explode(f(tokens(col(textCol)))).as("fp"))
+  }
+
+  /** Partial-overlap candidate pairs: docs sharing >= `minShared` winnow
+    * fingerprints — the posting-list pattern again, keyed by the
+    * fingerprint (shuffle O(fingerprints), maxDocFreq caps boilerplate
+    * fingerprints shared by everything).
+    */
+  def winnowOverlap(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int, w: Int, minShared: Int,
+                    maxDocFreq: Int = 10000): DataFrame = {
+    val posting = winnowFingerprints(docs, idCol, textCol, k, w)
+      .groupBy("fp")
+      .agg(sort_array(collect_list(struct(col("id")))).as("lst"))
+      .filter(size(col("lst")) >= 2 &&
+        (if (maxDocFreq == Int.MaxValue) lit(true) else size(col("lst")) <= maxDocFreq))
+    postingPairs(posting)
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Embedding near-dup: LSH-bucketed cosine. Vectors are bucketed by
     * random-hyperplane signature (equi-join key); exact cosine verifies
     * within buckets. nBits trades recall for bucket size — at 100 TB the

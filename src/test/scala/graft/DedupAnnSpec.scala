@@ -229,6 +229,24 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(sampled.nonEmpty)
   }
 
+  test("winnowing guarantee: a shared run of w+k-1 tokens yields a shared fingerprint") {
+    // doc 1 and 2 share a 6-token run (= w+k-1 with k=3, w=4) inside
+    // otherwise-disjoint text; doc 3 is fully disjoint
+    val docs = Seq(
+      (1L, "aa bb cc shared run of six exact tokens dd ee"),
+      (2L, "xx yy shared run of six exact tokens zz ww qq"),
+      (3L, "totally different words with no common span at all")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowOverlap(docs, "doc_id", "text", 3, 4, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+    // fingerprints are a subset of the doc's own k-gram hashes (minima)
+    val fp1 = Dedup.winnowFingerprints(docs, "doc_id", "text", 3, 4)
+      .filter(col("id") === 1L).collect().map(_.getLong(1)).toSet
+    assert(fp1.nonEmpty && fp1.size <= 9) // <= number of 3-gram windows
+  }
+
   test("dup-cluster collapse equals a driver-side union-find ground truth") {
     val docs = engine.Tables.documents(spark, SparkTestSession.sfDir)
     val pairs = Dedup.simHashDup(docs, "doc_id", "text", 16)
