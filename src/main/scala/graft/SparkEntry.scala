@@ -747,6 +747,21 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    "q76_contamination" -> ((s, d) => {
+      // benchmark-leak scan: the q73 eval carve-out checked for winnowing
+      // overlap against the training remainder; per eval doc, how many
+      // train docs leak into it
+      val docs = documents(s, d)
+      val eval_ = Curation.hashSamplePerGroup(docs, "source", "doc_id", 5)
+      val train = docs.join(eval_.select("doc_id"), Seq("doc_id"), "left_anti")
+      Curation.contaminationCheck(train, eval_, "doc_id", "text",
+          k = 3, w = 4, minShared = 2)
+        .groupBy("eval_id")
+        .agg(count(lit(1)).as("n_leaking_train_docs"),
+          max(col("n_shared")).as("max_shared"))
+        .orderBy("eval_id")
+    }),
+
     "q72_source_mix" -> ((s, d) =>
       // deterministic weighted mixing: downsample three sources, keep the
       // rest; per-source kept counts prove the mix
@@ -1458,6 +1473,35 @@ object SparkEntry {
         |SELECT bucket, round(sqrt(list_dot_product(centroid, centroid)), 4) AS c_norm,
         | centroid
         |FROM c ORDER BY bucket""".stripMargin,
+
+    // q73's eval carve-out + q75's fingerprint CTEs composed: train side
+    // is the anti-join remainder; same winnow parameters (k=3, w=4).
+    "q76_contamination" -> {
+      val posHash = s"${duckHash("array_to_string(t[i:i+2], ' ')", 15)}"
+      s"""WITH m AS (SELECT source, doc_id,
+         | ${duckHash("concat('mix_', CAST(doc_id AS VARCHAR))", 15)} % 1000000 AS key
+         | FROM documents),
+         |r AS (SELECT doc_id,
+         |  row_number() OVER (PARTITION BY source ORDER BY key, doc_id) AS rn FROM m),
+         |ev AS (SELECT doc_id FROM r WHERE rn <= 5),
+         |tt AS (SELECT doc_id AS id, $TOKS AS t FROM documents),
+         |hs AS (SELECT id,
+         |  CASE WHEN len(t) < 3 THEN [${duckHash("array_to_string(t, ' ')", 15)}]
+         |       ELSE list_transform(generate_series(1, len(t)-2), i -> $posHash) END AS hs
+         | FROM tt),
+         |fp AS (SELECT DISTINCT id, unnest(
+         |  CASE WHEN len(hs) <= 4 THEN [list_min(hs)]
+         |       ELSE list_transform(generate_series(1, len(hs)-3), i -> list_min(hs[i:i+3])) END) AS fp
+         | FROM hs),
+         |efp AS (SELECT fp.id AS eval_id, fp.fp FROM fp JOIN ev ON fp.id = ev.doc_id),
+         |tfp AS (SELECT fp.* FROM fp LEFT JOIN ev ON fp.id = ev.doc_id
+         | WHERE ev.doc_id IS NULL),
+         |pairs AS (SELECT e.eval_id, t.id AS train_id, COUNT(*) AS n_shared
+         | FROM tfp t JOIN efp e ON t.fp = e.fp GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+         |SELECT eval_id, COUNT(*) AS n_leaking_train_docs,
+         | CAST(MAX(n_shared) AS BIGINT) AS max_shared
+         |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     "q72_source_mix" ->
       s"""WITH m AS (SELECT source,

@@ -41,6 +41,25 @@ object Curation {
     docs.filter(mixKey(idCol) < threshold)
   }
 
+  /** Train/eval contamination check: which eval docs share >= `minShared`
+    * winnowing fingerprints with some training doc — the benchmark-leak
+    * scan every training-data pipeline runs before shipping an eval set.
+    * The eval side is small by construction (a carve-out), so its
+    * fingerprints broadcast: the train corpus is scanned once, never
+    * shuffled. Returns (eval_id, train_id, n_shared).
+    */
+  def contaminationCheck(train: DataFrame, eval_ : DataFrame,
+                         idCol: String, textCol: String,
+                         k: Int, w: Int, minShared: Int): DataFrame = {
+    val tf = Dedup.winnowFingerprints(train, idCol, textCol, k, w)
+    val ef = Dedup.winnowFingerprints(eval_, idCol, textCol, k, w)
+      .withColumnRenamed("id", "eval_id")
+    tf.join(broadcast(ef), Seq("fp"))
+      .groupBy(col("eval_id"), col("id").as("train_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Deterministic k-per-group sample: the k docs with the smallest
     * md5-derived keys in each group — a uniform-without-replacement
     * sample that is stable across runs (the standard trick for carving
