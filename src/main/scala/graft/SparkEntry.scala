@@ -39,9 +39,12 @@ object SparkEntry {
 
   private def fmtTs(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
 
-  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. The
+    * curation pipeline composes the engine's signature surface (dedup +
+    * text analysis + aggregation) in one plan.
+    */
   def entry(spark: SparkSession): DataFrame =
-    queries("q04_join_multiway")(spark, "/root/testdata/sf0.001")
+    queries("q64_curation_pipeline")(spark, "/root/testdata/sf0.001")
 
   // ---------------------------------------------------------------- //
   // Shared DuckDB SQL fragments (kept adjacent to the Spark twins).  //

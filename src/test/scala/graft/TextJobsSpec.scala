@@ -189,6 +189,25 @@ class TextJobsSpec extends AnyFunSuite {
     assert(viaJson.except(base).isEmpty && base.except(viaJson).isEmpty)
   }
 
+  test("json source captures malformed records instead of failing (PERMISSIVE)") {
+    import org.apache.spark.sql.types._
+    val tmp = "/tmp/graft-test-corrupt.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(tmp),
+      """{"k": 1, "v": "ok"}
+        |not json at all
+        |{"k": 3, "v": "fine"}
+        |{"k": "wrong type", "v": 4}""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType),
+      StructField("_corrupt_record", StringType)))
+    val df = spark.read.schema(schema).json(tmp).cache()
+    try {
+      assert(df.count() == 4) // nothing dropped, nothing thrown
+      assert(df.filter(col("_corrupt_record").isNotNull).count() == 2)
+      assert(df.filter(col("k") === 1 && col("v") === "ok").count() == 1)
+    } finally df.unpersist(): Unit
+  }
+
   test("word finder is split-count invariant") {
     val base = spark.read.text(alice30)
     val one = TextJobs.wordFind(base.repartition(1), "value", "Alice").count()
