@@ -189,6 +189,18 @@ object SparkEntry {
           array_contains(col("arr"), "F").as("has_f"))
         .orderBy("l_returnflag")),
 
+    "q77_decimal_exact" -> ((s, d) =>
+      // exact DECIMAL arithmetic (vs the cents trick elsewhere): sums of
+      // DECIMAL(12,2) are exact on both engines; string-cast pins the
+      // scale-2 representation
+      orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(
+          sum(col("o_totalprice").cast("decimal(12,2)")).cast("string").as("sum_dec"),
+          min(col("o_totalprice").cast("decimal(12,2)")).cast("string").as("min_dec"),
+          max(col("o_totalprice").cast("decimal(12,2)")).cast("string").as("max_dec"))
+        .orderBy("o_orderstatus")),
+
     "q58_stats_agg" -> ((s, d) => {
       // statistical aggregate family; rounding absorbs the ulp-level
       // difference between Spark's merge-based (Welford) accumulation
@@ -971,6 +983,13 @@ object SparkEntry {
         | array_to_string(arr, ',') AS joined,
         | list_contains(arr, 'F') AS has_f
         |FROM a ORDER BY l_returnflag""".stripMargin,
+
+    "q77_decimal_exact" ->
+      """SELECT o_orderstatus,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS sum_dec,
+        | CAST(MIN(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS min_dec,
+        | CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS max_dec
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q58_stats_agg" ->
       """SELECT l_returnflag,

@@ -89,6 +89,19 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("join strategy hints are respected (broadcast / shuffle_hash / merge)") {
+    val o = spark.read.parquet(s"${SparkTestSession.sfDir}/orders.parquet")
+      .select("o_orderkey", "o_custkey")
+    val l = spark.read.parquet(s"${SparkTestSession.sfDir}/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    def planOf(hint: String) =
+      o.join(l.hint(hint), col("o_orderkey") === col("l_orderkey"))
+        .queryExecution.executedPlan.toString
+    assert(planOf("broadcast").contains("BroadcastHashJoin"))
+    assert(planOf("shuffle_hash").contains("ShuffledHashJoin"))
+    assert(planOf("merge").contains("SortMergeJoin"))
+  }
+
   test("orc source round-trips schema and values") {
     val base = spark.read.parquet(s"${SparkTestSession.sfDir}/orders.parquet")
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
