@@ -89,6 +89,33 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE splits the skewed join partition and coalesces small ones at runtime") {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a shuffle join
+      // 95% of rows share key 42 => one shuffle partition dwarfs the rest
+      val big = (1 to 400000).map(i =>
+        (if (i % 20 == 0) i.toLong % 7 else 42L, s"payload_$i")).toDF("k", "v")
+      val dim = (0L to 60L).map(k => (k, s"name_$k")).toDF("k2", "name")
+      val j = big.join(dim, col("k") === col("k2"))
+      // execute THIS DataFrame's queryExecution: write/count would clone
+      // a fresh plan and leave j's adaptive plan un-finalized
+      assert(j.collect().length == 400000)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"AQE did not mark the skewed join:\n$plan")
+      assert(plan.contains("AQEShuffleRead"), "AQE shuffle read missing")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("join strategy hints are respected (broadcast / shuffle_hash / merge)") {
     val o = spark.read.parquet(s"${SparkTestSession.sfDir}/orders.parquet")
       .select("o_orderkey", "o_custkey")
