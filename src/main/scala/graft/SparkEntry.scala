@@ -646,6 +646,35 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
+    "q78_ngram_freq" -> ((s, d) => {
+      // corpus trigram frequency table (occurrences, not doc frequency —
+      // positional n-grams, the LM/contamination-index building block)
+      val posGrams = udf { toks: Seq[String] =>
+        if (toks == null || toks.size < 3) Array.empty[String]
+        else Array.tabulate(toks.size - 2)(i => toks.slice(i, i + 3).mkString(" "))
+      }.asNondeterministic()
+      documents(s, d)
+        .select(explode(posGrams(tokens(col("text")))).as("gram"))
+        .groupBy("gram")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("gram").asc)
+        .limit(50)
+    }),
+
+    "q79_window_distribution" -> ((s, d) => {
+      // distribution window functions: percent_rank / cume_dist / ntile
+      // complement q43's ranking family
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("total_c").desc, col("o_orderkey").asc)
+      orders(s, d)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          cents(col("o_totalprice")).as("total_c"))
+        .withColumn("pr", round(percent_rank().over(w), 6))
+        .withColumn("cd", round(cume_dist().over(w), 6))
+        .filter(col("pr") <= 0.001)
+        .orderBy("o_orderpriority", "o_orderkey")
+    }),
+
     "q75_winnow_overlap" -> ((s, d) =>
       // winnowing (MOSS) partial-overlap detection: local fingerprints,
       // pairs sharing >= 2
@@ -1325,6 +1354,25 @@ object SparkEntry {
          | GROUP BY 1,2)
          |SELECT id_a, id_b, est_jaccard FROM est
          |WHERE est_jaccard >= 0.25 ORDER BY id_a, id_b""".stripMargin,
+
+    "q78_ngram_freq" ->
+      s"""WITH tt AS (SELECT $TOKS AS t FROM documents),
+         |g AS (SELECT unnest(
+         |  CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+         |       ELSE list_transform(generate_series(1, len(t)-2), i -> array_to_string(t[i:i+2],' ')) END) AS gram
+         | FROM tt)
+         |SELECT gram, COUNT(*) AS n FROM g GROUP BY 1
+         |ORDER BY n DESC, gram ASC LIMIT 50""".stripMargin,
+
+    "q79_window_distribution" ->
+      """WITH b AS (SELECT o_orderpriority, o_orderkey,
+        |  CAST(round(o_totalprice*100, 0) AS BIGINT) AS total_c FROM orders),
+        |w AS (SELECT o_orderpriority, o_orderkey, total_c,
+        |  round(percent_rank() OVER win, 6) AS pr,
+        |  round(cume_dist() OVER win, 6) AS cd
+        | FROM b WINDOW win AS (PARTITION BY o_orderpriority ORDER BY total_c DESC, o_orderkey))
+        |SELECT * FROM w WHERE pr <= 0.001
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
 
     // POSITIONAL k-gram hashes (no DISTINCT — repeats matter for window
     // minima), window-of-4 minima, distinct per doc, then the same
