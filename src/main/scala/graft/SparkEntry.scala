@@ -528,6 +528,24 @@ object SparkEntry {
           percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95_approx"))
         .orderBy("l_returnflag")),
 
+    "q80_funnel" -> ((s, d) => {
+      // funnel conversion: users whose first view precedes their first
+      // click precedes their first purchase — one conditional-min agg
+      // per user, then one global rollup (no joins, no window)
+      val perUser = events(s, d)
+        .groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+          min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("t_buy"))
+      perUser.agg(
+        count(lit(1)).as("n_users"),
+        sum(when(col("t_view").isNotNull, 1L).otherwise(0L)).as("n_viewed"),
+        sum(when(col("t_view") < col("t_click"), 1L).otherwise(0L)).as("n_view_click"),
+        sum(when(col("t_view") < col("t_click") && col("t_click") < col("t_buy"), 1L)
+          .otherwise(0L)).as("n_full_funnel"))
+    }),
+
     "q16_json_extract" -> ((s, d) => {
       events(s, d)
         .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
@@ -1050,6 +1068,22 @@ object SparkEntry {
         | COUNT(DISTINCT l_suppkey) AS n_supps,
         | COUNT(DISTINCT l_orderkey) AS n_orders
         |FROM lineitem""".stripMargin,
+
+    // date_trunc('microseconds') floors DuckDB's ns timestamps exactly
+    // like the Spark reader's `ts div 1000` -> timestamp_micros
+    "q80_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |  date_trunc('microseconds', ts) AS ts FROM events),
+        |u AS (SELECT user_id,
+        |  min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+        |  min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+        |  min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+        | FROM e GROUP BY 1)
+        |SELECT COUNT(*) AS n_users,
+        | CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed,
+        | CAST(SUM(CASE WHEN t_view < t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+        | CAST(SUM(CASE WHEN t_view < t_click AND t_click < t_buy THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+        |FROM u""".stripMargin,
 
     "q67_date_arith" ->
       """SELECT o_orderkey,
