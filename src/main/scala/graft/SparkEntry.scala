@@ -1583,7 +1583,7 @@ object SparkEntry {
     "q76_contamination" -> {
       val posHash = s"${duckHash("array_to_string(t[i:i+2], ' ')", 15)}"
       s"""WITH m AS (SELECT source, doc_id,
-         | ${duckHash("concat('mix_', CAST(doc_id AS VARCHAR))", 15)} % 1000000 AS key
+         | ${duckHash("concat('sample_', CAST(doc_id AS VARCHAR))", 15)} % 1000000 AS key
          | FROM documents),
          |r AS (SELECT doc_id,
          |  row_number() OVER (PARTITION BY source ORDER BY key, doc_id) AS rn FROM m),
@@ -1620,7 +1620,7 @@ object SparkEntry {
 
     "q73_hash_sample_k" ->
       s"""WITH m AS (SELECT source, doc_id,
-         | ${duckHash("concat('mix_', CAST(doc_id AS VARCHAR))", 15)} % 1000000 AS key
+         | ${duckHash("concat('sample_', CAST(doc_id AS VARCHAR))", 15)} % 1000000 AS key
          | FROM documents),
          |r AS (SELECT source, doc_id,
          |  row_number() OVER (PARTITION BY source ORDER BY key, doc_id) AS rn FROM m)

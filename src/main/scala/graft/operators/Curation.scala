@@ -22,8 +22,12 @@ import graft.functions.TextFunctions.tokenHash64
   */
 object Curation {
 
-  private def mixKey(idCol: String) =
-    pmod(tokenHash64(concat(lit("mix_"), col(idCol).cast("string"))), lit(1000000L))
+  // distinct prefixes per operator: if sampling shared the mix key, the
+  // per-group "uniform" sample would be exactly the head of the mix
+  // survival order — maximally correlated, never representative of
+  // mixed-out docs
+  private def hashKey(prefix: String, idCol: String) =
+    pmod(tokenHash64(concat(lit(prefix), col(idCol).cast("string"))), lit(1000000L))
 
   /** Weighted source mixing: keep each row of source s with probability
     * weights(s) (default `defaultWeight`), decided by the doc's hash —
@@ -34,11 +38,14 @@ object Curation {
                 defaultWeight: Double = 1.0): DataFrame = {
     require((weights.values.toSeq :+ defaultWeight).forall(w => w >= 0 && w <= 1),
       "weights must be in [0, 1]")
-    val threshold = weights.foldLeft(lit((defaultWeight * 1000000L).toLong)) {
+    // round, don't truncate: 0.29 * 1e6 = 289999.99999999994 in doubles —
+    // toLong would shift the threshold by 1e-6 and drift from an oracle
+    // that writes the natural `key < 290000`
+    val threshold = weights.foldLeft(lit(math.round(defaultWeight * 1000000.0))) {
       case (acc, (s, w)) =>
-        when(col(sourceCol) === s, lit((w * 1000000L).toLong)).otherwise(acc)
+        when(col(sourceCol) === s, lit(math.round(w * 1000000.0))).otherwise(acc)
     }
-    docs.filter(mixKey(idCol) < threshold)
+    docs.filter(hashKey("mix_", idCol) < threshold)
   }
 
   /** Train/eval contamination check: which eval docs share >= `minShared`
@@ -51,6 +58,7 @@ object Curation {
   def contaminationCheck(train: DataFrame, eval_ : DataFrame,
                          idCol: String, textCol: String,
                          k: Int, w: Int, minShared: Int): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     val tf = Dedup.winnowFingerprints(train, idCol, textCol, k, w)
     val ef = Dedup.winnowFingerprints(eval_, idCol, textCol, k, w)
       .withColumnRenamed("id", "eval_id")
@@ -69,7 +77,7 @@ object Curation {
                          k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val w = Window.partitionBy(groupCol)
-      .orderBy(mixKey(idCol).asc, col(idCol).asc)
+      .orderBy(hashKey("sample_", idCol).asc, col(idCol).asc)
     docs.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .drop("__rn")

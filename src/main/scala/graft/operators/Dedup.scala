@@ -424,6 +424,8 @@ object Dedup {
   def winnowOverlap(docs: DataFrame, idCol: String, textCol: String,
                     k: Int, w: Int, minShared: Int,
                     maxDocFreq: Int = 10000): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
     val posting = winnowFingerprints(docs, idCol, textCol, k, w)
       .groupBy("fp")
       .agg(sort_array(collect_list(struct(col("id")))).as("lst"))

@@ -51,8 +51,12 @@ class DedupPropertySpec extends AnyFunSuite {
   }
 
   test("exact dedup equals the normalize-group-min model") {
+    // Locale.ROOT: Spark's lower() is locale-independent; a bare
+    // toLowerCase under a Turkish-like JVM locale maps I -> ı and breaks
+    // the model spuriously
     val model = docs
-      .groupBy { case (_, t) => t.trim.toLowerCase.replaceAll("\\s+", " ") }
+      .groupBy { case (_, t) =>
+        t.trim.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ") }
       .map { case (_, ds) => (ds.map(_._1).min, ds.size.toLong) }
       .toSet
     val got = Dedup.exact(docs.toDF("doc_id", "text"), "doc_id", "text")
