@@ -363,17 +363,20 @@ object Dedup {
     * converged (asserted against a driver-side union-find in tests).
     */
   def dupClusters(pairs: DataFrame, aCol: String, bCol: String,
-                  iterations: Int): DataFrame = {
-    // Materialize the edge list once (localCheckpoint truncates the
-    // lineage): every iteration references edges, and without this the
-    // final plan re-runs the whole upstream pair generation per
-    // iteration (measured 4× the pair-gen cost at iterations=4). On a
-    // real cluster an iterative job would use a reliable checkpoint dir
-    // (localCheckpoint is executor-local and lost on executor failure);
-    // the iteration structure is identical either way.
-    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-      .unionAll(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
-      .localCheckpoint(true)
+                  iterations: Int, reliable: Boolean = false): DataFrame = {
+    // Materialize the edge list once (checkpoint truncates the lineage):
+    // every iteration references edges, and without this the final plan
+    // re-runs the whole upstream pair generation per iteration (measured
+    // 4× the pair-gen cost at iterations=4). reliable=false uses
+    // localCheckpoint (executor-local blocks — fine single-node / fast
+    // path); reliable=true writes to the sparkContext checkpoint dir and
+    // survives executor loss — the cluster setting for long iterative
+    // jobs (caller must setCheckpointDir).
+    def materialize(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+    val edges = materialize(
+      pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+        .unionAll(pairs.select(col(bCol).as("u"), col(aCol).as("v"))))
     var labels = edges.select(col("u").as("node")).distinct()
       .withColumn("label", col("node"))
     for (_ <- 1 to iterations) {
@@ -382,9 +385,9 @@ object Dedup {
       // checkpoint per iteration: labels is referenced twice (union +
       // join), so an unbroken lineage DOUBLES per iteration — 2^k
       // subplan copies by iteration k (measured 47 exchanges at k=4)
-      labels = labels.unionAll(viaNeighbor)
-        .groupBy("node").agg(min("label").as("label"))
-        .localCheckpoint(true)
+      labels = materialize(
+        labels.unionAll(viaNeighbor)
+          .groupBy("node").agg(min("label").as("label")))
     }
     labels
   }

@@ -272,6 +272,17 @@ class DedupAnnSpec extends AnyFunSuite {
       members.keys.min == lbl })
   }
 
+  test("reliable-checkpoint cluster collapse equals the localCheckpoint path") {
+    val dir = "/tmp/graft-test-reliable-ckpt"
+    spark.sparkContext.setCheckpointDir(dir)
+    val docs = engine.Tables.documents(spark, SparkTestSession.sfDir)
+    def run(reliable: Boolean) = Dedup.dupClusters(
+        Dedup.simHashDup(docs, "doc_id", "text", 16), "id_a", "id_b", 4,
+        reliable = reliable)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(reliable = true) == run(reliable = false))
+  }
+
   test("IVF ANN: probing all lists recovers brute-force exactly; fewer lists approximates") {
     val e = engine.Tables.embeddings(spark, SparkTestSession.sfDir)
     val q = e.filter(col("vec_id") < 3)

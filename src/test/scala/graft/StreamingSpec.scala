@@ -171,6 +171,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(s.size >= batch.size * 9 / 10 && s.nonEmpty)
   }
 
+  test("foreachBatch upsert sink keeps the latest value per key") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the custom-sink surface: merge each micro-batch into keyed state
+    // (the foreachBatch upsert pattern; a real target would be a Delta/
+    // JDBC MERGE — the batch-id + dedup-within-batch logic is the same)
+    val store = new scala.collection.concurrent.TrieMap[Long, (Double, Long)]()
+    val src = MemoryStream[(Long, Double, Long)]
+    val q = src.toDF().toDF("user_id", "value", "seq")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // within a batch, the highest seq wins; across batches, upsert
+        batch.groupBy("user_id")
+          .agg(max(struct(col("seq"), col("value"))).as("m"))
+          .collect().foreach { r =>
+            val m = r.getStruct(1)
+            store.put(r.getLong(0), (m.getDouble(1), m.getLong(0)))
+          }
+      }
+      .start()
+    src.addData((1L, 10.0, 1L), (1L, 11.0, 2L), (2L, 20.0, 3L))
+    q.processAllAvailable()
+    src.addData((1L, 12.0, 4L), (3L, 30.0, 5L))
+    q.processAllAvailable()
+    q.stop()
+    assert(store.toMap == Map(
+      1L -> ((12.0, 4L)), 2L -> ((20.0, 3L)), 3L -> ((30.0, 5L))))
+  }
+
   test("streaming dedup within watermark emits each event id exactly once") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
