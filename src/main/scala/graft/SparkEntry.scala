@@ -178,11 +178,14 @@ object SparkEntry {
 
     "q71_array_fns" -> ((s, d) =>
       // array construction + manipulation family over grouped collects
-      // (sort_array makes the nondeterministic collect_set order stable)
+      // (sort_array makes the nondeterministic collect_set order stable).
+      // The raw array column stays out of the final projection — the
+      // driver's comparator can't sort array cells; `joined` carries the
+      // same information as a string.
       lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(sort_array(collect_set(col("l_linestatus"))).as("arr"))
-        .select(col("l_returnflag"), col("arr"),
+        .select(col("l_returnflag"),
           size(col("arr")).cast("long").as("n"),
           element_at(col("arr"), 1).as("first_e"),
           array_join(col("arr"), ",").as("joined"),
@@ -799,14 +802,19 @@ object SparkEntry {
     }),
 
     "q74_embedding_centroids" -> ((s, d) => {
-      // grouped mean pooling: per-bucket embedding centroid + its norm
+      // grouped mean pooling: per-bucket embedding centroid + its norm.
+      // The centroid is exploded to (pos, m) rows — the driver's
+      // comparator can't hash raw array cells, and exploded doubles
+      // compare exactly (no float-to-string formatting dependence).
       val e = embeddings(s, d)
         .withColumn("bucket", pmod(col("vec_id"), lit(8L)))
       Ann.meanPool(e, "bucket", "embedding")
         .select(col("bucket"),
           round(VectorFunctions.norm(col("centroid")), 4).as("c_norm"),
-          col("centroid"))
-        .orderBy("bucket")
+          posexplode(col("centroid")).as(Seq("pos0", "m")))
+        .select(col("bucket"), col("c_norm"),
+          (col("pos0") + 1).cast("long").as("pos"), col("m"))
+        .orderBy("bucket", "pos")
     }),
 
     "q76_contamination" -> ((s, d) => {
@@ -1025,7 +1033,7 @@ object SparkEntry {
     "q71_array_fns" ->
       """WITH a AS (SELECT l_returnflag,
         |  list_sort(list(DISTINCT l_linestatus)) AS arr FROM lineitem GROUP BY 1)
-        |SELECT l_returnflag, arr, CAST(len(arr) AS BIGINT) AS n,
+        |SELECT l_returnflag, CAST(len(arr) AS BIGINT) AS n,
         | arr[1] AS first_e,
         | array_to_string(arr, ',') AS joined,
         | list_contains(arr, 'F') AS has_f
@@ -1573,10 +1581,9 @@ object SparkEntry {
         |p AS (SELECT bucket, pos, round(avg(x), 6) AS m FROM (
         |  SELECT bucket, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e) u
         | GROUP BY 1, 2),
-        |c AS (SELECT bucket, list(m ORDER BY pos) AS centroid FROM p GROUP BY 1)
-        |SELECT bucket, round(sqrt(list_dot_product(centroid, centroid)), 4) AS c_norm,
-        | centroid
-        |FROM c ORDER BY bucket""".stripMargin,
+        |c AS (SELECT bucket, round(sqrt(sum(m*m)), 4) AS c_norm FROM p GROUP BY 1)
+        |SELECT p.bucket, c.c_norm, CAST(p.pos AS BIGINT) AS pos, p.m
+        |FROM p JOIN c ON p.bucket = c.bucket ORDER BY 1, 3""".stripMargin,
 
     // q73's eval carve-out + q75's fingerprint CTEs composed: train side
     // is the anti-join remainder; same winnow parameters (k=3, w=4).
@@ -1791,7 +1798,7 @@ object SparkEntry {
          |ORDER BY query_id, rnk""".stripMargin
     },
 
-    // Band boundaries are DERIVED from Dedup.simHashBands(16, 2) so the
+    // Band boundaries are DERIVED from Dedup.simHashBands(32, 2) so the
     // SQL cannot drift from the Scala chunking; the bsz filter mirrors
     // the default maxBucketSize=10000 guard.
     "q52_dedup_simhash_hamming" -> {

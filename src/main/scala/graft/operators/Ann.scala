@@ -104,18 +104,25 @@ object Ann {
     */
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                       nLists: Int, iters: Int = 2,
-                      sampleOneIn: Int = 1): DataFrame = {
+                      sampleOneIn: Int = 1, reliable: Boolean = false): DataFrame = {
     require(nLists >= 1 && iters >= 0 && sampleOneIn >= 1,
       s"need nLists >= 1, iters >= 0, sampleOneIn >= 1; got $nLists/$iters/$sampleOneIn")
     import graft.functions.TextFunctions.tokenHash64
     val keyed = corpus.select(col(idCol).cast("long").as("sid"), col(vecCol).as("v"))
       .withColumn("h", tokenHash64(concat(lit("ivf_"), col("sid").cast("string"))))
-    // materialized once (localCheckpoint): the seed scan plus every
-    // Lloyd iteration references this frame — without truncation each
-    // reference re-plans the corpus scan + hash projection
-    val build = (if (sampleOneIn <= 1) keyed
-      else keyed.filter(pmod(col("h"), lit(sampleOneIn.toLong)) === 0))
-      .localCheckpoint(true)
+    // materialized once (checkpoint truncates lineage): the seed scan
+    // plus every Lloyd iteration references this frame — without
+    // truncation each reference re-plans the corpus scan + hash
+    // projection. reliable=false → localCheckpoint (executor-local
+    // blocks, fast single-node path); reliable=true → sparkContext
+    // checkpoint dir, survives executor loss mid-build on a real
+    // cluster (caller must setCheckpointDir) — same switch as
+    // Dedup.dupClusters.
+    val build = {
+      val b = if (sampleOneIn <= 1) keyed
+        else keyed.filter(pmod(col("h"), lit(sampleOneIn.toLong)) === 0)
+      if (reliable) b.checkpoint(true) else b.localCheckpoint(true)
+    }
     val spark = corpus.sparkSession
     import spark.implicits._
     val seedW = Window.orderBy("h", "sid")

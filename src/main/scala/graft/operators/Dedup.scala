@@ -72,11 +72,18 @@ object Dedup {
     * plans it twice, because the nondeterministic signature UDFs defeat
     * exchange reuse — and makes the skew guard a free size(lst) filter
     * instead of a second aggregation + anti-join.
+    *
+    * The id-inequality filter guards the one case where a doc can appear
+    * twice in a list: two DISTINCT shingles of the same doc colliding to
+    * one 60-bit key would otherwise emit a self-pair that the strict
+    * a.id < b.id contract (and the oracle) excludes. ~n²/2⁶¹ probability,
+    * but "matches by construction" should not depend on luck.
     */
   private def postingPairs(posting: DataFrame): DataFrame =
     posting
       .select(posexplode(col("lst")).as(Seq("i", "a")), col("lst"))
       .select(col("a"), explode(slice(col("lst"), col("i") + lit(2), size(col("lst")))).as("b"))
+      .filter(col("a.id") =!= col("b.id"))
 
   /** Candidate pairs sharing >= 1 shingle, with exact Jaccard similarity
     * over distinct k-shingles. Inverted-index shape: ONE shuffle keyed by
