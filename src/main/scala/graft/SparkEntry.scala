@@ -568,6 +568,16 @@ object SparkEntry {
         .orderBy("user_id", "session_seq")
     }),
 
+    // session_window twin of q22: same sessions from the built-in API
+    // (the one the streaming path uses); end is last-event + gap per
+    // session_window semantics, which the oracle mirrors with + INTERVAL.
+    "q83_sessionize_sw" -> ((s, d) =>
+      Relational.sessionizeSW(events(s, d), "user_id", "ts", 1800L)
+        .select(col("user_id"),
+          fmtTs(col("session_start")).as("session_start"),
+          fmtTs(col("session_end")).as("session_end"), col("n_events"))
+        .orderBy("user_id", "session_start")),
+
     "q23_window_tumbling" -> ((s, d) => {
       events(s, d)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -711,6 +721,16 @@ object SparkEntry {
           "id_a", "id_b", iterations = 4)
         .orderBy("node")),
 
+    // q63's pair graph through large-star/small-star CC instead of
+    // bounded min-label propagation: runs to a PROVEN fixpoint (edge-set
+    // signature stable), so the oracle can be the exact recursive
+    // transitive closure rather than q63's unrolled k iterations.
+    "q84_dedup_clusters_star" -> ((s, d) =>
+      Dedup.dupClustersStar(
+          Dedup.simHashDup(documents(s, d), "doc_id", "text", nBits = 16),
+          "id_a", "id_b")
+        .orderBy("node")),
+
     "q33_dedup_simhash" -> ((s, d) =>
       Dedup.simHashDup(documents(s, d), "doc_id", "text", nBits = 16)
         .orderBy("id_a", "id_b")),
@@ -754,6 +774,14 @@ object SparkEntry {
     "q52_dedup_simhash_hamming" -> ((s, d) =>
       Dedup.simHashNearDup(documents(s, d), "doc_id", "text",
           nBits = 32, maxHamming = 2)
+        .orderBy("id_a", "id_b")),
+
+    // d=3 is where plain pigeonhole banding (q52's shape) breaks down —
+    // 8-bit chunks at 32 bits — and the multi-index tables keep keys at
+    // 16 bits (C(6,3)=20 tables of 3-of-6 block combinations).
+    "q82_dedup_simhash_multiindex" -> ((s, d) =>
+      Dedup.simHashNearDupMulti(documents(s, d), "doc_id", "text",
+          nBits = 32, maxHamming = 3, nBlocks = 6)
         .orderBy("id_a", "id_b")),
 
     "q53_ann_lsh_multiprobe" -> ((s, d) => {
@@ -876,6 +904,17 @@ object SparkEntry {
       // formula (PNG is lossless), so a hash match proves the
       // encode→decode roundtrip bit-exact.
       Multimodal.imageStats(Multimodal.mediaWithRealImages(s, documents(s, d)))
+        .toDF()
+        .orderBy("media_id")
+    }),
+
+    "q81_audio_decode" -> ((s, d) => {
+      // REAL javax.sound.sampled decode of generated 16-bit PCM WAV
+      // fixtures; the oracle computes the same sample sums analytically
+      // from the pattern formula (PCM WAV is lossless), so a hash match
+      // proves the encode→decode roundtrip bit-exact — the audio twin
+      // of q55.
+      Multimodal.audioStats(Multimodal.mediaWithRealAudio(s, documents(s, d)))
         .toDF()
         .orderBy("media_id")
     }),
@@ -1256,6 +1295,23 @@ object SparkEntry {
         | COUNT(*) AS n_events
         |FROM z GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
 
+    // q22's session CTEs, session_window-style outputs: end = max + gap.
+    "q83_sessionize_sw" ->
+      """WITH x AS (
+        | SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        | FROM events),
+        |y AS (SELECT user_id, ts,
+        | CASE WHEN prev IS NULL OR date_diff('second', prev, ts) > 1800 THEN 1 ELSE 0 END AS brk
+        | FROM x),
+        |z AS (SELECT user_id, ts,
+        | CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        | FROM y)
+        |SELECT user_id,
+        | strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        | strftime(max(ts) + INTERVAL 1800 SECOND, '%Y-%m-%d %H:%M:%S') AS session_end,
+        | COUNT(*) AS n_events
+        |FROM z GROUP BY user_id, session_seq ORDER BY 1, 2""".stripMargin,
+
     "q23_window_tumbling" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         | event_type, COUNT(*) AS n,
@@ -1490,6 +1546,30 @@ object SparkEntry {
          |SELECT node, label FROM l$iters ORDER BY node""".stripMargin
     },
 
+    // Exact connected components via DuckDB's recursive CTE (the true
+    // transitive closure — no iteration bound), over q63's edge source.
+    // dupClustersStar runs to a verified fixpoint, so the two must agree
+    // exactly; component min = MIN(label) over everything reachable.
+    "q84_dedup_clusters_star" ->
+      s"""WITH RECURSIVE w AS (SELECT doc_id AS id, unnest($TOKS) AS w FROM documents),
+         |h AS (SELECT id, ${duckHash("w", 15)} AS h FROM w),
+         |bits AS (SELECT id, bit,
+         |  SUM(CASE WHEN ((h >> bit) & 1) = 1 THEN 1 ELSE -1 END) AS v
+         | FROM h CROSS JOIN (SELECT unnest(generate_series(0,15)) AS bit) b GROUP BY 1,2),
+         |sh AS (SELECT id,
+         |  CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+         | FROM bits GROUP BY 1),
+         |p AS (SELECT a.id AS id_a, b.id AS id_b
+         | FROM sh a JOIN sh b ON a.simhash = b.simhash AND a.id < b.id),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM p
+         | UNION ALL SELECT id_b AS u, id_a AS v FROM p),
+         |reach AS (
+         | SELECT u AS node, u AS label FROM edges
+         | UNION
+         | SELECT e.u AS node, r.label FROM edges e JOIN reach r ON e.v = r.node)
+         |SELECT node, MIN(label) AS label FROM reach GROUP BY node
+         |ORDER BY node""".stripMargin,
+
     "q34_dedup_embedding" -> {
       val planes =
         s"""SELECT p, list_transform(generate_series(0,63), j -> ${duckPlane("p", "j")}) AS c
@@ -1672,6 +1752,19 @@ object SparkEntry {
         | CAST(SUM((x*3 + y*17 + doc_id*11) % 256) AS BIGINT) AS sum_b
         |FROM px GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
 
+    // Analytic twin of AudioCodec.sampleAt over every sample index of
+    // each odd doc's fixture clip — no WAV involved on the oracle side.
+    "q81_audio_decode" ->
+      """WITH a AS (SELECT doc_id AS media_id, (doc_id % 400) + 100 AS n
+        | FROM documents WHERE doc_id % 2 = 1),
+        |u AS (SELECT media_id, unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS i FROM a),
+        |s AS (SELECT media_id, ((i*7 + media_id*13) % 4096) - 2048 AS smp FROM u)
+        |SELECT media_id, CAST(count(*) AS BIGINT) AS n_samples,
+        | CAST(sum(smp) AS BIGINT) AS sum_s,
+        | CAST(sum(smp*smp) AS BIGINT) AS sum_sq,
+        | CAST(sum(abs(smp)) AS BIGINT) AS sum_abs
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q38_multimodal_features" ->
       """SELECT doc_id AS media_id,
         | CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
@@ -1826,6 +1919,43 @@ object SparkEntry {
          | GROUP BY 1,2)
          |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(ha, hb)) <= 2
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    // Multi-index twin of q52 at d=3: table keys are DERIVED from
+    // Dedup.simHashMultiTables(32, 6, 3) — the same block-combination
+    // layout the Scala operator explodes — so the SQL cannot drift.
+    "q82_dedup_simhash_multiindex" -> {
+      val tables = graft.operators.Dedup.simHashMultiTables(32, 6, 3)
+      val keyCase = tables.map { case (t, blocks) =>
+        var off = 0
+        val expr = blocks.map { case (start, len) =>
+          val part = s"(((simhash >> $start) & ${(1L << len) - 1}) << $off)"
+          off += len
+          part
+        }.mkString(" | ")
+        s"WHEN $t THEN $expr"
+      }.mkString(" ")
+      s"""WITH w AS (SELECT doc_id AS id, unnest($TOKS) AS w FROM documents),
+         |h AS (SELECT id, ${duckHash("w", 15)} AS h FROM w),
+         |bits AS (SELECT id, bit,
+         |  SUM(CASE WHEN ((h >> bit) & 1) = 1 THEN 1 ELSE -1 END) AS v
+         | FROM h CROSS JOIN (SELECT unnest(generate_series(0,31)) AS bit) b GROUP BY 1,2),
+         |sh AS (SELECT id,
+         |  CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+         | FROM bits GROUP BY 1),
+         |keys0 AS (SELECT id, simhash, tbl,
+         |  CASE tbl $keyCase END AS key
+         | FROM sh CROSS JOIN (SELECT unnest(generate_series(0,${tables.size - 1})) AS tbl) t),
+         |ksz AS (SELECT tbl AS t2, key AS k2, COUNT(*) AS n FROM keys0 GROUP BY 1,2),
+         |keys AS (SELECT keys0.* FROM keys0 JOIN ksz ON tbl = t2 AND key = k2
+         | WHERE n <= 10000),
+         |cand AS (SELECT a.id AS id_a, b.id AS id_b,
+         |  min(a.simhash) AS ha, min(b.simhash) AS hb
+         | FROM keys a JOIN keys b ON a.tbl = b.tbl AND a.key = b.key AND a.id < b.id
+         | GROUP BY 1,2)
+         |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
          |ORDER BY id_a, id_b""".stripMargin
     },
 

@@ -9,7 +9,10 @@ import org.apache.spark.sql.functions._
   * IMAGES are decoded for real via `javax.imageio` (JDK built-in — no
   * external codec needed): [[ImageCodec]] encodes deterministic PNG
   * fixtures and [[imageStats]] decodes them back to pixel statistics.
-  * Audio/video decode remains STUBBED (`FakeDecoder`, a deterministic
+  * AUDIO is decoded for real via `javax.sound.sampled` (also JDK
+  * built-in): [[AudioCodec]] encodes deterministic 16-bit PCM WAV
+  * fixtures and [[audioStats]] decodes them back to sample statistics.
+  * Video decode remains STUBBED (`FakeDecoder`, a deterministic
   * standin) so the Spark-side plumbing — schema, batching, partitioning,
   * output shape — is real and tested; swapping in a real codec touches
   * only `FakeDecoder.decode`.
@@ -106,6 +109,112 @@ object Multimodal {
           y += 1
         }
         Some((img.getWidth, img.getHeight, sr, sg, sb))
+      }
+    }
+  }
+
+  /** REAL audio codec over `javax.sound.sampled` (WAV, 16-bit signed
+    * little-endian PCM, mono). Fixture clips are deterministic integer
+    * patterns — sample i of clip `id` is ((i·7 + id·13) mod 4096) − 2048
+    * over n = (id mod 400) + 100 samples — so, PCM WAV being lossless,
+    * the decoded sample sums are computable ANALYTICALLY: the DuckDB
+    * oracle derives expected stats from the formula without ever seeing
+    * a WAV file, and a hash match proves the whole
+    * encode→decode→aggregate roundtrip bit-exact (same oracle trick as
+    * [[ImageCodec]]).
+    */
+  object AudioCodec {
+    val SampleRate = 8000f
+
+    def nSamples(id: Long): Int = (id % 400).toInt + 100
+
+    def sampleAt(id: Long, i: Int): Int =
+      (((i * 7L + id * 13L) % 4096L) - 2048L).toInt
+
+    /** Deterministic WAV fixture for media id (lossless 16-bit PCM). */
+    def encodeWav(id: Long): Array[Byte] = {
+      val n = nSamples(id)
+      val pcm = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val s = sampleAt(id, i)
+        pcm(2 * i) = (s & 0xff).toByte // little-endian
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(SampleRate, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** Decode WAV bytes to (n_samples, sum, sum_sq, sum_abs) — the real
+      * decode via AudioSystem; handles either endianness from the header.
+      * Undecodable / non-16-bit blobs yield None, never a fake zero row.
+      */
+    def decodeStats(bytes: Array[Byte]): Option[(Long, Long, Long, Long)] =
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16) None
+        else {
+          val data = ais.readAllBytes()
+          val be = fmt.isBigEndian
+          val n = data.length / 2
+          var sum = 0L; var sumSq = 0L; var sumAbs = 0L
+          var i = 0
+          while (i < n) {
+            val s =
+              if (be) (data(2 * i).toInt << 8) | (data(2 * i + 1) & 0xff)
+              else (data(2 * i + 1).toInt << 8) | (data(2 * i) & 0xff)
+            sum += s; sumSq += s.toLong * s; sumAbs += math.abs(s)
+            i += 1
+          }
+          Some((n.toLong, sum, sumSq, sumAbs))
+        }
+      } catch { case _: Exception => None }
+  }
+
+  /** Media table with REAL audio blobs: every odd doc_id becomes a WAV
+    * fixture (the even ids are the PNG fixtures of
+    * [[mediaWithRealImages]]; encoded on the executors — the generate
+    * step is distributed map work). width carries n_samples, height the
+    * sample rate, reusing the canonical media schema.
+    */
+  def mediaWithRealAudio(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).filter(pmod(col("doc_id"), lit(2)) === 1)
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          MediaRow(id, "audio", AudioCodec.encodeWav(id),
+            AudioCodec.nSamples(id), AudioCodec.SampleRate.toInt)
+        }
+      }
+  }
+
+  /** Decoded audio statistics: blob gone, fixed-width row out. Integer
+    * sums (sum, sum of squares, sum of abs) keep the oracle compare
+    * exact — no float accumulation anywhere.
+    */
+  case class AudioStats(media_id: Long, n_samples: Long, sum_s: Long,
+                        sum_sq: Long, sum_abs: Long)
+
+  /** REAL decode: WAV bytes → sample-sum stats via javax.sound.sampled.
+    * mapPartitions amortizes codec setup per partition; undecodable
+    * blobs are dropped, not faked.
+    */
+  def audioStats(media: Dataset[MediaRow]): Dataset[AudioStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        AudioCodec.decodeStats(r.content).map { case (n, s, sq, sa) =>
+          AudioStats(r.media_id, n, s, sq, sa)
+        }
       }
     }
   }

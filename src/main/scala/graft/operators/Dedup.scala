@@ -356,6 +356,86 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Multi-index tables for Hamming<=d banding (the generalization of
+    * [[simHashBands]] that keeps keys WIDE as d grows — the approach of
+    * Manku, Jain & Sarma, WWW'07 §3, expressed as block combinations
+    * instead of bit rotations): nBits cut into `nBlocks` contiguous
+    * blocks (the first nBits % nBlocks one bit wider), one table per
+    * (nBlocks − d)-subset of blocks. A pair within Hamming d has its
+    * differing bits confined to at most d blocks, so at least one table
+    * keys both docs identically — recall stays exact. Key width is
+    * nBits·(nBlocks−d)/nBlocks vs [[simHashBands]]' nBits/(d+1): at
+    * d=4 / nBits=63 / nBlocks=6 that is ~21 bits instead of ~12, so
+    * buckets stay small enough to enumerate at corpus scale, at the
+    * cost of C(nBlocks, d) tables (15 here) instead of d+1.
+    * Returns (tableId, blocks) with blocks as (startBit, width).
+    */
+  def simHashMultiTables(nBits: Int, nBlocks: Int,
+                         maxHamming: Int): Seq[(Int, Seq[(Int, Int)])] = {
+    require(nBlocks > maxHamming,
+      s"need nBlocks > maxHamming for exact recall; got $nBlocks <= $maxHamming")
+    require(nBits >= nBlocks, s"need at least $nBlocks bits, got $nBits")
+    val w = nBits / nBlocks; val r = nBits % nBlocks
+    val blocks = (0 until nBlocks).map { i =>
+      val len = if (i < r) w + 1 else w
+      val start = if (i < r) i * (w + 1) else r * (w + 1) + (i - r) * w
+      (start, len)
+    }
+    (0 until nBlocks).combinations(nBlocks - maxHamming).toSeq
+      .zipWithIndex
+      .map { case (ix, t) => (t, ix.map(blocks).toSeq) }
+  }
+
+  /** Concatenate the given (startBit, width) blocks of `simhash` into
+    * one table key (block i shifted left by the widths before it).
+    */
+  private def multiTableKey(simhash: Column, blocks: Seq[(Int, Int)]): Column = {
+    var off = 0
+    blocks.map { case (start, len) =>
+      val c = shiftleft(
+        shiftright(simhash, start).bitwiseAND(lit((1L << len) - 1)), off)
+      off += len
+      c
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** SimHash near-dup for Hamming d=3-4, where plain pigeonhole banding
+    * ([[simHashNearDup]]) degrades: its chunks narrow to nBits/(d+1)
+    * bits and every bucket goes quadratic. Multi-index candidate
+    * generation ([[simHashMultiTables]]) keys each doc C(nBlocks, d)
+    * times on wide (nBlocks−d)-block combinations instead — same
+    * posting-list shape (ONE shuffle on (table, key), simhash UDF runs
+    * once, bucket cap is a free size filter), shuffle volume
+    * |docs|·C(nBlocks, d). Candidates are verified with the EXACT
+    * bit_count Hamming distance, so precision is exact and recall is
+    * exact up to the bucket cap.
+    */
+  def simHashNearDupMulti(docs: DataFrame, idCol: String, textCol: String,
+                          nBits: Int = 63, maxHamming: Int = 3,
+                          nBlocks: Int = 6,
+                          maxBucketSize: Int = 10000): DataFrame = {
+    val shs = simHash(docs, idCol, textCol, nBits)
+    val tableCols = simHashMultiTables(nBits, nBlocks, maxHamming).map {
+      case (t, blocks) =>
+        struct(lit(t).as("tbl"), multiTableKey(col("simhash"), blocks).as("key"))
+    }
+    val keyed = shs.select(col("id"), col("simhash"),
+        explode(array(tableCols: _*)).as("e"))
+      .select(col("id"), col("simhash"),
+        col("e.tbl").as("tbl"), col("e.key").as("key"))
+    val posting = keyed
+      .groupBy("tbl", "key")
+      .agg(sort_array(collect_list(struct(col("id"), col("simhash")))).as("lst"))
+      .filter(size(col("lst")) >= 2 &&
+        (if (maxBucketSize == Int.MaxValue) lit(true) else size(col("lst")) <= maxBucketSize))
+    postingPairs(posting)
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(first(col("a.simhash")).as("ha"), first(col("b.simhash")).as("hb"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Near-dup CLUSTER collapse: connected components over the candidate
     * pair graph by iterative min-label propagation — the step after pair
     * generation in a dedup pipeline (each doc's `label` is the smallest
@@ -397,6 +477,87 @@ object Dedup {
           .groupBy("node").agg(min("label").as("label")))
     }
     labels
+  }
+
+  /** Large-star/small-star connected components (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14 §3) — the
+    * convergence-guaranteed sibling of [[dupClusters]] for HIGH-DIAMETER
+    * pair graphs, where min-label propagation needs `diameter` rounds
+    * (a 1M-node chain would need 1M joins) but star alternation needs
+    * O(log² n). Each round is two phases and each phase is ONE
+    * hash-partitioned window aggregation over the edge list (the
+    * per-node minimum is a partition-local window min — no join back):
+    *  - large-star: every neighbor v > u re-links to
+    *    m(u) = min(N(u) ∪ {u})
+    *  - small-star: orient edges (hi → lo); every member of a node's
+    *    oriented star re-links to the star's minimum
+    * Rounds run until the edge set is stable (count + id sums +
+    * xxhash64 sum signature — one tiny driver row per round), at which
+    * point the edges form stars rooted at each component's minimum id.
+    * Per-round checkpoint truncates lineage exactly as in
+    * [[dupClusters]]; reliable=true writes to the sparkContext
+    * checkpoint dir for executor-loss-safe cluster runs. Output schema
+    * is [[dupClusters]]' (node, label), label = component min.
+    */
+  def dupClustersStar(pairs: DataFrame, aCol: String, bCol: String,
+                      maxRounds: Int = 25,
+                      reliable: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def materialize(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val bidir = e.unionAll(e.select(col("v").as("u"), col("u").as("v"))).distinct()
+      bidir
+        .withColumn("m", least(col("u"), min(col("v")).over(Window.partitionBy("u"))))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      val oriented = e.select(greatest(col("u"), col("v")).as("hi"),
+          least(col("u"), col("v")).as("lo"))
+        .filter(col("hi") =!= col("lo")).distinct()
+      val withM = oriented.withColumn("m", min(col("lo")).over(Window.partitionBy("hi")))
+      withM.select(col("lo").as("u"), col("m").as("v"))
+        .unionAll(withM.select(col("hi").as("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    // One tiny row per round; Row equality on (count, xor of row
+    // hashes) is the (order-insensitive) edge-SET signature — edges are
+    // distinct, and xor neither overflows (ANSI-safe) nor depends on id
+    // magnitude, so it holds at any scale where a sum of ids would not.
+    def signature(e: DataFrame): org.apache.spark.sql.Row =
+      e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).first()
+
+    val nodes = materialize(
+      pairs.select(col(aCol).as("node"))
+        .unionAll(pairs.select(col(bCol).as("node"))).distinct())
+    var edges = materialize(
+      pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+        .filter(col("u") =!= col("v")).distinct())
+    var sig = signature(edges)
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      edges = materialize(smallStar(largeStar(edges)))
+      val next = signature(edges)
+      converged = next == sig
+      sig = next
+      round += 1
+    }
+    // At the star fixpoint every non-root node has exactly the edge
+    // (node, componentMin); roots (and isolated nodes) label themselves.
+    nodes
+      .join(edges, col("node") === col("u"), "left")
+      .groupBy("node")
+      .agg(min(col("v")).as("mv"))
+      .select(col("node"),
+        coalesce(least(col("mv"), col("node")), col("node")).as("label"))
   }
 
   /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD'03 —

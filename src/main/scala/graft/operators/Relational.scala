@@ -109,4 +109,23 @@ object Relational {
         max(col(tsCol)).as("session_end"),
         count(lit(1)).as("n_events"))
   }
+
+  /** Batch sessionization via the built-in `session_window` — the same
+    * API the streaming path (EventStreams.sessionizeStream) uses, so the
+    * batch/stream twins share semantics by construction. One hash
+    * aggregation with session merging instead of [[sessionize]]'s
+    * exchange + two window sorts. Per session_window semantics,
+    * session_end is the LAST EVENT + gap (the eviction time), where
+    * [[sessionize]] reports the last event itself; the two agree up to
+    * that constant (asserted in tests).
+    */
+  def sessionizeSW(events: DataFrame, userCol: String, tsCol: String,
+                   gapSeconds: Long): DataFrame =
+    events
+      .groupBy(col(userCol), session_window(col(tsCol), s"$gapSeconds seconds"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(userCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
 }

@@ -188,6 +188,59 @@ class DedupAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-index simhash is EXACT at d=3/4: equals the brute-force pair set") {
+    val docs = engine.Tables.documents(spark, SparkTestSession.sfDir).limit(200)
+    for ((nBits, d, m) <- Seq((32, 3, 6), (63, 4, 6))) {
+      val hashes = Dedup.simHash(docs, "doc_id", "text", nBits).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val expected = (for {
+        (a, ha) <- hashes; (b, hb) <- hashes
+        if a < b && java.lang.Long.bitCount(ha ^ hb) <= d
+      } yield (a, b)).toSet
+      val got = Dedup.simHashNearDupMulti(docs, "doc_id", "text", nBits, d, m)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected, s"mismatch at nBits=$nBits d=$d m=$m")
+    }
+  }
+
+  test("multi-index d=3 results contain the pigeonhole d<=2 results") {
+    val docs = engine.Tables.documents(spark, SparkTestSession.sfDir).limit(300)
+    val d2 = Dedup.simHashNearDup(docs, "doc_id", "text", 32, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val d3 = Dedup.simHashNearDupMulti(docs, "doc_id", "text", 32, 3, 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(d2.subsetOf(d3))
+  }
+
+  test("simHashMultiTables: every d-error pattern leaves >=1 table intact") {
+    for ((nBits, m, d) <- Seq((32, 6, 3), (63, 6, 4), (24, 5, 3))) {
+      val tables = Dedup.simHashMultiTables(nBits, m, d)
+      assert(tables.size ==
+        (0 until m).combinations(m - d).size)
+      // block layout: each table's blocks are disjoint, within range
+      tables.foreach { case (_, blocks) =>
+        assert(blocks.map(_._2).sum <= nBits)
+        blocks.foreach { case (s, l) => assert(s >= 0 && s + l <= nBits) }
+      }
+      // exact-recall argument, verified exhaustively: for every way to
+      // place d errors into the m blocks, some table avoids all of them
+      val w = nBits / m; val r = nBits % m
+      val blockOf = (0 until nBits).map { bit =>
+        // which block does this bit fall in (mirror of the layout)
+        val wideEnd = r * (w + 1)
+        if (bit < wideEnd) bit / (w + 1) else r + (bit - wideEnd) / w
+      }
+      val blockSets = tables.map { case (_, blocks) =>
+        blocks.map { case (s, _) => blockOf(s) }.toSet
+      }
+      (0 until nBits).combinations(d).take(500).foreach { errBits =>
+        val dirty = errBits.map(blockOf).toSet
+        assert(blockSets.exists(bs => bs.intersect(dirty).isEmpty),
+          s"no clean table for errors at $errBits (nBits=$nBits m=$m d=$d)")
+      }
+    }
+  }
+
   test("multi-probe LSH recall >= single-bucket recall, strictly better here") {
     val e = engine.Tables.embeddings(spark, SparkTestSession.sfDir)
     val q = e.filter(col("vec_id") < 8)
@@ -270,6 +323,42 @@ class DedupAnnSpec extends AnyFunSuite {
     // every label is the minimum of its cluster (the canonical keeper)
     assert(got.groupBy(_._2).forall { case (lbl, members) =>
       members.keys.min == lbl })
+  }
+
+  test("star CC converges a 64-node chain where diameter-bound propagation cannot") {
+    import spark.implicits._
+    // chain 0-1-2-...-63: diameter 63. Star alternation must fully
+    // converge (every label 0) within far fewer rounds than the
+    // diameter; min-label propagation at the same budget must NOT.
+    val pairs = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val star = Dedup.dupClustersStar(pairs, "id_a", "id_b", maxRounds = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(star.length == 64)
+    assert(star.forall(_._2 == 0L), s"unconverged: ${star.filter(_._2 != 0L).take(5).toSeq}")
+    val prop = Dedup.dupClusters(pairs, "id_a", "id_b", iterations = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(prop.exists(_._2 != 0L)) // the chain defeats 10 propagation hops
+  }
+
+  test("star CC equals the union-find ground truth on the simhash pair graph") {
+    val docs = engine.Tables.documents(spark, SparkTestSession.sfDir)
+    val pairs = Dedup.simHashDup(docs, "doc_id", "text", 16)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assume(pairs.nonEmpty)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- pairs) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val truth = parent.keys.map(n => n -> find(n)).toMap
+    val got = Dedup.dupClustersStar(
+        Dedup.simHashDup(docs, "doc_id", "text", 16), "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == truth)
   }
 
   test("reliable-checkpoint cluster collapse equals the localCheckpoint path") {

@@ -80,6 +80,51 @@ class EntrySpec extends AnyFunSuite {
     }
   }
 
+  test("real audio decode: WAV roundtrip recovers the exact sample pattern") {
+    import graft.multimodal.Multimodal.AudioCodec
+    // direct roundtrip, no Spark: decoded sums equal the analytic sums
+    val id = 7L
+    val n = AudioCodec.nSamples(id)
+    val Some((dn, ds, dsq, dsa)) = AudioCodec.decodeStats(AudioCodec.encodeWav(id))
+    var (es, esq, esa) = (0L, 0L, 0L)
+    for (i <- 0 until n) {
+      val s = AudioCodec.sampleAt(id, i).toLong
+      es += s; esq += s * s; esa += math.abs(s)
+    }
+    assert(dn == n.toLong)
+    assert((ds, dsq, dsa) == (es, esq, esa))
+    // undecodable bytes are dropped, never faked
+    assert(AudioCodec.decodeStats("not a wav".getBytes("UTF-8")).isEmpty)
+    // distributed path: audioStats over generated media matches per-row
+    val docs = Seq((1L, "x"), (2L, "y"), (3L, "z"), (401L, "w")).toDF("doc_id", "text")
+    val stats = Multimodal.audioStats(Multimodal.mediaWithRealAudio(spark, docs))
+      .collect().map(s => s.media_id -> s).toMap
+    assert(stats.keySet == Set(1L, 3L, 401L)) // even ids are not audio
+    for ((mid, s) <- stats) {
+      assert(s.n_samples == AudioCodec.nSamples(mid).toLong)
+      var exp = 0L
+      for (i <- 0 until AudioCodec.nSamples(mid)) exp += AudioCodec.sampleAt(mid, i)
+      assert(s.sum_s == exp)
+    }
+  }
+
+  test("session_window batch twin equals the lag/cumsum sessionize exactly") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val ev = engine.Tables.events(spark, SparkTestSession.sfDir)
+    val cols = Seq("user_id", "session_start", "session_end", "n_events")
+    // sessionizeSW's end is last-event + gap; shift the lag form's end by
+    // the gap and the two must agree row-for-row
+    val lagAdj = operators.Relational.sessionize(ev, "user_id", "ts", 1800L)
+      .select(col("user_id"), col("session_start"),
+        (col("session_end") + expr("INTERVAL 1800 SECONDS")).as("session_end"),
+        col("n_events"))
+    val sw = operators.Relational.sessionizeSW(ev, "user_id", "ts", 1800L)
+      .select(cols.map(col): _*)
+    assert(lagAdj.except(sw).count() == 0)
+    assert(sw.except(lagAdj).count() == 0)
+    assert(sw.count() == lagAdj.count()) // except() dedups; counts pin multiplicity
+  }
+
   test("multimodal resize yields fixed-size blobs; frame sampling is a narrow UDTF") {
     import graft.multimodal.Multimodal
     val media = Multimodal.mediaFromDocuments(spark,
