@@ -19,13 +19,15 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       // noop sink materializes every output column; count() would let
       // Catalyst prune projection-only queries down to a row count.
-      // Best of 2 runs: the first pays one-shot codegen + JIT (measured
-      // ~2-5s on plans with distinct-agg/join codegen), which is noise
-      // for a throughput metric. A failure is RECORDED, never swallowed:
-      // a query that throws instantly would otherwise report a fast fake
-      // time and a regression could masquerade as a speedup.
+      // Best of 3 runs: the first pays one-shot codegen + JIT (measured
+      // ~2-5s on plans with distinct-agg/join codegen) and a second run
+      // can still catch JIT/GC tails — r03 recorded q31 at 3.6s when its
+      // steady state is 1.2s because BOTH of 2 runs were cold/noisy.
+      // A failure is RECORDED, never swallowed: a query that throws
+      // instantly would otherwise report a fast fake time and a
+      // regression could masquerade as a speedup.
       var err: Option[String] = None
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
         catch { case e: Throwable =>
