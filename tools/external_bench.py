@@ -1,0 +1,61 @@
+#!/usr/bin/env python3
+"""External single-node baseline for the dedup family (VERDICT r02 #4).
+
+Times DuckDB (the container's oracle engine) executing the SAME dedup
+semantics the engine runs — literally the oracleSql text dumped by
+graft.Verify, which is an independent DuckDB implementation of each
+operator (shingle/minhash/simhash pipelines in SQL) — over the sf0.1
+parquet. This makes the "fast" claim non-circular: the engine's BENCH
+numbers can be read against an external engine executing the same
+operator at the same data scale on the same box.
+
+Methodology mirrors graft.Bench: full result materialization, best of 3
+runs (DuckDB has no JIT warmup, but the first run pays buffer-pool
+population), all cores (DuckDB defaults to one thread per CPU, matching
+local[32]).
+
+Usage: external_bench.py [oracle_sql.json] [sf_dir]
+"""
+import sys, time, json
+import duckdb
+
+QUERIES = [
+    "q29_dedup_exact",
+    "q30_dedup_ngram_jaccard",
+    "q31_dedup_minhash_lsh",
+    "q33_dedup_simhash",
+    "q52_dedup_simhash_hamming",
+    "q82_dedup_simhash_multiindex",
+    "q63_dedup_clusters",
+    "q75_winnow_overlap",
+]
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def main():
+    oracle_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_out/oracle_sql.json"
+    sfdir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    oracle = json.load(open(oracle_path))
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    out = {}
+    for name in QUERIES:
+        sql = oracle[name]
+        times = []
+        rows = None
+        for _ in range(3):
+            t0 = time.time()
+            rows = len(con.sql(sql).fetchall())
+            times.append(time.time() - t0)
+        out[name] = {"best_s": round(min(times), 3),
+                     "all_s": [round(t, 3) for t in times],
+                     "rows": rows}
+        print(f"{name:30s} best={min(times):6.2f}s rows={rows}", file=sys.stderr)
+    print(json.dumps({"engine": "duckdb", "version": duckdb.__version__,
+                      "sf": sfdir, "queries": out}))
+
+
+if __name__ == "__main__":
+    main()
