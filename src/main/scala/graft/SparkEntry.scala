@@ -8,7 +8,7 @@ import graft.engine.Tables._
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions
 import graft.multimodal.Multimodal
-import graft.operators.{Ann, Curation, Dedup, Relational, TextJobs}
+import graft.operators.{Ann, Chunking, Curation, Dedup, Relational, TextJobs}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (operator inventory) and
   * §7 (build plan). Every entry in [[queries]] has a matching DuckDB
@@ -83,6 +83,35 @@ object SparkEntry {
       |JOIN customer c ON o.o_custkey = c.c_custkey
       |JOIN nation n ON c.c_nationkey = n.n_nationkey
       |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin
+
+  /** q90's ANSI SQL — correlated EXISTS / NOT EXISTS, one text, two
+    * engines (Spark executes it; DuckDB oracles it verbatim). Exercises
+    * Catalyst's subquery decorrelation (RewritePredicateSubquery → semi/
+    * anti joins) rather than hand-built semi-joins (q05/q06).
+    */
+  private val ExistsSubqueryQuery =
+    """SELECT c.c_custkey, c.c_name
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o2
+      |                  WHERE o2.o_custkey = c.c_custkey
+      |                    AND o2.o_orderstatus = 'F')
+      |ORDER BY c.c_custkey""".stripMargin
+
+  /** q91's ANSI SQL — correlated SCALAR subquery (per-customer average),
+    * decorrelated by Catalyst into an aggregate + join. Money goes
+    * through the cents trick; the average of exact integers is the same
+    * IEEE double on both engines (integer-valued summands < 2^53 sum
+    * exactly in any order).
+    */
+  private val ScalarSubqueryQuery =
+    """SELECT o.o_orderkey, CAST(round(o.o_totalprice*100, 0) AS BIGINT) AS total_c
+      |FROM orders o
+      |WHERE CAST(round(o.o_totalprice*100, 0) AS BIGINT) >
+      |  2 * (SELECT avg(CAST(round(o2.o_totalprice*100, 0) AS BIGINT))
+      |       FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      |ORDER BY o.o_orderkey""".stripMargin
 
   /** DuckDB twin of VectorFunctions.planeComponent(p, j). */
   private def duckPlane(p: String, j: String): String =
@@ -1012,6 +1041,117 @@ object SparkEntry {
           min(col("val").cast("long")).as("min_v"),
           max(col("val").cast("long")).as("max_v"))
         .orderBy("event_type", "key")
+    }),
+
+    // --- LLM-pipeline round 4: repetition quality, PII redaction,
+    //     chunking, sequence packing, boilerplate detection ---
+
+    "q85_repetition_metrics" -> ((s, d) =>
+      // Gopher-style repetition signals; integer counts come from one
+      // map-only UDF pass, ratios are expression-side (one rounding site)
+      documents(s, d)
+        .select(col("doc_id"), repetitionStats(tokens(col("text"))).as("r"))
+        .select(col("doc_id"),
+          col("r._1").as("n_2grams"), col("r._2").as("top_2gram_n"),
+          col("r._3").as("n_3grams"), col("r._4").as("dup_3gram_occ"),
+          round(when(col("r._1") > 0,
+            col("r._2").cast("double") / col("r._1").cast("double"))
+            .otherwise(lit(0.0)), 4).as("top_2gram_ratio"),
+          round(when(col("r._3") > 0,
+            col("r._4").cast("double") / col("r._3").cast("double"))
+            .otherwise(lit(0.0)), 4).as("dup_3gram_ratio"))
+        .orderBy("doc_id")),
+
+    "q86_pii_redact" -> ((s, d) => {
+      // documents carry no natural PII, so a deterministic fixture
+      // derived from doc_id is appended inside the query (the oracle
+      // appends the identical string) — the redaction chain then runs on
+      // real match positions in real text
+      val withPii = documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          lit(" mail u"), col("doc_id").cast("string"),
+          lit("@h"), pmod(col("doc_id"), lit(100L)).cast("string"), lit(".example.com"),
+          lit(" tel 555-"), lpad(pmod(col("doc_id"), lit(1000L)).cast("string"), 3, "0"),
+          lit("-"), lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0"),
+          lit(" ip 10.0."), pmod(col("doc_id"), lit(256L)).cast("string"),
+          lit("."), pmod(col("doc_id") * 7, lit(256L)).cast("string")).as("text"))
+      withPii
+        .select(col("doc_id"), Curation.piiCounts(col("text")).as("p"),
+          md5(Curation.redactPii(col("text"))).as("red_hash"))
+        .select(col("doc_id"), col("p.n_emails"), col("p.n_phones"),
+          col("p.n_ips"), col("red_hash"))
+        .orderBy("doc_id")
+    }),
+
+    "q87_chunk_tokens" -> ((s, d) =>
+      Chunking.chunkTokens(documents(s, d), "doc_id", "text",
+          chunkSize = 16, stride = 12)
+        .orderBy("id", "chunk_idx")),
+
+    "q88_seq_packing" -> ((s, d) =>
+      Chunking.packedSpans(documents(s, d), "doc_id", "text", budget = 256)
+        .withColumnRenamed("offset", "tok_offset") // OFFSET is reserved in DuckDB
+        .orderBy("doc_id")),
+
+    "q89_boilerplate_ratio" -> ((s, d) =>
+      Curation.boilerplateRatio(documents(s, d), "doc_id", "text",
+          k = 3, minDocFreq = 5)
+        .orderBy("id")),
+
+    // --- SQL-surface widening: subqueries, exact percentiles,
+    //     regexp_extract_all, date spine ---
+
+    "q90_exists_subquery" -> ((s, d) => {
+      customer(s, d).createOrReplaceTempView("customer")
+      orders(s, d).createOrReplaceTempView("orders")
+      try s.sql(ExistsSubqueryQuery)
+      finally Seq("customer", "orders").foreach(s.catalog.dropTempView)
+    }),
+
+    "q91_scalar_subquery" -> ((s, d) => {
+      orders(s, d).createOrReplaceTempView("orders")
+      try s.sql(ScalarSubqueryQuery)
+      finally s.catalog.dropTempView("orders")
+    }),
+
+    "q92_percentile" -> ((s, d) =>
+      // EXACT percentiles (vs q70's approx sketch): interpolated
+      // (percentile = ANSI percentile_cont) and discrete
+      lineitem(s, d).groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_quantity, 0.9)"), 4).as("p90"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity)")
+            .cast("long").as("p90_disc"))
+        .orderBy("l_returnflag")),
+
+    "q93_regexp_extract_all" -> ((s, d) =>
+      // all matches per document (not just the first): count + an
+      // order-preserving digest of the full match list
+      documents(s, d).select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit("[a-z]*ar[a-z]*"), lit(0)))
+            .cast("long").as("n_matches"),
+          md5(array_join(
+            regexp_extract_all(col("text"), lit("[a-z]*ar[a-z]*"), lit(0)), ","))
+            .as("match_hash"))
+        .orderBy("doc_id")),
+
+    "q94_date_spine" -> ((s, d) => {
+      // gap-filled daily rollup: generated date spine LEFT JOIN facts —
+      // days with no orders appear with zero counts (a plain groupBy
+      // silently drops them)
+      val daily = orders(s, d)
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1995-04-01").cast("timestamp"))
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("n_orders"), sum(cents(col("o_totalprice"))).as("rev_c"))
+      val spine = s.range(1).select(explode(sequence(
+        to_date(lit("1995-01-01")), to_date(lit("1995-03-31")))).as("day"))
+      spine.join(daily, Seq("day"), "left")
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("rev_c"), lit(0L)).as("rev_c"))
+        .orderBy("day")
     })
   )
 
@@ -2027,6 +2167,140 @@ object SparkEntry {
          | FROM s)
          |SELECT query_id, neighbor_id, cos, rnk FROM r WHERE rnk <= 5
          |ORDER BY query_id, rnk""".stripMargin
-    }
+    },
+
+    "q85_repetition_metrics" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS tk FROM documents),
+         |g2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk)-1),
+         |        i -> tk[i] || ' ' || tk[i+1])) AS g FROM t WHERE len(tk) >= 2),
+         |c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+         |a2 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_2grams,
+         |        CAST(MAX(c) AS BIGINT) AS top_2gram_n FROM c2 GROUP BY 1),
+         |g3 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk)-2),
+         |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+         |       FROM t WHERE len(tk) >= 3),
+         |c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY 1, 2),
+         |a3 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_3grams,
+         |        CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_3gram_occ
+         |       FROM c3 GROUP BY 1)
+         |SELECT t.doc_id,
+         | COALESCE(a2.n_2grams, 0) AS n_2grams,
+         | COALESCE(a2.top_2gram_n, 0) AS top_2gram_n,
+         | COALESCE(a3.n_3grams, 0) AS n_3grams,
+         | COALESCE(a3.dup_3gram_occ, 0) AS dup_3gram_occ,
+         | round(CASE WHEN COALESCE(a2.n_2grams, 0) > 0
+         |   THEN CAST(a2.top_2gram_n AS DOUBLE)/a2.n_2grams ELSE 0.0 END, 4) AS top_2gram_ratio,
+         | round(CASE WHEN COALESCE(a3.n_3grams, 0) > 0
+         |   THEN CAST(a3.dup_3gram_occ AS DOUBLE)/a3.n_3grams ELSE 0.0 END, 4) AS dup_3gram_ratio
+         |FROM t LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q86_pii_redact" ->
+      s"""WITH w AS (SELECT doc_id, text || ' mail u' || CAST(doc_id AS VARCHAR)
+         |  || '@h' || CAST(doc_id % 100 AS VARCHAR) || '.example.com'
+         |  || ' tel 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+         |  || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |  || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+         |  || '.' || CAST((doc_id*7) % 256 AS VARCHAR) AS text FROM documents),
+         |e AS (SELECT doc_id, text,
+         |  regexp_replace(text, '${Curation.EmailPattern}', '<EMAIL>', 'g') AS t1 FROM w),
+         |p AS (SELECT doc_id, text, t1,
+         |  regexp_replace(t1, '${Curation.PhonePattern}', '<PHONE>', 'g') AS t2 FROM e)
+         |SELECT doc_id,
+         | CAST(len(regexp_extract_all(text, '${Curation.EmailPattern}')) AS BIGINT) AS n_emails,
+         | CAST(len(regexp_extract_all(t1, '${Curation.PhonePattern}')) AS BIGINT) AS n_phones,
+         | CAST(len(regexp_extract_all(t2, '${Curation.Ipv4Pattern}')) AS BIGINT) AS n_ips,
+         | md5(regexp_replace(t2, '${Curation.Ipv4Pattern}', '<IP>', 'g')) AS red_hash
+         |FROM p ORDER BY doc_id""".stripMargin,
+
+    // chunk geometry (nc, the [s:e] slice) mirrors Chunking.numChunks /
+    // chunkTokens: one chunk starts every 12 tokens while any token is
+    // uncovered; DuckDB list slicing is 1-based inclusive and clamps
+    "q87_chunk_tokens" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS tk FROM documents),
+         |n AS (SELECT doc_id, tk,
+         |  CASE WHEN len(tk) <= 16 THEN 1
+         |       ELSE 1 + CAST(ceil((len(tk)-16)/12.0) AS INT) END AS nc FROM t),
+         |c AS (SELECT doc_id, tk, unnest(generate_series(1, nc)) AS i FROM n),
+         |s AS (SELECT doc_id, CAST(i-1 AS BIGINT) AS chunk_idx,
+         |  array_to_string(tk[(i-1)*12+1 : (i-1)*12+16], ' ') AS chunk FROM c)
+         |SELECT doc_id AS id, chunk_idx,
+         | CAST(CASE WHEN length(trim(chunk)) = 0 THEN 0
+         |   ELSE len(string_split_regex(trim(chunk), '\\s+')) END AS BIGINT) AS n_tokens,
+         | md5(chunk) AS chunk_hash
+         |FROM s ORDER BY id, chunk_idx""".stripMargin,
+
+    "q88_seq_packing" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |    ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
+         | FROM documents),
+         |o AS (SELECT doc_id, n_tokens,
+         |  COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+         | FROM t)
+         |SELECT doc_id, n_tokens, CAST(tok_offset AS BIGINT) AS tok_offset,
+         | CAST(tok_offset // 256 AS BIGINT) AS start_pack,
+         | CAST(CASE WHEN n_tokens > 0 THEN (tok_offset + n_tokens - 1) // 256
+         |      ELSE tok_offset // 256 END AS BIGINT) AS end_pack,
+         | CAST(tok_offset % 256 AS BIGINT) AS pack_offset
+         |FROM o ORDER BY doc_id""".stripMargin,
+
+    "q89_boilerplate_ratio" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS tk FROM documents),
+         |g AS (SELECT doc_id AS id, unnest(
+         |  CASE WHEN len(tk) < 3 THEN [${duckHash("array_to_string(tk, ' ')", 15)}]
+         |       ELSE list_transform(generate_series(1, len(tk)-2),
+         |         i -> ${duckHash("array_to_string(tk[i:i+2], ' ')", 15)}) END) AS g
+         | FROM t),
+         |occ AS (SELECT id, g, COUNT(*) AS occ FROM g GROUP BY 1, 2),
+         |freq AS (SELECT *, COUNT(*) OVER (PARTITION BY g) AS doc_freq FROM occ)
+         |SELECT id, CAST(SUM(occ) AS BIGINT) AS n_grams,
+         | CAST(SUM(CASE WHEN doc_freq >= 5 THEN occ ELSE 0 END) AS BIGINT) AS n_boiler,
+         | round(CAST(SUM(CASE WHEN doc_freq >= 5 THEN occ ELSE 0 END) AS DOUBLE)
+         |   / CAST(SUM(occ) AS DOUBLE), 4) AS boiler_ratio
+         |FROM freq GROUP BY id ORDER BY id""".stripMargin,
+
+    // one ANSI text, two engines (like q61)
+    "q90_exists_subquery" -> ExistsSubqueryQuery,
+    "q91_scalar_subquery" -> ScalarSubqueryQuery,
+
+    // quantile_cont matches Spark's interpolated exact percentile; the
+    // discrete percentile is spelled out as ANSI percentile_disc
+    // semantics (least value with cume_dist >= p) so the definition,
+    // not an implementation, is what both engines must satisfy
+    "q92_percentile" ->
+      """WITH cd AS (SELECT l_returnflag, l_quantity,
+        |  cume_dist() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS cd
+        | FROM lineitem),
+        |disc AS (SELECT l_returnflag, CAST(min(l_quantity) AS BIGINT) AS p90_disc
+        | FROM cd WHERE cd >= 0.9 GROUP BY 1)
+        |SELECT l.l_returnflag,
+        | round(quantile_cont(l.l_quantity, 0.25), 4) AS p25,
+        | round(quantile_cont(l.l_quantity, 0.9), 4) AS p90,
+        | any_value(d.p90_disc) AS p90_disc
+        |FROM lineitem l JOIN disc d USING (l_returnflag)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q93_regexp_extract_all" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '[a-z]*ar[a-z]*')) AS BIGINT) AS n_matches,
+        | md5(COALESCE(array_to_string(regexp_extract_all(text, '[a-z]*ar[a-z]*'), ','), '')) AS match_hash
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q94_date_spine" ->
+      """WITH spine AS (SELECT unnest(generate_series(
+        |   DATE '1995-01-01', DATE '1995-03-31', INTERVAL 1 DAY))::DATE AS day),
+        |daily AS (SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS BIGINT) AS rev_c
+        | FROM orders
+        | WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |   AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00'
+        | GROUP BY 1)
+        |SELECT strftime(spine.day, '%Y-%m-%d') AS day,
+        | COALESCE(daily.n_orders, 0) AS n_orders,
+        | COALESCE(daily.rev_c, 0) AS rev_c
+        |FROM spine LEFT JOIN daily USING (day)
+        |ORDER BY day""".stripMargin
   )
 }

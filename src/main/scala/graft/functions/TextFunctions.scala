@@ -153,6 +153,46 @@ object TextFunctions {
     f(toks)
   }
 
+  /** Per-document repetition statistics — the Gopher-style repetition
+    * quality signals (Rae et al. 2021, "Scaling Language Models", App. A
+    * repetition filters) over token n-grams, as one integer-count struct
+    * `(n_2grams, top_2gram_count, n_3grams, dup_3gram_occ)` where
+    * `top_2gram_count` is the occurrence count of the most frequent
+    * 2-gram and `dup_3gram_occ` counts occurrences of 3-grams appearing
+    * more than once. Ratios (fraction of the doc inside repeated grams)
+    * are computed expression-side from these counts so float rounding
+    * stays in one engine-neutral place.
+    *
+    * Documents are independent => this is map-only at any corpus scale:
+    * zero shuffle, and the per-doc loop is a tight UDF (the higher-order
+    * function form would run 4 interpreted passes per document).
+    */
+  def repetitionStats(toks: Column): Column = {
+    val f = udf { tk: Seq[String] =>
+      if (tk == null || tk.isEmpty) (0L, 0L, 0L, 0L)
+      else {
+        def gramCounts(n: Int): collection.mutable.HashMap[String, Long] = {
+          val m = new collection.mutable.HashMap[String, Long]()
+          var i = 0
+          while (i + n <= tk.size) {
+            val g = tk.slice(i, i + n).mkString(" ")
+            m.update(g, m.getOrElse(g, 0L) + 1L)
+            i += 1
+          }
+          m
+        }
+        val g2 = gramCounts(2)
+        val g3 = gramCounts(3)
+        val n2 = g2.valuesIterator.sum
+        val top2 = if (g2.isEmpty) 0L else g2.valuesIterator.max
+        val n3 = g3.valuesIterator.sum
+        val dup3 = g3.valuesIterator.filter(_ > 1L).sum
+        (n2, top2, n3, dup3)
+      }
+    }
+    f(toks)
+  }
+
   /** Content fingerprint: md5 of whitespace-normalized lower-cased text.
     * Identical in DuckDB (`md5(...)`), so exact-dedup is oracle-checkable.
     */

@@ -1,10 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFunctions.tokenHash64
+import graft.functions.TextFunctions.{tokenHash64, tokenHash64Jvm, tokens}
 
 /** Deterministic corpus-curation operators: weighted source mixing and
   * fixed-size carve-outs. Everything is keyed by md5-derived hashes of
@@ -66,6 +66,81 @@ object Curation {
       .groupBy(col("eval_id"), col("id").as("train_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+  }
+
+  /** PII patterns, restricted to the Java-regex ∩ RE2 common subset (no
+    * lookarounds, no \b) so the DuckDB oracle can apply the IDENTICAL
+    * pattern strings. Simple by design — production pipelines layer
+    * validators on top; the operator shape (codegen'd regexp chain,
+    * map-only at any scale) is what matters here.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  val Ipv4Pattern = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** PII redaction: emails, NNN-NNN-NNNN phones and IPv4 addresses
+    * replaced by typed placeholder tokens, in that order (emails first —
+    * an email's host part may itself be an IPv4). Pure expression work
+    * (codegen'd regexp_replace chain): map-only, pipelined into the
+    * scan.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        PhonePattern, "<PHONE>"),
+      Ipv4Pattern, "<IP>")
+
+  /** Per-type PII match counts, each counted on the text as the previous
+    * redaction left it (an email's embedded IPv4 is counted as email,
+    * not both) — mirror the CTE chain in the oracle SQL.
+    */
+  def piiCounts(text: Column): Column = {
+    val afterEmail = regexp_replace(text, EmailPattern, "<EMAIL>")
+    val afterPhone = regexp_replace(afterEmail, PhonePattern, "<PHONE>")
+    struct(
+      size(regexp_extract_all(text, lit(EmailPattern), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(afterEmail, lit(PhonePattern), lit(0))).cast("long").as("n_phones"),
+      size(regexp_extract_all(afterPhone, lit(Ipv4Pattern), lit(0))).cast("long").as("n_ips"))
+  }
+
+  /** Per-document boilerplate ratio: the fraction of a doc's positional
+    * token k-grams that are corpus-wide boilerplate (shared by >=
+    * `minDocFreq` distinct docs) — the C4-style "repeated span" signal
+    * that catches navigation chrome / license headers which per-pair
+    * dedup never surfaces. Three bounded shuffles, single pass over the
+    * gram UDF, NO join and NO second traversal of the corpus:
+    * (gram, doc) occurrence counts; per-gram doc frequency as a
+    * partition-local window count over the gram key; per-doc roll-up.
+    * Skew note: a window partition holds one row per DOC containing the
+    * gram (not one per occurrence), and the final ratio needs only
+    * counts, so even a gram present in every doc stays a count-only
+    * window partition — no list materialization anywhere.
+    */
+  def boilerplateRatio(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int, minDocFreq: Int): DataFrame = {
+    require(k >= 1 && minDocFreq >= 1,
+      s"k and minDocFreq must be >= 1, got $k/$minDocFreq")
+    // positional k-gram hashes INCLUDING repeats (repetition inside one
+    // doc is the point); shorter-than-k docs contribute their whole text
+    val gramUdf = udf { tk: Seq[String] =>
+      if (tk == null) null
+      else if (tk.size < k) Array(tokenHash64Jvm(tk.mkString(" ")))
+      else Array.tabulate(tk.size - k + 1)(i =>
+        tokenHash64Jvm(tk.slice(i, i + k).mkString(" ")))
+    }.asNondeterministic()
+    val occ = docs
+      .select(col(idCol).as("id"), explode(gramUdf(tokens(col(textCol)))).as("g"))
+      .groupBy("g", "id").agg(count(lit(1)).as("occ"))
+    occ
+      .withColumn("doc_freq", count(lit(1)).over(Window.partitionBy("g")))
+      .groupBy("id")
+      .agg(sum(col("occ")).as("n_grams"),
+        sum(when(col("doc_freq") >= minDocFreq, col("occ")).otherwise(lit(0L)))
+          .as("n_boiler"))
+      .select(col("id"), col("n_grams"), col("n_boiler"),
+        round(col("n_boiler").cast("double") / col("n_grams").cast("double"), 4)
+          .as("boiler_ratio"))
   }
 
   /** Deterministic k-per-group sample: the k docs with the smallest

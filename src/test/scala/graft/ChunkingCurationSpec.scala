@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions.repetitionStats
+import graft.operators.{Chunking, Curation}
+
+/** Round-4 LLM-pipeline operators: chunking, packing (distributed prefix
+  * sum), repetition metrics, PII redaction, boilerplate ratio.
+  */
+class ChunkingCurationSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("numChunks geometry: short docs one chunk, strides cover every token") {
+    assert(Chunking.numChunks(0, 16, 12) == 1)
+    assert(Chunking.numChunks(16, 16, 12) == 1)
+    assert(Chunking.numChunks(17, 16, 12) == 2)
+    assert(Chunking.numChunks(28, 16, 12) == 2)
+    assert(Chunking.numChunks(29, 16, 12) == 3)
+    // last chunk always reaches the final token
+    for (len <- 1 to 200; cs <- Seq(8, 16); st <- Seq(4, cs)) {
+      val nc = Chunking.numChunks(len, cs, st)
+      assert((nc - 1) * st + cs >= len, s"len=$len cs=$cs st=$st uncovered tail")
+      // no fully-redundant trailing chunk: the last chunk starts in range
+      assert((nc - 1) * st < math.max(len, 1), s"len=$len cs=$cs st=$st overshoot")
+    }
+  }
+
+  test("chunkTokens: chunk 0 of a short doc is the whole text; overlap is chunkSize-stride") {
+    val docs = Seq((1L, "a b c"), (2L, (1 to 30).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Chunking.chunkTokens(docs, "doc_id", "text", 16, 12)
+      .orderBy("id", "chunk_idx").collect()
+    val short = got.filter(_.getLong(0) == 1L)
+    assert(short.length == 1 && short.head.getLong(2) == 3L)
+    val long = got.filter(_.getLong(0) == 2L)
+    // 30 tokens, chunks start at 0/12/24: sizes 16, 16, clamped 6
+    assert(long.map(_.getLong(2)).toSeq == Seq(16L, 16L, 6L))
+  }
+
+  test("orderedOffsets equals the naive single-partition window cumsum") {
+    // keys deliberately unsorted + sparse; values vary
+    val rows = (0 until 1000).map(i => ((i * 7919) % 10007).toLong)
+      .distinct.map(k => (k, k % 13 + 1))
+    val df = rows.toDF("k", "v").repartition(7)
+    val got = Chunking.orderedOffsets(df, "k", "v", numPartitions = 5)
+      .orderBy("k").select("k", "offset").as[(Long, Long)].collect().toSeq
+    val expected = rows.sortBy(_._1)
+      .scanLeft((Long.MinValue, 0L)) { case ((_, acc), (k, v)) => (k, acc + v) }
+      .sliding(2).map { case Seq((_, accBefore), (k, _)) => (k, accBefore) }.toSeq
+    assert(got == expected)
+  }
+
+  test("packedSpans: offsets are contiguous and pack ids consistent") {
+    val docs = engine.Tables.documents(spark, SparkTestSession.sfDir)
+    val got = Chunking.packedSpans(docs, "doc_id", "text", budget = 256)
+      .orderBy("doc_id").collect()
+    var expectedOffset = 0L
+    got.foreach { r =>
+      val (n, off, sp, ep, po) = (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))
+      assert(off == expectedOffset, s"gap at doc ${r.getLong(0)}")
+      expectedOffset += n
+      assert(po == off % 256 && sp == off / 256)
+      assert(ep == (if (n > 0) (off + n - 1) / 256 else off / 256))
+      assert(ep >= sp)
+    }
+  }
+
+  test("repetitionStats: hand-computed 2/3-gram counts") {
+    // "a b a b a": 2-grams ab,ba,ab,ba -> n2=4 top2=2
+    //              3-grams aba,bab,aba -> n3=3, dup occurrences=2
+    val r = Seq("a b a b a").toDF("text")
+      .select(repetitionStats(split(col("text"), " ")).as("r"))
+      .select("r._1", "r._2", "r._3", "r._4").as[(Long, Long, Long, Long)]
+      .head()
+    assert(r == ((4L, 2L, 3L, 2L)))
+    val empty = Seq(Seq.empty[String]).toDF("t")
+      .select(repetitionStats(col("t")).as("r"))
+      .select("r._1", "r._2", "r._3", "r._4").as[(Long, Long, Long, Long)].head()
+    assert(empty == ((0L, 0L, 0L, 0L)))
+  }
+
+  test("redactPii replaces all three types; email's IP-shaped host counts as email") {
+    val txt = "write bob.smith@corp.example.org or 555-123-4567 from 192.168.0.1 " +
+      "or root@10.0.0.1"
+    val got = Seq(txt).toDF("text")
+      .select(Curation.redactPii(col("text")).as("red"),
+        Curation.piiCounts(col("text")).as("p"))
+      .select("red", "p.n_emails", "p.n_phones", "p.n_ips")
+      .as[(String, Long, Long, Long)].head()
+    // root@10.0.0.1 is NOT an email (the last host label must be
+    // alphabetic), so its address part falls through to the IP pass
+    assert(got._1 == "write <EMAIL> or <PHONE> from <IP> or root@<IP>")
+    assert((got._2, got._3, got._4) == ((1L, 1L, 2L)))
+  }
+
+  test("boilerplateRatio matches a driver-side brute force on sf0.001") {
+    val docs = engine.Tables.documents(spark, SparkTestSession.sfDir)
+    val got = Curation.boilerplateRatio(docs, "doc_id", "text", k = 3, minDocFreq = 5)
+      .orderBy("id").collect()
+    // brute force: positional 3-grams per doc, doc-freq over distinct
+    val local = docs.select("doc_id", "text").as[(Long, String)].collect()
+    def grams(t: String): Seq[String] = {
+      val tk = t.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+      if (tk.size < 3) Seq(tk.mkString(" "))
+      else (0 to tk.size - 3).map(i => tk.slice(i, i + 3).mkString(" "))
+    }
+    val docFreq = local.flatMap { case (id, t) => grams(t).distinct.map(g => (g, id)) }
+      .groupBy(_._1).map { case (g, xs) => (g, xs.map(_._2).distinct.size) }
+    val expected = local.map { case (id, t) =>
+      val gs = grams(t)
+      val boiler = gs.count(g => docFreq(g) >= 5)
+      (id, gs.size.toLong, boiler.toLong)
+    }.sortBy(_._1)
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (r, (id, ng, nb)) =>
+      assert(r.getLong(0) == id && r.getLong(1) == ng && r.getLong(2) == nb,
+        s"doc $id: got (${r.getLong(1)},${r.getLong(2)}) want ($ng,$nb)")
+    }
+  }
+}
