@@ -1152,6 +1152,61 @@ object SparkEntry {
           coalesce(col("n_orders"), lit(0L)).as("n_orders"),
           coalesce(col("rev_c"), lit(0L)).as("rev_c"))
         .orderBy("day")
+    }),
+
+    "q95_heavy_hitters" -> ((s, d) => {
+      // exact corpus-level heavy hitters (tokens above 1/200 of all
+      // occurrences): one shuffle on the token (partial agg map-side),
+      // the corpus total is a broadcast 1-row frame — at 100 TB this
+      // stays two aggregations; sketches (Misra-Gries) only matter when
+      // the DISTINCT token count itself cannot be aggregated
+      val tok = documents(s, d).select(explode(tokens(col("text"))).as("word"))
+      val counts = tok.groupBy("word").agg(count(lit(1)).as("cnt"))
+      val total = tok.agg(count(lit(1)).as("total"))
+      counts.join(broadcast(total))
+        .filter(col("cnt") * 200 > col("total"))
+        .select(col("word"), col("cnt"),
+          round(col("cnt").cast("double") / col("total").cast("double"), 6)
+            .as("freq"))
+        .orderBy(col("cnt").desc, col("word"))
+    }),
+
+    "q96_nullsafe_join" -> ((s, d) => {
+      // null-safe equality join (<=> / IS NOT DISTINCT FROM): nulls match
+      // nulls — the join key a plain equi-join silently drops
+      val n = nation(s, d)
+        .select(col("n_nationkey"), col("n_name"),
+          expr("nullif(n_regionkey, 2)").as("rk"))
+      val r = region(s, d)
+        .select(col("r_name"), expr("nullif(r_regionkey, 2)").as("rk"))
+      n.join(r, n("rk") <=> r("rk"), "left")
+        .select(col("n_nationkey"), col("n_name"), col("r_name"))
+        .orderBy("n_nationkey")
+    }),
+
+    "q97_histogram" -> ((s, d) =>
+      // equi-width histogram via width_bucket over exact cents (integer
+      // arithmetic => bucket boundaries cannot float-flip cross-engine)
+      orders(s, d)
+        .select(width_bucket(cents(col("o_totalprice")),
+          lit(0L), lit(50000000L), lit(20)).as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket")),
+
+    "q98_zorder" -> ((s, d) => {
+      // z-value computation itself (the layout operator's key): morton
+      // interleave of customer x order-day — oracle recomputes the same
+      // bit arithmetic; the LAYOUT effect (narrow per-file ranges on both
+      // dims after range partitioning) is asserted in ScaleSpec
+      orders(s, d)
+        .select(col("o_orderkey"),
+          pmod(col("o_custkey"), lit(1024L)).as("x"),
+          pmod(datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date")),
+            lit(1024)).cast("long").as("y"))
+        .select(col("o_orderkey"), col("x"), col("y"),
+          graft.engine.Scale.zValue2(col("x"), col("y"), 10).as("zval"))
+        .orderBy("o_orderkey")
     })
   )
 
@@ -2287,6 +2342,44 @@ object SparkEntry {
         | CAST(len(regexp_extract_all(text, '[a-z]*ar[a-z]*')) AS BIGINT) AS n_matches,
         | md5(COALESCE(array_to_string(regexp_extract_all(text, '[a-z]*ar[a-z]*'), ','), '')) AS match_hash
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q95_heavy_hitters" ->
+      s"""WITH tok AS (SELECT unnest($TOKS) AS word FROM documents),
+         |c AS (SELECT word, COUNT(*) AS cnt FROM tok GROUP BY 1),
+         |t AS (SELECT COUNT(*) AS total FROM tok)
+         |SELECT word, cnt, round(CAST(cnt AS DOUBLE)/total, 6) AS freq
+         |FROM c, t WHERE cnt*200 > total
+         |ORDER BY cnt DESC, word""".stripMargin,
+
+    "q96_nullsafe_join" ->
+      """SELECT n.n_nationkey, n.n_name, r.r_name
+        |FROM (SELECT n_nationkey, n_name, nullif(n_regionkey, 2) AS rk FROM nation) n
+        |LEFT JOIN (SELECT r_name, nullif(r_regionkey, 2) AS rk FROM region) r
+        |ON n.rk IS NOT DISTINCT FROM r.rk
+        |ORDER BY n.n_nationkey""".stripMargin,
+
+    // the width_bucket DEFINITION spelled out (like percentile_disc):
+    // both engines must satisfy the semantics, not share an implementation
+    "q97_histogram" ->
+      """WITH b AS (SELECT CAST(CASE WHEN c < 0 THEN 0
+        |    WHEN c >= 50000000 THEN 21
+        |    ELSE c // 2500000 + 1 END AS BIGINT) AS bucket
+        | FROM (SELECT CAST(round(o_totalprice*100, 0) AS BIGINT) AS c FROM orders))
+        |SELECT bucket, COUNT(*) AS n FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q98_zorder" -> {
+      // bit-interleave generated from the same (bit, position) pairs as
+      // Scale.zValue2(_, _, 10)
+      val z = (0 until 10).flatMap(b => Seq(
+        s"(((x >> $b) & 1) << ${2 * b})", s"(((y >> $b) & 1) << ${2 * b + 1})"))
+        .mkString(" | ")
+      s"""WITH t AS (SELECT o_orderkey,
+         |  CAST(o_custkey % 1024 AS BIGINT) AS x,
+         |  CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) % 1024 AS BIGINT) AS y
+         | FROM orders)
+         |SELECT o_orderkey, x, y, CAST($z AS BIGINT) AS zval
+         |FROM t ORDER BY o_orderkey""".stripMargin
+    },
 
     "q94_date_spine" ->
       """WITH spine AS (SELECT unnest(generate_series(

@@ -79,6 +79,39 @@ object Scale {
   def writePartitioned(df: DataFrame, path: String, partCol: String): Unit =
     df.write.mode("overwrite").partitionBy(partCol).parquet(path)
 
+  /** Z-value (Morton code) of two non-negative integer columns: the low
+    * `bits` bits of x and y, bit-interleaved (x at even positions, y at
+    * odd). Pure codegen'd bit arithmetic — 2*bits shift/and/or terms,
+    * no UDF.
+    */
+  def zValue2(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    val xl = x.cast("long"); val yl = y.cast("long")
+    (0 until bits).map { b =>
+      shiftleft(shiftright(xl, b).bitwiseAND(lit(1L)), 2 * b)
+        .bitwiseOR(shiftleft(shiftright(yl, b).bitwiseAND(lit(1L)), 2 * b + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Multi-dimensional data clustering for scan locality: range-partition
+    * + sort on the interleaved [[zValue2]] of two filter dimensions, so
+    * every output partition (and the parquet files written from it)
+    * covers a NARROW range of BOTH dimensions — min/max stats then prune
+    * files for predicates on either column, where a single-column sort
+    * gives locality on one dimension only. This is the layout-level
+    * analog of the reference's byte-range split planning
+    * (mapreduce.c:56-93): decide at write time what a task will have to
+    * read. Caller writes the result with `.write.parquet(...)`.
+    */
+  def zOrderLayout(df: DataFrame, xCol: String, yCol: String,
+                   bits: Int, numPartitions: Int): DataFrame = {
+    val z = zValue2(col(xCol), col(yCol), bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(numPartitions, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+  }
+
   /** Count the shuffle exchanges in a plan (test/audit helper).
     * ShuffleExchangeExec renders as the bare word "Exchange"; the \b
     * boundaries exclude "BroadcastExchange".

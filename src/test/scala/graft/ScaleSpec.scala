@@ -139,6 +139,36 @@ class ScaleSpec extends AnyFunSuite {
     assert(viaOrc.except(base).isEmpty && base.except(viaOrc).isEmpty)
   }
 
+  test("zValue2 interleaves bits (hand-computed morton code)") {
+    // x=0b101, y=0b011 -> z bits (y2 x2 y1 x1 y0 x0) = 0b011011 = 27
+    val z = Seq((5L, 3L)).toDF("x", "y")
+      .select(Scale.zValue2(col("x"), col("y"), 3)).as[Long].head()
+    assert(z == 27L)
+  }
+
+  test("zOrderLayout gives locality on BOTH dimensions; x-sort on one") {
+    // 64x64 grid, 16 partitions of ~256 points each
+    val grid = spark.range(4096).select(
+      (col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"))
+    def ranges(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.withColumn("pid", spark_partition_id())
+        .groupBy("pid")
+        .agg((max("x") - min("x")).as("rx"), (max("y") - min("y")).as("ry"))
+        .select("rx", "ry").as[(Long, Long)].collect().toSeq
+    val zr = ranges(Scale.zOrderLayout(grid, "x", "y", 6, 16))
+    val xr = ranges(grid.repartitionByRange(16, col("x")).sortWithinPartitions("x"))
+    // x-sorted: x ranges are tiny but EVERY partition spans all of y
+    assert(xr.forall(_._2 == 63L))
+    // z-ordered: no partition spans either full dimension, and the mean
+    // combined span is far below the x-sort baseline (a z-range of ~256
+    // codes covers one or two 16x16 quadrants)
+    assert(zr.forall { case (rx, ry) => rx < 56 && ry < 56 })
+    val meanSpan = zr.map { case (rx, ry) => rx + ry }.sum.toDouble / zr.size
+    val xSortSpan = xr.map { case (rx, ry) => rx + ry }.sum.toDouble / xr.size
+    assert(meanSpan < xSortSpan * 0.75,
+      s"z-order mean span $meanSpan not better than x-sort $xSortSpan")
+  }
+
   test("partitioned layout prunes partitions in the scan") {
     val ev = engine.Tables.events(spark, SparkTestSession.sfDir)
       .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
