@@ -1207,6 +1207,43 @@ object SparkEntry {
         .select(col("o_orderkey"), col("x"), col("y"),
           graft.engine.Scale.zValue2(col("x"), col("y"), 10).as("zval"))
         .orderBy("o_orderkey")
+    }),
+
+    "q99_join_asof_forward" -> ((s, d) => {
+      // forward as-of with tolerance: for each purchase, the EARLIEST
+      // error of the same user within the next 24 hours (merge form —
+      // no pair fan-out; tolerance compared in exact integer µs)
+      val ev = events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_event_id"),
+          col("user_id").as("err_user_id"), col("ts").as("err_ts"))
+      Relational.asOfJoinMergeDirected(purchases, errors,
+          "user_id", "err_user_id", "ts", "err_ts", "err_event_id",
+          forward = true, toleranceSeconds = 86400L)
+        .select(col("event_id"), col("err_event_id"))
+        .orderBy("event_id")
+    }),
+
+    "q100_interval_overlap" -> ((s, d) => {
+      // overlapping-interval pairs via bucket replication + equi-join
+      // (never a cross product; pairs emitted once, no dedup shuffle):
+      // high-value orders as [order day, +7d] intervals
+      val base = orders(s, d).filter(col("o_totalprice") > 450000)
+        .select(col("o_orderkey"),
+          datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date"))
+            .cast("long").as("s"))
+      val a = base.select(col("o_orderkey").as("id_a"), col("s").as("s_a"),
+        (col("s") + 7).as("e_a"))
+      val b = base.select(col("o_orderkey").as("id_b"), col("s").as("s_b"),
+        (col("s") + 7).as("e_b"))
+      Relational.intervalOverlapJoin(a, b, "s_a", "e_a", "s_b", "e_b", 8L)
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          (least(col("e_a"), col("e_b")) - greatest(col("s_a"), col("s_b")) + 1)
+            .cast("long").as("overlap_days"))
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -2380,6 +2417,34 @@ object SparkEntry {
          |SELECT o_orderkey, x, y, CAST($z AS BIGINT) AS zval
          |FROM t ORDER BY o_orderkey""".stripMargin
     },
+
+    // events ts floored to µs (date_trunc) on the DuckDB side so the
+    // ns extra precision cannot flip >= / tolerance / tie-break
+    // comparisons vs Spark's µs reader
+    "q99_join_asof_forward" ->
+      """WITH p AS (SELECT event_id, user_id,
+        |  CAST(date_trunc('microseconds', ts) AS TIMESTAMP) AS ts
+        | FROM events WHERE event_type = 'purchase'),
+        |e AS (SELECT event_id AS err_event_id, user_id,
+        |  CAST(date_trunc('microseconds', ts) AS TIMESTAMP) AS ts
+        | FROM events WHERE event_type = 'error'),
+        |j AS (SELECT p.event_id, e.err_event_id,
+        |  row_number() OVER (PARTITION BY p.event_id
+        |    ORDER BY e.ts ASC, e.err_event_id ASC) AS rn
+        | FROM p JOIN e ON e.user_id = p.user_id
+        |  AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 86400 SECOND)
+        |SELECT event_id, err_event_id FROM j WHERE rn = 1
+        |ORDER BY event_id""".stripMargin,
+
+    "q100_interval_overlap" ->
+      """WITH iv AS (SELECT o_orderkey AS id,
+        |  CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS s
+        | FROM orders WHERE o_totalprice > 450000)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        | CAST(least(a.s+7, b.s+7) - greatest(a.s, b.s) + 1 AS BIGINT) AS overlap_days
+        |FROM iv a JOIN iv b
+        | ON a.id < b.id AND a.s <= b.s + 7 AND b.s <= a.s + 7
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q94_date_spine" ->
       """WITH spine AS (SELECT unnest(generate_series(

@@ -84,6 +84,85 @@ object Relational {
       .select(lCols.map(c => col(s"__l.$c")) ++ rCols.map(c => col(s"__m.$c")): _*)
   }
 
+  /** [[asOfJoinMerge]] generalized with direction and tolerance — still
+    * the no-pair-fan-out single-exchange merge shape. forward=false:
+    * latest right at-or-before each left (max tieBreak at equal times,
+    * exactly [[asOfJoinMerge]]). forward=true: EARLIEST right
+    * at-or-after each left (min tieBreak at equal times) — the scan
+    * order is simply reversed. toleranceSeconds >= 0 additionally
+    * requires |rightTime - leftTime| <= tolerance (matches outside it
+    * are dropped — inner semantics); the comparison is exact integer
+    * MICROseconds (unix_micros), because epoch-seconds doubles can
+    * round across the boundary differently per engine.
+    */
+  def asOfJoinMergeDirected(left: DataFrame, right: DataFrame,
+                            leftKey: String, rightKey: String,
+                            leftTime: String, rightTime: String,
+                            rightTieBreak: String,
+                            forward: Boolean,
+                            toleranceSeconds: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    val lCols = left.columns.toSeq
+    val rCols = right.columns.toSeq
+    val lPart = left.select(col(leftKey).as("__k"), col(leftTime).as("__t"),
+      lit(1).as("__side"),
+      lit(null).cast(right.schema(rightTieBreak).dataType).as("__tb"),
+      struct(lCols.map(col): _*).as("__l"),
+      lit(null).cast(StructType(right.schema.fields)).as("__r"))
+    val rPart = right.select(col(rightKey).as("__k"), col(rightTime).as("__t"),
+      lit(0).as("__side"),
+      col(rightTieBreak).as("__tb"),
+      lit(null).cast(StructType(left.schema.fields)).as("__l"),
+      struct(rCols.map(col): _*).as("__r"))
+    val w = (if (forward)
+      Window.partitionBy("__k")
+        .orderBy(col("__t").desc, col("__side").asc, col("__tb").desc)
+    else
+      Window.partitionBy("__k")
+        .orderBy(col("__t").asc, col("__side").asc, col("__tb").asc))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = lPart.unionAll(rPart)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1 && col("__m").isNotNull)
+    val withinTol =
+      if (toleranceSeconds < 0) matched
+      else matched.filter(
+        abs(unix_micros(col(s"__m.$rightTime")) - unix_micros(col("__t")))
+          <= toleranceSeconds * 1000000L)
+    withinTol
+      .select(lCols.map(c => col(s"__l.$c")) ++ rCols.map(c => col(s"__m.$c")): _*)
+  }
+
+  /** Interval overlap join without a cross product: each interval is
+    * replicated into the fixed-width time buckets it covers, the join is
+    * an EQUI-join on the bucket, the exact overlap predicate filters
+    * within buckets, and each qualifying pair is emitted EXACTLY ONCE —
+    * by the bucket containing the later of the two starts — so no
+    * distinct/dedup shuffle is needed. Shuffle volume = sum of
+    * (interval length / bucketWidth + 1) over both inputs; bucketWidth
+    * trades that replication against per-bucket pair fan-out (pick it
+    * near the typical interval length). Times are integers (epoch
+    * seconds, days, ...); inputs must carry distinct column names.
+    */
+  def intervalOverlapJoin(a: DataFrame, b: DataFrame,
+                          aStart: String, aEnd: String,
+                          bStart: String, bEnd: String,
+                          bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    def bucketize(df: DataFrame, s: String, e: String) =
+      df.withColumn("__bucket", explode(sequence(
+        floor(col(s) / bucketWidth).cast("long"),
+        floor(col(e) / bucketWidth).cast("long"))))
+    val ab = bucketize(a, aStart, aEnd)
+    val bb = bucketize(b, bStart, bEnd)
+    ab.join(bb,
+        ab("__bucket") === bb("__bucket") &&
+        col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd) &&
+        floor(greatest(col(aStart), col(bStart)) / bucketWidth).cast("long")
+          === ab("__bucket"))
+      .drop("__bucket")
+  }
+
   /** Batch sessionization: events per user are split into sessions
     * whenever the gap to the previous event exceeds `gapSeconds`; returns
     * one row per session with start/end/count. The lag + running-sum of

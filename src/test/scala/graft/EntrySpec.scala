@@ -202,6 +202,43 @@ class EntrySpec extends AnyFunSuite {
     val viaMerge = pairs(Relational.asOfJoinMerge(purchases, errors,
       "user_id", "err_user_id", "ts", "err_ts", "err_event_id"))
     assert(viaMerge == viaJoin && viaMerge.nonEmpty)
+    // directed form, backward, no tolerance == the original merge form
+    val viaDirected = pairs(Relational.asOfJoinMergeDirected(purchases, errors,
+      "user_id", "err_user_id", "ts", "err_ts", "err_event_id",
+      forward = false))
+    assert(viaDirected == viaMerge)
+    // forward matches are at-or-after, and a 0-second tolerance only
+    // keeps exact-timestamp coincidences (a subset of the untolerated)
+    val fwd = Relational.asOfJoinMergeDirected(purchases, errors,
+      "user_id", "err_user_id", "ts", "err_ts", "err_event_id",
+      forward = true)
+    assert(fwd.filter(col("err_ts") < col("ts")).isEmpty)
+    val fwdTol = pairs(Relational.asOfJoinMergeDirected(purchases, errors,
+      "user_id", "err_user_id", "ts", "err_ts", "err_event_id",
+      forward = true, toleranceSeconds = 3600L))
+    assert(fwdTol.subsetOf(pairs(fwd)))
+  }
+
+  test("interval overlap join equals the naive predicate join on a fixture") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Relational
+    import spark.implicits._
+    // deterministic intervals with varied lengths crossing bucket edges
+    val iv = (0 until 300).map { i =>
+      val s = (i * 37) % 1000L; (i.toLong, s, s + (i % 23))
+    }
+    val a = iv.toDF("id_a", "s_a", "e_a")
+    val b = iv.toDF("id_b", "s_b", "e_b")
+    for (bw <- Seq(1L, 8L, 64L)) {
+      val got = Relational.intervalOverlapJoin(a, b, "s_a", "e_a", "s_b", "e_b", bw)
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val naive = (for {
+        (i, si, ei) <- iv; (j, sj, ej) <- iv
+        if i < j && si <= ej && sj <= ei
+      } yield (i, j)).toSet
+      assert(got == naive, s"bucketWidth=$bw mismatch")
+    }
   }
 
   test("approx percentile is within 2% of the exact percentile") {
