@@ -263,14 +263,17 @@ object SparkEntry {
 
     "q60_window_range_frame" -> ((s, d) => {
       // RANGE frame over an integer day key: 30-day trailing revenue per
-      // priority — range (value-based) frames, not row-based like q08
-      val w = Window.partitionBy("o_orderpriority")
-        .orderBy(col("day")).rangeBetween(-30, Window.currentRow)
-      orders(s, d)
+      // priority — range (value-based) frames, not row-based like q08.
+      // The frame result depends only on (priority, day), so the window
+      // runs over the bounded per-day series, never the orders table:
+      // partitionBy on a 5-value key would otherwise pin ALL orders into
+      // 5 tasks at any cluster size (Relational.trailingRangeSum).
+      val base = orders(s, d)
         .select(col("o_orderkey"), col("o_orderpriority"),
           datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).as("day"),
           cents(col("o_totalprice")).as("total_c"))
-        .withColumn("trail30_c", sum(col("total_c")).over(w))
+      Relational.trailingRangeSum(base, "o_orderpriority", "day",
+          "total_c", 30L, "trail30_c")
         .select(col("o_orderkey"), col("o_orderpriority"),
           col("day").cast("long").as("day"), col("trail30_c"))
         .orderBy("o_orderkey")
@@ -1156,13 +1159,14 @@ object SparkEntry {
 
     "q95_heavy_hitters" -> ((s, d) => {
       // exact corpus-level heavy hitters (tokens above 1/200 of all
-      // occurrences): one shuffle on the token (partial agg map-side),
-      // the corpus total is a broadcast 1-row frame — at 100 TB this
-      // stays two aggregations; sketches (Misra-Gries) only matter when
-      // the DISTINCT token count itself cannot be aggregated
+      // occurrences): ONE scan of documents, one shuffle on the token
+      // (partial agg map-side); the corpus total re-aggregates the
+      // already-reduced counts frame — not the corpus — into a
+      // broadcast 1-row frame. Sketches (Misra-Gries) only matter when
+      // the DISTINCT token count itself cannot be aggregated.
       val tok = documents(s, d).select(explode(tokens(col("text"))).as("word"))
       val counts = tok.groupBy("word").agg(count(lit(1)).as("cnt"))
-      val total = tok.agg(count(lit(1)).as("total"))
+      val total = counts.agg(sum(col("cnt")).as("total"))
       counts.join(broadcast(total))
         .filter(col("cnt") * 200 > col("total"))
         .select(col("word"), col("cnt"),

@@ -109,13 +109,16 @@ object Curation {
     * `minDocFreq` distinct docs) — the C4-style "repeated span" signal
     * that catches navigation chrome / license headers which per-pair
     * dedup never surfaces. Three bounded shuffles, single pass over the
-    * gram UDF, NO join and NO second traversal of the corpus:
-    * (gram, doc) occurrence counts; per-gram doc frequency as a
-    * partition-local window count over the gram key; per-doc roll-up.
-    * Skew note: a window partition holds one row per DOC containing the
-    * gram (not one per occurrence), and the final ratio needs only
-    * counts, so even a gram present in every doc stays a count-only
-    * window partition — no list materialization anywhere.
+    * gram UDF, one traversal of the corpus: (gram, doc) occurrence
+    * counts; per-gram doc frequency as a groupBy aggregation equi-joined
+    * back on the gram key; per-doc roll-up.
+    * Skew note: doc frequency is a groupBy (map-side partial counts — a
+    * universal gram like "of the" reduces to one long per map task), and
+    * the join back on `g` is a plain equi-join AQE's skew-join can
+    * split. The earlier window formulation
+    * (`count().over(Window.partitionBy("g")))` buffered one row per
+    * containing DOC in a single un-splittable window partition — a
+    * one-task hot spot at corpus scale.
     */
   def boilerplateRatio(docs: DataFrame, idCol: String, textCol: String,
                        k: Int, minDocFreq: Int): DataFrame = {
@@ -132,8 +135,8 @@ object Curation {
     val occ = docs
       .select(col(idCol).as("id"), explode(gramUdf(tokens(col(textCol)))).as("g"))
       .groupBy("g", "id").agg(count(lit(1)).as("occ"))
-    occ
-      .withColumn("doc_freq", count(lit(1)).over(Window.partitionBy("g")))
+    val docFreq = occ.groupBy("g").agg(count(lit(1)).as("doc_freq"))
+    occ.join(docFreq, Seq("g"))
       .groupBy("id")
       .agg(sum(col("occ")).as("n_grams"),
         sum(when(col("doc_freq") >= minDocFreq, col("occ")).otherwise(lit(0L)))

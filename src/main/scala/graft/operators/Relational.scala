@@ -163,6 +163,34 @@ object Relational {
       .drop("__bucket")
   }
 
+  /** Trailing value-RANGE window sum, scale-safe for low-cardinality
+    * partition keys. A naive `sum(v).over(partitionBy(p).orderBy(k)
+    * .rangeBetween(-n, 0))` puts the ENTIRE table into |p| window
+    * partitions — 5 priorities means 5 tasks no matter how many
+    * executors exist, and AQE cannot split a window partition. But a
+    * trailing RANGE sum depends only on (p, k): every row with the same
+    * partition key and order key sees the identical frame. So:
+    * pre-aggregate to the bounded (p, k) series, run the frame over
+    * that tiny series, and broadcast-join each row its trailing sum
+    * back. The window input shrinks from |rows| to |p|x|k-domain|
+    * (orders of magnitude at corpus scale) and the join is a broadcast
+    * — no extra shuffle of the fact table. Requires the (p, k) domain
+    * to be broadcastable (true for any date/bucket-keyed series).
+    * Returns `df` plus `outName`.
+    */
+  def trailingRangeSum(df: DataFrame, partCol: String, orderCol: String,
+                       valueCol: String, preceding: Long,
+                       outName: String): DataFrame = {
+    val series = df.groupBy(partCol, orderCol)
+      .agg(sum(col(valueCol)).as("__series_v"))
+    val w = Window.partitionBy(partCol).orderBy(col(orderCol))
+      .rangeBetween(-preceding, Window.currentRow)
+    val trail = series
+      .withColumn(outName, sum(col("__series_v")).over(w))
+      .drop("__series_v")
+    df.join(broadcast(trail), Seq(partCol, orderCol))
+  }
+
   /** Batch sessionization: events per user are split into sessions
     * whenever the gap to the previous event exceeds `gapSeconds`; returns
     * one row per session with start/end/count. The lag + running-sum of

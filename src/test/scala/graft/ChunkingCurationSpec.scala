@@ -121,4 +121,25 @@ class ChunkingCurationSpec extends AnyFunSuite {
         s"doc $id: got (${r.getLong(1)},${r.getLong(2)}) want ($ng,$nb)")
     }
   }
+
+  test("boilerplateRatio: universal gram stays skew-safe (no window op)") {
+    // one 3-gram present in EVERY doc — the corpus-scale hot key. The
+    // doc-freq must come from a groupBy + equi-join (AQE-splittable),
+    // never a count().over(partitionBy(gram)) window, which buffers one
+    // row per containing doc in a single un-splittable task.
+    val docs = (1 to 200)
+      .map(i => (i.toLong, s"shared boiler gram unique$i word$i tail$i"))
+      .toDF("doc_id", "text")
+    val out = Curation.boilerplateRatio(docs, "doc_id", "text", k = 3, minDocFreq = 100)
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"),
+      "doc-freq must not be a window over the gram key")
+    val rows = out.orderBy("id").collect()
+    assert(rows.length == 200)
+    // each doc: 4 positional 3-grams, exactly one ("shared boiler gram")
+    // shared by all 200 docs >= minDocFreq
+    rows.foreach { r =>
+      assert(r.getLong(1) == 4L && r.getLong(2) == 1L &&
+        r.getDouble(3) == 0.25, s"doc ${r.getLong(0)}: $r")
+    }
+  }
 }

@@ -169,6 +169,47 @@ class ScaleSpec extends AnyFunSuite {
       s"z-order mean span $meanSpan not better than x-sort $xSortSpan")
   }
 
+  test("trailingRangeSum equals the naive per-row RANGE window") {
+    import org.apache.spark.sql.expressions.Window
+    val base = spark.read.parquet(s"${SparkTestSession.sfDir}/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).as("day"),
+        round(col("o_totalprice") * 100).cast("long").as("total_c"))
+    val naiveW = Window.partitionBy("o_orderpriority").orderBy(col("day"))
+      .rangeBetween(-30, Window.currentRow)
+    val naive = base.withColumn("trail30_c", sum(col("total_c")).over(naiveW))
+      .select("o_orderkey", "trail30_c").as[(Long, Long)].collect().toMap
+    val got = operators.Relational
+      .trailingRangeSum(base, "o_orderpriority", "day", "total_c", 30L, "trail30_c")
+      .select("o_orderkey", "trail30_c").as[(Long, Long)].collect()
+    assert(got.length == naive.size)
+    got.foreach { case (k, v) => assert(naive(k) == v, s"order $k") }
+  }
+
+  test("trailingRangeSum windows the bounded series, not the fact table") {
+    val base = spark.read.parquet(s"${SparkTestSession.sfDir}/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).as("day"),
+        round(col("o_totalprice") * 100).cast("long").as("total_c"))
+    // the window input is the (priority, day) series — bounded by the
+    // day domain (~2,400/priority at full TPC-H), NOT |orders|
+    val seriesRows = base.groupBy("o_orderpriority", "day").count().count()
+    assert(seriesRows <= 15000 && seriesRows < base.count(),
+      s"day series $seriesRows should be far below |orders| ${base.count()}")
+    // plan shape: Window sits INSIDE the broadcast build side (below the
+    // BroadcastHashJoin line), with its HashAggregate child beneath it —
+    // the naive plan would put Window at the top with no join at all
+    val plan = operators.Relational
+      .trailingRangeSum(base, "o_orderpriority", "day", "total_c", 30L, "t")
+      .queryExecution.executedPlan.toString
+    val lines = plan.linesIterator.toIndexedSeq
+    val bhj = lines.indexWhere(_.contains("BroadcastHashJoin"))
+    val win = lines.indexWhere(_.contains("Window"))
+    val agg = lines.indexWhere(_.contains("HashAggregate"), win max 0)
+    assert(bhj >= 0 && win > bhj && agg > win,
+      s"want BroadcastHashJoin > Window > HashAggregate order in:\n$plan")
+  }
+
   test("partitioned layout prunes partitions in the scan") {
     val ev = engine.Tables.events(spark, SparkTestSession.sfDir)
       .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
