@@ -1,5 +1,7 @@
 package graft
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -11,11 +13,37 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Task-identity surface (reference MAPREDUCE_RESULT.map_worker_pid
+    // parity, mapreduce.h:26-28): a listener counts completed tasks so
+    // each query reports how many distributed tasks a steady-state run
+    // schedules. Listener events are posted async; drainedTaskCount()
+    // polls until the counter is quiescent before reading it.
+    val taskCounter = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+        taskCounter.incrementAndGet()
+    })
+    def drainedTaskCount(): Long = {
+      var prev = -1L
+      var cur = taskCounter.get()
+      var waitedMs = 0
+      while (cur != prev && waitedMs < 2000) {
+        Thread.sleep(20); waitedMs += 20
+        prev = cur; cur = taskCounter.get()
+      }
+      cur
+    }
     // Warm up outside the timed loop: session/codegen/scan init otherwise
     // lands entirely on whichever query happens to run first.
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.range(1000).write.format("noop").mode("overwrite").save()
     graft.engine.Tables.all(spark, sfDir).foreach { case (_, df) => df.count() }
+
+    case class QRes(name: String, runs: Seq[Double], tasks: Long,
+                    err: Option[String]) {
+      def min: Double = runs.min
+      def spread: Double = runs.max - runs.min
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       // noop sink materializes every output column; count() would let
       // Catalyst prune projection-only queries down to a row count.
@@ -23,11 +51,16 @@ object Bench {
       // ~2-5s on plans with distinct-agg/join codegen) and a second run
       // can still catch JIT/GC tails — r03 recorded q31 at 3.6s when its
       // steady state is 1.2s because BOTH of 2 runs were cold/noisy.
-      // A failure is RECORDED, never swallowed: a query that throws
-      // instantly would otherwise report a fast fake time and a
-      // regression could masquerade as a speedup.
+      // The max-min spread is RECORDED per query so a loaded-machine run
+      // is detectable in the artifact (r04's recorded file manufactured
+      // three phantom 4-6x regressions that a spread column would have
+      // flagged on sight). A failure is RECORDED, never swallowed: a
+      // query that throws instantly would otherwise report a fast fake
+      // time and a regression could masquerade as a speedup.
       var err: Option[String] = None
-      val times = (1 to 3).map { _ =>
+      var tasksBefore = 0L
+      val times = (1 to 3).map { i =>
+        if (i == 3) tasksBefore = drainedTaskCount() // steady-state run
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
         catch { case e: Throwable =>
@@ -35,14 +68,12 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      (name, times.min, err)
-    }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) =>
-      s"\"" + k + "\":" + Verify.jsonString(e)
+      QRes(name, times, drainedTaskCount() - tasksBefore, err)
+    }.toSeq
+    val errs = results.collect { case r if r.err.isDefined =>
+      s"\"" + r.name + "\":" + Verify.jsonString(r.err.get)
     }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_.min).sum
     // Reference-parity throughput, recorded so the speed claim is
     // regression-guarded (VERDICT r02 #6): letter counter + word finder
     // MB/s on a warpeace-derived ~133 MB corpus (large enough to
@@ -68,9 +99,55 @@ object Bench {
     } catch { case e: Throwable =>
       s"""{"err":${Verify.jsonString(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}")}}"""
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"throughput_mb_s":$thr,"sf":"$sfDir"}""")
+
+    // FULL artifact: every query with all 3 run times, min, spread, and
+    // steady-state task count, under its full name. The recorded-round
+    // pipeline keeps only a ~2000-char tail of stdout (r04 lost 44/100
+    // per-query times to that), so the complete detail is persisted to a
+    // repo file the round snapshot commits.
+    val fullEntries = results.map { r =>
+      val runs = r.runs.map(t => f"$t%.4f").mkString("[", ",", "]")
+      s"""  ${Verify.jsonString(r.name)}: {"sec":${f"${r.min}%.4f"},"spread_sec":${f"${r.spread}%.4f"},"runs":$runs,"tasks":${r.tasks}}"""
+    }.mkString(",\n")
+    val fullJson =
+      s"""{
+         |"metric":"total","value":$total,"unit":"sec","sf":${Verify.jsonString(sfDir)},
+         |"tasks_total":${results.map(_.tasks).sum},
+         |"errors":$errs,
+         |"throughput_mb_s":$thr,
+         |"queries":{
+         |$fullEntries
+         |}
+         |}""".stripMargin
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_FULL_OUT", "BENCH_full.json")),
+      fullJson)
+
+    // Compact stdout line, sized to survive the 2000-char tail capture
+    // INCLUDING sbt's trailing "[success]" line, so the recorded round
+    // artifact json-parses to all 100 queries (r04's did not). Query
+    // keys are shortened to their qNN prefix; values are
+    // [min_centisec, spread_centisec, tasks] — or [min_cs, spread_cs]
+    // if the 3-field form would overflow the tail budget.
+    def cs(sec: Double): Long = math.round(sec * 100)
+    def compactLine(withTasks: Boolean): String = {
+      val qs = results.map { r =>
+        val key = r.name.replaceAll("^(q\\d+).*", "$1")
+        val v = if (withTasks) s"[${cs(r.min)},${cs(r.spread)},${r.tasks}]"
+                else s"[${cs(r.min)},${cs(r.spread)}]"
+        s"\"$key\":$v"
+      }.mkString("{", ",", "}")
+      val fmt = if (withTasks) "qNN:[min_cs,spread_cs,tasks]" else "qNN:[min_cs,spread_cs]"
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","fmt":"$fmt","queries":$qs,"errors":$errs,"throughput_mb_s":$thr,"detail":"BENCH_full.json","sf":${Verify.jsonString(sfDir)}}"""
+    }
+    // Tail budget: 2000 chars minus sbt's "[info] " prefix and trailing
+    // "[success] Total time: ..." line ~= 1915. 1880 leaves slack for a
+    // noisy round where spreads grow a digit; if even that overflows,
+    // the tasks column drops to the full artifact only.
+    val line3 = compactLine(withTasks = true)
+    println(if (line3.length <= 1880) line3 else compactLine(withTasks = false))
     spark.stop()
-    if (results.exists(_._3.isDefined)) sys.exit(1)
+    if (results.exists(_.err.isDefined)) sys.exit(1)
   }
 
   /** ~133 MB deterministic text corpus: the reference's own
