@@ -68,7 +68,7 @@ object TextJobs {
     * `upper` is Unicode-aware (SURVEY.md §1.2).
     */
   /** ASCII letter tally of one string into a 26-slot buffer. */
-  private def tallyLetters(b: Array[Long], s: String): Unit = {
+  private[graft] def tallyLetters(b: Array[Long], s: String): Unit = {
     if (s != null) {
       var i = 0
       while (i < s.length) {
