@@ -1248,6 +1248,22 @@ object SparkEntry {
           (least(col("e_a"), col("e_b")) - greatest(col("s_a"), col("s_b")) + 1)
             .cast("long").as("overlap_days"))
         .orderBy("id_a", "id_b")
+    }),
+
+    "q101_histogram_percentile" -> ((s, d) => {
+      // exact interpolated quartiles WITHOUT the per-group multiset
+      // buffer Spark's percentile() holds (scale twin of q51): value
+      // histogram + cumulative counts over the bounded cents domain
+      // (Relational.histogramPercentiles); same (n-1)*p rule, so the
+      // two must agree bit-for-bit
+      Relational.histogramPercentiles(
+          orders(s, d).select(col("o_orderstatus"),
+            cents(col("o_totalprice")).as("c")),
+          "o_orderstatus", "c",
+          Seq("median_c" -> 0.5, "q1_c" -> 0.25, "q3_c" -> 0.75))
+        .select(col("o_orderstatus"), round(col("median_c"), 2).as("median_c"),
+          round(col("q1_c"), 2).as("q1_c"), round(col("q3_c"), 2).as("q3_c"))
+        .orderBy("o_orderstatus")
     })
   )
 
@@ -2463,6 +2479,15 @@ object SparkEntry {
         | COALESCE(daily.n_orders, 0) AS n_orders,
         | COALESCE(daily.rev_c, 0) AS rev_c
         |FROM spine LEFT JOIN daily USING (day)
-        |ORDER BY day""".stripMargin
+        |ORDER BY day""".stripMargin,
+
+    // same oracle as q51: the histogram formulation must reproduce the
+    // buffered exact percentile bit-for-bit
+    "q101_histogram_percentile" ->
+      """SELECT o_orderstatus,
+        | round(quantile_cont(CAST(round(o_totalprice*100,0) AS BIGINT), 0.5), 2) AS median_c,
+        | round(quantile_cont(CAST(round(o_totalprice*100,0) AS BIGINT), 0.25), 2) AS q1_c,
+        | round(quantile_cont(CAST(round(o_totalprice*100,0) AS BIGINT), 0.75), 2) AS q3_c
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -191,6 +191,48 @@ object Relational {
     df.join(broadcast(trail), Seq(partCol, orderCol))
   }
 
+  /** Exact interpolated percentiles (ANSI percentile_cont index rule:
+    * h = (n-1)*p, linear interpolation between the values at floor(h)
+    * and ceil(h)) over an INTEGER-valued column, computed from a value
+    * histogram instead of a buffered multiset. Spark's built-in
+    * `percentile` collects every group's values into one in-memory
+    * map per group; for a billion-row group that buffer is the scale
+    * bottleneck. Here the only per-group state is the DISTINCT-value
+    * histogram: groupBy (value, group) with map-side partial counts,
+    * a cumulative-count window over the compact histogram (bounded by
+    * the value domain — cents, quantities — never by |rows|, the same
+    * bounded-series doctrine as [[trailingRangeSum]]), then one
+    * conditional-min aggregation per requested percentile: the value
+    * at 0-based index i is the least value whose cumulative count
+    * exceeds i. `ps` maps output column name -> fraction in [0,1];
+    * returns one row per group with a double column per percentile.
+    */
+  def histogramPercentiles(df: DataFrame, grpCol: String, valCol: String,
+                           ps: Seq[(String, Double)]): DataFrame = {
+    require(ps.nonEmpty, "at least one percentile required")
+    val hist = df.groupBy(col(grpCol), col(valCol).as("__v"))
+      .agg(count(lit(1)).as("__cnt"))
+    val byV = Window.partitionBy(grpCol).orderBy("__v")
+    val cum = hist
+      .withColumn("__ccnt", sum("__cnt").over(byV))
+      .withColumn("__n", sum("__cnt").over(Window.partitionBy(grpCol)))
+    val aggCols = ps.flatMap { case (name, p) =>
+      val h = (col("__n") - lit(1)) * lit(p)
+      Seq(
+        min(when(col("__ccnt") > floor(h), col("__v"))).as(s"__lo_$name"),
+        min(when(col("__ccnt") > ceil(h), col("__v"))).as(s"__hi_$name"),
+        // h (hence its fractional part) is group-constant; min picks it
+        min(h - floor(h)).as(s"__fr_$name"))
+    }
+    val agged = cum.groupBy(grpCol).agg(aggCols.head, aggCols.tail: _*)
+    ps.foldLeft(agged) { case (acc, (name, _)) =>
+      acc.withColumn(name,
+          col(s"__lo_$name").cast("double") +
+            col(s"__fr_$name") * (col(s"__hi_$name") - col(s"__lo_$name")))
+        .drop(s"__lo_$name", s"__hi_$name", s"__fr_$name")
+    }
+  }
+
   /** Batch sessionization: events per user are split into sessions
     * whenever the gap to the previous event exceeds `gapSeconds`; returns
     * one row per session with start/end/count. The lag + running-sum of

@@ -210,6 +210,33 @@ class ScaleSpec extends AnyFunSuite {
       s"want BroadcastHashJoin > Window > HashAggregate order in:\n$plan")
   }
 
+  test("histogramPercentiles equals Spark's buffered percentile exactly") {
+    // q101 vs q51 equivalence on real data: the histogram formulation
+    // and the multiset-buffer percentile share the (n-1)*p rule
+    val q51 = SparkEntry.queries("q51_median")(spark, SparkTestSession.sfDir)
+      .collect().map(_.toSeq).toSeq
+    val q101 = SparkEntry.queries("q101_histogram_percentile")(spark, SparkTestSession.sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(q101 == q51)
+    // and its plan carries no percentile aggregate (no multiset buffer)
+    val plan = SparkEntry.queries("q101_histogram_percentile")(spark, SparkTestSession.sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("percentile"), plan)
+  }
+
+  test("histogramPercentiles handles 1-row groups, duplicates, negatives") {
+    import spark.implicits._
+    val df = Seq(("a", 5L), ("b", -3L), ("b", -3L), ("b", 1L), ("b", 2L),
+      ("c", 10L), ("c", 20L)).toDF("g", "v")
+    val got = operators.Relational
+      .histogramPercentiles(df, "g", "v", Seq("p50" -> 0.5, "p25" -> 0.25))
+      .orderBy("g").collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val want = df.groupBy("g").agg(
+        expr("percentile(v, 0.5)").as("p50"), expr("percentile(v, 0.25)").as("p25"))
+      .orderBy("g").collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("partitioned layout prunes partitions in the scan") {
     val ev = engine.Tables.events(spark, SparkTestSession.sfDir)
       .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
