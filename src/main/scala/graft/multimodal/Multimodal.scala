@@ -12,10 +12,16 @@ import org.apache.spark.sql.functions._
   * AUDIO is decoded for real via `javax.sound.sampled` (also JDK
   * built-in): [[AudioCodec]] encodes deterministic 16-bit PCM WAV
   * fixtures and [[audioStats]] decodes them back to sample statistics.
-  * Video decode remains STUBBED (`FakeDecoder`, a deterministic
-  * standin) so the Spark-side plumbing — schema, batching, partitioning,
-  * output shape — is real and tested; swapping in a real codec touches
-  * only `FakeDecoder.decode`.
+  * VIDEO decode is PERMANENTLY STUBBED (`FakeDecoder`, a deterministic
+  * standin): the JDK ships no video codec (unlike imageio/sampled for
+  * image/audio) and this library adds no external dependencies, so no
+  * real video decode exists anywhere in the engine — q38's features and
+  * q47's frame stats over `kind = "video"` rows are byte-level
+  * statistics of the container blob, NOT decoded frames, and their
+  * oracles check exactly that contract. The Spark-side plumbing —
+  * schema, batching, partitioning, output shape — is real and tested;
+  * a deployment with a codec on the classpath would swap only
+  * `FakeDecoder.decode`.
   *
   * Scale notes: media blobs are large, so the operators (a) never widen
   * the row (features replace the blob via select, keeping the shuffle
