@@ -725,16 +725,28 @@ object SparkEntry {
     }),
 
     "q79_window_distribution" -> ((s, d) => {
-      // distribution window functions: percent_rank / cume_dist / ntile
-      // complement q43's ranking family
-      val w = Window.partitionBy("o_orderpriority")
-        .orderBy(col("total_c").desc, col("o_orderkey").asc)
-      orders(s, d)
+      // distribution window functions: percent_rank / cume_dist
+      // complement q43's ranking family. Only the pr <= 0.001 head of
+      // each priority survives, so the positional window runs over a
+      // histogram-thresholded sliver of orders (~0.1%), never the full
+      // table in 5 tasks (Relational.topFractionByValue); pr/cd are the
+      // same (pos-1)/(n-1) and pos/n definitions, computed from the
+      // attached exact position + a broadcast partition count. The
+      // ordering is unique (tie-break o_orderkey), so rank == position
+      // and every cume_dist peer group is a single row. Coverage is
+      // widened past 0.001 so round(pr, 6) boundary rows stay in; the
+      // exact rounded filter below then matches the naive form.
+      val base = orders(s, d)
         .select(col("o_orderpriority"), col("o_orderkey"),
           cents(col("o_totalprice")).as("total_c"))
-        .withColumn("pr", round(percent_rank().over(w), 6))
-        .withColumn("cd", round(cume_dist().over(w), 6))
+      Relational.topFractionByValue(base, "o_orderpriority", "total_c",
+          "o_orderkey", 0.00101)
+        .withColumn("pr", round(when(col("__n") === 1, lit(0.0))
+          .otherwise((col("__rn") - lit(1)).cast("double") / (col("__n") - lit(1))), 6))
+        .withColumn("cd", round(col("__rn").cast("double") / col("__n"), 6))
         .filter(col("pr") <= 0.001)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("total_c"),
+          col("pr"), col("cd"))
         .orderBy("o_orderpriority", "o_orderkey")
     }),
 
@@ -1002,16 +1014,30 @@ object SparkEntry {
     // --- window-function sampler: rank/dense_rank/lead/ntile ---
 
     "q43_window_ranking" -> ((s, d) => {
+      // ranking family over a 5-value partition key: the naive single
+      // window (rank + dense_rank + lead + ntile) disables Spark's
+      // WindowGroupLimit pruning (ntile/lead are not rank-like) and
+      // sorts ALL orders in 5 tasks. Split instead: a rank-ONLY first
+      // window is map-side pruned to 11 rows per partition per task
+      // (plan-asserted in ScaleSpec); dense_rank/lead re-run over that
+      // <= 11-row prefix (positional functions agree on a prefix); and
+      // ntile(4) of the FULL partition is pure arithmetic on
+      // (rank, broadcast count) — Relational.ntileOf.
       import org.apache.spark.sql.expressions.Window
       val base = orders(s, d).select(col("o_orderpriority"), col("o_orderkey"),
         cents(col("o_totalprice")).as("total_c"))
       val w = Window.partitionBy("o_orderpriority")
         .orderBy(col("total_c").desc, col("o_orderkey"))
-      base.select(col("o_orderpriority"), col("o_orderkey"), col("total_c"),
-          rank().over(w).cast("long").as("rnk"),
+      // 11th row exists solely to feed lead() of the rank-10 row
+      val surv = base.withColumn("rnk", rank().over(w).cast("long"))
+        .filter(col("rnk") <= 11)
+      val ns = base.groupBy("o_orderpriority").agg(count(lit(1)).as("__n"))
+      surv.join(broadcast(ns), Seq("o_orderpriority"))
+        .select(col("o_orderpriority"), col("o_orderkey"), col("total_c"),
+          col("rnk"),
           dense_rank().over(w).cast("long").as("drnk"),
           lead("o_orderkey", 1).over(w).as("next_key"),
-          ntile(4).over(w).cast("long").as("quartile"))
+          Relational.ntileOf(col("rnk"), col("__n"), 4).cast("long").as("quartile"))
         .filter(col("rnk") <= 10)
         .orderBy("o_orderpriority", "rnk")
     }),

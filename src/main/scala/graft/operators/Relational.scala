@@ -191,6 +191,58 @@ object Relational {
     df.join(broadcast(trail), Seq(partCol, orderCol))
   }
 
+  /** The head of each partition by (valCol DESC, tieCol ASC) covering
+    * at least the top `coverFrac` fraction of rows, with each row's
+    * exact FULL-partition position (`__rn`) and partition size (`__n`)
+    * attached. Positional window functions (percent_rank, cume_dist,
+    * rank) partitioned by a low-cardinality key put the ENTIRE table
+    * into |key| tasks; when only the top sliver of each partition is
+    * kept, the positions of the survivors are still computable exactly:
+    * a value histogram (bounded by the value domain, never |rows|)
+    * yields the per-partition value threshold `v*` covering the needed
+    * positions, the threshold broadcasts into a map-only filter, and
+    * the positional window runs over the surviving sliver only. The
+    * survivors are a PREFIX of the partition ordering, so positions
+    * within them equal full-partition positions. (pos-1) <= coverFrac *
+    * (n-1) rows are guaranteed covered — widen coverFrac if a
+    * post-rounding filter needs boundary rows. (tieCol, valCol) must
+    * order rows uniquely for `__rn` to be the exact position.
+    */
+  def topFractionByValue(df: DataFrame, partCol: String, valCol: String,
+                         tieCol: String, coverFrac: Double): DataFrame = {
+    require(coverFrac > 0 && coverFrac <= 1, s"coverFrac in (0,1], got $coverFrac")
+    val hist = df.groupBy(partCol, valCol).agg(count(lit(1)).as("__cnt"))
+    val byVDesc = Window.partitionBy(partCol).orderBy(col(valCol).desc)
+    val thresholds = hist
+      .withColumn("__ccnt", sum("__cnt").over(byVDesc))
+      .withColumn("__n", sum("__cnt").over(Window.partitionBy(partCol)))
+      .withColumn("__need", floor(lit(coverFrac) * (col("__n") - 1)) + lit(1))
+      .groupBy(partCol)
+      .agg(max(when(col("__ccnt") >= col("__need"), col(valCol))).as("__vstar"),
+        max(col("__n")).as("__n"))
+    val w = Window.partitionBy(partCol).orderBy(col(valCol).desc, col(tieCol).asc)
+    df.join(broadcast(thresholds), Seq(partCol))
+      .filter(col(valCol) >= col("__vstar"))
+      .withColumn("__rn", row_number().over(w))
+      .drop("__vstar")
+  }
+
+  /** ntile(k) as arithmetic on (1-based position, partition size) —
+    * no window over the full partition needed when position and size
+    * are already known (e.g. from [[topFractionByValue]]): with
+    * b = floor(n/k) and r = n mod k, the first r buckets hold b+1 rows
+    * (the SQL-standard distribution Spark and DuckDB both implement),
+    * so bucket(p) = ceil(p/(b+1)) for p <= r*(b+1), else
+    * r + ceil((p - r*(b+1))/b).
+    */
+  def ntileOf(pos: Column, n: Column, k: Int): Column = {
+    val b = floor(n / k)
+    val r = n - b * k
+    val cut = r * (b + 1)
+    when(pos <= cut, ceil(pos / (b + 1)))
+      .otherwise(r + ceil((pos - cut) / b))
+  }
+
   /** Exact interpolated percentiles (ANSI percentile_cont index rule:
     * h = (n-1)*p, linear interpolation between the values at floor(h)
     * and ceil(h)) over an INTEGER-valued column, computed from a value

@@ -237,6 +237,62 @@ class ScaleSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("ntileOf matches ntile(k) for every position at sizes 1..13, k in 2..5") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val df = (1 to 13).flatMap(n => (1 to n).map(p => (n, p))).toDF("g", "p")
+    for (k <- 2 to 5) {
+      val w = Window.partitionBy("g").orderBy("p")
+      val rows = df
+        .withColumn("naive", ntile(k).over(w).cast("long"))
+        .withColumn("arith", operators.Relational
+          .ntileOf(col("p").cast("long"), count(lit(1)).over(Window.partitionBy("g")), k)
+          .cast("long"))
+        .collect()
+      rows.foreach(r => assert(r.getLong(2) == r.getLong(3), s"k=$k row $r"))
+    }
+  }
+
+  test("q43 equals its naive full-window form; rank window is GroupLimit-pruned") {
+    import org.apache.spark.sql.expressions.Window
+    val base = spark.read.parquet(s"${SparkTestSession.sfDir}/orders.parquet")
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("total_c"))
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("total_c").desc, col("o_orderkey"))
+    val naive = base.select(col("o_orderpriority"), col("o_orderkey"), col("total_c"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        lead("o_orderkey", 1).over(w).as("next_key"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .filter(col("rnk") <= 10)
+      .orderBy("o_orderpriority", "rnk").collect().map(_.toSeq).toSeq
+    val q43 = SparkEntry.queries("q43_window_ranking")(spark, SparkTestSession.sfDir)
+    assert(q43.collect().map(_.toSeq).toSeq == naive)
+    val plan = q43.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(!plan.contains("ntile"), "ntile must be arithmetic, not a window fn")
+  }
+
+  test("q79 equals its naive full-window form; no distribution fn over raw orders") {
+    import org.apache.spark.sql.expressions.Window
+    val base = spark.read.parquet(s"${SparkTestSession.sfDir}/orders.parquet")
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("total_c"))
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("total_c").desc, col("o_orderkey").asc)
+    val naive = base
+      .withColumn("pr", round(percent_rank().over(w), 6))
+      .withColumn("cd", round(cume_dist().over(w), 6))
+      .filter(col("pr") <= 0.001)
+      .orderBy("o_orderpriority", "o_orderkey").collect().map(_.toSeq).toSeq
+    val q79 = SparkEntry.queries("q79_window_distribution")(spark, SparkTestSession.sfDir)
+    assert(q79.collect().map(_.toSeq).toSeq == naive)
+    val plan = q79.queryExecution.executedPlan.toString
+    assert(!plan.contains("percent_rank") && !plan.contains("cume_dist"),
+      "pr/cd must be arithmetic on (__rn, __n), not window fns over orders")
+  }
+
   test("partitioned layout prunes partitions in the scan") {
     val ev = engine.Tables.events(spark, SparkTestSession.sfDir)
       .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
