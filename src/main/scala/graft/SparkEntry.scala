@@ -1290,7 +1290,39 @@ object SparkEntry {
         .select(col("o_orderstatus"), round(col("median_c"), 2).as("median_c"),
           round(col("q1_c"), 2).as("q1_c"), round(col("q3_c"), 2).as("q3_c"))
         .orderBy("o_orderstatus")
-    })
+    }),
+
+    "q102_shuffle_shards" -> ((s, d) =>
+      // deterministic global training-order shuffle: md5-derived sort
+      // key, shard = key mod 16, exact in-shard position — the
+      // reproducible pre-write shuffle of a training pipeline
+      // (Curation.shuffleShards scaladoc for the 100 TB shape)
+      Curation.shuffleShards(documents(s, d), "doc_id", 16)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy("shard", "pos")),
+
+    "q103_stratified_sample" -> ((s, d) =>
+      // exact-quota stratified sample: precisely ceil(0.125 * n_s) docs
+      // per source, smallest sample-hash first — histogram-thresholded
+      // with boundary refinement, never a full per-group ranking
+      Curation.stratifiedSample(documents(s, d), "source", "doc_id", 0.125)
+        .select(col("source"), col("doc_id"))
+        .orderBy("source", "doc_id")),
+
+    "q104_dedup_retention" -> ((s, d) =>
+      // retention policy after exact dedup: keep each duplicate group's
+      // highest-quality copy (ties -> smallest doc_id). One groupBy with
+      // a struct-max — map-side partial maxes, so even a viral duplicate
+      // with millions of copies never materializes as a group
+      documents(s, d)
+        .select(fingerprint(col("text")).as("fp"), col("doc_id"),
+          round(qualityScore(col("text")) * 10000).cast("long").as("q"))
+        .groupBy("fp")
+        .agg(count(lit(1)).as("n_copies"),
+          max(struct(col("q").as("q"), (-col("doc_id")).as("nid"))).as("m"))
+        .select(col("fp"), (-col("m.nid")).as("keep_id"),
+          col("m.q").as("kept_q"), col("n_copies"))
+        .orderBy("fp"))
   )
 
   // ---------------------------------------------------------------- //
@@ -2506,6 +2538,51 @@ object SparkEntry {
         | COALESCE(daily.rev_c, 0) AS rev_c
         |FROM spine LEFT JOIN daily USING (day)
         |ORDER BY day""".stripMargin,
+
+    "q102_shuffle_shards" ->
+      s"""WITH m AS (SELECT doc_id,
+         | ${duckHash("concat('shuffle_', CAST(doc_id AS VARCHAR))", 15)} AS h
+         | FROM documents)
+         |SELECT doc_id, h % 16 AS shard,
+         | row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) AS pos
+         |FROM m ORDER BY shard, pos""".stripMargin,
+
+    // the histogram + boundary-refinement plan must select EXACTLY the
+    // rank <= ceil(frac*n) head of each group's (key, id) ordering —
+    // the oracle spells out that definition directly
+    "q103_stratified_sample" ->
+      s"""WITH m AS (SELECT source, doc_id,
+         | ${duckHash("concat('strat_', CAST(doc_id AS VARCHAR))", 15)} % 1000000 AS key
+         | FROM documents),
+         |n AS (SELECT source, COUNT(*) AS n FROM m GROUP BY 1),
+         |r AS (SELECT m.source, m.doc_id,
+         |  row_number() OVER (PARTITION BY m.source ORDER BY key, doc_id) AS rn, n.n
+         | FROM m JOIN n USING (source))
+         |SELECT source, doc_id FROM r
+         |WHERE rn <= CAST(ceil(0.125 * n) AS BIGINT)
+         |ORDER BY source, doc_id""".stripMargin,
+
+    "q104_dedup_retention" -> {
+      val sw = StopWords.map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, text,
+         |  md5(regexp_replace(lower(trim(text)),'\\s+',' ','g')) AS fp,
+         |  $TOKS AS toks FROM documents),
+         |s AS (SELECT doc_id, fp, text, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_filter(toks, x -> x IN ($sw))) AS BIGINT) AS n_stop FROM t),
+         |q AS (SELECT doc_id, fp,
+         |  round(least(CAST(n_tokens AS DOUBLE)/50.0, 1.0)*0.4
+         |   + least((CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE)/n_tokens ELSE 0.0 END)*4.0, 1.0)*0.3
+         |   + (CASE WHEN length(text) > 0
+         |      THEN CAST(length(regexp_replace(text,'[^A-Za-z]','','g')) AS DOUBLE)/length(text)
+         |      ELSE 0.0 END)*0.3, 4) AS quality
+         | FROM s),
+         |r AS (SELECT fp, doc_id, CAST(round(quality*10000, 0) AS BIGINT) AS q,
+         |  row_number() OVER (PARTITION BY fp ORDER BY CAST(round(quality*10000, 0) AS BIGINT) DESC, doc_id ASC) AS rn,
+         |  COUNT(*) OVER (PARTITION BY fp) AS n_copies
+         | FROM q)
+         |SELECT fp, doc_id AS keep_id, q AS kept_q, n_copies
+         |FROM r WHERE rn = 1 ORDER BY fp""".stripMargin
+    },
 
     // same oracle as q51: the histogram formulation must reproduce the
     // buffered exact percentile bit-for-bit

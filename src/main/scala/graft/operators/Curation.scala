@@ -29,6 +29,74 @@ object Curation {
   private def hashKey(prefix: String, idCol: String) =
     pmod(tokenHash64(concat(lit(prefix), col(idCol).cast("string"))), lit(1000000L))
 
+  /** Deterministic training-order shuffle + sharding: every doc gets a
+    * 60-bit md5-derived sort key, a shard (`key mod nShards`), and its
+    * exact position within the shard (ordered by key, then id). The
+    * standard "global shuffle" a training pipeline runs before writing
+    * example files — reproducible (no rand()), and restartable because
+    * position is a pure function of the corpus. Scale: one exchange on
+    * the shard id; the per-shard position window partitions by shard,
+    * whose SIZE is the operator's knob — at corpus scale nShards tracks
+    * the output file count (thousands+), so a window partition is one
+    * output file's worth of rows, never a constant fraction of the
+    * corpus. Writing the shuffled corpus itself needs no positions at
+    * all: `repartitionByRange(nShards, key) + sortWithinPartitions`.
+    */
+  def shuffleShards(docs: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val w = Window.partitionBy("shard").orderBy(col("__h").asc, col(idCol).asc)
+    docs
+      .withColumn("__h",
+        tokenHash64(concat(lit("shuffle_"), col(idCol).cast("string"))))
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)).cast("long"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__h")
+  }
+
+  /** Stratified sample with EXACT per-group quotas: selects precisely
+    * ceil(frac * |group|) docs per group, the ones with the smallest
+    * md5-derived sample keys (ties broken by id) — a deterministic
+    * uniform sample whose size is exact, not Bernoulli-approximate like
+    * [[sourceMix]]. Scale-safe selection without ranking whole groups:
+    * the sample key lives in a bounded 1e6 domain, so a per-(group, key)
+    * histogram + cumulative count (bounded by the key domain, never
+    * |rows|) yields each group's boundary key `k*`; rows below `k*` are
+    * a map-side filter against the broadcast thresholds, and only the
+    * handful of rows AT `k*` (expected |group|/1e6) are ranked by id to
+    * fill the remainder — the same histogram-threshold doctrine as
+    * `Relational.topFractionByValue`, with boundary refinement making
+    * the quota exact.
+    */
+  def stratifiedSample(docs: DataFrame, groupCol: String, idCol: String,
+                       frac: Double): DataFrame = {
+    require(frac > 0 && frac <= 1, s"frac in (0,1], got $frac")
+    val keyed = docs.withColumn("__k", hashKey("strat_", idCol))
+    val hist = keyed.groupBy(groupCol, "__k").agg(count(lit(1)).as("__cnt"))
+    val byK = Window.partitionBy(groupCol).orderBy(col("__k").asc)
+    val cum = hist
+      .withColumn("__ccnt", sum("__cnt").over(byK))
+      .withColumn("__quota",
+        ceil(lit(frac) * sum("__cnt").over(Window.partitionBy(groupCol)))
+          .cast("long"))
+    // boundary row = the smallest key whose cumulative count reaches the
+    // quota; struct-min carries (k*, count strictly below it, quota)
+    val thr = cum.filter(col("__ccnt") >= col("__quota"))
+      .groupBy(groupCol)
+      .agg(min(struct(col("__k").as("k"), (col("__ccnt") - col("__cnt")).as("below"),
+        col("__quota").as("quota"))).as("t"))
+      .select(col(groupCol), col("t.k").as("__kstar"),
+        col("t.below").as("__below"), col("t.quota").as("__quota"))
+    val joined = keyed.join(broadcast(thr), Seq(groupCol))
+    val wB = Window.partitionBy(groupCol).orderBy(col(idCol).asc)
+    val boundary = joined.filter(col("__k") === col("__kstar"))
+      .withColumn("__rb", row_number().over(wB))
+      .filter(col("__rb") <= col("__quota") - col("__below"))
+      .drop("__rb")
+    joined.filter(col("__k") < col("__kstar"))
+      .unionByName(boundary)
+      .drop("__k", "__kstar", "__below", "__quota")
+  }
+
   /** Weighted source mixing: keep each row of source s with probability
     * weights(s) (default `defaultWeight`), decided by the doc's hash —
     * a deterministic Bernoulli per document. Weights are exact to 1e-6.
