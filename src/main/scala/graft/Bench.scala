@@ -132,13 +132,18 @@ object Bench {
     def cs(sec: Double): Long = math.round(sec * 100)
     def compactLine(withTasks: Boolean): String = {
       val qs = results.map { r =>
-        val key = r.name.replaceAll("^(q\\d+).*", "$1")
+        // bare query number as the key ("60" = q60): 104 queries must
+        // fit the tail budget; the full names live in BENCH_full.json
+        val key = r.name.replaceAll("^q(\\d+).*", "$1")
         val v = if (withTasks) s"[${cs(r.min)},${cs(r.spread)},${r.tasks}]"
                 else s"[${cs(r.min)},${cs(r.spread)}]"
         s"\"$key\":$v"
       }.mkString("{", ",", "}")
-      val fmt = if (withTasks) "qNN:[min_cs,spread_cs,tasks]" else "qNN:[min_cs,spread_cs]"
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","fmt":"$fmt","queries":$qs,"errors":$errs,"throughput_mb_s":$thr,"detail":"BENCH_full.json","sf":${Verify.jsonString(sfDir)}}"""
+      val fmt = if (withTasks) "qN:[min_cs,spread_cs,tasks]" else "qN:[min_cs,spread_cs]"
+      // errors only when present; full per-query detail (3 run times,
+      // spread, tasks, full names) always in BENCH_full.json
+      val errPart = if (results.exists(_.err.isDefined)) s""","errors":$errs""" else ""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","fmt":"$fmt","queries":$qs$errPart,"throughput_mb_s":$thr,"sf":${Verify.jsonString(sfDir)}}"""
     }
     // Tail budget: 2000 chars minus sbt's "[info] " prefix and trailing
     // "[success] Total time: ..." line ~= 1915. 1880 leaves slack for a
