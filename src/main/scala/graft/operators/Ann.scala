@@ -125,6 +125,10 @@ object Ann {
     }
     val spark = corpus.sparkSession
     import spark.implicits._
+    // global (partition-less) window is DELIBERATE and bounded: it runs
+    // after limit(nLists), so it sees <= nLists rows (the seed set), not
+    // the corpus — the "No Partition Defined" warning it triggers is
+    // about a <= few-hundred-row frame
     val seedW = Window.orderBy("h", "sid")
     var cents = build.orderBy("h", "sid").limit(nLists)
       .withColumn("cid", row_number().over(seedW).cast("long"))

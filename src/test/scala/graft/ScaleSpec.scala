@@ -306,4 +306,71 @@ class ScaleSpec extends AnyFunSuite {
     assert(pruned.count() ==
       ev.filter(col("day") === days.head).count())
   }
+
+  test("dynamic partition pruning fires on a dim-filtered join") {
+    // join-driven pruning: the partitioned fact's scan is filtered at
+    // RUNTIME by the dim side's selective predicate — the 100 TB path
+    // where the pruning key is only known after the dim filter runs
+    val ev = engine.Tables.events(spark, SparkTestSession.sfDir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    val path = "/tmp/graft-test-partitioned-dpp"
+    Scale.writePartitioned(ev, path, "day")
+    val days = ev.select("day").distinct().as[String].collect().sorted
+    assume(days.length > 1)
+    val fact = spark.read.parquet(path)
+    // the dim must be a SOURCE with a real Filter on top — a pre-filtered
+    // in-memory relation collapses to a LocalRelation and the pruning
+    // rule no longer sees a selective predicate
+    val dimPath = "/tmp/graft-test-dpp-dim"
+    days.zipWithIndex.toSeq.toDF("day", "tag")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter(col("day") === days.head)
+    val joined = fact.join(dim, Seq("day"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"), plan.take(2000))
+    assert(joined.count() == ev.filter(col("day") === days.head).count())
+  }
+
+  test("runtime bloom filter prunes the big side of a selective shuffle join") {
+    // row-level runtime pruning: a bloom filter built from the filtered
+    // dim side is pushed into the fact scan — the complement to DPP when
+    // the fact is NOT partitioned by the join key. Thresholds are
+    // lowered because the gates default to 10 MB / 10 GB table sizes;
+    // broadcast is disabled to force the shuffle join the rule targets.
+    val c = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> scala.util.Try(c.get(k)).toOption.filter(_ != null)).toMap
+    try {
+      c.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // creation threshold is a MAX (build only from sides smaller than
+      // this); application threshold is a MIN (only scans bigger than it
+      // are worth filtering) — widen both gates for the tiny test tables
+      c.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "1GB")
+      c.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1")
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      c.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val li = spark.read.parquet(s"${SparkTestSession.sfDir}/lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+      val orders = spark.read.parquet(s"${SparkTestSession.sfDir}/orders.parquet")
+        .select("o_orderkey", "o_orderpriority")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString.toLowerCase
+      assert(plan.contains("bloom"), plan.take(2000))
+      // and the filter is not wrong: same rows as the plain join
+      val expect = spark.read.parquet(s"${SparkTestSession.sfDir}/lineitem.parquet")
+        .join(spark.read.parquet(s"${SparkTestSession.sfDir}/orders.parquet")
+            .filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey")).count()
+      assert(joined.count() == expect)
+    } finally saved.foreach {
+      case (k, Some(v)) => c.set(k, v)
+      case (k, None)    => c.unset(k)
+    }
+  }
 }
