@@ -8,7 +8,7 @@ import graft.engine.Tables._
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions
 import graft.multimodal.Multimodal
-import graft.operators.{Ann, Chunking, Curation, Dedup, Relational, TextJobs}
+import graft.operators.{Ann, Chunking, Curation, Dedup, GraphOps, Relational, TextJobs}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (operator inventory) and
   * §7 (build plan). Every entry in [[queries]] has a matching DuckDB
@@ -1322,7 +1322,21 @@ object SparkEntry {
           max(struct(col("q").as("q"), (-col("doc_id")).as("nid"))).as("m"))
         .select(col("fp"), (-col("m.nid")).as("keep_id"),
           col("m.q").as("kept_q"), col("n_copies"))
-        .orderBy("fp"))
+        .orderBy("fp")),
+
+    "q105_pagerank_dupgraph" -> ((s, d) =>
+      // PageRank (3 iterations, 0.85 damping) over the q63 simhash dup
+      // graph, in scaled-long INTEGER arithmetic so both engines compute
+      // bit-identical ranks — float sums are addition-order-dependent
+      // and can never hash-match across engines. Per iteration: one
+      // equi-join on the edge source + one groupBy on the destination
+      // (GraphOps.pageRankInt scaladoc for the 100 TB shape).
+      GraphOps.pageRankInt(
+          Dedup.simHashDup(documents(s, d), "doc_id", "text", nBits = 16),
+          "id_a", "id_b", iters = 3)
+        .select(col("id").as("doc_id"), col("r").as("rank_scaled"),
+          col("d").as("degree"))
+        .orderBy("doc_id"))
   )
 
   // ---------------------------------------------------------------- //
@@ -2583,6 +2597,40 @@ object SparkEntry {
          |SELECT fp, doc_id AS keep_id, q AS kept_q, n_copies
          |FROM r WHERE rn = 1 ORDER BY fp""".stripMargin
     },
+
+    // q63/q84's simhash edge CTEs (validated by those oracles), then 3
+    // PageRank iterations UNROLLED with DuckDB's integral `//` mirroring
+    // Spark's `div` — scaled-long arithmetic is the only way iterative
+    // float-free ranks hash-match across engines
+    "q105_pagerank_dupgraph" ->
+      s"""WITH w AS (SELECT doc_id AS id, unnest($TOKS) AS w FROM documents),
+         |h AS (SELECT id, ${duckHash("w", 15)} AS h FROM w),
+         |bits AS (SELECT id, bit,
+         |  SUM(CASE WHEN ((h >> bit) & 1) = 1 THEN 1 ELSE -1 END) AS v
+         | FROM h CROSS JOIN (SELECT unnest(generate_series(0,15)) AS bit) b GROUP BY 1,2),
+         |sh AS (SELECT id,
+         |  CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+         | FROM bits GROUP BY 1),
+         |p AS (SELECT a.id AS id_a, b.id AS id_b
+         | FROM sh a JOIN sh b ON a.simhash = b.simhash AND a.id < b.id),
+         |e AS (SELECT id_a AS u, id_b AS v FROM p UNION ALL SELECT id_b, id_a FROM p),
+         |deg AS (SELECT u AS id, COUNT(*) AS d FROM e GROUP BY 1),
+         |nn AS (SELECT COUNT(*) AS n FROM deg),
+         |r0 AS (SELECT id, d, CAST(1000000000 AS BIGINT) // nn.n AS r FROM deg, nn),
+         |s1 AS (SELECT e.v AS id, CAST(SUM(r0.r // r0.d) AS BIGINT) AS s FROM e JOIN r0 ON e.u = r0.id GROUP BY 1),
+         |r1 AS (SELECT deg.id, deg.d,
+         |  (15 * (CAST(1000000000 AS BIGINT) // nn.n)) // 100 + (85 * COALESCE(s1.s, 0)) // 100 AS r
+         | FROM deg LEFT JOIN s1 USING (id), nn),
+         |s2 AS (SELECT e.v AS id, CAST(SUM(r1.r // r1.d) AS BIGINT) AS s FROM e JOIN r1 ON e.u = r1.id GROUP BY 1),
+         |r2 AS (SELECT deg.id, deg.d,
+         |  (15 * (CAST(1000000000 AS BIGINT) // nn.n)) // 100 + (85 * COALESCE(s2.s, 0)) // 100 AS r
+         | FROM deg LEFT JOIN s2 USING (id), nn),
+         |s3 AS (SELECT e.v AS id, CAST(SUM(r2.r // r2.d) AS BIGINT) AS s FROM e JOIN r2 ON e.u = r2.id GROUP BY 1),
+         |r3 AS (SELECT deg.id, deg.d,
+         |  (15 * (CAST(1000000000 AS BIGINT) // nn.n)) // 100 + (85 * COALESCE(s3.s, 0)) // 100 AS r
+         | FROM deg LEFT JOIN s3 USING (id), nn)
+         |SELECT id AS doc_id, r AS rank_scaled, d AS degree
+         |FROM r3 ORDER BY doc_id""".stripMargin,
 
     // same oracle as q51: the histogram formulation must reproduce the
     // buffered exact percentile bit-for-bit

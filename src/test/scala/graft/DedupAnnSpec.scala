@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Ann, Dedup}
+import graft.operators.{Ann, Dedup, GraphOps}
 
 class DedupAnnSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
@@ -388,5 +388,44 @@ class DedupAnnSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(approx.nonEmpty)
     assert((exact intersect approx).nonEmpty)
+  }
+
+  test("pageRankInt: hand-computed path graph, 2 iterations") {
+    // path 1-2-3: deg(1)=deg(3)=1, deg(2)=2, n=3, scale=1e9
+    // r0 = 333333333; base = 15*333333333 div 100 = 49999999
+    // iter1: r(1)=r(3)=49999999 + 85*166666666 div 100 = 191666665
+    //        r(2)=49999999 + 85*666666666 div 100 = 616666665
+    // iter2: r(1)=r(3)=49999999 + 85*(616666665 div 2) div 100 = 312083331
+    //        r(2)=49999999 + 85*(191666665*2) div 100 = 375833329
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = GraphOps.pageRankInt(pairs, "id_a", "id_b", iters = 2)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 312083331L, 1L), (2L, 375833329L, 2L),
+      (3L, 312083331L, 1L)))
+  }
+
+  test("pageRankInt equals a driver-side long-arithmetic brute force") {
+    val pairs = Dedup.simHashDup(
+      spark.read.parquet(s"${SparkTestSession.sfDir}/documents.parquet"),
+      "doc_id", "text", nBits = 16)
+    val edges = pairs.select("id_a", "id_b").as[(Long, Long)].collect()
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    assume(edges.nonEmpty)
+    val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val n = deg.size.toLong
+    val scale = 1000000000L
+    val base = (15L * (scale / n)) / 100L
+    var rank = deg.keys.map(_ -> scale / n).toMap
+    for (_ <- 1 to 3) {
+      val contrib = rank.map { case (k, r) => k -> r / deg(k) }
+      val sums = edges.groupBy(_._2).map { case (v, es) =>
+        v -> es.map(e => contrib(e._1)).sum
+      }
+      rank = deg.keys.map(k => k -> (base + (85L * sums.getOrElse(k, 0L)) / 100L)).toMap
+    }
+    val got = GraphOps.pageRankInt(pairs, "id_a", "id_b", iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got.size == n)
+    got.foreach { case (id, r) => assert(rank(id) == r, s"node $id") }
   }
 }
