@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, WholeWordContains}
 
 /** Session extensions exposing graft's native expressions to SQL:
   *
@@ -26,5 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getCanonicalName, "graft_dot"),
       (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_word_match"),
+      new ExpressionInfo(classOf[WholeWordContains].getCanonicalName,
+        "graft_word_match"),
+      (exprs: Seq[Expression]) => WholeWordContains(exprs.head, exprs(1))))
   }
 }

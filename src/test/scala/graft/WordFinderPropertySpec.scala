@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalacheck.{Gen, rng}
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -52,5 +53,35 @@ class WordFinderPropertySpec extends AnyFunSuite {
       .as[String].collect().toVector.groupBy(identity)
       .view.mapValues(_.size).toMap
     assert(got == expected)
+  }
+
+  test("codegen byte-scan matcher equals the regex form, incl. unicode neighbors") {
+    // the byte-level matcher (WholeWordContains) and the rlike lookaround
+    // form must agree everywhere: multibyte chars are boundaries in BOTH
+    // (regex: outside [0-9A-Za-z]; bytes: >= 0x80), and a needle can
+    // never match mid-codepoint (UTF-8 self-synchronization)
+    val lines = Vector(
+      "héllo spark wörd", "日本spark語", "spark", " spark ", "sparké",
+      "éspark", "_spark_", "1spark", "spark2", "SPARK", "sp ark",
+      "aspark sparkb spark", "", "   ", "spark.spark", "ärk spark ärk",
+      "é日spark語", "x" * 1000 + " spark", "spark" * 3)
+    val df = lines.toDF("value")
+    val fast = df.filter(TextJobs.containsWholeWord(col("value"), "spark"))
+      .as[String].collect().toVector
+    val regex = df.filter(TextJobs.containsWholeWordRegex(col("value"), "spark"))
+      .as[String].collect().toVector
+    assert(fast == regex)
+    // model agreement on the generated corpus too
+    assert(lines.filter(refMatch(_, "spark")) == fast)
+    // SQL registration path
+    org.apache.spark.sql.GraftSqlShim.registerFunction(spark, "graft_word_match",
+      exprs => graft.functions.WholeWordContains(exprs.head, exprs(1)))
+    df.createOrReplaceTempView("ww_lines")
+    val viaSql = spark.sql(
+      "SELECT value FROM ww_lines WHERE graft_word_match(value, 'spark')")
+      .as[String].collect().toVector
+    assert(viaSql == fast)
+    // empty word matches nothing (doc'd divergence from the empty regex)
+    assert(df.filter(TextJobs.containsWholeWord(col("value"), "")).count() == 0)
   }
 }
