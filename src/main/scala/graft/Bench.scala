@@ -83,8 +83,11 @@ object Bench {
     val thr = try {
       val corpus = throughputCorpus()
       val bytes = new java.io.File(corpus).length().toDouble
+      // best-of-3: the whole-file scan is page-cache/CPU-contention
+      // sensitive (observed 150-970 MB/s spread on a loaded container
+      // with best-of-2)
       def best(f: => Unit): Double =
-        (1 to 2).map { _ =>
+        (1 to 3).map { _ =>
           val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
         }.min
       val lc = best {
