@@ -28,6 +28,11 @@ QUERIES = [
     "q82_dedup_simhash_multiindex",
     "q63_dedup_clusters",
     "q75_winnow_overlap",
+    # round 5 additions: iterative + curation shapes
+    "q105_pagerank_dupgraph",
+    "q101_histogram_percentile",
+    "q103_stratified_sample",
+    "q104_dedup_retention",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
