@@ -125,4 +125,43 @@ object EventStreams {
           Iterator(UserUpdate(uid, n, tot))
         })
   }
+
+  /** The same running totals on Spark 4's transformWithState — the
+    * arbitrary-state API succeeding [mapGroups|flatMapGroups]WithState:
+    * named typed state (ValueState/ListState/MapState) in the RocksDB
+    * state store, with TTL and timers available per state item. Kept as
+    * a twin of [[runningUserTotals]] so the two APIs are equivalence-
+    * tested against each other and the batch aggregate. Requires
+    * `spark.sql.streaming.stateStore.providerClass =
+    * ...state.RocksDBStateStoreProvider` (transformWithState rejects the
+    * default HDFS-backed store).
+    */
+  class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, UserEvent, UserUpdate] {
+    import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var totals: ValueState[UserState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[UserState]("totals",
+        org.apache.spark.sql.Encoders.product[UserState], TTLConfig.NONE)
+    override def handleInputRows(uid: Long, rows: Iterator[UserEvent],
+                                 timers: TimerValues): Iterator[UserUpdate] = {
+      val prev = if (totals.exists()) totals.get() else UserState(0L, 0.0)
+      var n = prev.n_events
+      var tot = prev.total_value
+      rows.foreach { e => n += 1; tot += e.value }
+      totals.update(UserState(n, tot))
+      Iterator(UserUpdate(uid, n, tot))
+    }
+  }
+
+  def runningUserTotalsTws(events: DataFrame)
+      : org.apache.spark.sql.Dataset[UserUpdate] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("user_id", "value").as[UserEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor, TimeMode.None(),
+        OutputMode.Update())
+  }
 }

@@ -238,4 +238,32 @@ class StreamingSpec extends AnyFunSuite {
       sn == n && math.abs(stot - tot) < 1e-6
     })
   }
+
+  test("transformWithState (RocksDB) totals equal the fMGWS twin and the batch") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = scala.util.Try(spark.conf.get(key)).toOption.filter(_ != null)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val updates = runToMemory(
+        EventStreams.runningUserTotalsTws(
+          EventStreams.readEventStream(spark, eventsDir)).toDF(),
+        "t_running_tws", "update")
+      val streamed = updates.groupBy("user_id")
+        .agg(max("n_events").as("n"), max("total_value").as("tot"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      val batch = engine.Tables.events(spark, SparkTestSession.sfDir)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum("value").as("tot"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(streamed.keySet == batch.keySet)
+      assert(batch.forall { case (u, (n, tot)) =>
+        val (sn, stot) = streamed(u)
+        sn == n && math.abs(stot - tot) < 1e-6
+      })
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
 }
