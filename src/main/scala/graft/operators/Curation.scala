@@ -73,11 +73,14 @@ object Curation {
     val keyed = docs.withColumn("__k", hashKey("strat_", idCol))
     val hist = keyed.groupBy(groupCol, "__k").agg(count(lit(1)).as("__cnt"))
     val byK = Window.partitionBy(groupCol).orderBy(col("__k").asc)
+    // quotas from an aggregate + broadcast join rather than a second
+    // unordered window over the histogram (which would buffer each whole
+    // partition per task)
+    val quotas = hist.groupBy(groupCol)
+      .agg(ceil(lit(frac) * sum("__cnt")).cast("long").as("__quota"))
     val cum = hist
       .withColumn("__ccnt", sum("__cnt").over(byK))
-      .withColumn("__quota",
-        ceil(lit(frac) * sum("__cnt").over(Window.partitionBy(groupCol)))
-          .cast("long"))
+      .join(broadcast(quotas), Seq(groupCol))
     // boundary row = the smallest key whose cumulative count reaches the
     // quota; struct-min carries (k*, count strictly below it, quota)
     val thr = cum.filter(col("__ccnt") >= col("__quota"))

@@ -265,9 +265,14 @@ object Relational {
     val hist = df.groupBy(col(grpCol), col(valCol).as("__v"))
       .agg(count(lit(1)).as("__cnt"))
     val byV = Window.partitionBy(grpCol).orderBy("__v")
+    // group totals as an aggregate + broadcast join, NOT a second
+    // (unordered) window: the ordered cum-window streams its frame, but
+    // an unordered total window buffers each whole histogram partition
+    // per task — one less full-histogram pass
+    val totals = hist.groupBy(grpCol).agg(sum("__cnt").as("__n"))
     val cum = hist
       .withColumn("__ccnt", sum("__cnt").over(byV))
-      .withColumn("__n", sum("__cnt").over(Window.partitionBy(grpCol)))
+      .join(broadcast(totals), Seq(grpCol))
     val aggCols = ps.flatMap { case (name, p) =>
       val h = (col("__n") - lit(1)) * lit(p)
       Seq(
