@@ -1336,7 +1336,64 @@ object SparkEntry {
           "id_a", "id_b", iters = 3)
         .select(col("id").as("doc_id"), col("r").as("rank_scaled"),
           col("d").as("degree"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    "q106_supplier_region_rollup" -> ((s, d) => {
+      // snowflake rollup over BOTH balance-carrying dims: suppliers and
+      // customers roll through nation -> region (dims broadcast); top
+      // supplier per region via struct-max (ties -> max name), debt
+      // customers via conditional count. Closes the last unexercised
+      // table (supplier) and the acctbal columns.
+      val supAgg = supplier(s, d)
+        .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(cents(col("s_acctbal"))).as("sum_supp_acct_c"),
+          max(struct(cents(col("s_acctbal")).as("b"), col("s_name").as("n"))).as("m"))
+        .select(col("r_name"), col("n_suppliers"), col("sum_supp_acct_c"),
+          col("m.n").as("top_supplier"))
+      val custAgg = customer(s, d)
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(sum(when(col("c_acctbal") < 0, 1L).otherwise(0L)).as("n_debt_customers"))
+      supAgg.join(custAgg, Seq("r_name")).orderBy("r_name")
+    }),
+
+    "q107_part_pricing" -> ((s, d) => {
+      // per part-size bucket: catalog stats and the FULL TPC-H charge
+      // expression (extendedprice * (1-discount) * (1+tax)) over the
+      // part<->lineitem join — part is the broadcast side; the two
+      // aggregates join on the ~50-value size bucket
+      val pa = part(s, d).groupBy("p_size")
+        .agg(count(lit(1)).as("n_parts"),
+          sum(cents(col("p_retailprice"))).as("sum_retail_c"))
+      val ch = part(s, d).select(col("p_partkey"), col("p_size"))
+        .join(lineitem(s, d).select(col("l_partkey"),
+            cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+              * (lit(1.0) + col("l_tax"))).as("charge_c")),
+          col("p_partkey") === col("l_partkey"))
+        .groupBy("p_size")
+        .agg(sum(col("charge_c")).as("sum_charge_c"),
+          count(lit(1)).as("n_lineitems"))
+      pa.join(ch, Seq("p_size"))
+        .select(col("p_size").cast("long").as("p_size"), col("n_parts"),
+          col("sum_retail_c"), col("sum_charge_c"), col("n_lineitems"))
+        .orderBy("p_size")
+    }),
+
+    "q108_metadata_audit" -> ((s, d) =>
+      // precomputed-metadata validation: does documents.n_chars agree
+      // with the text payload? The standard sanity pass a pipeline runs
+      // after ingest — map-only + one bounded rollup per source
+      documents(s, d).groupBy("source")
+        .agg(sum(col("n_chars")).as("sum_meta_chars"),
+          sum(length(col("text")).cast("long")).as("sum_text_chars"),
+          sum(when(col("n_chars") === length(col("text")), 1L).otherwise(0L))
+            .as("n_consistent"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("source"))
   )
 
   // ---------------------------------------------------------------- //
@@ -2597,6 +2654,44 @@ object SparkEntry {
          |SELECT fp, doc_id AS keep_id, q AS kept_q, n_copies
          |FROM r WHERE rn = 1 ORDER BY fp""".stripMargin
     },
+
+    "q106_supplier_region_rollup" ->
+      """WITH sa AS (SELECT r_name, COUNT(*) AS n_suppliers,
+        |  CAST(SUM(CAST(round(s_acctbal*100,0) AS BIGINT)) AS BIGINT) AS sum_supp_acct_c
+        | FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey GROUP BY 1),
+        |top AS (SELECT r_name, s_name AS top_supplier,
+        |  row_number() OVER (PARTITION BY r_name
+        |    ORDER BY CAST(round(s_acctbal*100,0) AS BIGINT) DESC, s_name DESC) AS rn
+        | FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey),
+        |ca AS (SELECT r_name,
+        |  CAST(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_debt_customers
+        | FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey GROUP BY 1)
+        |SELECT sa.r_name, sa.n_suppliers, sa.sum_supp_acct_c,
+        | top.top_supplier, ca.n_debt_customers
+        |FROM sa JOIN top USING (r_name) JOIN ca USING (r_name)
+        |WHERE top.rn = 1 ORDER BY r_name""".stripMargin,
+
+    "q107_part_pricing" ->
+      """WITH pa AS (SELECT p_size, COUNT(*) AS n_parts,
+        |  CAST(SUM(CAST(round(p_retailprice*100,0) AS BIGINT)) AS BIGINT) AS sum_retail_c
+        | FROM part GROUP BY 1),
+        |ch AS (SELECT p.p_size,
+        |  CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*(1+l_tax)*100, 0) AS BIGINT)) AS BIGINT) AS sum_charge_c,
+        |  COUNT(*) AS n_lineitems
+        | FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey GROUP BY 1)
+        |SELECT CAST(pa.p_size AS BIGINT) AS p_size, pa.n_parts, pa.sum_retail_c,
+        | ch.sum_charge_c, ch.n_lineitems
+        |FROM pa JOIN ch USING (p_size) ORDER BY p_size""".stripMargin,
+
+    "q108_metadata_audit" ->
+      """SELECT source, CAST(SUM(n_chars) AS BIGINT) AS sum_meta_chars,
+        | CAST(SUM(length(text)) AS BIGINT) AS sum_text_chars,
+        | CAST(SUM(CASE WHEN n_chars = length(text) THEN 1 ELSE 0 END) AS BIGINT) AS n_consistent,
+        | COUNT(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q63/q84's simhash edge CTEs (validated by those oracles), then 3
     // PageRank iterations UNROLLED with DuckDB's integral `//` mirroring
