@@ -1358,7 +1358,9 @@ object SparkEntry {
         .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name")
         .agg(sum(when(col("c_acctbal") < 0, 1L).otherwise(0L)).as("n_debt_customers"))
-      supAgg.join(custAgg, Seq("r_name")).orderBy("r_name")
+      // both sides are |regions| rows; broadcast beats the planner's
+      // default SMJ (AQE would fix it at runtime, but say so in the plan)
+      supAgg.join(broadcast(custAgg), Seq("r_name")).orderBy("r_name")
     }),
 
     "q107_part_pricing" -> ((s, d) => {
