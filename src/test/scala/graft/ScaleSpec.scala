@@ -293,6 +293,82 @@ class ScaleSpec extends AnyFunSuite {
       "pr/cd must be arithmetic on (__rn, __n), not window fns over orders")
   }
 
+  test("histogramPercentiles property: random data/fracs equal percentile()") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260812L)
+    for (trial <- 1 to 5) {
+      val nGroups = 1 + rnd.nextInt(4)
+      val rows = (1 to 200 + rnd.nextInt(300)).map { _ =>
+        (s"g${rnd.nextInt(nGroups)}", (rnd.nextInt(60) - 20).toLong)
+      }
+      val df = rows.toDF("g", "v")
+      val fracs = Seq("a" -> (0.01 + rnd.nextDouble() * 0.98),
+        "b" -> (0.01 + rnd.nextDouble() * 0.98))
+      val got = operators.Relational.histogramPercentiles(df, "g", "v", fracs)
+        .orderBy("g").collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      val want = df.groupBy("g").agg(
+          expr(s"percentile(v, ${fracs(0)._2})").as("a"),
+          expr(s"percentile(v, ${fracs(1)._2})").as("b"))
+        .orderBy("g").collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      assert(got.toSeq == want.toSeq, s"trial $trial fracs $fracs")
+    }
+  }
+
+  test("topFractionByValue property: exact positions and full coverage") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242L)
+    for (trial <- 1 to 5) {
+      val rows = (1 to 150 + rnd.nextInt(200)).map { i =>
+        (s"p${rnd.nextInt(3)}", (rnd.nextInt(40)).toLong, i.toLong)
+      }
+      val df = rows.toDF("p", "v", "id")
+      val frac = 0.02 + rnd.nextDouble() * 0.4
+      val w = Window.partitionBy("p").orderBy(col("v").desc, col("id").asc)
+      val truth = df
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("p")))
+        .collect().map(r => (r.getString(0), r.getLong(2)) ->
+          ((r.getInt(3).toLong, r.getLong(4)))).toMap
+      val got = operators.Relational.topFractionByValue(df, "p", "v", "id", frac)
+        .collect().map(r => (r.getString(0), r.getLong(2), r.getInt(4).toLong, r.getLong(3)))
+      // every returned row carries its TRUE full-partition position and n
+      got.foreach { case (p, id, rn, n) =>
+        assert(truth((p, id)) == ((rn, n)), s"trial $trial ($p,$id)")
+      }
+      // and every row with (pos-1) <= frac*(n-1) is covered
+      val gotKeys = got.map(t => (t._1, t._2)).toSet
+      truth.foreach { case ((p, id), (rn, n)) =>
+        if ((rn - 1).toDouble <= frac * (n - 1))
+          assert(gotKeys.contains((p, id)), s"trial $trial missing ($p,$id) rn=$rn n=$n")
+      }
+    }
+  }
+
+  test("stratifiedSample property: exact quota and head-of-ordering on random sizes") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val rnd = new scala.util.Random(77L)
+    for (trial <- 1 to 4) {
+      val rows = (1 to 100 + rnd.nextInt(400)).map { i =>
+        (i.toLong, s"s${rnd.nextInt(5)}")
+      }
+      val df = rows.toDF("doc_id", "source")
+      val frac = 0.05 + rnd.nextDouble() * 0.5
+      val out = operators.Curation.stratifiedSample(df, "source", "doc_id", frac)
+      val keyed = df.withColumn("__k",
+        pmod(graft.functions.TextFunctions.tokenHash64(
+          concat(lit("strat_"), col("doc_id").cast("string"))), lit(1000000L)))
+      val w = Window.partitionBy("source").orderBy(col("__k").asc, col("doc_id").asc)
+      val naive = keyed.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+        .filter(col("rn") <= ceil(lit(frac) * col("n")))
+        .select("source", "doc_id").collect().map(_.toSeq).toSet
+      assert(out.select("source", "doc_id").collect().map(_.toSeq).toSet == naive,
+        s"trial $trial frac $frac")
+    }
+  }
+
   test("partitioned layout prunes partitions in the scan") {
     val ev = engine.Tables.events(spark, SparkTestSession.sfDir)
       .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
