@@ -383,6 +383,26 @@ class ScaleSpec extends AnyFunSuite {
       ev.filter(col("day") === days.head).count())
   }
 
+  test("parquet schema evolution: mergeSchema unions old and new file schemas") {
+    import spark.implicits._
+    // a long-lived corpus accumulates files written under evolving
+    // schemas; mergeSchema reads must surface the union with nulls for
+    // the columns older files lack
+    val path = "/tmp/graft-test-evolution"
+    Seq((1L, "a")).toDF("id", "text")
+      .write.mode("overwrite").parquet(path)
+    Seq((2L, "b", 0.9)).toDF("id", "text", "quality")
+      .write.mode("append").parquet(path)
+    val merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert(merged.columns.sorted.toSeq == Seq("id", "quality", "text"))
+    val rows = merged.orderBy("id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).isNullAt(rows(0).fieldIndex("quality")))
+    assert(rows(1).getDouble(rows(1).fieldIndex("quality")) == 0.9)
+    // without mergeSchema, footer sampling may expose either schema —
+    // the corpus contract is to always pass the option on evolving paths
+  }
+
   test("dynamic partition pruning fires on a dim-filtered join") {
     // join-driven pruning: the partitioned fact's scan is filtered at
     // RUNTIME by the dim side's selective predicate — the 100 TB path
