@@ -1395,7 +1395,37 @@ object SparkEntry {
           sum(when(col("n_chars") === length(col("text")), 1L).otherwise(0L))
             .as("n_consistent"),
           count(lit(1)).as("n_docs"))
-        .orderBy("source"))
+        .orderBy("source")),
+
+    "q109_locf_gapfill" -> ((s, d) => {
+      // gap-fill + last-observation-carried-forward per series key: the
+      // classic time-series densify (q94's spine, per key, with LOCF
+      // instead of zero-fill). The LOCF window partitions by the 5-value
+      // priority — but its INPUT is the (priority x spine) grid, bounded
+      // by the date domain (450 rows here, ~5x days at any corpus
+      // size), so the low-cardinality key is safe per the
+      // trailingRangeSum doctrine; the fact table only feeds the tiny
+      // per-(priority, day) aggregate.
+      val daily = orders(s, d)
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1995-04-01").cast("timestamp"))
+        .groupBy(col("o_orderpriority"), to_date(col("o_orderdate")).as("day"))
+        .agg(sum(cents(col("o_totalprice"))).as("rev_c"))
+      val spine = s.range(1).select(explode(sequence(
+        to_date(lit("1995-01-01")), to_date(lit("1995-03-31")))).as("day"))
+      val keys = orders(s, d).select(col("o_orderpriority")).distinct()
+      val grid = keys.crossJoin(broadcast(spine))
+      val w = Window.partitionBy("o_orderpriority").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(daily, Seq("o_orderpriority", "day"), "left")
+        .withColumn("rev_locf_c",
+          coalesce(last(col("rev_c"), ignoreNulls = true).over(w), lit(0L)))
+        .withColumn("is_observed", col("rev_c").isNotNull)
+        .select(col("o_orderpriority"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("rev_locf_c"), col("is_observed"))
+        .orderBy("o_orderpriority", "day")
+    })
   )
 
   // ---------------------------------------------------------------- //
@@ -2694,6 +2724,26 @@ object SparkEntry {
         | CAST(SUM(CASE WHEN n_chars = length(text) THEN 1 ELSE 0 END) AS BIGINT) AS n_consistent,
         | COUNT(*) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q109_locf_gapfill" ->
+      """WITH spine AS (SELECT unnest(generate_series(
+        |   DATE '1995-01-01', DATE '1995-03-31', INTERVAL 1 DAY))::DATE AS day),
+        |keys AS (SELECT DISTINCT o_orderpriority FROM orders),
+        |daily AS (SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+        |  CAST(SUM(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS BIGINT) AS rev_c
+        | FROM orders
+        | WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |   AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00'
+        | GROUP BY 1, 2),
+        |grid AS (SELECT k.o_orderpriority, s.day, d.rev_c
+        | FROM keys k CROSS JOIN spine s
+        | LEFT JOIN daily d ON d.o_orderpriority = k.o_orderpriority AND d.day = s.day)
+        |SELECT o_orderpriority, strftime(day, '%Y-%m-%d') AS day,
+        | COALESCE(last_value(rev_c IGNORE NULLS) OVER (
+        |   PARTITION BY o_orderpriority ORDER BY day
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS rev_locf_c,
+        | rev_c IS NOT NULL AS is_observed
+        |FROM grid ORDER BY o_orderpriority, day""".stripMargin,
 
     // q63/q84's simhash edge CTEs (validated by those oracles), then 3
     // PageRank iterations UNROLLED with DuckDB's integral `//` mirroring
