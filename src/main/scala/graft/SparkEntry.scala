@@ -8,7 +8,7 @@ import graft.engine.Tables._
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions
 import graft.multimodal.Multimodal
-import graft.operators.{Ann, Chunking, Curation, Dedup, GraphOps, Relational, TextJobs}
+import graft.operators.{Ann, Bpe, Chunking, Curation, Dedup, GraphOps, Relational, TextJobs}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (operator inventory) and
   * §7 (build plan). Every entry in [[queries]] has a matching DuckDB
@@ -1425,7 +1425,16 @@ object SparkEntry {
           date_format(col("day"), "yyyy-MM-dd").as("day"),
           col("rev_locf_c"), col("is_observed"))
         .orderBy("o_orderpriority", "day")
-    })
+    }),
+
+    "q110_bpe_vocab" -> ((s, d) =>
+      // BPE vocabulary LEARNING (Sennrich ACL'16): 4 rounds of pick the
+      // heaviest adjacent symbol pair (ties -> lexicographically
+      // smallest) and fuse it corpus-wide. State is the distinct-word
+      // table, never the corpus; each round = one pair groupBy + a
+      // driver top-1 + a map-only rewrite (Bpe.bpeMerges scaladoc).
+      // Oracle = the same 4 rounds unrolled in SQL, like q105.
+      Bpe.bpeMerges(documents(s, d), "text", iters = 4).orderBy("rank"))
   )
 
   // ---------------------------------------------------------------- //
@@ -2724,6 +2733,39 @@ object SparkEntry {
         | CAST(SUM(CASE WHEN n_chars = length(text) THEN 1 ELSE 0 END) AS BIGINT) AS n_consistent,
         | COUNT(*) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // BPE merge learning: 4 unrolled rounds. Each stage derives pair
+    // counts from the current spaced-symbol strings, takes the
+    // (cnt DESC, pair ASC) top-1 as a 1-row CTE, and rewrites via plain
+    // string replace — replace() is left-to-right non-overlapping in
+    // BOTH engines, which is exactly BPE's greedy application order.
+    "q110_bpe_vocab" -> {
+      def pairs(src: String, c: String) =
+        s"""$c AS (SELECT p AS pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM
+           |  (SELECT freq, unnest(list_transform(
+           |     generate_series(1, len(string_split(s,' '))-1),
+           |     i -> string_split(s,' ')[i] || ' ' || string_split(s,' ')[i+1])) AS p
+           |   FROM $src) GROUP BY 1)""".stripMargin
+      def top(c: String, t: String) =
+        s"$t AS (SELECT pair, cnt FROM $c ORDER BY cnt DESC, pair LIMIT 1)"
+      def apply(src: String, t: String, dst: String) =
+        s"""$dst AS (SELECT trim(replace(' '||s||' ', ' '||$t.pair||' ',
+           |  ' '||replace($t.pair,' ','')||' ')) AS s, freq FROM $src, $t)""".stripMargin
+      s"""WITH w0 AS (SELECT w, COUNT(*) AS freq FROM
+         |  (SELECT unnest($TOKS) AS w FROM documents)
+         |  WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY 1),
+         |s0 AS (SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s, freq FROM w0),
+         |${pairs("s0", "c1")}, ${top("c1", "t1")}, ${apply("s0", "t1", "s1")},
+         |${pairs("s1", "c2")}, ${top("c2", "t2")}, ${apply("s1", "t2", "s2")},
+         |${pairs("s2", "c3")}, ${top("c3", "t3")}, ${apply("s2", "t3", "s3")},
+         |${pairs("s3", "c4")}, ${top("c4", "t4")}
+         |SELECT * FROM (
+         | SELECT CAST(1 AS BIGINT) AS rank, pair, replace(pair,' ','') AS merged, cnt AS weighted_count FROM t1
+         | UNION ALL SELECT 2, pair, replace(pair,' ',''), cnt FROM t2
+         | UNION ALL SELECT 3, pair, replace(pair,' ',''), cnt FROM t3
+         | UNION ALL SELECT 4, pair, replace(pair,' ',''), cnt FROM t4)
+         |ORDER BY rank""".stripMargin
+    },
 
     "q109_locf_gapfill" ->
       """WITH spine AS (SELECT unnest(generate_series(

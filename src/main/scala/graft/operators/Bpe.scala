@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** BPE vocabulary LEARNING — the iterative merge selection that q62's
+  * BPE-style token counting presupposes. Each round picks the
+  * highest-weighted adjacent symbol pair over the corpus (ties ->
+  * lexicographically smallest pair) and fuses it everywhere, exactly
+  * the Sennrich et al. (ACL'16) subword-unit procedure.
+  *
+  * Representation: each distinct word is a SPACE-JOINED symbol string
+  * ("t h e"); a merge of pair "t h" rewrites " t h " -> " th " via
+  * plain left-to-right non-overlapping string replacement — the same
+  * greedy application order BPE specifies, and `replace` has identical
+  * semantics in Spark and DuckDB, which is what makes the whole
+  * iterative build oracle-checkable (unrolled SQL, like q105's
+  * PageRank). Words are restricted to ^[a-z]+$ so '.'-per-character
+  * splitting cannot straddle multi-code-unit characters in either
+  * engine.
+  *
+  * Scale shape: state is the DISTINCT-word table (vocabulary-bounded,
+  * never the corpus — word frequencies are aggregated once up front);
+  * each round is one explode + map-side-combined groupBy over adjacent
+  * pairs, a driver top-1 (LIMIT 1 collect — a bounded scalar, same
+  * justification as the k-means centroid collect), and a map-only
+  * rewrite. The word table is checkpointed per round so the lineage
+  * does not re-derive all prior merges.
+  */
+object Bpe {
+
+  /** Learn `iters` merges from `docs(textCol)`; returns one row per
+    * merge: (rank, pair, merged, weighted_count), rank 1-based in
+    * selection order.
+    */
+  def bpeMerges(docs: DataFrame, textCol: String, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = docs.sparkSession
+    val words = docs
+      .select(explode(graft.functions.TextFunctions.tokens(col(textCol))).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    var syms = words
+      .select(trim(regexp_replace(col("w"), "(.)", "$1 ")).as("s"), col("freq"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    for (rank <- 1 to iters) {
+      // adjacent symbol pairs, 1-based element_at to mirror the oracle's
+      // 1-based list indexing; single-symbol words contribute none (the
+      // size guard matters: Spark's sequence(1, 0) DESCENDS, it is not
+      // empty like DuckDB's generate_series)
+      val counts = syms
+        .withColumn("sp", split(col("s"), " "))
+        .select(col("freq"), explode(when(size(col("sp")) >= 2,
+          expr("transform(sequence(1, size(sp)-1)," +
+            " j -> concat(element_at(sp, j), ' ', element_at(sp, j+1)))"))
+          .otherwise(array().cast("array<string>"))).as("pair"))
+        .groupBy("pair").agg(sum("freq").as("cnt"))
+      val top = counts.orderBy(col("cnt").desc, col("pair").asc).limit(1).collect()
+      if (top.isEmpty) {
+        // vocabulary fully merged — nothing left to learn
+      } else {
+        val pair = top(0).getString(0)
+        val cnt = top(0).getLong(1)
+        val merged = pair.replace(" ", "")
+        merges += ((rank.toLong, pair, merged, cnt))
+        syms = syms
+          .select(trim(expr(
+            s"replace(concat(' ', s, ' '), ' $pair ', ' $merged ')")).as("s"),
+            col("freq"))
+          .localCheckpoint(true)
+      }
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(merges.result().map {
+        case (r, p, m, c) => Row(r, p, m, c)
+      }, 1),
+      StructType(Seq(StructField("rank", LongType, nullable = false),
+        StructField("pair", StringType, nullable = false),
+        StructField("merged", StringType, nullable = false),
+        StructField("weighted_count", LongType, nullable = false))))
+  }
+}

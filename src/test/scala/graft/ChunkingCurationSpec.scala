@@ -122,6 +122,29 @@ class ChunkingCurationSpec extends AnyFunSuite {
     }
   }
 
+  test("bpeMerges: hand-computed merges on a tiny corpus") {
+    // corpus: "low low low lower lower newest" ->
+    //   low:3 lower:2 newest:1
+    // pair weights r1: "l o":5, "o w":5, "w e":3, "e r":2, "n e":1,
+    //   "e w":1, "e s":1, "s t":1  -> tie 5/5 -> lexicographic: "l o"
+    // r2: symbols lo w / lo w e r / n e w e s t: "lo w":5 wins
+    // r3: low / low e r / n e w e s t: "low e":2 ("e r" 2, tie ->
+    //   "e r" vs "low e": 'e'<'l' so "e r" wins lexicographically!)
+    //   recompute: pairs r3: "low e":2, "e r":2, "n e":1, "e w":1,
+    //   "w e":1, "e s":1, "s t":1 -> tie 2/2 between "e r" and
+    //   "low e" -> "e r" < "low e" -> "e r"
+    // r4: low / low er / n e w e s t: "low er":2 wins (ties none: 2)
+    val docs = Seq((1L, "low low low lower lower newest")).toDF("doc_id", "text")
+    val got = operators.Bpe.bpeMerges(docs, "text", iters = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, "l o", "lo", 5L),
+      (2L, "lo w", "low", 5L),
+      (3L, "e r", "er", 2L),
+      (4L, "low er", "lower", 2L)), got.toSeq.toString)
+  }
+
   test("shuffleShards: permutation is total, deterministic, positions contiguous") {
     val docs = (1 to 500).map(i => (i.toLong, s"doc body $i")).toDF("doc_id", "text")
     val out = Curation.shuffleShards(docs, "doc_id", 8)
