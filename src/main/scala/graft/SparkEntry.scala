@@ -1434,7 +1434,58 @@ object SparkEntry {
       // table, never the corpus; each round = one pair groupBy + a
       // driver top-1 + a map-only rewrite (Bpe.bpeMerges scaladoc).
       // Oracle = the same 4 rounds unrolled in SQL, like q105.
-      Bpe.bpeMerges(documents(s, d), "text", iters = 4).orderBy("rank"))
+      Bpe.bpeMerges(documents(s, d), "text", iters = 4).orderBy("rank")),
+
+    "q111_bpe_encode" -> ((s, d) =>
+      // BPE ENCODING — q110's learned merges APPLIED: each distinct
+      // word's segmentation after the 4 merge rounds. The word column
+      // rides through the learner's map-only rewrites (Bpe.bpeEncode),
+      // so encode costs nothing beyond the learn; state stays
+      // vocabulary-bounded. Oracle = q110's unrolled CTE chain carrying
+      // w into the rewrite CTEs.
+      Bpe.bpeEncode(documents(s, d), "text", iters = 4)
+        .filter(col("freq") >= 3).orderBy("w")),
+
+    "q112_ewma" -> ((s, d) => {
+      // Trailing EWMA (alpha=1/4, span=8) of purchase value per user —
+      // the time-series smoother q109's gap-fill feeds. Fixed-point over
+      // milli-cents: the integer fold is bit-reproducible across engines
+      // where the double fold ties at 4-decimal midpoints
+      // (Relational.ewmaTrailing scaladoc); the key is user_id (domain
+      // grows with the corpus, no q60-style low-cardinality funnel).
+      val ev = events(s, d)
+        .filter(col("event_type") === "purchase" && col("value").isNotNull)
+        .withColumn("v_mc", cents(col("value")) * 1000L)
+      Relational.ewmaTrailing(ev, "user_id",
+          Seq(col("ts"), col("event_id")), "v_mc",
+          alphaNum = 1L, alphaDen = 4L, span = 8)
+        .select(col("user_id"), col("event_id"), fmtTs(col("ts")).as("ts_s"),
+          col("v_mc"), col("ewma").as("ewma_mc"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    "q113_ann_filtered" -> ((s, d) => {
+      // Filtered vector search: top-5 cosine neighbors RESTRICTED to the
+      // query's own label (same-tenant/same-language retrieval). The
+      // label equality lives in the broadcast-join condition, so
+      // mismatched corpus rows drop before any dot product
+      // (Ann.bruteForceTopKFiltered).
+      val e = embeddings(s, d)
+      Ann.bruteForceTopKFiltered(e, e.filter(col("vec_id") < 5),
+          "vec_id", "embedding", "label", k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("cos"),
+          col("rank").cast("long").as("rnk"))
+        .orderBy("query_id", "rnk")
+    }),
+
+    "q114_quality_classifier" -> ((s, d) =>
+      // Frozen-weight linear quality model applied corpus-wide — pure
+      // integer features/score, so the keep/drop verdict is
+      // bit-reproducible on any engine or partition count
+      // (Curation.linearQualityScore scaladoc). Map-only, no shuffle.
+      Curation.linearQualityScore(documents(s, d), "doc_id", "text",
+          wLen = 3L, wStop = 2L, wAlpha = 5L, wWlen = -1L, threshold = 4000L)
+        .orderBy("id"))
   )
 
   // ---------------------------------------------------------------- //
@@ -2765,6 +2816,85 @@ object SparkEntry {
          | UNION ALL SELECT 3, pair, replace(pair,' ',''), cnt FROM t3
          | UNION ALL SELECT 4, pair, replace(pair,' ',''), cnt FROM t4)
          |ORDER BY rank""".stripMargin
+    },
+
+    // q110's unrolled merge rounds with the word column carried through
+    // each rewrite CTE; the final symbol table IS the encoding.
+    "q111_bpe_encode" -> {
+      def pairs(src: String, c: String) =
+        s"""$c AS (SELECT p AS pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM
+           |  (SELECT freq, unnest(list_transform(
+           |     generate_series(1, len(string_split(s,' '))-1),
+           |     i -> string_split(s,' ')[i] || ' ' || string_split(s,' ')[i+1])) AS p
+           |   FROM $src) GROUP BY 1)""".stripMargin
+      def top(c: String, t: String) =
+        s"$t AS (SELECT pair, cnt FROM $c ORDER BY cnt DESC, pair LIMIT 1)"
+      def apply(src: String, t: String, dst: String) =
+        s"""$dst AS (SELECT w, trim(replace(' '||s||' ', ' '||$t.pair||' ',
+           |  ' '||replace($t.pair,' ','')||' ')) AS s, freq FROM $src, $t)""".stripMargin
+      s"""WITH w0 AS (SELECT w, COUNT(*) AS freq FROM
+         |  (SELECT unnest($TOKS) AS w FROM documents)
+         |  WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY 1),
+         |s0 AS (SELECT w, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s, freq FROM w0),
+         |${pairs("s0", "c1")}, ${top("c1", "t1")}, ${apply("s0", "t1", "s1")},
+         |${pairs("s1", "c2")}, ${top("c2", "t2")}, ${apply("s1", "t2", "s2")},
+         |${pairs("s2", "c3")}, ${top("c3", "t3")}, ${apply("s2", "t3", "s3")},
+         |${pairs("s3", "c4")}, ${top("c4", "t4")}, ${apply("s3", "t4", "s4")}
+         |SELECT w, s AS encoded, CAST(len(string_split(s, ' ')) AS BIGINT) AS n_tokens,
+         |  CAST(freq AS BIGINT) AS freq
+         |FROM s4 WHERE freq >= 3 ORDER BY w""".stripMargin
+    },
+
+    // list() over the same ROWS frame + list_reduce seeds with the first
+    // element, exactly like the Spark side's null-seeded aggregate fold;
+    // all-integer milli-cent state, `//` == `div` for nonnegative
+    // operands (see Relational.ewmaTrailing).
+    "q112_ewma" ->
+      """WITH p AS (SELECT user_id, event_id, ts,
+        |  CAST(round(value*100, 0) AS BIGINT) * 1000 AS v_mc FROM events
+        |  WHERE event_type = 'purchase' AND value IS NOT NULL),
+        |f AS (SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, v_mc,
+        |  list(v_mc) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS vs
+        | FROM p)
+        |SELECT user_id, event_id, ts_s, v_mc,
+        |  CAST(list_reduce(vs, (acc, x) -> (3*acc + x) // 4) AS BIGINT) AS ewma_mc
+        |FROM f ORDER BY user_id, event_id""".stripMargin,
+
+    // q35 with the label-equality constraint in the join predicate.
+    "q113_ann_filtered" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, label AS ql, v AS qv FROM e WHERE vec_id < 5),
+         |s AS (SELECT query_id, e.vec_id AS neighbor_id,
+         |  round(${duckCos("qv", "e.v")}, 4) AS cos
+         | FROM e JOIN q ON e.label = q.ql AND e.vec_id <> q.query_id),
+         |r AS (SELECT query_id, neighbor_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+         | FROM s)
+         |SELECT query_id, neighbor_id, cos, rnk FROM r WHERE rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin,
+
+    // Integer feature/score twin; DuckDB's `//` floors like Spark's
+    // `div` truncates — identical for the nonnegative operands here.
+    "q114_quality_classifier" -> {
+      val sw = StopWords.map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id AS id, text, $TOKS AS toks FROM documents),
+         |c AS (SELECT id,
+         |  CAST(len(toks) AS BIGINT) AS ntok,
+         |  CAST(len(list_filter(toks, x -> x IN ($sw))) AS BIGINT) AS nstop,
+         |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS nalpha,
+         |  CAST(length(text) AS BIGINT) AS nchars
+         | FROM t),
+         |f AS (SELECT id,
+         |  least(ntok, 100) AS f_len,
+         |  CASE WHEN ntok > 0 THEN 1000 * nstop // ntok ELSE 0 END AS f_stop,
+         |  CASE WHEN nchars > 0 THEN 1000 * nalpha // nchars ELSE 0 END AS f_alpha,
+         |  CASE WHEN ntok > 0 THEN nchars // ntok ELSE 0 END AS f_wlen
+         | FROM c)
+         |SELECT id, f_len, f_stop, f_alpha, f_wlen,
+         |  3*f_len + 2*f_stop + 5*f_alpha - 1*f_wlen AS score,
+         |  3*f_len + 2*f_stop + 5*f_alpha - 1*f_wlen >= 4000 AS keep
+         |FROM f ORDER BY id""".stripMargin
     },
 
     "q109_locf_gapfill" ->

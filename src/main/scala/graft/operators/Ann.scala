@@ -86,6 +86,32 @@ object Ann {
       .filter(col("rank") <= k)
   }
 
+  /** Attribute-constrained exact top-k: like [[bruteForceTopK]] but a
+    * neighbor must also share `attrCol` with the query (the "filtered
+    * vector search" every retrieval stack needs — same-language / same-
+    * shard / same-tenant neighbors). The attribute equality is part of
+    * the broadcast-join CONDITION, so non-matching corpus rows are
+    * discarded before any dot product is computed; the corpus still
+    * never shuffles and the scan reads only (id, vec, attr) columns.
+    */
+  def bruteForceTopKFiltered(corpus: DataFrame, queries: DataFrame,
+                             idCol: String, vecCol: String, attrCol: String,
+                             k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      col(attrCol).as("__ca"), norm(col(vecCol)).as("cnrm"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      col(attrCol).as("__qa"), norm(col(vecCol)).as("qnrm"))
+    val nprod = col("qnrm") * col("cnrm")
+    val scored = c.join(broadcast(q),
+        col("query_id") =!= col("neighbor_id") && col("__ca") === col("__qa"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(when(nprod > 0, dot(col("qv"), col("cv")) / nprod).otherwise(lit(0.0)), 4).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Deterministic k-means centroid build for IVF. Seeds are the
     * `nLists` vectors with the smallest md5-derived key (an order-free
     * deterministic "shuffle"; no RNG, so the DuckDB oracle rebuilds the

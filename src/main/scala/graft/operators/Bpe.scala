@@ -30,20 +30,25 @@ import org.apache.spark.sql.types._
   */
 object Bpe {
 
-  /** Learn `iters` merges from `docs(textCol)`; returns one row per
-    * merge: (rank, pair, merged, weighted_count), rank 1-based in
-    * selection order.
+  /** The distinct-word frequency table feeding both the learner and the
+    * encoder: lowercase-alpha words only (see class doc) with exact
+    * corpus frequencies.
     */
-  def bpeMerges(docs: DataFrame, textCol: String, iters: Int): DataFrame = {
+  private def wordTable(docs: DataFrame, textCol: String): DataFrame = docs
+    .select(explode(graft.functions.TextFunctions.tokens(col(textCol))).as("w"))
+    .filter(col("w").rlike("^[a-z]+$"))
+    .groupBy("w").agg(count(lit(1)).as("freq"))
+
+  /** Run `iters` greedy merge rounds over a spaced-symbol table.
+    * `syms0` must carry columns `s` (space-joined symbols) and `freq`;
+    * any OTHER columns (e.g. the original word) ride through the
+    * rewrites untouched. Returns the final symbol table and the merge
+    * log (rank, pair, merged, weighted_count).
+    */
+  private def mergeRounds(syms0: DataFrame, iters: Int)
+      : (DataFrame, Seq[(Long, String, String, Long)]) = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val spark = docs.sparkSession
-    val words = docs
-      .select(explode(graft.functions.TextFunctions.tokens(col(textCol))).as("w"))
-      .filter(col("w").rlike("^[a-z]+$"))
-      .groupBy("w").agg(count(lit(1)).as("freq"))
-    var syms = words
-      .select(trim(regexp_replace(col("w"), "(.)", "$1 ")).as("s"), col("freq"))
-      .localCheckpoint(true)
+    var syms = syms0.localCheckpoint(true)
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     for (rank <- 1 to iters) {
       // adjacent symbol pairs, 1-based element_at to mirror the oracle's
@@ -66,19 +71,46 @@ object Bpe {
         val merged = pair.replace(" ", "")
         merges += ((rank.toLong, pair, merged, cnt))
         syms = syms
-          .select(trim(expr(
-            s"replace(concat(' ', s, ' '), ' $pair ', ' $merged ')")).as("s"),
-            col("freq"))
+          .withColumn("s", trim(expr(
+            s"replace(concat(' ', s, ' '), ' $pair ', ' $merged ')")))
           .localCheckpoint(true)
       }
     }
+    (syms, merges.result())
+  }
+
+  /** Learn `iters` merges from `docs(textCol)`; returns one row per
+    * merge: (rank, pair, merged, weighted_count), rank 1-based in
+    * selection order.
+    */
+  def bpeMerges(docs: DataFrame, textCol: String, iters: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val syms0 = wordTable(docs, textCol)
+      .select(trim(regexp_replace(col("w"), "(.)", "$1 ")).as("s"), col("freq"))
+    val (_, merges) = mergeRounds(syms0, iters)
     spark.createDataFrame(
-      spark.sparkContext.parallelize(merges.result().map {
+      spark.sparkContext.parallelize(merges.map {
         case (r, p, m, c) => Row(r, p, m, c)
       }, 1),
       StructType(Seq(StructField("rank", LongType, nullable = false),
         StructField("pair", StringType, nullable = false),
         StructField("merged", StringType, nullable = false),
         StructField("weighted_count", LongType, nullable = false))))
+  }
+
+  /** BPE ENCODING: learn `iters` merges (same rounds as [[bpeMerges]])
+    * and return each distinct word's resulting segmentation —
+    * (w, encoded, n_tokens, freq). The word column rides through the
+    * per-round rewrites, so the encoder is the learner's final state,
+    * not a second pass — at scale this is `iters` map-only rewrites
+    * over the vocabulary-bounded word table, never the corpus.
+    */
+  def bpeEncode(docs: DataFrame, textCol: String, iters: Int): DataFrame = {
+    val syms0 = wordTable(docs, textCol)
+      .select(col("w"),
+        trim(regexp_replace(col("w"), "(.)", "$1 ")).as("s"), col("freq"))
+    val (syms, _) = mergeRounds(syms0, iters)
+    syms.select(col("w"), col("s").as("encoded"),
+      size(split(col("s"), " ")).cast("long").as("n_tokens"), col("freq"))
   }
 }

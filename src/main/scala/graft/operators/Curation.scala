@@ -217,6 +217,47 @@ object Curation {
           .as("boiler_ratio"))
   }
 
+  /** Linear quality-classifier scoring — the "apply a trained filter
+    * model at corpus scale" step of a training-data build (fastText /
+    * logistic-regression style, weights frozen at train time). ALL
+    * arithmetic is integer: features are milli-scaled BIGINTs and the
+    * score is a weighted integer sum, so the verdict is bit-reproducible
+    * on every engine and partition count — no sigmoid, no doubles (the
+    * monotone sigmoid never changes an argmax/threshold verdict, so
+    * inference can stay in the linear domain). Map-only: one projection
+    * over the scan, no shuffle, codegen'd end to end.
+    *
+    * Features (all >= 0, integer `div` semantics identical in Spark and
+    * DuckDB's `//` for nonnegative operands):
+    *   f_len   = least(n_tokens, 100)            — length, saturated
+    *   f_stop  = 1000 * n_stop  div n_tokens     — stopword ratio, milli
+    *   f_alpha = 1000 * n_alpha div n_chars      — alphabetic ratio, milli
+    *   f_wlen  = n_chars div n_tokens            — mean token span, chars
+    * score = wLen*f_len + wStop*f_stop + wAlpha*f_alpha + wWlen*f_wlen;
+    * keep = score >= threshold.
+    */
+  def linearQualityScore(docs: DataFrame, idCol: String, textCol: String,
+                         wLen: Long, wStop: Long, wAlpha: Long, wWlen: Long,
+                         threshold: Long): DataFrame = {
+    val toks = tokens(col(textCol))
+    val counts = docs.select(col(idCol).as("id"),
+      size(toks).cast("long").as("__ntok"),
+      size(filter(toks,
+        t => t.isInCollection(graft.functions.TextFunctions.StopWords)))
+        .cast("long").as("__nstop"),
+      length(regexp_replace(col(textCol), "[^A-Za-z]", "")).cast("long").as("__nalpha"),
+      length(col(textCol)).cast("long").as("__nchars"))
+    val feats = counts.select(col("id"),
+      least(col("__ntok"), lit(100L)).as("f_len"),
+      when(col("__ntok") > 0, expr("1000 * __nstop div __ntok")).otherwise(lit(0L)).as("f_stop"),
+      when(col("__nchars") > 0, expr("1000 * __nalpha div __nchars")).otherwise(lit(0L)).as("f_alpha"),
+      when(col("__ntok") > 0, expr("__nchars div __ntok")).otherwise(lit(0L)).as("f_wlen"))
+    feats.withColumn("score",
+        lit(wLen) * col("f_len") + lit(wStop) * col("f_stop") +
+        lit(wAlpha) * col("f_alpha") + lit(wWlen) * col("f_wlen"))
+      .withColumn("keep", col("score") >= lit(threshold))
+  }
+
   /** Deterministic k-per-group sample: the k docs with the smallest
     * md5-derived keys in each group — a uniform-without-replacement
     * sample that is stable across runs (the standard trick for carving

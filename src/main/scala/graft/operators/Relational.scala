@@ -316,6 +316,36 @@ object Relational {
         count(lit(1)).as("n_events"))
   }
 
+  /** Trailing exponentially-weighted moving average per series key,
+    * FIXED-POINT: for each row, fold the last `span` observations (frame
+    * order) with acc' = ((den-num)*acc + num*x) div den, seeded by the
+    * frame's first value. `valCol` must be a pre-scaled integer (e.g.
+    * milli-cents) — the caller's scale factor is the truncation-error
+    * knob. Integer state is WHY this is oracle-exact: a double fold of
+    * 2-decimal money with alpha = 1/4 lands on exact 4-decimal MIDPOINTS
+    * (denominators 4^k divide 10^2k), where Spark's BigDecimal HALF_UP
+    * and DuckDB's multiply-then-round diverge by 1 ulp — measured
+    * 3/1981 rows before this formulation. Truncating div and floor `//`
+    * agree for the nonnegative operands required here. The truncated
+    * frame keeps the fold bounded (`span` longs per row, independent of
+    * history length); one exchange on the key, one sort.
+    */
+  def ewmaTrailing(df: DataFrame, keyCol: String, orderCols: Seq[Column],
+                   valCol: String, alphaNum: Long, alphaDen: Long, span: Int,
+                   outName: String = "ewma"): DataFrame = {
+    require(alphaNum > 0 && alphaNum < alphaDen,
+      s"alpha must be in (0,1), got $alphaNum/$alphaDen")
+    require(span >= 1, s"span must be >= 1, got $span")
+    val w = Window.partitionBy(keyCol).orderBy(orderCols: _*)
+      .rowsBetween(-(span - 1), Window.currentRow)
+    df.withColumn("__vs", collect_list(col(valCol)).over(w))
+      .withColumn(outName, expr(
+        s"aggregate(__vs, CAST(NULL AS BIGINT), (acc, x) -> " +
+        s"CASE WHEN acc IS NULL THEN x ELSE " +
+        s"(${alphaDen - alphaNum}L * acc + ${alphaNum}L * x) div ${alphaDen}L END)"))
+      .drop("__vs")
+  }
+
   /** Batch sessionization via the built-in `session_window` — the same
     * API the streaming path (EventStreams.sessionizeStream) uses, so the
     * batch/stream twins share semantics by construction. One hash

@@ -145,6 +145,42 @@ class ChunkingCurationSpec extends AnyFunSuite {
       (4L, "low er", "lower", 2L)), got.toSeq.toString)
   }
 
+  test("bpeEncode: segmentations after the hand-computed merges") {
+    // same corpus as the bpeMerges test; merges are l o -> lo,
+    // lo w -> low, e r -> er, low er -> lower. Final symbol tables:
+    //   low    -> "low"            (1 token)
+    //   lower  -> "lower"          (1 token)
+    //   newest -> "n e w e s t"    (6 tokens; no learned merge applies:
+    //     "w e" was never merged and er needs an 'e r' pair, but
+    //     newest's 'e' neighbors are w/s)
+    val docs = Seq((1L, "low low low lower lower newest")).toDF("doc_id", "text")
+    val got = operators.Bpe.bpeEncode(docs, "text", iters = 4)
+      .orderBy("w").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      ("low", "low", 1L, 3L),
+      ("lower", "lower", 1L, 2L),
+      ("newest", "n e w e s t", 6L, 1L)), got.toSeq.toString)
+  }
+
+  test("linearQualityScore: hand-computed integer features and verdict") {
+    // text: "the cat sat on a mat" -> 6 tokens, stopwords {the, on, a}=3,
+    // chars=20, alpha=15 (spaces excluded)
+    // f_len=6, f_stop=1000*3 div 6=500, f_alpha=1000*15 div 20=750,
+    // f_wlen=20 div 6=3
+    // weights (3,2,5,-1), score = 18 + 1000 + 3750 - 3 = 4765 >= 4000
+    val docs = Seq((7L, "the cat sat on a mat"), (8L, ""))
+      .toDF("doc_id", "text")
+    val got = Curation.linearQualityScore(docs, "doc_id", "text",
+        wLen = 3L, wStop = 2L, wAlpha = 5L, wWlen = -1L, threshold = 4000L)
+      .orderBy("id").collect()
+    assert(got(0).getLong(1) == 6L && got(0).getLong(2) == 500L &&
+      got(0).getLong(3) == 750L && got(0).getLong(4) == 3L, got(0).toString)
+    assert(got(0).getAs[Long]("score") == 4765L && got(0).getAs[Boolean]("keep"))
+    // empty doc: every feature 0 (no division blow-ups), dropped
+    assert(got(1).getAs[Long]("score") == 0L && !got(1).getAs[Boolean]("keep"))
+  }
+
   test("shuffleShards: permutation is total, deterministic, positions contiguous") {
     val docs = (1 to 500).map(i => (i.toLong, s"doc body $i")).toDF("doc_id", "text")
     val out = Curation.shuffleShards(docs, "doc_id", 8)

@@ -75,6 +75,32 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(top.head.getAs[Double]("cos") == 1.0)
   }
 
+  test("filtered ANN: neighbors share the query's label and match post-filtered exact") {
+    val e = engine.Tables.embeddings(spark, SparkTestSession.sfDir)
+    val q = e.filter(col("vec_id") < 3)
+    val got = Ann.bruteForceTopKFiltered(e, q, "vec_id", "embedding", "label", 5)
+    // every (query, neighbor) pair shares the label
+    val lbl = e.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val pairs = got.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (qid, nid) =>
+      assert(lbl(qid) == lbl(nid), s"pair ($qid,$nid) crosses labels") }
+    // equals brute force over the label-restricted corpus, per query
+    q.select("vec_id", "label").collect().foreach { r =>
+      val (qid, ql) = (r.getLong(0), r.getInt(1))
+      val expect = Ann.bruteForceTopK(e.filter(col("label") === ql),
+          e.filter(col("vec_id") === qid), "vec_id", "embedding", 5)
+        .select("neighbor_id", "rank").collect()
+        .map(x => (x.getLong(0), x.getInt(1))).toSet
+      val have = got.filter(col("query_id") === qid)
+        .select("neighbor_id", "rank").collect()
+        .map(x => (x.getLong(0), x.getInt(1))).toSet
+      assert(have == expect, s"query $qid: $have != $expect")
+    }
+  }
+
   test("LSH ANN achieves nonzero recall vs brute force on real embeddings") {
     val e = engine.Tables.embeddings(spark, SparkTestSession.sfDir)
     val q = e.filter(col("vec_id") < 3)

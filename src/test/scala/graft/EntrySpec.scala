@@ -260,4 +260,22 @@ class EntrySpec extends AnyFunSuite {
       .map(_.asInstanceOf[Double]).toArray
     assert(math.abs(approx - exact) / exact < 0.05)
   }
+
+  test("ewmaTrailing: fixed-point fold matches a hand computation, frame truncates") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // key a: 100, 200, 300 with alpha=1/4, span=2:
+    //   row1 seed 100; row2 (3*100+200) div 4 = 125;
+    //   row3 frame=[200,300] (span truncates 100 away): (3*200+300) div 4 = 225
+    // key b: single obs -> seed
+    val df = Seq(("a", 1L, 100L), ("a", 2L, 200L), ("a", 3L, 300L),
+        ("b", 1L, 50L))
+      .toDF("k", "seq", "v")
+    val got = operators.Relational
+      .ewmaTrailing(df, "k", Seq(col("seq")), "v", 1L, 4L, span = 2)
+      .orderBy("k", "seq").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getAs[Long]("ewma")))
+    assert(got.toSeq == Seq(("a", 1L, 100L), ("a", 2L, 125L),
+      ("a", 3L, 225L), ("b", 1L, 50L)), got.toSeq.toString)
+  }
 }
