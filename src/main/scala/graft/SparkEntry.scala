@@ -1485,7 +1485,23 @@ object SparkEntry {
       // (Curation.linearQualityScore scaladoc). Map-only, no shuffle.
       Curation.linearQualityScore(documents(s, d), "doc_id", "text",
           wLen = 3L, wStop = 2L, wAlpha = 5L, wWlen = -1L, threshold = 4000L)
-        .orderBy("id"))
+        .orderBy("id")),
+
+    "q115_dedup_incremental" -> ((s, d) => {
+      // Incremental near-dup: the "today's batch vs standing corpus"
+      // shape (batch = doc_id % 10 == 0 as a stand-in for an ingest
+      // partition). Only new x corpus pairs are generated — the corpus
+      // side is the one groupBy a standing band index would persist
+      // bucketed; per batch only the new side is hashed and shuffled
+      // (Dedup.minHashLshAgainst scaladoc).
+      val docs = documents(s, d)
+      Dedup.minHashLshAgainst(
+          docs.filter(pmod(col("doc_id"), lit(10L)) === 0L),
+          docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0L),
+          "doc_id", "text", k = 3, bands = 4, rowsPerBand = 4,
+          minEstJaccard = 0.25, maxBucketSize = 10000)
+        .orderBy("new_id", "corpus_id")
+    })
   )
 
   // ---------------------------------------------------------------- //
@@ -2896,6 +2912,34 @@ object SparkEntry {
          |  3*f_len + 2*f_stop + 5*f_alpha - 1*f_wlen >= 4000 AS keep
          |FROM f ORDER BY id""".stripMargin
     },
+
+    // q31's minhash/band CTEs split into new (id%10=0) and corpus sides;
+    // the bucket cap applies to the CORPUS posting list, like the Spark
+    // plan. mh covers all docs (per-doc signatures are subset-independent).
+    "q115_dedup_incremental" ->
+      s"""WITH sh AS ($SHINGLES3),
+         |h AS (SELECT id, ${duckHash("sh", 7)} AS h FROM sh),
+         |mh AS (SELECT id, i AS hash_idx,
+         |  min((h*(2*i+1) + i*40503 + 7) % 2147483647) AS min_hash
+         | FROM h CROSS JOIN (SELECT unnest(generate_series(0,15)) AS i) GROUP BY 1,2),
+         |bk0 AS (SELECT id, hash_idx // 4 AS band,
+         |  md5(string_agg(CAST(min_hash AS VARCHAR), ',' ORDER BY hash_idx)) AS band_key
+         | FROM mh GROUP BY 1,2),
+         |bkN AS (SELECT * FROM bk0 WHERE id % 10 = 0),
+         |bkC0 AS (SELECT * FROM bk0 WHERE id % 10 <> 0),
+         |bsz AS (SELECT band AS b2, band_key AS k2, COUNT(*) AS n FROM bkC0 GROUP BY 1,2),
+         |bkC AS (SELECT bkC0.* FROM bkC0 JOIN bsz ON band = b2 AND band_key = k2
+         | WHERE n <= 10000),
+         |cand AS (SELECT DISTINCT n.id AS new_id, c.id AS corpus_id
+         | FROM bkN n JOIN bkC c ON n.band = c.band AND n.band_key = c.band_key),
+         |est AS (SELECT cd.new_id, cd.corpus_id,
+         |  round(avg(CASE WHEN ma.min_hash = mb.min_hash THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END), 4) AS est_jaccard
+         | FROM cand cd
+         |  JOIN mh ma ON ma.id = cd.new_id
+         |  JOIN mh mb ON mb.id = cd.corpus_id AND mb.hash_idx = ma.hash_idx
+         | GROUP BY 1,2)
+         |SELECT new_id, corpus_id, est_jaccard FROM est
+         |WHERE est_jaccard >= 0.25 ORDER BY new_id, corpus_id""".stripMargin,
 
     "q109_locf_gapfill" ->
       """WITH spine AS (SELECT unnest(generate_series(

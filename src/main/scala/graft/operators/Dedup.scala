@@ -188,6 +188,24 @@ object Dedup {
     docs.select(col(idCol).as("id"), f(tokens(col(textCol))).as("sig"))
   }
 
+  /** One row per (id, sig, band, band_key): the signature array split
+    * into `bands` map-side band fingerprints (md5 of the band's
+    * in-order min-hashes). Shared by the self-join ([[minHashLsh]]) and
+    * cross-batch ([[minHashLshAgainst]]) candidate generators.
+    */
+  private def bandKeyed(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandEntries = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws(",",
+          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)
+            .cast("array<string>"))).as("band_key"))
+    }
+    sig.select(col("id"), col("sig"),
+        explode(array(bandEntries: _*)).as("e"))
+      .select(col("id"), col("sig"),
+        col("e.band").as("band"), col("e.band_key").as("band_key"))
+  }
+
   /** MinHash + LSH banding: signatures are split into `bands` bands of
     * `rowsPerBand` hashes; docs agreeing on ALL hashes of any band become
     * candidate pairs (single equi-join on the band fingerprint), then
@@ -213,16 +231,7 @@ object Dedup {
     // full signature rides along through the band join so the verify
     // step needs NO further joins, and the two join sides are the same
     // subplan, so the signature stage is computed once (ReuseExchange).
-    val bandEntries = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        md5(concat_ws(",",
-          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)
-            .cast("array<string>"))).as("band_key"))
-    }
-    val bandKeys = sig.select(col("id"), col("sig"),
-        explode(array(bandEntries: _*)).as("e"))
-      .select(col("id"), col("sig"),
-        col("e.band").as("band"), col("e.band_key").as("band_key"))
+    val bandKeys = bandKeyed(sig, bands, rowsPerBand)
 
     // Posting-list candidate generation (see postingPairs): ONE shuffle
     // on (band, band_key) builds the bucket lists and the signature UDF
@@ -248,6 +257,56 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         round(aggregate(
           zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1.0).otherwise(0.0)),
+          lit(0.0), (acc, v) => acc + v) / numHashes, 4).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEstJaccard)
+  }
+
+  /** INCREMENTAL near-dup: today's batch against the standing corpus —
+    * the daily-ingest shape every production dedup runs, where
+    * re-self-joining the whole corpus per batch would be O(corpus) work
+    * for O(batch) new data. Only (new x corpus) pairs are emitted;
+    * corpus-internal duplicates are assumed handled when the corpus was
+    * built ([[minHashLsh]]).
+    *
+    * Scale shape: the corpus side is ONE groupBy into per-(band, key)
+    * posting lists — at 100 TB this is the precomputed bucketed "band
+    * index" a standing corpus would persist (bucketBy(band, band_key)),
+    * so per batch only the NEW side is hashed and shuffled; the join is
+    * a hash equi-join on the band key. `maxBucketSize` caps a viral
+    * bucket exactly like the self-join path. The per-doc MinHash values
+    * are identical to [[minHashLsh]]'s (subset-independence: a doc's
+    * signature never depends on other docs), so incremental + corpus
+    * self-dedup together find the same pairs as one big self-join.
+    */
+  def minHashLshAgainst(newDocs: DataFrame, corpus: DataFrame,
+                        idCol: String, textCol: String,
+                        k: Int, bands: Int, rowsPerBand: Int,
+                        minEstJaccard: Double,
+                        maxBucketSize: Int = 10000): DataFrame = {
+    require(bands >= 1 && rowsPerBand >= 1,
+      s"bands/rowsPerBand must be >= 1, got $bands/$rowsPerBand")
+    require(maxBucketSize >= 1, s"maxBucketSize must be >= 1, got $maxBucketSize")
+    val numHashes = bands * rowsPerBand
+    val nb = bandKeyed(
+      minHashSignature(newDocs, idCol, textCol, k, numHashes), bands, rowsPerBand)
+    val posting = bandKeyed(
+        minHashSignature(corpus, idCol, textCol, k, numHashes), bands, rowsPerBand)
+      .groupBy("band", "band_key")
+      .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("lst"))
+      .filter(if (maxBucketSize == Int.MaxValue) lit(true)
+              else size(col("lst")) <= maxBucketSize)
+    val cand = nb.join(posting, Seq("band", "band_key"))
+      .select(col("id").as("new_id"), col("sig").as("sig_n"),
+        explode(col("lst")).as("c"))
+      .select(col("new_id"), col("sig_n"),
+        col("c.id").as("corpus_id"), col("c.sig").as("sig_c"))
+      .filter(col("new_id") =!= col("corpus_id"))
+    cand.groupBy("new_id", "corpus_id")
+      .agg(first(col("sig_n")).as("sig_n"), first(col("sig_c")).as("sig_c"))
+      .select(col("new_id"), col("corpus_id"),
+        round(aggregate(
+          zip_with(col("sig_n"), col("sig_c"),
             (x, y) => when(x === y, 1.0).otherwise(0.0)),
           lit(0.0), (acc, v) => acc + v) / numHashes, 4).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)

@@ -75,6 +75,29 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(top.head.getAs[Double]("cos") == 1.0)
   }
 
+  test("incremental LSH equals the cross-side subset of the full self-join") {
+    val docs = engine.Tables.documents(spark, SparkTestSession.sfDir)
+    def isNew(id: Long) = id % 10 == 0
+    // full self-join pairs, reoriented to (new, corpus); both-new and
+    // both-corpus pairs are out of the incremental operator's contract
+    val expected = Dedup.minHashLsh(docs, "doc_id", "text",
+        k = 3, bands = 4, rowsPerBand = 4, minEstJaccard = 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .flatMap { case (a, b, j) =>
+        if (isNew(a) && !isNew(b)) Some((a, b, j))
+        else if (isNew(b) && !isNew(a)) Some((b, a, j))
+        else None
+      }.toSet
+    val got = Dedup.minHashLshAgainst(
+        docs.filter(pmod(col("doc_id"), lit(10L)) === 0L),
+        docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0L),
+        "doc_id", "text", k = 3, bands = 4, rowsPerBand = 4,
+        minEstJaccard = 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.nonEmpty, "fixture should contain cross-side near-dups")
+    assert(got == expected, s"incremental=${got.size} self-join-cross=${expected.size}")
+  }
+
   test("filtered ANN: neighbors share the query's label and match post-filtered exact") {
     val e = engine.Tables.embeddings(spark, SparkTestSession.sfDir)
     val q = e.filter(col("vec_id") < 3)
