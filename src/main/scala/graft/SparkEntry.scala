@@ -1501,7 +1501,16 @@ object SparkEntry {
           "doc_id", "text", k = 3, bands = 4, rowsPerBand = 4,
           minEstJaccard = 0.25, maxBucketSize = 10000)
         .orderBy("new_id", "corpus_id")
-    })
+    }),
+
+    "q116_dedup_containment" -> ((s, d) =>
+      // Asymmetric containment |A∩B|/|A| vs /|B|: catches subset
+      // duplication (a doc quoted whole inside a longer one) that
+      // Jaccard scores near zero — same single-shuffle posting-list
+      // pipeline as q30 (Dedup.ngramContainment scaladoc).
+      Dedup.ngramContainment(documents(s, d), "doc_id", "text",
+          k = 3, minContainment = 0.6, maxDocFreq = 10000)
+        .orderBy("id_a", "id_b"))
   )
 
   // ---------------------------------------------------------------- //
@@ -2940,6 +2949,24 @@ object SparkEntry {
          | GROUP BY 1,2)
          |SELECT new_id, corpus_id, est_jaccard FROM est
          |WHERE est_jaccard >= 0.25 ORDER BY new_id, corpus_id""".stripMargin,
+
+    // q30's common-shingle CTEs with the asymmetric containment ratios.
+    "q116_dedup_containment" ->
+      s"""WITH sh AS ($SHINGLES3),
+         |sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |df AS (SELECT sh AS s2, COUNT(*) AS d FROM sh GROUP BY 1),
+         |kept AS (SELECT sh.* FROM sh JOIN df ON sh = s2 WHERE d <= 10000),
+         |hs AS (SELECT id, ${duckHash("sh", 15)} AS h FROM kept),
+         |common AS (
+         | SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS c
+         | FROM hs a JOIN hs b ON a.h = b.h AND a.id < b.id GROUP BY 1,2)
+         |SELECT id_a, id_b, c AS n_common,
+         | round(CAST(c AS DOUBLE)/na.n, 4) AS c_ab,
+         | round(CAST(c AS DOUBLE)/nb.n, 4) AS c_ba
+         |FROM common JOIN sizes na ON na.id = id_a JOIN sizes nb ON nb.id = id_b
+         |WHERE greatest(round(CAST(c AS DOUBLE)/na.n, 4),
+         |               round(CAST(c AS DOUBLE)/nb.n, 4)) >= 0.6
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "q109_locf_gapfill" ->
       """WITH spine AS (SELECT unnest(generate_series(

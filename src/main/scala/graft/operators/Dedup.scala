@@ -94,7 +94,39 @@ object Dedup {
     */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    k: Int, minJaccard: Double,
-                   maxDocFreq: Int = 10000): DataFrame = {
+                   maxDocFreq: Int = 10000): DataFrame =
+    shingleCommonCounts(docs, idCol, textCol, k, maxDocFreq)
+      .withColumn("jaccard",
+        round(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"), 4))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+
+  /** CONTAINMENT near-dup: per candidate pair, the asymmetric overlap
+    * c_ab = |A∩B|/|A| and c_ba = |A∩B|/|B| over distinct k-shingles.
+    * Jaccard misses subset duplication — a short doc quoted whole inside
+    * a long one scores |A|/|B| ≈ 0 Jaccard but c_ab = 1.0 — and
+    * training corpora are full of exactly that (boilerplate-wrapped
+    * articles, quoted posts, template-injected bodies). Same
+    * posting-list pipeline and scale guards as [[ngramJaccard]]; with
+    * the hot-shingle cap, reported containment is a lower bound.
+    */
+  def ngramContainment(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int, minContainment: Double,
+                       maxDocFreq: Int = 10000): DataFrame =
+    shingleCommonCounts(docs, idCol, textCol, k, maxDocFreq)
+      .withColumn("c_ab", round(col("n_common").cast("double") / col("n_a").cast("double"), 4))
+      .withColumn("c_ba", round(col("n_common").cast("double") / col("n_b").cast("double"), 4))
+      .filter(greatest(col("c_ab"), col("c_ba")) >= minContainment)
+      .select("id_a", "id_b", "n_common", "c_ab", "c_ba")
+
+  /** Shared exact-overlap kernel for [[ngramJaccard]] /
+    * [[ngramContainment]]: one shuffle keyed by the 60-bit shingle hash
+    * builds posting lists, pairs stream out of [[postingPairs]], and the
+    * pair aggregation returns (id_a, id_b, n_common, n_a, n_b).
+    */
+  private def shingleCommonCounts(docs: DataFrame, idCol: String, textCol: String,
+                                  k: Int, maxDocFreq: Int): DataFrame = {
     require(k >= 1, s"shingle size k must be >= 1, got $k")
     require(maxDocFreq >= 1, s"maxDocFreq must be >= 1, got $maxDocFreq")
     // |shingles| per doc is size() of the (already-distinct) shingle
@@ -134,16 +166,10 @@ object Dedup {
       .agg(sort_array(collect_list(struct(col("id"), col("n_sh")))).as("lst"))
       .filter(size(col("lst")) >= 2 &&
         (if (maxDocFreq == Int.MaxValue) lit(true) else size(col("lst")) <= maxDocFreq))
-    val common = postingPairs(posting)
+    postingPairs(posting)
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("n_common"),
         max(col("a.n_sh")).as("n_a"), max(col("b.n_sh")).as("n_b"))
-    common
-      .withColumn("jaccard",
-        round(col("n_common").cast("double") /
-          (col("n_a") + col("n_b") - col("n_common")).cast("double"), 4))
-      .filter(col("jaccard") >= minJaccard)
-      .select("id_a", "id_b", "jaccard")
   }
 
   /** MinHash signature: `numHashes` permutations h_i(x) = (a_i*x + b_i)

@@ -75,6 +75,27 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(top.head.getAs[Double]("cos") == 1.0)
   }
 
+  test("containment flags a fully-quoted doc that Jaccard misses") {
+    import spark.implicits._
+    val inner = "alpha beta gamma delta epsilon zeta"
+    val outer = ("preamble words here and elsewhere totally unrelated body " * 4) +
+      inner + (" trailing filler content of considerable additional length " * 4)
+    val docs = Seq((1L, inner), (2L, outer), (3L, "nothing shared at all whatsoever"))
+      .toDF("doc_id", "text")
+    val got = Dedup.ngramContainment(docs, "doc_id", "text",
+        k = 3, minContainment = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(3), r.getDouble(4)))
+    // every 3-shingle of doc 1 appears in doc 2 -> c_ab = 1.0
+    assert(got.length == 1 && got.head._1 == 1L && got.head._2 == 2L)
+    assert(got.head._3 == 1.0, s"c_ab = ${got.head._3}")
+    assert(got.head._4 < 0.5, s"c_ba should be small, got ${got.head._4}")
+    // the same pair is BELOW a 0.25 Jaccard bar — the gap containment closes
+    val jac = Dedup.ngramJaccard(docs, "doc_id", "text", k = 3, minJaccard = 0.25)
+      .collect()
+    assert(jac.isEmpty, jac.mkString(","))
+  }
+
   test("incremental LSH equals the cross-side subset of the full self-join") {
     val docs = engine.Tables.documents(spark, SparkTestSession.sfDir)
     def isNew(id: Long) = id % 10 == 0
