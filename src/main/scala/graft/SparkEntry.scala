@@ -1510,7 +1510,21 @@ object SparkEntry {
       // pipeline as q30 (Dedup.ngramContainment scaladoc).
       Dedup.ngramContainment(documents(s, d), "doc_id", "text",
           k = 3, minContainment = 0.6, maxDocFreq = 10000)
-        .orderBy("id_a", "id_b"))
+        .orderBy("id_a", "id_b")),
+
+    "q117_image_phash_dedup" -> ((s, d) => {
+      // Perceptual-hash image dedup: REAL PNG decode -> all-integer
+      // 8x8 average-hash -> the same Hamming<=2 pigeonhole banding the
+      // text SimHash path uses (Dedup.hammingNearDup). The fixture's
+      // gid groups are the same picture at different sizes, which
+      // byte-exact dedup cannot pair. Oracle recomputes the aHash
+      // ANALYTICALLY from the cell formula (never decodes a PNG) and
+      // verifies pairs by exact per-cell comparison.
+      val media = Multimodal.mediaWithDupImages(s, documents(s, d))
+      Dedup.hammingNearDup(Multimodal.imageAHash(media).toDF(),
+          "media_id", "ahash", nBits = 64, maxHamming = 2)
+        .orderBy("id_a", "id_b")
+    })
   )
 
   // ---------------------------------------------------------------- //
@@ -2967,6 +2981,41 @@ object SparkEntry {
          |WHERE greatest(round(CAST(c AS DOUBLE)/na.n, 4),
          |               round(CAST(c AS DOUBLE)/nb.n, 4)) >= 0.6
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // The aHash recomputed analytically from mediaWithDupImages' cell
+    // formula (cell-constant gray, so no PNG decode is needed): per-cell
+    // integer sums/counts, threshold by cross-multiplication, candidates
+    // by 3-chunk pigeonhole over the ordered bit string, exact per-cell
+    // Hamming on candidates — recall is exact for Hamming<=2, matching
+    // the Spark side's banding by the same pigeonhole argument.
+    "q117_image_phash_dedup" ->
+      """WITH dim AS (SELECT doc_id AS id, (doc_id % 16) + 8 AS w,
+        |  (doc_id % 12) + 8 AS h, doc_id // 10 AS gid
+        | FROM documents WHERE doc_id % 2 = 0),
+        |xs AS (SELECT id, unnest(generate_series(0, w-1)) AS x FROM dim),
+        |ys AS (SELECT id, unnest(generate_series(0, h-1)) AS y FROM dim),
+        |px AS (SELECT d.id, (x*8)//d.w AS cx, (y*8)//d.h AS cy,
+        |  CASE WHEN (((x*8)//d.w)*13 + ((y*8)//d.h)*29 + d.gid*97) % 257 < 110
+        |       THEN 220 ELSE 30 END AS v
+        | FROM dim d JOIN xs ON xs.id = d.id JOIN ys ON ys.id = d.id),
+        |cell AS (SELECT id, cy*8 + cx AS k, SUM(v) AS cs, COUNT(*) AS cn
+        | FROM px GROUP BY 1, 2),
+        |tot AS (SELECT id, SUM(v) AS ts, COUNT(*) AS tn FROM px GROUP BY 1),
+        |bits AS (SELECT cell.id, k,
+        |  CASE WHEN cs*tn > ts*cn THEN '1' ELSE '0' END AS b
+        | FROM cell JOIN tot ON cell.id = tot.id),
+        |bs AS (SELECT id, string_agg(b, '' ORDER BY k) AS s FROM bits GROUP BY 1),
+        |cand AS (SELECT a.id AS id_a, b.id AS id_b, a.s AS sa, b.s AS sb
+        | FROM bs a JOIN bs b ON a.id < b.id AND (
+        |   substr(a.s, 1, 22) = substr(b.s, 1, 22) OR
+        |   substr(a.s, 23, 21) = substr(b.s, 23, 21) OR
+        |   substr(a.s, 44, 21) = substr(b.s, 44, 21))),
+        |ham AS (SELECT id_a, id_b, CAST(list_sum(list_transform(
+        |   generate_series(1, 64),
+        |   i -> CASE WHEN substr(sa, i, 1) <> substr(sb, i, 1) THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+        | FROM cand)
+        |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q109_locf_gapfill" ->
       """WITH spine AS (SELECT unnest(generate_series(

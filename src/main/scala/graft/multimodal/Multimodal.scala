@@ -291,6 +291,101 @@ object Multimodal {
       }
   }
 
+  /** Duplicate-image fixture for perceptual-hash dedup: the pixel
+    * pattern is keyed by gid = id div 10 over the 8x8 CELL grid (every
+    * pixel of cell (cx, cy) is gray 220 or 30 by (cx*13 + cy*29 +
+    * gid*97) mod 257 < 110 — two levels far from any mean, so the
+    * threshold bits are size-invariant), while width/height still vary
+    * per id — so the ~5 even ids
+    * sharing a gid are the SAME picture rendered at different sizes,
+    * exactly the rescaled-duplicate mode a perceptual hash exists to
+    * catch (and byte-level exact dedup cannot). Cell-constant gray
+    * also makes the aHash analytically derivable, so the DuckDB oracle
+    * recomputes it from the formula without decoding a PNG — same
+    * trick as [[AudioCodec]]'s analytic sample sums.
+    */
+  def mediaWithDupImages(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).filter(pmod(col("doc_id"), lit(2)) === 0)
+      .as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { id =>
+          val w = (id % 16).toInt + 8
+          val h = (id % 12).toInt + 8
+          val gid = id / 10
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            val cy = y * 8 / h
+            var x = 0
+            while (x < w) {
+              val cx = x * 8 / w
+              val v = if ((cx * 13L + cy * 29L + gid * 97L) % 257L < 110L) 220 else 30
+              img.setRGB(x, y, (v << 16) | (v << 8) | v)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          MediaRow(id, "image", bos.toByteArray, w, h)
+        }
+      }
+  }
+
+  case class ImageHash(media_id: Long, ahash: Long)
+
+  /** Average-hash (aHash) from REAL decoded pixels: the image is
+    * area-binned to the 8x8 grid (pixel (x, y) -> cell (x*8 div w,
+    * y*8 div h)), and bit k is set iff cell k's mean gray exceeds the
+    * image's global mean. Means are compared by integer
+    * cross-multiplication (cell_sum * w*h > total_sum * cell_count) —
+    * no floating point anywhere, so the hash is bit-identical on every
+    * engine and partition count. Map-only; one long per image leaves
+    * the stage. Undecodable blobs are dropped, not faked.
+    */
+  def imageAHash(media: Dataset[MediaRow]): Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.content))
+        if (img == null) None
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          val cellSum = new Array[Long](64)
+          val cellCnt = new Array[Long](64)
+          var total = 0L
+          var y = 0
+          while (y < h) {
+            val cy = y * 8 / h
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              val g = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+              val k = cy * 8 + x * 8 / w
+              cellSum(k) += g; cellCnt(k) += 1; total += g
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          var hash = 0L
+          var k = 0
+          while (k < 64) {
+            if (cellCnt(k) > 0 && cellSum(k) * n > total * cellCnt(k))
+              hash |= (1L << k)
+            k += 1
+          }
+          Some(ImageHash(r.media_id, hash))
+        }
+      }
+    }
+  }
+
   /** REAL decode: PNG bytes → pixel-sum stats via javax.imageio.
     * mapPartitions so codec setup (ImageIO cache off — no temp-file I/O
     * on the executors) happens once per partition, not once per row.

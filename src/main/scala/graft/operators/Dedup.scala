@@ -417,8 +417,22 @@ object Dedup {
     */
   def simHashNearDup(docs: DataFrame, idCol: String, textCol: String,
                      nBits: Int = 16, maxHamming: Int = 2,
+                     maxBucketSize: Int = 10000): DataFrame =
+    hammingNearDup(simHash(docs, idCol, textCol, nBits), "id", "simhash",
+      nBits, maxHamming, maxBucketSize)
+
+  /** Hamming<=d pairs over ANY precomputed bit-fingerprint column —
+    * the [[simHashNearDup]] banding join lifted out of the text path so
+    * other fingerprint families (e.g. image perceptual hashes) reuse
+    * it. Pigeonhole recall is exact: d+1 chunks, a pair within Hamming
+    * d agrees on >= 1 chunk. Input must carry a unique `idCol` and a
+    * long `hashCol` whose meaningful bits fit in `nBits`.
+    */
+  def hammingNearDup(hashed: DataFrame, idCol: String, hashCol: String,
+                     nBits: Int, maxHamming: Int,
                      maxBucketSize: Int = 10000): DataFrame = {
-    val shs = simHash(docs, idCol, textCol, nBits)
+    require(maxBucketSize >= 1, s"maxBucketSize must be >= 1, got $maxBucketSize")
+    val shs = hashed.select(col(idCol).as("id"), col(hashCol).as("simhash"))
     val bandCols = simHashBands(nBits, maxHamming).map { case (i, start, len) =>
       struct(lit(i).as("chunk"),
         shiftright(col("simhash"), start).bitwiseAND(lit((1L << len) - 1)).as("key"))

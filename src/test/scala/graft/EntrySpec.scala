@@ -261,6 +261,26 @@ class EntrySpec extends AnyFunSuite {
     assert(math.abs(approx - exact) / exact < 0.05)
   }
 
+  test("image perceptual hash pairs rescaled duplicates byte-exact dedup misses") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // ids 10,12,14 share gid 1 at three different sizes; id 30 is gid 3
+    // (gids distinct mod 7, so the cell patterns genuinely differ)
+    val docs = Seq(10L, 12L, 14L, 30L).toDF("doc_id")
+      .withColumn("text", lit("x"))
+    val media = multimodal.Multimodal.mediaWithDupImages(spark, docs)
+    // four DISTINCT blobs — exact byte-level dedup pairs nothing
+    assert(media.collect().map(_.content.toSeq).distinct.length == 4)
+    val pairs = operators.Dedup.hammingNearDup(
+        multimodal.Multimodal.imageAHash(media).toDF(),
+        "media_id", "ahash", nBits = 64, maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val got = pairs.map(p => (p._1, p._2)).toSet
+    // the two-level pattern is size-invariant -> same-gid pairs at Hamming 0
+    assert(got == Set((10L, 12L), (10L, 14L), (12L, 14L)), got.toString)
+    assert(pairs.forall(_._3 == 0L), pairs.mkString(","))
+  }
+
   test("ewmaTrailing: fixed-point fold matches a hand computation, frame truncates") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
