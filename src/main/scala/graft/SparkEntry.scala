@@ -1524,7 +1524,29 @@ object SparkEntry {
       Dedup.hammingNearDup(Multimodal.imageAHash(media).toDF(),
           "media_id", "ahash", nBits = 64, maxHamming = 2)
         .orderBy("id_a", "id_b")
-    })
+    }),
+
+    "q118_video_decode" -> ((s, d) =>
+      // REAL video decode: pure-JDK RIFF/AVI container parse + ImageIO
+      // per-frame decode (MPNG fixtures — lossless, so the oracle
+      // computes per-frame pixel sums ANALYTICALLY from the frame-seed
+      // pattern formula without ever seeing an AVI byte; MJPG rides the
+      // identical path, exercised structurally in tests). One media row
+      // fans out to nFrames fixed-width stat rows on the executors; the
+      // blob never survives the stage.
+      Multimodal.videoFrameStats(Multimodal.mediaWithRealVideo(s, documents(s, d)))
+        .toDF()
+        .orderBy("media_id", "frame_idx"))
+,
+    "q119_semdedup" -> ((s, d) =>
+      // SemDeDup (Abbas et al. arXiv:2303.09540): k-means-cluster the
+      // embedding space, then keep one representative per within-cluster
+      // cosine-duplicate set (lowest id). Reuses the q54 deterministic
+      // k-means build; the pair join is one cid-keyed shuffle
+      // (Ann.semDedup scaladoc for the 100 TB shape).
+      Ann.semDedup(embeddings(s, d), "vec_id", "embedding",
+          nLists = 8, eps = 0.35)
+        .orderBy("vec_id"))
   )
 
   // ---------------------------------------------------------------- //
@@ -2541,6 +2563,45 @@ object SparkEntry {
          |ORDER BY query_id, rnk""".stripMargin
     },
 
+    // q54's k-means CTEs (seed + 2 Lloyd rounds + full assignment),
+    // then SemDeDup's verdict: drop any vector with a lower-id
+    // cluster-mate at cosine >= 0.35 (rounded to 4 decimals before the
+    // threshold, exactly like the Spark side).
+    "q119_semdedup" -> {
+      val dist = "round(vv - 2.0*list_dot_product(v, cv) + list_dot_product(cv, cv), 6)"
+      def iter(prev: String, a: String, c: String) =
+        s"""$a AS (SELECT sid, v, cid FROM (
+           |  SELECT e.vec_id AS sid, e.v, $prev.cid,
+           |   row_number() OVER (PARTITION BY e.vec_id
+           |     ORDER BY round(e.vv - 2.0*list_dot_product(e.v, $prev.cv)
+           |       + list_dot_product($prev.cv, $prev.cv), 6), $prev.cid) AS rn
+           |  FROM e CROSS JOIN $prev) t WHERE rn = 1),
+           |$c AS (SELECT cid, list(m ORDER BY pos) AS cv FROM (
+           |  SELECT cid, pos, round(avg(x), 6) AS m FROM (
+           |   SELECT cid, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM $a) u
+           |  GROUP BY 1, 2) g GROUP BY 1)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |  list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS vv FROM embeddings),
+         |seed AS (SELECT CAST(row_number() OVER (ORDER BY h, sid) AS BIGINT) AS cid, v AS cv
+         | FROM (SELECT vec_id AS sid, v,
+         |   ${duckHash("concat('ivf_', CAST(vec_id AS VARCHAR))", 15)} AS h
+         |  FROM e ORDER BY h, sid LIMIT 8) t),
+         |${iter("seed", "a1", "c1")},
+         |${iter("c1", "a2", "c2")},
+         |ad AS (SELECT e.vec_id AS vid, e.v, c2.cid, $dist AS d
+         | FROM e CROSS JOIN c2),
+         |asgn AS (SELECT vid, v, cid FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vid ORDER BY d, cid) AS rn FROM ad)
+         | WHERE rn = 1),
+         |dropped AS (SELECT DISTINCT a.vid FROM asgn a JOIN asgn b
+         |  ON a.cid = b.cid AND a.vid > b.vid
+         | WHERE round(${duckCos("a.v", "b.v")}, 4) >= 0.35)
+         |SELECT asgn.vid AS vec_id, asgn.cid,
+         | dropped.vid IS NULL AS keep
+         |FROM asgn LEFT JOIN dropped ON asgn.vid = dropped.vid
+         |ORDER BY vec_id""".stripMargin
+    },
+
     "q85_repetition_metrics" ->
       s"""WITH t AS (SELECT doc_id, $TOKS AS tk FROM documents),
          |g2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk)-1),
@@ -3016,6 +3077,27 @@ object SparkEntry {
         | FROM cand)
         |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Analytic twin of VideoCodec: frame f of odd doc_id draws the
+    // ImageCodec pattern at seed id*1000 + f over w = (id%12)+8 (max
+    // 19), h = (id%10)+8 (max 17) — PNG frames are lossless, so the
+    // oracle derives every frame's pixel sums from the formula alone.
+    "q118_video_decode" ->
+      """WITH v AS (SELECT doc_id AS id, (doc_id % 12) + 8 AS w,
+        |  (doc_id % 10) + 8 AS h, (doc_id % 4) + 2 AS nf
+        | FROM documents WHERE doc_id % 2 = 1),
+        |f AS (SELECT id, w, h,
+        |  unnest(generate_series(0, CAST(nf - 1 AS BIGINT))) AS fi FROM v),
+        |px AS (SELECT id, w, h, fi, id*1000 + fi AS seed, x, y FROM f
+        | CROSS JOIN (SELECT unnest(generate_series(0, 18)) AS x)
+        | CROSS JOIN (SELECT unnest(generate_series(0, 16)) AS y)
+        | WHERE x < w AND y < h)
+        |SELECT id AS media_id, CAST(fi AS BIGINT) AS frame_idx,
+        | CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        | CAST(SUM((x*7 + y*11 + seed*3) % 256) AS BIGINT) AS sum_r,
+        | CAST(SUM((x*13 + y*5 + seed*7) % 256) AS BIGINT) AS sum_g,
+        | CAST(SUM((x*3 + y*17 + seed*11) % 256) AS BIGINT) AS sum_b
+        |FROM px GROUP BY 1, 2, 3, 4 ORDER BY 1, 2""".stripMargin,
 
     "q109_locf_gapfill" ->
       """WITH spine AS (SELECT unnest(generate_series(

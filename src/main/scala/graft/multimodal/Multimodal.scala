@@ -12,16 +12,16 @@ import org.apache.spark.sql.functions._
   * AUDIO is decoded for real via `javax.sound.sampled` (also JDK
   * built-in): [[AudioCodec]] encodes deterministic 16-bit PCM WAV
   * fixtures and [[audioStats]] decodes them back to sample statistics.
-  * VIDEO decode is PERMANENTLY STUBBED (`FakeDecoder`, a deterministic
-  * standin): the JDK ships no video codec (unlike imageio/sampled for
-  * image/audio) and this library adds no external dependencies, so no
-  * real video decode exists anywhere in the engine — q38's features and
-  * q47's frame stats over `kind = "video"` rows are byte-level
-  * statistics of the container blob, NOT decoded frames, and their
-  * oracles check exactly that contract. The Spark-side plumbing —
-  * schema, batching, partitioning, output shape — is real and tested;
-  * a deployment with a codec on the classpath would swap only
-  * `FakeDecoder.decode`.
+  * VIDEO is decoded for real for AVI containers whose frames ImageIO
+  * can read — MJPG (motion-JPEG) and MPNG (motion-PNG): [[VideoCodec]]
+  * is a pure-JDK RIFF/AVI writer + parser (the container is plain
+  * chunked RIFF; each '00dc' frame chunk is a complete JPEG/PNG that
+  * `javax.imageio` decodes), so frame extraction + per-frame pixel
+  * statistics (q118) are real decode, not byte stats. Codecs the JDK
+  * cannot decode (H.264 etc.) remain out of scope — the container
+  * still parses, the frame decode yields no rows. `FakeDecoder`
+  * survives only as the byte-statistics contract behind q38/q47, whose
+  * oracles check container-blob byte stats by design.
   *
   * Scale notes: media blobs are large, so the operators (a) never widen
   * the row (features replace the blob via select, keeping the shuffle
@@ -398,6 +398,192 @@ object Multimodal {
       it.flatMap { r =>
         ImageCodec.decodeSums(r.content).map { case (w, h, sr, sg, sb) =>
           ImageStats(r.media_id, w.toLong, h.toLong, sr, sg, sb)
+        }
+      }
+    }
+  }
+
+  /** REAL video codec: a pure-JDK RIFF/AVI container writer + parser.
+    * An AVI file is chunked RIFF — `RIFF('AVI ' LIST('hdrl' avih
+    * LIST('strl' strh strf)) LIST('movi' 00dc...) idx1)` — and for the
+    * MJPG/MPNG codecs every '00dc' frame chunk is a complete JPEG/PNG
+    * byte stream, so `javax.imageio` decodes each frame exactly as it
+    * decodes a standalone image: container parse and frame decode are
+    * both real, no external codec needed. Fixtures use MPNG (lossless),
+    * so decoded pixel sums are computable ANALYTICALLY from the
+    * [[ImageCodec.channels]] formula at seed `frameSeed(id, f)` — the
+    * DuckDB oracle never sees an AVI byte (same trick as ImageCodec /
+    * AudioCodec). The MJPG path is exercised in tests structurally
+    * (frame count + dimensions; JPEG is lossy so sums are not
+    * analytic).
+    *
+    * Layout refs: MainAVIHeader/AVIStreamHeader/BITMAPINFOHEADER field
+    * order per the public OpenDML AVI spec; chunks pad to even offsets;
+    * idx1 offsets are relative to the first byte after the 'movi'
+    * fourcc (the common convention, starting at 4).
+    */
+  object VideoCodec {
+    def dims(id: Long): (Int, Int) = (((id % 12) + 8).toInt, ((id % 10) + 8).toInt)
+    def nFrames(id: Long): Int = ((id % 4) + 2).toInt
+    /** Per-frame pattern seed: frame f of video id draws the
+      * [[ImageCodec.channels]] pattern at this seed.
+      */
+    def frameSeed(id: Long, f: Int): Long = id * 1000L + f
+
+    /** Deterministic MPNG-in-AVI fixture for media id. */
+    def encodeAvi(id: Long): Array[Byte] = {
+      val (w, h) = dims(id)
+      val frames = (0 until nFrames(id))
+        .map(f => ImageCodec.encodePng(frameSeed(id, f), w, h))
+      buildAvi(w, h, frames, "MPNG")
+    }
+
+    private def le16(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    private def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    private def cc(s: String): Array[Byte] = {
+      require(s.length == 4, s"fourcc must be 4 chars: '$s'")
+      s.getBytes("US-ASCII")
+    }
+    /** `ckid size data [pad]` — chunk data pads to an even boundary. */
+    private def chunk(ckid: String, body: Array[Byte]): Array[Byte] = {
+      val pad = if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+      cc(ckid) ++ le32(body.length) ++ body ++ pad
+    }
+    /** `LIST size type children` — size covers type + children. */
+    private def list(listType: String, children: Array[Byte]): Array[Byte] =
+      cc("LIST") ++ le32(4 + children.length) ++ cc(listType) ++ children
+
+    /** Assemble a single-video-stream AVI around pre-encoded frames. */
+    def buildAvi(w: Int, h: Int, frames: Seq[Array[Byte]],
+                 codec: String): Array[Byte] = {
+      val maxFrame = if (frames.isEmpty) 0 else frames.map(_.length).max
+      // MainAVIHeader (56 bytes): 10 fps, AVIF_HASINDEX
+      val avih = chunk("avih",
+        le32(100000) ++ le32(0) ++ le32(0) ++ le32(0x10) ++
+          le32(frames.length) ++ le32(0) ++ le32(1) ++ le32(maxFrame) ++
+          le32(w) ++ le32(h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
+      // AVIStreamHeader (56 bytes): 'vids', dwScale/dwRate = 1/10
+      val strh = chunk("strh",
+        cc("vids") ++ cc(codec) ++ le32(0) ++ le16(0) ++ le16(0) ++
+          le32(0) ++ le32(1) ++ le32(10) ++ le32(0) ++ le32(frames.length) ++
+          le32(maxFrame) ++ le32(-1) ++ le32(0) ++
+          le16(0) ++ le16(0) ++ le16(w) ++ le16(h))
+      // BITMAPINFOHEADER (40 bytes) with the codec fourcc as biCompression
+      val strf = chunk("strf",
+        le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
+          cc(codec) ++ le32(w * h * 3) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
+      val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+      val moviChunks = frames.map(f => chunk("00dc", f))
+      val movi = list("movi", moviChunks.flatMap(_.toSeq).toArray)
+      // idx1: offset of each '00dc' fourcc relative to just after 'movi'
+      var off = 4
+      val idxEntries = moviChunks.zip(frames).map { case (mc, f) =>
+        val e = cc("00dc") ++ le32(0x10) ++ le32(off) ++ le32(f.length)
+        off += mc.length
+        e
+      }
+      val idx1 = chunk("idx1", idxEntries.flatMap(_.toSeq).toArray)
+      val body = hdrl ++ movi ++ idx1
+      cc("RIFF") ++ le32(4 + body.length) ++ cc("AVI ") ++ body
+    }
+
+    private def rdLe32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    private def fourcc(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, "US-ASCII")
+
+    /** Walk the RIFF tree and return the raw bytes of every video frame
+      * chunk ('NNdc' compressed / 'NNdb' uncompressed), in stream order.
+      * Tolerant of unknown chunks (skipped by declared size) and odd
+      * sizes (even padding). Non-AVI input yields Nil, never a throw —
+      * a corrupt blob in a 100 TB scan must not kill the job.
+      */
+    def frameChunks(bytes: Array[Byte]): Seq[Array[Byte]] = {
+      if (bytes.length < 12 || fourcc(bytes, 0) != "RIFF" ||
+          fourcc(bytes, 8) != "AVI ") return Nil
+      val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      def walk(from: Int, to: Int, inMovi: Boolean): Unit = {
+        var p = from
+        while (p + 8 <= to) {
+          val id = fourcc(bytes, p)
+          val sz = rdLe32(bytes, p + 4)
+          val dataStart = p + 8
+          if (sz < 0 || dataStart + sz > to) return // truncated: stop
+          if (id == "LIST" && sz >= 4) {
+            val lt = fourcc(bytes, dataStart)
+            walk(dataStart + 4, dataStart + sz, inMovi || lt == "movi")
+          } else if (inMovi && id.length == 4 &&
+              (id.endsWith("dc") || id.endsWith("db"))) {
+            out += java.util.Arrays.copyOfRange(bytes, dataStart, dataStart + sz)
+          }
+          p = dataStart + sz + (sz & 1) // chunks pad to even offsets
+        }
+      }
+      walk(12, math.min(bytes.length, 8 + rdLe32(bytes, 4)), inMovi = false)
+      out.toSeq
+    }
+
+    /** Real frame decode: container parse + ImageIO per frame. Frames
+      * ImageIO cannot decode (unknown codec) are dropped, not faked.
+      */
+    def decodeFrames(bytes: Array[Byte]): Seq[java.awt.image.BufferedImage] =
+      frameChunks(bytes).flatMap { f =>
+        Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f)))
+      }
+  }
+
+  /** Media table with REAL video blobs: every odd doc_id becomes an
+    * MPNG-in-AVI fixture (encoded on the executors — distributed map
+    * work, like the image/audio fixtures). width/height carry the frame
+    * dimensions in the canonical media schema.
+    */
+  def mediaWithRealVideo(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).filter(pmod(col("doc_id"), lit(2)) === 1)
+      .as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { id =>
+          val (w, h) = VideoCodec.dims(id)
+          MediaRow(id, "video", VideoCodec.encodeAvi(id), w, h)
+        }
+      }
+  }
+
+  /** Per-frame decoded pixel statistics: blob gone, one fixed-width row
+    * per frame out. Integer channel sums keep the oracle compare exact.
+    */
+  case class VideoFrameStats(media_id: Long, frame_idx: Long, width: Long,
+                             height: Long, sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** REAL video decode: AVI bytes → per-frame pixel-sum stats. The
+    * frame fan-out happens on the executors inside mapPartitions (one
+    * media row becomes nFrames stat rows) and the blob never survives
+    * the stage — at scale only the fixed-width stats shuffle.
+    */
+  def videoFrameStats(media: Dataset[MediaRow]): Dataset[VideoFrameStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { r =>
+        VideoCodec.decodeFrames(r.content).zipWithIndex.map { case (img, f) =>
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val p = img.getRGB(x, y)
+              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          VideoFrameStats(r.media_id, f.toLong, img.getWidth.toLong,
+            img.getHeight.toLong, sr, sg, sb)
         }
       }
     }

@@ -222,6 +222,56 @@ object Ann {
     ivfTopKWith(corpus, queries, idCol, vecCol, k, nProbe,
       kmeansCentroids(corpus, idCol, vecCol, nLists, iters, sampleOneIn))
 
+  /** Semantic deduplication (SemDeDup, Abbas et al. arXiv:2303.09540):
+    * cluster the embedding space with [[kmeansCentroids]], then within
+    * each cluster drop every vector that has a LOWER-id cluster-mate
+    * with cosine >= `eps` — one deterministic representative per
+    * semantic-duplicate set survives. Returns every input id with its
+    * cluster and keep verdict: (vec_id, cid, keep).
+    *
+    * Scale shape: centroid assignment is the IVF broadcast-argmin (the
+    * corpus never shuffles for it); pair generation is ONE shuffle — a
+    * self-equi-join on the cluster id, which AQE's skew-join can split —
+    * and the per-cluster O(m²) candidate cost is the algorithm's
+    * explicit knob: nLists grows with the corpus so |cluster| stays
+    * roughly constant (the paper runs 50k clusters at web scale). The
+    * assigned frame is checkpointed once because three plan legs (both
+    * join sides + the verdict join) read it; cosine is rounded to 4
+    * decimals BEFORE the threshold so an engine's ulp drift cannot flip
+    * a verdict.
+    */
+  def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
+               nLists: Int, eps: Double, iters: Int = 2,
+               sampleOneIn: Int = 1): DataFrame = {
+    val cs = kmeansCentroids(corpus, idCol, vecCol, nLists, iters, sampleOneIn)
+      .withColumn("cc", dot(col("cv"), col("cv")))
+    def dist = round(col("vv") - lit(2.0) * dot(col("v"), col("cv")) + col("cc"), 6)
+    val assigned = corpus
+      .select(col(idCol).cast("long").as("vid"), col(vecCol).as("v"),
+        norm(col(vecCol)).as("nrm"))
+      .withColumn("vv", dot(col("v"), col("v")))
+      .crossJoin(broadcast(cs))
+      .groupBy("vid")
+      .agg(min(struct(dist.as("d"), col("cid"))).as("m"),
+        first("v").as("v"), first("nrm").as("nrm"))
+      .select(col("vid"), col("v"), col("nrm"), col("m.cid").as("cid"))
+      .localCheckpoint(true)
+    val a = assigned.select(col("cid"), col("vid").as("ia"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = assigned.select(col("cid"), col("vid").as("ib"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val nprod = col("na") * col("nb")
+    val dropped = a.join(b, Seq("cid"))
+      .filter(col("ia") > col("ib") &&
+        round(when(nprod > 0, dot(col("va"), col("vb")) / nprod)
+          .otherwise(lit(0.0)), 4) >= eps)
+      .select(col("ia").as("vid")).distinct()
+      .withColumn("dropped", lit(true))
+    assigned.join(dropped, Seq("vid"), "left")
+      .select(col("vid").as("vec_id"), col("cid"),
+        coalesce(!col("dropped"), lit(true)).as("keep"))
+  }
+
   /** IVF probe/score path over an explicit centroid table (cid, cv). */
   def ivfTopKWith(corpus: DataFrame, queries: DataFrame,
                   idCol: String, vecCol: String, k: Int,

@@ -474,6 +474,25 @@ class DedupAnnSpec extends AnyFunSuite {
       (3L, 312083331L, 1L)))
   }
 
+  test("semDedup keeps one representative per planted duplicate set") {
+    // two planted duplicate pairs (1≈2 exact copy, 5≈6 tiny perturbation)
+    // among orthogonal-ish vectors; whatever clusters k-means lands on,
+    // a duplicate pair shares a cluster (identical vectors assign
+    // identically) and only its lowest id survives
+    val vecs = Seq(
+      1L -> Array(1f, 0f, 0f, 0f), 2L -> Array(1f, 0f, 0f, 0f),
+      3L -> Array(0f, 1f, 0f, 0f), 4L -> Array(0f, 0f, 1f, 0f),
+      5L -> Array(0f, 0f, 0f, 1f), 6L -> Array(0.01f, 0f, 0f, 1f),
+      7L -> Array(0.7f, 0.7f, 0f, 0f))
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Ann.semDedup(df, "vec_id", "embedding", nLists = 4, eps = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out.size == 7)
+    assert(out(1L) && !out(2L), "exact copy: lowest id kept, copy dropped")
+    assert(out(5L) && !out(6L), "perturbed copy dropped")
+    assert(out(3L) && out(4L) && out(7L), "non-duplicates all kept")
+  }
+
   test("pageRankInt equals a driver-side long-arithmetic brute force") {
     val pairs = Dedup.simHashDup(
       spark.read.parquet(s"${SparkTestSession.sfDir}/documents.parquet"),

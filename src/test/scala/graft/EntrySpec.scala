@@ -108,6 +108,66 @@ class EntrySpec extends AnyFunSuite {
     }
   }
 
+  test("real video decode: AVI container parse + per-frame pixel roundtrip") {
+    import graft.multimodal.Multimodal.{ImageCodec, VideoCodec}
+    // direct roundtrip, no Spark: every MPNG frame decodes to the
+    // analytic pattern at its frame seed
+    val id = 9L
+    val (w, h) = VideoCodec.dims(id)
+    val avi = VideoCodec.encodeAvi(id)
+    // container structure: RIFF/'AVI ' outer, frame chunks in order
+    assert(new String(avi, 0, 4, "US-ASCII") == "RIFF")
+    assert(new String(avi, 8, 4, "US-ASCII") == "AVI ")
+    val frames = VideoCodec.decodeFrames(avi)
+    assert(frames.size == VideoCodec.nFrames(id))
+    for ((img, f) <- frames.zipWithIndex) {
+      assert(img.getWidth == w && img.getHeight == h)
+      val seed = VideoCodec.frameSeed(id, f)
+      var ok = true
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = ImageCodec.channels(seed, x, y)
+        ok &= img.getRGB(x, y) == (0xff000000 | (r << 16) | (g << 8) | b)
+      }
+      assert(ok, s"frame $f pixels differ from the analytic pattern")
+    }
+    // MJPG rides the same path: JPEG frames decode structurally (lossy,
+    // so only count + dimensions are asserted)
+    val jpegFrames = (0 until 3).map { _ =>
+      val img = new java.awt.image.BufferedImage(
+        16, 12, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val mjpg = VideoCodec.buildAvi(16, 12, jpegFrames, "MJPG")
+    val decodedJpeg = VideoCodec.decodeFrames(mjpg)
+    assert(decodedJpeg.size == 3)
+    assert(decodedJpeg.forall(i => i.getWidth == 16 && i.getHeight == 12))
+    // corrupt / non-AVI blobs yield no frames, never a throw
+    assert(VideoCodec.decodeFrames("not an avi".getBytes("UTF-8")).isEmpty)
+    assert(VideoCodec.decodeFrames(avi.take(20).toArray).isEmpty)
+    // distributed path: videoFrameStats fans one media row out to
+    // nFrames fixed-width rows with analytic channel sums
+    val docs = Seq((1L, "x"), (2L, "y"), (7L, "z")).toDF("doc_id", "text")
+    val stats = Multimodal.videoFrameStats(Multimodal.mediaWithRealVideo(spark, docs))
+      .collect().groupBy(_.media_id)
+    assert(stats.keySet == Set(1L, 7L)) // even ids are not videos
+    for ((mid, rows) <- stats) {
+      assert(rows.length == VideoCodec.nFrames(mid))
+      val (ww, hh) = VideoCodec.dims(mid)
+      for (r <- rows) {
+        assert(r.width == ww.toLong && r.height == hh.toLong)
+        var (er, eg, eb) = (0L, 0L, 0L)
+        for (y <- 0 until hh; x <- 0 until ww) {
+          val (cr, cg, cb) = ImageCodec.channels(
+            VideoCodec.frameSeed(mid, r.frame_idx.toInt), x, y)
+          er += cr; eg += cg; eb += cb
+        }
+        assert((r.sum_r, r.sum_g, r.sum_b) == (er, eg, eb))
+      }
+    }
+  }
+
   test("session_window batch twin equals the lag/cumsum sessionize exactly") {
     import org.apache.spark.sql.functions.{col, expr}
     val ev = engine.Tables.events(spark, SparkTestSession.sfDir)
