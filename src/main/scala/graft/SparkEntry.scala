@@ -1546,7 +1546,16 @@ object SparkEntry {
       // (Ann.semDedup scaladoc for the 100 TB shape).
       Ann.semDedup(embeddings(s, d), "vec_id", "embedding",
           nLists = 8, eps = 0.35)
-        .orderBy("vec_id"))
+        .orderBy("vec_id")),
+
+    "q120_unigram_surprisal" -> ((s, d) =>
+      // Perplexity-proxy quality filter: per-doc unigram surprisal in
+      // all-integer bits (floor-log2 via length(bin(x)) - 1, identical
+      // in DuckDB) — one corpus scan, vocab derived from the per-doc
+      // occurrence agg (Curation.unigramSurprisal scaladoc).
+      Curation.unigramSurprisal(documents(s, d), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id"))
   )
 
   // ---------------------------------------------------------------- //
@@ -2601,6 +2610,22 @@ object SparkEntry {
          |FROM asgn LEFT JOIN dropped ON asgn.vid = dropped.vid
          |ORDER BY vec_id""".stripMargin
     },
+
+    // floor(log2(N // c)) = length(bin(x)) - 1 on both engines (x >= 1
+    // always: c <= N); token-less docs drop on both sides (unnest /
+    // explode emit nothing).
+    "q120_unigram_surprisal" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($TOKS) AS w FROM documents),
+         |occ AS (SELECT doc_id, w, COUNT(*) AS occ FROM toks GROUP BY 1, 2),
+         |vocab AS (SELECT w, CAST(SUM(occ) AS BIGINT) AS cnt FROM occ GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM vocab)
+         |SELECT occ.doc_id,
+         | CAST(SUM(occ.occ) AS BIGINT) AS n_tokens,
+         | CAST(SUM(occ.occ * (length(bin(tot.n // vocab.cnt)) - 1)) AS BIGINT) AS surprisal_bits,
+         | CAST((CAST(SUM(occ.occ * (length(bin(tot.n // vocab.cnt)) - 1)) AS BIGINT) * 1000)
+         |   // CAST(SUM(occ.occ) AS BIGINT) AS BIGINT) AS bits_per_1k
+         |FROM occ JOIN vocab USING (w) CROSS JOIN tot
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q85_repetition_metrics" ->
       s"""WITH t AS (SELECT doc_id, $TOKS AS tk FROM documents),

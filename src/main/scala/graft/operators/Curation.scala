@@ -258,6 +258,42 @@ object Curation {
       .withColumn("keep", col("score") >= lit(threshold))
   }
 
+  /** Unigram-LM surprisal scoring — the "perplexity filter" of a
+    * training-data build (CCNet/Gopher-style: score each document by
+    * how surprising its tokens are under a corpus-level language model),
+    * in ALL-INTEGER arithmetic so the score is bit-reproducible across
+    * engines: a token with corpus count c out of N total costs
+    * floor(log2(N div c)) bits — computed as length(bin(x)) - 1, which
+    * Spark's `bin` and DuckDB's `bin` render identically — and the
+    * per-doc score is the sum over token OCCURRENCES. High bits/token =
+    * rare-vocabulary doc (or gibberish); low = boilerplate. A real
+    * KL/float LM refines the ranking but breaks cross-engine hash
+    * equality; the integer-log2 model preserves the filter's verdict
+    * structure.
+    *
+    * Scale shape (the q89 template): ONE corpus scan builds per-doc
+    * occurrence counts (`occ`, map-side partial agg); the vocabulary
+    * table derives from `occ` (never a second scan); the cost join is
+    * occ-vs-vocab on the token — plain equi-join, AQE-skew-splittable;
+    * the 1-row total broadcasts. Join volume is distinct (doc, token)
+    * pairs, not token occurrences.
+    */
+  def unigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("w"))
+    val occ = tok.groupBy("id", "w").agg(count(lit(1)).as("occ"))
+    val vocab = occ.groupBy("w").agg(sum("occ").as("cnt"))
+    val total = vocab.agg(sum("cnt").as("n"))
+    val bits = (length(bin(expr("n div cnt"))) - 1).cast("long")
+    occ.join(vocab, Seq("w"))
+      .join(broadcast(total))
+      .select(col("id"), col("occ"), bits.as("b"))
+      .groupBy("id")
+      .agg(sum(col("occ")).as("n_tokens"),
+        sum(col("occ") * col("b")).as("surprisal_bits"))
+      .withColumn("bits_per_1k", expr("(surprisal_bits * 1000) div n_tokens"))
+  }
+
   /** Deterministic k-per-group sample: the k docs with the smallest
     * md5-derived keys in each group — a uniform-without-replacement
     * sample that is stable across runs (the standard trick for carving

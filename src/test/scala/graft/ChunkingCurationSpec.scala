@@ -250,4 +250,15 @@ class ChunkingCurationSpec extends AnyFunSuite {
         r.getDouble(3) == 0.25, s"doc ${r.getLong(0)}: $r")
     }
   }
+
+  test("unigramSurprisal: hand-computed integer bits on a tiny corpus") {
+    import spark.implicits._
+    // counts: a=2, b=2, c=1; N=5. bits(a)=bits(b)=floor(log2(5 div 2))=1,
+    // bits(c)=floor(log2(5))=2
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = Curation.unigramSurprisal(docs, "doc_id", "text")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 3L, 3L, 1000L), (2L, 2L, 3L, 1500L)))
+  }
 }
