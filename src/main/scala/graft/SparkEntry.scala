@@ -1555,7 +1555,16 @@ object SparkEntry {
       // occurrence agg (Curation.unigramSurprisal scaladoc).
       Curation.unigramSurprisal(documents(s, d), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    "q121_fuzzy_join_ed1" -> ((s, d) =>
+      // SymSpell deletion-neighborhood fuzzy join: Levenshtein<=1 pairs
+      // via ONE shuffle on deletion keys + exact post-filter — never the
+      // O(n^2) cross join a naive theta-join plans
+      // (Dedup.editDistance1Join scaladoc). Customer names differ in
+      // single digit positions, the classic typo-dedup shape.
+      Dedup.editDistance1Join(customer(s, d), "c_custkey", "c_name")
+        .orderBy("id_a", "id_b"))
   )
 
   // ---------------------------------------------------------------- //
@@ -2626,6 +2635,16 @@ object SparkEntry {
          |   // CAST(SUM(occ.occ) AS BIGINT) AS BIGINT) AS bits_per_1k
          |FROM occ JOIN vocab USING (w) CROSS JOIN tot
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // brute-force ground truth: the oracle MAY cross-join (DuckDB local
+    // correctness run at sf0.01); the Spark side must not, and its plan
+    // is asserted posting-list-shaped in DedupAnnSpec
+    "q121_fuzzy_join_ed1" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        | CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q85_repetition_metrics" ->
       s"""WITH t AS (SELECT doc_id, $TOKS AS tk FROM documents),

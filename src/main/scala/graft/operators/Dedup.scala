@@ -734,4 +734,39 @@ object Dedup {
           VectorFunctions.dot(col("a.v"), col("b.v")) / nprod).otherwise(lit(0.0)), 4).as("cos"))
       .filter(col("cos") >= minCosine)
   }
+
+  /** Edit-distance-≤1 fuzzy join via SymSpell deletion neighborhoods
+    * (Garbe's symmetric-delete algorithm, the public SymSpell scheme):
+    * each string's candidate keys are itself plus every single-character
+    * deletion, so two strings at Levenshtein ≤ 1 ALWAYS share a key —
+    * substitution at i ⇒ both i-deletions equal; insertion/deletion ⇒
+    * the shorter string IS a deletion of the longer; equality ⇒ the
+    * string itself — and the exact `levenshtein ≤ 1` post-filter removes
+    * the distance-2 collisions (two different-position deletions). This
+    * is the scalable fuzzy join: candidate generation is the same ONE
+    * shuffle on a derived key as every dedup family here (posting lists,
+    * `maxKeyFreq` size cap as the free skew guard), never the O(n²)
+    * cross-join a naive `levenshtein` θ-join plans. Returns
+    * (id_a, id_b, dist) with id_a < id_b, dist ∈ {0, 1}.
+    */
+  def editDistance1Join(df: DataFrame, idCol: String, strCol: String,
+                        maxKeyFreq: Int = 1000): DataFrame = {
+    val delUdf = udf { s: String =>
+      if (s == null) Array.empty[String]
+      else (s +: Array.tabulate(s.length)(i =>
+        s.substring(0, i) + s.substring(i + 1))).distinct
+    }
+    val keyed = df.select(col(idCol).cast("long").as("id"), col(strCol).as("s"))
+      .select(col("id"), col("s"), explode(delUdf(col("s"))).as("k"))
+    val posting = keyed.groupBy("k")
+      .agg(sort_array(collect_list(struct(col("id"), col("s")))).as("lst"))
+      .filter(size(col("lst")).between(2, maxKeyFreq))
+    postingPairs(posting)
+      .select(col("a.id").as("id_a"), col("a.s").as("sa"),
+        col("b.id").as("id_b"), col("b.s").as("sb"))
+      .distinct() // a pair can share several deletion keys
+      .withColumn("dist", levenshtein(col("sa"), col("sb")).cast("long"))
+      .filter(col("dist") <= 1)
+      .select("id_a", "id_b", "dist")
+  }
 }

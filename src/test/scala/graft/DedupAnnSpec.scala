@@ -493,6 +493,32 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(out(3L) && out(4L) && out(7L), "non-duplicates all kept")
   }
 
+  test("editDistance1Join: complete vs brute force, and never a cross join") {
+    val names = Seq(1L -> "cat", 2L -> "cut", 3L -> "cats", 4L -> "dog", 5L -> "cat")
+    val df = names.toDF("id", "name")
+    val out = Dedup.editDistance1Join(df, "id", "name")
+    // plan is posting-list shaped: no cartesian / nested-loop join
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"), plan.take(300))
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force over the fixture: every Levenshtein<=1 pair, a < b
+    val brute = (for {
+      (ia, sa) <- names; (ib, sb) <- names if ia < ib
+      d = {
+        val m = Array.tabulate(sa.length + 1, sb.length + 1) { (i, j) =>
+          if (i == 0) j else if (j == 0) i else 0
+        }
+        for (i <- 1 to sa.length; j <- 1 to sb.length)
+          m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+            m(i - 1)(j - 1) + (if (sa(i - 1) == sb(j - 1)) 0 else 1))
+        m(sa.length)(sb.length)
+      } if d <= 1
+    } yield (ia, ib, d.toLong)).toSet
+    assert(got == brute)
+    assert(got == Set((1L, 2L, 1L), (1L, 3L, 1L), (1L, 5L, 0L),
+      (2L, 5L, 1L), (3L, 5L, 1L)))
+  }
+
   test("pageRankInt equals a driver-side long-arithmetic brute force") {
     val pairs = Dedup.simHashDup(
       spark.read.parquet(s"${SparkTestSession.sfDir}/documents.parquet"),

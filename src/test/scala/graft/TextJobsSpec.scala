@@ -176,17 +176,27 @@ class TextJobsSpec extends AnyFunSuite {
     assert(TextJobs.wordFind(base.repartition(16), "value", "Pierre").count() == found)
   }
 
-  test("csv and json sources round-trip the parquet schema and values") {
+  test("csv, json and orc sources round-trip the parquet schema and values") {
     val base = spark.read.parquet(s"${SparkTestSession.sfDir}/orders.parquet")
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
     val tmp = "/tmp/graft-test-sources"
     base.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
     base.write.mode("overwrite").json(s"$tmp/json")
+    base.write.mode("overwrite").orc(s"$tmp/orc")
     val viaCsv = spark.read.option("header", "true").schema(base.schema).csv(s"$tmp/csv")
     val viaJson = spark.read.schema(base.schema).json(s"$tmp/json")
+    val viaOrc = spark.read.orc(s"$tmp/orc")
     assert(viaCsv.count() == base.count() && viaJson.count() == base.count())
     assert(viaCsv.except(base).isEmpty && base.except(viaCsv).isEmpty)
     assert(viaJson.except(base).isEmpty && base.except(viaJson).isEmpty)
+    // ORC is columnar + typed: schema survives without an explicit cast,
+    // and predicate pushdown reaches the scan like parquet
+    assert(viaOrc.schema == base.schema)
+    assert(viaOrc.except(base).isEmpty && base.except(viaOrc).isEmpty)
+    val plan = viaOrc.filter(col("o_orderkey") === 1L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(o_orderkey,1)"),
+      plan.take(600))
   }
 
   test("json source captures malformed records instead of failing (PERMISSIVE)") {
