@@ -1564,7 +1564,35 @@ object SparkEntry {
       // (Dedup.editDistance1Join scaladoc). Customer names differ in
       // single digit positions, the classic typo-dedup shape.
       Dedup.editDistance1Join(customer(s, d), "c_custkey", "c_name")
-        .orderBy("id_a", "id_b"))
+        .orderBy("id_a", "id_b")),
+
+    "q122_triangle_count" -> ((s, d) =>
+      // how clique-like is the duplicate graph: triangle count + global
+      // clustering coefficient via rank-oriented wedges (sqrt-bounded
+      // fan-out at hubs — GraphOps.triangleStats scaladoc). Same edge
+      // set as q105's PageRank.
+      GraphOps.triangleStats(
+        Dedup.simHashDup(documents(s, d), "doc_id", "text", nBits = 16),
+        "id_a", "id_b")),
+
+    "q123_snapshot_diff" -> ((s, d) => {
+      // CDC changelog between two deterministic snapshot derivations of
+      // orders: keys %10==3 missing from v1 (inserts), %10==5 missing
+      // from v2 (deletes), %10==7 repriced (+100 cents) in v2 (updates).
+      val base = orders(s, d).select(col("o_orderkey"),
+        cents(col("o_totalprice")).as("total_c"))
+      val m = pmod(col("o_orderkey"), lit(10L))
+      val v1 = base.filter(m =!= 3)
+      val v2 = base.filter(m =!= 5)
+        .withColumn("total_c",
+          when(m === 7, col("total_c") + 100L).otherwise(col("total_c")))
+      Relational.snapshotDiff(v1, v2, Seq("o_orderkey"))
+        .filter(col("change_type") =!= "unchanged")
+        .select(col("o_orderkey"), col("change_type"),
+          col("old_row.total_c").as("old_total_c"),
+          col("new_row.total_c").as("new_total_c"))
+        .orderBy("o_orderkey")
+    })
   )
 
   // ---------------------------------------------------------------- //
@@ -2645,6 +2673,51 @@ object SparkEntry {
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // q105's simhash edge CTEs, then triangles as the a<b<c triple join
+    // (the oracle may enumerate naively; Spark's rank-oriented wedge
+    // plan must produce the identical count) and wedges from degrees
+    "q122_triangle_count" ->
+      s"""WITH w AS (SELECT doc_id AS id, unnest($TOKS) AS w FROM documents),
+         |h AS (SELECT id, ${duckHash("w", 15)} AS h FROM w),
+         |bits AS (SELECT id, bit,
+         |  SUM(CASE WHEN ((h >> bit) & 1) = 1 THEN 1 ELSE -1 END) AS v
+         | FROM h CROSS JOIN (SELECT unnest(generate_series(0,15)) AS bit) b GROUP BY 1,2),
+         |sh AS (SELECT id,
+         |  CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+         | FROM bits GROUP BY 1),
+         |und AS (SELECT a.id AS a, b.id AS b
+         | FROM sh a JOIN sh b ON a.simhash = b.simhash AND a.id < b.id),
+         |e AS (SELECT a AS u FROM und UNION ALL SELECT b FROM und),
+         |deg AS (SELECT u AS id, COUNT(*) AS d FROM e GROUP BY 1),
+         |tri AS (SELECT COUNT(*) AS t FROM und e1
+         | JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+         | JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b)
+         |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+         | (SELECT CAST(COUNT(*) AS BIGINT) FROM und) AS n_edges,
+         | (SELECT CAST(t AS BIGINT) FROM tri) AS n_triangles,
+         | (SELECT CAST(SUM((d*(d-1)) // 2) AS BIGINT) FROM deg) AS n_wedges,
+         | CASE WHEN (SELECT SUM((d*(d-1)) // 2) FROM deg) > 0
+         |   THEN round(3.0 * (SELECT t FROM tri)
+         |     / (SELECT SUM((d*(d-1)) // 2) FROM deg), 4)
+         |   ELSE 0.0 END AS closure""".stripMargin,
+
+    "q123_snapshot_diff" ->
+      """WITH base AS (SELECT o_orderkey,
+        |  CAST(round(o_totalprice*100, 0) AS BIGINT) AS total_c FROM orders),
+        |v1 AS (SELECT * FROM base WHERE o_orderkey % 10 <> 3),
+        |v2 AS (SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 10 = 7 THEN total_c + 100 ELSE total_c END AS total_c
+        | FROM base WHERE o_orderkey % 10 <> 5)
+        |SELECT COALESCE(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+        | CASE WHEN v1.o_orderkey IS NULL THEN 'insert'
+        |      WHEN v2.o_orderkey IS NULL THEN 'delete'
+        |      ELSE 'update' END AS change_type,
+        | v1.total_c AS old_total_c, v2.total_c AS new_total_c
+        |FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+        |WHERE v1.o_orderkey IS NULL OR v2.o_orderkey IS NULL
+        |   OR v1.total_c <> v2.total_c
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q85_repetition_metrics" ->
       s"""WITH t AS (SELECT doc_id, $TOKS AS tk FROM documents),

@@ -364,4 +364,38 @@ object Relational {
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("n_events"))
+
+  /** Snapshot diff — derive a CDC changelog (insert/update/delete)
+    * between two versions of a keyed table, the step every
+    * incremental-ingest pipeline needs when the upstream only publishes
+    * full snapshots. One full-outer equi-join on the key: a key only in
+    * `newDf` is an insert, only in `oldDf` a delete, in both with any
+    * non-key column differing an update (struct equality, null-safe via
+    * `<=>`). Returns key columns + change_type + old/new payload
+    * structs; callers project what they need.
+    *
+    * Scale: the join is one shuffle per side on the snapshot key —
+    * AQE-splittable; with both snapshots bucket-written on the key
+    * (engine.Scale bucketing) it degrades to a zero-shuffle sort-merge.
+    * Payloads ride as single structs so the exchange carries each row
+    * once, not once per compared column.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+                   keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "snapshotDiff needs at least one key column")
+    val payload = oldDf.columns.filterNot(keyCols.contains)
+    require(payload.sameElements(newDf.columns.filterNot(keyCols.contains)),
+      s"snapshots must share a payload schema: ${payload.mkString(",")} vs " +
+        newDf.columns.filterNot(keyCols.contains).mkString(","))
+    val o = oldDf.select(keyCols.map(col) :+
+      struct(payload.map(col): _*).as("old_row"): _*)
+    val n = newDf.select(keyCols.map(col) :+
+      struct(payload.map(col): _*).as("new_row"): _*)
+    o.join(n, keyCols, "full_outer")
+      .withColumn("change_type",
+        when(col("old_row").isNull, lit("insert"))
+          .when(col("new_row").isNull, lit("delete"))
+          .when(!(col("old_row") <=> col("new_row")), lit("update"))
+          .otherwise(lit("unchanged")))
+  }
 }

@@ -519,6 +519,21 @@ class DedupAnnSpec extends AnyFunSuite {
       (2L, 5L, 1L), (3L, 5L, 1L)))
   }
 
+  test("triangleStats: hand graph with one triangle, a pendant, and a path") {
+    // 1-2-3 triangle, 3-4 pendant, 4-5-6 path
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    val r = GraphOps.triangleStats(pairs, "id_a", "id_b").collect().head
+    // degrees: 1:2 2:2 3:3 4:2 5:2 6:1 -> wedges 1+1+3+1+1+0 = 7
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (6L, 6L, 1L, 7L))
+    assert(r.getDouble(4) == math.rint(3.0 / 7 * 10000) / 10000)
+    // duplicate and reversed input edges collapse to the same stats
+    val noisy = pairs.unionAll(Seq((2L, 1L), (1L, 3L)).toDF("id_a", "id_b"))
+    val r2 = GraphOps.triangleStats(noisy, "id_a", "id_b").collect().head
+    assert(r2.getLong(2) == 1L && r2.getLong(1) == 6L)
+  }
+
   test("pageRankInt equals a driver-side long-arithmetic brute force") {
     val pairs = Dedup.simHashDup(
       spark.read.parquet(s"${SparkTestSession.sfDir}/documents.parquet"),

@@ -41,6 +41,21 @@ class EntrySpec extends AnyFunSuite {
     }
   }
 
+  test("snapshotDiff: insert/update/delete/unchanged incl. null payloads") {
+    import graft.operators.Relational
+    import org.apache.spark.sql.functions.col
+    val v1 = Seq((1L, Some(10L)), (2L, Some(20L)), (3L, None), (4L, Some(40L)))
+      .toDF("k", "v")
+    val v2 = Seq((1L, Some(10L)), (2L, Some(21L)), (3L, None), (5L, Some(50L)))
+      .toDF("k", "v")
+    val got = Relational.snapshotDiff(v1, v2, Seq("k"))
+      .select(col("k"), col("change_type")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "update",
+      3L -> "unchanged", // null payload on both sides is NOT an update
+      4L -> "delete", 5L -> "insert"))
+  }
+
   test("multimodal: stub decoder features match a manual computation") {
     val media = Multimodal.mediaFromDocuments(
       spark, Seq((2L, "AB")).toDF("doc_id", "text"))
