@@ -1592,7 +1592,20 @@ object SparkEntry {
           col("old_row.total_c").as("old_total_c"),
           col("new_row.total_c").as("new_total_c"))
         .orderBy("o_orderkey")
-    })
+    }),
+
+    "q124_mad_robust" -> ((s, d) =>
+      // robust spread: exact per-group MAD from two value-histogram
+      // percentile passes — per-group state bounded by the cents
+      // domain, never |rows| (Relational.madByGroup scaladoc); the q101
+      // doctrine extended to a composed statistic.
+      Relational.madByGroup(
+          orders(s, d).select(col("o_orderstatus"),
+            cents(col("o_totalprice")).as("total_c")),
+          "o_orderstatus", "total_c")
+        .select(col("o_orderstatus"), round(col("med"), 2).as("med_c"),
+          round(col("mad"), 2).as("mad_c"))
+        .orderBy("o_orderstatus"))
   )
 
   // ---------------------------------------------------------------- //
@@ -2718,6 +2731,20 @@ object SparkEntry {
         |WHERE v1.o_orderkey IS NULL OR v2.o_orderkey IS NULL
         |   OR v1.total_c <> v2.total_c
         |ORDER BY o_orderkey""".stripMargin,
+
+    // deviations doubled to stay integral (2*median of integers is an
+    // exact integer), halved after the second quantile — mirrors
+    // Relational.madByGroup exactly
+    "q124_mad_robust" ->
+      """WITH base AS (SELECT o_orderstatus AS g,
+        |  CAST(round(o_totalprice*100, 0) AS BIGINT) AS v FROM orders),
+        |med AS (SELECT g, quantile_cont(v, 0.5) AS m FROM base GROUP BY 1),
+        |dev AS (SELECT base.g, abs(2*base.v - CAST(round(2*med.m, 0) AS BIGINT)) AS d2
+        | FROM base JOIN med USING (g))
+        |SELECT med.g AS o_orderstatus, round(med.m, 2) AS med_c,
+        | round(quantile_cont(dev.d2, 0.5) / 2.0, 2) AS mad_c
+        |FROM dev JOIN med USING (g)
+        |GROUP BY 1, med.m ORDER BY 1""".stripMargin,
 
     "q85_repetition_metrics" ->
       s"""WITH t AS (SELECT doc_id, $TOKS AS tk FROM documents),

@@ -290,6 +290,32 @@ object Relational {
     }
   }
 
+  /** Exact per-group median absolute deviation (MAD) — the robust
+    * spread statistic outlier-heavy quality metrics need (stddev is
+    * dragged by the outliers MAD ignores) — composed from TWO
+    * [[histogramPercentiles]] passes so per-group state stays bounded
+    * by the value domain, never |rows|: (1) interpolated median per
+    * group; (2) deviations |x - med| — kept INTEGRAL by doubling
+    * (2·med is exactly integral: the interpolated median of integers
+    * is a value or a midpoint, and its fraction is 0 or 0.5, exact in
+    * binary) — then the deviation median, halved back. The per-group
+    * median table is one row per group and broadcasts back over the
+    * scan; no multiset is ever buffered. Returns (grp, med, mad) with
+    * doubles un-rounded (callers round for oracle compare).
+    */
+  def madByGroup(df: DataFrame, grpCol: String, valCol: String): DataFrame = {
+    val med = histogramPercentiles(df, grpCol, valCol, Seq("med" -> 0.5))
+      .localCheckpoint(true) // read by the deviation join AND the output join
+    val dev = df.join(broadcast(med), Seq(grpCol))
+      .select(col(grpCol),
+        abs(lit(2L) * col(valCol).cast("long")
+          - round(lit(2.0) * col("med")).cast("long")).as("__dev2"))
+    med.join(
+        histogramPercentiles(dev, grpCol, "__dev2", Seq("mad2" -> 0.5)),
+        Seq(grpCol))
+      .select(col(grpCol), col("med"), (col("mad2") / 2.0).as("mad"))
+  }
+
   /** Batch sessionization: events per user are split into sessions
     * whenever the gap to the previous event exceeds `gapSeconds`; returns
     * one row per session with start/end/count. The lag + running-sum of

@@ -237,6 +237,19 @@ class ScaleSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("madByGroup: hand-computed medians and MADs, outlier-robust") {
+    import spark.implicits._
+    // a: med 3, |dev| sorted 0,1,1,2,97 -> mad 1 (the 97 outlier is
+    // invisible to MAD; stddev would be ~43); b: med 15, mad 5;
+    // c: single row -> mad 0
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L), ("a", 100L),
+      ("b", 10L), ("b", 20L), ("c", 7L)).toDF("g", "v")
+    val got = operators.Relational.madByGroup(df, "g", "v")
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(("a", 3.0, 1.0), ("b", 15.0, 5.0), ("c", 7.0, 0.0)))
+  }
+
   test("ntileOf matches ntile(k) for every position at sizes 1..13, k in 2..5") {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
