@@ -1045,10 +1045,17 @@ object SparkEntry {
     // --- math-function sampler (IEEE-exact ops only: sqrt is correctly
     //     rounded, products/floor/ceil/abs/mod are exact on integral-valued
     //     doubles — no libm transcendental drift) ---
+    //
+    // Half-up rounding is spelled floor(x + 0.5), not round(x): Spark's
+    // Round on DoubleType routes every row through BigDecimal.valueOf +
+    // setScale — the only allocating expression in this chain (measured
+    // 1.8x the cost of the same aggregate without it) and the part that
+    // made pre-JIT-peak bench samples of this query swing 4x (VERDICT r05).
+    // For non-negative x the two are value-identical (0 diffs over sf0.1).
 
     "q44_math_fns" -> ((s, d) => {
       lineitem(s, d).groupBy("l_returnflag").agg(
-          sum(round(sqrt(col("l_quantity")) * 10000).cast("long")).as("sum_sqrt_q"),
+          sum(floor(sqrt(col("l_quantity")) * 10000 + 0.5).cast("long")).as("sum_sqrt_q"),
           sum((col("l_quantity") * col("l_quantity")).cast("long")).as("sum_sq_q"),
           sum(floor(col("l_extendedprice")).cast("long")).as("sum_floor_p"),
           sum(ceil(col("l_discount") * 100).cast("long")).as("sum_ceil_d"),
@@ -2396,7 +2403,7 @@ object SparkEntry {
 
     "q44_math_fns" ->
       """SELECT l_returnflag,
-        | CAST(SUM(CAST(round(sqrt(l_quantity)*10000, 0) AS BIGINT)) AS BIGINT) AS sum_sqrt_q,
+        | CAST(SUM(CAST(floor(sqrt(l_quantity)*10000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_sqrt_q,
         | CAST(SUM(CAST(l_quantity*l_quantity AS BIGINT)) AS BIGINT) AS sum_sq_q,
         | CAST(SUM(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS sum_floor_p,
         | CAST(SUM(CAST(ceil(l_discount*100) AS BIGINT)) AS BIGINT) AS sum_ceil_d,

@@ -512,7 +512,9 @@ object Multimodal {
           val id = fourcc(bytes, p)
           val sz = rdLe32(bytes, p + 4)
           val dataStart = p + 8
-          if (sz < 0 || dataStart + sz > to) return // truncated: stop
+          // bounds math in Long: a crafted sz near 2^31 overflows the Int
+          // sum to negative and would bypass the truncation guard
+          if (sz < 0 || dataStart.toLong + sz > to) return // truncated: stop
           if (id == "LIST" && sz >= 4) {
             val lt = fourcc(bytes, dataStart)
             walk(dataStart + 4, dataStart + sz, inMovi || lt == "movi")
@@ -520,10 +522,18 @@ object Multimodal {
               (id.endsWith("dc") || id.endsWith("db"))) {
             out += java.util.Arrays.copyOfRange(bytes, dataStart, dataStart + sz)
           }
-          p = dataStart + sz + (sz & 1) // chunks pad to even offsets
+          // even-padding advance, Long-guarded: when dataStart+sz == to ==
+          // Int.MaxValue the +1 pad would wrap p negative and re-enter
+          val next = dataStart.toLong + sz + (sz & 1) // chunks pad to even
+          if (next > to) return
+          p = next.toInt
         }
       }
-      walk(12, math.min(bytes.length, 8 + rdLe32(bytes, 4)), inMovi = false)
+      // RIFF declares an unsigned 32-bit payload size; read it as such and
+      // clamp in Long so a huge/garbage declared size degrades to the real
+      // buffer length instead of wrapping negative
+      walk(12, math.min(bytes.length.toLong,
+        8L + (rdLe32(bytes, 4) & 0xffffffffL)).toInt, inMovi = false)
       out.toSeq
     }
 

@@ -745,28 +745,60 @@ object Dedup {
     * the distance-2 collisions (two different-position deletions). This
     * is the scalable fuzzy join: candidate generation is the same ONE
     * shuffle on a derived key as every dedup family here (posting lists,
-    * `maxKeyFreq` size cap as the free skew guard), never the O(n²)
-    * cross-join a naive `levenshtein` θ-join plans. Returns
-    * (id_a, id_b, dist) with id_a < id_b, dist ∈ {0, 1}.
+    * `maxKeyFreq` size cap), never the O(n²) cross-join a naive
+    * `levenshtein` θ-join plans. Returns (id_a, id_b, dist) with
+    * id_a < id_b, dist ∈ {0, 1}.
+    *
+    * RECALL CONTRACT: `maxKeyFreq` drops any deletion-key posting list
+    * larger than the cap, so true ed≤1 pairs whose ONLY shared keys are
+    * that frequent are lost — e.g. many short or empty strings all
+    * sharing the "" key, or a corpus-wide boilerplate token. This is a
+    * deliberate recall-for-boundedness trade (the capped key is exactly
+    * the key whose pair fan-out is O(freq²)); it is NOT lossless. At
+    * sf0.01 the oracle run has no key near the default cap, so the
+    * check stays exact; at larger scale run
+    * [[editDistance1DroppedKeys]] over the same inputs to enumerate
+    * what the cap dropped before trusting an external comparison.
     */
   def editDistance1Join(df: DataFrame, idCol: String, strCol: String,
                         maxKeyFreq: Int = 1000): DataFrame = {
+    val keyed = deletionKeyed(df, idCol, strCol)
+    val posting = keyed.groupBy("k")
+      .agg(sort_array(collect_list(struct(col("id"), col("s")))).as("lst"))
+      .filter(size(col("lst")).between(2, maxKeyFreq))
+    // The exact verify runs BEFORE the pair `distinct`, so the distinct
+    // exchange carries (id_a, id_b, dist) — 24 fixed bytes — instead of
+    // both full string payloads, and distance-2 key collisions are gone
+    // before the shuffle, not after (VERDICT r05 #5). A pair sharing
+    // several deletion keys re-evaluates levenshtein once per key; that
+    // per-row CPU is the cheap side of the trade against shuffle bytes.
+    postingPairs(posting)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        levenshtein(col("a.s"), col("b.s")).cast("long").as("dist"))
+      .filter(col("dist") <= 1)
+      .distinct() // dist is a function of the pair: distinct == pair-distinct
+  }
+
+  /** Diagnostic companion to [[editDistance1Join]]: the deletion keys the
+    * `maxKeyFreq` cap silently drops, with their posting-list sizes —
+    * rows (k, freq) where freq > maxKeyFreq, descending. Empty result ⇒
+    * the join was exhaustive at this cap.
+    */
+  def editDistance1DroppedKeys(df: DataFrame, idCol: String, strCol: String,
+                               maxKeyFreq: Int = 1000): DataFrame =
+    deletionKeyed(df, idCol, strCol)
+      .groupBy("k").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") > maxKeyFreq)
+      .orderBy(col("freq").desc, col("k"))
+
+  /** (id, s, k) rows: each string keyed by itself plus each 1-deletion. */
+  private def deletionKeyed(df: DataFrame, idCol: String, strCol: String): DataFrame = {
     val delUdf = udf { s: String =>
       if (s == null) Array.empty[String]
       else (s +: Array.tabulate(s.length)(i =>
         s.substring(0, i) + s.substring(i + 1))).distinct
     }
-    val keyed = df.select(col(idCol).cast("long").as("id"), col(strCol).as("s"))
+    df.select(col(idCol).cast("long").as("id"), col(strCol).as("s"))
       .select(col("id"), col("s"), explode(delUdf(col("s"))).as("k"))
-    val posting = keyed.groupBy("k")
-      .agg(sort_array(collect_list(struct(col("id"), col("s")))).as("lst"))
-      .filter(size(col("lst")).between(2, maxKeyFreq))
-    postingPairs(posting)
-      .select(col("a.id").as("id_a"), col("a.s").as("sa"),
-        col("b.id").as("id_b"), col("b.s").as("sb"))
-      .distinct() // a pair can share several deletion keys
-      .withColumn("dist", levenshtein(col("sa"), col("sb")).cast("long"))
-      .filter(col("dist") <= 1)
-      .select("id_a", "id_b", "dist")
   }
 }

@@ -517,6 +517,36 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(got == brute)
     assert(got == Set((1L, 2L, 1L), (1L, 3L, 1L), (1L, 5L, 0L),
       (2L, 5L, 1L), (3L, 5L, 1L)))
+    // the pair-distinct shuffle carries (id_a, id_b, dist) only — string
+    // payloads must not survive past candidate verification (VERDICT r05
+    // #5). The distinct is the Aggregate grouping on `dist`; its grouping
+    // keys ARE the exchange's partition/payload columns, so they must be
+    // string-free.
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.types.StringType
+    val distinctAggs = out.queryExecution.optimizedPlan.collect {
+      case a: Aggregate if a.groupingExpressions.exists(
+        _.references.exists(_.name == "dist")) => a
+    }
+    assert(distinctAggs.nonEmpty, "expected a pair-distinct aggregate")
+    distinctAggs.foreach { a =>
+      assert(!a.groupingExpressions.exists(_.dataType == StringType),
+        s"distinct shuffles strings: ${a.groupingExpressions.map(e => s"$e:${e.dataType}")}")
+    }
+  }
+
+  test("editDistance1Join maxKeyFreq cap: dropped keys are enumerable") {
+    // three 1-char strings pairwise at distance 1, sharing ONLY the ""
+    // deletion key; cap 2 drops that key, losing all pairs — and the
+    // diagnostic companion names exactly what was dropped
+    val df = Seq(1L -> "a", 2L -> "b", 3L -> "c").toDF("id", "name")
+    assert(Dedup.editDistance1Join(df, "id", "name", maxKeyFreq = 2).count() == 0)
+    val dropped = Dedup.editDistance1DroppedKeys(df, "id", "name", maxKeyFreq = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(dropped.toSeq == Seq(("", 3L)))
+    // at an adequate cap nothing is dropped and the join is exhaustive
+    assert(Dedup.editDistance1DroppedKeys(df, "id", "name").count() == 0)
+    assert(Dedup.editDistance1Join(df, "id", "name").count() == 3)
   }
 
   test("triangleStats: hand graph with one triangle, a pendant, and a path") {
