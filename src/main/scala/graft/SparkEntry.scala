@@ -1612,7 +1612,17 @@ object SparkEntry {
           "o_orderstatus", "total_c")
         .select(col("o_orderstatus"), round(col("med"), 2).as("med_c"),
           round(col("mad"), 2).as("mad_c"))
-        .orderBy("o_orderstatus"))
+        .orderBy("o_orderstatus")),
+
+    "q125_substring_spans" -> ((s, d) =>
+      // EXACT substring dedup (Lee et al. 2022 suffix-array family):
+      // every maximal >=40-char span two documents share verbatim, with
+      // exact 1-based coordinates — per-position 40-gram posting lists
+      // + diagonal islands, never a cross join; winnowing (q75) only
+      // approximates this with sampled fingerprints
+      // (Dedup.exactSubstringSpans scaladoc).
+      Dedup.exactSubstringSpans(documents(s, d), "doc_id", "text", minLen = 40)
+        .orderBy("id_a", "id_b", "start_a", "start_b"))
   )
 
   // ---------------------------------------------------------------- //
@@ -2752,6 +2762,29 @@ object SparkEntry {
         | round(quantile_cont(dev.d2, 0.5) / 2.0, 2) AS mad_c
         |FROM dev JOIN med USING (g)
         |GROUP BY 1, med.m ORDER BY 1""".stripMargin,
+
+    // naive form of Dedup.exactSubstringSpans: every-position 40-gram
+    // equi-join (a<b), then the identical diagonal-islands merge — a
+    // run of consecutive anchors on one diagonal is a maximal span
+    "q125_substring_spans" ->
+      """WITH grams AS (
+        |  SELECT doc_id AS id, p AS pos, substring(text, p, 40) AS g
+        |  FROM documents, LATERAL (SELECT unnest(generate_series(1,
+        |    greatest(length(text) - 39, 1))) AS p) t
+        |  WHERE p <= length(text) - 39),
+        |gf AS (SELECT g FROM grams GROUP BY g HAVING count(*) BETWEEN 2 AND 1000),
+        |pairs AS (
+        |  SELECT a.id AS id_a, a.pos AS pos_a, b.id AS id_b, b.pos AS pos_b
+        |  FROM grams a JOIN gf USING (g) JOIN grams b USING (g)
+        |  WHERE a.id < b.id),
+        |d AS (SELECT *, pos_a - pos_b AS diag,
+        |  pos_a - row_number() OVER (PARTITION BY id_a, id_b, pos_a - pos_b
+        |    ORDER BY pos_a) AS isl FROM pairs)
+        |SELECT id_a, id_b, CAST(min(pos_a) AS BIGINT) AS start_a,
+        | CAST(min(pos_b) AS BIGINT) AS start_b,
+        | CAST(count(*) + 39 AS BIGINT) AS span_len
+        |FROM d GROUP BY id_a, id_b, diag, isl
+        |ORDER BY id_a, id_b, start_a, start_b""".stripMargin,
 
     "q85_repetition_metrics" ->
       s"""WITH t AS (SELECT doc_id, $TOKS AS tk FROM documents),

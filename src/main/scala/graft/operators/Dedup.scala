@@ -791,6 +791,110 @@ object Dedup {
       .filter(col("freq") > maxKeyFreq)
       .orderBy(col("freq").desc, col("k"))
 
+  /** EXACT substring duplication — the suffix-array dedup family (Lee
+    * et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better", arXiv:2107.06499): every maximal span of length >= minLen
+    * shared verbatim by two documents, as exact 1-based coordinates
+    * (id_a, id_b, start_a, start_b, span_len) with id_a < id_b.
+    *
+    * Spark-native formulation — no global suffix array is materialized:
+    * every position's minLen-gram becomes a posting (ONE shuffle keyed
+    * by the gram, the same inverted-index shape as every dedup family
+    * here); position pairs sharing a gram land on an
+    * (id_a, id_b, diagonal) key where diagonal = pos_a - pos_b, and a
+    * run of consecutive anchors on one diagonal IS a maximal shared
+    * span of length run + minLen - 1 (grouped by the islands trick:
+    * pos - row_number over the diagonal). Joining on the gram STRING
+    * keeps the result exact — no hash collisions to verify away — and
+    * a maximal common span of length M yields exactly M - minLen + 1
+    * consecutive anchors, so span bounds are exact, where winnowing
+    * (winnowOverlap) samples fingerprints and cannot name byte ranges.
+    *
+    * Scale: postings are O(total chars), one per position — the same
+    * asymptotic cost as the suffix array the batch family builds — and
+    * `maxGramFreq` bounds the worst gram's posting list (pair fan-out
+    * O(maxGramFreq²) per gram). A gram dropped by the cap can split or
+    * shorten a reported span: the same recall-for-boundedness contract
+    * as maxDocFreq elsewhere in this file. Diagonal-window state is
+    * bounded by the shorter document's length. Low-entropy periodic
+    * text (a run of one repeated character) anchors on every diagonal
+    * and reports one span per diagonal — exact, deterministic, and
+    * capped by maxGramFreq, but verbose; real pipelines strip such
+    * runs in curation first. At 100 TB the gram key would carry a
+    * 64-bit rolling hash re-verified against the two texts; at oracle
+    * scale the string key keeps the pipeline one stage shorter.
+    */
+  def exactSubstringSpans(docs: DataFrame, idCol: String, textCol: String,
+                          minLen: Int, maxGramFreq: Int = 1000,
+                          hashGrams: Boolean = false): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    require(maxGramFreq >= 2, s"maxGramFreq must be >= 2, got $maxGramFreq")
+    val L = minLen
+    // one (id, pos, gram) row per position admitting a full-length gram;
+    // the filter-over-sequence guard yields an empty array (not a bad
+    // sequence bound) for docs shorter than minLen
+    // gram generation is ONE JVM loop per document, not a sequence/
+    // filter/transform higher-order chain: interpreted HOF lambdas cost
+    // microseconds per element, and this inner loop runs once per CHAR
+    // of the corpus (measured at sf0.1: 4.2 s HOF vs 0.26 s UDF for the
+    // identical ~1.4M-gram output — the documented UDF-vs-builtin trade,
+    // SURVEY §2c). Positions are 1-based UTF-16 offsets; identical to
+    // codepoint offsets for BMP text (the whole corpus), which keeps
+    // the DuckDB character-offset oracle exact.
+    val gramUdf = udf { s: String =>
+      if (s == null || s.length < L) Array.empty[(Long, String)]
+      else Array.tabulate(s.length - L + 1)(i => ((i + 1).toLong, s.substring(i, i + L)))
+    }
+    val grams = docs
+      .select(col(idCol).cast("long").as("id"),
+        explode(gramUdf(col(textCol))).as("pg"))
+      .select(col("id"), col("pg._1").as("pos"), col("pg._2").as("g"))
+    // anchor pairs via a g-keyed self equi-join, NOT the collect_list +
+    // slice-explode posting pattern used elsewhere in this file: a hot
+    // gram's posting array would be copied once per emitted pair
+    // (O(freq²) array builds; measured 0.6 s slower at sf0.1 and the
+    // gap widens with freq), while the join streams the same pairs with
+    // zero array materialization. All three shuffles (frequency agg,
+    // both join sides) key on g, so the exchanges co-partition and the
+    // frequency cap still bounds the worst key's fan-out. shuffle_hash
+    // hints: sort-merge's per-row 40-char string sorts dominate the
+    // default plan (measured at 50K docs/15M grams: SMJ 38 s, SHJ 16 s,
+    // SHJ on hashed grams 10 s); the hash build side is bounded per
+    // partition, never a broadcast of the corpus.
+    //
+    // hashGrams = true replaces the gram string with xxhash64(gram)
+    // before any shuffle — the 100 TB path (8-byte keys through every
+    // exchange). A 64-bit collision can fabricate an anchor and weld or
+    // extend a span: for C total grams the expected fabricated-anchor
+    // count is ~C²/2⁶⁵ (≈ 5e-9 at 10M grams) — re-verify reported spans
+    // against the texts if that bound matters; the default keeps the
+    // string key, making every reported span exact by construction.
+    val gramed =
+      if (hashGrams) grams.select(xxhash64(col("g")).as("g"), col("id"), col("pos"))
+      else grams
+    val eligible = gramed.groupBy("g").agg(count(lit(1)).as("__f"))
+      .filter(col("__f").between(2, maxGramFreq))
+      .select("g")
+    val keyed = gramed.join(eligible.hint("shuffle_hash"), "g")
+    val anchors = keyed.select(col("g"), col("id").as("id_a"), col("pos").as("pos_a"))
+      .join(keyed.select(col("g"), col("id").as("id_b"), col("pos").as("pos_b"))
+        .hint("shuffle_hash"), "g")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "pos_a", "id_b", "pos_b")
+      .withColumn("diag", col("pos_a") - col("pos_b"))
+    // anchors are unique per (pair, pos_a): the gram AT a position is a
+    // function of the position, so no distinct is needed before the
+    // window, and pos_a orders each diagonal strictly
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
+    anchors
+      .withColumn("isl", col("pos_a") - row_number().over(w))
+      .groupBy("id_a", "id_b", "diag", "isl")
+      .agg(min("pos_a").as("start_a"), min("pos_b").as("start_b"),
+        (count(lit(1)) + lit(L - 1)).as("span_len"))
+      .select("id_a", "id_b", "start_a", "start_b", "span_len")
+  }
+
   /** (id, s, k) rows: each string keyed by itself plus each 1-deletion. */
   private def deletionKeyed(df: DataFrame, idCol: String, strCol: String): DataFrame = {
     val delUdf = udf { s: String =>

@@ -2,15 +2,18 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Scaling evidence: times representative queries at every testdata
-  * scale factor and prints the growth ratio against the data growth.
-  * lineitem-backed queries scale 6k→60k→600k rows (100×); documents/
-  * embeddings-backed ones 500→500→5000 (10×, sf0.001 and sf0.01 share
-  * the same corpus size). Caveat: at these sizes a fixed per-query
-  * overhead (~0.2-0.4 s of planning/codegen/scheduling on local[32])
-  * dominates the small end, so measured growth UNDERSTATES asymptotic
-  * growth; the point is the top end — time growing far slower than
-  * data is what a shuffle-bounded plan should show.
+/** Scaling evidence: times representative queries at every available
+  * scale factor and prints per-decade growth ratios. lineitem-backed
+  * queries scale 6k→60k→600k→6M rows; documents/embeddings-backed ones
+  * 500→500→5000→50000 (sf0.001 and sf0.01 share a corpus size). The
+  * sf1 point reads the derived fixture `tools/make_sf1.py` builds at
+  * /tmp/graft-sf1 (10 decorrelated copies of sf0.1 — per-copy workload
+  * density identical to the driver corpus; see the script header) and
+  * is skipped when absent. Caveat: a fixed per-query overhead
+  * (~0.2-0.4 s of planning/codegen/scheduling on local[32]) dominates
+  * the small end, so measured growth UNDERSTATES asymptotic growth;
+  * the point is the top end — time growing far slower than data is
+  * what a shuffle-bounded plan should show.
   */
 object ScalingBench {
   def main(args: Array[String]): Unit = {
@@ -22,25 +25,33 @@ object ScalingBench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.range(1000).write.format("noop").mode("overwrite").save()
 
-    val sfs = Seq("sf0.001", "sf0.01", "sf0.1")
+    val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft-sf1")
+    val sfs = Seq("sf0.001" -> "/root/testdata/sf0.001",
+      "sf0.01" -> "/root/testdata/sf0.01",
+      "sf0.1" -> "/root/testdata/sf0.1") ++
+      (if (new java.io.File(s"$sf1Dir/lineitem.parquet").exists())
+         Seq("sf1*" -> sf1Dir)
+       else Seq.empty)
     val queries = Seq(
       "q01_agg_pricing", "q04_join_multiway", "q08_window_analytic",
       "q60_window_range_frame",
       "q29_dedup_exact", "q30_dedup_ngram_jaccard", "q31_dedup_minhash_lsh",
       "q52_dedup_simhash_hamming", "q63_dedup_clusters", "q75_winnow_overlap",
+      "q125_substring_spans",
       "q35_ann_bruteforce", "q54_ann_ivf_kmeans")
-    println(f"${"query"}%-28s ${sfs.mkString("  ")}   t(sf0.1)/t(sf0.001)")
+    println(f"${"query"}%-28s ${sfs.map(s => f"${s._1}%7s").mkString(" ")}   last-decade growth")
     queries.foreach { name =>
-      val times = sfs.map { sf =>
+      val times = sfs.map { case (_, dir) =>
         val fn = graft.SparkEntry.queries(name)
         val ts = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
-          fn(spark, s"/root/testdata/$sf").write.format("noop").mode("overwrite").save()
+          fn(spark, dir).write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         }
         ts.min
       }
-      println(f"$name%-28s ${times.map(t => f"$t%6.2f").mkString("  ")}   ${times.last / times.head}%5.1fx")
+      val lastGrowth = times.last / times(times.length - 2)
+      println(f"$name%-28s ${times.map(t => f"$t%7.2f").mkString(" ")}   ${lastGrowth}%5.1fx")
     }
     spark.stop()
   }

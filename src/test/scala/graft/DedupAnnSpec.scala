@@ -442,6 +442,20 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(run(reliable = true) == run(reliable = false))
   }
 
+  test("reliable-checkpoint kmeansCentroids equals the localCheckpoint path") {
+    // the reliable=true branch (sparkContext checkpoint dir, survives
+    // executor loss on a real cluster) must be value-identical to the
+    // fast executor-local default — added round 5, untested until now
+    spark.sparkContext.setCheckpointDir("/tmp/graft-test-reliable-ckpt")
+    val e = engine.Tables.embeddings(spark, SparkTestSession.sfDir)
+    def run(reliable: Boolean) =
+      Ann.kmeansCentroids(e, "vec_id", "embedding", 8, iters = 2,
+          reliable = reliable)
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+        .sortBy(_._1).toSeq
+    assert(run(reliable = true) == run(reliable = false))
+  }
+
   test("IVF ANN: probing all lists recovers brute-force exactly; fewer lists approximates") {
     val e = engine.Tables.embeddings(spark, SparkTestSession.sfDir)
     val q = e.filter(col("vec_id") < 3)
@@ -533,6 +547,57 @@ class DedupAnnSpec extends AnyFunSuite {
       assert(!a.groupingExpressions.exists(_.dataType == StringType),
         s"distinct shuffles strings: ${a.groupingExpressions.map(e => s"$e:${e.dataType}")}")
     }
+  }
+
+  test("exactSubstringSpans: planted spans reported with exact maximal bounds") {
+    val shared = "The quick brown fox jumps over the lazy dog near the riverbank at dawn."
+    assert(shared.length >= 40)
+    val piece = shared.substring(0, 45)
+    // boundary chars around every planted span differ across docs, so a
+    // reported span must be exactly the plant — not one char wider
+    val a = "XXXX" + shared + "YYYY"
+    val b = "QQQQ" + shared + "ZZZZ"
+    val c = "no overlap here at all, this text is entirely its own thing today."
+    val dd = "mm" + piece + "nn"
+    val e = "kk" + shared.substring(0, 39) + "ww" // one char under threshold
+    val df = Seq(1L -> a, 2L -> b, 3L -> c, 4L -> dd, 5L -> e)
+      .toDF("id", "text")
+    val got = Dedup.exactSubstringSpans(df, "id", "text", minLen = 40)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == Set(
+      (1L, 2L, 5L, 5L, shared.length.toLong),
+      (1L, 4L, 5L, 3L, piece.length.toLong),
+      (2L, 4L, 5L, 3L, piece.length.toLong)))
+    // spans are exact coordinates: the named ranges ARE equal text
+    got.foreach { case (ia, ib, sa, sb, len) =>
+      val texts = Map(1L -> a, 2L -> b, 4L -> dd)
+      assert(texts(ia).substring(sa.toInt - 1, sa.toInt - 1 + len.toInt) ==
+        texts(ib).substring(sb.toInt - 1, sb.toInt - 1 + len.toInt))
+    }
+    // maxGramFreq recall contract: a cap of 2 drops exactly the grams
+    // all THREE docs share (those inside `piece`, shared-offsets 0..5),
+    // so the (1,4)/(2,4) pairs vanish and the (1,2) span SHORTENS to
+    // the offset-6.. tail — the documented split/shorten trade
+    val capped = Dedup.exactSubstringSpans(df, "id", "text", 40, maxGramFreq = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(capped == Set((1L, 2L, 11L, 11L, shared.length.toLong - 6)))
+    // posting-list shaped: no cartesian / nested-loop join in the plan
+    val plan = Dedup.exactSubstringSpans(df, "id", "text", 40)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"))
+    // the hashed-gram scale path (8-byte shuffle keys) produces the
+    // identical spans on the real corpus (collisions are ~2^-65-rare)
+    val docs = spark.read.parquet(s"${SparkTestSession.sfDir}/documents.parquet")
+    def spans(hashed: Boolean) =
+      Dedup.exactSubstringSpans(docs, "doc_id", "text", 40, hashGrams = hashed)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+    assert(spans(hashed = true) == spans(hashed = false))
   }
 
   test("editDistance1Join maxKeyFreq cap: dropped keys are enumerable") {

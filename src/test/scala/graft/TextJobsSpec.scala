@@ -199,6 +199,32 @@ class TextJobsSpec extends AnyFunSuite {
       plan.take(600))
   }
 
+  test("avro source round-trips schema and values (timestamps and arrays too)") {
+    import graft.sources.AvroIO
+    val tmp = "/tmp/graft-test-avro"
+    // lineitem slice: long/int/double/string/timestamp columns
+    val li = spark.read.parquet(s"${SparkTestSession.sfDir}/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate")
+      .limit(2000)
+    AvroIO.write(li, s"$tmp/lineitem")
+    val liBack = AvroIO.read(spark, s"$tmp/lineitem")
+    assert(liBack.schema.map(f => (f.name, f.dataType)) ==
+      li.schema.map(f => (f.name, f.dataType)))
+    assert(liBack.count() == li.count())
+    assert(liBack.except(li).isEmpty && li.except(liBack).isEmpty)
+    // embeddings: array<float> column
+    val emb = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
+      .limit(200)
+    AvroIO.write(emb, s"$tmp/emb")
+    val embBack = AvroIO.read(spark, s"$tmp/emb")
+    assert(embBack.schema.map(f => (f.name, f.dataType)) ==
+      emb.schema.map(f => (f.name, f.dataType)))
+    assert(embBack.except(emb).isEmpty && emb.except(embBack).isEmpty)
+    // read parallelism is per container file (one task per part file)
+    assert(embBack.rdd.getNumPartitions ==
+      new java.io.File(s"$tmp/emb").listFiles.count(_.getName.endsWith(".avro")))
+  }
+
   test("json source captures malformed records instead of failing (PERMISSIVE)") {
     import org.apache.spark.sql.types._
     val tmp = "/tmp/graft-test-corrupt.json"

@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""Spread-aware per-query bench regression gate (VERDICT r05 #4).
+
+Compares the current BENCH_full.json against the previous round's
+artifact and flags every query whose steady time drifted past noise:
+
+    flag if cur_min > 1.5 * prior_min + max(prior_spread, cur_spread)
+            and cur_min - prior_min > 0.20s   (absolute noise floor)
+
+q44 drifted for three rounds because nothing watched it; this makes a
+drift a one-command diff instead of a judge finding.
+
+Usage: bench_gate.py [current] [baseline]
+  current  defaults to BENCH_full.json
+  baseline defaults to the highest-numbered BENCH_r*.json in the repo
+Both formats are accepted for either side:
+  full:    {"queries": {"q44_math_fns": {"sec": s, "spread_sec": s}}}
+  compact: {"queries": {"44": [min_centisec, spread_centisec, ...]}}
+Writes BENCH_gate.json (flags + verdict) and exits 1 on any flag.
+"""
+import glob
+import json
+import re
+import sys
+
+
+def load(path):
+    """-> {query_number: (name, min_sec, spread_sec)}"""
+    with open(path) as f:
+        data = json.load(f)
+    # driver round snapshot: the bench line is raw stdout in "tail"
+    # (with "parsed" unreliably None); dig the {"metric":...} line out
+    if "tail" in data and "queries" not in data:
+        if isinstance(data.get("parsed"), dict):
+            data = data["parsed"]
+        else:
+            m = re.search(r'\{"metric".*\}', data["tail"])
+            if not m:
+                print(f"{path}: no bench line in tail", file=sys.stderr)
+                sys.exit(2)
+            data = json.loads(m.group(0))
+    out = {}
+    queries = data.get("queries", {})
+    for name, v in queries.items():
+        m = re.match(r"^q?(\d+)", name)
+        if not m:
+            continue
+        num = m.group(1).lstrip("0") or "0"
+        if isinstance(v, dict):
+            out[num] = (name, float(v["sec"]), float(v.get("spread_sec", 0.0)))
+        else:  # compact [min_cs, spread_cs, tasks?]
+            out[num] = (name, v[0] / 100.0, (v[1] if len(v) > 1 else 0) / 100.0)
+    return out
+
+
+def main():
+    cur_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_full.json"
+    if len(sys.argv) > 2:
+        base_path = sys.argv[2]
+    else:
+        rounds = sorted(glob.glob("BENCH_r[0-9]*.json"),
+                        key=lambda p: int(re.search(r"r(\d+)", p).group(1)))
+        if not rounds:
+            print("no BENCH_r*.json baseline found", file=sys.stderr)
+            sys.exit(2)
+        base_path = rounds[-1]
+    cur, base = load(cur_path), load(base_path)
+
+    flags, improved, new = [], 0, 0
+    for num, (name, cmin, cspread) in sorted(cur.items(), key=lambda kv: int(kv[0])):
+        if num not in base:
+            new += 1
+            continue
+        bname, bmin, bspread = base[num]
+        noise = max(bspread, cspread)
+        if cmin > 1.5 * bmin + noise and cmin - bmin > 0.20:
+            flags.append({
+                "query": name, "prior_sec": round(bmin, 4),
+                "cur_sec": round(cmin, 4),
+                "ratio": round(cmin / bmin, 2) if bmin > 0 else None,
+                "noise_sec": round(noise, 4),
+            })
+        elif cmin < bmin:
+            improved += 1
+
+    report = {
+        "baseline": base_path, "current": cur_path,
+        "checked": len(cur), "new_queries": new, "improved": improved,
+        "regressions": flags,
+    }
+    with open("BENCH_gate.json", "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report))
+    sys.exit(1 if flags else 0)
+
+
+if __name__ == "__main__":
+    main()
