@@ -1622,7 +1622,16 @@ object SparkEntry {
       // approximates this with sampled fingerprints
       // (Dedup.exactSubstringSpans scaladoc).
       Dedup.exactSubstringSpans(documents(s, d), "doc_id", "text", minLen = 40)
-        .orderBy("id_a", "id_b", "start_a", "start_b"))
+        .orderBy("id_a", "id_b", "start_a", "start_b")),
+
+    "q126_substring_removal" -> ((s, d) =>
+      // the REMOVAL half of Lee et al. exact dedup: q125's spans are
+      // merged per losing doc (higher id) and cut; every doc returns
+      // with removal accounting + an md5 of its cleaned text (fixed-
+      // width however large the docs are). Whole-doc duplicates clean
+      // to the empty string (Dedup.removeDuplicateSpans scaladoc).
+      Dedup.removeDuplicateSpans(documents(s, d), "doc_id", "text", minLen = 40)
+        .orderBy("id"))
   )
 
   // ---------------------------------------------------------------- //
@@ -2785,6 +2794,54 @@ object SparkEntry {
         | CAST(count(*) + 39 AS BIGINT) AS span_len
         |FROM d GROUP BY id_a, id_b, diag, isl
         |ORDER BY id_a, id_b, start_a, start_b""".stripMargin,
+
+    // q125's span CTEs, then per-losing-doc interval merge (islands on
+    // running max end; s > prev-e breaks, touch coalesces — mirrors the
+    // Scala merge rule exactly), kept segments via lag(e), and an md5
+    // of the reassembled text
+    "q126_substring_removal" ->
+      """WITH grams AS (
+        |  SELECT doc_id AS id, p AS pos, substring(text, p, 40) AS g
+        |  FROM documents, LATERAL (SELECT unnest(generate_series(1,
+        |    greatest(length(text) - 39, 1))) AS p) t
+        |  WHERE p <= length(text) - 39),
+        |gf AS (SELECT g FROM grams GROUP BY g HAVING count(*) BETWEEN 2 AND 1000),
+        |pairs AS (
+        |  SELECT a.id AS id_a, a.pos AS pos_a, b.id AS id_b, b.pos AS pos_b
+        |  FROM grams a JOIN gf USING (g) JOIN grams b USING (g)
+        |  WHERE a.id < b.id),
+        |d AS (SELECT *, pos_a - pos_b AS diag,
+        |  pos_a - row_number() OVER (PARTITION BY id_a, id_b, pos_a - pos_b
+        |    ORDER BY pos_a) AS isl FROM pairs),
+        |spans AS (
+        |  SELECT id_b AS id, min(pos_b) AS s, min(pos_b) + count(*) + 39 AS e
+        |  FROM d GROUP BY id_a, id_b, diag, isl),
+        |m AS (SELECT id, s, e, CASE WHEN s > coalesce(max(e) OVER (PARTITION BY id
+        |        ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |      THEN 1 ELSE 0 END AS brk FROM spans),
+        |g2 AS (SELECT *, sum(brk) OVER (PARTITION BY id ORDER BY s, e) AS grp FROM m),
+        |iv AS (SELECT id, min(s) AS s, max(e) AS e FROM g2 GROUP BY id, grp),
+        |seg AS (SELECT id, coalesce(lag(e) OVER (PARTITION BY id ORDER BY s), 1) AS ks,
+        |        s AS ke FROM iv),
+        |tl AS (SELECT id, max(e) AS ks FROM iv GROUP BY id),
+        |pieces AS (
+        |  SELECT s.id, s.ks,
+        |    substring(doc.text, CAST(s.ks AS INT), CAST(s.ke - s.ks AS INT)) AS p
+        |  FROM seg s JOIN documents doc ON doc.doc_id = s.id
+        |  UNION ALL
+        |  SELECT t.id, t.ks, substring(doc.text, CAST(t.ks AS INT)) AS p
+        |  FROM tl t JOIN documents doc ON doc.doc_id = t.id),
+        |clean AS (SELECT id, string_agg(p, '' ORDER BY ks) AS ct FROM pieces GROUP BY id),
+        |acct AS (SELECT id, CAST(count(*) AS BIGINT) AS n_cut,
+        |         CAST(sum(e - s) AS BIGINT) AS removed_chars FROM iv GROUP BY id)
+        |SELECT doc.doc_id AS id, coalesce(acct.n_cut, 0) AS n_cut,
+        |  coalesce(acct.removed_chars, 0) AS removed_chars,
+        |  CAST(length(coalesce(clean.ct, doc.text)) AS BIGINT) AS clean_len,
+        |  md5(coalesce(clean.ct, doc.text)) AS clean_md5
+        |FROM documents doc
+        |LEFT JOIN acct ON acct.id = doc.doc_id
+        |LEFT JOIN clean ON clean.id = doc.doc_id
+        |ORDER BY id""".stripMargin,
 
     "q85_repetition_metrics" ->
       s"""WITH t AS (SELECT doc_id, $TOKS AS tk FROM documents),

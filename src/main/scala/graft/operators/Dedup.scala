@@ -895,6 +895,62 @@ object Dedup {
       .select("id_a", "id_b", "start_a", "start_b", "span_len")
   }
 
+  /** The REMOVAL half of exact substring dedup (Lee et al. 2022 cut
+    * duplicated spans out of the corpus, not just report them): for
+    * every span [[exactSubstringSpans]] finds, the HIGHER-id document
+    * of the pair loses its copy — its spans are merged (overlapping or
+    * touching intervals coalesce) and cut, and every document comes
+    * back with its cleaned text plus removal accounting. Documents in
+    * no pair pass through byte-identical.
+    *
+    * Returns (id, n_cut, removed_chars, clean_len, clean_md5) — the
+    * md5 stands in for the cleaned text so the result stays
+    * fixed-width however large the documents are (and the DuckDB
+    * oracle can rebuild the identical value from segment arithmetic).
+    *
+    * Scale shape: spans flow through one groupBy(id) whose state is
+    * the document's own interval list (bounded by doc length / minLen);
+    * the merge-and-cut is a single deterministic JVM pass per doc; the
+    * final join back to the corpus is an equi-join on the doc id. No
+    * stage sees more than O(spans + docs) rows.
+    */
+  def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                           minLen: Int, maxGramFreq: Int = 1000): DataFrame = {
+    val spans = exactSubstringSpans(docs, idCol, textCol, minLen, maxGramFreq)
+    val ivs = spans.select(col("id_b").as("id"), col("start_b").as("s"),
+        (col("start_b") + col("span_len")).as("e")) // [s, e) 1-based
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("ivs"))
+    // one deterministic pass: merge sorted intervals (s <= prevE
+    // coalesces overlap AND touch — the same rule as the oracle's
+    // s > max(prev e) island break), then emit kept segments
+    val cutUdf = udf { (text: String, sorted: Seq[org.apache.spark.sql.Row]) =>
+      val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      sorted.foreach { r =>
+        val (s, e) = (r.getLong(0), r.getLong(1))
+        if (merged.nonEmpty && s <= merged.last._2)
+          merged(merged.length - 1) = (merged.last._1, math.max(merged.last._2, e))
+        else merged += ((s, e))
+      }
+      val sb = new StringBuilder
+      var from = 1L
+      merged.foreach { case (s, e) =>
+        sb.append(text.substring(from.toInt - 1, s.toInt - 1)); from = e
+      }
+      sb.append(text.substring(from.toInt - 1))
+      val removed = merged.map { case (s, e) => e - s }.sum
+      (merged.length.toLong, removed, sb.result())
+    }
+    val base = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+    base.join(ivs, Seq("id"), "left")
+      .withColumn("cut", when(col("ivs").isNotNull, cutUdf(col("t"), col("ivs")))
+        .otherwise(struct(lit(0L).as("_1"), lit(0L).as("_2"), col("t").as("_3"))))
+      .select(col("id"), col("cut._1").as("n_cut"),
+        col("cut._2").as("removed_chars"),
+        length(col("cut._3")).cast("long").as("clean_len"),
+        md5(col("cut._3")).as("clean_md5"))
+  }
+
   /** (id, s, k) rows: each string keyed by itself plus each 1-deletion. */
   private def deletionKeyed(df: DataFrame, idCol: String, strCol: String): DataFrame = {
     val delUdf = udf { s: String =>

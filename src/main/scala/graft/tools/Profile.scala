@@ -55,6 +55,15 @@ object Profile {
       noop(Dedup.dupClusters(
         Dedup.simHashDup(docs, "doc_id", "text", 16), "id_a", "id_b", 4).orderBy("node"))
     }
+    // q52 banding physics: fixed 32-bit simhash buckets grow ~n²/2^bandBits,
+    // so candidate pairs go quadratic at 10x the corpus; wider hashes are
+    // the documented remedy — these two lines measure it at the current sf
+    t("q52 simhash32-ham2") {
+      noop(Dedup.simHashNearDup(docs, "doc_id", "text", 32, 2).orderBy("id_a", "id_b"))
+    }
+    t("q52 simhash60-ham2") {
+      noop(Dedup.simHashNearDup(docs, "doc_id", "text", 60, 2).orderBy("id_a", "id_b"))
+    }
     // q54 stages
     val e = embeddings(spark, d)
     t("q54 centroid-build") {

@@ -32,13 +32,15 @@ object ScalingBench {
       (if (new java.io.File(s"$sf1Dir/lineitem.parquet").exists())
          Seq("sf1*" -> sf1Dir)
        else Seq.empty)
-    val queries = Seq(
-      "q01_agg_pricing", "q04_join_multiway", "q08_window_analytic",
-      "q60_window_range_frame",
-      "q29_dedup_exact", "q30_dedup_ngram_jaccard", "q31_dedup_minhash_lsh",
-      "q52_dedup_simhash_hamming", "q63_dedup_clusters", "q75_winnow_overlap",
-      "q125_substring_spans",
-      "q35_ann_bruteforce", "q54_ann_ivf_kmeans")
+    val queries = sys.env.get("SPARK_GRAFT_SCALING_QUERIES")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Seq(
+        "q01_agg_pricing", "q04_join_multiway", "q08_window_analytic",
+        "q60_window_range_frame",
+        "q29_dedup_exact", "q30_dedup_ngram_jaccard", "q31_dedup_minhash_lsh",
+        "q52_dedup_simhash_hamming", "q63_dedup_clusters", "q75_winnow_overlap",
+        "q125_substring_spans",
+        "q35_ann_bruteforce", "q54_ann_ivf_kmeans"))
     println(f"${"query"}%-28s ${sfs.map(s => f"${s._1}%7s").mkString(" ")}   last-decade growth")
     queries.foreach { name =>
       val times = sfs.map { case (_, dir) =>

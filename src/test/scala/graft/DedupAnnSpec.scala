@@ -600,6 +600,31 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(spans(hashed = true) == spans(hashed = false))
   }
 
+  test("removeDuplicateSpans: higher-id doc loses each span; overlaps merge") {
+    val shared = "The quick brown fox jumps over the lazy dog near the riverbank at dawn."
+    val piece = shared.substring(0, 45)
+    val a = "XXXX" + shared + "YYYY"
+    val b = "QQQQ" + shared + "ZZZZ"
+    val c = "no overlap here at all, this text is entirely its own thing today."
+    val dd = "mm" + piece + "nn"
+    val df = Seq(1L -> a, 2L -> b, 3L -> c, 4L -> dd).toDF("id", "text")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val got = Dedup.removeDuplicateSpans(df, "id", "text", minLen = 40)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    // doc 1 is never the higher id: untouched; doc 3 shares nothing
+    assert(got(1L) == ((0L, 0L, a.length.toLong, md5hex(a))))
+    assert(got(3L) == ((0L, 0L, c.length.toLong, md5hex(c))))
+    // doc 2 loses its whole copy of `shared`
+    assert(got(2L) == ((1L, shared.length.toLong, 8L, md5hex("QQQQZZZZ"))))
+    // doc 4 loses `piece` ONCE: the identical spans vs docs 1 and 2
+    // merge into one interval before cutting
+    assert(got(4L) == ((1L, piece.length.toLong, 4L, md5hex("mmnn"))))
+  }
+
   test("editDistance1Join maxKeyFreq cap: dropped keys are enumerable") {
     // three 1-char strings pairwise at distance 1, sharing ONLY the ""
     // deletion key; cap 2 drops that key, losing all pairs — and the

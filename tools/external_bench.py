@@ -50,13 +50,25 @@ def main():
         sql = oracle[name]
         times = []
         rows = None
-        for _ in range(3):
-            t0 = time.time()
-            rows = len(con.sql(sql).fetchall())
-            times.append(time.time() - t0)
+        err = None
+        try:
+            for _ in range(3):
+                t0 = time.time()
+                rows = len(con.sql(sql).fetchall())
+                times.append(time.time() - t0)
+        except Exception as e:  # a query that cannot complete (e.g. spill
+            # exhausting disk at sf1) is a RESULT, not a reason to lose
+            # the rest of the table
+            err = f"{type(e).__name__}: {e}"[:300]
+        if err and not times:
+            out[name] = {"error": err}
+            print(f"{name:30s} ERROR {err[:80]}", file=sys.stderr)
+            continue
         out[name] = {"best_s": round(min(times), 3),
                      "all_s": [round(t, 3) for t in times],
                      "rows": rows}
+        if err:
+            out[name]["error_after_runs"] = err
         print(f"{name:30s} best={min(times):6.2f}s rows={rows}", file=sys.stderr)
     print(json.dumps({"engine": "duckdb", "version": duckdb.__version__,
                       "sf": sfdir, "queries": out}))
