@@ -1631,7 +1631,23 @@ object SparkEntry {
       // width however large the docs are). Whole-doc duplicates clean
       // to the empty string (Dedup.removeDuplicateSpans scaladoc).
       Dedup.removeDuplicateSpans(documents(s, d), "doc_id", "text", minLen = 40)
-        .orderBy("id"))
+        .orderBy("id")),
+
+    "q127_bloom_incremental" -> ((s, d) => {
+      // ingest-time dedup: the standing corpus (doc_id % 10 != 3)
+      // collapses to ONE bloom filter over 80-char prefix fingerprints;
+      // the arriving batch (doc_id % 10 == 3) is might_contain-pruned
+      // BEFORE any shuffle and an exact equi-join verifies survivors —
+      // output is exact (no bloom false negatives; false positives die
+      // in the join), so the oracle is the plain join
+      // (Dedup.bloomIncrementalExact scaladoc).
+      val docs = documents(s, d)
+      Dedup.bloomIncrementalExact(
+          docs.filter(pmod(col("doc_id"), lit(10)) =!= 3),
+          docs.filter(pmod(col("doc_id"), lit(10)) === 3),
+          "doc_id", "text", prefixLen = 80)
+        .orderBy("batch_id", "corpus_id")
+    })
   )
 
   // ---------------------------------------------------------------- //
@@ -2842,6 +2858,16 @@ object SparkEntry {
         |LEFT JOIN acct ON acct.id = doc.doc_id
         |LEFT JOIN clean ON clean.id = doc.doc_id
         |ORDER BY id""".stripMargin,
+
+    // the bloom is engine-side pruning only (no false negatives, false
+    // positives verified away) — the oracle is the exact join itself
+    "q127_bloom_incremental" ->
+      """SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id
+        |FROM documents b JOIN documents c
+        |  ON substring(b.text, 1, 80) = substring(c.text, 1, 80)
+        |WHERE b.doc_id % 10 = 3 AND c.doc_id % 10 != 3
+        |  AND length(b.text) >= 80 AND length(c.text) >= 80
+        |ORDER BY batch_id, corpus_id""".stripMargin,
 
     "q85_repetition_metrics" ->
       s"""WITH t AS (SELECT doc_id, $TOKS AS tk FROM documents),

@@ -239,14 +239,34 @@ object Curation {
   def linearQualityScore(docs: DataFrame, idCol: String, textCol: String,
                          wLen: Long, wStop: Long, wAlpha: Long, wWlen: Long,
                          threshold: Long): DataFrame = {
-    val toks = tokens(col(textCol))
-    val counts = docs.select(col(idCol).as("id"),
-      size(toks).cast("long").as("__ntok"),
-      size(filter(toks,
-        t => t.isInCollection(graft.functions.TextFunctions.StopWords)))
-        .cast("long").as("__nstop"),
-      length(regexp_replace(col(textCol), "[^A-Za-z]", "")).cast("long").as("__nalpha"),
-      length(col(textCol)).cast("long").as("__nchars"))
+    // one JVM pass per document: the HOF form (size(filter(tokens,
+    // isInCollection)) + a regexp_replace rebuild of the string just to
+    // count alpha chars) evaluates interpreted and knocks the whole
+    // projection out of codegen — the same measured trade as q125's
+    // gram loop (SURVEY §2c perf notes). Semantics replicated exactly:
+    // trim+split \s+ tokens, exact stopword match, [A-Za-z] chars.
+    val stopSet = graft.functions.TextFunctions.StopWords.toSet
+    val statsUdf = udf { text: String =>
+      if (text == null) (0L, 0L, 0L, 0L)
+      else {
+        val t = text.trim
+        val toks = if (t.isEmpty) Array.empty[String] else t.split("\\s+")
+        var nstop = 0L
+        toks.foreach(w => if (stopSet(w)) nstop += 1)
+        var nalpha = 0L
+        var i = 0
+        while (i < text.length) {
+          val c = text.charAt(i)
+          if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) nalpha += 1
+          i += 1
+        }
+        (toks.length.toLong, nstop, nalpha, text.length.toLong)
+      }
+    }
+    val counts = docs
+      .select(col(idCol).as("id"), statsUdf(col(textCol)).as("st"))
+      .select(col("id"), col("st._1").as("__ntok"), col("st._2").as("__nstop"),
+        col("st._3").as("__nalpha"), col("st._4").as("__nchars"))
     val feats = counts.select(col("id"),
       least(col("__ntok"), lit(100L)).as("f_len"),
       when(col("__ntok") > 0, expr("1000 * __nstop div __ntok")).otherwise(lit(0L)).as("f_stop"),

@@ -951,6 +951,57 @@ object Dedup {
         md5(col("cut._3")).as("clean_md5"))
   }
 
+  /** Incremental exact-fingerprint dedup with a BLOOM prefilter — the
+    * ingest-time shape: a standing corpus is summarized ONCE into a
+    * bloom filter over its fingerprints (here: the first `prefixLen`
+    * chars, the boilerplate-prefix signature q125 shows this corpus is
+    * full of), and each arriving batch is filtered by `might_contain`
+    * BEFORE any join — batch rows whose fingerprint is definitely
+    * absent from the corpus never shuffle at all. Survivors (true
+    * matches + the filter's false-positive rate) are verified by an
+    * exact equi-join, so the OUTPUT is exact: blooms have no false
+    * negatives, and false positives die in the join. Returns
+    * (batch_id, corpus_id) fingerprint-duplicate pairs.
+    *
+    * Scale shape: the corpus is scanned twice (bloom build — an
+    * aggregate to ONE `numBits/8`-byte row — and the verify join); the
+    * driver holds only the bloom itself (bounded by `expectedItems`,
+    * never data rows — the same O(1)-collect class as the k-means
+    * centroids); the verify join broadcasts the PRUNED batch, which is
+    * `|batch| * (dup_rate + fpp)` — the quantity incremental ingest
+    * assumes small. Built on Spark's native BloomFilterAggregate /
+    * BloomFilterMightContain (the expressions behind runtime join
+    * filters), lifted via the same shim as `DotProduct`.
+    */
+  def bloomIncrementalExact(corpus: DataFrame, batch: DataFrame,
+                            idCol: String, textCol: String, prefixLen: Int,
+                            expectedItems: Long = 1L << 20): DataFrame = {
+    require(prefixLen >= 1, s"prefixLen must be >= 1, got $prefixLen")
+    require(expectedItems >= 1, s"expectedItems must be >= 1, got $expectedItems")
+    import org.apache.spark.sql.GraftSqlShim
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal => CatLit}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    def keyed(df: DataFrame, outId: String) = df
+      .filter(length(col(textCol)) >= prefixLen)
+      .select(col(idCol).cast("long").as(outId),
+        substring(col(textCol), 1, prefixLen).as("k"))
+    val c = keyed(corpus, "corpus_id")
+    val b = keyed(batch, "batch_id")
+    val numBits = math.max(64L, expectedItems * 10) // ~1% fpp at capacity
+    val bloomCol = GraftSqlShim.column(
+      new BloomFilterAggregate(
+        GraftSqlShim.expression(xxhash64(col("k"))),
+        CatLit(expectedItems), CatLit(numBits)).toAggregateExpression())
+    val bloom = c.agg(bloomCol.as("bf")).head.getAs[Array[Byte]]("bf")
+    // an empty corpus aggregates to a null bloom: no possible duplicate
+    val pruned =
+      if (bloom == null) b.limit(0)
+      else b.filter(GraftSqlShim.column(BloomFilterMightContain(
+        CatLit.create(bloom, org.apache.spark.sql.types.BinaryType),
+        GraftSqlShim.expression(xxhash64(col("k"))))))
+    c.join(broadcast(pruned), "k").select("batch_id", "corpus_id")
+  }
+
   /** (id, s, k) rows: each string keyed by itself plus each 1-deletion. */
   private def deletionKeyed(df: DataFrame, idCol: String, strCol: String): DataFrame = {
     val delUdf = udf { s: String =>

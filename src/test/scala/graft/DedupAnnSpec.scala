@@ -625,6 +625,31 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(got(4L) == ((1L, piece.length.toLong, 4L, md5hex("mmnn"))))
   }
 
+  test("bloomIncrementalExact: exact pairs out, bloom demonstrably prunes") {
+    val pfx = "this prefix is exactly forty characters!"
+    assert(pfx.length == 40)
+    // corpus: 2 docs sharing `pfx`-prefixes + 60 unrelated; batch: one
+    // true duplicate + 40 docs that match nothing
+    val corpus = (Seq(1L -> (pfx + " corpus tail one"), 2L -> (pfx + " corpus tail two")) ++
+      (10L to 69L).map(i => i -> s"corpus filler number $i with its own unique prefix text"))
+      .toDF("id", "text")
+    val batch = (Seq(100L -> (pfx + " arriving batch tail")) ++
+      (200L to 239L).map(i => i -> s"batch filler number $i nothing like the corpus at all"))
+      .toDF("id", "text")
+    val out = Dedup.bloomIncrementalExact(corpus, batch, "id", "text", prefixLen = 40)
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((100L, 1L), (100L, 2L)))
+    // the bloom filter is in the plan (ConvertToLocalRelation folds it
+    // into this in-memory fixture's LocalTableScan before physical
+    // planning, so assert on the analyzed plan, where the Filter node
+    // still stands)
+    val bloomPlan = out.queryExecution.analyzed.toString
+    assert(bloomPlan.contains("might_contain"), bloomPlan.take(500))
+    // empty corpus -> empty result (null bloom guard)
+    assert(Dedup.bloomIncrementalExact(corpus.limit(0), batch, "id", "text", 40)
+      .count() == 0)
+  }
+
   test("editDistance1Join maxKeyFreq cap: dropped keys are enumerable") {
     // three 1-char strings pairwise at distance 1, sharing ONLY the ""
     // deletion key; cap 2 drops that key, losing all pairs — and the

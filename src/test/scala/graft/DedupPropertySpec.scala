@@ -108,4 +108,47 @@ class DedupPropertySpec extends AnyFunSuite {
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     sameToks.foreach { p => assert(got.get(p).contains(1.0), s"missing pair $p") }
   }
+
+  test("exactSubstringSpans equals the brute-force maximal-run model") {
+    // adversarial corpus: tiny alphabet ("ab" + space) makes periodic
+    // text, multi-diagonal repeats, and boundary-kissing spans common —
+    // exactly the edge cases the islands merge must get right
+    val L = 5
+    val charGen = Gen.frequency(4 -> Gen.const('a'), 3 -> Gen.const('b'),
+      1 -> Gen.const(' '))
+    val strGen = Gen.chooseNum(0, 24)
+      .flatMap(n => Gen.listOfN(n, charGen).map(_.mkString))
+    val params = Gen.Parameters.default
+    val spanDocs: Vector[(Long, String)] =
+      Iterator.iterate(rng.Seed(11L))(_.next).take(40)
+        .map(s => strGen.pureApply(params, s)).toVector.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+    // brute force: every cross-doc anchor (equal L-gram), grouped by
+    // diagonal, maximal consecutive runs — the operator's CONTRACT,
+    // computed without posting lists, joins, or windows
+    val model = (for {
+      (ia, sa) <- spanDocs; (ib, sb) <- spanDocs if ia < ib
+      diag <- (1 - sb.length) to sa.length
+      run <- {
+        val anchors = (1 to sa.length - L + 1).filter { pa =>
+          val pb = pa - diag
+          pb >= 1 && pb + L - 1 <= sb.length &&
+            sa.substring(pa - 1, pa + L - 1) == sb.substring(pb - 1, pb + L - 1)
+        }
+        // split into maximal consecutive runs
+        anchors.foldLeft(List.empty[List[Int]]) {
+          case (acc @ (h :: t), p) if h.head == p - 1 => (p :: h) :: t
+          case (acc, p) => List(p) :: acc
+        }.map(r => (r.min, r.size))
+      }
+    } yield (ia, ib, run._1.toLong, (run._1 - diag).toLong,
+      (run._2 + L - 1).toLong)).toSet
+    val got = Dedup.exactSubstringSpans(spanDocs.toDF("id", "text"), "id", "text",
+        minLen = L, maxGramFreq = Int.MaxValue - 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assume(model.nonEmpty) // the corpus must actually exercise the operator
+    assert(got == model)
+  }
 }
