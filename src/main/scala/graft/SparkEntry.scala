@@ -1647,6 +1647,25 @@ object SparkEntry {
           docs.filter(pmod(col("doc_id"), lit(10)) === 3),
           "doc_id", "text", prefixLen = 80)
         .orderBy("batch_id", "corpus_id")
+    }),
+
+    "q128_incremental_agg" -> ((s, d) => {
+      // materialized-aggregate maintenance: v1's per-priority (sum_v, n)
+      // is rolled forward by q123's CDC changelog — only |changelog|
+      // rows and the changed groups ever shuffle; the oracle is the
+      // FULL recompute on v2, so the hash compare IS the proof that
+      // incremental == recompute (Relational.incrementalSumCount).
+      val base = orders(s, d).select(col("o_orderkey"),
+        col("o_orderpriority").as("g"), cents(col("o_totalprice")).as("v"))
+      val m = pmod(col("o_orderkey"), lit(10L))
+      val v1 = base.filter(m =!= 3)
+      val v2 = base.filter(m =!= 5)
+        .withColumn("v", when(m === 7, col("v") + 100L).otherwise(col("v")))
+      val v1agg = v1.groupBy("g")
+        .agg(sum("v").as("sum_v"), count(lit(1)).as("n"))
+      Relational.incrementalSumCount(v1agg,
+          Relational.snapshotDiff(v1, v2, Seq("o_orderkey")), "g", "v")
+        .orderBy("g")
     })
   )
 
@@ -2868,6 +2887,18 @@ object SparkEntry {
         |WHERE b.doc_id % 10 = 3 AND c.doc_id % 10 != 3
         |  AND length(b.text) >= 80 AND length(c.text) >= 80
         |ORDER BY batch_id, corpus_id""".stripMargin,
+
+    // the oracle is the FULL recompute over the v2 snapshot: matching
+    // hashes prove the engine's incremental maintenance (v1 agg +
+    // changelog deltas) lands on the identical aggregate
+    "q128_incremental_agg" ->
+      """WITH base AS (SELECT o_orderkey, o_orderpriority AS g,
+        |  CAST(round(o_totalprice*100, 0) AS BIGINT) AS v FROM orders),
+        |v2 AS (SELECT g, CASE WHEN o_orderkey % 10 = 7 THEN v + 100 ELSE v END AS v
+        |       FROM base WHERE o_orderkey % 10 != 5)
+        |SELECT g, CAST(sum(v) AS BIGINT) AS sum_v,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM v2 GROUP BY g ORDER BY g""".stripMargin,
 
     "q85_repetition_metrics" ->
       s"""WITH t AS (SELECT doc_id, $TOKS AS tk FROM documents),

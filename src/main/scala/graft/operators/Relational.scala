@@ -406,6 +406,49 @@ object Relational {
     * Payloads ride as single structs so the exchange carries each row
     * once, not once per compared column.
     */
+  /** Incremental sum/count maintenance: roll a [[snapshotDiff]]
+    * changelog into a previously materialized per-group aggregate
+    * WITHOUT recomputing from the new snapshot. Each changelog row
+    * contributes (-old, -1) under its OLD group and (+new, +1) under
+    * its NEW group — inserts/deletes contribute one side (the other is
+    * null-group and drops), and an update that MOVES a row between
+    * groups is automatically a delete+insert pair, so group-changing
+    * updates need no special case. Groups whose count reaches zero
+    * disappear, matching a full recompute exactly.
+    *
+    * `prevAgg` must carry (gField, sum_v, n); `changelog` is
+    * [[snapshotDiff]] output whose payload struct carries gField and
+    * vField. Returns (gField, sum_v, n) for the NEW snapshot.
+    *
+    * Scale shape — the reason to maintain instead of recompute: the
+    * delta aggregation shuffles only |changelog| rows and the merge
+    * join only |changed groups ∪ prev groups|; a day's changelog
+    * against a 100 TB fact table never re-reads the fact table. The
+    * equality with full recompute is the oracle contract (q128's
+    * oracle IS the full recompute on v2).
+    */
+  def incrementalSumCount(prevAgg: DataFrame, changelog: DataFrame,
+                          gField: String, vField: String): DataFrame = {
+    require(prevAgg.columns.toSeq == Seq(gField, "sum_v", "n"),
+      s"prevAgg must be ($gField, sum_v, n); got ${prevAgg.columns.mkString(",")}")
+    val contrib = changelog
+      .filter(col("change_type") =!= "unchanged")
+      .select(explode(array(
+        struct(col(s"old_row.$gField").as("g"),
+          (-col(s"old_row.$vField")).as("dv"), lit(-1L).as("dn")),
+        struct(col(s"new_row.$gField").as("g"),
+          col(s"new_row.$vField").as("dv"), lit(1L).as("dn")))).as("c"))
+      .select(col("c.g").as(gField), col("c.dv"), col("c.dn"))
+      .filter(col(gField).isNotNull) // the absent side of insert/delete
+    val deltas = contrib.groupBy(gField)
+      .agg(sum("dv").as("__dsum"), sum("dn").as("__dn"))
+    prevAgg.join(deltas, Seq(gField), "full_outer")
+      .select(col(gField),
+        (coalesce(col("sum_v"), lit(0L)) + coalesce(col("__dsum"), lit(0L))).as("sum_v"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("__dn"), lit(0L))).as("n"))
+      .filter(col("n") > 0)
+  }
+
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
                    keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "snapshotDiff needs at least one key column")

@@ -56,6 +56,34 @@ class EntrySpec extends AnyFunSuite {
       4L -> "delete", 5L -> "insert"))
   }
 
+  test("incrementalSumCount equals full recompute, incl. group-moving update") {
+    import graft.operators.Relational
+    import org.apache.spark.sql.functions._
+    // v1 -> v2: insert (6,B,60); delete (4,A,40); in-place update
+    // (2,A,20->25); group-MOVING update (5, A->B, 50); group A's last
+    // row deleted case exercised by a separate tiny pair below
+    val v1 = Seq((1L, "A", 10L), (2L, "A", 20L), (4L, "A", 40L), (5L, "A", 50L),
+      (7L, "B", 70L)).toDF("k", "g", "v")
+    val v2 = Seq((1L, "A", 10L), (2L, "A", 25L), (5L, "B", 50L),
+      (7L, "B", 70L), (6L, "B", 60L)).toDF("k", "g", "v")
+    val v1agg = v1.groupBy("g").agg(sum("v").as("sum_v"), count(lit(1)).as("n"))
+    val inc = Relational.incrementalSumCount(v1agg,
+        Relational.snapshotDiff(v1, v2, Seq("k")), "g", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val full = v2.groupBy("g").agg(sum("v").as("sum_v"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inc == full)
+    assert(inc == Set(("A", 35L, 2L), ("B", 180L, 3L)))
+    // a group whose last row is deleted vanishes, as a recompute would
+    val w1 = Seq((1L, "X", 5L), (2L, "Y", 7L)).toDF("k", "g", "v")
+    val w2 = Seq((1L, "X", 5L)).toDF("k", "g", "v")
+    val w1agg = w1.groupBy("g").agg(sum("v").as("sum_v"), count(lit(1)).as("n"))
+    val wInc = Relational.incrementalSumCount(w1agg,
+        Relational.snapshotDiff(w1, w2, Seq("k")), "g", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(wInc == Set(("X", 5L, 1L)))
+  }
+
   test("multimodal: stub decoder features match a manual computation") {
     val media = Multimodal.mediaFromDocuments(
       spark, Seq((2L, "AB")).toDF("doc_id", "text"))
