@@ -1666,6 +1666,19 @@ object SparkEntry {
       Relational.incrementalSumCount(v1agg,
           Relational.snapshotDiff(v1, v2, Seq("o_orderkey")), "g", "v")
         .orderBy("g")
+    }),
+
+    "q129_ann_recall" -> ((s, d) => {
+      // index-quality eval: recall@5 of the q36 LSH index against the
+      // q35 brute-force ground truth, per query — the measurement that
+      // decides whether an approximate index may replace exact search
+      // (Ann.recallAtK scaladoc).
+      val e = embeddings(s, d)
+      val q = e.filter(col("vec_id") < 5)
+      Ann.recallAtK(
+          Ann.bruteForceTopK(e, q, "vec_id", "embedding", k = 5),
+          Ann.lshTopK(e, q, "vec_id", "embedding", k = 5, nBits = 4))
+        .orderBy("query_id")
     })
   )
 
@@ -2887,6 +2900,47 @@ object SparkEntry {
         |WHERE b.doc_id % 10 = 3 AND c.doc_id % 10 != 3
         |  AND length(b.text) >= 80 AND length(c.text) >= 80
         |ORDER BY batch_id, corpus_id""".stripMargin,
+
+    // q35's brute-force CTEs and q36's LSH CTEs, composed: recall@5 =
+    // |lsh top-5 ∩ brute top-5| / 5 per query
+    "q129_ann_recall" -> {
+      val planes =
+        s"""SELECT p, list_transform(generate_series(0,63), j -> ${duckPlane("p", "j")}) AS c
+           |FROM (SELECT unnest(generate_series(0,3)) AS p)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |bq AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+         |bs AS (SELECT query_id, e.vec_id AS neighbor_id,
+         |  round(${duckCos("qv", "e.v")}, 4) AS cos
+         | FROM e CROSS JOIN bq WHERE e.vec_id <> query_id),
+         |br AS (SELECT query_id, neighbor_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+         | FROM bs),
+         |btop AS (SELECT query_id, neighbor_id FROM br WHERE rnk <= 5),
+         |pl AS ($planes),
+         |proj AS (SELECT vec_id, p, list_dot_product(v, c) AS proj FROM e CROSS JOIN pl),
+         |bkt AS (SELECT vec_id,
+         |  CAST(SUM(CASE WHEN proj >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
+         | FROM proj GROUP BY 1),
+         |ev AS (SELECT e.vec_id, e.v, bkt.bucket FROM e JOIN bkt ON e.vec_id = bkt.vec_id),
+         |ls AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |  round(${duckCos("q.v", "c.v")}, 4) AS cos
+         | FROM ev c JOIN ev q ON c.bucket = q.bucket
+         | WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+         |lr AS (SELECT query_id, neighbor_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+         | FROM ls),
+         |ltop AS (SELECT query_id, neighbor_id FROM lr WHERE rnk <= 5),
+         |tot AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_truth FROM btop GROUP BY 1),
+         |hits AS (SELECT b.query_id, CAST(count(*) AS BIGINT) AS n_hit
+         | FROM btop b JOIN ltop l
+         |   ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+         | GROUP BY 1)
+         |SELECT tot.query_id AS query_id, tot.n_truth,
+         |  CAST(coalesce(hits.n_hit, 0) AS BIGINT) AS n_hit,
+         |  round(coalesce(hits.n_hit, 0) * 1.0 / tot.n_truth, 4) AS recall
+         |FROM tot LEFT JOIN hits ON tot.query_id = hits.query_id
+         |ORDER BY tot.query_id""".stripMargin
+    },
 
     // the oracle is the FULL recompute over the v2 snapshot: matching
     // hashes prove the engine's incremental maintenance (v1 agg +

@@ -315,4 +315,29 @@ object Ann {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Recall@k evaluation — the harness every approximate index needs
+    * before it replaces brute force in production: per query, the
+    * fraction of GROUND-TRUTH neighbors (any (query_id, neighbor_id)
+    * frame, typically [[bruteForceTopK]]) that the CANDIDATE result
+    * (e.g. [[lshTopK]], [[ivfTopK]]) recovered. Returns
+    * (query_id, n_truth, n_hit, recall) with recall rounded to 4
+    * decimals for cross-engine hash stability.
+    *
+    * Scale shape: one semi-join on (query_id, neighbor_id) + two
+    * per-query counts — all keyed by query id, AQE-splittable; result
+    * cardinality = |queries|, independent of corpus size.
+    */
+  def recallAtK(truth: DataFrame, candidate: DataFrame): DataFrame = {
+    val t = truth.select("query_id", "neighbor_id")
+    val c = candidate.select("query_id", "neighbor_id")
+    val nTruth = t.groupBy("query_id").agg(count(lit(1)).as("n_truth"))
+    val nHit = t.join(c, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    nTruth.join(nHit, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_truth"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_truth").cast("double"), 4).as("recall"))
+  }
 }

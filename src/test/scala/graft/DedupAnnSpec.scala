@@ -625,6 +625,26 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(got(4L) == ((1L, piece.length.toLong, 4L, md5hex("mmnn"))))
   }
 
+  test("recallAtK: perfect, partial, and empty candidates score exactly") {
+    val truth = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L),
+      (2L, 20L), (2L, 21L), (3L, 30L)).toDF("query_id", "neighbor_id")
+    // q1: 2 of 4 recovered (+1 spurious, which must not count);
+    // q2: both recovered; q3: nothing recovered
+    val cand = Seq((1L, 10L), (1L, 12L), (1L, 99L), (2L, 20L), (2L, 21L))
+      .toDF("query_id", "neighbor_id")
+    val got = Ann.recallAtK(truth, cand).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got == Map(
+      1L -> ((4L, 2L, 0.5)), 2L -> ((2L, 2L, 1.0)), 3L -> ((1L, 0L, 0.0))))
+    // self-evaluation of an exact method is identically 1.0
+    val e = engine.Tables.embeddings(spark, SparkTestSession.sfDir)
+    val q = e.filter(col("vec_id") < 3)
+    val brute = Ann.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+    assert(Ann.recallAtK(brute, brute).collect()
+      .forall(_.getDouble(3) == 1.0))
+  }
+
   test("bloomIncrementalExact: exact pairs out, bloom demonstrably prunes") {
     val pfx = "this prefix is exactly forty characters!"
     assert(pfx.length == 40)
