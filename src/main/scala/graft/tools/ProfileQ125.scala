@@ -101,6 +101,8 @@ object ProfileQ125 {
     t("anchors-join-v3-shj")(noop(joinFormSHJ(gramsV3)))
     t("anchors-join-v3-shj-hashed")(noop(joinFormSHJ(
       gramsV3.select(xxhash64(col("g")).as("g"), col("id"), col("pos")))))
+    t("anchors-join-v3-shj-prepart")(noop(joinFormSHJ(
+      gramsV3.repartition(col("g")))))
     def postingForm(g: org.apache.spark.sql.DataFrame) = {
       val posting = g.groupBy("g")
         .agg(sort_array(collect_list(struct(col("id"), col("pos")))).as("lst"))
