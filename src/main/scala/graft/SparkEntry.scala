@@ -1051,7 +1051,11 @@ object SparkEntry {
     // setScale — the only allocating expression in this chain (measured
     // 1.8x the cost of the same aggregate without it) and the part that
     // made pre-JIT-peak bench samples of this query swing 4x (VERDICT r05).
-    // For non-negative x the two are value-identical (0 diffs over sf0.1).
+    // Caveat: floor(x + 0.5) is NOT universally identical to half-up
+    // rounding (x + 0.5 can round up in binary for x just below a .5
+    // boundary, e.g. 0.49999999999999994); the equivalence here is
+    // empirical — the ProfileQ44 diff check found 0 diffs on this data
+    // distribution at sf0.1 — and the oracle SQL uses the same spelling.
 
     "q44_math_fns" -> ((s, d) => {
       lineitem(s, d).groupBy("l_returnflag").agg(

@@ -243,12 +243,18 @@ object Curation {
     // isInCollection)) + a regexp_replace rebuild of the string just to
     // count alpha chars) evaluates interpreted and knocks the whole
     // projection out of codegen — the same measured trade as q125's
-    // gram loop (SURVEY §2c perf notes). Semantics replicated exactly:
-    // trim+split \s+ tokens, exact stopword match, [A-Za-z] chars.
+    // gram loop (SURVEY §2c perf notes). Semantics replicated exactly
+    // for this corpus: trim+split \s+ tokens, exact stopword match,
+    // [A-Za-z] chars. Caveat: counts are UTF-16 code units (length/
+    // charAt), where the builtin length()/regexp_replace counted
+    // codepoints — identical on BMP text (all of /root/testdata), would
+    // diverge on astral-plane characters. NULL text returns None so the
+    // builtin null propagation (null score, row dropped at the
+    // threshold filter) is preserved.
     val stopSet = graft.functions.TextFunctions.StopWords.toSet
     val statsUdf = udf { text: String =>
-      if (text == null) (0L, 0L, 0L, 0L)
-      else {
+      if (text == null) Option.empty[(Long, Long, Long, Long)]
+      else Some {
         val t = text.trim
         val toks = if (t.isEmpty) Array.empty[String] else t.split("\\s+")
         var nstop = 0L
@@ -267,11 +273,18 @@ object Curation {
       .select(col(idCol).as("id"), statsUdf(col(textCol)).as("st"))
       .select(col("id"), col("st._1").as("__ntok"), col("st._2").as("__nstop"),
         col("st._3").as("__nalpha"), col("st._4").as("__nchars"))
+    // when-chains WITHOUT otherwise: a null stats struct (null text)
+    // yields null features -> null score -> dropped at the threshold,
+    // matching the builtins' null propagation. (least() skips nulls and
+    // otherwise() would coerce them to 0, so both need the guard.)
     val feats = counts.select(col("id"),
-      least(col("__ntok"), lit(100L)).as("f_len"),
-      when(col("__ntok") > 0, expr("1000 * __nstop div __ntok")).otherwise(lit(0L)).as("f_stop"),
-      when(col("__nchars") > 0, expr("1000 * __nalpha div __nchars")).otherwise(lit(0L)).as("f_alpha"),
-      when(col("__ntok") > 0, expr("__nchars div __ntok")).otherwise(lit(0L)).as("f_wlen"))
+      when(col("__ntok").isNotNull, least(col("__ntok"), lit(100L))).as("f_len"),
+      when(col("__ntok") > 0, expr("1000 * __nstop div __ntok"))
+        .when(col("__ntok").isNotNull, lit(0L)).as("f_stop"),
+      when(col("__nchars") > 0, expr("1000 * __nalpha div __nchars"))
+        .when(col("__nchars").isNotNull, lit(0L)).as("f_alpha"),
+      when(col("__ntok") > 0, expr("__nchars div __ntok"))
+        .when(col("__ntok").isNotNull, lit(0L)).as("f_wlen"))
     feats.withColumn("score",
         lit(wLen) * col("f_len") + lit(wStop) * col("f_stop") +
         lit(wAlpha) * col("f_alpha") + lit(wWlen) * col("f_wlen"))

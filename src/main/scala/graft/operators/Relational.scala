@@ -410,11 +410,14 @@ object Relational {
     * changelog into a previously materialized per-group aggregate
     * WITHOUT recomputing from the new snapshot. Each changelog row
     * contributes (-old, -1) under its OLD group and (+new, +1) under
-    * its NEW group — inserts/deletes contribute one side (the other is
-    * null-group and drops), and an update that MOVES a row between
-    * groups is automatically a delete+insert pair, so group-changing
-    * updates need no special case. Groups whose count reaches zero
-    * disappear, matching a full recompute exactly.
+    * its NEW group — inserts/deletes contribute one side (presence of
+    * the old_row/new_row STRUCT gates the contribution, so a genuinely
+    * NULL group key still contributes to the NULL group like a full
+    * recompute would), and an update that MOVES a row between groups is
+    * automatically a delete+insert pair, so group-changing updates need
+    * no special case. Groups whose count reaches zero disappear,
+    * matching a full recompute exactly; the merge join is null-safe so
+    * the NULL group in prevAgg and in the deltas land on one row.
     *
     * `prevAgg` must carry (gField, sum_v, n); `changelog` is
     * [[snapshotDiff]] output whose payload struct carries gField and
@@ -434,16 +437,23 @@ object Relational {
     val contrib = changelog
       .filter(col("change_type") =!= "unchanged")
       .select(explode(array(
-        struct(col(s"old_row.$gField").as("g"),
+        struct(col("old_row").isNotNull.as("present"),
+          col(s"old_row.$gField").as("g"),
           (-col(s"old_row.$vField")).as("dv"), lit(-1L).as("dn")),
-        struct(col(s"new_row.$gField").as("g"),
+        struct(col("new_row").isNotNull.as("present"),
+          col(s"new_row.$gField").as("g"),
           col(s"new_row.$vField").as("dv"), lit(1L).as("dn")))).as("c"))
+      // Struct-level presence, NOT group-key nullness: an insert's
+      // missing old side drops here, but a real row whose group key is
+      // NULL keeps its contribution (it belongs to the NULL group).
+      .filter(col("c.present"))
       .select(col("c.g").as(gField), col("c.dv"), col("c.dn"))
-      .filter(col(gField).isNotNull) // the absent side of insert/delete
     val deltas = contrib.groupBy(gField)
       .agg(sum("dv").as("__dsum"), sum("dn").as("__dn"))
-    prevAgg.join(deltas, Seq(gField), "full_outer")
-      .select(col(gField),
+      .withColumnRenamed(gField, "__dg")
+    // Null-safe merge so the NULL group matches across the two sides.
+    prevAgg.join(deltas, prevAgg(gField) <=> col("__dg"), "full_outer")
+      .select(coalesce(prevAgg(gField), col("__dg")).as(gField),
         (coalesce(col("sum_v"), lit(0L)) + coalesce(col("__dsum"), lit(0L))).as("sum_v"),
         (coalesce(col("n"), lit(0L)) + coalesce(col("__dn"), lit(0L))).as("n"))
       .filter(col("n") > 0)

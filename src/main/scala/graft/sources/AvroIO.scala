@@ -3,10 +3,11 @@ package graft.sources
 import org.apache.avro.Schema
 import org.apache.avro.file.{DataFileStream, DataFileWriter}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
+import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
+import org.apache.spark.util.SerializableConfiguration
 
 import scala.jdk.CollectionConverters._
 
@@ -85,20 +86,38 @@ object AvroIO {
     Option(t.getLogicalType).map(_.getName).getOrElse(
       Option(t.getProp("logicalType")).getOrElse(""))
 
-  /** df -> `dir/part-NNNNN.avro`, one container per partition. */
+  /** df -> `dir/part-NNNNN.avro`, one container per partition.
+    *
+    * Task commit: each attempt writes its own
+    * `.part-NNNNN-attempt-K.avro.tmp` and renames into place only after
+    * a successful close, so a retried or speculative attempt can never
+    * tear a live reader's file; failed attempts delete their temp. The
+    * per-attempt name makes concurrent attempts write disjoint paths;
+    * the final delete+rename is last-committer-wins (filesystem rename
+    * atomicity), which is safe because every committed attempt carries
+    * identical partition contents.
+    */
   def write(df: DataFrame, dir: String): Unit = {
     val st = df.schema
     val schemaJson = avroSchema(st).toString // Schema is not serializable
+    // carry the SESSION Hadoop conf to executors (credentials,
+    // defaultFS, ...) instead of a fresh Configuration() that forgets it
+    val hconf = new SerializableConfiguration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
     val out = new Path(dir)
-    val fs = out.getFileSystem(new Configuration())
+    val fs = out.getFileSystem(hconf.value)
     fs.delete(out, true); fs.mkdirs(out)
     val written = df.rdd.mapPartitionsWithIndex { (i, it) =>
       val schema = new Schema.Parser().parse(schemaJson)
-      val path = new Path(dir, f"part-$i%05d.avro")
-      val os = path.getFileSystem(new Configuration()).create(path, true)
+      val attempt = Option(TaskContext.get()).map(_.taskAttemptId()).getOrElse(0L)
+      val taskFs = new Path(dir).getFileSystem(hconf.value)
+      val finalPath = new Path(dir, f"part-$i%05d.avro")
+      val tmpPath = new Path(dir, f".part-$i%05d-attempt-$attempt%d.avro.tmp")
+      val os = taskFs.create(tmpPath, true)
       val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
       w.create(schema, os)
       var n = 0L
+      var ok = false
       try {
         it.foreach { row =>
           val rec = new GenericData.Record(schema)
@@ -107,7 +126,15 @@ object AvroIO {
           }
           w.append(rec); n += 1
         }
-      } finally w.close() // closes os
+        ok = true
+      } finally {
+        w.close() // closes os
+        if (ok) {
+          taskFs.delete(finalPath, false)
+          if (!taskFs.rename(tmpPath, finalPath))
+            throw new java.io.IOException(s"commit rename failed: $tmpPath -> $finalPath")
+        } else taskFs.delete(tmpPath, false)
+      }
       Iterator.single(n)
     }.sum()
     require(written >= 0) // forces the job
@@ -144,10 +171,12 @@ object AvroIO {
       try ds.getSchema finally ds.close()
     }
     val st = sparkSchema(first)
+    val hconf = new SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
     val rows = spark.sparkContext.parallelize(files.toSeq, files.length)
       .flatMap { f =>
         val p = new Path(f)
-        val in = p.getFileSystem(new Configuration()).open(p)
+        val in = p.getFileSystem(hconf.value).open(p)
         val ds = new DataFileStream(in, new GenericDatumReader[GenericRecord]())
         // DataFileStream is an eager-close iterator source: drain inside
         // the task (file row counts are partition-sized by construction)

@@ -181,6 +181,20 @@ class ChunkingCurationSpec extends AnyFunSuite {
     assert(got(1).getAs[Long]("score") == 0L && !got(1).getAs[Boolean]("keep"))
   }
 
+  test("linearQualityScore: NULL text propagates to a null score, not a real one") {
+    val docs = Seq((1L, Some("the cat")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val got = Curation.linearQualityScore(docs, "doc_id", "text",
+        wLen = 1L, wStop = 1L, wAlpha = 1L, wWlen = 1L, threshold = 0L)
+      .orderBy("id").collect()
+    assert(!got(0).isNullAt(got(0).fieldIndex("score")))
+    // null text: null features, null score, null keep -> a threshold
+    // filter drops the row exactly as the builtin expressions did
+    val r = got(1)
+    Seq("f_len", "f_stop", "f_alpha", "f_wlen", "score", "keep").foreach(c =>
+      assert(r.isNullAt(r.fieldIndex(c)), s"$c should be null for null text"))
+  }
+
   test("shuffleShards: permutation is total, deterministic, positions contiguous") {
     val docs = (1 to 500).map(i => (i.toLong, s"doc body $i")).toDF("doc_id", "text")
     val out = Curation.shuffleShards(docs, "doc_id", 8)

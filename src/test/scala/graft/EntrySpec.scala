@@ -84,6 +84,36 @@ class EntrySpec extends AnyFunSuite {
     assert(wInc == Set(("X", 5L, 1L)))
   }
 
+  test("incrementalSumCount: genuinely NULL group keys match full recompute") {
+    import graft.operators.Relational
+    import org.apache.spark.sql.functions._
+    // NULL is a real group: v1 has two NULL-group rows; v2 inserts one
+    // more, moves one out of NULL into A, and updates an A row INTO the
+    // NULL group. The old filter(g.isNotNull) dropped every one of
+    // these contributions and diverged from the recompute.
+    val v1 = Seq((1L, Option.empty[String], 10L), (2L, None, 20L),
+      (3L, Some("A"), 30L), (4L, Some("A"), 40L)).toDF("k", "g", "v")
+    val v2 = Seq((1L, Option.empty[String], 10L), (2L, Some("A"), 20L),
+      (3L, Option.empty[String], 30L), (4L, Some("A"), 40L),
+      (5L, Option.empty[String], 50L)).toDF("k", "g", "v")
+    val v1agg = v1.groupBy("g").agg(sum("v").as("sum_v"), count(lit(1)).as("n"))
+    val inc = Relational.incrementalSumCount(v1agg,
+        Relational.snapshotDiff(v1, v2, Seq("k")), "g", "v")
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2))).toSet
+    val full = v2.groupBy("g").agg(sum("v").as("sum_v"), count(lit(1)).as("n"))
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2))).toSet
+    assert(inc == full)
+    assert(inc == Set((None, 90L, 3L), (Some("A"), 60L, 2L)))
+    // NULL group vanishing entirely (last NULL row deleted)
+    val w1 = Seq((1L, Option.empty[String], 5L), (2L, Some("B"), 7L)).toDF("k", "g", "v")
+    val w2 = Seq((2L, Some("B"), 7L)).toDF("k", "g", "v")
+    val w1agg = w1.groupBy("g").agg(sum("v").as("sum_v"), count(lit(1)).as("n"))
+    val wInc = Relational.incrementalSumCount(w1agg,
+        Relational.snapshotDiff(w1, w2, Seq("k")), "g", "v")
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2))).toSet
+    assert(wInc == Set((Some("B"), 7L, 1L)))
+  }
+
   test("multimodal: stub decoder features match a manual computation") {
     val media = Multimodal.mediaFromDocuments(
       spark, Seq((2L, "AB")).toDF("doc_id", "text"))
