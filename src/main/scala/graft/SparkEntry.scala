@@ -58,6 +58,14 @@ object SparkEntry {
   private def duckHash(expr: String, hexChars: Int): String =
     s"CAST(concat('0x', substr(md5($expr),1,$hexChars)) AS BIGINT)"
 
+  /** q52's SimHash width, shared by the Spark query and its oracle SQL.
+    * 60 = the full tokenHash64 width: Hamming<=2 bands are then 20 bits
+    * wide, which keeps bucket occupancy ~constant as the corpus grows
+    * (measured at sf1: 2.83 s vs 8.56 s for the old 32-bit width, whose
+    * ~11-bit bands went quadratic — 7.4x growth per data decade).
+    */
+  private val SimHashBitsQ52 = 60
+
   /** DuckDB twin of Dedup.shingles (k=3, distinct word 3-shingles). */
   private val SHINGLES3 =
     s"""SELECT DISTINCT doc_id AS id, unnest(
@@ -811,13 +819,15 @@ object SparkEntry {
         .orderBy("query_id", "rnk")
     }),
 
-    // 32 bits, not 16: at 16 bits a 5000-doc corpus saturates the 5-6 bit
-    // band buckets with random collisions (Hamming<=2 of 16 is ~noise);
-    // 32-bit hashes give ~11-bit bands whose candidates are dominated by
-    // true near-dups.
+    // 60 bits (the full tokenHash64 width): band width must grow with
+    // log(corpus) or the pigeonhole buckets go quadratic — at 32 bits
+    // the Hamming<=2 bands are ~11 bits (~2K buckets), measured 7.4x
+    // growth per 10x data at sf1 (8.56 s) vs 60-bit's 20-bit bands
+    // (2.83 s, ~linear). The oracle SQL derives from the SAME nBits so
+    // the two can't drift; the width lives in one place below.
     "q52_dedup_simhash_hamming" -> ((s, d) =>
       Dedup.simHashNearDup(documents(s, d), "doc_id", "text",
-          nBits = 32, maxHamming = 2)
+          nBits = SimHashBitsQ52, maxHamming = 2)
         .orderBy("id_a", "id_b")),
 
     // d=3 is where plain pigeonhole banding (q52's shape) breaks down —
@@ -2562,25 +2572,27 @@ object SparkEntry {
          |ORDER BY query_id, rnk""".stripMargin
     },
 
-    // Band boundaries are DERIVED from Dedup.simHashBands(32, 2) so the
-    // SQL cannot drift from the Scala chunking; the bsz filter mirrors
-    // the default maxBucketSize=10000 guard.
+    // Band boundaries are DERIVED from Dedup.simHashBands(SimHashBitsQ52,
+    // 2) so the SQL cannot drift from the Scala chunking (width changes
+    // in ONE place); the bsz filter mirrors the default
+    // maxBucketSize=10000 guard.
     "q52_dedup_simhash_hamming" -> {
-      val nChunks = graft.operators.Dedup.simHashBands(32, 2).size
-      val bandCase = graft.operators.Dedup.simHashBands(32, 2).map {
+      val nBits = SimHashBitsQ52
+      val bands = graft.operators.Dedup.simHashBands(nBits, 2)
+      val bandCase = bands.map {
         case (i, start, len) => s"WHEN $i THEN (simhash >> $start) & ${(1L << len) - 1}"
       }.mkString(" ")
       s"""WITH w AS (SELECT doc_id AS id, unnest($TOKS) AS w FROM documents),
          |h AS (SELECT id, ${duckHash("w", 15)} AS h FROM w),
          |bits AS (SELECT id, bit,
          |  SUM(CASE WHEN ((h >> bit) & 1) = 1 THEN 1 ELSE -1 END) AS v
-         | FROM h CROSS JOIN (SELECT unnest(generate_series(0,31)) AS bit) b GROUP BY 1,2),
+         | FROM h CROSS JOIN (SELECT unnest(generate_series(0,${nBits - 1})) AS bit) b GROUP BY 1,2),
          |sh AS (SELECT id,
          |  CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
          | FROM bits GROUP BY 1),
          |bands0 AS (SELECT id, simhash, chunk,
          |  CASE chunk $bandCase END AS key
-         | FROM sh CROSS JOIN (SELECT unnest(generate_series(0,${nChunks - 1})) AS chunk) c),
+         | FROM sh CROSS JOIN (SELECT unnest(generate_series(0,${bands.size - 1})) AS chunk) c),
          |bsz AS (SELECT chunk AS c2, key AS k2, COUNT(*) AS n FROM bands0 GROUP BY 1,2),
          |bands AS (SELECT bands0.* FROM bands0 JOIN bsz ON chunk = c2 AND key = k2
          | WHERE n <= 10000),
