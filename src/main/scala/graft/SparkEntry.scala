@@ -1633,9 +1633,14 @@ object SparkEntry {
       // every maximal >=40-char span two documents share verbatim, with
       // exact 1-based coordinates — per-position 40-gram posting lists
       // + diagonal islands, never a cross join; winnowing (q75) only
-      // approximates this with sampled fingerprints
+      // approximates this with sampled fingerprints. hashGrams: 8-byte
+      // xxhash64 keys through every exchange/join — measured 6.9 s vs
+      // 11.4 s at sf1 (string-mode equivalence is property-tested; the
+      // ~C²/2⁶⁵ collision bound is ~2e-10 at oracle scale, and the
+      // string-exact DuckDB oracle would catch one)
       // (Dedup.exactSubstringSpans scaladoc).
-      Dedup.exactSubstringSpans(documents(s, d), "doc_id", "text", minLen = 40)
+      Dedup.exactSubstringSpans(documents(s, d), "doc_id", "text", minLen = 40,
+          hashGrams = true)
         .orderBy("id_a", "id_b", "start_a", "start_b")),
 
     "q126_substring_removal" -> ((s, d) =>
@@ -1644,7 +1649,9 @@ object SparkEntry {
       // with removal accounting + an md5 of its cleaned text (fixed-
       // width however large the docs are). Whole-doc duplicates clean
       // to the empty string (Dedup.removeDuplicateSpans scaladoc).
-      Dedup.removeDuplicateSpans(documents(s, d), "doc_id", "text", minLen = 40)
+      // hashGrams mirrors q125 (same measured trade, same oracle check).
+      Dedup.removeDuplicateSpans(documents(s, d), "doc_id", "text", minLen = 40,
+          hashGrams = true)
         .orderBy("id")),
 
     "q127_bloom_incremental" -> ((s, d) => {

@@ -824,9 +824,60 @@ object Dedup {
     * 64-bit rolling hash re-verified against the two texts; at oracle
     * scale the string key keeps the pipeline one stage shorter.
     */
+  /** Serialized bloom filter of the hash values occurring >= 2 times in
+    * `hashes` (one LongType column) — a SUPERSET of the true duplicate
+    * set (bloom false positives only add members, never drop), built
+    * WITHOUT shuffling a single per-value row: each partition streams
+    * its values once into two local blooms (`all` = seen here, `dup` =
+    * seen here twice — the second occurrence hits `all.mightContain`,
+    * no local hash set, memory stays O(bloom)); the driver then merges
+    *   global dups = U dup_p  U  U_p (all_p ∩ union of earlier all_q)
+    * with the running-union trick, so cross-partition duplicates are
+    * caught by bit-array AND (which over-approximates intersection —
+    * again only ADDING members). No false negatives: a true duplicate
+    * is either local (in some dup_p) or spans partitions (in the
+    * intersection term), and blooms never drop a genuinely-inserted
+    * value.
+    *
+    * Scale: per-task cost is one bloom-sized bit array (undersizing
+    * `expectedPerPartition` degrades the false-positive rate — the
+    * prune weakens — but never correctness); the driver holds
+    * 2·numPartitions serialized blooms transiently. This is the
+    * map-side prefilter for [[exactSubstringSpans]]: the alternative
+    * count-then-filter pass would shuffle one (value, count) row per
+    * DISTINCT value — for a mostly-singleton corpus that is nearly the
+    * full posting volume this bloom avoids.
+    */
+  def duplicateKeyBloom(hashes: DataFrame, expectedPerPartition: Long = 4L << 20,
+                        fpp: Double = 0.03): Array[Byte] = {
+    import org.apache.spark.util.sketch.BloomFilter
+    def ser(bf: BloomFilter): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream(); bf.writeTo(bos); bos.toByteArray
+    }
+    val perPart = hashes.rdd.mapPartitions { it =>
+      val all = BloomFilter.create(expectedPerPartition, fpp)
+      val dup = BloomFilter.create(expectedPerPartition, fpp)
+      it.foreach { r =>
+        val h = r.getLong(0)
+        if (all.mightContainLong(h)) dup.putLong(h) else all.putLong(h)
+      }
+      Iterator.single((ser(all), ser(dup)))
+    }.collect()
+    val dup = BloomFilter.create(expectedPerPartition, fpp)
+    val acc = BloomFilter.create(expectedPerPartition, fpp)
+    perPart.foreach { case (allBytes, dupBytes) =>
+      dup.mergeInPlace(BloomFilter.readFrom(dupBytes))
+      // values seen in THIS partition and some earlier one
+      dup.mergeInPlace(BloomFilter.readFrom(allBytes).intersectInPlace(acc))
+      acc.mergeInPlace(BloomFilter.readFrom(allBytes))
+    }
+    ser(dup)
+  }
+
   def exactSubstringSpans(docs: DataFrame, idCol: String, textCol: String,
                           minLen: Int, maxGramFreq: Int = 1000,
-                          hashGrams: Boolean = false): DataFrame = {
+                          hashGrams: Boolean = false,
+                          bloomPrune: Boolean = false): DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
     require(maxGramFreq >= 2, s"maxGramFreq must be >= 2, got $maxGramFreq")
     val L = minLen
@@ -863,20 +914,51 @@ object Dedup {
     // partition, never a broadcast of the corpus.
     //
     // hashGrams = true replaces the gram string with xxhash64(gram)
-    // before any shuffle — the 100 TB path (8-byte keys through every
-    // exchange). A 64-bit collision can fabricate an anchor and weld or
+    // before any shuffle — 8-byte keys through every exchange and join
+    // (measured at sf1/12.9M grams, same session: 6.9 s vs 11.4 s for
+    // the string keys; earlier at 50K docs: SHJ strings 16 s, hashed
+    // 10 s). A 64-bit collision can fabricate an anchor and weld or
     // extend a span: for C total grams the expected fabricated-anchor
-    // count is ~C²/2⁶⁵ (≈ 5e-9 at 10M grams) — re-verify reported spans
-    // against the texts if that bound matters; the default keeps the
-    // string key, making every reported span exact by construction.
+    // count is ~C²/2⁶⁵ (≈ 5e-6 at 13M grams, ~2e-10 at oracle scale) —
+    // re-verify reported spans against the texts if that bound matters;
+    // hashGrams = false keeps the string key, making every reported
+    // span exact by construction at the measured cost above.
+    //
+    // bloomPrune = true filters singleton grams BEFORE the exchange via
+    // [[duplicateKeyBloom]] (a map-side pass; 91% of this corpus's
+    // postings are singletons). Default OFF because it is a LOCAL-mode
+    // loss: the build pass re-scans every gram (measured 5.4-6.8 s at
+    // sf1) while the memory-speed local exchange only saves ~1.4 s. The
+    // trade flips on a real cluster, where the exchange is network and
+    // disk: pruning 91% of a petabyte-scale shuffle for one map-side
+    // scan is the right side of the ledger. Results are identical
+    // either way (the exact `eligible` count below re-decides).
+    val gramed0 =
+      if (hashGrams) grams.select(xxhash64(col("g")).as("g"), col("id"), col("pos"))
+      else grams
+    // map-side bloom prune BEFORE any exchange: singleton grams — the
+    // vast majority of a natural corpus — can never anchor a span, and
+    // [[duplicateKeyBloom]] names a superset of the repeated grams
+    // without shuffling a per-gram row. The prune is a pure volume
+    // optimization: false positives (and xxhash64 collisions onto a
+    // repeated gram's hash) pass extra singletons through, and the
+    // EXACT `eligible` count below still decides membership, so the
+    // result set is identical with or without the bloom. Grams ride
+    // the probe as xxhash64 on BOTH sides (build and filter), making
+    // the decision a deterministic function of the gram.
+    val pruned = if (!bloomPrune) gramed0 else {
+      import org.apache.spark.sql.GraftSqlShim
+      import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal => CatLit}
+      val dupBloom = duplicateKeyBloom(gramed0.select(xxhash64(col("g")).as("h")))
+      gramed0.filter(GraftSqlShim.column(BloomFilterMightContain(
+        CatLit.create(dupBloom, org.apache.spark.sql.types.BinaryType),
+        GraftSqlShim.expression(xxhash64(col("g"))))))
+    }
     // materialize ONE g-partitioned exchange that all three consumers
     // (frequency agg, both join sides) reuse — without it each consumer
     // re-runs the gram UDF and re-shuffles (ReusedExchange was absent:
     // measured 14.8 s → 10.3 s at 50K docs/15M grams from this line)
-    val gramed = (
-      if (hashGrams) grams.select(xxhash64(col("g")).as("g"), col("id"), col("pos"))
-      else grams
-    ).repartition(col("g"))
+    val gramed = pruned.repartition(col("g"))
     val eligible = gramed.groupBy("g").agg(count(lit(1)).as("__f"))
       .filter(col("__f").between(2, maxGramFreq))
       .select("g")
@@ -920,8 +1002,11 @@ object Dedup {
     * stage sees more than O(spans + docs) rows.
     */
   def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
-                           minLen: Int, maxGramFreq: Int = 1000): DataFrame = {
-    val spans = exactSubstringSpans(docs, idCol, textCol, minLen, maxGramFreq)
+                           minLen: Int, maxGramFreq: Int = 1000,
+                           hashGrams: Boolean = false,
+                           bloomPrune: Boolean = false): DataFrame = {
+    val spans = exactSubstringSpans(docs, idCol, textCol, minLen, maxGramFreq,
+      hashGrams, bloomPrune)
     val ivs = spans.select(col("id_b").as("id"), col("start_b").as("s"),
         (col("start_b") + col("span_len")).as("e")) // [s, e) 1-based
       .groupBy("id")

@@ -150,5 +150,19 @@ class DedupPropertySpec extends AnyFunSuite {
       .toSet
     assume(model.nonEmpty) // the corpus must actually exercise the operator
     assert(got == model)
+
+    // mode equivalence on the same adversarial corpus: hashed gram keys
+    // (the registered q125/q126 tuning) and the bloom prefilter are
+    // VOLUME choices, never result choices
+    for (hash <- Seq(false, true); bloom <- Seq(false, true)
+         if hash || bloom) {
+      val variant = Dedup.exactSubstringSpans(spanDocs.toDF("id", "text"),
+          "id", "text", minLen = L, maxGramFreq = Int.MaxValue - 1,
+          hashGrams = hash, bloomPrune = bloom)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      assert(variant == model, s"hashGrams=$hash bloomPrune=$bloom diverged")
+    }
   }
 }
