@@ -1700,7 +1700,30 @@ object SparkEntry {
           Ann.bruteForceTopK(e, q, "vec_id", "embedding", k = 5),
           Ann.lshTopK(e, q, "vec_id", "embedding", k = 5, nBits = 4))
         .orderBy("query_id")
-    })
+    }),
+
+    "q130_selfrepeat_spans" -> ((s, d) =>
+      // WITHIN-document repeat spans — the id_a == id_b, diag != 0
+      // half-plane of the Lee et al. loop q125 leaves out: a doc
+      // repeating its own >= 15-char substring (boilerplate headers,
+      // chorus lines) reports each maximal repeat with exact 1-based
+      // coordinates, first occurrence in start_a. minLen 15, not 40:
+      // the corpus's genuine self-repeats live at that scale (262
+      // repeated 15-grams at sf0.01; zero 40-grams)
+      // (Dedup.selfRepeatSpans scaladoc).
+      Dedup.selfRepeatSpans(documents(s, d), "doc_id", "text", minLen = 15,
+          hashGrams = true)
+        .orderBy("id", "start_a", "start_b")),
+
+    "q131_selfrepeat_removal" -> ((s, d) =>
+      // the COMPLETE Lee et al. cut: cross-doc spans (higher id loses
+      // its copy) AND within-doc repeats (the doc loses the later
+      // copy) merged into one interval set per doc and cut in one
+      // pass — q126's machinery with includeSelf, at q130's minLen
+      // (Dedup.removeDuplicateSpans scaladoc).
+      Dedup.removeDuplicateSpans(documents(s, d), "doc_id", "text", minLen = 15,
+          hashGrams = true, includeSelf = true)
+        .orderBy("id"))
   )
 
   // ---------------------------------------------------------------- //
@@ -2886,6 +2909,75 @@ object SparkEntry {
         |    ORDER BY pos_a) AS isl FROM pairs),
         |spans AS (
         |  SELECT id_b AS id, min(pos_b) AS s, min(pos_b) + count(*) + 39 AS e
+        |  FROM d GROUP BY id_a, id_b, diag, isl),
+        |m AS (SELECT id, s, e, CASE WHEN s > coalesce(max(e) OVER (PARTITION BY id
+        |        ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |      THEN 1 ELSE 0 END AS brk FROM spans),
+        |g2 AS (SELECT *, sum(brk) OVER (PARTITION BY id ORDER BY s, e) AS grp FROM m),
+        |iv AS (SELECT id, min(s) AS s, max(e) AS e FROM g2 GROUP BY id, grp),
+        |seg AS (SELECT id, coalesce(lag(e) OVER (PARTITION BY id ORDER BY s), 1) AS ks,
+        |        s AS ke FROM iv),
+        |tl AS (SELECT id, max(e) AS ks FROM iv GROUP BY id),
+        |pieces AS (
+        |  SELECT s.id, s.ks,
+        |    substring(doc.text, CAST(s.ks AS INT), CAST(s.ke - s.ks AS INT)) AS p
+        |  FROM seg s JOIN documents doc ON doc.doc_id = s.id
+        |  UNION ALL
+        |  SELECT t.id, t.ks, substring(doc.text, CAST(t.ks AS INT)) AS p
+        |  FROM tl t JOIN documents doc ON doc.doc_id = t.id),
+        |clean AS (SELECT id, string_agg(p, '' ORDER BY ks) AS ct FROM pieces GROUP BY id),
+        |acct AS (SELECT id, CAST(count(*) AS BIGINT) AS n_cut,
+        |         CAST(sum(e - s) AS BIGINT) AS removed_chars FROM iv GROUP BY id)
+        |SELECT doc.doc_id AS id, coalesce(acct.n_cut, 0) AS n_cut,
+        |  coalesce(acct.removed_chars, 0) AS removed_chars,
+        |  CAST(length(coalesce(clean.ct, doc.text)) AS BIGINT) AS clean_len,
+        |  md5(coalesce(clean.ct, doc.text)) AS clean_md5
+        |FROM documents doc
+        |LEFT JOIN acct ON acct.id = doc.doc_id
+        |LEFT JOIN clean ON clean.id = doc.doc_id
+        |ORDER BY id""".stripMargin,
+
+    // q125's naive form on the self half-plane: same-doc anchor pairs
+    // (pos_a < pos_b), same diagonal-islands merge, L=15
+    "q130_selfrepeat_spans" ->
+      """WITH grams AS (
+        |  SELECT doc_id AS id, p AS pos, substring(text, p, 15) AS g
+        |  FROM documents, LATERAL (SELECT unnest(generate_series(1,
+        |    greatest(length(text) - 14, 1))) AS p) t
+        |  WHERE p <= length(text) - 14),
+        |gf AS (SELECT g FROM grams GROUP BY g HAVING count(*) BETWEEN 2 AND 1000),
+        |pairs AS (
+        |  SELECT a.id AS id, a.pos AS pos_a, b.pos AS pos_b
+        |  FROM grams a JOIN gf USING (g) JOIN grams b USING (g)
+        |  WHERE a.id = b.id AND a.pos < b.pos),
+        |d AS (SELECT *, pos_a - pos_b AS diag,
+        |  pos_a - row_number() OVER (PARTITION BY id, pos_a - pos_b
+        |    ORDER BY pos_a) AS isl FROM pairs)
+        |SELECT id, CAST(min(pos_a) AS BIGINT) AS start_a,
+        | CAST(min(pos_b) AS BIGINT) AS start_b,
+        | CAST(count(*) + 14 AS BIGINT) AS span_len
+        |FROM d GROUP BY id, diag, isl
+        |ORDER BY id, start_a, start_b""".stripMargin,
+
+    // q126's removal CTEs with BOTH half-planes in `pairs` (cross-doc
+    // a.id < b.id plus within-doc a.pos < b.pos) at L=15 — the cut
+    // side is id_b/pos_b in both planes, so the spans CTE is unchanged
+    "q131_selfrepeat_removal" ->
+      """WITH grams AS (
+        |  SELECT doc_id AS id, p AS pos, substring(text, p, 15) AS g
+        |  FROM documents, LATERAL (SELECT unnest(generate_series(1,
+        |    greatest(length(text) - 14, 1))) AS p) t
+        |  WHERE p <= length(text) - 14),
+        |gf AS (SELECT g FROM grams GROUP BY g HAVING count(*) BETWEEN 2 AND 1000),
+        |pairs AS (
+        |  SELECT a.id AS id_a, a.pos AS pos_a, b.id AS id_b, b.pos AS pos_b
+        |  FROM grams a JOIN gf USING (g) JOIN grams b USING (g)
+        |  WHERE a.id < b.id OR (a.id = b.id AND a.pos < b.pos)),
+        |d AS (SELECT *, pos_a - pos_b AS diag,
+        |  pos_a - row_number() OVER (PARTITION BY id_a, id_b, pos_a - pos_b
+        |    ORDER BY pos_a) AS isl FROM pairs),
+        |spans AS (
+        |  SELECT id_b AS id, min(pos_b) AS s, min(pos_b) + count(*) + 14 AS e
         |  FROM d GROUP BY id_a, id_b, diag, isl),
         |m AS (SELECT id, s, e, CASE WHEN s > coalesce(max(e) OVER (PARTITION BY id
         |        ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)

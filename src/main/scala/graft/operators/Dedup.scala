@@ -791,39 +791,6 @@ object Dedup {
       .filter(col("freq") > maxKeyFreq)
       .orderBy(col("freq").desc, col("k"))
 
-  /** EXACT substring duplication — the suffix-array dedup family (Lee
-    * et al. 2022, "Deduplicating Training Data Makes Language Models
-    * Better", arXiv:2107.06499): every maximal span of length >= minLen
-    * shared verbatim by two documents, as exact 1-based coordinates
-    * (id_a, id_b, start_a, start_b, span_len) with id_a < id_b.
-    *
-    * Spark-native formulation — no global suffix array is materialized:
-    * every position's minLen-gram becomes a posting (ONE shuffle keyed
-    * by the gram, the same inverted-index shape as every dedup family
-    * here); position pairs sharing a gram land on an
-    * (id_a, id_b, diagonal) key where diagonal = pos_a - pos_b, and a
-    * run of consecutive anchors on one diagonal IS a maximal shared
-    * span of length run + minLen - 1 (grouped by the islands trick:
-    * pos - row_number over the diagonal). Joining on the gram STRING
-    * keeps the result exact — no hash collisions to verify away — and
-    * a maximal common span of length M yields exactly M - minLen + 1
-    * consecutive anchors, so span bounds are exact, where winnowing
-    * (winnowOverlap) samples fingerprints and cannot name byte ranges.
-    *
-    * Scale: postings are O(total chars), one per position — the same
-    * asymptotic cost as the suffix array the batch family builds — and
-    * `maxGramFreq` bounds the worst gram's posting list (pair fan-out
-    * O(maxGramFreq²) per gram). A gram dropped by the cap can split or
-    * shorten a reported span: the same recall-for-boundedness contract
-    * as maxDocFreq elsewhere in this file. Diagonal-window state is
-    * bounded by the shorter document's length. Low-entropy periodic
-    * text (a run of one repeated character) anchors on every diagonal
-    * and reports one span per diagonal — exact, deterministic, and
-    * capped by maxGramFreq, but verbose; real pipelines strip such
-    * runs in curation first. At 100 TB the gram key would carry a
-    * 64-bit rolling hash re-verified against the two texts; at oracle
-    * scale the string key keeps the pipeline one stage shorter.
-    */
   /** Serialized bloom filter of the hash values occurring >= 2 times in
     * `hashes` (one LongType column) — a SUPERSET of the true duplicate
     * set (bloom false positives only add members, never drop), built
@@ -874,10 +841,73 @@ object Dedup {
     ser(dup)
   }
 
+  /** EXACT substring duplication — the suffix-array dedup family (Lee
+    * et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better", arXiv:2107.06499): every maximal span of length >= minLen
+    * shared verbatim by two documents, as exact 1-based coordinates
+    * (id_a, id_b, start_a, start_b, span_len) with id_a < id_b.
+    *
+    * Spark-native formulation — no global suffix array is materialized:
+    * every position's minLen-gram becomes a posting (ONE shuffle keyed
+    * by the gram, the same inverted-index shape as every dedup family
+    * here); position pairs sharing a gram land on an
+    * (id_a, id_b, diagonal) key where diagonal = pos_a - pos_b, and a
+    * run of consecutive anchors on one diagonal IS a maximal shared
+    * span of length run + minLen - 1 (grouped by the islands trick:
+    * pos - row_number over the diagonal). Joining on the gram STRING
+    * keeps the result exact — no hash collisions to verify away — and
+    * a maximal common span of length M yields exactly M - minLen + 1
+    * consecutive anchors, so span bounds are exact, where winnowing
+    * (winnowOverlap) samples fingerprints and cannot name byte ranges.
+    *
+    * Scale: postings are O(total chars), one per position — the same
+    * asymptotic cost as the suffix array the batch family builds — and
+    * `maxGramFreq` bounds the worst gram's posting list (pair fan-out
+    * O(maxGramFreq²) per gram). A gram dropped by the cap can split or
+    * shorten a reported span: the same recall-for-boundedness contract
+    * as maxDocFreq elsewhere in this file. Diagonal-window state is
+    * bounded by the shorter document's length. Low-entropy periodic
+    * text (a run of one repeated character) anchors on every diagonal
+    * and reports one span per diagonal — exact, deterministic, and
+    * capped by maxGramFreq, but verbose; real pipelines strip such
+    * runs in curation first. At 100 TB the gram key would carry a
+    * 64-bit rolling hash re-verified against the two texts; at oracle
+    * scale the string key keeps the pipeline one stage shorter.
+    */
+  /** includeSelf = true adds the within-document half-plane
+    * ([[selfRepeatSpans]]) to the cross-document spans — the complete
+    * Lee et al. 2022 duplicate surface in one result.
+    */
   def exactSubstringSpans(docs: DataFrame, idCol: String, textCol: String,
                           minLen: Int, maxGramFreq: Int = 1000,
                           hashGrams: Boolean = false,
-                          bloomPrune: Boolean = false): DataFrame = {
+                          bloomPrune: Boolean = false,
+                          includeSelf: Boolean = false): DataFrame =
+    substringSpansImpl(docs, idCol, textCol, minLen, maxGramFreq, hashGrams,
+      bloomPrune, if (includeSelf) "both" else "cross")
+
+  /** WITHIN-document repeat spans — the self half-plane of
+    * [[exactSubstringSpans]] (id_a == id_b, diagonal != 0) the Lee et
+    * al. 2022 loop also dedups: a document repeating its own
+    * >= minLen substring (boilerplate headers, generated text, chorus
+    * lines) reports each maximal repeat as (id, start_a, start_b,
+    * span_len) with start_a < start_b. Overlapping self-repeats are
+    * real repeats (periodic text reports one maximal span per
+    * diagonal), same machinery, same caps, same coordinates contract
+    * as the cross-doc operator.
+    */
+  def selfRepeatSpans(docs: DataFrame, idCol: String, textCol: String,
+                      minLen: Int, maxGramFreq: Int = 1000,
+                      hashGrams: Boolean = false,
+                      bloomPrune: Boolean = false): DataFrame =
+    substringSpansImpl(docs, idCol, textCol, minLen, maxGramFreq, hashGrams,
+      bloomPrune, "self")
+      .select(col("id_a").as("id"), col("start_a"), col("start_b"), col("span_len"))
+
+  private def substringSpansImpl(docs: DataFrame, idCol: String, textCol: String,
+                                 minLen: Int, maxGramFreq: Int,
+                                 hashGrams: Boolean, bloomPrune: Boolean,
+                                 pairMode: String): DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
     require(maxGramFreq >= 2, s"maxGramFreq must be >= 2, got $maxGramFreq")
     val L = minLen
@@ -963,10 +993,23 @@ object Dedup {
       .filter(col("__f").between(2, maxGramFreq))
       .select("g")
     val keyed = gramed.join(eligible.hint("shuffle_hash"), "g")
+    // pair half-planes: cross-doc (id_a < id_b), within-doc repeats
+    // (same id, pos_a < pos_b — the diag != 0 half-plane), or both.
+    // The global `eligible` count is a superset filter for the self
+    // mode (a within-doc repeat is also globally repeated), so the
+    // predicate alone selects the plane.
+    val crossPred = col("id_a") < col("id_b")
+    val selfPred = col("id_a") === col("id_b") && col("pos_a") < col("pos_b")
+    val pairPred = pairMode match {
+      case "cross" => crossPred
+      case "self"  => selfPred
+      case "both"  => crossPred || selfPred
+      case other   => throw new IllegalArgumentException(s"bad pairMode $other")
+    }
     val anchors = keyed.select(col("g"), col("id").as("id_a"), col("pos").as("pos_a"))
       .join(keyed.select(col("g"), col("id").as("id_b"), col("pos").as("pos_b"))
         .hint("shuffle_hash"), "g")
-      .filter(col("id_a") < col("id_b"))
+      .filter(pairPred)
       .select("id_a", "pos_a", "id_b", "pos_b")
       .withColumn("diag", col("pos_a") - col("pos_b"))
     // anchors are unique per (pair, pos_a): the gram AT a position is a
@@ -1004,9 +1047,14 @@ object Dedup {
   def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
                            minLen: Int, maxGramFreq: Int = 1000,
                            hashGrams: Boolean = false,
-                           bloomPrune: Boolean = false): DataFrame = {
+                           bloomPrune: Boolean = false,
+                           includeSelf: Boolean = false): DataFrame = {
+    // includeSelf completes the Lee et al. loop: a self span's later
+    // copy (start_b, since pos_a < pos_b) lands on the SAME id_b-keyed
+    // cut path as a cross span's higher-id copy — the doc keeps its
+    // first occurrence and loses the repeat, no special case needed.
     val spans = exactSubstringSpans(docs, idCol, textCol, minLen, maxGramFreq,
-      hashGrams, bloomPrune)
+      hashGrams, bloomPrune, includeSelf)
     val ivs = spans.select(col("id_b").as("id"), col("start_b").as("s"),
         (col("start_b") + col("span_len")).as("e")) // [s, e) 1-based
       .groupBy("id")

@@ -625,6 +625,58 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(got(4L) == ((1L, piece.length.toLong, 4L, md5hex("mmnn"))))
   }
 
+  test("selfRepeatSpans: planted within-doc repeats at exact maximal bounds") {
+    val block = "the chorus line repeats here" // 28 chars, L=10 grams
+    // doc 1: block at pos 3 and pos 41 (disjoint, different neighbors)
+    val a = "zz" + block + "-- middle --" + block + "##"
+    // doc 2: overlapping period-5 repeat: "abcde"*6 -> one maximal
+    // span per diagonal (multiples of 5 within reach of L=10)
+    val b = "abcde" * 6
+    // doc 3: no repeat of length >= 10
+    val c = "every word here appears just once, nothing cycles back again"
+    val df = Seq(1L -> a, 2L -> b, 3L -> c).toDF("id", "text")
+    val got = Dedup.selfRepeatSpans(df, "id", "text", minLen = 10,
+        maxGramFreq = 1000)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // doc 1: block starts at 1-based 3 and 3+28+12=43
+    val doc1 = (1L, 3L, 43L, block.length.toLong)
+    // doc 2 (len 30): diagonals -5/-10/-15/-20: a shift by k*5 matches
+    // over 30-k*5 chars (>= 10 for k <= 4), anchored at pos 1
+    val doc2 = (1 to 4).map(k => (2L, 1L, 1L + 5L * k, 30L - 5L * k))
+      .filter(_._4 >= 10L).toSet
+    assert(got == doc2 + doc1, got.toString)
+    // hashGrams mode is result-identical here too
+    val hashed = Dedup.selfRepeatSpans(df, "id", "text", minLen = 10,
+        hashGrams = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(hashed == got)
+  }
+
+  test("removeDuplicateSpans includeSelf: doc keeps first occurrence, loses repeat") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val block = "the chorus line repeats here"
+    val a = "zz" + block + "-- middle --" + block + "##"
+    val c = "every word here appears just once, nothing cycles back again"
+    val df = Seq(1L -> a, 3L -> c).toDF("id", "text")
+    val got = Dedup.removeDuplicateSpans(df, "id", "text", minLen = 10,
+        includeSelf = true)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    // doc 1 keeps the FIRST block, loses the second (cut at its start)
+    val cleaned = "zz" + block + "-- middle --" + "##"
+    assert(got(1L) == ((1L, block.length.toLong, cleaned.length.toLong, md5hex(cleaned))))
+    assert(got(3L) == ((0L, 0L, c.length.toLong, md5hex(c))))
+    // includeSelf = false leaves the self-repeat untouched
+    val crossOnly = Dedup.removeDuplicateSpans(df, "id", "text", minLen = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(crossOnly(1L) == 0L)
+  }
+
   test("recallAtK: perfect, partial, and empty candidates score exactly") {
     val truth = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L),
       (2L, 20L), (2L, 21L), (3L, 30L)).toDF("query_id", "neighbor_id")

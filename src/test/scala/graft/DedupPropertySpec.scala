@@ -164,5 +164,32 @@ class DedupPropertySpec extends AnyFunSuite {
         .toSet
       assert(variant == model, s"hashGrams=$hash bloomPrune=$bloom diverged")
     }
+
+    // the SELF half-plane on the same corpus: same contract with
+    // ia == ib, pos_a < pos_b (diag < 0) — periodic tiny-alphabet text
+    // makes overlapping self-repeats the common case here
+    val selfModel = (for {
+      (ia, sa) <- spanDocs
+      diag <- -sa.length to -1
+      run <- {
+        val anchors = (1 to sa.length - L + 1).filter { pa =>
+          val pb = pa - diag
+          pb >= 1 && pb + L - 1 <= sa.length &&
+            sa.substring(pa - 1, pa + L - 1) == sa.substring(pb - 1, pb + L - 1)
+        }
+        anchors.foldLeft(List.empty[List[Int]]) {
+          case (acc @ (h :: t), p) if h.head == p - 1 => (p :: h) :: t
+          case (acc, p) => List(p) :: acc
+        }.map(r => (r.min, r.size))
+      }
+    } yield (ia, run._1.toLong, (run._1 - diag).toLong,
+      (run._2 + L - 1).toLong)).toSet
+    val gotSelf = Dedup.selfRepeatSpans(spanDocs.toDF("id", "text"), "id", "text",
+        minLen = L, maxGramFreq = Int.MaxValue - 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assume(selfModel.nonEmpty)
+    assert(gotSelf == selfModel)
   }
 }
