@@ -1723,7 +1723,23 @@ object SparkEntry {
       // (Dedup.removeDuplicateSpans scaladoc).
       Dedup.removeDuplicateSpans(documents(s, d), "doc_id", "text", minLen = 15,
           hashGrams = true, includeSelf = true)
-        .orderBy("id"))
+        .orderBy("id")),
+
+    "q132_audio_fingerprint_dedup" -> ((s, d) => {
+      // Audio near-dup: REAL WAV decode -> 64-window integer energy
+      // fingerprint -> the same Hamming<=2 pigeonhole banding as the
+      // image (q117) and text (q52) paths. Fixture groups share one
+      // amplitude pattern at different durations with one window
+      // flipped per member (same-group pairs sit at Hamming exactly 2;
+      // byte-exact dedup pairs nothing). Oracle derives the fingerprint
+      // ANALYTICALLY from the amplitude formula — never decodes a WAV —
+      // so a hash match proves the decode->window->threshold roundtrip
+      // (Multimodal.audioFingerprint scaladoc).
+      val media = Multimodal.mediaWithDupAudio(s, documents(s, d))
+      Dedup.hammingNearDup(Multimodal.audioFingerprints(media).toDF(),
+          "media_id", "fhash", nBits = 64, maxHamming = 2)
+        .orderBy("id_a", "id_b")
+    })
   )
 
   // ---------------------------------------------------------------- //
@@ -3532,6 +3548,37 @@ object SparkEntry {
         |bits AS (SELECT cell.id, k,
         |  CASE WHEN cs*tn > ts*cn THEN '1' ELSE '0' END AS b
         | FROM cell JOIN tot ON cell.id = tot.id),
+        |bs AS (SELECT id, string_agg(b, '' ORDER BY k) AS s FROM bits GROUP BY 1),
+        |cand AS (SELECT a.id AS id_a, b.id AS id_b, a.s AS sa, b.s AS sb
+        | FROM bs a JOIN bs b ON a.id < b.id AND (
+        |   substr(a.s, 1, 22) = substr(b.s, 1, 22) OR
+        |   substr(a.s, 23, 21) = substr(b.s, 23, 21) OR
+        |   substr(a.s, 44, 21) = substr(b.s, 44, 21))),
+        |ham AS (SELECT id_a, id_b, CAST(list_sum(list_transform(
+        |   generate_series(1, 64),
+        |   i -> CASE WHEN substr(sa, i, 1) <> substr(sb, i, 1) THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+        | FROM cand)
+        |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // The audio fingerprint recomputed analytically from the
+    // AudioCodec.dup* formulas (window-constant amplitude and exact
+    // 64-sample-multiple durations => bit k reduces to amp_k*64 >
+    // sum(amp); no WAV ever decoded). Candidates via the same 3-chunk
+    // pigeonhole over the ordered bit string as q117, exact per-bit
+    // Hamming on candidates.
+    "q132_audio_fingerprint_dedup" ->
+      """WITH dim AS (SELECT doc_id AS id, doc_id // 10 AS gid,
+        |  ((doc_id % 10) * 11) % 64 AS fw
+        | FROM documents WHERE doc_id % 2 = 1),
+        |amp AS (SELECT id, k,
+        |  CASE WHEN ((((gid*2654435761 + k*40503) // 8) % 8) < 4) != (k = fw)
+        |       THEN 240 ELSE 10 END AS a
+        | FROM dim, LATERAL (SELECT unnest(generate_series(0, 63)) AS k) t),
+        |tot AS (SELECT id, SUM(a) AS ta FROM amp GROUP BY 1),
+        |bits AS (SELECT amp.id, k,
+        |  CASE WHEN a*64 > ta THEN '1' ELSE '0' END AS b
+        | FROM amp JOIN tot ON amp.id = tot.id),
         |bs AS (SELECT id, string_agg(b, '' ORDER BY k) AS s FROM bits GROUP BY 1),
         |cand AS (SELECT a.id AS id_a, b.id AS id_b, a.s AS sa, b.s AS sb
         | FROM bs a JOIN bs b ON a.id < b.id AND (

@@ -137,13 +137,13 @@ object Multimodal {
     def sampleAt(id: Long, i: Int): Int =
       (((i * 7L + id * 13L) % 4096L) - 2048L).toInt
 
-    /** Deterministic WAV fixture for media id (lossless 16-bit PCM). */
-    def encodeWav(id: Long): Array[Byte] = {
-      val n = nSamples(id)
+    /** 16-bit signed little-endian mono WAV from raw sample values. */
+    def encodePcm(samples: Array[Int]): Array[Byte] = {
+      val n = samples.length
       val pcm = new Array[Byte](n * 2)
       var i = 0
       while (i < n) {
-        val s = sampleAt(id, i)
+        val s = samples(i)
         pcm(2 * i) = (s & 0xff).toByte // little-endian
         pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
         i += 1
@@ -155,6 +155,36 @@ object Multimodal {
       javax.sound.sampled.AudioSystem.write(
         ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
       bos.toByteArray
+    }
+
+    /** Deterministic WAV fixture for media id (lossless 16-bit PCM). */
+    def encodeWav(id: Long): Array[Byte] =
+      encodePcm(Array.tabulate(nSamples(id))(i => sampleAt(id, i)))
+
+    // --- near-dup audio fixture family (the audio twin of
+    //     mediaWithDupImages' same-picture-different-size groups):
+    //     gid = id/10 groups share one 64-window amplitude pattern at
+    //     DIFFERENT durations (n is a multiple of 64, so windows stay
+    //     exactly aligned and the energy fingerprint is duration-
+    //     invariant), and each member flips ONE window — same-group
+    //     pairs sit at Hamming exactly 2, byte-exact dedup pairs
+    //     nothing (every clip's WAV bytes differ). All-integer formula
+    //     => the DuckDB oracle derives the fingerprint without ever
+    //     decoding a WAV.
+
+    def dupNSamples(id: Long): Int = 64 * ((id % 5).toInt + 2)
+
+    def dupFlipWindow(id: Long): Int = (((id % 10) * 11) % 64).toInt
+
+    /** Window amplitude: Knuth-hash base bit per (gid, window), one
+      * window XOR-flipped per group member; 240 vs 10 keeps every mean
+      * strictly between the two levels, so the threshold bit IS the
+      * formula bit.
+      */
+    def dupAmp(id: Long, k: Int): Int = {
+      val base = (((id / 10) * 2654435761L + k * 40503L) >> 3) & 7L
+      val bit = (base < 4) ^ (k == dupFlipWindow(id))
+      if (bit) 240 else 10
     }
 
     /** Decode WAV bytes to (n_samples, sum, sum_sq, sum_abs) — the real
@@ -222,6 +252,90 @@ object Multimodal {
           AudioStats(r.media_id, n, s, sq, sa)
         }
       }
+    }
+  }
+
+  /** Media table with REAL near-dup WAV groups (odd doc_ids; see the
+    * AudioCodec.dup* formulas): windows of constant amplitude, group
+    * members differ in duration and one flipped window. Encoded on the
+    * executors — map-only generate, like every fixture table here.
+    */
+  def mediaWithDupAudio(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).filter(pmod(col("doc_id"), lit(2)) === 1)
+      .as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = AudioCodec.dupNSamples(id)
+          val win = n / 64
+          val samples = Array.tabulate(n)(i => AudioCodec.dupAmp(id, i / win))
+          MediaRow(id, "audio", AudioCodec.encodePcm(samples),
+            n, AudioCodec.SampleRate.toInt)
+        }
+      }
+  }
+
+  case class AudioHash(media_id: Long, fhash: Long)
+
+  /** 64-bit audio energy fingerprint from REAL decoded PCM: the clip is
+    * cut into `nWindows` equal time windows (integer boundaries
+    * k·n/nWindows) and bit k is set when window k's mean |sample|
+    * exceeds the whole-clip mean — compared cross-multiplied in Long
+    * arithmetic (sumAbs_k · n > sumAbs_total · n_k), so the hash is
+    * bit-reproducible and the DuckDB oracle can derive it analytically
+    * for the fixture formulas. The audio twin of [[imageAHash]]: feeds
+    * the same [[graft.operators.Dedup.hammingNearDup]] banding join.
+    * None for undecodable blobs or clips shorter than nWindows samples.
+    */
+  def audioFingerprint(bytes: Array[Byte], nWindows: Int = 64): Option[Long] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16) None
+      else {
+        val data = ais.readAllBytes()
+        val be = fmt.isBigEndian
+        val n = data.length / 2
+        if (n < nWindows) None
+        else {
+          val winAbs = new Array[Long](nWindows)
+          val winN = new Array[Long](nWindows)
+          var total = 0L
+          var k = 0
+          while (k < nWindows) {
+            val lo = (k.toLong * n / nWindows).toInt
+            val hi = ((k + 1).toLong * n / nWindows).toInt
+            var i = lo
+            var s = 0L
+            while (i < hi) {
+              val v =
+                if (be) (data(2 * i).toInt << 8) | (data(2 * i + 1) & 0xff)
+                else (data(2 * i + 1).toInt << 8) | (data(2 * i) & 0xff)
+              s += math.abs(v)
+              i += 1
+            }
+            winAbs(k) = s; winN(k) = hi - lo; total += s
+            k += 1
+          }
+          var h = 0L
+          k = 0
+          while (k < nWindows) {
+            if (winAbs(k) * n > total * winN(k)) h |= 1L << k
+            k += 1
+          }
+          Some(h)
+        }
+      }
+    } catch { case _: Exception => None }
+
+  /** Fingerprint every audio blob: blob dies in-stage, an 8-byte hash
+    * rides on — the input row to Hamming near-dup banding.
+    */
+  def audioFingerprints(media: Dataset[MediaRow]): Dataset[AudioHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap(r => audioFingerprint(r.content).map(AudioHash(r.media_id, _)))
     }
   }
 

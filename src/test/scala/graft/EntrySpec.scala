@@ -181,6 +181,42 @@ class EntrySpec extends AnyFunSuite {
     }
   }
 
+  test("audio fingerprint: decode roundtrip equals the formula; dup pairs at Hamming 2") {
+    import graft.multimodal.Multimodal.AudioCodec
+    // direct roundtrip: fingerprint from decoded WAV bytes == fingerprint
+    // from the amplitude formula (bit k = amp_k*64 > sum(amp), since
+    // windows are equal-sized and window-constant)
+    for (id <- Seq(1L, 13L, 27L)) {
+      val n = AudioCodec.dupNSamples(id)
+      val win = n / 64
+      val wav = AudioCodec.encodePcm(
+        Array.tabulate(n)(i => AudioCodec.dupAmp(id, i / win)))
+      val amps = Array.tabulate(64)(k => AudioCodec.dupAmp(id, k).toLong)
+      val ta = amps.sum
+      var expected = 0L
+      for (k <- 0 until 64) if (amps(k) * 64 > ta) expected |= 1L << k
+      assert(Multimodal.audioFingerprint(wav).contains(expected), s"id=$id")
+    }
+    // too-short clips and garbage yield None, never a fake hash
+    assert(Multimodal.audioFingerprint(
+      AudioCodec.encodePcm(Array.fill(32)(100))).isEmpty)
+    assert(Multimodal.audioFingerprint("junk".getBytes("UTF-8")).isEmpty)
+    // distributed dedup: same-gid members differ by exactly their two
+    // flipped windows (distinct per member), so every same-gid pair is
+    // Hamming exactly 2 — durations differ, so WAV bytes never equal
+    val docs = (10L to 20L).map(i => (i, "t")).toDF("doc_id", "text")
+    val media = Multimodal.mediaWithDupAudio(spark, docs)
+    val pairs = graft.operators.Dedup.hammingNearDup(
+        Multimodal.audioFingerprints(media).toDF(), "media_id", "fhash",
+        nBits = 64, maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // odd ids 11..19 -> gids 1 (11..19) — all C(5,2)=10 pairs, Hamming 2
+    val odd = (11L to 19L by 2).toSeq
+    val expectedPairs = (for { a <- odd; b <- odd if a < b } yield (a, b)).toSet
+    assert(pairs.map(p => (p._1, p._2)).toSet == expectedPairs)
+    assert(pairs.forall(_._3 == 2L), pairs.mkString(","))
+  }
+
   test("real video decode: AVI container parse + per-frame pixel roundtrip") {
     import graft.multimodal.Multimodal.{ImageCodec, VideoCodec}
     // direct roundtrip, no Spark: every MPNG frame decodes to the
