@@ -145,6 +145,29 @@ class ChunkingCurationSpec extends AnyFunSuite {
       (4L, "low er", "lower", 2L)), got.toSeq.toString)
   }
 
+  test("bpe local and distributed merge loops are identical at real vocab size") {
+    // sf0.001 documents: a genuinely multi-thousand-word vocabulary —
+    // an order of magnitude past the hand-computed fixtures. localLimit
+    // forces each path explicitly; merge logs AND final segmentations
+    // must agree row for row.
+    val docs = graft.engine.Tables.documents(spark, SparkTestSession.sfDir)
+    val iters = 12
+    def merges(limit: Long) =
+      operators.Bpe.bpeMerges(docs, "text", iters, localLimit = limit)
+        .orderBy("rank").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq
+    val local = merges(Long.MaxValue)
+    val dist = merges(0L)
+    assert(local.nonEmpty && local.size == iters)
+    assert(local == dist)
+    def enc(limit: Long) =
+      operators.Bpe.bpeEncode(docs, "text", iters, localLimit = limit)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    assert(enc(Long.MaxValue) == enc(0L))
+  }
+
   test("bpeEncode: segmentations after the hand-computed merges") {
     // same corpus as the bpeMerges test; merges are l o -> lo,
     // lo w -> low, e r -> er, low er -> lower. Final symbol tables:
