@@ -321,10 +321,13 @@ object SparkEntry {
     "q39_approx_distinct" -> ((s, d) => {
       // HLL++ sketch — estimate differs from DuckDB's approx_distinct by
       // design, so no SQL oracle (rows-only check); accuracy asserted in
-      // ScalaTest against exact counts instead.
+      // SketchAccuracySpec against exact counts at every SF incl. sf1.
+      // rsd 0.02, not the 0.05 default: rsd is a STANDARD deviation and
+      // the default measured 7.8% off at sf1's 1.5M-key cardinality;
+      // 0.02 holds the 5% contract everywhere for ~2.7K registers.
       lineitem(s, d).agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
     }),
 
     // --- scan/filter/projection (reference J3 generalized) ---
