@@ -33,7 +33,10 @@ object ScalingBench {
          Seq("sf1*" -> sf1Dir)
        else Seq.empty)
     val queries = sys.env.get("SPARK_GRAFT_SCALING_QUERIES")
-      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .map {
+        case "ALL" => graft.SparkEntry.queries.keys.toSeq.sorted
+        case s     => s.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+      }
       .getOrElse(Seq(
         "q01_agg_pricing", "q04_join_multiway", "q08_window_analytic",
         "q60_window_range_frame",
