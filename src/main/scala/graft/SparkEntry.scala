@@ -3542,7 +3542,8 @@ object SparkEntry {
         |xs AS (SELECT id, unnest(generate_series(0, w-1)) AS x FROM dim),
         |ys AS (SELECT id, unnest(generate_series(0, h-1)) AS y FROM dim),
         |px AS (SELECT d.id, (x*8)//d.w AS cx, (y*8)//d.h AS cy,
-        |  CASE WHEN (((x*8)//d.w)*13 + ((y*8)//d.h)*29 + d.gid*97) % 257 < 110
+        |  CASE WHEN ((CAST(concat('0x', substr(md5(CAST(d.gid AS VARCHAR)),1,15)) AS BIGINT)
+        |              >> ((((y*8)//d.h)*8 + (x*8)//d.w) % 60)) & 1) = 1
         |       THEN 220 ELSE 30 END AS v
         | FROM dim d JOIN xs ON xs.id = d.id JOIN ys ON ys.id = d.id),
         |cell AS (SELECT id, cy*8 + cx AS k, SUM(v) AS cs, COUNT(*) AS cn
@@ -3574,10 +3575,13 @@ object SparkEntry {
       """WITH dim AS (SELECT doc_id AS id, doc_id // 10 AS gid,
         |  ((doc_id % 10) * 11) % 64 AS fw
         | FROM documents WHERE doc_id % 2 = 1),
+        |hsh AS (SELECT id, fw,
+        |  CAST(concat('0x', substr(md5(CAST(gid AS VARCHAR)),1,15)) AS BIGINT) AS hp
+        | FROM dim),
         |amp AS (SELECT id, k,
-        |  CASE WHEN ((((gid*2654435761 + k*40503) // 8) % 8) < 4) != (k = fw)
+        |  CASE WHEN (((hp >> (k % 60)) & 1) = 1) != (k = fw)
         |       THEN 240 ELSE 10 END AS a
-        | FROM dim, LATERAL (SELECT unnest(generate_series(0, 63)) AS k) t),
+        | FROM hsh, LATERAL (SELECT unnest(generate_series(0, 63)) AS k) t),
         |tot AS (SELECT id, SUM(a) AS ta FROM amp GROUP BY 1),
         |bits AS (SELECT amp.id, k,
         |  CASE WHEN a*64 > ta THEN '1' ELSE '0' END AS b

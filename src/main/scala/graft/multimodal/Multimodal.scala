@@ -176,14 +176,21 @@ object Multimodal {
 
     def dupFlipWindow(id: Long): Int = (((id % 10) * 11) % 64).toInt
 
-    /** Window amplitude: Knuth-hash base bit per (gid, window), one
-      * window XOR-flipped per group member; 240 vs 10 keeps every mean
-      * strictly between the two levels, so the threshold bit IS the
-      * formula bit.
+    /** Window amplitude: base bit k = bit (k mod 60) of the 60-bit md5
+      * hash of gid, one window XOR-flipped per group member; 240 vs 10
+      * keeps every mean strictly between the two levels, so the
+      * threshold bit IS the formula bit.
+      *
+      * md5 bits, NOT a linear formula: bits 3-5 of (gid*A + k*B) — the
+      * first attempt — depend only on the addends mod 64 (carries into
+      * bit 3 come from bits 0-2 alone), so gids equal mod 64 produced
+      * IDENTICAL base patterns and 7.3M spurious cross-group Hamming-2
+      * pairs at sf1. The hash pattern is unique per gid at any corpus
+      * size, so pair output scales with the group count.
       */
     def dupAmp(id: Long, k: Int): Int = {
-      val base = (((id / 10) * 2654435761L + k * 40503L) >> 3) & 7L
-      val bit = (base < 4) ^ (k == dupFlipWindow(id))
+      val h = graft.functions.TextFunctions.tokenHash64Jvm((id / 10).toString)
+      val bit = (((h >> (k % 60)) & 1L) == 1L) ^ (k == dupFlipWindow(id))
       if (bit) 240 else 10
     }
 
@@ -268,7 +275,8 @@ object Multimodal {
         it.map { id =>
           val n = AudioCodec.dupNSamples(id)
           val win = n / 64
-          val samples = Array.tabulate(n)(i => AudioCodec.dupAmp(id, i / win))
+          val amps = Array.tabulate(64)(k => AudioCodec.dupAmp(id, k))
+          val samples = Array.tabulate(n)(i => amps(i / win))
           MediaRow(id, "audio", AudioCodec.encodePcm(samples),
             n, AudioCodec.SampleRate.toInt)
         }
@@ -407,16 +415,24 @@ object Multimodal {
 
   /** Duplicate-image fixture for perceptual-hash dedup: the pixel
     * pattern is keyed by gid = id div 10 over the 8x8 CELL grid (every
-    * pixel of cell (cx, cy) is gray 220 or 30 by (cx*13 + cy*29 +
-    * gid*97) mod 257 < 110 — two levels far from any mean, so the
-    * threshold bits are size-invariant), while width/height still vary
-    * per id — so the ~5 even ids
+    * pixel of cell (cx, cy) is gray 220 or 30 by bit (cy*8+cx) mod 60
+    * of the 60-bit md5 hash of gid — two levels far from any mean, so
+    * the threshold bits are size-invariant), while width/height still
+    * vary per id — so the ~5 even ids
     * sharing a gid are the SAME picture rendered at different sizes,
     * exactly the rescaled-duplicate mode a perceptual hash exists to
     * catch (and byte-level exact dedup cannot). Cell-constant gray
     * also makes the aHash analytically derivable, so the DuckDB oracle
     * recomputes it from the formula without decoding a PNG — same
     * trick as [[AudioCodec]]'s analytic sample sums.
+    *
+    * The pattern is an md5 BIT pattern, not a small-modulus formula: an
+    * earlier (cx*13 + cy*29 + gid*97) mod 257 pattern had only 257
+    * distinct pictures — at sf1's 12.5K images that made ~49-member
+    * identical-image mega-groups and a 26x growth row from genuinely
+    * quadratic pair output. gid enters via the full-width hash, so
+    * every group is a distinct picture at any corpus size and pair
+    * output scales linearly with the group count.
     */
   def mediaWithDupImages(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
@@ -428,6 +444,7 @@ object Multimodal {
           val w = (id % 16).toInt + 8
           val h = (id % 12).toInt + 8
           val gid = id / 10
+          val hp = graft.functions.TextFunctions.tokenHash64Jvm(gid.toString)
           val img = new java.awt.image.BufferedImage(
             w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
           var y = 0
@@ -436,7 +453,7 @@ object Multimodal {
             var x = 0
             while (x < w) {
               val cx = x * 8 / w
-              val v = if ((cx * 13L + cy * 29L + gid * 97L) % 257L < 110L) 220 else 30
+              val v = if (((hp >> ((cy * 8 + cx) % 60)) & 1L) == 1L) 220 else 30
               img.setRGB(x, y, (v << 16) | (v << 8) | v)
               x += 1
             }

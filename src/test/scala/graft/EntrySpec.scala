@@ -434,7 +434,7 @@ class EntrySpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     // ids 10,12,14 share gid 1 at three different sizes; id 30 is gid 3
-    // (gids distinct mod 7, so the cell patterns genuinely differ)
+    // (distinct gids = distinct md5 cell patterns, at any corpus size)
     val docs = Seq(10L, 12L, 14L, 30L).toDF("doc_id")
       .withColumn("text", lit("x"))
     val media = multimodal.Multimodal.mediaWithDupImages(spark, docs)

@@ -79,7 +79,18 @@ def main():
     orders, lineitem = read("orders"), read("lineitem")
     C, S, P, O = (stride(cust, "c_custkey"), stride(supp, "s_suppkey"),
                   stride(part, "p_partkey"), stride(orders, "o_orderkey"))
-    write("customer", replicate(cust, {"c_custkey": C}))
+    cust10 = replicate(cust, {"c_custkey": C})
+    # c_name is a pure function of the key in TPC-H ("Customer#%09d");
+    # rebuild it from the SHIFTED key so copies stay non-interacting —
+    # repeated names made every name a 10-member duplicate group and
+    # q121's ed<=1 pair output grew ~100x (a fixture artifact, not a
+    # plan property)
+    names = pa.array(["Customer#%09d" % k
+                      for k in cust10["c_custkey"].to_numpy()],
+                     type=pa.string())
+    cust10 = cust10.set_column(cust10.schema.get_field_index("c_name"),
+                               cust10.schema.field("c_name"), names)
+    write("customer", cust10)
     write("supplier", replicate(supp, {"s_suppkey": S}))
     write("part", replicate(part, {"p_partkey": P}))
     write("orders", replicate(orders, {"o_orderkey": O, "o_custkey": C}))
