@@ -26,12 +26,15 @@ object ScalingBench {
     spark.range(1000).write.format("noop").mode("overwrite").save()
 
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft-sf1")
+    // a second derived decade (make_sf1.py with K=100) joins the table
+    // when present — growth is then measured over TWO decades
+    val sf10Dir = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR", "/tmp/graft-sf10")
+    def present(d: String) = new java.io.File(s"$d/lineitem.parquet").exists()
     val sfs = Seq("sf0.001" -> "/root/testdata/sf0.001",
       "sf0.01" -> "/root/testdata/sf0.01",
       "sf0.1" -> "/root/testdata/sf0.1") ++
-      (if (new java.io.File(s"$sf1Dir/lineitem.parquet").exists())
-         Seq("sf1*" -> sf1Dir)
-       else Seq.empty)
+      (if (present(sf1Dir)) Seq("sf1*" -> sf1Dir) else Seq.empty) ++
+      (if (present(sf10Dir)) Seq("sf10*" -> sf10Dir) else Seq.empty)
     val queries = sys.env.get("SPARK_GRAFT_SCALING_QUERIES")
       .map {
         case "ALL" => graft.SparkEntry.queries.keys.toSeq.sorted

@@ -31,6 +31,10 @@ interact:
   nanosAsLong path depends on it).
 
 Deterministic (seeded); rerun-safe. Usage: make_sf1.py [src] [dst] [K]
+K=100 derives a TWO-decade (sf10) fixture from sf0.1 — document
+ciphers switch from rot-i to seeded derangements past copy 26 (rots
+repeat mod 26); everything else (key strides, Rademacher flips) is
+K-agnostic.
 """
 import os
 import sys
@@ -106,12 +110,30 @@ def main():
     D = stride(docs, "doc_id")
     texts = docs["text"].to_pylist()
     lower = "abcdefghijklmnopqrstuvwxyz"
+
+    def cipher(i):
+        """Letter bijection for copy i. rot-i for i < 26 (keeps the
+        sf1 fixture bit-identical to earlier rounds); beyond 26 rots
+        repeat mod 26 (copies would interact), so higher copies use a
+        seeded random DERANGEMENT of the alphabet — no fixed points,
+        so no same-source gram survives translation; two independent
+        random perms agreeing on a 15-gram's ~10 distinct letters is
+        ~26^-10 (and the sf10 build is verified empirically: q130's
+        self-span count must be exactly K x sf0.1's)."""
+        if i < 26:
+            return str.maketrans(lower, lower[i:] + lower[:i])
+        rng = np.random.RandomState(7000 + i)
+        while True:
+            p = rng.permutation(26)
+            if not np.any(p == np.arange(26)):
+                return str.maketrans(lower, "".join(lower[j] for j in p))
+
     doc_copies = []
     for i in range(K):
         if i == 0:
             t = docs
         else:
-            rot = str.maketrans(lower, lower[i:] + lower[:i])
+            rot = cipher(i)
             t = docs.set_column(docs.schema.get_field_index("text"),
                                 docs.schema.field("text"),
                                 pa.array([s.translate(rot) for s in texts],
