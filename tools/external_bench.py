@@ -14,7 +14,8 @@ runs (DuckDB has no JIT warmup, but the first run pays buffer-pool
 population), all cores (DuckDB defaults to one thread per CPU, matching
 local[32]).
 
-Usage: external_bench.py [oracle_sql.json] [sf_dir]
+Usage: external_bench.py [oracle_sql.json] [sf_dir] [q1,q2,...]
+(the optional third arg overrides the default QUERIES list)
 """
 import sys, time, json
 import duckdb
@@ -41,12 +42,13 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 def main():
     oracle_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_out/oracle_sql.json"
     sfdir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    queries = sys.argv[3].split(",") if len(sys.argv) > 3 else QUERIES
     oracle = json.load(open(oracle_path))
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     out = {}
-    for name in QUERIES:
+    for name in queries:
         sql = oracle[name]
         times = []
         rows = None
