@@ -26,9 +26,15 @@ every other >12x row was a real defect and was FIXED, not waived
 If the same query appears multiple times in the log (re-measured after
 a fix), the LAST row wins.
 
-Usage: scaling_gate.py <scalingbench.log> [growth_limit]
-Writes SCALING_gate.json ({rows, flags, waived, verdict}); exits 1 on
-unwaived flags.
+The gate reads the LAST decade in the log, whatever it is: a sweep with
+the sf10 fixture present gates sf1->sf10 growth, one without it gates
+sf0.1->sf1. Growth between derived-fixture decades (sf1->sf10) carries
+no small-SF planning floor, so healthy linear queries measure ~10x
+there, still inside the 12x bar.
+
+Usage: scaling_gate.py <scalingbench.log> [growth_limit] [out.json]
+Writes SCALING_gate.json (or out.json) with {rows, flags, waived,
+verdict}; exits 1 on unwaived flags.
 """
 import json
 import re
@@ -48,6 +54,7 @@ WAIVERS = {
 def main():
     path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scaling_all.log"
     limit = float(sys.argv[2]) if len(sys.argv) > 2 else 12.0
+    out_path = sys.argv[3] if len(sys.argv) > 3 else "SCALING_gate.json"
     rows = {}
     with open(path) as f:
         for line in f:
@@ -64,22 +71,22 @@ def main():
     hot = [r for r in rows if r["growth"] > limit and r["times"][-1] > 1.0]
     flags = [r for r in hot if r["query"] not in WAIVERS]
     waived = [{"query": r["query"], "growth": r["growth"],
-               "sf1_sec": r["times"][-1], "reason": WAIVERS[r["query"]]}
+               "last_sec": r["times"][-1], "reason": WAIVERS[r["query"]]}
               for r in hot if r["query"] in WAIVERS]
     out = {
         "source": path,
         "growth_limit": limit,
         "queries": len(rows),
         "flags": [{"query": r["query"], "growth": r["growth"],
-                   "sf1_sec": r["times"][-1]} for r in flags],
+                   "last_sec": r["times"][-1]} for r in flags],
         "waived": waived,
         "worst": sorted(
             [{"query": r["query"], "growth": r["growth"],
-              "sf1_sec": r["times"][-1]} for r in rows],
+              "last_sec": r["times"][-1]} for r in rows],
             key=lambda r: -r["growth"])[:10],
         "verdict": "FAIL" if flags else "PASS",
     }
-    with open("SCALING_gate.json", "w") as f:
+    with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({k: out[k] for k in
                       ("queries", "growth_limit", "flags", "waived",
