@@ -66,6 +66,22 @@ object SparkEntry {
     */
   private val SimHashBitsQ52 = 60
 
+  /** q119's cluster sizing, shared by the Spark query and its oracle
+    * SQL (the oracle computes the same formula in its LIMIT). SemDeDup's
+    * per-cluster pair join is O(|cluster|²), so the cluster COUNT must
+    * grow with the corpus to keep |cluster| ~constant — the paper runs
+    * 50k clusters at web scale for exactly this reason. A fixed
+    * nLists=8 measured 56x per data decade at sf10 (7.75 s -> 436 s,
+    * the pair join quadratic in corpus size); nLists = n/2500 keeps
+    * every oracle-checked SF (n <= 20000 -> still 8 lists, results
+    * bit-identical) while the sf10 tier gets 80 lists and linear pair
+    * volume.
+    */
+  private val SemDedupMinLists = 8
+  private val SemDedupClusterSize = 2500L
+  private[graft] def semDedupNLists(n: Long): Int =
+    math.max(SemDedupMinLists, (n / SemDedupClusterSize).toInt)
+
   /** DuckDB twin of Dedup.shingles (k=3, distinct word 3-shingles). */
   private val SHINGLES3 =
     s"""SELECT DISTINCT doc_id AS id, unnest(
@@ -1567,9 +1583,12 @@ object SparkEntry {
       // embedding space, then keep one representative per within-cluster
       // cosine-duplicate set (lowest id). Reuses the q54 deterministic
       // k-means build; the pair join is one cid-keyed shuffle
-      // (Ann.semDedup scaladoc for the 100 TB shape).
+      // (Ann.semDedup scaladoc for the 100 TB shape). nLists scales
+      // with the corpus (semDedupNLists: one count job) so the
+      // within-cluster O(m²) pair join stays linear in n — the oracle's
+      // LIMIT computes the identical formula.
       Ann.semDedup(embeddings(s, d), "vec_id", "embedding",
-          nLists = 8, eps = 0.35)
+          nLists = semDedupNLists(embeddings(s, d).count()), eps = 0.35)
         .orderBy("vec_id")),
 
     "q120_unigram_surprisal" -> ((s, d) =>
@@ -2783,7 +2802,9 @@ object SparkEntry {
          |seed AS (SELECT CAST(row_number() OVER (ORDER BY h, sid) AS BIGINT) AS cid, v AS cv
          | FROM (SELECT vec_id AS sid, v,
          |   ${duckHash("concat('ivf_', CAST(vec_id AS VARCHAR))", 15)} AS h
-         |  FROM e ORDER BY h, sid LIMIT 8) t),
+         |  FROM e ORDER BY h, sid
+         |  LIMIT greatest($SemDedupMinLists,
+         |    (SELECT count(*)//$SemDedupClusterSize FROM e))) t),
          |${iter("seed", "a1", "c1")},
          |${iter("c1", "a2", "c2")},
          |ad AS (SELECT e.vec_id AS vid, e.v, c2.cid, $dist AS d

@@ -904,6 +904,31 @@ object Dedup {
       bloomPrune, "self")
       .select(col("id_a").as("id"), col("start_a"), col("start_b"), col("span_len"))
 
+  /** Partition count for the substring-span g-exchange — sized from
+    * the INPUT, not the session default: the gram exchange is one row
+    * per character (~40 bytes hashed, ~40+2·minLen with string keys),
+    * a ~50-100× blow-up over the compressed scan, and the downstream
+    * anchor join is shuffle_hash-hinted, so every partition's postings
+    * must fit an executor's per-task execution memory as a hash map.
+    * A fixed session width does not survive a data decade: at the
+    * sf10 tier (500K docs) 32 partitions put ~2 GB of eligible
+    * postings behind 32 concurrent hash-map builds and the stage died
+    * with SparkOutOfMemoryError in an 8 GB heap. Targeting ~32 MB of
+    * estimated gram volume per partition keeps the build bounded at
+    * any scale (the 100 TB reading: ~250M needed partitions caps at
+    * 65536, each ~1.5 GB of raw grams but only the eligible fraction
+    * reaches a hash map). Estimation: Catalyst stats sizeInBytes
+    * (file-size-based for a scan) × ~2 chars per compressed byte of
+    * prose. Never below the session width, so small inputs keep the
+    * session plan exactly.
+    */
+  def gramExchangePartitions(inputBytes: BigInt, bytesPerGramRow: Int,
+                             sessionPartitions: Int): Int = {
+    val targetPartitionBytes = 32L * 1024 * 1024
+    val estimated = inputBytes * 2 * bytesPerGramRow / targetPartitionBytes
+    math.max(sessionPartitions, estimated.min(BigInt(65536)).toInt)
+  }
+
   private def substringSpansImpl(docs: DataFrame, idCol: String, textCol: String,
                                  minLen: Int, maxGramFreq: Int,
                                  hashGrams: Boolean, bloomPrune: Boolean,
@@ -987,8 +1012,16 @@ object Dedup {
     // materialize ONE g-partitioned exchange that all three consumers
     // (frequency agg, both join sides) reuse — without it each consumer
     // re-runs the gram UDF and re-shuffles (ReusedExchange was absent:
-    // measured 14.8 s → 10.3 s at 50K docs/15M grams from this line)
-    val gramed = pruned.repartition(col("g"))
+    // measured 14.8 s → 10.3 s at 50K docs/15M grams from this line).
+    // Width is input-derived ([[gramExchangePartitions]]); every
+    // downstream groupBy/join keys on g, so HashPartitioning(g, n)
+    // satisfies their distribution at any n and the width propagates
+    // through the whole pipeline without further exchanges.
+    val nPart = gramExchangePartitions(
+      docs.queryExecution.optimizedPlan.stats.sizeInBytes,
+      if (hashGrams) 40 else 40 + 2 * L,
+      docs.sparkSession.sessionState.conf.numShufflePartitions)
+    val gramed = pruned.repartition(nPart, col("g"))
     val eligible = gramed.groupBy("g").agg(count(lit(1)).as("__f"))
       .filter(col("__f").between(2, maxGramFreq))
       .select("g")

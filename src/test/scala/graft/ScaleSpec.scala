@@ -12,6 +12,43 @@ class ScaleSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("gramExchangePartitions: session floor, input scaling, hard cap") {
+    import graft.operators.Dedup.gramExchangePartitions
+    // small inputs never go below the session width (local plans intact)
+    assert(gramExchangePartitions(BigInt(600 * 1024), 40, 32) == 32)
+    // sf10-shaped input (57 MB compressed docs, hashed grams): enough
+    // width that a 32-task-concurrent SHJ build stays bounded
+    val sf10 = gramExchangePartitions(BigInt(57L * 1024 * 1024), 40, 32)
+    assert(sf10 > 100 && sf10 < 300, s"got $sf10")
+    // 100 TB input caps at 65536 instead of millions of partitions
+    assert(gramExchangePartitions(BigInt(100L * 1000 * 1000) * 1000000, 40, 32) == 65536)
+    // string grams carry the gram bytes through the exchange: wider
+    assert(gramExchangePartitions(BigInt(57L * 1024 * 1024), 120, 32) >
+      gramExchangePartitions(BigInt(57L * 1024 * 1024), 40, 32))
+  }
+
+  test("substring-span exchange width follows the input size") {
+    val docs = spark.read.parquet(s"${SparkTestSession.sfDir}/documents.parquet")
+    val sessionPartitions = spark.sessionState.conf.numShufflePartitions
+    val spans = graft.operators.Dedup.exactSubstringSpans(
+      docs, "doc_id", "text", minLen = 40, hashGrams = true)
+    val widths = spans.queryExecution.executedPlan.toString
+    // at test scale the derived width IS the session width — the plan
+    // is unchanged where it was already right
+    assert(graft.operators.Dedup.gramExchangePartitions(
+      docs.queryExecution.optimizedPlan.stats.sizeInBytes, 40,
+      sessionPartitions) == sessionPartitions, widths.take(500))
+  }
+
+  test("semDedupNLists keeps 8 lists at every oracle-checked SF, grows past them") {
+    assert(SparkEntry.semDedupNLists(200) == 8)    // sf0.01
+    assert(SparkEntry.semDedupNLists(2000) == 8)   // sf0.1
+    assert(SparkEntry.semDedupNLists(20000) == 8)  // sf1 fixture
+    assert(SparkEntry.semDedupNLists(200000) == 80) // sf10 fixture
+    // cluster size stays ~constant from there on
+    assert(SparkEntry.semDedupNLists(2000000) == 800)
+  }
+
   test("saltedEquiJoin returns exactly the plain join's rows under skew") {
     // 90% of big rows share one hot key
     val big = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong % 7 else 42L, i))
