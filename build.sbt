@@ -26,5 +26,20 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Let AQE convert a sort-merge join to a shuffled hash join when the
+  // build side's LARGEST partition (from real map-output stats) fits the
+  // threshold — the runtime version of the static shuffle_hash hints the
+  // span/dedup operators used to carry: converts exactly when the
+  // non-spillable build is provably bounded, stays spillable sort-merge
+  // when it is not (the static hints OOM'd sf10/minLen=15, where 82% of
+  // 141M postings were eligible). 16m, not the advisory default 64m: a
+  // LongToUnsafeRowMap costs ~2.5x its input bytes (pages + index
+  // array), so local[32]'s worst case is 32 concurrent tasks x 16m x
+  // ~2.5 = ~1.3 GB — inside an 8 GB heap's execution pool, where a 64m
+  // threshold measurably was not (q125 sf10: "Can't acquire 67108864
+  // bytes", 59 MB build partitions x 32 tasks). The rule fires only
+  // when the threshold >= the advisory partition size; both pinned.
+  "-Dspark.sql.adaptive.advisoryPartitionSizeInBytes=16m",
+  "-Dspark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold=16m",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

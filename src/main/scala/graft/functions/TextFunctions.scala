@@ -244,20 +244,37 @@ object TextFunctions {
     conv(substring(md5(t), 1, 7), 16, 10).cast("long")
 
   /** Rolling polynomial hash (Rabin-Karp shape) of the full string:
-    * h = sum(c_i * B^(n-1-i)) mod M with B=257, M=2^31-1, computed with
-    * the higher-order `aggregate` over the char array — one pass, fully
-    * inside codegen'd expressions. This is the document-fingerprinting
-    * rolling hash; for windowed shingle hashes see Dedup.
+    * h = sum(c_i * B^(n-1-i)) mod M with B=257, M=2^31-1 — ONE tight
+    * JVM loop per document. The original higher-order
+    * `aggregate(split(text, ''), ...)` form is NOT codegen'd
+    * (HigherOrderFunction has no doGenCode — the same measured trade
+    * as q125's gram loop, SURVEY §2c) and allocates a single-char
+    * String per input character; per-char interpreted evaluation was
+    * the suite's worst second-decade grower (sf1 4.6 s → sf10 85.4 s,
+    * 18.5×, GC-bound). This is the document-fingerprinting rolling
+    * hash; for windowed shingle hashes see Dedup.
+    *
+    * Chars are UTF-16 code units (charAt), matching ascii()/DuckDB
+    * ascii codepoints exactly on BMP text (the whole corpus). M stays
+    * at 31 bits so acc*257+c never exceeds 2^63 (the JVM would wrap
+    * silently, DuckDB would raise — in-range keeps it
+    * oracle-checkable). NULL text yields NULL, as the HOF form's null
+    * array did.
     */
   def rollingHash(text: Column): Column = {
-    // M stays at 31 bits so acc*257+c never exceeds 2^63 (the JVM would
-    // wrap silently, DuckDB would raise — in-range keeps it
-    // oracle-checkable). Spark's split(s, "") emits a trailing ""
-    // (Java split limit -1); the filter drops it for cross-engine parity.
-    val M = lit(2147483647L) // 2^31-1
-    aggregate(
-      filter(split(text, ""), ch => length(ch) > 0),
-      lit(0L),
-      (acc, ch) => pmod(acc * 257L + ascii(ch).cast("long"), M))
+    val M = 2147483647L // 2^31-1
+    val h = udf { s: String =>
+      if (s == null) Option.empty[Long]
+      else {
+        var acc = 0L
+        var i = 0
+        while (i < s.length) {
+          acc = (acc * 257L + s.charAt(i).toLong) % M
+          i += 1
+        }
+        Some(acc)
+      }
+    }
+    h(text)
   }
 }

@@ -131,6 +131,21 @@ object Ann {
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                       nLists: Int, iters: Int = 2,
                       sampleOneIn: Int = 1, reliable: Boolean = false): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    kmeansCentroidsLocal(corpus, idCol, vecCol, nLists, iters, sampleOneIn,
+      reliable).toSeq.toDF("cid", "cv")
+  }
+
+  /** [[kmeansCentroids]] returning the centroid table as driver data —
+    * it is bounded (nLists × dim doubles) and every consumer
+    * (assignment UDF, oracle-parity literal rebuild) wants it local
+    * anyway. The DataFrame variant is `toDF` of this.
+    */
+  private[graft] def kmeansCentroidsLocal(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nLists: Int, iters: Int = 2,
+      sampleOneIn: Int = 1, reliable: Boolean = false): Array[(Long, Array[Double])] = {
     require(nLists >= 1 && iters >= 0 && sampleOneIn >= 1,
       s"need nLists >= 1, iters >= 0, sampleOneIn >= 1; got $nLists/$iters/$sampleOneIn")
     import graft.functions.TextFunctions.tokenHash64
@@ -151,34 +166,124 @@ object Ann {
     }
     val spark = corpus.sparkSession
     import spark.implicits._
-    // global (partition-less) window is DELIBERATE and bounded: it runs
-    // after limit(nLists), so it sees <= nLists rows (the seed set), not
-    // the corpus — the "No Partition Defined" warning it triggers is
-    // about a <= few-hundred-row frame
-    val seedW = Window.orderBy("h", "sid")
-    var cents = build.orderBy("h", "sid").limit(nLists)
-      .withColumn("cid", row_number().over(seedW).cast("long"))
-      .select(col("cid"), transform(col("v"), x => x.cast("double")).as("cv"))
-    for (_ <- 1 to iters) {
-      val withCc = cents.withColumn("cc", dot(col("cv"), col("cv")))
-      val d = round(col("vv") - lit(2.0) * dot(col("v"), col("cv")) + col("cc"), 6)
+    // seed: the nLists smallest (h, sid) rows, cid = 1..nLists in that
+    // order — the previous row_number window over the <= nLists-row
+    // seed frame is now a driver-side sort of the collected seeds
+    // (value-identical: same (h, sid) order, same float→double cast)
+    var cents: Array[(Long, Array[Double])] = build.orderBy("h", "sid")
+      .limit(nLists)
+      .select(col("h"), col("sid"),
+        transform(col("v"), x => x.cast("double")).as("cv"))
+      .as[(Long, Long, Array[Double])].collect()
+      .sortBy(t => (t._1, t._2)).zipWithIndex
+      .map { case ((_, _, cv), i) => ((i + 1).toLong, cv) }
+    val vecType = build.schema("v").dataType
+    for (_ <- 1 to iters if cents.nonEmpty) {
+      // per-row argmin against the driver-side centroid array
+      // ([[assignCidUdf]]) — O(n) map-only rows, vs the previous
+      // crossJoin(broadcast) + groupBy(min(struct)) argmin whose
+      // n × nLists intermediate rows (each carrying the full vector)
+      // grow QUADRATICALLY once nLists scales with the corpus: q119's
+      // sf10 profile put 112 s of 188 s in the two Lloyd passes alone;
+      // the UDF assigns in one corpus scan
       val assigned = build
-        .withColumn("vv", dot(col("v"), col("v")))
-        .crossJoin(broadcast(withCc))
-        .groupBy("sid")
-        .agg(min(struct(d.as("d"), col("cid"))).as("m"), first(col("v")).as("v"))
-        .select(col("m.cid").as("cid"), col("v"))
-      val next = meanPool(assigned, "cid", "v")
-        .withColumnRenamed("centroid", "cv")
+        .select(assignCidUdf(vecType, cents)(col("v")).as("cid"), col("v"))
       // Materialize the (tiny: nLists × dim doubles) centroid table on
       // the driver between iterations — MLlib-style Lloyd. Without this
       // the lineage RE-SCANS the corpus once per prior iteration inside
       // every later stage (measured: the q54 plan read embeddings 6×);
       // collect + re-literal is value-identity, so oracle parity holds.
-      cents = next.as[(Long, Array[Double])].collect().sortBy(_._1).toSeq
-        .toDF("cid", "cv")
+      cents = meanPool(assigned, "cid", "v")
+        .withColumnRenamed("centroid", "cv")
+        .as[(Long, Array[Double])].collect().sortBy(_._1)
     }
     cents
+  }
+
+  /** Nearest-centroid assignment as a single-pass UDF over a
+    * driver-side centroid array — replaces the
+    * `crossJoin(broadcast(centroids)) + groupBy(min(struct(d, cid)))`
+    * argmin everywhere the CORPUS is the probe side. Value-identical
+    * to the expression form by construction:
+    *
+    *  - dot products accumulate left-to-right with float operands
+    *    widened to double per element ([[graft.functions.DotProduct]]
+    *    semantics; the input column's element type selects the
+    *    widening, never a lossy double→float cast);
+    *  - the candidate distance is `vv - 2.0*<v,c> + cc` in that exact
+    *    IEEE evaluation order, with cc precomputed unrounded;
+    *  - the argmin compares HALF_UP-6-rounded distances with ties to
+    *    the smallest cid — `min(struct(round(d, 6), cid))` exactly.
+    *    Rounding (Spark's Round on double = BigDecimal.valueOf +
+    *    setScale(6, HALF_UP), an allocation per call — the measured
+    *    q44 cost) only runs inside the near-min band
+    *    `d <= dmin + 1e-6`: any candidate outside it has
+    *    round(d) >= d - 5e-7 > dmin + 5e-7 >= round(dmin), so it can
+    *    never tie the rounded minimum — typically ONE BigDecimal per
+    *    row instead of nLists;
+    *  - a null vector, null element, or centroid-length mismatch gets
+    *    the SMALLEST cid, mirroring the expression path (every
+    *    distance is null there, and struct ordering puts a null field
+    *    first, so `min(struct(d, cid))` degenerates to min(cid)).
+    */
+  private[graft] def assignCidUdf(
+      vecType: org.apache.spark.sql.types.DataType,
+      centroids: Array[(Long, Array[Double])])
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    import org.apache.spark.sql.types.{ArrayType, FloatType, DoubleType}
+    require(centroids.nonEmpty, "assignCidUdf needs at least one centroid")
+    val cs = centroids.sortBy(_._1)
+    val cids = cs.map(_._1)
+    val cvs = cs.map(_._2)
+    val dim = cvs(0).length
+    require(cvs.forall(_.length == dim), "centroids must share one dimension")
+    val ccs = cvs.map { cv =>
+      var s = 0.0; var i = 0
+      while (i < dim) { s += cv(i) * cv(i); i += 1 }; s
+    }
+    def run(dv: Array[Double]): Long = {
+      var vv = 0.0; var i = 0
+      while (i < dim) { vv += dv(i) * dv(i); i += 1 }
+      val k = cids.length
+      val ds = new Array[Double](k)
+      var dmin = Double.PositiveInfinity
+      var c = 0
+      while (c < k) {
+        val cv = cvs(c); var s = 0.0; i = 0
+        while (i < dim) { s += dv(i) * cv(i); i += 1 }
+        val d = vv - 2.0 * s + ccs(c)
+        ds(c) = d
+        if (d < dmin) dmin = d
+        c += 1
+      }
+      var best = -1; var bestD = 0.0
+      c = 0
+      while (c < k) {
+        if (ds(c) <= dmin + 1e-6) {
+          val rd = java.math.BigDecimal.valueOf(ds(c))
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+          if (best < 0 || rd < bestD) { best = c; bestD = rd }
+        }
+        c += 1
+      }
+      cids(best)
+    }
+    def widen(v: Seq[Number]): Long =
+      if (v == null || v.length != dim || v.contains(null)) cids(0)
+      else {
+        val dv = new Array[Double](dim)
+        var i = 0
+        while (i < dim) { dv(i) = v(i).doubleValue(); i += 1 }
+        run(dv)
+      }
+    vecType match {
+      case ArrayType(FloatType, _) =>
+        udf { v: Seq[java.lang.Float] => widen(v) }
+      case ArrayType(DoubleType, _) =>
+        udf { v: Seq[java.lang.Double] => widen(v) }
+      case other => throw new IllegalArgumentException(
+        s"assignCidUdf expects array<float|double>, got ${other.catalogString}")
+    }
   }
 
   /** Per-key mean pooling of vectors — grouped embedding centroids (the
@@ -243,28 +348,35 @@ object Ann {
   def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
                nLists: Int, eps: Double, iters: Int = 2,
                sampleOneIn: Int = 1): DataFrame = {
-    val cs = kmeansCentroids(corpus, idCol, vecCol, nLists, iters, sampleOneIn)
-      .withColumn("cc", dot(col("cv"), col("cv")))
-    def dist = round(col("vv") - lit(2.0) * dot(col("v"), col("cv")) + col("cc"), 6)
-    val assigned = corpus
+    val cents = kmeansCentroidsLocal(corpus, idCol, vecCol, nLists, iters,
+      sampleOneIn)
+    val src = corpus
       .select(col(idCol).cast("long").as("vid"), col(vecCol).as("v"),
         norm(col(vecCol)).as("nrm"))
-      .withColumn("vv", dot(col("v"), col("v")))
-      .crossJoin(broadcast(cs))
-      .groupBy("vid")
-      .agg(min(struct(dist.as("d"), col("cid"))).as("m"),
-        first("v").as("v"), first("nrm").as("nrm"))
-      .select(col("vid"), col("v"), col("nrm"), col("m.cid").as("cid"))
+    // assignment is one map-only corpus scan ([[assignCidUdf]] — the
+    // crossJoin+groupBy argmin's n × nLists rows grew quadratically
+    // once nLists scales with the corpus). cents is empty only for an
+    // empty corpus, where src is already empty.
+    val assigned = (if (cents.isEmpty) src.withColumn("cid", lit(0L))
+      else src.withColumn("cid",
+        assignCidUdf(src.schema("v").dataType, cents)(col("v"))))
       .localCheckpoint(true)
     val a = assigned.select(col("cid"), col("vid").as("ia"),
       col("v").as("va"), col("nrm").as("na"))
     val b = assigned.select(col("cid"), col("vid").as("ib"),
       col("v").as("vb"), col("nrm").as("nb"))
     val nprod = col("na") * col("nb")
+    // `round(cos, 4) >= eps` is evaluated as `cos >= t` where t is the
+    // exact boundary double ([[round4Boundary]]) — value-identical for
+    // every double, but the per-pair BigDecimal allocation inside
+    // Spark's Round-on-double (the measured q44 cost) disappears from
+    // the O(sum m_c²) hot path: at the sf1 fixture the pair join spent
+    // 19.9 s of q119's 19.1 s, ~800 ns/pair across the 8 active
+    // reducers, dominated by exactly this rounding.
     val dropped = a.join(b, Seq("cid"))
       .filter(col("ia") > col("ib") &&
-        round(when(nprod > 0, dot(col("va"), col("vb")) / nprod)
-          .otherwise(lit(0.0)), 4) >= eps)
+        when(nprod > 0, dot(col("va"), col("vb")) / nprod)
+          .otherwise(lit(0.0)) >= lit(round4Boundary(eps)))
       .select(col("ia").as("vid")).distinct()
       .withColumn("dropped", lit(true))
     assigned.join(dropped, Seq("vid"), "left")
@@ -272,27 +384,57 @@ object Ann {
         coalesce(!col("dropped"), lit(true)).as("keep"))
   }
 
+  /** The smallest double x with `round(x, 4) >= eps` (HALF_UP — the
+    * semantics of Spark's Round on double AND DuckDB's round, so the
+    * oracle's `round(cos, 4) >= eps` filter is mirrored exactly by
+    * `cos >= round4Boundary(eps)` with no per-row rounding). Found by
+    * ulp-walking from eps - 5e-5: a handful of BigDecimal calls once
+    * on the driver instead of one per candidate pair.
+    */
+  private[graft] def round4Boundary(eps: Double): Double = {
+    def r4(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    var t = eps - 5e-5
+    if (r4(t) >= eps) {
+      while (r4(t) >= eps) t = Math.nextDown(t)
+      Math.nextUp(t)
+    } else {
+      while (r4(t) < eps) t = Math.nextUp(t)
+      t
+    }
+  }
+
   /** IVF probe/score path over an explicit centroid table (cid, cv). */
   def ivfTopKWith(corpus: DataFrame, queries: DataFrame,
                   idCol: String, vecCol: String, k: Int,
                   nProbe: Int, centroids: DataFrame): DataFrame = {
-    val cents = centroids.withColumn("cc", dot(col("cv"), col("cv")))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // the centroid table is bounded (nLists × dim) — collect it once;
+    // the float→double cast is exact widening, so the rebuilt probe-
+    // side literal and the assignment UDF see identical values
+    val local = centroids.select(col("cid").cast("long"),
+        transform(col("cv"), x => x.cast("double")).as("cv"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    val cents = local.toSeq.toDF("cid", "cv")
+      .withColumn("cc", dot(col("cv"), col("cv")))
     // ||v - c||^2 = vv - 2<v,c> + cc: vv is per-row, cc per-centroid, so
     // only the cross term is evaluated per (row, centroid) pair. Rounded
     // to 6 decimals BEFORE the argmin so list assignment is identical in
     // the oracle even if its dot-product fold differs by an ulp.
     def dist = round(col("vv") - lit(2.0) * dot(col("v"), col("cv")) + col("cc"), 6)
 
-    val assigned = corpus
+    // CORPUS assignment is one map-only scan ([[assignCidUdf]]); only
+    // the small QUERY side keeps the broadcast-explode expression path
+    // below. An empty centroid table assigns nothing — matching the
+    // previous crossJoin-with-empty behavior.
+    val src = corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("v"),
         norm(col(vecCol)).as("cnrm"))
-      .withColumn("vv", dot(col("v"), col("v")))
-      .crossJoin(broadcast(cents))
-      .groupBy("neighbor_id")
-      .agg(min(struct(dist.as("d"), col("cid"))).as("m"),
-        first("v").as("nv"), first("cnrm").as("cnrm"))
-      .select(col("neighbor_id"), col("nv").as("cv"), col("cnrm"),
-        col("m.cid").as("cid"))
+    val assigned = (if (local.isEmpty) src.filter(lit(false)).withColumn("cid", lit(0L))
+      else src.withColumn("cid",
+        assignCidUdf(src.schema("v").dataType, local)(col("v"))))
+      .select(col("neighbor_id"), col("v").as("cv"), col("cnrm"), col("cid"))
 
     val w0 = Window.partitionBy("query_id").orderBy(col("d"), col("cid"))
     val probes = queries

@@ -905,28 +905,32 @@ object Dedup {
       .select(col("id_a").as("id"), col("start_a"), col("start_b"), col("span_len"))
 
   /** Partition count for the substring-span g-exchange — sized from
-    * the INPUT, not the session default: the gram exchange is one row
-    * per character (~40 bytes hashed, ~40+2·minLen with string keys),
-    * a ~50-100× blow-up over the compressed scan, and the downstream
-    * anchor join is shuffle_hash-hinted, so every partition's postings
-    * must fit an executor's per-task execution memory as a hash map.
-    * A fixed session width does not survive a data decade: at the
-    * sf10 tier (500K docs) 32 partitions put ~2 GB of eligible
-    * postings behind 32 concurrent hash-map builds and the stage died
-    * with SparkOutOfMemoryError in an 8 GB heap. Targeting ~32 MB of
-    * estimated gram volume per partition keeps the build bounded at
-    * any scale (the 100 TB reading: ~250M needed partitions caps at
-    * 65536, each ~1.5 GB of raw grams but only the eligible fraction
-    * reaches a hash map). Estimation: Catalyst stats sizeInBytes
-    * (file-size-based for a scan) × ~2 chars per compressed byte of
-    * prose. Never below the session width, so small inputs keep the
-    * session plan exactly.
+    * the MEASURED gram count, not the session default: the gram
+    * exchange is one row per character, a ~50-100× blow-up over the
+    * compressed scan. Sizing from the compressed scan bytes was tried
+    * and underestimates (synthetic corpora compress 2.6-10×, so char
+    * volume is not a function of file size); the caller instead
+    * measures the exact gram count with one sum(length) agg job — a
+    * single-column scan, a few percent of the operator's own cost at
+    * any scale and the q119 count() precedent.
+    *
+    * The target is ~64 MB of raw shuffled gram rows per partition — a
+    * SPILL-granularity number, deliberately NOT a hash-build bound: an
+    * earlier revision targeted 16 MB of worst-case hash build, which
+    * at the sf10 tier meant a 369-424-way exchange whose per-task
+    * overhead cost ~50% wall clock on local[32] (q125 71.6 s →
+    * 108.9 s) and STILL OOM'd the non-spillable build it was
+    * protecting (the build bound belongs to the JOIN selection, which
+    * AQE now makes from real map stats — substringSpansImpl scaladoc).
+    * Locally this keeps the session width through ~sf1 and drifts up
+    * gently (sf10 → ~50); at 100 TB it caps at 65536 (~GB-scale
+    * partitions that sort-merge spills through). Never below the
+    * session width, so small inputs keep the session plan exactly.
     */
-  def gramExchangePartitions(inputBytes: BigInt, bytesPerGramRow: Int,
+  def gramExchangePartitions(gramRows: Long, shuffleBytesPerRow: Int,
                              sessionPartitions: Int): Int = {
-    val targetPartitionBytes = 32L * 1024 * 1024
-    val estimated = inputBytes * 2 * bytesPerGramRow / targetPartitionBytes
-    math.max(sessionPartitions, estimated.min(BigInt(65536)).toInt)
+    val needed = gramRows * shuffleBytesPerRow / (64L * 1024 * 1024)
+    math.max(sessionPartitions, math.min(needed, 65536L).toInt)
   }
 
   private def substringSpansImpl(docs: DataFrame, idCol: String, textCol: String,
@@ -955,18 +959,22 @@ object Dedup {
       .select(col(idCol).cast("long").as("id"),
         explode(gramUdf(col(textCol))).as("pg"))
       .select(col("id"), col("pg._1").as("pos"), col("pg._2").as("g"))
-    // anchor pairs via a g-keyed self equi-join, NOT the collect_list +
-    // slice-explode posting pattern used elsewhere in this file: a hot
-    // gram's posting array would be copied once per emitted pair
-    // (O(freq²) array builds; measured 0.6 s slower at sf0.1 and the
-    // gap widens with freq), while the join streams the same pairs with
-    // zero array materialization. All three shuffles (frequency agg,
-    // both join sides) key on g, so the exchanges co-partition and the
-    // frequency cap still bounds the worst key's fan-out. shuffle_hash
-    // hints: sort-merge's per-row 40-char string sorts dominate the
-    // default plan (measured at 50K docs/15M grams: SMJ 38 s, SHJ 16 s,
-    // SHJ on hashed grams 10 s); the hash build side is bounded per
-    // partition, never a broadcast of the corpus.
+    // CROSS-doc anchor pairs via a g-keyed self equi-join, NOT the
+    // collect_list + slice-explode posting pattern used elsewhere in
+    // this file: a hot gram's posting array would be copied once per
+    // emitted pair (O(freq²) array builds; measured 0.6 s slower at
+    // sf0.1 and the gap widens with freq), while the join streams the
+    // same pairs with zero array materialization. All three shuffles
+    // (frequency agg, both join sides) key on g, so the exchanges
+    // co-partition and the frequency cap still bounds the worst key's
+    // fan-out. Join strategy is AQE's call (build.sbt pins
+    // maxShuffledHashJoinLocalMapThreshold=64m): it converts to a
+    // hash join when every build partition measures under the
+    // threshold — recovering the measured SHJ-over-string-SMJ win
+    // (50K docs/15M grams: SMJ 38 s, SHJ 16 s, SHJ hashed 10 s)
+    // whenever it is safe — and keeps spillable sort-merge (8-byte
+    // long sorts under hashGrams) when the eligible volume is large,
+    // where a forced hash build OOMs.
     //
     // hashGrams = true replaces the gram string with xxhash64(gram)
     // before any shuffle — 8-byte keys through every exchange and join
@@ -1013,37 +1021,96 @@ object Dedup {
     // (frequency agg, both join sides) reuse — without it each consumer
     // re-runs the gram UDF and re-shuffles (ReusedExchange was absent:
     // measured 14.8 s → 10.3 s at 50K docs/15M grams from this line).
-    // Width is input-derived ([[gramExchangePartitions]]); every
-    // downstream groupBy/join keys on g, so HashPartitioning(g, n)
-    // satisfies their distribution at any n and the width propagates
-    // through the whole pipeline without further exchanges.
-    val nPart = gramExchangePartitions(
-      docs.queryExecution.optimizedPlan.stats.sizeInBytes,
-      if (hashGrams) 40 else 40 + 2 * L,
+    // Width is derived from the MEASURED gram count (one sum(length)
+    // agg job — [[gramExchangePartitions]] scaladoc for why estimating
+    // from scan bytes fails); every downstream groupBy/join keys on g
+    // (or a superset of g), so HashPartitioning(g, n) satisfies their
+    // distribution at any n and the width propagates through the whole
+    // pipeline without further exchanges. The joins carry NO static
+    // shuffle_hash hints: AQE's maxShuffledHashJoinLocalMapThreshold
+    // (pinned in build.sbt, documented in the [[exactSubstringSpans]]
+    // contract) converts to a hash join from REAL map-output stats —
+    // exactly when every build partition fits the threshold — and
+    // leaves spillable sort-merge otherwise. The static hints this
+    // replaces OOM'd the sf10/minLen=15 run at every tried width (82%
+    // of 141M postings eligible = unbounded non-spillable builds).
+    val gramRowCount = {
+      val r = docs.agg(sum(greatest(length(col(textCol)) - lit(L - 1), lit(0)))).first()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    val shuffleBytesPerRow = if (hashGrams) 24 else 24 + L
+    val nPart = gramExchangePartitions(gramRowCount, shuffleBytesPerRow,
       docs.sparkSession.sessionState.conf.numShufflePartitions)
     val gramed = pruned.repartition(nPart, col("g"))
     val eligible = gramed.groupBy("g").agg(count(lit(1)).as("__f"))
       .filter(col("__f").between(2, maxGramFreq))
       .select("g")
-    val keyed = gramed.join(eligible.hint("shuffle_hash"), "g")
     // pair half-planes: cross-doc (id_a < id_b), within-doc repeats
     // (same id, pos_a < pos_b — the diag != 0 half-plane), or both.
-    // The global `eligible` count is a superset filter for the self
-    // mode (a within-doc repeat is also globally repeated), so the
-    // predicate alone selects the plane.
-    val crossPred = col("id_a") < col("id_b")
-    val selfPred = col("id_a") === col("id_b") && col("pos_a") < col("pos_b")
-    val pairPred = pairMode match {
-      case "cross" => crossPred
-      case "self"  => selfPred
-      case "both"  => crossPred || selfPred
-      case other   => throw new IllegalArgumentException(s"bad pairMode $other")
+    //
+    // The two planes take STRUCTURALLY different paths. Cross-doc
+    // pairs are the g-keyed self equi-join below: the id_a < id_b
+    // INEQUALITY stays a post-match condition, so the join key is g
+    // alone and the g-exchange is reused for both sides. Within-doc
+    // pairs must NOT be written as that join with id_a === id_b:
+    // Catalyst extracts the equality into the join key, the join
+    // becomes an (id, g) equi-join that RE-SHUFFLES the full posting
+    // volume at session width (discarding the derived-width exchange,
+    // whose reuse also breaks) and hash-builds multi-column keys —
+    // the shape that OOM'd every sf10 self-mode run. A within-doc
+    // repeat is a per-(g, id) fact, so it is computed as a GROUPING:
+    // gramed is hash-partitioned by g, and HashPartitioning(g)
+    // satisfies ClusteredDistribution(g, id), so the groupBy below
+    // adds NO exchange; the global-frequency cap then applies via a
+    // co-partitioned join against `eligible` whose probe side is only
+    // the within-doc-repeated (g, id) groups (rare), not the corpus.
+    require(Set("cross", "self", "both")(pairMode),
+      s"bad pairMode $pairMode")
+    val crossAnchors = if (pairMode == "self") None else {
+      val keyed = gramed.join(eligible, "g")
+      Some(keyed.select(col("g"), col("id").as("id_a"), col("pos").as("pos_a"))
+        .join(keyed.select(col("g"), col("id").as("id_b"), col("pos").as("pos_b")), "g")
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "pos_a", "id_b", "pos_b"))
     }
-    val anchors = keyed.select(col("g"), col("id").as("id_a"), col("pos").as("pos_a"))
-      .join(keyed.select(col("g"), col("id").as("id_b"), col("pos").as("pos_b"))
-        .hint("shuffle_hash"), "g")
-      .filter(pairPred)
-      .select("id_a", "pos_a", "id_b", "pos_b")
+    val selfAnchors = if (pairMode == "cross") None else {
+      // ordered position pairs within one (gram, doc) group; the
+      // collect_list is bounded by one gram's occurrences in one
+      // document (<= doc length), and sort_array makes the pair
+      // emission order-free over the unordered aggregation
+      val pairsUdf = udf { ps: Seq[Long] =>
+        val out = Array.newBuilder[(Long, Long)]
+        var i = 0
+        while (i < ps.length) {
+          var j = i + 1
+          while (j < ps.length) { out += ((ps(i), ps(j))); j += 1 }
+          i += 1
+        }
+        out.result()
+      }
+      // two-phase: a plain COUNT first (fast fused hash agg — a direct
+      // collect_list over every (g, id) group is an object agg that
+      // falls back to sort-based past the fallback threshold; measured
+      // 3.5 s vs 1.4 s at sf0.1), then re-fetch positions for just the
+      // REPEATED groups. Both aggs and the eligible join ride the
+      // g-partitioning (HashPartitioning(g) satisfies the subset
+      // distributions — zero new exchanges); the posting re-fetch join
+      // keys on (g, id), where AQE broadcasts the rare repeated keys
+      // and falls back to a spillable re-exchange only if a corpus is
+      // boilerplate-repeated at broadcast-breaking volume.
+      val repeated = gramed.groupBy("g", "id")
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") >= 2).select("g", "id")
+        .join(eligible, "g")
+      Some(gramed.join(repeated, Seq("g", "id"))
+        .groupBy("g", "id")
+        .agg(sort_array(collect_list(col("pos"))).as("ps"))
+        .select(col("id"), explode(pairsUdf(col("ps"))).as("pp"))
+        .select(col("id").as("id_a"), col("pp._1").as("pos_a"),
+          col("id").as("id_b"), col("pp._2").as("pos_b")))
+    }
+    val anchors = (crossAnchors.toSeq ++ selfAnchors.toSeq)
+      .reduce(_ unionByName _)
       .withColumn("diag", col("pos_a") - col("pos_b"))
     // anchors are unique per (pair, pos_a): the gram AT a position is a
     // function of the position, so no distinct is needed before the

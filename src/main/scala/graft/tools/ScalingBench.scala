@@ -20,6 +20,14 @@ object ScalingBench {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config(graft.engine.Tables.NanosConf, "true")
+      // The derived fixtures are ONE parquet file per table (57 MB docs
+      // at sf10), so the default 128 MB maxPartitionBytes turns every
+      // map-only operator into a single task on a 32-core box — q86's
+      // regex redaction measured 15.1x/decade purely from that
+      // serialization. A real corpus at this tier presents hundreds of
+      // splits; 4 MB splits restore that shape for the measurement
+      // (scan tasks ~ size/4MB, still 1 task at the sub-4MB SFs).
+      .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000000).selectExpr("sum(id)").collect()

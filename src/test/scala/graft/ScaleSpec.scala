@@ -12,22 +12,60 @@ class ScaleSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
-  test("gramExchangePartitions: session floor, input scaling, hard cap") {
+  test("gramExchangePartitions: session floor, gram-count scaling, hard cap") {
     import graft.operators.Dedup.gramExchangePartitions
-    // small inputs never go below the session width (local plans intact)
-    assert(gramExchangePartitions(BigInt(600 * 1024), 40, 32) == 32)
-    // sf10-shaped input (57 MB compressed docs, hashed grams): enough
-    // width that a 32-task-concurrent SHJ build stays bounded
-    val sf10 = gramExchangePartitions(BigInt(57L * 1024 * 1024), 40, 32)
-    assert(sf10 > 100 && sf10 < 300, s"got $sf10")
-    // 100 TB input caps at 65536 instead of millions of partitions
-    assert(gramExchangePartitions(BigInt(100L * 1000 * 1000) * 1000000, 40, 32) == 65536)
+    // small corpora never go below the session width (local plans
+    // intact) — sf1 (14.2M grams) still rides the session width
+    assert(gramExchangePartitions(1500000L, 24, 32) == 32)
+    assert(gramExchangePartitions(14160000L, 24, 32) == 32)
+    // sf10-shaped corpus (141.6M measured grams, hashed keys): drifts
+    // gently above the session width (the earlier 16 MB-of-hash-build
+    // target's 369-424-way exchange cost ~50% wall clock on local[32])
+    val sf10 = gramExchangePartitions(141557600L, 24, 32)
+    assert(sf10 > 32 && sf10 < 100, s"got $sf10")
+    // 100 TB of text caps at 65536 instead of millions of partitions
+    assert(gramExchangePartitions(100L * 1000 * 1000 * 1000000, 24, 32) == 65536)
     // string grams carry the gram bytes through the exchange: wider
-    assert(gramExchangePartitions(BigInt(57L * 1024 * 1024), 120, 32) >
-      gramExchangePartitions(BigInt(57L * 1024 * 1024), 40, 32))
+    assert(gramExchangePartitions(141557600L, 24 + 40, 32) >
+      gramExchangePartitions(141557600L, 24, 32))
   }
 
-  test("substring-span exchange width follows the input size") {
+  test("self-mode spans never join the posting volume on (id, g)") {
+    // the within-doc plane must be the groupBy(g, id) path: written as
+    // a join with id_a === id_b, Catalyst extracts the equality into
+    // the join key and re-shuffles the full posting volume at session
+    // width with multi-column hash builds — the shape that OOM'd every
+    // sf10 self-mode run. The groupBy adds no exchange on top of the
+    // g-partitioned gram frame (HashPartitioning(g) satisfies
+    // ClusteredDistribution(g, id)).
+    val docs = spark.read.parquet(s"${SparkTestSession.sfDir}/documents.parquet")
+    val plan = graft.operators.Dedup.selfRepeatSpans(
+      docs, "doc_id", "text", minLen = 15, hashGrams = true)
+      .queryExecution.executedPlan.toString
+    // no join keyed on the doc id (the only joins left key on g); the
+    // (id_a, id_b, diag) window exchange over the small anchor set is
+    // expected and fine
+    assert(!plan.contains("Join [id"), plan.take(800))
+  }
+
+  test("both-mode span anchors equal cross-anchors plus self-anchors") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"${SparkTestSession.sfDir}/documents.parquet")
+    def spans(includeSelf: Boolean) = graft.operators.Dedup.exactSubstringSpans(
+      docs, "doc_id", "text", minLen = 15, hashGrams = true,
+      includeSelf = includeSelf)
+    val cross = spans(false)
+    val both = spans(true)
+    val self = graft.operators.Dedup.selfRepeatSpans(
+      docs, "doc_id", "text", minLen = 15, hashGrams = true)
+      .select(col("id").as("id_a"), col("id").as("id_b"),
+        col("start_a"), col("start_b"), col("span_len"))
+    // both == cross ∪ self, and the planes are disjoint
+    assert(both.count() == cross.count() + self.count())
+    assert(both.exceptAll(cross.unionByName(self)).count() == 0)
+  }
+
+  test("substring-span exchange width follows the measured gram count") {
     val docs = spark.read.parquet(s"${SparkTestSession.sfDir}/documents.parquet")
     val sessionPartitions = spark.sessionState.conf.numShufflePartitions
     val spans = graft.operators.Dedup.exactSubstringSpans(
@@ -35,9 +73,11 @@ class ScaleSpec extends AnyFunSuite {
     val widths = spans.queryExecution.executedPlan.toString
     // at test scale the derived width IS the session width — the plan
     // is unchanged where it was already right
+    import org.apache.spark.sql.functions._
+    val grams = docs.agg(sum(greatest(length(col("text")) - lit(39), lit(0))))
+      .first().getLong(0)
     assert(graft.operators.Dedup.gramExchangePartitions(
-      docs.queryExecution.optimizedPlan.stats.sizeInBytes, 40,
-      sessionPartitions) == sessionPartitions, widths.take(500))
+      grams, 24, sessionPartitions) == sessionPartitions, widths.take(500))
   }
 
   test("semDedupNLists keeps 8 lists at every oracle-checked SF, grows past them") {
