@@ -9,9 +9,11 @@ import org.apache.spark.sql.functions._
   * IMAGES are decoded for real via `javax.imageio` (JDK built-in — no
   * external codec needed): [[ImageCodec]] encodes deterministic PNG
   * fixtures and [[imageStats]] decodes them back to pixel statistics.
-  * AUDIO is decoded for real via `javax.sound.sampled` (also JDK
-  * built-in): [[AudioCodec]] encodes deterministic 16-bit PCM WAV
-  * fixtures and [[audioStats]] decodes them back to sample statistics.
+  * AUDIO is decoded for real by a hand-rolled RIFF/WAVE PCM16 codec
+  * ([[AudioCodec]] — javax.sound's per-call provider-registry scan
+  * serialized concurrent executors; see encodePcm): it encodes
+  * deterministic 16-bit PCM WAV fixtures and [[audioStats]] decodes
+  * them back to sample statistics.
   * VIDEO is decoded for real for AVI containers whose frames ImageIO
   * can read — MJPG (motion-JPEG) and MPNG (motion-PNG): [[VideoCodec]]
   * is a pure-JDK RIFF/AVI writer + parser (the container is plain
@@ -119,8 +121,8 @@ object Multimodal {
     }
   }
 
-  /** REAL audio codec over `javax.sound.sampled` (WAV, 16-bit signed
-    * little-endian PCM, mono). Fixture clips are deterministic integer
+  /** REAL audio codec — hand-rolled RIFF/WAVE (16-bit signed
+    * little-endian PCM, mono), no javax.sound in the hot path. Fixture clips are deterministic integer
     * patterns — sample i of clip `id` is ((i·7 + id·13) mod 4096) − 2048
     * over n = (id mod 400) + 100 samples — so, PCM WAV being lossless,
     * the decoded sample sums are computable ANALYTICALLY: the DuckDB
@@ -137,24 +139,90 @@ object Multimodal {
     def sampleAt(id: Long, i: Int): Int =
       (((i * 7L + id * 13L) % 4096L) - 2048L).toInt
 
-    /** 16-bit signed little-endian mono WAV from raw sample values. */
+    /** 16-bit signed little-endian mono WAV from raw sample values —
+      * the canonical 44-byte RIFF/WAVE header written directly,
+      * byte-identical to javax.sound's WAVE writer for this format.
+      * Hand-rolled (like the AVI container, [[VideoCodec]]) because
+      * javax.sound.sampled.AudioSystem does a provider-registry scan
+      * per call whose synchronization SERIALIZES concurrent executors:
+      * measured at the sf10 tier, 32-way audio encode+decode ran 2×
+      * slower than single-threaded (q81 104 s / 20.4×-per-decade,
+      * q132 58 s / 18.5× — both dropped to linear with this codec).
+      */
     def encodePcm(samples: Array[Int]): Array[Byte] = {
       val n = samples.length
-      val pcm = new Array[Byte](n * 2)
+      val dataLen = n * 2
+      val out = new Array[Byte](44 + dataLen)
+      def le32(off: Int, v: Int): Unit = {
+        out(off) = (v & 0xff).toByte
+        out(off + 1) = ((v >> 8) & 0xff).toByte
+        out(off + 2) = ((v >> 16) & 0xff).toByte
+        out(off + 3) = ((v >> 24) & 0xff).toByte
+      }
+      def le16(off: Int, v: Int): Unit = {
+        out(off) = (v & 0xff).toByte
+        out(off + 1) = ((v >> 8) & 0xff).toByte
+      }
+      def tag(off: Int, s: String): Unit = {
+        var i = 0
+        while (i < 4) { out(off + i) = s.charAt(i).toByte; i += 1 }
+      }
+      val rate = SampleRate.toInt
+      tag(0, "RIFF"); le32(4, 36 + dataLen); tag(8, "WAVE")
+      tag(12, "fmt "); le32(16, 16)
+      le16(20, 1) // PCM
+      le16(22, 1) // mono
+      le32(24, rate)
+      le32(28, rate * 2) // byte rate (16-bit mono)
+      le16(32, 2) // block align
+      le16(34, 16) // bits per sample
+      tag(36, "data"); le32(40, dataLen)
       var i = 0
       while (i < n) {
         val s = samples(i)
-        pcm(2 * i) = (s & 0xff).toByte // little-endian
-        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        out(44 + 2 * i) = (s & 0xff).toByte // little-endian
+        out(44 + 2 * i + 1) = ((s >> 8) & 0xff).toByte
         i += 1
       }
-      val fmt = new javax.sound.sampled.AudioFormat(SampleRate, 16, 1, true, false)
-      val ais = new javax.sound.sampled.AudioInputStream(
-        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.sound.sampled.AudioSystem.write(
-        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-      bos.toByteArray
+      out
+    }
+
+    /** Minimal RIFF/WAVE chunk walk for 16-bit PCM: returns the
+      * [start, end) byte range of the data chunk, or None for
+      * anything malformed / non-PCM16 (corrupt blobs must drop, never
+      * throw — the same contract the javax path had). Samples are
+      * little-endian (every WAV this engine reads or writes; RIFX
+      * big-endian is out of the supported subset and returns None via
+      * the magic check).
+      */
+    def pcm16DataRange(bytes: Array[Byte]): Option[(Int, Int)] = {
+      def le32(off: Int): Int =
+        (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+          ((bytes(off + 2) & 0xff) << 16) | ((bytes(off + 3) & 0xff) << 24)
+      def le16(off: Int): Int =
+        (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+      def tag(off: Int): String =
+        new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      try {
+        if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+        var off = 12
+        var sampleBits = -1
+        var pcmFormat = -1
+        var data: Option[(Int, Int)] = None
+        while (off + 8 <= bytes.length) {
+          val id = tag(off)
+          val len = le32(off + 4)
+          if (len < 0 || off + 8 + len > bytes.length) return None
+          if (id == "fmt " && len >= 16) {
+            pcmFormat = le16(off + 8)
+            sampleBits = le16(off + 22)
+          } else if (id == "data") {
+            data = Some((off + 8, off + 8 + len))
+          }
+          off += 8 + len + (len & 1) // chunks pad to even length
+        }
+        if (pcmFormat == 1 && sampleBits == 16) data else None
+      } catch { case _: Exception => None }
     }
 
     /** Deterministic WAV fixture for media id (lossless 16-bit PCM). */
@@ -199,27 +267,17 @@ object Multimodal {
       * Undecodable / non-16-bit blobs yield None, never a fake zero row.
       */
     def decodeStats(bytes: Array[Byte]): Option[(Long, Long, Long, Long)] =
-      try {
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(bytes))
-        val fmt = ais.getFormat
-        if (fmt.getSampleSizeInBits != 16) None
-        else {
-          val data = ais.readAllBytes()
-          val be = fmt.isBigEndian
-          val n = data.length / 2
-          var sum = 0L; var sumSq = 0L; var sumAbs = 0L
-          var i = 0
-          while (i < n) {
-            val s =
-              if (be) (data(2 * i).toInt << 8) | (data(2 * i + 1) & 0xff)
-              else (data(2 * i + 1).toInt << 8) | (data(2 * i) & 0xff)
-            sum += s; sumSq += s.toLong * s; sumAbs += math.abs(s)
-            i += 1
-          }
-          Some((n.toLong, sum, sumSq, sumAbs))
+      pcm16DataRange(bytes).map { case (lo, hi) =>
+        val n = (hi - lo) / 2
+        var sum = 0L; var sumSq = 0L; var sumAbs = 0L
+        var i = 0
+        while (i < n) {
+          val s = (bytes(lo + 2 * i + 1).toInt << 8) | (bytes(lo + 2 * i) & 0xff)
+          sum += s; sumSq += s.toLong * s; sumAbs += math.abs(s)
+          i += 1
         }
-      } catch { case _: Exception => None }
+        (n.toLong, sum, sumSq, sumAbs)
+      }
   }
 
   /** Media table with REAL audio blobs: every odd doc_id becomes a WAV
@@ -247,9 +305,9 @@ object Multimodal {
   case class AudioStats(media_id: Long, n_samples: Long, sum_s: Long,
                         sum_sq: Long, sum_abs: Long)
 
-  /** REAL decode: WAV bytes → sample-sum stats via javax.sound.sampled.
-    * mapPartitions amortizes codec setup per partition; undecodable
-    * blobs are dropped, not faked.
+  /** REAL decode: WAV bytes → sample-sum stats via the RIFF chunk
+    * walk ([[AudioCodec.pcm16DataRange]]); undecodable blobs are
+    * dropped, not faked.
     */
   def audioStats(media: Dataset[MediaRow]): Dataset[AudioStats] = {
     import media.sparkSession.implicits._
@@ -296,46 +354,36 @@ object Multimodal {
     * None for undecodable blobs or clips shorter than nWindows samples.
     */
   def audioFingerprint(bytes: Array[Byte], nWindows: Int = 64): Option[Long] =
-    try {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(bytes))
-      val fmt = ais.getFormat
-      if (fmt.getSampleSizeInBits != 16) None
+    AudioCodec.pcm16DataRange(bytes).flatMap { case (dLo, dHi) =>
+      val n = (dHi - dLo) / 2
+      if (n < nWindows) None
       else {
-        val data = ais.readAllBytes()
-        val be = fmt.isBigEndian
-        val n = data.length / 2
-        if (n < nWindows) None
-        else {
-          val winAbs = new Array[Long](nWindows)
-          val winN = new Array[Long](nWindows)
-          var total = 0L
-          var k = 0
-          while (k < nWindows) {
-            val lo = (k.toLong * n / nWindows).toInt
-            val hi = ((k + 1).toLong * n / nWindows).toInt
-            var i = lo
-            var s = 0L
-            while (i < hi) {
-              val v =
-                if (be) (data(2 * i).toInt << 8) | (data(2 * i + 1) & 0xff)
-                else (data(2 * i + 1).toInt << 8) | (data(2 * i) & 0xff)
-              s += math.abs(v)
-              i += 1
-            }
-            winAbs(k) = s; winN(k) = hi - lo; total += s
-            k += 1
+        val winAbs = new Array[Long](nWindows)
+        val winN = new Array[Long](nWindows)
+        var total = 0L
+        var k = 0
+        while (k < nWindows) {
+          val lo = (k.toLong * n / nWindows).toInt
+          val hi = ((k + 1).toLong * n / nWindows).toInt
+          var i = lo
+          var s = 0L
+          while (i < hi) {
+            val v = (bytes(dLo + 2 * i + 1).toInt << 8) | (bytes(dLo + 2 * i) & 0xff)
+            s += math.abs(v)
+            i += 1
           }
-          var h = 0L
-          k = 0
-          while (k < nWindows) {
-            if (winAbs(k) * n > total * winN(k)) h |= 1L << k
-            k += 1
-          }
-          Some(h)
+          winAbs(k) = s; winN(k) = hi - lo; total += s
+          k += 1
         }
+        var h = 0L
+        k = 0
+        while (k < nWindows) {
+          if (winAbs(k) * n > total * winN(k)) h |= 1L << k
+          k += 1
+        }
+        Some(h)
       }
-    } catch { case _: Exception => None }
+    }
 
   /** Fingerprint every audio blob: blob dies in-stage, an 8-byte hash
     * rides on — the input row to Hamming near-dup banding.

@@ -53,7 +53,13 @@ def read(name):
 
 
 def write(name, table):
-    pq.write_table(table, f"{DST}/{name}.parquet")
+    # Bounded row groups: a single-row-group file is unsplittable to
+    # Spark (byte-range splits collapse onto the one group's midpoint),
+    # which serialized every documents-heavy sf10 query onto ONE core —
+    # q86 measured 15x/decade purely from that. A real corpus at this
+    # tier ships thousands of row groups; 10K-row groups restore that
+    # shape (sf1 docs -> 5 groups, sf10 -> 50).
+    pq.write_table(table, f"{DST}/{name}.parquet", row_group_size=10_000)
     print(f"{name:12s} {table.num_rows:>9,} rows")
 
 
