@@ -23,21 +23,34 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
 
-  /** The events table carries parquet TIMESTAMP(NANOS) — Spark has no
-    * nanosecond timestamp type and rejects the file outright
-    * (PARQUET_TYPE_ILLEGAL). Read nanos as Long (legacy conf, set ONCE in
-    * the session builder — a reader must not mutate shared session conf
-    * as a cross-query side effect) and floor to microseconds; DuckDB
-    * keeps full ns, but every query emits second-granularity strings /
-    * comparisons, where floor(ns)==floor(µs).
+  /** The events reader is SCHEMA-ADAPTIVE because the driver has shipped
+    * this table in two physical forms across rounds:
+    *
+    *  - parquet TIMESTAMP(NANOS): Spark has no nanosecond timestamp type
+    *    and rejects the file outright (PARQUET_TYPE_ILLEGAL) unless the
+    *    legacy nanosAsLong conf (set ONCE in the session builder — a
+    *    reader must not mutate shared session conf as a cross-query side
+    *    effect) reads nanos as Long; we then floor to microseconds.
+    *    DuckDB keeps full ns, but every query emits second-granularity
+    *    strings / comparisons, where floor(ns)==floor(µs).
+    *  - parquet timestamp[us] (isAdjustedToUTC=false), which Spark reads
+    *    as TIMESTAMP_NTZ: cast to the session-zone TIMESTAMP so every
+    *    downstream consumer (window(), watermarks, java.sql.Timestamp
+    *    encoders in the streaming twins) sees the type this codebase was
+    *    written against. The cast preserves the wall clock, and DuckDB
+    *    reads the identical wall clock, so oracle comparisons hold in
+    *    any session zone.
     */
   val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
   def events(s: SparkSession, d: String): DataFrame = {
-    require(s.conf.getOption(NanosConf).contains("true"),
-      s"""set .config("$NanosConf", "true") in the SparkSession builder to read the ns-timestamp events table""")
     import org.apache.spark.sql.functions._
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types._
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
