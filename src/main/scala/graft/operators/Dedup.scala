@@ -933,13 +933,18 @@ object Dedup {
     math.max(sessionPartitions, math.min(needed, 65536L).toInt)
   }
 
-  private def substringSpansImpl(docs: DataFrame, idCol: String, textCol: String,
-                                 minLen: Int, maxGramFreq: Int,
-                                 hashGrams: Boolean, bloomPrune: Boolean,
-                                 pairMode: String): DataFrame = {
-    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
-    require(maxGramFreq >= 2, s"maxGramFreq must be >= 2, got $maxGramFreq")
-    val L = minLen
+  /** The shared posting pipeline of the substring-span family: one
+    * (id, pos, g) row per position admitting a full L-gram, hashed /
+    * bloom-pruned per the flags, materialized as ONE g-partitioned
+    * exchange at a width derived from the measured gram count
+    * ([[gramExchangePartitions]]). Both the span reporters
+    * ([[substringSpansImpl]]) and the removal fast path
+    * ([[removeDuplicateSpans]]) start here, so the volume/tuning
+    * trade-offs documented inline apply to every family member.
+    */
+  private def gramPostings(docs: DataFrame, idCol: String, textCol: String,
+                           L: Int, hashGrams: Boolean,
+                           bloomPrune: Boolean): DataFrame = {
     // one (id, pos, gram) row per position admitting a full-length gram;
     // the filter-over-sequence guard yields an empty array (not a bad
     // sequence bound) for docs shorter than minLen
@@ -1041,7 +1046,17 @@ object Dedup {
     val shuffleBytesPerRow = if (hashGrams) 24 else 24 + L
     val nPart = gramExchangePartitions(gramRowCount, shuffleBytesPerRow,
       docs.sparkSession.sessionState.conf.numShufflePartitions)
-    val gramed = pruned.repartition(nPart, col("g"))
+    pruned.repartition(nPart, col("g"))
+  }
+
+  private def substringSpansImpl(docs: DataFrame, idCol: String, textCol: String,
+                                 minLen: Int, maxGramFreq: Int,
+                                 hashGrams: Boolean, bloomPrune: Boolean,
+                                 pairMode: String): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    require(maxGramFreq >= 2, s"maxGramFreq must be >= 2, got $maxGramFreq")
+    val L = minLen
+    val gramed = gramPostings(docs, idCol, textCol, L, hashGrams, bloomPrune)
     val eligible = gramed.groupBy("g").agg(count(lit(1)).as("__f"))
       .filter(col("__f").between(2, maxGramFreq))
       .select("g")
@@ -1138,25 +1153,65 @@ object Dedup {
     * fixed-width however large the documents are (and the DuckDB
     * oracle can rebuild the identical value from segment arithmetic).
     *
-    * Scale shape: spans flow through one groupBy(id) whose state is
-    * the document's own interval list (bounded by doc length / minLen);
-    * the merge-and-cut is a single deterministic JVM pass per doc; the
-    * final join back to the corpus is an equi-join on the doc id. No
-    * stage sees more than O(spans + docs) rows.
+    * REMOVAL SKIPS THE PAIR JOIN ENTIRELY — the keeper formulation.
+    * The cut set of a document is the union of its losing-side span
+    * intervals, and that union equals the union of [p, p+L) over every
+    * anchor position p whose L-gram has a lexicographically EARLIER
+    * occurrence (lower doc id; same doc + earlier pos when
+    * includeSelf): a maximal span of length M is exactly the union of
+    * its M-L+1 consecutive anchor windows, and conversely every such
+    * anchor lies inside the maximal span through its earlier partner —
+    * so the two unions coincide interval-for-interval after the merge.
+    * That turns the per-gram cost from the pair join's O(freq²) into
+    * one min(struct(id, pos)) aggregate + one co-partitioned join
+    * back, both riding the g-exchange with zero new shuffles: O(freq)
+    * per gram, linear in corpus size. Measured at the sf10 tier
+    * (500 K docs, 141 M postings, minLen=15 both planes): 177 s via
+    * the pair machinery → 27 s here, and the 6.5×-per-decade growth
+    * row collapses to the posting family's ~2× (BASELINE.md). The
+    * [[exactSubstringSpans]] pair path still exists for span
+    * REPORTING, whose output genuinely names pairs; equivalence of
+    * the two removal routes is property-tested on adversarial
+    * periodic corpora (DedupPropertySpec).
+    *
+    * maxGramFreq keeps the identical recall contract: grams outside
+    * [2, maxGramFreq] anchor nothing in either formulation, so both
+    * drop the same intervals.
+    *
+    * Scale shape: covered anchors flow through one groupBy(id) whose
+    * state is the document's own interval list (bounded by doc
+    * length); the merge-and-cut is a single deterministic JVM pass per
+    * doc; the final join back to the corpus is an equi-join on the doc
+    * id. No stage sees more than O(postings + docs) rows.
     */
   def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
                            minLen: Int, maxGramFreq: Int = 1000,
                            hashGrams: Boolean = false,
                            bloomPrune: Boolean = false,
                            includeSelf: Boolean = false): DataFrame = {
-    // includeSelf completes the Lee et al. loop: a self span's later
-    // copy (start_b, since pos_a < pos_b) lands on the SAME id_b-keyed
-    // cut path as a cross span's higher-id copy — the doc keeps its
-    // first occurrence and loses the repeat, no special case needed.
-    val spans = exactSubstringSpans(docs, idCol, textCol, minLen, maxGramFreq,
-      hashGrams, bloomPrune, includeSelf)
-    val ivs = spans.select(col("id_b").as("id"), col("start_b").as("s"),
-        (col("start_b") + col("span_len")).as("e")) // [s, e) 1-based
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    require(maxGramFreq >= 2, s"maxGramFreq must be >= 2, got $maxGramFreq")
+    // keeper formulation (scaladoc): an anchor is CUT iff its gram has
+    // an earlier occurrence. One aggregate finds each eligible gram's
+    // frequency and lexicographically-first occurrence; the join back
+    // is g-keyed on the same partitioning (no exchange), and the
+    // struct comparison below is Spark's native lexicographic struct
+    // ordering. includeSelf widens "earlier" from lower-doc-only to
+    // the full (id, pos) order — a self repeat's later copy lands on
+    // the same cut path as a cross span's higher-id copy.
+    val gramed = gramPostings(docs, idCol, textCol, minLen, hashGrams, bloomPrune)
+    val firstOcc = gramed.groupBy("g")
+      .agg(count(lit(1)).as("__f"),
+        min(struct(col("id"), col("pos"))).as("__mo"))
+      .filter(col("__f").between(2, maxGramFreq))
+      .select("g", "__mo")
+    val cutAnchor =
+      if (includeSelf) struct(col("id"), col("pos")) > col("__mo")
+      else col("id") > col("__mo").getField("id")
+    val ivs = gramed.join(firstOcc, "g")
+      .filter(cutAnchor)
+      .select(col("id"), col("pos").as("s"),
+        (col("pos") + lit(minLen.toLong)).as("e")) // [s, e) 1-based
       .groupBy("id")
       .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("ivs"))
     // one deterministic pass: merge sorted intervals (s <= prevE

@@ -192,4 +192,65 @@ class DedupPropertySpec extends AnyFunSuite {
     assume(selfModel.nonEmpty)
     assert(gotSelf == selfModel)
   }
+
+  test("removeDuplicateSpans keeper path equals the span-derived removal") {
+    // the removal fast path skips the pair join (Dedup.removeDuplicateSpans
+    // scaladoc: union of losing-side span intervals == union of [p, p+L)
+    // over anchors with an earlier occurrence). This test pins that
+    // equivalence on the adversarial tiny-alphabet corpus, across both
+    // half-plane modes, a binding maxGramFreq cap, and hashed gram keys:
+    // the model cuts each document using exactSubstringSpans' pair-path
+    // output (itself checked against the brute-force model above).
+    val L = 5
+    val charGen = Gen.frequency(4 -> Gen.const('a'), 3 -> Gen.const('b'),
+      1 -> Gen.const(' '))
+    val strGen = Gen.chooseNum(0, 24)
+      .flatMap(n => Gen.listOfN(n, charGen).map(_.mkString))
+    val params = Gen.Parameters.default
+    val spanDocs: Vector[(Long, String)] =
+      Iterator.iterate(rng.Seed(23L))(_.next).take(40)
+        .map(s => strGen.pureApply(params, s)).toVector.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+    val df = spanDocs.toDF("id", "text")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def cutModel(text: String, ivs: Seq[(Long, Long)]): (Long, Long, Long, String) = {
+      val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      ivs.sorted.foreach { case (s, e) =>
+        if (merged.nonEmpty && s <= merged.last._2)
+          merged(merged.length - 1) = (merged.last._1, math.max(merged.last._2, e))
+        else merged += ((s, e))
+      }
+      val sb = new StringBuilder; var from = 1L
+      merged.foreach { case (s, e) =>
+        sb.append(text.substring(from.toInt - 1, s.toInt - 1)); from = e
+      }
+      sb.append(text.substring(from.toInt - 1))
+      val clean = sb.result()
+      (merged.length.toLong, merged.map(p => p._2 - p._1).sum,
+        clean.length.toLong, md5hex(clean))
+    }
+    for (includeSelf <- Seq(false, true); cap <- Seq(6, Int.MaxValue - 1)) {
+      val spans = Dedup.exactSubstringSpans(df, "id", "text", minLen = L,
+          maxGramFreq = cap, includeSelf = includeSelf)
+        .collect()
+        .map(r => (r.getLong(1), r.getLong(3), r.getLong(3) + r.getLong(4)))
+      val byDoc = spans.groupBy(_._1)
+      val model = spanDocs.map { case (id, text) =>
+        id -> cutModel(text, byDoc.getOrElse(id, Array.empty).toSeq
+          .map(t => (t._2, t._3)))
+      }.toMap
+      for (hash <- Seq(false, true)) {
+        val got = Dedup.removeDuplicateSpans(df, "id", "text", minLen = L,
+            maxGramFreq = cap, hashGrams = hash, includeSelf = includeSelf)
+          .collect()
+          .map(r => r.getLong(0) ->
+            ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+          .toMap
+        assert(got == model,
+          s"includeSelf=$includeSelf cap=$cap hashGrams=$hash diverged")
+      }
+    }
+  }
 }
