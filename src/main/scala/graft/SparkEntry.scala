@@ -1761,6 +1761,25 @@ object SparkEntry {
       Dedup.hammingNearDup(Multimodal.audioFingerprints(media).toDF(),
           "media_id", "fhash", nBits = 64, maxHamming = 2)
         .orderBy("id_a", "id_b")
+    }),
+
+    "q133_budget_select" -> ((s, d) => {
+      // Token-budget data selection: q114's frozen integer quality
+      // model ranks the corpus, and the maximal best-first prefix that
+      // fits a 12K-token budget is selected via a DISTRIBUTED prefix
+      // sum (one range exchange + a one-row-per-partition collect —
+      // never a single-partition global window). Integer scores make
+      // the order, and so the selected set, engine-exact
+      // (Curation.budgetSelect scaladoc).
+      val docs = documents(s, d)
+      val scored = Curation.linearQualityScore(docs, "doc_id", "text",
+          wLen = 3L, wStop = 2L, wAlpha = 5L, wWlen = -1L, threshold = 4000L)
+        .select(col("id"), col("score"))
+      val toks = docs.select(col("doc_id").cast("long").as("id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      Curation.budgetSelect(scored.join(toks, "id"), "id", "score",
+          "n_tokens", budget = 12000L)
+        .orderBy("id")
     })
   )
 
@@ -3619,6 +3638,36 @@ object SparkEntry {
         | FROM cand)
         |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // q114's integer score CTEs + a window cumsum over (score DESC, id)
+    // — DuckDB's single-threaded global window IS sound at oracle
+    // scale; the engine side replaces it with the distributed prefix
+    // sum (Curation.budgetSelect scaladoc)
+    "q133_budget_select" -> {
+      val sw = StopWords.map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id AS id, text, $TOKS AS toks FROM documents),
+         |c AS (SELECT id,
+         |  CAST(len(toks) AS BIGINT) AS ntok,
+         |  CAST(len(list_filter(toks, x -> x IN ($sw))) AS BIGINT) AS nstop,
+         |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS nalpha,
+         |  CAST(length(text) AS BIGINT) AS nchars
+         | FROM t),
+         |f AS (SELECT id, ntok,
+         |  least(ntok, 100) AS f_len,
+         |  CASE WHEN ntok > 0 THEN 1000 * nstop // ntok ELSE 0 END AS f_stop,
+         |  CASE WHEN nchars > 0 THEN 1000 * nalpha // nchars ELSE 0 END AS f_alpha,
+         |  CASE WHEN ntok > 0 THEN nchars // ntok ELSE 0 END AS f_wlen
+         | FROM c),
+         |s AS (SELECT id,
+         |  CAST(3*f_len + 2*f_stop + 5*f_alpha - 1*f_wlen AS BIGINT) AS score,
+         |  ntok AS n_tokens FROM f),
+         |cum AS (SELECT id, score, n_tokens,
+         |  CAST(SUM(n_tokens) OVER (ORDER BY score DESC, id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         | FROM s)
+         |SELECT id, score, n_tokens, cum_tokens FROM cum
+         |WHERE cum_tokens <= 12000 ORDER BY id""".stripMargin
+    },
 
     // Analytic twin of VideoCodec: frame f of odd doc_id draws the
     // ImageCodec pattern at seed id*1000 + f over w = (id%12)+8 (max

@@ -341,4 +341,67 @@ object Curation {
       .filter(col("__rn") <= k)
       .drop("__rn")
   }
+
+  /** Token-budget corpus selection — the data-selection step of a
+    * training build: rank documents by a score (descending, doc id
+    * breaks ties) and keep the maximal prefix whose INCLUSIVE running
+    * token total fits `budget`. Because the running total is monotone,
+    * `cum_tokens <= budget` IS that prefix — no driver-side cursor, no
+    * iterative trimming. Scores should be integers (the q114 linear
+    * model is): integer comparison makes the order — and therefore the
+    * selected set — bit-reproducible across engines, which is what lets
+    * a DuckDB window cumsum oracle-check the result exactly.
+    *
+    * The global running sum is a DISTRIBUTED prefix sum, not a
+    * single-partition window: rows range-partition by (score desc, id),
+    * each partition computes its local running total in one pass, the
+    * driver collects ONE ROW PER PARTITION (the bounded-collect class —
+    * Chunking.orderedOffsets' precedent) to turn partition totals into
+    * base offsets, and a broadcast join adds them back. A naive
+    * `Window.orderBy(...)` with no partitionBy funnels the corpus
+    * through one task — the shape that cannot survive scale-up.
+    *
+    * Returns (id, score, n_tokens, cum_tokens) for selected documents.
+    */
+  def budgetSelect(scored: DataFrame, idCol: String, scoreCol: String,
+                   tokensCol: String, budget: Long,
+                   numPartitions: Int = 32): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    require(numPartitions >= 1, s"numPartitions must be >= 1, got $numPartitions")
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val local = scored
+      .select(col(idCol).cast("long"), col(scoreCol).cast("long"),
+        col(tokensCol).cast("long"))
+      .as[(Long, Long, Long)]
+      .repartitionByRange(numPartitions, col(scoreCol).desc, col(idCol).asc)
+      .sortWithinPartitions(col(scoreCol).desc, col(idCol).asc)
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var running = 0L
+        it.map { case (id, s, n) =>
+          val before = running
+          running += n
+          (pid, id, s, n, before)
+        }
+      }
+      .toDF("pid", "id", "score", "n_tokens", "local_before")
+      // pin the partition pass: the totals collect and the offset join
+      // must see the SAME computation (and partition ids), not re-runs
+      .localCheckpoint(true)
+    val totals = local.groupBy("pid")
+      .agg(max(col("local_before") + col("n_tokens")).as("total"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    var base = 0L
+    val bases = totals.map { case (pid, total) =>
+      val b = base; base += total; (pid, b)
+    }
+    local
+      .join(broadcast(bases.toSeq.toDF("pid", "base")), Seq("pid"))
+      .select(col("id"), col("score"), col("n_tokens"),
+        (col("base") + col("local_before") + col("n_tokens")).as("cum_tokens"))
+      .filter(col("cum_tokens") <= budget)
+  }
 }

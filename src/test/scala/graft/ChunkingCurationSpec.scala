@@ -298,4 +298,35 @@ class ChunkingCurationSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got.toSeq == Seq((1L, 3L, 3L, 1000L), (2L, 2L, 3L, 1500L)))
   }
+
+  test("budgetSelect: exact best-first prefix, ties by id, partition-invariant") {
+    // scores force the order 4(90), 2(80), 5(80), 1(70), 3(60) — doc 2
+    // beats doc 5 on the id tie-break. Tokens 30+40+20+50+10: budget 95
+    // admits 4,2,5 (cum 90) and STOPS — doc 1 (cum 140) and the
+    // smaller doc 3 both sit past the prefix even though doc 3 alone
+    // would fit, because selection is a prefix, not a knapsack.
+    val rows = Seq((1L, 70L, 50L), (2L, 80L, 40L), (3L, 60L, 10L),
+      (4L, 90L, 30L), (5L, 80L, 20L))
+    val df = rows.toDF("id", "score", "n_tokens")
+    def run(np: Int) =
+      Curation.budgetSelect(df, "id", "score", "n_tokens", budget = 95L,
+          numPartitions = np)
+        .orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+    val expect = Seq((2L, 80L, 40L, 70L), (4L, 90L, 30L, 30L),
+      (5L, 80L, 20L, 90L))
+    assert(run(4) == expect)
+    // the distributed prefix sum is a pure implementation detail: one
+    // partition and many (some empty) agree exactly
+    assert(run(1) == expect)
+    assert(run(9) == expect)
+    // exact-fit boundary is inclusive; zero budget selects nothing
+    assert(Curation.budgetSelect(df, "id", "score", "n_tokens", 30L)
+      .collect().map(_.getLong(0)).toSeq == Seq(4L))
+    assert(Curation.budgetSelect(df, "id", "score", "n_tokens", 29L)
+      .collect().isEmpty)
+    assert(Curation.budgetSelect(df, "id", "score", "n_tokens", 0L)
+      .collect().isEmpty)
+  }
 }
