@@ -1780,6 +1780,23 @@ object SparkEntry {
       Curation.budgetSelect(scored.join(toks, "id"), "id", "score",
           "n_tokens", budget = 12000L)
         .orderBy("id")
+    }),
+
+    "q134_video_fingerprint_dedup" -> ((s, d) => {
+      // Video near-dup: REAL AVI container parse + MPNG frame decode ->
+      // 64-window temporal luminance fingerprint -> the same Hamming<=2
+      // pigeonhole banding as images (q117) and audio (q132) — the
+      // fingerprint-dedup triad complete. Fixture groups share one
+      // temporal pattern at different durations/frame dims with one
+      // window flipped per member (same-group pairs at Hamming exactly
+      // 2); the oracle derives the fingerprint ANALYTICALLY from the
+      // gray formula — never parses a container — so a hash match
+      // proves the parse->decode->window->threshold roundtrip
+      // (Multimodal.videoFingerprint scaladoc).
+      val media = Multimodal.mediaWithDupVideo(s, documents(s, d))
+      Dedup.hammingNearDup(Multimodal.videoFingerprints(media).toDF(),
+          "media_id", "fhash", nBits = 64, maxHamming = 2)
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -3626,6 +3643,40 @@ object SparkEntry {
         |bits AS (SELECT amp.id, k,
         |  CASE WHEN a*64 > ta THEN '1' ELSE '0' END AS b
         | FROM amp JOIN tot ON amp.id = tot.id),
+        |bs AS (SELECT id, string_agg(b, '' ORDER BY k) AS s FROM bits GROUP BY 1),
+        |cand AS (SELECT a.id AS id_a, b.id AS id_b, a.s AS sa, b.s AS sb
+        | FROM bs a JOIN bs b ON a.id < b.id AND (
+        |   substr(a.s, 1, 22) = substr(b.s, 1, 22) OR
+        |   substr(a.s, 23, 21) = substr(b.s, 23, 21) OR
+        |   substr(a.s, 44, 21) = substr(b.s, 44, 21))),
+        |ham AS (SELECT id_a, id_b, CAST(list_sum(list_transform(
+        |   generate_series(1, 64),
+        |   i -> CASE WHEN substr(sa, i, 1) <> substr(sb, i, 1) THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+        | FROM cand)
+        |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // The video fingerprint recomputed analytically from the
+    // VideoCodec.dup* formulas (uniform-gray window-constant frames and
+    // exact 64-frame-multiple durations => frame dims and counts cancel
+    // and bit k reduces to gray_k*64 > sum(gray); no container ever
+    // parsed). 'v' prefix decorrelates the group pattern from q132's.
+    // Candidates via the same 3-chunk pigeonhole as q117/q132.
+    "q134_video_fingerprint_dedup" ->
+      """WITH dim AS (SELECT doc_id AS id, doc_id // 10 AS gid,
+        |  ((doc_id % 10) * 11) % 64 AS fw
+        | FROM documents WHERE doc_id % 2 = 1),
+        |hsh AS (SELECT id, fw,
+        |  CAST(concat('0x', substr(md5(concat('v', CAST(gid AS VARCHAR))),1,15)) AS BIGINT) AS hp
+        | FROM dim),
+        |lum AS (SELECT id, k,
+        |  CASE WHEN (((hp >> (k % 60)) & 1) = 1) != (k = fw)
+        |       THEN 220 ELSE 30 END AS a
+        | FROM hsh, LATERAL (SELECT unnest(generate_series(0, 63)) AS k) t),
+        |tot AS (SELECT id, SUM(a) AS ta FROM lum GROUP BY 1),
+        |bits AS (SELECT lum.id, k,
+        |  CASE WHEN a*64 > ta THEN '1' ELSE '0' END AS b
+        | FROM lum JOIN tot ON lum.id = tot.id),
         |bs AS (SELECT id, string_agg(b, '' ORDER BY k) AS s FROM bits GROUP BY 1),
         |cand AS (SELECT a.id AS id_a, b.id AS id_b, a.s AS sa, b.s AS sb
         | FROM bs a JOIN bs b ON a.id < b.id AND (

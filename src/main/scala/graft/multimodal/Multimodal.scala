@@ -121,6 +121,171 @@ object Multimodal {
     }
   }
 
+  /** Hand-rolled minimal PNG codec for the video-fingerprint hot path —
+    * the javax.imageio reader costs ~40-60 µs of setup PER CALL, which
+    * at millions of tiny frames (25K videos × ~100 frames at sf0.1)
+    * dominates the q134 stage; Inflater on a 100-byte stream is a few
+    * µs. Scope is deliberately narrow: 8-bit non-interlaced grayscale
+    * (colortype 0) and truecolor (colortype 2) per the public PNG spec
+    * (RFC 2083) — exactly what [[javax.imageio]] emits for
+    * TYPE_BYTE_GRAY/TYPE_INT_RGB — with all five scanline filters.
+    * Anything else returns None and the caller falls back to ImageIO,
+    * so MJPG frames and exotic PNGs still decode correctly.
+    */
+  object PngCodec {
+    private val Sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+
+    /** Encode a uniform-gray image as 8-bit TRUECOLOR PNG with r=g=b=v
+      * (filter 0 rows; one deflate stream). Truecolor, not colortype 0:
+      * ImageIO routes grayscale PNGs through a gray→sRGB ColorConvertOp
+      * (gray 220 reads back as 239 via getRGB), while truecolor samples
+      * pass through untouched — so this encoding decodes to exactly
+      * (v,v,v) under BOTH ImageIO and [[decodeGraySum]].
+      */
+    def encodeGray(w: Int, h: Int, v: Int): Array[Byte] = {
+      val stride = 3 * w
+      val raw = new Array[Byte](h * (1 + stride))
+      var y = 0
+      while (y < h) {
+        val base = y * (1 + stride)
+        raw(base) = 0 // filter: None
+        java.util.Arrays.fill(raw, base + 1, base + 1 + stride, v.toByte)
+        y += 1
+      }
+      val def_ = new java.util.zip.Deflater()
+      def_.setInput(raw); def_.finish()
+      val comp = new Array[Byte](raw.length + 64)
+      val n = def_.deflate(comp)
+      def_.end()
+      val ihdr = new Array[Byte](13)
+      wrBe32(ihdr, 0, w); wrBe32(ihdr, 4, h)
+      ihdr(8) = 8 // bit depth
+      ihdr(9) = 2 // colortype: truecolor (see scaladoc)
+      // compression 0, filter 0, interlace 0 already zeroed
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(Sig, 0, Sig.length)
+      writeChunk(bos, "IHDR", ihdr, 13)
+      writeChunk(bos, "IDAT", comp, n)
+      writeChunk(bos, "IEND", Array.emptyByteArray, 0)
+      bos.toByteArray
+    }
+
+    private def wrBe32(b: Array[Byte], o: Int, v: Int): Unit = {
+      b(o) = (v >>> 24).toByte; b(o + 1) = (v >>> 16).toByte
+      b(o + 2) = (v >>> 8).toByte; b(o + 3) = v.toByte
+    }
+
+    private def writeChunk(bos: java.io.ByteArrayOutputStream, typ: String,
+                           body: Array[Byte], n: Int): Unit = {
+      val len = new Array[Byte](4); wrBe32(len, 0, n)
+      bos.write(len, 0, 4)
+      val t = typ.getBytes("US-ASCII")
+      bos.write(t, 0, 4)
+      bos.write(body, 0, n)
+      val crc = new java.util.zip.CRC32()
+      crc.update(t, 0, 4); crc.update(body, 0, n)
+      val c = new Array[Byte](4); wrBe32(c, 0, crc.getValue.toInt)
+      bos.write(c, 0, 4)
+    }
+
+    private def rdBe32(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+        ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+
+    /** Decode to (width, height, sum of per-pixel gray) where gray =
+      * (r+g+b)/3 for truecolor and the sample itself for grayscale —
+      * the same per-pixel value [[videoFingerprint]]/[[imageAHash]]
+      * derive from getRGB. None when the bytes are not a PNG this
+      * narrow decoder covers (caller falls back to ImageIO).
+      */
+    def decodeGraySum(bytes: Array[Byte]): Option[(Int, Int, Long)] = {
+      if (bytes.length < 33) return None
+      var i = 0
+      while (i < 8) { if (bytes(i) != Sig(i)) return None; i += 1 }
+      if (rdBe32(bytes, 8) != 13 ||
+          new String(bytes, 12, 4, "US-ASCII") != "IHDR") return None
+      val w = rdBe32(bytes, 16); val h = rdBe32(bytes, 20)
+      val depth = bytes(24); val ctype = bytes(25)
+      val interlace = bytes(28)
+      if (w <= 0 || h <= 0 || depth != 8 || interlace != 0 ||
+          (ctype != 0 && ctype != 2)) return None
+      val bpp = if (ctype == 0) 1 else 3
+      // concatenate IDAT payloads
+      val idat = new java.io.ByteArrayOutputStream()
+      var p = 33
+      var ok = true
+      while (ok && p + 8 <= bytes.length) {
+        val sz = rdBe32(bytes, p)
+        val typ = new String(bytes, p + 4, 4, "US-ASCII")
+        if (sz < 0 || p + 8 + sz > bytes.length) ok = false
+        else {
+          if (typ == "IDAT") idat.write(bytes, p + 8, sz)
+          if (typ == "IEND") ok = false
+          p += 12 + sz
+        }
+      }
+      val comp = idat.toByteArray
+      if (comp.isEmpty) return None
+      val stride = w * bpp
+      val raw = new Array[Byte](h * (1 + stride))
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(comp)
+      try {
+        var off = 0
+        while (off < raw.length && !inf.finished()) {
+          val n = inf.inflate(raw, off, raw.length - off)
+          if (n == 0 && inf.needsInput()) return None // truncated
+          off += n
+        }
+        if (off != raw.length) return None
+      } catch { case _: java.util.zip.DataFormatException => return None }
+      finally inf.end()
+      // unfilter in place (per the PNG spec's five row filters), summing
+      // gray as rows complete; prior row kept unfiltered for Up/Avg/Paeth
+      val prev = new Array[Int](stride)
+      val cur = new Array[Int](stride)
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        val base = y * (1 + stride)
+        val ft = raw(base) & 0xff
+        var x = 0
+        while (x < stride) {
+          val rv = raw(base + 1 + x) & 0xff
+          val a = if (x >= bpp) cur(x - bpp) else 0
+          val b = prev(x)
+          val c = if (x >= bpp) prev(x - bpp) else 0
+          val v = ft match {
+            case 0 => rv
+            case 1 => rv + a
+            case 2 => rv + b
+            case 3 => rv + ((a + b) >> 1)
+            case 4 =>
+              val pp = a + b - c
+              val pa = math.abs(pp - a); val pb = math.abs(pp - b)
+              val pc = math.abs(pp - c)
+              rv + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+            case _ => return None
+          }
+          cur(x) = v & 0xff
+          x += 1
+        }
+        if (bpp == 1) { x = 0; while (x < w) { sum += cur(x); x += 1 } }
+        else {
+          x = 0
+          while (x < w) {
+            sum += (cur(3 * x) + cur(3 * x + 1) + cur(3 * x + 2)) / 3
+            x += 1
+          }
+        }
+        System.arraycopy(cur, 0, prev, 0, stride)
+        y += 1
+      }
+      Some((w, h, sum))
+    }
+  }
+
   /** REAL audio codec — hand-rolled RIFF/WAVE (16-bit signed
     * little-endian PCM, mono), no javax.sound in the hot path. Fixture clips are deterministic integer
     * patterns — sample i of clip `id` is ((i·7 + id·13) mod 4096) − 2048
@@ -609,6 +774,33 @@ object Multimodal {
       */
     def frameSeed(id: Long, f: Int): Long = id * 1000L + f
 
+    /** Near-dup fixture formulas — the video twin of AudioCodec.dup*.
+      * Durations differ within a group (64 or 128 frames) so AVI bytes
+      * never byte-match, while the 64-window temporal luminance profile
+      * is the group's md5-bit pattern with ONE window flipped per
+      * member (distinct flip per member => same-group pairs at Hamming
+      * exactly 2). Frames are uniform-gray MPNG, so frame dims and
+      * counts cancel out of the threshold bit: bit k reduces to
+      * gray_k*64 > sum(gray) — the analytic form the DuckDB oracle
+      * recomputes without decoding a container.
+      */
+    def dupNFrames(id: Long): Int = 64 * ((id % 2).toInt + 1)
+
+    def dupFlipWindow(id: Long): Int = (((id % 10) * 11) % 64).toInt
+
+    /** Window gray level: base bit k = bit (k mod 60) of the 60-bit
+      * md5 hash of 'v'+gid ('v' decorrelates from the audio fixture's
+      * pattern), one window XOR-flipped per member; 220 vs 30 keeps
+      * every mean strictly between the two levels. md5 bits, not a
+      * linear formula — see AudioCodec.dupAmp for the measured reason
+      * (linear patterns collide mod 64 and explode pair output at sf1).
+      */
+    def dupGray(id: Long, k: Int): Int = {
+      val h = graft.functions.TextFunctions.tokenHash64Jvm("v" + (id / 10))
+      val bit = (((h >> (k % 60)) & 1L) == 1L) ^ (k == dupFlipWindow(id))
+      if (bit) 220 else 30
+    }
+
     /** Deterministic MPNG-in-AVI fixture for media id. */
     def encodeAvi(id: Long): Array[Byte] = {
       val (w, h) = dims(id)
@@ -775,6 +967,110 @@ object Multimodal {
             img.getHeight.toLong, sr, sg, sb)
         }
       }
+    }
+  }
+
+  /** Media table with near-dup REAL video blobs: odd doc_ids, group =
+    * doc_id/10, each member an MPNG-in-AVI whose uniform-gray frames
+    * trace the group's 64-window luminance pattern (VideoCodec.dupGray)
+    * at a member-specific duration — encoded on the executors like the
+    * image/audio fixtures. Frame dims vary per member and cancel out of
+    * the fingerprint by construction.
+    */
+  def mediaWithDupVideo(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).filter(pmod(col("doc_id"), lit(2)) === 1)
+      .as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { id =>
+          val n = VideoCodec.dupNFrames(id)
+          val win = n / 64
+          val w = (id % 5).toInt + 6
+          val h = (id % 4).toInt + 6
+          val grays = Array.tabulate(64)(k => VideoCodec.dupGray(id, k))
+          // hand-rolled gray PNG (PngCodec scaladoc): ImageIO's per-call
+          // setup at ~100 frames/video dominated this stage 4:1
+          val byGray = grays.distinct
+            .map(v => v -> PngCodec.encodeGray(w, h, v)).toMap
+          val frames = (0 until n).map(i => byGray(grays(i / win)))
+          MediaRow(id, "video", VideoCodec.buildAvi(w, h, frames, "MPNG"), w, h)
+        }
+      }
+  }
+
+  case class VideoHash(media_id: Long, fhash: Long)
+
+  /** 64-bit temporal video fingerprint from REAL decoded frames: the
+    * frame sequence is cut into 64 equal windows (integer boundaries
+    * k·F/64) and bit k is set when window k's mean gray exceeds the
+    * whole-video mean — integer cross-multiplication
+    * (winLum_k · totalPix > totalLum · winPix_k), bit-reproducible, so
+    * the DuckDB oracle derives it analytically for the fixture
+    * formulas. Completes the fingerprint-dedup triad with
+    * [[imageAHash]] (q117) and [[audioFingerprint]] (q132); feeds the
+    * same [[graft.operators.Dedup.hammingNearDup]] banding join. None
+    * for non-AVI blobs or videos shorter than 64 decodable frames.
+    */
+  def videoFingerprint(bytes: Array[Byte], nWindows: Int = 64): Option[Long] = {
+    // fast path first (hand-rolled PNG gray sums — PngCodec scaladoc);
+    // per-frame ImageIO fallback keeps MJPG/exotic-PNG frames decoding
+    val decoded = VideoCodec.frameChunks(bytes).flatMap { fb =>
+      PngCodec.decodeGraySum(fb).orElse {
+        Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(fb))).map { img =>
+          var s = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val p = img.getRGB(x, y)
+              s += (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+              x += 1
+            }
+            y += 1
+          }
+          (img.getWidth, img.getHeight, s)
+        }
+      }
+    }
+    val f = decoded.length
+    if (f < nWindows) None
+    else {
+      val lum = new Array[Long](f)
+      val pix = new Array[Long](f)
+      var i = 0
+      decoded.foreach { case (w, h, s) =>
+        lum(i) = s; pix(i) = w.toLong * h
+        i += 1
+      }
+      var totalLum = 0L; var totalPix = 0L
+      i = 0
+      while (i < f) { totalLum += lum(i); totalPix += pix(i); i += 1 }
+      var hash = 0L
+      var k = 0
+      while (k < nWindows) {
+        val lo = (k.toLong * f / nWindows).toInt
+        val hi = ((k + 1).toLong * f / nWindows).toInt
+        var wl = 0L; var wp = 0L
+        i = lo
+        while (i < hi) { wl += lum(i); wp += pix(i); i += 1 }
+        if (wl * totalPix > totalLum * wp) hash |= 1L << k
+        k += 1
+      }
+      Some(hash)
+    }
+  }
+
+  /** Fingerprint every video blob: container parse + frame decode die
+    * in-stage, an 8-byte hash rides on — the input row to Hamming
+    * near-dup banding.
+    */
+  def videoFingerprints(media: Dataset[MediaRow]): Dataset[VideoHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap(r => videoFingerprint(r.content).map(VideoHash(r.media_id, _)))
     }
   }
 

@@ -217,6 +217,139 @@ class EntrySpec extends AnyFunSuite {
     assert(pairs.forall(_._3 == 2L), pairs.mkString(","))
   }
 
+  test("PngCodec: gray roundtrip, ImageIO agreement, all five filters") {
+    import graft.multimodal.Multimodal.PngCodec
+    // uniform-gray writer: ImageIO and the narrow reader agree exactly
+    for ((w, h, v) <- Seq((6, 7, 220), (1, 1, 30), (10, 6, 0), (8, 8, 255))) {
+      val png = PngCodec.encodeGray(w, h, v)
+      assert(PngCodec.decodeGraySum(png).contains((w, h, w.toLong * h * v)))
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      assert(img.getWidth == w && img.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert((img.getRGB(x, y) & 0xffffff) == ((v << 16) | (v << 8) | v))
+    }
+    // ImageIO-written truecolor PNG (whatever filters its encoder
+    // picks): fast-path sum equals the BufferedImage-derived sum
+    for (id <- Seq(3L, 9L, 14L)) {
+      val (w, h) = (((id % 12) + 8).toInt, ((id % 10) + 8).toInt)
+      val png = graft.multimodal.Multimodal.ImageCodec.encodePng(id, w, h)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      var exp = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = img.getRGB(x, y)
+        exp += (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+      }
+      assert(PngCodec.decodeGraySum(png).contains((w, h, exp)), s"id=$id")
+    }
+    // hand-filtered grayscale streams: for every filter type, apply the
+    // spec's forward transform to a patterned image and require the
+    // reader to invert it exactly
+    val (w, h) = (7, 5)
+    val pixels = Array.tabulate(h, w)((y, x) => (x * 37 + y * 91 + 13) % 256)
+    val expSum = pixels.flatten.map(_.toLong).sum
+    for (ft <- 0 to 4) {
+      val raw = new java.io.ByteArrayOutputStream()
+      for (y <- 0 until h) {
+        raw.write(ft)
+        for (x <- 0 until w) {
+          val cur = pixels(y)(x)
+          val a = if (x > 0) pixels(y)(x - 1) else 0
+          val b = if (y > 0) pixels(y - 1)(x) else 0
+          val c = if (x > 0 && y > 0) pixels(y - 1)(x - 1) else 0
+          val filt = ft match {
+            case 0 => cur
+            case 1 => cur - a
+            case 2 => cur - b
+            case 3 => cur - ((a + b) >> 1)
+            case 4 =>
+              val pp = a + b - c
+              val pa = math.abs(pp - a); val pb = math.abs(pp - b)
+              val pc = math.abs(pp - c)
+              cur - (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+          }
+          raw.write(filt & 0xff)
+        }
+      }
+      val rb = raw.toByteArray
+      val deflater = new java.util.zip.Deflater()
+      deflater.setInput(rb); deflater.finish()
+      val comp = new Array[Byte](rb.length + 64)
+      val n = deflater.deflate(comp); deflater.end()
+      // assemble: signature + IHDR(gray) + IDAT + IEND via the public
+      // writer's chunk layout (reuse encodeGray for header bytes, then
+      // splice our IDAT) — simplest: build chunks manually
+      def be32(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte,
+        (v >>> 8).toByte, v.toByte)
+      def chunk(t: String, body: Array[Byte]) = {
+        val crc = new java.util.zip.CRC32()
+        crc.update(t.getBytes("US-ASCII")); crc.update(body)
+        be32(body.length) ++ t.getBytes("US-ASCII") ++ body ++
+          be32(crc.getValue.toInt)
+      }
+      val ihdr = be32(w) ++ be32(h) ++ Array[Byte](8, 0, 0, 0, 0)
+      val png = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+        .map(_.toByte) ++ chunk("IHDR", ihdr) ++
+        chunk("IDAT", comp.take(n)) ++ chunk("IEND", Array.emptyByteArray)
+      assert(PngCodec.decodeGraySum(png).contains((w, h, expSum)), s"filter=$ft")
+      // structural cross-check against ImageIO (pixel VALUES are not
+      // comparable on colortype-0: ImageIO applies a gray→sRGB
+      // ColorConvertOp — the reason encodeGray emits truecolor)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      assert(img != null && img.getWidth == w && img.getHeight == h,
+        s"filter=$ft")
+    }
+    // non-PNG and truncated input: None, never a throw
+    assert(PngCodec.decodeGraySum("junk".getBytes("UTF-8")).isEmpty)
+    assert(PngCodec.decodeGraySum(
+      PngCodec.encodeGray(6, 6, 100).take(40)).isEmpty)
+  }
+
+  test("video fingerprint: decode roundtrip equals the formula; dup pairs at Hamming 2") {
+    import graft.multimodal.Multimodal.VideoCodec
+    // direct roundtrip: fingerprint from the parsed+decoded AVI ==
+    // fingerprint from the gray formula (bit k = gray_k*64 > sum(gray),
+    // since frames are uniform and windows equal-sized)
+    for (id <- Seq(1L, 13L, 27L)) {
+      val n = VideoCodec.dupNFrames(id)
+      val win = n / 64
+      val w = (id % 5).toInt + 6
+      val h = (id % 4).toInt + 6
+      val frames = (0 until n).map { i =>
+        val v = VideoCodec.dupGray(id, i / win)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until h; x <- 0 until w)
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        bos.toByteArray
+      }
+      val avi = VideoCodec.buildAvi(w, h, frames, "MPNG")
+      val grays = Array.tabulate(64)(k => VideoCodec.dupGray(id, k).toLong)
+      val ta = grays.sum
+      var expected = 0L
+      for (k <- 0 until 64) if (grays(k) * 64 > ta) expected |= 1L << k
+      assert(Multimodal.videoFingerprint(avi).contains(expected), s"id=$id")
+    }
+    // too-short videos (q118's 2-5 frame fixtures) and garbage yield
+    // None, never a fake hash
+    assert(Multimodal.videoFingerprint(VideoCodec.encodeAvi(9L)).isEmpty)
+    assert(Multimodal.videoFingerprint("junk".getBytes("UTF-8")).isEmpty)
+    // distributed dedup: same-gid members differ by exactly their two
+    // flipped windows — durations and frame dims differ, so neither the
+    // AVI bytes nor any frame PNG can byte-match across members
+    val docs = (10L to 20L).map(i => (i, "t")).toDF("doc_id", "text")
+    val media = Multimodal.mediaWithDupVideo(spark, docs)
+    val pairs = graft.operators.Dedup.hammingNearDup(
+        Multimodal.videoFingerprints(media).toDF(), "media_id", "fhash",
+        nBits = 64, maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val odd = (11L to 19L by 2).toSeq
+    val expectedPairs = (for { a <- odd; b <- odd if a < b } yield (a, b)).toSet
+    assert(pairs.map(p => (p._1, p._2)).toSet == expectedPairs)
+    assert(pairs.forall(_._3 == 2L), pairs.mkString(","))
+  }
+
   test("real video decode: AVI container parse + per-frame pixel roundtrip") {
     import graft.multimodal.Multimodal.{ImageCodec, VideoCodec}
     // direct roundtrip, no Spark: every MPNG frame decodes to the
