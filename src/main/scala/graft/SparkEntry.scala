@@ -1797,6 +1797,45 @@ object SparkEntry {
       Dedup.hammingNearDup(Multimodal.videoFingerprints(media).toDF(),
           "media_id", "fhash", nBits = 64, maxHamming = 2)
         .orderBy("id_a", "id_b")
+    }),
+
+    "q135_pmi_collocations" -> ((s, d) => {
+      // Bigram collocation mining, PMI-ranked: score =
+      // cnt_ab·1e6 div (cnt_a·cnt_b) is a positive constant times
+      // P(ab)/(P(a)·P(b)), so ranking by it IS ranking by PMI (log is
+      // monotone) — and it stays in exact Long arithmetic, no float
+      // log to diverge between engines. cnt_ab >= 5 is the standard
+      // sparse-pair cutoff. Scale shape: two hash aggs (words,
+      // bigrams) + two shuffled joins on word keys; top-50 goes
+      // through TakeOrdered, never a global sort.
+      val biGrams = udf { toks: Seq[String] =>
+        if (toks == null || toks.size < 2) Array.empty[String]
+        else Array.tabulate(toks.size - 1)(i => toks(i) + " " + toks(i + 1))
+      }.asNondeterministic()
+      val toksDf = documents(s, d).select(tokens(col("text")).as("t"))
+      val uni = toksDf.select(explode(col("t")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+      val bi = toksDf.select(explode(biGrams(col("t"))).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("cnt_ab"))
+        .filter(col("cnt_ab") >= 5)
+        .select(split(col("gram"), " ").getItem(0).as("w1"),
+          split(col("gram"), " ").getItem(1).as("w2"), col("cnt_ab"))
+      bi.join(uni.select(col("w").as("w1"), col("cnt").as("cnt_a")), "w1")
+        .join(uni.select(col("w").as("w2"), col("cnt").as("cnt_b")), "w2")
+        .withColumn("score", expr("cnt_ab * 1000000 DIV (cnt_a * cnt_b)"))
+        .select("w1", "w2", "cnt_ab", "score")
+        .orderBy(col("score").desc, col("cnt_ab").desc, col("w1"), col("w2"))
+        .limit(50)
+    }),
+
+    "q136_pps_sample" -> ((s, d) => {
+      // Probability-proportional-to-size sampling: p_i = min(1,
+      // ntok_i/1000) on a deterministic md5 coin, with the integer
+      // Horvitz-Thompson weight attached (Curation.ppsSample scaladoc).
+      val base = documents(s, d).select(col("doc_id").cast("long").as("id"),
+        size(tokens(col("text"))).cast("long").as("ntok"))
+      Curation.ppsSample(base, "id", "ntok", ratePerMillion = 1000L)
+        .orderBy("id")
     })
   )
 
@@ -3689,6 +3728,37 @@ object SparkEntry {
         | FROM cand)
         |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Same integer-scaled association score as the engine: DuckDB's
+    // `//` and Spark's `div` both floor for positive Longs, so the
+    // PMI ranking and the score values are engine-exact
+    "q135_pmi_collocations" ->
+      s"""WITH tt AS (SELECT $TOKS AS t FROM documents),
+         |uc AS (SELECT w, COUNT(*) AS cnt
+         |  FROM (SELECT unnest(t) AS w FROM tt) GROUP BY 1),
+         |bc AS (SELECT gram, COUNT(*) AS cnt_ab FROM (
+         |  SELECT unnest(CASE WHEN len(t) < 2 THEN []::VARCHAR[]
+         |    ELSE list_transform(generate_series(1, len(t)-1),
+         |      i -> array_to_string(t[i:i+1], ' ')) END) AS gram FROM tt) g
+         | GROUP BY 1 HAVING COUNT(*) >= 5),
+         |sp AS (SELECT string_split(gram, ' ')[1] AS w1,
+         |  string_split(gram, ' ')[2] AS w2, cnt_ab FROM bc),
+         |j AS (SELECT sp.w1, sp.w2, sp.cnt_ab, a.cnt AS cnt_a, b.cnt AS cnt_b
+         |  FROM sp JOIN uc a ON sp.w1 = a.w JOIN uc b ON sp.w2 = b.w)
+         |SELECT w1, w2, cnt_ab,
+         | cnt_ab * 1000000 // (cnt_a * cnt_b) AS score
+         |FROM j ORDER BY score DESC, cnt_ab DESC, w1, w2 LIMIT 50""".stripMargin,
+
+    // The PPS inclusion rule and HT weight recomputed in the same Long
+    // arithmetic on the same md5 coin (Curation.ppsSample scaladoc)
+    "q136_pps_sample" ->
+      s"""WITH t AS (SELECT doc_id AS id,
+         |  CAST(len($TOKS) AS BIGINT) AS ntok FROM documents),
+         |p AS (SELECT id, ntok, least(1000000, ntok * 1000) AS p_num,
+         |  ${duckHash("concat('pps_', CAST(id AS VARCHAR))", 15)} % 1000000 AS h
+         | FROM t)
+         |SELECT id, ntok, p_num, ntok * 1000000 // p_num AS ht_size
+         |FROM p WHERE h < p_num ORDER BY id""".stripMargin,
 
     // q114's integer score CTEs + a window cumsum over (score DESC, id)
     // — DuckDB's single-threaded global window IS sound at oracle

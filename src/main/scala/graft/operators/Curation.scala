@@ -363,6 +363,38 @@ object Curation {
     *
     * Returns (id, score, n_tokens, cum_tokens) for selected documents.
     */
+  /** Probability-proportional-to-size Bernoulli sampling with
+    * Horvitz-Thompson weights — the survey-sampling primitive behind
+    * "sample big documents more often but reweight so corpus statistics
+    * stay unbiased". Row i is kept iff
+    * `hash_i mod 1e6 < p_num_i = min(1e6, size_i * ratePerMillion)`,
+    * i.e. inclusion probability min(1, size_i·rate). The hash is the
+    * md5-derived [[tokenHash64]] over `"pps_" + id`, so the sample is
+    * deterministic, reproducible across engines/runs, and independent
+    * of partitioning; the attached `ht_size = size·1e6 div p_num`
+    * makes `sum(ht_size)` an (integer-floor) Horvitz-Thompson estimate
+    * of the population size total. Everything is Long arithmetic —
+    * no float in the inclusion rule or the weight, so the DuckDB
+    * oracle reproduces the sample bit-exactly.
+    *
+    * Scale shape: one map-only pass (filter + projection, no shuffle,
+    * no state); the decision needs only the row itself, so it
+    * pipelines into whatever scan precedes it at any corpus size.
+    */
+  def ppsSample(df: DataFrame, idCol: String, sizeCol: String,
+                ratePerMillion: Long): DataFrame = {
+    require(ratePerMillion > 0, s"rate must be positive, got $ratePerMillion")
+    df.withColumn("p_num",
+        least(lit(1000000L), col(sizeCol).cast("long") * ratePerMillion))
+      .withColumn("__h",
+        pmod(tokenHash64(concat(lit("pps_"), col(idCol).cast("string"))),
+          lit(1000000L)))
+      .filter(col("__h") < col("p_num"))
+      .withColumn("ht_size",
+        expr(s"CAST($sizeCol AS BIGINT) * 1000000 DIV p_num"))
+      .drop("__h")
+  }
+
   def budgetSelect(scored: DataFrame, idCol: String, scoreCol: String,
                    tokensCol: String, budget: Long,
                    numPartitions: Int = 32): DataFrame = {

@@ -329,4 +329,29 @@ class ChunkingCurationSpec extends AnyFunSuite {
     assert(Curation.budgetSelect(df, "id", "score", "n_tokens", 0L)
       .collect().isEmpty)
   }
+
+  test("ppsSample: md5 coin matches the JVM hash; weights exact; p=1 certain") {
+    import graft.functions.TextFunctions.tokenHash64Jvm
+    val rows = (1L to 200L).map(i => (i, (i * 13) % 1500 + 1)) // sizes 1..1500
+    val df = rows.toDF("id", "sz")
+    val got = Curation.ppsSample(df, "id", "sz", ratePerMillion = 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // model: keep iff hash("pps_"+id) % 1e6 < min(1e6, sz*1000)
+    val model = rows.flatMap { case (id, sz) =>
+      val pNum = math.min(1000000L, sz * 1000L)
+      if (tokenHash64Jvm("pps_" + id) % 1000000L < pNum)
+        Some((id, sz, pNum, sz * 1000000L / pNum))
+      else None
+    }
+    assert(got.sortBy(_._1).toSeq == model.sortBy(_._1))
+    // size >= 1000 => p_num = 1e6 => certain inclusion with ht_size = size
+    val certain = rows.filter(_._2 >= 1000).map(_._1).toSet
+    val gotIds = got.map(_._1).toSet
+    assert(certain.subsetOf(gotIds))
+    assert(got.filter(r => certain(r._1)).forall(r => r._4 == r._2))
+    // the sample is partition-independent (map-only decision)
+    val rep = Curation.ppsSample(df.repartition(7), "id", "sz", 1000L)
+      .collect().map(_.getLong(0)).toSet
+    assert(rep == gotIds)
+  }
 }
