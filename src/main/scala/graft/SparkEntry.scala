@@ -8,7 +8,7 @@ import graft.engine.Tables._
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions
 import graft.multimodal.Multimodal
-import graft.operators.{Ann, Bpe, Chunking, Curation, Dedup, GraphOps, Relational, TextJobs}
+import graft.operators.{Ann, Bpe, Chunking, Curation, Dedup, GraphOps, Relational, Sketches, TextJobs}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (operator inventory) and
   * §7 (build plan). Every entry in [[queries]] has a matching DuckDB
@@ -65,6 +65,21 @@ object SparkEntry {
     * ~11-bit bands went quadratic — 7.4x growth per data decade).
     */
   private val SimHashBitsQ52 = 60
+
+  /** q137's KMV size: rsd ≈ 1/sqrt(k-2) ≈ 12.7%. Shared with the oracle
+    * SQL (same k in the row_number cutoff and the (k-1)·2^60 estimator).
+    */
+  private val KmvK = 64
+
+  /** q138's count-min geometry and fixed probe list, shared by the Spark
+    * query and its oracle SQL. `zzz_absent` exercises the missing-cell
+    * (never-seen token) path: count-min still answers, overestimate-only.
+    */
+  private val CmsDepth = 4
+  private val CmsWidth = 1024
+  private val CmsProbeWords = Seq("a", "batch", "fast", "hash", "key",
+    "merge", "row", "scan", "slow", "sort", "spark", "table", "the",
+    "value", "window", "zzz_absent")
 
   /** q119's cluster sizing, shared by the Spark query and its oracle
     * SQL (the oracle computes the same formula in its LIMIT). SemDeDup's
@@ -1836,6 +1851,30 @@ object SparkEntry {
         size(tokens(col("text"))).cast("long").as("ntok"))
       Curation.ppsSample(base, "id", "ntok", ratePerMillion = 1000L)
         .orderBy("id")
+    }),
+
+    "q137_kmv_distinct" -> ((s, d) =>
+      // KMV distinct-count sketch, the DETERMINISTIC alternative to
+      // q39's HLL: the k smallest md5 hashes are a pure function of the
+      // data, so DuckDB recomputes the sketch itself and the estimate
+      // hash-compares exactly (Sketches.KmvAgg scaladoc). Per-group
+      // state = 64 longs, map-side combined — shuffle is |groups|×64
+      // longs at any corpus size.
+      Sketches.kmvDistinct(events(s, d), "event_type", col("user_id"),
+          k = KmvK, saltPrefix = "kmv_")
+        .orderBy("event_type")),
+
+    "q138_cms_heavy" -> ((s, d) => {
+      // Count-min sketch frequency probe: the whole sketch is d·w=4096
+      // cells from ONE bounded-domain hash agg; the probe list and
+      // cells both broadcast, so probing adds no shuffle
+      // (Sketches.cmsBuild scaladoc). Overestimate-only guarantee
+      // asserted vs exact counts in SketchesSpec.
+      val cells = Sketches.cmsBuild(documents(s, d), "text",
+        d = CmsDepth, w = CmsWidth, saltPrefix = "cms")
+      Sketches.cmsProbe(s, cells, CmsProbeWords,
+          d = CmsDepth, w = CmsWidth, saltPrefix = "cms")
+        .orderBy("word")
     })
   )
 
@@ -3872,6 +3911,44 @@ object SparkEntry {
         | round(quantile_cont(CAST(round(o_totalprice*100,0) AS BIGINT), 0.5), 2) AS median_c,
         | round(quantile_cont(CAST(round(o_totalprice*100,0) AS BIGINT), 0.25), 2) AS q1_c,
         | round(quantile_cont(CAST(round(o_totalprice*100,0) AS BIGINT), 0.75), 2) AS q3_c
-        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The oracle recomputes the KMV sketch itself (distinct salted
+    // hashes -> k smallest via row_number) and the (k-1)·2^60/h_k
+    // estimator in HUGEINT — the estimate hash-compares exactly, unlike
+    // q39's engine-private HLL state
+    "q137_kmv_distinct" ->
+      s"""WITH h AS (SELECT DISTINCT event_type,
+         |  ${duckHash("concat('kmv_', CAST(user_id AS VARCHAR))", 15)} AS h
+         | FROM events),
+         |r AS (SELECT event_type, h,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h),
+         |b AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |  MAX(h) AS kth_min FROM r WHERE rn <= $KmvK GROUP BY 1)
+         |SELECT event_type, n_kept, kth_min,
+         | CASE WHEN n_kept < $KmvK THEN n_kept
+         |  ELSE CAST((CAST(${KmvK - 1} AS HUGEINT) * ${Sketches.HashDomain})
+         |    // GREATEST(kth_min, 1) AS BIGINT) END AS est_distinct
+         |FROM b ORDER BY event_type""".stripMargin,
+
+    // the sketch cells are a pure function of the corpus (md5 row
+    // hashes), so the oracle builds the identical d x w cell table and
+    // takes the same min over rows per probe word
+    "q138_cms_heavy" -> {
+      val probes = CmsProbeWords.map(w => s"'$w'").mkString(", ")
+      s"""WITH tok AS (SELECT unnest($TOKS) AS w FROM documents),
+         |rr AS (SELECT unnest(generate_series(0, ${CmsDepth - 1})) AS r),
+         |cell AS (SELECT r,
+         |  ${duckHash("concat('cms', CAST(r AS VARCHAR), '_', w)", 15)} % $CmsWidth AS c,
+         |  COUNT(*) AS cnt
+         | FROM tok CROSS JOIN rr GROUP BY 1, 2),
+         |probe AS (SELECT unnest([$probes]) AS word),
+         |pc AS (SELECT word, r,
+         |  ${duckHash("concat('cms', CAST(r AS VARCHAR), '_', word)", 15)} % $CmsWidth AS c
+         | FROM probe CROSS JOIN rr)
+         |SELECT word, CAST(MIN(COALESCE(cell.cnt, 0)) AS BIGINT) AS est_count
+         |FROM pc LEFT JOIN cell USING (r, c)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    }
   )
 }

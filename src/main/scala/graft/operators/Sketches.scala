@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Bounded-state sketches for cardinality and frequency at corpus scale.
+  *
+  * Both sketches here are DETERMINISTIC — every hash is md5-derived
+  * ([[graft.functions.TextFunctions.tokenHash64]]), so the same corpus
+  * yields bit-identical sketch contents in any engine. That is the
+  * design departure from q39/q70 (Spark's native HLL / KLL sketches,
+  * whose binary state is engine-private and therefore `no_oracle`):
+  * a KMV or count-min cell is a pure function of the data, which lets
+  * the DuckDB oracle recompute the sketch itself and hash-compare the
+  * estimates, not just bound their error.
+  *
+  * Scale shapes:
+  *  - KMV: per-group state is k longs, merged associatively — a classic
+  *    map-side-combine aggregate; shuffle volume is |groups| × k longs
+  *    no matter how many rows feed it.
+  *  - Count-min: the whole sketch is d×w cells built by ONE hash
+  *    aggregation (map-side partials over a bounded key domain);
+  *    probing joins a broadcast probe list against the broadcast cell
+  *    table — no shuffle at all after the build agg.
+  *
+  * The reference has no sketches (SURVEY.md §2a); these extend its
+  * scan→agg shape (usr_functions.c:19-109) to sublinear summaries.
+  */
+object Sketches {
+
+  /** 60-bit hash domain of tokenHash64: [0, 2^60). */
+  val HashDomain: Long = 1L << 60
+
+  /** KMV (k-minimum-values) distinct-count sketch — Bar-Yossef et al.
+    * 2002. Buffer = the k smallest DISTINCT 60-bit hashes seen, kept
+    * sorted ascending; insertion and merge preserve sortedness, so the
+    * final buffer is a pure function of the input SET (order- and
+    * partitioning-independent — what makes the estimate oracle-
+    * comparable). Estimator: with h_k the k-th smallest hash,
+    * E[distinct] = (k-1) · 2^60 / h_k; when fewer than k distinct
+    * hashes exist the buffer IS the exact distinct set.
+    */
+  class KmvAgg(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+    require(k >= 2, s"k must be >= 2, got $k")
+    def zero: Array[Long] = Array.empty[Long]
+
+    def reduce(b: Array[Long], h: Long): Array[Long] = {
+      val pos = java.util.Arrays.binarySearch(b, h)
+      if (pos >= 0) b                       // already present
+      else {
+        val ins = -pos - 1
+        if (b.length < k) {
+          val out = new Array[Long](b.length + 1)
+          System.arraycopy(b, 0, out, 0, ins)
+          out(ins) = h
+          System.arraycopy(b, ins, out, ins + 1, b.length - ins)
+          out
+        } else if (ins < k) {               // displaces the current max
+          val out = new Array[Long](k)
+          System.arraycopy(b, 0, out, 0, ins)
+          out(ins) = h
+          System.arraycopy(b, ins, out, ins + 1, k - ins - 1)
+          out
+        } else b
+      }
+    }
+
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      // merge two sorted distinct arrays, keep the k smallest distinct
+      val out = new Array[Long](math.min(a.length + b.length, k))
+      var i = 0; var j = 0; var n = 0
+      while (n < out.length && (i < a.length || j < b.length)) {
+        val v =
+          if (j >= b.length || (i < a.length && a(i) <= b(j))) { val x = a(i); i += 1; x }
+          else { val x = b(j); j += 1; x }
+        if (n == 0 || out(n - 1) != v) { out(n) = v; n += 1 }
+      }
+      if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+    }
+
+    def finish(b: Array[Long]): Array[Long] = b
+    def bufferEncoder = Encoders.kryo[Array[Long]]
+    def outputEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Per-group approximate distinct count via KMV. `keyCol` is hashed
+    * with a salted tokenHash64 (`saltPrefix` keeps sketches of different
+    * operators independent). Returns
+    * (group, n_kept, kth_min, est_distinct):
+    *  - n_kept < k  => the hash set was exhaustive, est = n_kept exact;
+    *  - n_kept == k => est = (k-1)·2^60 / kth_min (floor), computed in
+    *    BigInt because (k-1)·2^60 overflows a Long for k > 8 — DuckDB
+    *    mirrors it in HUGEINT.
+    * Relative sketch error is ~1/sqrt(k-2) (≈12.7% at k=64).
+    */
+  def kmvDistinct(df: DataFrame, groupCol: String, keyCol: Column,
+                  k: Int, saltPrefix: String): DataFrame = {
+    val kmv = udaf(new KmvAgg(k), Encoders.scalaLong)
+    val est = udf { (buf: Seq[Long]) =>
+      if (buf.size < k) buf.size.toLong
+      // `max 1` guards the 2^-60 chance of a literal zero hash (the
+      // oracle applies GREATEST(kth_min, 1) identically)
+      else ((BigInt(k - 1) * BigInt(HashDomain)) / BigInt(buf.last max 1L)).toLong
+    }
+    val h = tokenHash64(concat(lit(saltPrefix), keyCol.cast("string")))
+    df.select(col(groupCol), h.as("__h"))
+      .groupBy(groupCol)
+      .agg(kmv(col("__h")).as("__buf"))
+      .select(col(groupCol),
+        size(col("__buf")).cast("long").as("n_kept"),
+        element_at(col("__buf"), -1).as("kth_min"),
+        est(col("__buf")).as("est_distinct"))
+  }
+
+  /** Count-min sketch build over whitespace tokens — Cormode &
+    * Muthukrishnan 2005. d salted hash rows × w columns; cell (r, c)
+    * sums the counts of every token with hash_r(token) = c. ONE hash
+    * aggregation over a ≤ d·w key domain: partial aggregation bounds
+    * the shuffle at d·w cells per map task regardless of corpus size.
+    * Returns (r, c, cnt) — only non-zero cells; probes treat a missing
+    * cell as 0 (never happens for a probe token that occurs, since its
+    * own occurrences populate its cells).
+    */
+  def cmsBuild(docs: DataFrame, textCol: String, d: Int, w: Int,
+               saltPrefix: String): DataFrame = {
+    require(d >= 1 && w >= 2, s"need d >= 1, w >= 2; got d=$d w=$w")
+    val tok = docs.select(explode(tokens(col(textCol))).as("w"))
+    // all d row-hashes of one token in one pass (posexplode of a d-array)
+    val rows = (0 until d).map(r =>
+      pmod(tokenHash64(concat(lit(s"$saltPrefix${r}_"), col("w"))), lit(w.toLong)))
+    tok.select(posexplode(array(rows: _*)).as(Seq("r", "c")))
+      .groupBy(col("r").cast("long").as("r"), col("c"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Probe a count-min sketch for a fixed token list: estimate =
+    * min over rows r of cell(r, hash_r(token)). The sketch cells and
+    * the probe list are both bounded, so the probe plan is two
+    * broadcasts and a map — nothing shuffles. Count-min guarantees
+    * est >= true count (tested), with overestimate ≤ e·N/w w.h.p.
+    * Returns (word, est_count).
+    */
+  def cmsProbe(spark: org.apache.spark.sql.SparkSession, cells: DataFrame,
+               probes: Seq[String], d: Int, w: Int,
+               saltPrefix: String): DataFrame = {
+    import spark.implicits._
+    val probeCells = probes.toDF("word")
+      .select(col("word"), posexplode(array((0 until d).map(r =>
+        pmod(tokenHash64(concat(lit(s"$saltPrefix${r}_"), col("word"))),
+          lit(w.toLong))): _*)).as(Seq("r", "c")))
+      .select(col("word"), col("r").cast("long").as("r"), col("c"))
+    probeCells.join(broadcast(cells), Seq("r", "c"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .groupBy("word")
+      .agg(min(col("cnt")).as("est_count"))
+  }
+}

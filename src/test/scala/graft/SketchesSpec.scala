@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Sketches
+
+class SketchesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("KMV: fewer than k distinct keys -> exact count, buffer is the set") {
+    val df = (1 to 40).map(i => ("g", i.toLong)).toDF("grp", "key")
+    val got = Sketches.kmvDistinct(df, "grp", col("key"), k = 64,
+      saltPrefix = "t_").collect()
+    assert(got.length == 1)
+    assert(got(0).getAs[Long]("n_kept") == 40L)
+    assert(got(0).getAs[Long]("est_distinct") == 40L)
+  }
+
+  test("KMV: estimator lands within rsd bounds of the true cardinality") {
+    // 5000 distinct keys, k=64 -> rsd ~ 1/sqrt(62) ~ 12.7%; assert 4 rsd
+    val df = (1 to 5000).map(i => ("g", i.toLong)).toDF("grp", "key")
+    val got = Sketches.kmvDistinct(df, "grp", col("key"), k = 64,
+      saltPrefix = "t_").collect()
+    val est = got(0).getAs[Long]("est_distinct")
+    assert(got(0).getAs[Long]("n_kept") == 64L)
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.51, s"est=$est")
+  }
+
+  test("KMV: duplicates do not move the estimate (set semantics)") {
+    val once = (1 to 300).map(i => ("g", i.toLong))
+    val dup = once ++ once ++ once
+    val a = Sketches.kmvDistinct(once.toDF("grp", "key"), "grp", col("key"),
+      k = 64, saltPrefix = "t_").collect()(0)
+    val b = Sketches.kmvDistinct(dup.toDF("grp", "key"), "grp", col("key"),
+      k = 64, saltPrefix = "t_").collect()(0)
+    assert(a.getAs[Long]("est_distinct") == b.getAs[Long]("est_distinct"))
+    assert(a.getAs[Long]("kth_min") == b.getAs[Long]("kth_min"))
+  }
+
+  test("KMV: merge across many partitions equals single-partition result") {
+    val df1 = (1 to 2000).map(i => ("g", (i % 700).toLong)).toDF("grp", "key")
+    val a = Sketches.kmvDistinct(df1.repartition(16), "grp", col("key"),
+      k = 32, saltPrefix = "t_").collect()(0)
+    val b = Sketches.kmvDistinct(df1.coalesce(1), "grp", col("key"),
+      k = 32, saltPrefix = "t_").collect()(0)
+    assert(a.getAs[Long]("kth_min") == b.getAs[Long]("kth_min"))
+    assert(a.getAs[Long]("est_distinct") == b.getAs[Long]("est_distinct"))
+  }
+
+  test("count-min: estimates are >= exact counts (one-sided error)") {
+    val docs = Seq.tabulate(50)(i =>
+      (i.toLong, s"alpha beta gamma ${if (i % 2 == 0) "delta" else "epsilon"} alpha"))
+      .toDF("doc_id", "text")
+    val cells = Sketches.cmsBuild(docs, "text", d = 4, w = 256, saltPrefix = "t")
+    val probes = Seq("alpha", "beta", "delta", "epsilon", "missing")
+    val est = Sketches.cmsProbe(spark, cells, probes, d = 4, w = 256,
+      saltPrefix = "t").collect().map(r =>
+        r.getAs[String]("word") -> r.getAs[Long]("est_count")).toMap
+    val exact = Map("alpha" -> 100L, "beta" -> 50L, "delta" -> 25L,
+      "epsilon" -> 25L, "missing" -> 0L)
+    exact.foreach { case (w, c) =>
+      assert(est(w) >= c, s"$w: est ${est(w)} < exact $c")
+    }
+    // with 5 distinct tokens in 256 columns, collisions are unlikely:
+    // the point estimates should be exact here
+    assert(est("alpha") == 100L && est("beta") == 50L)
+  }
+
+  test("count-min: cell table is bounded by d*w regardless of corpus size") {
+    val docs = Seq.tabulate(200)(i => (i.toLong,
+      (1 to 20).map(j => s"w${(i * 7 + j) % 500}").mkString(" "))).toDF("doc_id", "text")
+    val cells = Sketches.cmsBuild(docs, "text", d = 4, w = 64, saltPrefix = "t")
+    assert(cells.count() <= 4L * 64L)
+  }
+}
