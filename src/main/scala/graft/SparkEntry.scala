@@ -81,6 +81,12 @@ object SparkEntry {
     "merge", "row", "scan", "slow", "sort", "spark", "table", "the",
     "value", "window", "zzz_absent")
 
+  /** q139's hashed-feature space (DSIR): the weight table is bounded at
+    * this many rows regardless of corpus size — the paper's own trick
+    * for web scale. Shared with the oracle SQL's % modulus.
+    */
+  private val DsirBuckets = 1024
+
   /** q119's cluster sizing, shared by the Spark query and its oracle
     * SQL (the oracle computes the same formula in its LIMIT). SemDeDup's
     * per-cluster pair join is O(|cluster|²), so the cluster COUNT must
@@ -1875,7 +1881,53 @@ object SparkEntry {
       Sketches.cmsProbe(s, cells, CmsProbeWords,
           d = CmsDepth, w = CmsWidth, saltPrefix = "cms")
         .orderBy("word")
-    })
+    }),
+
+    "q139_dsir_select" -> ((s, d) =>
+      // DSIR data selection (arXiv:2302.03169): importance weights
+      // between the 'en' slice and the raw corpus over 1024 hashed
+      // bigram buckets, in exact integer bits — the weight table is
+      // bounded and broadcast, the corpus never shuffles on a pair key
+      // (Curation.dsirSelect scaladoc).
+      Curation.dsirSelect(documents(s, d), "doc_id", "text",
+          isTarget = col("lang") === "en", nBuckets = DsirBuckets, topM = 100)
+        .orderBy(col("score").desc, col("id"))),
+
+    "q140_int8_ann" -> ((s, d) => {
+      // Scalar int8 quantization + integer dot-product top-k: exact
+      // Long scores, so the ranking needs NO rounding epsilon — and the
+      // quantized corpus is 4x smaller in memory (Ann.int8QuantTopK
+      // scaladoc). Recall vs float brute force asserted in DedupAnnSpec.
+      val e = embeddings(s, d)
+      Ann.int8QuantTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("qdot"),
+          col("rank").cast("long").as("rnk"))
+        .orderBy("query_id", "rnk")
+    }),
+
+    "q141_temperature_mix" -> ((s, d) =>
+      // XLM-style p^0.5 temperature rebalancing across languages:
+      // integer per-lang keep rates from the driver-side BigInt formula
+      // (bounded collect: one row per lang), applied as a map-only
+      // md5-coin filter (Curation.temperatureSample scaladoc).
+      Curation.temperatureSample(documents(s, d), "doc_id", "lang",
+          budgetDivisor = 2L)
+        .orderBy("id")),
+
+    "q142_bigram_surprisal" -> ((s, d) =>
+      // Stupid-backoff bigram LM surprisal in exact integer bits,
+      // train/eval md5-split — the deterministic stand-in for the
+      // CCNet-style LM perplexity filter (Curation.bigramSurprisal
+      // scaladoc).
+      Curation.bigramSurprisal(documents(s, d), "doc_id", "text")
+        .orderBy("id")),
+
+    "q143_source_drift" -> ((s, d) =>
+      // Per-source cross-vs-self entropy gap (integer-bits KL proxy):
+      // the per-ingest mixture-health monitor (Curation.sourceDrift
+      // scaladoc).
+      Curation.sourceDrift(documents(s, d), "doc_id", "text", "source")
+        .orderBy("src"))
   )
 
   // ---------------------------------------------------------------- //
@@ -3949,6 +4001,112 @@ object SparkEntry {
          |SELECT word, CAST(MIN(COALESCE(cell.cnt, 0)) AS BIGINT) AS est_count
          |FROM pc LEFT JOIN cell USING (r, c)
          |GROUP BY 1 ORDER BY 1""".stripMargin
-    }
+    },
+
+    // the bounded 1024-bucket weight table and the integer-bits
+    // log-ratio recomputed verbatim; the top-100 cut is total-ordered
+    // (score desc, id) so the selected SET is deterministic
+    "q139_dsir_select" ->
+      s"""WITH t AS (SELECT doc_id AS id, lang = 'en' AS tgt, $TOKS AS toks FROM documents),
+         |f AS (SELECT id, tgt, unnest(CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+         |  ELSE list_transform(generate_series(1, len(toks)-1),
+         |    i -> toks[i] || ' ' || toks[i+1]) END) AS gram FROM t),
+         |fb AS (SELECT id, tgt,
+         |  ${duckHash("concat('dsir_', gram)", 15)} % $DsirBuckets AS b FROM f),
+         |c AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cnt_raw,
+         |  CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS cnt_tgt
+         | FROM fb GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(cnt_raw) AS BIGINT) AS n_raw,
+         |  CAST(SUM(cnt_tgt) AS BIGINT) AS n_tgt FROM c),
+         |w AS (SELECT b, CAST((length(bin(tot.n_raw // (cnt_raw + 1))) - 1)
+         |  - (length(bin(tot.n_tgt // (cnt_tgt + 1))) - 1) AS BIGINT) AS wt
+         | FROM c, tot)
+         |SELECT fb.id, CAST(COUNT(*) AS BIGINT) AS n_feat,
+         | CAST(SUM(w.wt) AS BIGINT) AS score
+         |FROM fb JOIN w USING (b) GROUP BY 1
+         |ORDER BY score DESC, id LIMIT 100""".stripMargin,
+
+    // the same global max-abs scale and floor(v*127/m) IEEE expression,
+    // and an exact integer dot product — no rounding epsilon anywhere
+    "q140_int8_ann" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |st AS (SELECT MAX(abs(x)) AS m FROM (SELECT unnest(v) AS x FROM e)),
+        |qe AS (SELECT vec_id, list_transform(v, x ->
+        |  CASE WHEN st.m <= 0 THEN 0
+        |    ELSE CAST(floor(x * 127.0 / st.m) AS BIGINT) END) AS qv
+        | FROM e, st),
+        |q AS (SELECT vec_id AS query_id, qv AS qq FROM qe WHERE vec_id < 5),
+        |s AS (SELECT query_id, c.vec_id AS neighbor_id,
+        |  CAST(list_dot_product(qq::DOUBLE[], c.qv::DOUBLE[]) AS BIGINT) AS qdot
+        | FROM qe c CROSS JOIN q WHERE c.vec_id <> query_id),
+        |r AS (SELECT query_id, neighbor_id, qdot,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY qdot DESC, neighbor_id) AS BIGINT) AS rnk FROM s)
+        |SELECT query_id, neighbor_id, qdot, rnk FROM r WHERE rnk <= 5
+        |ORDER BY query_id, rnk""".stripMargin,
+
+    // the driver-side BigInt rate formula re-derived in HUGEINT; sqrt
+    // is IEEE-correctly-rounded in both engines so floor(sqrt(n)*1000)
+    // is bit-identical
+    "q141_temperature_mix" ->
+      s"""WITH g AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+         |s AS (SELECT lang, n,
+         |  CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000) AS BIGINT) AS sl FROM g),
+         |tot AS (SELECT CAST(SUM(sl) AS BIGINT) AS ssum,
+         |  CAST(SUM(n) AS BIGINT) // 2 AS t FROM s),
+         |r AS (SELECT lang, CAST(LEAST(CAST(1000000 AS HUGEINT),
+         |  CAST(tot.t AS HUGEINT) * sl * 1000000 // (CAST(tot.ssum AS HUGEINT) * n))
+         |  AS BIGINT) AS rate_ppm FROM s, tot)
+         |SELECT d.doc_id AS id, d.lang, r.rate_ppm
+         |FROM documents d JOIN r USING (lang)
+         |WHERE ${duckHash("concat('tmix_', CAST(doc_id AS VARCHAR))", 15)} % 1000000 < r.rate_ppm
+         |ORDER BY id""".stripMargin,
+
+    // train-half LM counts + the same integer-bits stupid-backoff CASE;
+    // DuckDB's zip-unnest pairs toks[1:n-1] with toks[2:n] positionally
+    "q142_bigram_surprisal" ->
+      s"""WITH t AS (SELECT doc_id AS id,
+         |  ${duckHash("concat('bglm_', CAST(doc_id AS VARCHAR))", 15)} % 1000000 < 800000 AS is_train,
+         |  $TOKS AS toks FROM documents),
+         |p AS (SELECT id, is_train,
+         |  unnest(toks[1:len(toks)-1]) AS w1, unnest(toks[2:len(toks)]) AS w2
+         | FROM t WHERE len(toks) >= 2),
+         |uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+         | FROM (SELECT unnest(toks) AS w FROM t WHERE is_train) GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM uni),
+         |bi AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt_bi
+         | FROM p WHERE is_train GROUP BY 1, 2),
+         |ev AS (SELECT p.id,
+         |  CASE WHEN bi.cnt_bi IS NOT NULL THEN length(bin(u1.cnt // bi.cnt_bi)) - 1
+         |    ELSE 3 + length(bin(tot.n // (COALESCE(u2.cnt, 0) + 1))) - 1 END AS cost
+         | FROM p LEFT JOIN bi USING (w1, w2)
+         | LEFT JOIN uni u1 ON p.w1 = u1.w
+         | LEFT JOIN uni u2 ON p.w2 = u2.w
+         | CROSS JOIN tot
+         | WHERE NOT p.is_train)
+         |SELECT id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         | CAST(SUM(cost) AS BIGINT) AS total_bits,
+         | CAST((CAST(SUM(cost) AS BIGINT) * 1000) // COUNT(*) AS BIGINT) AS bits_per_1k
+         |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // one (source, token) agg feeds self- and cross-entropy; the global
+    // table derives from it, never a second corpus scan
+    "q143_source_drift" ->
+      s"""WITH sc AS (SELECT source AS src, w, CAST(COUNT(*) AS BIGINT) AS cnt_s
+         | FROM (SELECT source, unnest($TOKS) AS w FROM documents) GROUP BY 1, 2),
+         |ns AS (SELECT src, CAST(SUM(cnt_s) AS BIGINT) AS n_s FROM sc GROUP BY 1),
+         |gc AS (SELECT w, CAST(SUM(cnt_s) AS BIGINT) AS cnt_g FROM sc GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(cnt_g) AS BIGINT) AS n FROM gc),
+         |j AS (SELECT sc.src, sc.cnt_s, ns.n_s, gc.cnt_g, tot.n
+         | FROM sc JOIN ns USING (src) JOIN gc USING (w) CROSS JOIN tot),
+         |a AS (SELECT src, MAX(n_s) AS n_tokens,
+         |  CAST(SUM(cnt_s * (length(bin(n_s // cnt_s)) - 1)) AS BIGINT) AS self_bits,
+         |  CAST(SUM(cnt_s * (length(bin(n // cnt_g)) - 1)) AS BIGINT) AS cross_bits
+         | FROM j GROUP BY 1)
+         |SELECT src, n_tokens,
+         | (self_bits * 1000) // n_tokens AS self_bits_per_1k,
+         | (cross_bits * 1000) // n_tokens AS cross_bits_per_1k,
+         | ((cross_bits - self_bits) * 1000) // n_tokens AS drift_per_1k
+         |FROM a ORDER BY src""".stripMargin
   )
 }

