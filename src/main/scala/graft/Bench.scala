@@ -44,7 +44,14 @@ object Bench {
       def min: Double = runs.min
       def spread: Double = runs.max - runs.min
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Optional subset for local iteration (comma-separated name
+    // substrings, like Verify's third arg); the driver always runs all.
+    val only: Option[Seq[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSeq)
+    val selected = SparkEntry.queries.filter { case (name, _) =>
+      only.forall(_.exists(name.contains))
+    }
+    val results = selected.map { case (name, fn) =>
       // noop sink materializes every output column; count() would let
       // Catalyst prune projection-only queries down to a row count.
       // Best of 3 runs: the first pays one-shot codegen + JIT (measured

@@ -1927,7 +1927,25 @@ object SparkEntry {
       // the per-ingest mixture-health monitor (Curation.sourceDrift
       // scaladoc).
       Curation.sourceDrift(documents(s, d), "doc_id", "text", "source")
-        .orderBy("src"))
+        .orderBy("src")),
+
+    "q144_kmv_jaccard" -> ((s, d) =>
+      // Pairwise customer-set overlap between order statuses from the
+      // per-group KMV sketches alone — the theta-sketch trick: the raw
+      // sets are never compared, so the pair stage costs |G|^2 * k at
+      // any corpus size (Sketches.kmvJaccard scaladoc).
+      Sketches.kmvJaccard(orders(s, d), "o_orderstatus", col("o_custkey"),
+          k = KmvK, saltPrefix = "kj_")
+        .orderBy("g_a", "g_b")),
+
+    "q145_trimmed_mean" -> ((s, d) =>
+      // Exact 10% two-sided trimmed mean per order status over the
+      // (group, cents) HISTOGRAM — ordered state bounded by the value
+      // domain, never |rows| (Relational.trimmedMeanByGroup scaladoc;
+      // the q124 MAD machinery's shape).
+      Relational.trimmedMeanByGroup(orders(s, d), "o_orderstatus",
+          cents(col("o_totalprice")), trimPpm = 100000L)
+        .orderBy("o_orderstatus"))
   )
 
   // ---------------------------------------------------------------- //
@@ -4107,6 +4125,43 @@ object SparkEntry {
          | (self_bits * 1000) // n_tokens AS self_bits_per_1k,
          | (cross_bits * 1000) // n_tokens AS cross_bits_per_1k,
          | ((cross_bits - self_bits) * 1000) // n_tokens AS drift_per_1k
-         |FROM a ORDER BY src""".stripMargin
+         |FROM a ORDER BY src""".stripMargin,
+
+    // the oracle rebuilds both KMV sketches (k smallest distinct salted
+    // hashes), takes the k smallest of their union and counts common
+    // membership — the same integers the Spark UDF computes
+    "q144_kmv_jaccard" ->
+      s"""WITH h AS (SELECT DISTINCT o_orderstatus AS g,
+         |  ${duckHash("concat('kj_', CAST(o_custkey AS VARCHAR))", 15)} AS h FROM orders),
+         |r AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM h),
+         |sk AS (SELECT g, list(h ORDER BY h) AS buf FROM r WHERE rn <= $KmvK GROUP BY 1),
+         |p AS (SELECT a.g AS g_a, b.g AS g_b, a.buf AS ba, b.buf AS bb
+         | FROM sk a JOIN sk b ON a.g < b.g),
+         |m AS (SELECT g_a, g_b, ba, bb,
+         |  list_sort(list_distinct(list_concat(ba, bb)))[1:$KmvK] AS mu FROM p),
+         |c AS (SELECT g_a, g_b,
+         |  CAST(len(list_filter(mu, x -> list_contains(ba, x) AND list_contains(bb, x))) AS BIGINT) AS n_common,
+         |  CAST(len(mu) AS BIGINT) AS m_size FROM m)
+         |SELECT g_a, g_b, n_common, m_size,
+         | (n_common * 1000000) // m_size AS jaccard_ppm
+         |FROM c ORDER BY g_a, g_b""".stripMargin,
+
+    // row-rank trimming is value-equivalent to the engine's histogram
+    // contribution formula: ties contribute interchangeably to the sum
+    "q145_trimmed_mean" ->
+      """WITH x AS (SELECT o_orderstatus,
+        |  CAST(round(o_totalprice*100, 0) AS BIGINT) AS v FROM orders),
+        |r AS (SELECT o_orderstatus, v,
+        |  row_number() OVER (PARTITION BY o_orderstatus ORDER BY v) AS rn,
+        |  COUNT(*) OVER (PARTITION BY o_orderstatus) AS n FROM x),
+        |t AS (SELECT o_orderstatus, v, n, rn,
+        |  (n * 100000) // 1000000 AS lo,
+        |  n - (n * 100000) // 1000000 AS hi FROM r)
+        |SELECT o_orderstatus, CAST(MAX(n) AS BIGINT) AS n_rows,
+        | CAST(COUNT(*) AS BIGINT) AS n_kept,
+        | CAST(SUM(v) AS BIGINT) AS sum_c,
+        | CAST((CAST(SUM(v) AS BIGINT) * 1000) // COUNT(*) AS BIGINT) AS mean_milli_c
+        |FROM t WHERE rn > lo AND rn <= hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

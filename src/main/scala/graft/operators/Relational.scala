@@ -316,6 +316,44 @@ object Relational {
       .select(col(grpCol), col("med"), (col("mad2") / 2.0).as("mad"))
   }
 
+  /** Exact per-group two-sided trimmed mean (robust location): drop the
+    * lowest and highest floor(n·trimPpm/10⁶) values, average the rest —
+    * all in exact integer arithmetic over a cents-valued column.
+    *
+    * Same scale shape as [[histogramPercentiles]]/[[madByGroup]]: the
+    * corpus reduces to a (group, value) HISTOGRAM first, so the ordered
+    * window runs over rows bounded by the value DOMAIN, never |rows| —
+    * ties need no ordering decision because equal values contribute
+    * interchangeably to the trimmed sum (each histogram row contributes
+    * max(0, min(cum, hi) − max(cum_prev, lo)) copies). Returns
+    * (group, n_rows, n_kept, sum_c, mean_milli_c); groups too small to
+    * keep anything after trimming (hi == lo) are dropped rather than
+    * dividing by zero.
+    */
+  def trimmedMeanByGroup(df: DataFrame, grpCol: String, valCents: Column,
+                         trimPpm: Long = 100000L): DataFrame = {
+    require(trimPpm >= 0 && trimPpm < 500000L,
+      s"trimPpm must be in [0, 500000), got $trimPpm")
+    val hist = df.select(col(grpCol), valCents.as("__v"))
+      .groupBy(grpCol, "__v").agg(count(lit(1)).as("__cnt"))
+    val w = Window.partitionBy(grpCol).orderBy("__v")
+    val wAll = Window.partitionBy(grpCol)
+    hist
+      .withColumn("__cum", sum("__cnt").over(w))
+      .withColumn("__n", sum("__cnt").over(wAll))
+      .withColumn("__lo", expr(s"(__n * $trimPpm) div 1000000"))
+      .withColumn("__hi", col("__n") - col("__lo"))
+      .filter(col("__hi") > col("__lo"))
+      .withColumn("__keep", greatest(lit(0L),
+        least(col("__cum"), col("__hi"))
+          - greatest(col("__cum") - col("__cnt"), col("__lo"))))
+      .groupBy(grpCol)
+      .agg(max(col("__n")).as("n_rows"),
+        sum(col("__keep")).as("n_kept"),
+        sum(col("__keep") * col("__v")).as("sum_c"))
+      .withColumn("mean_milli_c", expr("(sum_c * 1000) div n_kept"))
+  }
+
   /** Batch sessionization: events per user are split into sessions
     * whenever the gap to the previous event exceeds `gapSeconds`; returns
     * one row per session with start/end/count. The lag + running-sum of

@@ -116,6 +116,39 @@ object Sketches {
         est(col("__buf")).as("est_distinct"))
   }
 
+  /** Pairwise set-overlap estimate between groups from their KMV
+    * sketches (the theta-sketch trick, Dasgupta et al. 2016): for each
+    * group pair, M = the k smallest distinct hashes of S_a ∪ S_b (a
+    * uniform sample of the union) and J ≈ |{x ∈ M : x ∈ S_a ∧ x ∈ S_b}|
+    * / |M|. Everything derives from the per-group sketches — the raw
+    * sets are never compared, so the pair stage costs |G|²·k no matter
+    * how many rows fed the sketches. Intended for BOUNDED group domains
+    * (statuses, languages, sources); the sketch table is broadcast-
+    * sized by construction. Jaccard is reported in exact ppm (integer
+    * div) for cross-engine hash stability. Returns
+    * (g_a, g_b, n_common, m_size, jaccard_ppm) for g_a < g_b.
+    */
+  def kmvJaccard(df: DataFrame, groupCol: String, keyCol: Column,
+                 k: Int, saltPrefix: String): DataFrame = {
+    val agg = new KmvAgg(k)
+    val kmv = udaf(agg, Encoders.scalaLong)
+    val h = tokenHash64(concat(lit(saltPrefix), keyCol.cast("string")))
+    val sk = df.select(col(groupCol).as("g"), h.as("__h"))
+      .groupBy("g").agg(kmv(col("__h")).as("buf"))
+    val overlap = udf { (a: Seq[Long], b: Seq[Long]) =>
+      val m = agg.merge(a.toArray, b.toArray) // sorted k-min of the union
+      val sa = a.toSet; val sb = b.toSet
+      Array(m.count(x => sa(x) && sb(x)).toLong, m.length.toLong)
+    }
+    sk.as("a").join(sk.as("b"), col("a.g") < col("b.g"))
+      .select(col("a.g").as("g_a"), col("b.g").as("g_b"),
+        overlap(col("a.buf"), col("b.buf")).as("cm"))
+      .select(col("g_a"), col("g_b"),
+        col("cm").getItem(0).as("n_common"),
+        col("cm").getItem(1).as("m_size"),
+        expr("(cm[0] * 1000000) div cm[1]").as("jaccard_ppm"))
+  }
+
   /** Count-min sketch build over whitespace tokens — Cormode &
     * Muthukrishnan 2005. d salted hash rows × w columns; cell (r, c)
     * sums the counts of every token with hash_r(token) = c. ONE hash

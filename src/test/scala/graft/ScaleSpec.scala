@@ -327,6 +327,38 @@ class ScaleSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(("a", 3.0, 1.0), ("b", 15.0, 5.0), ("c", 7.0, 0.0)))
   }
 
+  test("trimmedMeanByGroup: brute-force parity and outlier robustness") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 500).map(i => ("a", rnd.nextInt(10000).toLong)) ++
+      Seq(("a", 99999999L)) ++ // one extreme outlier
+      (1 to 37).map(i => ("b", i.toLong)) ++
+      Seq(("c", 5L)) // 1-row group: hi==lo is false at trim 10% (lo=0)
+    val df = rows.toDF("g", "v")
+    val got = operators.Relational
+      .trimmedMeanByGroup(df, "g", col("v"), trimPpm = 100000L)
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_rows"),
+        r.getAs[Long]("n_kept"), r.getAs[Long]("sum_c"),
+        r.getAs[Long]("mean_milli_c"))).toSeq
+    // brute force: sort, drop floor(n/10) from each side
+    def brute(vs: Seq[Long]): (Long, Long, Long, Long) = {
+      val s = vs.sorted; val n = s.size; val lo = n / 10
+      val kept = s.slice(lo, n - lo)
+      (n.toLong, kept.size.toLong, kept.sum, kept.sum * 1000 / kept.size)
+    }
+    val wantA = brute(rows.filter(_._1 == "a").map(_._2))
+    val wantB = brute(rows.filter(_._1 == "b").map(_._2))
+    val wantC = brute(Seq(5L))
+    assert(got == Seq(
+      ("a", wantA._1, wantA._2, wantA._3, wantA._4),
+      ("b", wantB._1, wantB._2, wantB._3, wantB._4),
+      ("c", wantC._1, wantC._2, wantC._3, wantC._4)))
+    // the outlier was trimmed: mean stays in the uniform range
+    val meanA = got.find(_._1 == "a").get._5 / 1000.0
+    assert(meanA < 10000.0, s"outlier leaked into trimmed mean: $meanA")
+  }
+
   test("ntileOf matches ntile(k) for every position at sizes 1..13, k in 2..5") {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._

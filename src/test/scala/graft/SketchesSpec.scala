@@ -68,6 +68,27 @@ class SketchesSpec extends AnyFunSuite {
     assert(est("alpha") == 100L && est("beta") == 50L)
   }
 
+  test("KMV Jaccard: exact when k covers the union") {
+    // |A|=30, |B|=30, |A∩B|=20, |A∪B|=40 <= k=64 -> jaccard exactly 0.5
+    val rows = ((1 to 30).map(i => ("a", i.toLong)) ++
+      (11 to 40).map(i => ("b", i.toLong))).toDF("grp", "key")
+    val got = Sketches.kmvJaccard(rows, "grp", col("key"), k = 64,
+      saltPrefix = "t_").collect()
+    assert(got.length == 1)
+    assert(got(0).getAs[Long]("m_size") == 40L)
+    assert(got(0).getAs[Long]("n_common") == 20L)
+    assert(got(0).getAs[Long]("jaccard_ppm") == 500000L)
+  }
+
+  test("KMV Jaccard: estimator tracks true overlap on large sets") {
+    // true jaccard = 2000/6000 = 1/3; k=256 -> s.e. ~ sqrt(J(1-J)/k) ~ 3%
+    val rows = ((1 to 4000).map(i => ("a", i.toLong)) ++
+      (2001 to 6000).map(i => ("b", i.toLong))).toDF("grp", "key")
+    val j = Sketches.kmvJaccard(rows, "grp", col("key"), k = 256,
+      saltPrefix = "t_").collect()(0).getAs[Long]("jaccard_ppm")
+    assert(math.abs(j - 333333L) < 120000L, s"jaccard_ppm=$j")
+  }
+
   test("count-min: cell table is bounded by d*w regardless of corpus size") {
     val docs = Seq.tabulate(200)(i => (i.toLong,
       (1 to 20).map(j => s"w${(i * 7 + j) % 500}").mkString(" "))).toDF("doc_id", "text")
