@@ -1945,7 +1945,21 @@ object SparkEntry {
       // the q124 MAD machinery's shape).
       Relational.trimmedMeanByGroup(orders(s, d), "o_orderstatus",
           cents(col("o_totalprice")), trimPpm = 100000L)
-        .orderBy("o_orderstatus"))
+        .orderBy("o_orderstatus")),
+
+    "q146_perplexity_buckets" -> ((s, d) =>
+      // CCNet-style head/middle/tail LM-score terciles per source: the
+      // thresholds come from a value-domain histogram (two collected
+      // integers), never a global sort (Curation.perplexityBuckets
+      // scaladoc).
+      Curation.perplexityBuckets(documents(s, d), "doc_id", "text", "source")
+        .orderBy("src", "bucket")),
+
+    "q147_centroid_outliers" -> ((s, d) =>
+      // Embedding-space outlier screen: lowest-50 cosine-to-centroid;
+      // centroid = one bounded agg shipped as a literal, scoring
+      // map-only (Ann.centroidFarthest scaladoc).
+      Ann.centroidFarthest(embeddings(s, d), "vec_id", "embedding", k = 50))
   )
 
   // ---------------------------------------------------------------- //
@@ -4162,6 +4176,46 @@ object SparkEntry {
         | CAST(SUM(v) AS BIGINT) AS sum_c,
         | CAST((CAST(SUM(v) AS BIGINT) * 1000) // COUNT(*) AS BIGINT) AS mean_milli_c
         |FROM t WHERE rn > lo AND rn <= hi
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q120's integer surprisal feeding rank-derived tercile thresholds:
+    // the value at rank r is well-defined under ties, so row_number's
+    // arbitrary tie order cannot change t1/t2
+    "q146_perplexity_buckets" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($TOKS) AS w FROM documents),
+         |occ AS (SELECT doc_id, w, COUNT(*) AS occ FROM toks GROUP BY 1, 2),
+         |vocab AS (SELECT w, CAST(SUM(occ) AS BIGINT) AS cnt FROM occ GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM vocab),
+         |s AS (SELECT occ.doc_id AS id,
+         |  CAST((CAST(SUM(occ.occ * (length(bin(tot.n // vocab.cnt)) - 1)) AS BIGINT) * 1000)
+         |    // CAST(SUM(occ.occ) AS BIGINT) AS BIGINT) AS bits_per_1k
+         | FROM occ JOIN vocab USING (w) CROSS JOIN tot GROUP BY 1),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s),
+         |r AS (SELECT bits_per_1k, row_number() OVER (ORDER BY bits_per_1k) AS rn FROM s),
+         |t AS (SELECT
+         |  MIN(CASE WHEN rn >= (nn.n + 2) // 3 THEN bits_per_1k END) AS t1,
+         |  MIN(CASE WHEN rn >= (2 * nn.n + 2) // 3 THEN bits_per_1k END) AS t2
+         | FROM r, nn),
+         |b AS (SELECT d.source AS src,
+         |  CASE WHEN s.bits_per_1k <= t.t1 THEN 'head'
+         |       WHEN s.bits_per_1k <= t.t2 THEN 'middle'
+         |       ELSE 'tail' END AS bucket,
+         |  s.bits_per_1k
+         | FROM s JOIN documents d ON s.id = d.doc_id CROSS JOIN t)
+         |SELECT src, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         | CAST((CAST(SUM(bits_per_1k) AS BIGINT) * 1000) // COUNT(*) AS BIGINT) AS mean_bits_milli
+         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // round(avg, 6) centroid (the q74 meanPool convention) + the q35
+    // cosine form; the lowest-50 cut is (cos, id)-total-ordered
+    "q147_centroid_outliers" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |st AS (SELECT i, round(avg(x), 6) AS m FROM
+         |  (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS i FROM e) GROUP BY i),
+         |c AS (SELECT list(m ORDER BY i) AS cv FROM st),
+         |s AS (SELECT vec_id, round(${duckCos("v", "cv")}, 4) AS cos_centroid
+         | FROM e, c)
+         |SELECT vec_id, cos_centroid FROM s
+         |ORDER BY cos_centroid, vec_id LIMIT 50""".stripMargin
   )
 }

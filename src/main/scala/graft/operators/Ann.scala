@@ -483,6 +483,29 @@ object Ann {
           col("n_truth").cast("double"), 4).as("recall"))
   }
 
+  /** Embedding-space outlier scan: cosine of every vector to the corpus
+    * CENTROID, lowest-k reported — the cheap "is this embedding even in
+    * the right space" screen (mis-encoded rows, corrupt inputs, wrong
+    * model) a pipeline runs before spending on clustering. Centroid =
+    * [[meanPool]] over one group (per-dim round(avg, 6), the q74
+    * convention), collected once (dim doubles) and shipped as a
+    * literal — scoring is a map-only pass, the cut a TakeOrdered.
+    * Returns (vec_id, cos_centroid) for the k lowest, (cos, id)-ordered.
+    */
+  def centroidFarthest(corpus: DataFrame, idCol: String, vecCol: String,
+                       k: Int): DataFrame = {
+    val cents = meanPool(corpus.select(lit(1L).as("g"), col(vecCol).as("v")),
+        "g", "v")
+      .select("centroid").head().getSeq[Double](0).toArray
+    val cvec = array(cents.map(lit(_)): _*)
+    val vd = transform(col(vecCol), x => x.cast("double"))
+    corpus.select(col(idCol).as("vec_id"),
+        round(graft.functions.VectorFunctions.cosine(vd, cvec), 4)
+          .as("cos_centroid"))
+      .orderBy(col("cos_centroid").asc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Scalar int8 quantization + integer-dot-product top-k — the memory
     * side of the ANN trade: a 64-dim float32 vector becomes 64 bytes
     * (4× smaller, and integer dot products at probe time). SYMMETRIC

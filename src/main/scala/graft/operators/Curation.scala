@@ -572,6 +572,46 @@ object Curation {
       .withColumn("bits_per_1k", expr("(total_bits * 1000) div n_bigrams"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+    * document with the integer-bits unigram LM ([[unigramSurprisal]]),
+    * cut the corpus into head/middle/tail TERCILES of bits-per-1k-tokens
+    * (lower surprisal = head, the bucket CCNet keeps), and report the
+    * per-source bucket mix — the composition dashboard for an LM-filtered
+    * corpus build.
+    *
+    * Tercile thresholds are the integer bits_per_1k values at ranks
+    * ceil(n/3) and ceil(2n/3): computed from the VALUE-DOMAIN histogram
+    * (cumsum over a bounded ordered window, the q145 shape), collected
+    * as TWO integers, and applied as a broadcast when-chain — no global
+    * sort of the corpus anywhere. Returns
+    * (src, bucket, n_docs, mean_bits_milli) ordered by (src, bucket).
+    */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+                        groupCol: String): DataFrame = {
+    val scored = unigramSurprisal(docs, idCol, textCol)
+      .select(col("id"), col("bits_per_1k"))
+      .localCheckpoint(true) // read by the threshold scan AND the output agg
+    val hist = scored.groupBy("bits_per_1k").agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy("bits_per_1k")
+    val cum = hist.withColumn("cum", sum("cnt").over(w))
+    val n = scored.count()
+    def valueAtRank(rank: Long): Long =
+      cum.filter(col("cum") >= rank).orderBy("bits_per_1k")
+        .select("bits_per_1k").head().getLong(0)
+    val t1 = valueAtRank((n + 2) / 3)
+    val t2 = valueAtRank((2 * n + 2) / 3)
+    val bucket = when(col("bits_per_1k") <= t1, "head")
+      .when(col("bits_per_1k") <= t2, "middle")
+      .otherwise("tail")
+    scored
+      .join(docs.select(col(idCol).as("id"), col(groupCol).as("src")), Seq("id"))
+      .select(col("src"), bucket.as("bucket"), col("bits_per_1k"))
+      .groupBy("src", "bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("bits_per_1k").as("__sum"))
+      .withColumn("mean_bits_milli", expr("(__sum * 1000) div n_docs"))
+      .drop("__sum")
+  }
+
   /** Per-source distribution drift: how far each source's token
     * distribution sits from the corpus-wide one, as the gap between
     * cross-entropy (source tokens coded with the GLOBAL distribution)

@@ -130,6 +130,40 @@ class SelectionLmSpec extends AnyFunSuite {
     assert(rec > 0.8, s"mean recall@10 = $rec")
   }
 
+  test("perplexity buckets: terciles partition the corpus, head scores lowest") {
+    val docs = (
+      (1L to 60L).map(i => (i, "the the the the the the the the", "a")) ++  // low surprisal
+      (61L to 120L).map(i => (i, "alpha beta gamma delta epsilon zeta", "b")) ++
+      (121L to 180L).map(i => (i, s"unique${i}a unique${i}b unique${i}c unique${i}d", "c"))
+    ).toDF("doc_id", "text", "source")
+    val got = Curation.perplexityBuckets(docs, "doc_id", "text", "source").collect()
+    assert(got.map(_.getAs[Long]("n_docs")).sum == 180L)
+    val byBucket = got.groupBy(_.getAs[String]("bucket")).view
+      .mapValues(rs => rs.map(r => r.getAs[Long]("mean_bits_milli") * r.getAs[Long]("n_docs")).sum.toDouble /
+        rs.map(_.getAs[Long]("n_docs")).sum).toMap
+    assert(byBucket("head") < byBucket("middle") && byBucket("middle") < byBucket("tail"),
+      s"bucket means not ordered: $byBucket")
+    // the repetitive source dominates head, the unique-vocab source tail
+    val headA = got.filter(r => r.getAs[String]("bucket") == "head" && r.getAs[String]("src") == "a")
+      .map(_.getAs[Long]("n_docs")).sum
+    val tailC = got.filter(r => r.getAs[String]("bucket") == "tail" && r.getAs[String]("src") == "c")
+      .map(_.getAs[Long]("n_docs")).sum
+    assert(headA == 60L && tailC == 60L, s"headA=$headA tailC=$tailC")
+  }
+
+  test("centroid outliers: a planted inverted vector surfaces first") {
+    val rnd = new scala.util.Random(3)
+    val base = Array.fill(8)(rnd.nextGaussian().toFloat * 0.1f + 1.0f)
+    val vecs = (Seq.tabulate(99)(i =>
+      (i.toLong, base.map(v => v + rnd.nextGaussian().toFloat * 0.05f))) :+
+      (99L, base.map(v => -v))) // anti-aligned outlier
+      .toDF("vec_id", "embedding")
+    val got = Ann.centroidFarthest(vecs, "vec_id", "embedding", k = 5).collect()
+    assert(got.head.getAs[Long]("vec_id") == 99L,
+      s"outlier not first: ${got.map(_.getAs[Long]("vec_id")).toSeq}")
+    assert(got.head.getAs[Double]("cos_centroid") < -0.9)
+  }
+
   test("int8 ANN: codes bound the integer dot by d*127^2") {
     val vecs = Seq.tabulate(50)(i =>
       (i.toLong, Array.tabulate(4)(j => if (j == 0) 1.0f else i.toFloat)))
