@@ -8,7 +8,7 @@ import graft.engine.Tables._
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions
 import graft.multimodal.Multimodal
-import graft.operators.{Ann, Bpe, Chunking, Curation, Dedup, GraphOps, Relational, Sketches, TextJobs}
+import graft.operators.{Ann, Bpe, Chunking, Curation, Dedup, GraphOps, Indexing, Relational, Sketches, TextJobs}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (operator inventory) and
   * §7 (build plan). Every entry in [[queries]] has a matching DuckDB
@@ -1959,7 +1959,23 @@ object SparkEntry {
       // Embedding-space outlier screen: lowest-50 cosine-to-centroid;
       // centroid = one bounded agg shipped as a literal, scoring
       // map-only (Ann.centroidFarthest scaladoc).
-      Ann.centroidFarthest(embeddings(s, d), "vec_id", "embedding", k = 50))
+      Ann.centroidFarthest(embeddings(s, d), "vec_id", "embedding", k = 50)),
+
+    "q148_inverted_index" -> ((s, d) =>
+      // Capped inverted index: exact per-term df + the 10 lowest doc
+      // ids; the cap prunes per-partition BEFORE the exchange
+      // (WindowGroupLimit), so stopword postings never serialize onto
+      // one task (Indexing.invertedIndex scaladoc).
+      Indexing.invertedIndex(documents(s, d), "doc_id", "text", cap = 10)
+        .orderBy("w")),
+
+    "q149_ngram_novelty" -> ((s, d) =>
+      // Per-doc 8-gram novelty vs the md5 train half — the memorization
+      // screen; grams ride the exchange as 60-bit hashes (q125's
+      // hashGrams trade; a collision can only undercount by one gram)
+      // (Indexing.ngramNovelty scaladoc).
+      Indexing.ngramNovelty(documents(s, d), "doc_id", "text", n = 8)
+        .orderBy("id"))
   )
 
   // ---------------------------------------------------------------- //
@@ -4015,20 +4031,21 @@ object SparkEntry {
          |    // GREATEST(kth_min, 1) AS BIGINT) END AS est_distinct
          |FROM b ORDER BY event_type""".stripMargin,
 
-    // the sketch cells are a pure function of the corpus (md5 row
-    // hashes), so the oracle builds the identical d x w cell table and
-    // takes the same min over rows per probe word
+    // the sketch cells are a pure function of the corpus: row r's hash
+    // is bits [15r, 15r+15) of ONE 60-bit md5 hash (Sketches.cmsBuild
+    // scaladoc), so the oracle rebuilds the identical d x w cell table
+    // and takes the same min over rows per probe word
     "q138_cms_heavy" -> {
       val probes = CmsProbeWords.map(w => s"'$w'").mkString(", ")
       s"""WITH tok AS (SELECT unnest($TOKS) AS w FROM documents),
          |rr AS (SELECT unnest(generate_series(0, ${CmsDepth - 1})) AS r),
          |cell AS (SELECT r,
-         |  ${duckHash("concat('cms', CAST(r AS VARCHAR), '_', w)", 15)} % $CmsWidth AS c,
+         |  (${duckHash("concat('cms', w)", 15)} >> (15 * r)) % $CmsWidth AS c,
          |  COUNT(*) AS cnt
          | FROM tok CROSS JOIN rr GROUP BY 1, 2),
          |probe AS (SELECT unnest([$probes]) AS word),
          |pc AS (SELECT word, r,
-         |  ${duckHash("concat('cms', CAST(r AS VARCHAR), '_', word)", 15)} % $CmsWidth AS c
+         |  (${duckHash("concat('cms', word)", 15)} >> (15 * r)) % $CmsWidth AS c
          | FROM probe CROSS JOIN rr)
          |SELECT word, CAST(MIN(COALESCE(cell.cnt, 0)) AS BIGINT) AS est_count
          |FROM pc LEFT JOIN cell USING (r, c)
@@ -4216,6 +4233,34 @@ object SparkEntry {
          |s AS (SELECT vec_id, round(${duckCos("v", "cv")}, 4) AS cos_centroid
          | FROM e, c)
          |SELECT vec_id, cos_centroid FROM s
-         |ORDER BY cos_centroid, vec_id LIMIT 50""".stripMargin
+         |ORDER BY cos_centroid, vec_id LIMIT 50""".stripMargin,
+
+    // exact df over the distinct (token, doc) pairs; the capped list is
+    // the 10 smallest ids — list_sort + slice reproduces the engine's
+    // row_number <= cap + sort_array exactly
+    "q148_inverted_index" ->
+      s"""WITH p AS (SELECT DISTINCT id, w FROM
+         |  (SELECT doc_id AS id, unnest($TOKS) AS w FROM documents))
+         |SELECT w, CAST(COUNT(*) AS BIGINT) AS df,
+         | list_sort(list(id))[1:10] AS doc_ids
+         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the same 60-bit md5 gram hashes, train-set distinct and left join
+    "q149_ngram_novelty" ->
+      s"""WITH t AS (SELECT doc_id AS id,
+         |  ${duckHash("concat('novel_', CAST(doc_id AS VARCHAR))", 15)} % 1000000 < 800000 AS is_train,
+         |  $TOKS AS toks FROM documents),
+         |g AS (SELECT id, is_train,
+         |  unnest(CASE WHEN len(toks) < 8 THEN []::VARCHAR[]
+         |    ELSE list_transform(generate_series(1, len(toks) - 7),
+         |      i -> array_to_string(toks[i:i+7], ' ')) END) AS gram FROM t),
+         |h AS (SELECT id, is_train, ${duckHash("gram", 15)} AS g FROM g),
+         |tr AS (SELECT DISTINCT g FROM h WHERE is_train),
+         |ev AS (SELECT h.id, CASE WHEN tr.g IS NULL THEN 1 ELSE 0 END AS unseen
+         | FROM h LEFT JOIN tr USING (g) WHERE NOT h.is_train)
+         |SELECT id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         | CAST(SUM(unseen) AS BIGINT) AS n_unseen,
+         | CAST((CAST(SUM(unseen) AS BIGINT) * 1000000) // COUNT(*) AS BIGINT) AS novelty_ppm
+         |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

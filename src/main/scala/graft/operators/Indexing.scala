@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.{tokenHash64, tokens}
+
+/** Retrieval-side operators: the index-building half of a corpus
+  * pipeline (the reference's word finder, usr_functions.c:153-186, is
+  * the SCAN form of the same question — "which lines contain w"; an
+  * inverted index is that answer precomputed for every term at once).
+  */
+object Indexing {
+
+  /** Capped inverted index: per token, the document frequency and the
+    * `cap` LOWEST doc ids containing it (ascending — a deterministic,
+    * fixed-width posting sample; real IR systems cap postings the same
+    * way for the head of the vocabulary). The full df is exact; only
+    * the id list is capped.
+    *
+    * Scale: one (token, doc) distinct + hash agg for df; the cap runs
+    * as a row_number window per token — WindowGroupLimit prunes to
+    * `cap` rows per partition BEFORE the exchange (the q07 top-k
+    * machinery), so a stopword's million-doc posting never materializes
+    * on one task. Returns (w, df, doc_ids).
+    */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+                    cap: Int): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    val postings = docs
+      .select(col(idCol).cast("long").as("id"),
+        explode(tokens(col(textCol))).as("w"))
+      .distinct()
+    val dfreq = postings.groupBy("w").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("w").orderBy("id")
+    val capped = postings.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap)
+      .groupBy("w").agg(sort_array(collect_list(col("id"))).as("doc_ids"))
+    dfreq.join(capped, Seq("w"))
+  }
+
+  /** Per-document n-gram NOVELTY against a training corpus — the
+    * memorization screen of Lee et al. 2022 / McCoy et al. run at
+    * ingest: what fraction of an eval document's word n-grams never
+    * occur in the train half. The corpus md5-splits like
+    * [[Curation.bigramSurprisal]]; grams travel as 60-bit md5 hashes
+    * (the q125 `hashGrams` trade: 8-byte keys through the exchange,
+    * collision odds ~2e-10 at oracle scale — a collision can only
+    * UNDERCOUNT novelty by one gram). One distinct on the train side,
+    * one gram-keyed left join — both shuffle-bounded by gram volume.
+    * Docs with fewer than n tokens have no grams and are not scored.
+    * Returns (id, n_grams, n_unseen, novelty_ppm) for eval docs.
+    */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int, trainPpm: Long = 800000L): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    import graft.functions.TextFunctions.tokenHash64Jvm
+    val gramUdf = udf { (toks: Seq[String]) =>
+      if (toks == null || toks.size < n) Array.empty[Long]
+      else Array.tabulate(toks.size - n + 1)(i =>
+        tokenHash64Jvm(toks.slice(i, i + n).mkString(" ")))
+    }
+    val base = docs.select(col(idCol).as("id"),
+      (pmod(tokenHash64(concat(lit("novel_"), col(idCol).cast("string"))),
+        lit(1000000L)) < trainPpm).as("is_train"),
+      explode(gramUdf(tokens(col(textCol)))).as("g"))
+    val trainSet = base.filter(col("is_train")).select("g").distinct()
+      .withColumn("seen", lit(1L))
+    base.filter(!col("is_train"))
+      .join(trainSet, Seq("g"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_unseen"))
+      .withColumn("novelty_ppm", expr("(n_unseen * 1000000) div n_grams"))
+  }
+}

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Ann, Curation}
+import graft.operators.{Ann, Curation, Indexing}
 
 /** Round-7 data-selection + LM-scoring operators: DSIR importance
   * selection, temperature mixing, bigram stupid-backoff surprisal,
@@ -162,6 +162,38 @@ class SelectionLmSpec extends AnyFunSuite {
     assert(got.head.getAs[Long]("vec_id") == 99L,
       s"outlier not first: ${got.map(_.getAs[Long]("vec_id")).toSeq}")
     assert(got.head.getAs[Double]("cos_centroid") < -0.9)
+  }
+
+  test("inverted index: exact df, capped postings are the lowest ids") {
+    val docs = ((1L to 25L).map(i => (i, "common")) ++
+      Seq((26L, "common rare"))).toDF("doc_id", "text")
+    val got = Indexing.invertedIndex(docs, "doc_id", "text", cap = 10)
+      .collect().map(r => r.getAs[String]("w") ->
+        (r.getAs[Long]("df"),
+          r.getAs[scala.collection.Seq[Long]]("doc_ids").toSeq)).toMap
+    assert(got("common")._1 == 26L) // df exact beyond the cap
+    assert(got("common")._2 == (1L to 10L)) // the 10 lowest, sorted
+    assert(got("rare") == ((1L, Seq(26L))))
+  }
+
+  test("ngram novelty: copied eval text scores 0, gibberish scores 1e6") {
+    // find ids the md5 split sends to eval
+    val ids = (1L to 200L)
+    val split = ids.map(i => i ->
+      (graft.functions.TextFunctions.tokenHash64Jvm(s"novel_$i") % 1000000L < 800000L))
+    val evalIds = split.filter(!_._2).map(_._1)
+    assert(evalIds.size >= 2, s"need 2+ eval docs, got ${evalIds.size}")
+    val (copyId, gibberishId) = (evalIds(0), evalIds(1))
+    val trainText = "one two three four five six seven eight nine ten eleven twelve"
+    val docs = ids.map { i =>
+      if (i == copyId) (i, trainText)
+      else if (i == gibberishId) (i, "zz1 zz2 zz3 zz4 zz5 zz6 zz7 zz8 zz9 zz10")
+      else (i, trainText)
+    }.toDF("doc_id", "text")
+    val got = Indexing.ngramNovelty(docs, "doc_id", "text", n = 8)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("novelty_ppm")).toMap
+    assert(got(copyId) == 0L, s"copy: ${got(copyId)}")
+    assert(got(gibberishId) == 1000000L, s"gibberish: ${got(gibberishId)}")
   }
 
   test("int8 ANN: codes bound the integer dot by d*127^2") {
