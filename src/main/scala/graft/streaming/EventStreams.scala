@@ -164,4 +164,46 @@ object EventStreams {
       .transformWithState(new RunningTotalsProcessor, TimeMode.None(),
         OutputMode.Update())
   }
+
+  case class KmvUpdate(group: String, n_kept: Long, kth_min: Long,
+                       est_distinct: Long)
+
+  /** Streaming KMV distinct sketch per key — the ingest-time twin of
+    * the batch [[graft.operators.Sketches.kmvDistinct]] (q137): state
+    * is the same sorted k-smallest-distinct-hash buffer (k longs per
+    * group, insertion via the batch Aggregator's own `reduce`, so the
+    * two paths CANNOT drift), emitting the updated estimate per
+    * micro-batch. Because the buffer is a pure function of the hash
+    * SET, the streaming state after any prefix equals the batch sketch
+    * of that prefix — equivalence-tested against q137's aggregator in
+    * StreamingSpec. State stays k longs per group forever: a distinct
+    * counter a stream can run for months without growing.
+    */
+  def streamingKmvDistinct(events: DataFrame, groupCol: String,
+                           keyCol: String, k: Int, saltPrefix: String)
+      : org.apache.spark.sql.Dataset[KmvUpdate] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    import graft.operators.Sketches
+    val agg = new Sketches.KmvAgg(k)
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col(groupCol).cast("string").as("g"),
+        graft.functions.TextFunctions.tokenHash64(
+          concat(lit(saltPrefix), col(keyCol).cast("string"))).as("h"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (g: String, it: Iterator[(String, Long)], state: GroupState[Array[Long]]) => {
+          var buf = state.getOption.getOrElse(Array.empty[Long])
+          it.foreach { case (_, h) => buf = agg.reduce(buf, h) }
+          state.update(buf)
+          val est =
+            if (buf.length < k) buf.length.toLong
+            else ((BigInt(k - 1) * BigInt(Sketches.HashDomain))
+              / BigInt(buf.last max 1L)).toLong
+          Iterator(KmvUpdate(g, buf.length.toLong,
+            if (buf.isEmpty) 0L else buf.last, est))
+        })
+  }
 }

@@ -239,6 +239,27 @@ class StreamingSpec extends AnyFunSuite {
     })
   }
 
+  test("streaming KMV sketch converges to the batch q137 sketch exactly") {
+    val updates = runToMemory(
+      EventStreams.streamingKmvDistinct(
+        EventStreams.readEventStream(spark, eventsDir),
+        "event_type", "user_id", k = 64, saltPrefix = "kmv_").toDF(),
+      "t_kmv", "update")
+    // one input batch (like the totals test) -> exactly one update per
+    // group, which IS the final sketch state
+    assert(updates.groupBy("group").count().collect().forall(_.getLong(1) == 1L))
+    val streamed = updates.collect().map(r => r.getAs[String]("group") ->
+      ((r.getAs[Long]("n_kept"), r.getAs[Long]("kth_min"),
+        r.getAs[Long]("est_distinct")))).toMap
+    val batch = graft.operators.Sketches.kmvDistinct(
+        engine.Tables.events(spark, SparkTestSession.sfDir),
+        "event_type", col("user_id"), k = 64, saltPrefix = "kmv_")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_kept"), r.getAs[Long]("kth_min"),
+          r.getAs[Long]("est_distinct")))).toMap
+    assert(streamed == batch, s"streamed $streamed != batch $batch")
+  }
+
   test("transformWithState (RocksDB) totals equal the fMGWS twin and the batch") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = scala.util.Try(spark.conf.get(key)).toOption.filter(_ != null)
