@@ -1975,7 +1975,23 @@ object SparkEntry {
       // hashGrams trade; a collision can only undercount by one gram)
       // (Indexing.ngramNovelty scaladoc).
       Indexing.ngramNovelty(documents(s, d), "doc_id", "text", n = 8)
-        .orderBy("id"))
+        .orderBy("id")),
+
+    "q150_weighted_median" -> ((s, d) =>
+      // Quantity-weighted lower median of extended price per return
+      // flag — all integer (2*cumw >= W), value-domain-bounded window
+      // (Relational.weightedMedianByGroup scaladoc).
+      Relational.weightedMedianByGroup(lineitem(s, d), "l_returnflag",
+          cents(col("l_extendedprice")), round(col("l_quantity")).cast("long"))
+        .orderBy("l_returnflag")),
+
+    "q151_token_gini" -> ((s, d) =>
+      // Per-source token-frequency Gini in exact integer ppm — the
+      // Zipf-skew corpus monitor; tie blocks make the rank sum
+      // well-defined without any ordering decision (Curation.tokenGini
+      // scaladoc).
+      Curation.tokenGini(documents(s, d), "doc_id", "text", "source")
+        .orderBy("src"))
   )
 
   // ---------------------------------------------------------------- //
@@ -4261,6 +4277,40 @@ object SparkEntry {
          |SELECT id, CAST(COUNT(*) AS BIGINT) AS n_grams,
          | CAST(SUM(unseen) AS BIGINT) AS n_unseen,
          | CAST((CAST(SUM(unseen) AS BIGINT) * 1000000) // COUNT(*) AS BIGINT) AS novelty_ppm
-         |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin
+         |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the same per-(group, value) weight histogram + 2*cum >= total rule
+    "q150_weighted_median" ->
+      """WITH x AS (SELECT l_returnflag,
+        |  CAST(round(l_extendedprice*100, 0) AS BIGINT) AS v,
+        |  CAST(round(l_quantity, 0) AS BIGINT) AS w FROM lineitem),
+        |h AS (SELECT l_returnflag, v, CAST(SUM(w) AS BIGINT) AS wv
+        | FROM x GROUP BY 1, 2),
+        |c AS (SELECT l_returnflag, v, wv,
+        |  CAST(SUM(wv) OVER (PARTITION BY l_returnflag ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |  CAST(SUM(wv) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tot
+        | FROM h)
+        |SELECT l_returnflag, MAX(tot) AS w_total, MIN(v) AS wmedian
+        |FROM c WHERE cum * 2 >= tot
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // rank-sum Gini over the (count, multiplicity) histogram: within a
+    // tie block the rank set is fixed, so row_number's arbitrary tie
+    // order cannot move SUM(rn*c)
+    "q151_token_gini" ->
+      s"""WITH t AS (SELECT source AS src, unnest($TOKS) AS w FROM documents),
+         |cc AS (SELECT src, w, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY 1, 2),
+         |r AS (SELECT src, c,
+         |  CAST(row_number() OVER (PARTITION BY src ORDER BY c) AS BIGINT) AS rn
+         | FROM cc),
+         |a AS (SELECT src, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |  CAST(COUNT(*) AS BIGINT) AS n_vocab,
+         |  CAST(SUM(rn * c) AS BIGINT) AS ranksum
+         | FROM r GROUP BY 1)
+         |SELECT src, n_tokens, n_vocab,
+         | ((2 * ranksum - (n_vocab + 1) * n_tokens) * 1000000)
+         |   // (n_vocab * n_tokens) AS gini_ppm
+         |FROM a ORDER BY src""".stripMargin
   )
 }

@@ -612,6 +612,39 @@ object Curation {
       .drop("__sum")
   }
 
+  /** Per-source token-frequency CONCENTRATION (Gini over the token
+    * count distribution): how much of a source's volume sits in few
+    * tokens — the Zipf-skew dial a corpus monitor tracks (a template-
+    * generated source concentrates; a diverse one flattens). Exact
+    * integer ppm via the rank-sum identity G = (2·Σᵢ i·xᵢ − (n+1)·Σx)
+    * / (n·Σx) with xᵢ ascending: within a block of TIED values the
+    * rank-set is fixed, so Σ i·xᵢ per block = v·(m·cum_prev +
+    * m(m+1)/2) — no tie-ordering decision exists, which is what makes
+    * the statistic hash-comparable. State: a (count-value, multiplicity)
+    * histogram per source, cumulated in one bounded ordered window.
+    * Returns (src, n_tokens, n_vocab, gini_ppm) — 0 = uniform,
+    * →1e6 = one token dominates.
+    */
+  def tokenGini(docs: DataFrame, idCol: String, textCol: String,
+                groupCol: String): DataFrame = {
+    val counts = docs
+      .select(col(groupCol).as("src"), explode(tokens(col(textCol))).as("w"))
+      .groupBy("src", "w").agg(count(lit(1)).as("c"))
+    val hist = counts.groupBy("src", "c").agg(count(lit(1)).as("m"))
+    val w = Window.partitionBy("src").orderBy("c")
+    val s = hist
+      .withColumn("__cumm", sum("m").over(w))
+      .withColumn("__prev", col("__cumm") - col("m"))
+      .groupBy("src")
+      .agg(sum(col("c") * col("m")).as("n_tokens"),
+        sum(col("m")).as("n_vocab"),
+        sum(col("c") * (col("m") * col("__prev")
+          + expr("(m * (m + 1)) div 2"))).as("__ranksum"))
+    s.select(col("src"), col("n_tokens"), col("n_vocab"),
+      expr("((2 * __ranksum - (n_vocab + 1) * n_tokens) * 1000000)" +
+        " div (n_vocab * n_tokens)").as("gini_ppm"))
+  }
+
   /** Per-source distribution drift: how far each source's token
     * distribution sits from the corpus-wide one, as the gap between
     * cross-entropy (source tokens coded with the GLOBAL distribution)

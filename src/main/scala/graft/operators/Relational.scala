@@ -354,6 +354,28 @@ object Relational {
       .withColumn("mean_milli_c", expr("(sum_c * 1000) div n_kept"))
   }
 
+  /** Exact per-group WEIGHTED (lower) median: the smallest value v whose
+    * cumulative weight reaches half the group's total — the
+    * inventory-weighted price statistic. Same value-domain-histogram
+    * shape as [[trimmedMeanByGroup]]: per-(group, value) weight sums,
+    * one bounded ordered window, min-qualifying value per group. All
+    * integer (2·cumw >= W avoids the half division), so it
+    * hash-compares across engines. Returns (group, w_total, wmedian).
+    */
+  def weightedMedianByGroup(df: DataFrame, grpCol: String, valCol: Column,
+                            weightCol: Column): DataFrame = {
+    val hist = df.select(col(grpCol), valCol.as("__v"), weightCol.as("__w"))
+      .groupBy(grpCol, "__v").agg(sum("__w").as("__wv"))
+    val w = Window.partitionBy(grpCol).orderBy("__v")
+    val wAll = Window.partitionBy(grpCol)
+    hist
+      .withColumn("__cum", sum("__wv").over(w))
+      .withColumn("__tot", sum("__wv").over(wAll))
+      .filter(col("__cum") * 2 >= col("__tot"))
+      .groupBy(grpCol)
+      .agg(max(col("__tot")).as("w_total"), min(col("__v")).as("wmedian"))
+  }
+
   /** Batch sessionization: events per user are split into sessions
     * whenever the gap to the previous event exceeds `gapSeconds`; returns
     * one row per session with start/end/count. The lag + running-sum of

@@ -359,6 +359,41 @@ class ScaleSpec extends AnyFunSuite {
     assert(meanA < 10000.0, s"outlier leaked into trimmed mean: $meanA")
   }
 
+  test("weightedMedianByGroup: brute-force parity incl. tie and boundary cases") {
+    import spark.implicits._
+    val rows = Seq(("a", 10L, 1L), ("a", 20L, 2L), ("a", 30L, 1L), // W=4, half at v=20
+      ("b", 5L, 10L),                                              // single value
+      ("c", 1L, 1L), ("c", 2L, 1L))                                // even split: lower median
+    val df = rows.toDF("g", "v", "w")
+    val got = operators.Relational
+      .weightedMedianByGroup(df, "g", col("v"), col("w"))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("w_total"), r.getAs[Long]("wmedian")))
+    def brute(vw: Seq[(Long, Long)]): (Long, Long) = {
+      val tot = vw.map(_._2).sum
+      var cum = 0L
+      for ((v, w) <- vw.sortBy(_._1)) { cum += w; if (cum * 2 >= tot) return (tot, v) }
+      sys.error("unreachable")
+    }
+    val want = rows.groupBy(_._1).view
+      .mapValues(g => brute(g.map(t => (t._2, t._3)))).toMap
+    assert(got.toSeq == want.toSeq.sortBy(_._1).map { case (g, (t, m)) => (g, t, m) })
+  }
+
+  test("tokenGini: a template source concentrates, a diverse one flattens") {
+    import spark.implicits._
+    val docs = (
+      (1L to 20L).map(i => (i, "spam spam spam spam spam eggs", "template")) ++
+      (21L to 40L).map(i => (i, s"u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f", "diverse"))
+    ).toDF("doc_id", "text", "source")
+    val got = operators.Curation.tokenGini(docs, "doc_id", "text", "source")
+      .collect().map(r => r.getAs[String]("src") -> r.getAs[Long]("gini_ppm")).toMap
+    // diverse: every token count 1 -> gini exactly 0
+    assert(got("diverse") == 0L, s"diverse gini ${got("diverse")}")
+    // template: 100 spam vs 20 eggs over 2 vocab items -> strongly positive
+    assert(got("template") > 200000L, s"template gini ${got("template")}")
+  }
+
   test("ntileOf matches ntile(k) for every position at sizes 1..13, k in 2..5") {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
