@@ -196,6 +196,30 @@ class SelectionLmSpec extends AnyFunSuite {
     assert(got(gibberishId) == 1000000L, s"gibberish: ${got(gibberishId)}")
   }
 
+  test("plan shapes: bounded build sides broadcast, no sort-merge joins") {
+    val d = SparkTestSession.sfDir
+    // DSIR: the 1024-row weight table must reach the feature stream as
+    // a broadcast — a shuffled join on the bucket key would re-exchange
+    // the whole corpus
+    val dsir = SparkEntry.queries("q139_dsir_select")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(dsir.contains("BroadcastHashJoin"), dsir.take(1500))
+    assert(!dsir.contains("SortMergeJoin"), dsir.take(1500))
+    // CMS probe: cells and probes are both bounded — the probe must be
+    // a broadcast join, never an exchange on the cell key
+    val cms = SparkEntry.queries("q138_cms_heavy")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(cms.contains("BroadcastHashJoin"), cms.take(1500))
+    assert(!cms.contains("SortMergeJoin"), cms.take(1500))
+    // weighted median: the running-weight window must partition by the
+    // BUCKET too (two-level prefix sum), and the bucket/total tables
+    // join back broadcast
+    val wm = SparkEntry.queries("q150_weighted_median")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(wm.contains("__b"), wm.take(1500))
+    assert(!wm.contains("SortMergeJoin"), wm.take(1500))
+  }
+
   test("int8 ANN: codes bound the integer dot by d*127^2") {
     val vecs = Seq.tabulate(50)(i =>
       (i.toLong, Array.tabulate(4)(j => if (j == 0) 1.0f else i.toFloat)))
