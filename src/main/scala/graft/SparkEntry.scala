@@ -4261,16 +4261,17 @@ object SparkEntry {
          | list_sort(list(id))[1:10] AS doc_ids
          |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    // the same 60-bit md5 gram hashes, train-set distinct and left join
+    // the oracle joins the exact gram STRINGS (the engine's xxhash64
+    // keys are internal — a collision there can only undercount one
+    // gram, ~2e-10; the string join is collision-free by construction)
     "q149_ngram_novelty" ->
       s"""WITH t AS (SELECT doc_id AS id,
          |  ${duckHash("concat('novel_', CAST(doc_id AS VARCHAR))", 15)} % 1000000 < 800000 AS is_train,
          |  $TOKS AS toks FROM documents),
-         |g AS (SELECT id, is_train,
+         |h AS (SELECT id, is_train,
          |  unnest(CASE WHEN len(toks) < 8 THEN []::VARCHAR[]
          |    ELSE list_transform(generate_series(1, len(toks) - 7),
-         |      i -> array_to_string(toks[i:i+7], ' ')) END) AS gram FROM t),
-         |h AS (SELECT id, is_train, ${duckHash("gram", 15)} AS g FROM g),
+         |      i -> array_to_string(toks[i:i+7], ' ')) END) AS g FROM t),
          |tr AS (SELECT DISTINCT g FROM h WHERE is_train),
          |ev AS (SELECT h.id, CASE WHEN tr.g IS NULL THEN 1 ELSE 0 END AS unseen
          | FROM h LEFT JOIN tr USING (g) WHERE NOT h.is_train)

@@ -44,27 +44,33 @@ object Indexing {
     * memorization screen of Lee et al. 2022 / McCoy et al. run at
     * ingest: what fraction of an eval document's word n-grams never
     * occur in the train half. The corpus md5-splits like
-    * [[Curation.bigramSurprisal]]; grams travel as 60-bit md5 hashes
-    * (the q125 `hashGrams` trade: 8-byte keys through the exchange,
-    * collision odds ~2e-10 at oracle scale — a collision can only
-    * UNDERCOUNT novelty by one gram). One distinct on the train side,
-    * one gram-keyed left join — both shuffle-bounded by gram volume.
+    * [[Curation.bigramSurprisal]]; grams travel as CODEGEN'D xxhash64
+    * keys (the q125 `hashGrams` trade: 8-byte keys through the
+    * exchange; an engine-side collision can only UNDERCOUNT novelty by
+    * one gram, odds ~2e-10 at oracle scale — the oracle joins the
+    * exact gram STRINGS, so the hash never has to be reproduced
+    * cross-engine. The first cut digested every gram occurrence
+    * through an md5 UDF: 11.1 s at sf10 vs DuckDB's 3.3; xxhash64
+    * keeps the per-occurrence work inside whole-stage codegen). One
+    * distinct on the train side, one gram-keyed left join — both
+    * shuffle-bounded by gram volume; the join is mandatory for EVERY
+    * eval gram (misses are the signal), so no bloom can prune it.
     * Docs with fewer than n tokens have no grams and are not scored.
     * Returns (id, n_grams, n_unseen, novelty_ppm) for eval docs.
     */
   def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
                    n: Int, trainPpm: Long = 800000L): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    import graft.functions.TextFunctions.tokenHash64Jvm
     val gramUdf = udf { (toks: Seq[String]) =>
-      if (toks == null || toks.size < n) Array.empty[Long]
+      if (toks == null || toks.size < n) Array.empty[String]
       else Array.tabulate(toks.size - n + 1)(i =>
-        tokenHash64Jvm(toks.slice(i, i + n).mkString(" ")))
+        toks.slice(i, i + n).mkString(" "))
     }
     val base = docs.select(col(idCol).as("id"),
-      (pmod(tokenHash64(concat(lit("novel_"), col(idCol).cast("string"))),
-        lit(1000000L)) < trainPpm).as("is_train"),
-      explode(gramUdf(tokens(col(textCol)))).as("g"))
+        (pmod(tokenHash64(concat(lit("novel_"), col(idCol).cast("string"))),
+          lit(1000000L)) < trainPpm).as("is_train"),
+        explode(gramUdf(tokens(col(textCol)))).as("__gram"))
+      .select(col("id"), col("is_train"), xxhash64(col("__gram")).as("g"))
     val trainSet = base.filter(col("is_train")).select("g").distinct()
       .withColumn("seen", lit(1L))
     base.filter(!col("is_train"))
