@@ -87,6 +87,9 @@ object SparkEntry {
     */
   private val DsirBuckets = 1024
 
+  /** q152's fixed query-term set, shared with the oracle SQL. */
+  private val Bm25Terms = Seq("hash", "window", "spark")
+
   /** q119's cluster sizing, shared by the Spark query and its oracle
     * SQL (the oracle computes the same formula in its LIMIT). SemDeDup's
     * per-cluster pair join is O(|cluster|²), so the cluster COUNT must
@@ -1991,7 +1994,29 @@ object SparkEntry {
       // well-defined without any ordering decision (Curation.tokenGini
       // scaladoc).
       Curation.tokenGini(documents(s, d), "doc_id", "text", "source")
-        .orderBy("src"))
+        .orderBy("src")),
+
+    "q152_bm25_topk" -> ((s, d) =>
+      // BM25-lite ranked retrieval in exact integers: floor-log2 idf
+      // bits + milli-scaled tf saturation, canonical division order —
+      // a float log would not cross engines (Indexing.bm25LiteTopK
+      // scaladoc).
+      Indexing.bm25LiteTopK(documents(s, d), "doc_id", "text",
+          Bm25Terms, k = 20)
+        .orderBy(col("score_milli").desc, col("id"))),
+
+    "q153_prefix_rerank_ann" -> ((s, d) => {
+      // Matryoshka-style two-stage retrieval: 16-dim prefix dot for
+      // candidates, full 64-dim cosine rerank — the full vector only
+      // touches |queries|*candidateK pairs (Ann.prefixRerankTopK
+      // scaladoc; recall vs brute force asserted in SelectionLmSpec).
+      val e = embeddings(s, d)
+      Ann.prefixRerankTopK(e, e.filter(col("vec_id") < 5), "vec_id",
+          "embedding", k = 5, prefixDim = 16, candidateK = 50)
+        .select(col("query_id"), col("neighbor_id"), col("cos"),
+          col("rank").cast("long").as("rnk"))
+        .orderBy("query_id", "rnk")
+    })
   )
 
   // ---------------------------------------------------------------- //
@@ -4312,6 +4337,55 @@ object SparkEntry {
          |SELECT src, n_tokens, n_vocab,
          | ((2 * ranksum - (n_vocab + 1) * n_tokens) * 1000000)
          |   // (n_vocab * n_tokens) AS gini_ppm
-         |FROM a ORDER BY src""".stripMargin
+         |FROM a ORDER BY src""".stripMargin,
+
+    // the same integer BM25: bits idf, milli-scaled saturation, one
+    // canonical division order
+    "q152_bm25_topk" -> {
+      val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH tok AS (SELECT doc_id AS id, unnest($TOKS) AS w FROM documents),
+         |dl AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+         |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(dl) AS BIGINT) AS n_tokens FROM dl),
+         |hits AS (SELECT id, w, CAST(COUNT(*) AS BIGINT) AS tf
+         | FROM tok WHERE w IN ($terms) GROUP BY 1, 2),
+         |dfr AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM hits GROUP BY 1),
+         |idf AS (SELECT w,
+         |  CAST(length(bin(st.n_docs // df)) - 1 AS BIGINT) AS idf_bits
+         | FROM dfr, st),
+         |sc AS (SELECT hits.id, idf.idf_bits, hits.tf, dl.dl,
+         |  (st.n_tokens * 1000) // st.n_docs AS avgdl_m
+         | FROM hits JOIN idf USING (w) JOIN dl USING (id) CROSS JOIN st),
+         |p AS (SELECT id, idf_bits, tf,
+         |  (dl * 1000000) // avgdl_m AS dln_m FROM sc),
+         |p2 AS (SELECT id, idf_bits, tf,
+         |  (1200 * (250 + (750 * dln_m) // 1000)) // 1000 AS k_m FROM p),
+         |a AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+         |  CAST(SUM(idf_bits * ((tf * 2200 * 1000) // (tf * 1000 + k_m))) AS BIGINT) AS score_milli
+         | FROM p2 GROUP BY 1)
+         |SELECT id, n_terms_hit, score_milli FROM a
+         |ORDER BY score_milli DESC, id LIMIT 20""".stripMargin
+    },
+
+    // the same two stages: rounded prefix-dot candidate cut, exact
+    // full-width cosine rerank
+    "q153_prefix_rerank_ann" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |  (embedding::DOUBLE[])[1:16] AS p FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv, p AS qp FROM e WHERE vec_id < 5),
+         |s1 AS (SELECT query_id, e.vec_id AS neighbor_id, qv, e.v AS cv,
+         |  round(list_dot_product(qp, e.p), 4) AS pdot
+         | FROM e CROSS JOIN q WHERE e.vec_id <> query_id),
+         |cand AS (SELECT * FROM (SELECT s1.*,
+         |  row_number() OVER (PARTITION BY query_id
+         |    ORDER BY pdot DESC, neighbor_id) AS crank FROM s1)
+         | WHERE crank <= 50),
+         |s2 AS (SELECT query_id, neighbor_id,
+         |  round(${duckCos("qv", "cv")}, 4) AS cos FROM cand),
+         |r AS (SELECT query_id, neighbor_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk FROM s2)
+         |SELECT query_id, neighbor_id, cos, rnk FROM r WHERE rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin
   )
 }

@@ -483,6 +483,48 @@ object Ann {
           col("n_truth").cast("double"), 4).as("recall"))
   }
 
+  /** Two-stage prefix-rerank top-k (the Matryoshka-retrieval pattern,
+    * Kusupati et al. 2022): stage 1 ranks candidates by the dot product
+    * of the first `prefixDim` dimensions ONLY (1/4 of the flops and
+    * memory traffic per pair), stage 2 reranks the surviving
+    * `candidateK` with the exact full-width cosine. Recall < 1 by
+    * design — the candidate cut is the knob, evaluated with
+    * [[recallAtK]] like every other approximate index here.
+    *
+    * Scale shape identical to [[bruteForceTopK]] (queries broadcast,
+    * corpus scanned once, window prune), but the full-width vector only
+    * touches |queries|·candidateK pairs instead of |queries|·|corpus| —
+    * at production dims (1024+) stage 1 is the whole cost and runs 4×+
+    * lighter. Returns (query_id, neighbor_id, cos, rank).
+    */
+  def prefixRerankTopK(corpus: DataFrame, queries: DataFrame,
+                       idCol: String, vecCol: String, k: Int,
+                       prefixDim: Int, candidateK: Int): DataFrame = {
+    require(candidateK >= k, s"candidateK=$candidateK must be >= k=$k")
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      slice(col(vecCol), 1, prefixDim).as("cp"), norm(col(vecCol)).as("cnrm"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      slice(col(vecCol), 1, prefixDim).as("qp"), norm(col(vecCol)).as("qnrm"))
+    val wCand = Window.partitionBy("query_id")
+      .orderBy(col("pdot").desc, col("neighbor_id").asc)
+    // pdot rounds to 4 decimals BEFORE ranking (the q35 convention):
+    // the candidate CUT is then a function of (rounded dot, id) — no
+    // raw-double near-tie can flip the surviving set across engines
+    val cands = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("pdot", round(dot(col("qp"), col("cp")), 4))
+      .withColumn("__crank", row_number().over(wCand))
+      .filter(col("__crank") <= candidateK)
+    val nprod = col("qnrm") * col("cnrm")
+    val wFinal = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cands
+      .withColumn("cos", round(when(nprod > 0,
+        dot(col("qv"), col("cv")) / nprod).otherwise(lit(0.0)), 4))
+      .withColumn("rank", row_number().over(wFinal))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
   /** Embedding-space outlier scan: cosine of every vector to the corpus
     * CENTROID, lowest-k reported — the cheap "is this embedding even in
     * the right space" screen (mis-encoded rows, corrupt inputs, wrong

@@ -40,6 +40,50 @@ object Indexing {
     dfreq.join(capped, Seq("w"))
   }
 
+  /** BM25-lite ranked retrieval for a fixed term set — the scoring half
+    * of search over a corpus (Robertson-Spärck Jones BM25 with the
+    * repo's integer discipline): idf as floor-log2 bits (the q120
+    * surprisal code length) and the tf saturation
+    * (k1+1)·tf / (tf + k1·(1−b+b·dl/avgdl)) in milli-scaled integer
+    * division with k1=1.2, b=0.75 — every division in one canonical
+    * order, so scores are exact Longs any engine reproduces. A float
+    * log/ln would NOT cross engines bit-identically; bits do.
+    *
+    * Scale: terms are a literal list — the token scan keeps only
+    * matching rows (a pushed isin), per-doc tf and dl are one hash agg
+    * each, df/avgdl are bounded aggregates broadcast back, and the
+    * top-k cut is TakeOrdered. Returns (id, n_terms_hit, score_milli)
+    * for the k best (score desc, id) docs.
+    */
+  def bm25LiteTopK(docs: DataFrame, idCol: String, textCol: String,
+                   terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    val tok = docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("w"))
+    val dl = tok.groupBy("id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("n_tokens"))
+    val hits = tok.filter(col("w").isInCollection(terms))
+      .groupBy("id", "w").agg(count(lit(1)).as("tf"))
+    val df_ = hits.groupBy("w").agg(count(lit(1)).as("df"))
+    val idf = df_.join(broadcast(stats))
+      .select(col("w"), (length(bin(expr("n_docs div df"))) - 1)
+        .cast("long").as("idf_bits"))
+    hits
+      .join(broadcast(idf), Seq("w"))
+      .join(dl, Seq("id"))
+      .join(broadcast(stats))
+      // avgdl_m = milli-tokens per doc; dln_m = dl/avgdl in milli;
+      // K_m = k1*(1-b+b*dln) in milli; part = idf * (k1+1)*tf/(tf+K)
+      .withColumn("__avgdl_m", expr("(n_tokens * 1000) div n_docs"))
+      .withColumn("__dln_m", expr("(dl * 1000000) div __avgdl_m"))
+      .withColumn("__k_m", expr("(1200 * (250 + (750 * __dln_m) div 1000)) div 1000"))
+      .withColumn("__part",
+        expr("idf_bits * ((tf * 2200 * 1000) div (tf * 1000 + __k_m))"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_terms_hit"), sum("__part").as("score_milli"))
+      .orderBy(col("score_milli").desc, col("id"))
+      .limit(k)
+  }
+
   /** Per-document n-gram NOVELTY against a training corpus — the
     * memorization screen of Lee et al. 2022 / McCoy et al. run at
     * ingest: what fraction of an eval document's word n-grams never

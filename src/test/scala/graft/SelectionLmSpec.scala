@@ -196,6 +196,48 @@ class SelectionLmSpec extends AnyFunSuite {
     assert(got(gibberishId) == 1000000L, s"gibberish: ${got(gibberishId)}")
   }
 
+  test("BM25: rare-term docs outrank common-term docs; tf saturates") {
+    val docs = (
+      Seq((1L, "needle filler filler filler filler filler"),
+          (2L, "needle needle needle needle filler filler"),
+          (3L, "common filler filler filler filler filler")) ++
+      (10L to 59L).map(i => (i, "common filler filler filler filler filler"))
+    ).toDF("doc_id", "text")
+    val got = Indexing.bm25LiteTopK(docs, "doc_id", "text",
+      Seq("needle", "common"), k = 60).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("score_milli")).toMap
+    // needle appears in 2/53 docs (high idf), common in 51/53 (idf 0 bits)
+    assert(got(1L) > got(3L), s"rare ${got(1L)} !> common ${got(3L)}")
+    // tf saturation: 4x the tf must score < 4x the single-occurrence doc
+    assert(got(2L) > got(1L) && got(2L) < 4L * got(1L),
+      s"tf=4 ${got(2L)} vs tf=1 ${got(1L)}")
+  }
+
+  test("prefix rerank: full-width candidates reproduce brute force exactly") {
+    val rnd = new scala.util.Random(5)
+    val vecs = Seq.tabulate(120)(i =>
+      (i.toLong, Array.fill(32)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 5)
+    // candidateK = corpus size -> stage 1 cannot drop a true neighbor
+    val full = Ann.prefixRerankTopK(vecs, queries, "vec_id", "embedding",
+      k = 5, prefixDim = 32, candidateK = 119)
+      .select("query_id", "neighbor_id", "cos", "rank")
+      .collect().map(_.toSeq).toSet
+    val brute = Ann.bruteForceTopK(vecs, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id", "cos", "rank")
+      .collect().map(_.toSeq).toSet
+    assert(full == brute)
+    // and the REAL config (8-dim prefix, 30 candidates) recalls most
+    val two = Ann.prefixRerankTopK(vecs, queries, "vec_id", "embedding",
+      k = 5, prefixDim = 8, candidateK = 30)
+    val rec = Ann.recallAtK(brute.toSeq.map(s =>
+        (s(0).asInstanceOf[Long], s(1).asInstanceOf[Long]))
+        .toDF("query_id", "neighbor_id"), two)
+      .agg(avg("recall")).head().getDouble(0)
+    assert(rec > 0.5, s"recall $rec")
+  }
+
   test("plan shapes: bounded build sides broadcast, no sort-merge joins") {
     val d = SparkTestSession.sfDir
     // DSIR: the 1024-row weight table must reach the feature stream as
