@@ -49,20 +49,29 @@ object Indexing {
     * order, so scores are exact Longs any engine reproduces. A float
     * log/ln would NOT cross engines bit-identically; bits do.
     *
-    * Scale: terms are a literal list — the token scan keeps only
-    * matching rows (a pushed isin), per-doc tf and dl are one hash agg
-    * each, df/avgdl are bounded aggregates broadcast back, and the
-    * top-k cut is TakeOrdered. Returns (id, n_terms_hit, score_milli)
-    * for the k best (score desc, id) docs.
+    * Scale: ONE corpus token pass — dl and the per-term tfs pivot into
+    * the same per-doc hash agg (terms are literals, so each tf is a
+    * conditional sum column); df/avgdl are bounded aggregates broadcast
+    * back, and the top-k cut is TakeOrdered. (The first cut aggregated
+    * dl and hits separately — two full corpus scans; ExplainAudit
+    * showed the doubled parquet scan.) Returns
+    * (id, n_terms_hit, score_milli) for the k best (score desc, id)
+    * docs.
     */
   def bm25LiteTopK(docs: DataFrame, idCol: String, textCol: String,
                    terms: Seq[String], k: Int): DataFrame = {
     require(terms.nonEmpty, "terms must be non-empty")
     val tok = docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("w"))
-    val dl = tok.groupBy("id").agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("n_tokens"))
-    val hits = tok.filter(col("w").isInCollection(terms))
-      .groupBy("id", "w").agg(count(lit(1)).as("tf"))
+    val tfCols = terms.map(t =>
+      sum(when(col("w") === t, 1L).otherwise(0L)).as(s"__tf_$t"))
+    val perDoc = tok.groupBy("id")
+      .agg(count(lit(1)).as("dl"), tfCols: _*)
+    val dl = perDoc.select("id", "dl")
+    val stats = perDoc.agg(count(lit(1)).as("n_docs"), sum("dl").as("n_tokens"))
+    val hits = perDoc.select(col("id"),
+        explode(map(terms.flatMap(t =>
+          Seq(lit(t), col(s"__tf_$t"))): _*)).as(Seq("w", "tf")))
+      .filter(col("tf") > 0)
     val df_ = hits.groupBy("w").agg(count(lit(1)).as("df"))
     val idf = df_.join(broadcast(stats))
       .select(col("w"), (length(bin(expr("n_docs div df"))) - 1)
