@@ -2016,7 +2016,22 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("cos"),
           col("rank").cast("long").as("rnk"))
         .orderBy("query_id", "rnk")
-    })
+    }),
+
+    "q154_table_profile" -> ((s, d) =>
+      // One-pass ingest audit: per-column nulls + KMV distinct
+      // estimates from a SINGLE aggregation over one scan — the
+      // Deequ-class delivery check (Sketches.profileTable scaladoc).
+      // value canonicalizes to cents so both engines hash the same
+      // string.
+      Sketches.profileTable(events(s, d), Seq(
+          "event_id" -> col("event_id"),
+          "event_type" -> col("event_type"),
+          "props" -> col("props"),
+          "user_id" -> col("user_id"),
+          "value_cents" -> cents(col("value"))),
+          k = KmvK, saltPrefix = "prof_")
+        .orderBy("column"))
   )
 
   // ---------------------------------------------------------------- //
@@ -4386,6 +4401,28 @@ object SparkEntry {
          |  CAST(row_number() OVER (PARTITION BY query_id
          |    ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk FROM s2)
          |SELECT query_id, neighbor_id, cos, rnk FROM r WHERE rnk <= 5
-         |ORDER BY query_id, rnk""".stripMargin
+         |ORDER BY query_id, rnk""".stripMargin,
+
+    // per-column KMV blocks over the canonicalized source, unioned —
+    // the same estimator as q137 in HUGEINT
+    "q154_table_profile" -> {
+      val cols = Seq("event_id", "event_type", "props", "user_id", "value_cents")
+      val blocks = cols.map { c =>
+        s"""SELECT '$c' AS "column",
+           | (SELECT CAST(COUNT(*) AS BIGINT) FROM src) AS n_rows,
+           | (SELECT CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM src) AS n_null,
+           | (SELECT CASE WHEN CAST(COUNT(*) AS BIGINT) < $KmvK THEN CAST(COUNT(*) AS BIGINT)
+           |   ELSE CAST((CAST(${KmvK - 1} AS HUGEINT) * ${Sketches.HashDomain})
+           |     // GREATEST(MAX(h), 1) AS BIGINT) END
+           |  FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM
+           |    (SELECT DISTINCT ${duckHash(s"concat('prof_', CAST($c AS VARCHAR))", 15)} AS h
+           |     FROM src WHERE $c IS NOT NULL))
+           |  WHERE rn <= $KmvK) AS est_distinct""".stripMargin
+      }
+      s"""WITH src AS (SELECT event_id, event_type, props, user_id,
+         |  CAST(round(value*100, 0) AS BIGINT) AS value_cents FROM events)
+         |""".stripMargin + blocks.mkString("\nUNION ALL\n") +
+        "\nORDER BY \"column\""
+    }
   )
 }

@@ -48,6 +48,7 @@ object Sketches {
     def zero: Array[Long] = Array.empty[Long]
 
     def reduce(b: Array[Long], h: Long): Array[Long] = {
+      if (h < 0) return b // null sentinel: hash domain is [0, 2^60)
       val pos = java.util.Arrays.binarySearch(b, h)
       if (pos >= 0) b                       // already present
       else {
@@ -114,6 +115,41 @@ object Sketches {
         size(col("__buf")).cast("long").as("n_kept"),
         element_at(col("__buf"), -1).as("kth_min"),
         est(col("__buf")).as("est_distinct"))
+  }
+
+  /** One-pass table profiler — the Deequ-class ingest audit every
+    * pipeline runs before trusting a delivery: per column, row count,
+    * null count and KMV-estimated distinct count, ALL from a single
+    * aggregation over one scan (2 aggregates per column share the
+    * pass; nulls ride as a negative sentinel the KMV buffer ignores,
+    * since real hashes live in [0, 2^60)). Columns are given as
+    * (name, expression) so type-sensitive columns can be canonicalized
+    * first (money → cents, timestamps → formatted strings) — which is
+    * also what keeps the DuckDB oracle's string casts bit-identical.
+    * Returns (column, n_rows, n_null, est_distinct) ordered by column.
+    */
+  def profileTable(df: DataFrame, cols: Seq[(String, Column)],
+                   k: Int, saltPrefix: String): DataFrame = {
+    require(cols.nonEmpty, "at least one column required")
+    val kmv = udaf(new KmvAgg(k), Encoders.scalaLong)
+    val est = udf { (buf: Seq[Long]) =>
+      if (buf.size < k) buf.size.toLong
+      else ((BigInt(k - 1) * BigInt(HashDomain)) / BigInt(buf.last max 1L)).toLong
+    }
+    val aggs = cols.flatMap { case (name, c) =>
+      val h = when(c.isNotNull,
+        tokenHash64(concat(lit(saltPrefix), c.cast("string")))).otherwise(lit(-1L))
+      Seq(sum(when(c.isNull, 1L).otherwise(0L)).as(s"__null_$name"),
+        est(kmv(h)).as(s"__dist_$name"))
+    } :+ count(lit(1)).as("__n")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map { case (name, _) =>
+      struct(lit(name).as("column"), col("__n").as("n_rows"),
+        col(s"__null_$name").as("n_null"),
+        col(s"__dist_$name").as("est_distinct"))
+    }
+    one.select(explode(array(stacked: _*)).as("p"))
+      .select("p.column", "p.n_rows", "p.n_null", "p.est_distinct")
   }
 
   /** Pairwise set-overlap estimate between groups from their KMV

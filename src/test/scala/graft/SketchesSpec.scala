@@ -89,6 +89,24 @@ class SketchesSpec extends AnyFunSuite {
     assert(math.abs(j - 333333L) < 120000L, s"jaccard_ppm=$j")
   }
 
+  test("table profile: one-pass nulls + distinct estimates per column") {
+    val df = Seq(
+      (1L, Some("a"), 10L), (2L, Some("b"), 10L), (3L, None, 20L),
+      (4L, Some("a"), 20L), (5L, None, 30L)
+    ).toDF("id", "cat", "grp")
+    val got = Sketches.profileTable(df, Seq(
+        "id" -> col("id"), "cat" -> col("cat"), "grp" -> col("grp")),
+        k = 64, saltPrefix = "t_")
+      .collect().map(r => r.getAs[String]("column") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("n_null"),
+          r.getAs[Long]("est_distinct")))).toMap
+    // under k distinct everywhere -> estimates are exact; nulls are
+    // counted but never hashed into the sketch
+    assert(got("id") == ((5L, 0L, 5L)))
+    assert(got("cat") == ((5L, 2L, 2L)))
+    assert(got("grp") == ((5L, 0L, 3L)))
+  }
+
   test("count-min: cell table is bounded by d*w regardless of corpus size") {
     val docs = Seq.tabulate(200)(i => (i.toLong,
       (1 to 20).map(j => s"w${(i * 7 + j) % 500}").mkString(" "))).toDF("doc_id", "text")
