@@ -90,6 +90,18 @@ object SparkEntry {
   /** q152's fixed query-term set, shared with the oracle SQL. */
   private val Bm25Terms = Seq("hash", "window", "spark")
 
+  /** 4×4 determinant as a SQL expression — the 24-term permutation
+    * expansion over entry expressions `m(i)(j)`. Generated, not
+    * hand-written, so q155's oracle cannot drop a term; signs from
+    * inversion parity (the same loop the Scala solve uses).
+    */
+  private def det4Sql(m: Array[Array[String]]): String =
+    (0 to 3).permutations.map { p =>
+      val inv = p.zipWithIndex.map { case (v, i) => p.drop(i + 1).count(_ < v) }.sum
+      val sign = if (inv % 2 == 0) "+" else "-"
+      s"$sign (${(0 to 3).map(i => m(i)(p(i))).mkString(" * ")})"
+    }.mkString(" ")
+
   /** q119's cluster sizing, shared by the Spark query and its oracle
     * SQL (the oracle computes the same formula in its LIMIT). SemDeDup's
     * per-cluster pair join is O(|cluster|²), so the cluster COUNT must
@@ -2031,7 +2043,20 @@ object SparkEntry {
           "user_id" -> col("user_id"),
           "value_cents" -> cents(col("value"))),
           k = KmvK, saltPrefix = "prof_")
-        .orderBy("column"))
+        .orderBy("column")),
+
+    "q155_linreg_train" -> ((s, d) => {
+      // In-engine model TRAINING: exact integer sufficient statistics
+      // (one map-side-combined agg) + exact BigInt Cramer solve — the
+      // trainer behind q114's frozen-weight scorer; weights are a
+      // deterministic function of the corpus, oracle re-derives them
+      // through a generated 24-term determinant expansion in HUGEINT
+      // (Curation.linearFitStats/linearFitSolve scaladoc).
+      val w = Curation.linearFitSolve(
+        Curation.linearFitStats(documents(s, d), "text").head())
+      import s.implicits._
+      w.toDF("feature", "weight_ppm").orderBy("feature")
+    })
   )
 
   // ---------------------------------------------------------------- //
@@ -4423,6 +4448,46 @@ object SparkEntry {
          |  CAST(round(value*100, 0) AS BIGINT) AS value_cents FROM events)
          |""".stripMargin + blocks.mkString("\nUNION ALL\n") +
         "\nORDER BY \"column\""
+    },
+
+    // the same sufficient statistics in HUGEINT and the same Cramer
+    // rule through the GENERATED 24-term determinant expansion;
+    // HUGEINT holds det magnitudes up to ~sf0.1 corpus sums (bound in
+    // the linearFitStats scaladoc)
+    "q155_linreg_train" -> {
+      def h(c: String) = s"CAST($c AS HUGEINT)"
+      val m = Array(
+        Array(h("n"), h("s1"), h("s2"), h("s3")),
+        Array(h("s1"), h("s11"), h("s12"), h("s13")),
+        Array(h("s2"), h("s12"), h("s22"), h("s23")),
+        Array(h("s3"), h("s13"), h("s23"), h("s33")))
+      val b = Array(h("sy"), h("s1y"), h("s2y"), h("s3y"))
+      val names = Seq("intercept", "w_ntok", "w_nstop", "w_nalpha")
+      val sw = StopWords.map(w => s"'$w'").mkString(", ")
+      val weightRows = names.zipWithIndex.map { case (name, j) =>
+        val mj = m.map(_.clone())
+        (0 to 3).foreach(i => mj(i)(j) = b(i))
+        s"""SELECT '$name' AS feature,
+           | CAST(((${det4Sql(mj)}) * 1000000) // (${det4Sql(m)}) AS BIGINT) AS weight_ppm
+           |FROM st""".stripMargin
+      }
+      s"""WITH f AS (SELECT
+         |  CAST(len($TOKS) AS BIGINT) AS x1,
+         |  CAST(len(list_filter($TOKS, t -> t IN ($sw))) AS BIGINT) AS x2,
+         |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS x3,
+         |  CAST(length(text) AS BIGINT) AS y FROM documents),
+         |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+         |  CAST(SUM(x3) AS BIGINT) AS s3,
+         |  CAST(SUM(x1*x1) AS BIGINT) AS s11, CAST(SUM(x1*x2) AS BIGINT) AS s12,
+         |  CAST(SUM(x1*x3) AS BIGINT) AS s13,
+         |  CAST(SUM(x2*x2) AS BIGINT) AS s22, CAST(SUM(x2*x3) AS BIGINT) AS s23,
+         |  CAST(SUM(x3*x3) AS BIGINT) AS s33,
+         |  CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x1*y) AS BIGINT) AS s1y,
+         |  CAST(SUM(x2*y) AS BIGINT) AS s2y, CAST(SUM(x3*y) AS BIGINT) AS s3y
+         | FROM f)
+         |""".stripMargin + weightRows.mkString("\nUNION ALL\n") +
+        "\nORDER BY feature"
     }
   )
 }

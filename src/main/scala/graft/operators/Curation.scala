@@ -572,6 +572,74 @@ object Curation {
       .withColumn("bits_per_1k", expr("(total_bits * 1000) div n_bigrams"))
   }
 
+  /** In-engine linear-model TRAINING via exact normal equations — the
+    * trainer behind frozen-weight scorers like [[linearQualityScore]]:
+    * one distributed aggregation computes the EXACT integer sufficient
+    * statistics (X'X and X'y over [1, x1, x2, x3]), and Cramer's rule
+    * in driver-side BigInt solves them as exact rationals, reported as
+    * floor(det_j·10⁶/det) ppm weights. No float accumulates anywhere:
+    * the weights are a deterministic function of the corpus, which is
+    * what lets a DuckDB oracle re-derive them through a generated
+    * 24-term determinant expansion in HUGEINT.
+    *
+    * Scale: the heavy half is ONE map-side-combined agg (14 Long sums —
+    * products fit Long up to ~10⁸ docs at these feature magnitudes;
+    * widen to DECIMAL(38,0) beyond); the solve is O(1) on 14 numbers —
+    * the bounded-collect class. Returns the stats row; see
+    * [[linearFitSolve]].
+    */
+  def linearFitStats(docs: DataFrame, textCol: String): DataFrame = {
+    import graft.functions.TextFunctions.stopwordCount
+    val base = docs.select(
+      size(tokens(col(textCol))).cast("long").as("x1"),
+      stopwordCount(col(textCol)).cast("long").as("x2"),
+      length(regexp_replace(col(textCol), "[^A-Za-z]", "")).cast("long").as("x3"),
+      length(col(textCol)).cast("long").as("y"))
+    base.agg(
+      count(lit(1)).as("n"),
+      sum("x1").as("s1"), sum("x2").as("s2"), sum("x3").as("s3"),
+      sum(expr("x1*x1")).as("s11"), sum(expr("x1*x2")).as("s12"),
+      sum(expr("x1*x3")).as("s13"),
+      sum(expr("x2*x2")).as("s22"), sum(expr("x2*x3")).as("s23"),
+      sum(expr("x3*x3")).as("s33"),
+      sum("y").as("sy"), sum(expr("x1*y")).as("s1y"),
+      sum(expr("x2*y")).as("s2y"), sum(expr("x3*y")).as("s3y"))
+  }
+
+  /** Cramer solve of [[linearFitStats]]'s normal equations in exact
+    * BigInt rationals; weight j = floor(det(M_j)·10⁶ / det(M)) where
+    * M_j replaces column j with X'y (truncating division — the oracle's
+    * HUGEINT `//` truncates identically). Requires det(M) != 0 (a
+    * collinear feature set has no unique least-squares solution).
+    */
+  def linearFitSolve(stats: org.apache.spark.sql.Row): Seq[(String, Long)] = {
+    def g(i: Int): BigInt = BigInt(stats.getLong(i))
+    val (n, s1, s2, s3) = (g(0), g(1), g(2), g(3))
+    val (s11, s12, s13, s22, s23, s33) = (g(4), g(5), g(6), g(7), g(8), g(9))
+    val (sy, s1y, s2y, s3y) = (g(10), g(11), g(12), g(13))
+    val m = Array(
+      Array(n, s1, s2, s3),
+      Array(s1, s11, s12, s13),
+      Array(s2, s12, s22, s23),
+      Array(s3, s13, s23, s33))
+    val b = Array(sy, s1y, s2y, s3y)
+    def det(a: Array[Array[BigInt]]): BigInt =
+      (0 to 3).permutations.map { p =>
+        val sign = BigInt(p.zipWithIndex.map { case (v, i) =>
+          p.drop(i + 1).count(_ < v)
+        }.sum match { case inv => if (inv % 2 == 0) 1 else -1 })
+        sign * (0 to 3).map(i => a(i)(p(i))).product
+      }.sum
+    val d = det(m)
+    require(d != 0, "collinear features: det(X'X) = 0")
+    Seq("intercept", "w_ntok", "w_nstop", "w_nalpha").zipWithIndex.map {
+      case (name, j) =>
+        val mj = m.map(_.clone())
+        (0 to 3).foreach(i => mj(i)(j) = b(i))
+        name -> ((det(mj) * 1000000) / d).toLong
+    }
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
     * document with the integer-bits unigram LM ([[unigramSurprisal]]),
     * cut the corpus into head/middle/tail TERCILES of bits-per-1k-tokens

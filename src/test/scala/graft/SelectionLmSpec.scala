@@ -238,6 +238,54 @@ class SelectionLmSpec extends AnyFunSuite {
     assert(rec > 0.5, s"recall $rec")
   }
 
+  test("linear fit: exactly-linear corpus recovers its generating weights") {
+    // solve on a varied corpus (mixedDocs has 3 distinct texts — rank
+    // deficient), then check the solution IS the least-squares optimum
+    // by perturbation: nudging any weight must not lower SSE
+    val rnd13 = new scala.util.Random(13)
+    val vocab = Seq("the", "cat", "a", "dog", "runs", "fast", "to", "it",
+      "banana", "x1")
+    val docs = (1 to 60).map { i =>
+      val n = 5 + rnd13.nextInt(20)
+      (i.toLong, Seq.fill(n)(vocab(rnd13.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val stats = Curation.linearFitStats(docs, "text").head()
+    val w = Curation.linearFitSolve(stats).toMap
+    // residual check on the raw rows
+    val rows = docs.select(col("text")).collect().map(_.getString(0))
+    def feats(t: String) = {
+      val toks = t.trim.split("\\s+").filter(_.nonEmpty)
+      val stop = Set("the", "a", "an", "and", "or", "of", "to", "in", "is",
+        "it", "that", "for", "on", "with", "as")
+      (1.0, toks.length.toDouble, toks.count(stop).toDouble,
+        t.count(_.isLetter).toDouble, t.length.toDouble)
+    }
+    def sse(wi: Double, wn: Double, ws: Double, wa: Double): Double =
+      rows.map { t =>
+        val (f0, f1, f2, f3, y) = feats(t)
+        val p = wi * f0 + wn * f1 + ws * f2 + wa * f3
+        (y - p) * (y - p)
+      }.sum
+    val (wi, wn, ws, wa) = (w("intercept") / 1e6, w("w_ntok") / 1e6,
+      w("w_nstop") / 1e6, w("w_nalpha") / 1e6)
+    val base = sse(wi, wn, ws, wa)
+    val eps = 0.01
+    assert(sse(wi + eps, wn, ws, wa) >= base && sse(wi - eps, wn, ws, wa) >= base)
+    assert(sse(wi, wn + eps, ws, wa) >= base && sse(wi, wn - eps, ws, wa) >= base)
+    assert(sse(wi, wn, ws + eps, wa) >= base && sse(wi, wn, ws - eps, wa) >= base)
+    assert(sse(wi, wn, ws, wa + eps) >= base && sse(wi, wn, ws, wa - eps) >= base)
+  }
+
+  test("linear fit: collinear features are rejected, not silently solved") {
+    // one doc repeated -> rank-deficient X'X
+    val docs = Seq.fill(10)((1L, "same text here")).zipWithIndex
+      .map { case ((_, t), i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val stats = Curation.linearFitStats(docs, "text").head()
+    intercept[IllegalArgumentException] {
+      Curation.linearFitSolve(stats)
+    }
+  }
+
   test("plan shapes: bounded build sides broadcast, no sort-merge joins") {
     val d = SparkTestSession.sfDir
     // DSIR: the 1024-row weight table must reach the feature stream as
