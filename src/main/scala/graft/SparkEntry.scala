@@ -4475,7 +4475,8 @@ object SparkEntry {
          |  CAST(len($TOKS) AS BIGINT) AS x1,
          |  CAST(len(list_filter($TOKS, t -> t IN ($sw))) AS BIGINT) AS x2,
          |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS x3,
-         |  CAST(length(text) AS BIGINT) AS y FROM documents),
+         |  CAST(length(text) AS BIGINT) AS y FROM documents
+         | WHERE text IS NOT NULL),
          |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
          |  CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
          |  CAST(SUM(x3) AS BIGINT) AS s3,

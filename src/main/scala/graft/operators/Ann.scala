@@ -497,10 +497,13 @@ object Ann {
     * at production dims (1024+) stage 1 is the whole cost and runs 4×+
     * lighter. Returns (query_id, neighbor_id, cos, rank).
     */
-  def prefixRerankTopK(corpus: DataFrame, queries: DataFrame,
+  def prefixRerankTopK(corpus0: DataFrame, queries0: DataFrame,
                        idCol: String, vecCol: String, k: Int,
                        prefixDim: Int, candidateK: Int): DataFrame = {
     require(candidateK >= k, s"candidateK=$candidateK must be >= k=$k")
+    // null vectors produce null prefix dots that would top the rank
+    val corpus = corpus0.filter(col(vecCol).isNotNull)
+    val queries = queries0.filter(col(vecCol).isNotNull)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       slice(col(vecCol), 1, prefixDim).as("cp"), norm(col(vecCol)).as("cnrm"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
@@ -534,8 +537,11 @@ object Ann {
     * literal — scoring is a map-only pass, the cut a TakeOrdered.
     * Returns (vec_id, cos_centroid) for the k lowest, (cos, id)-ordered.
     */
-  def centroidFarthest(corpus: DataFrame, idCol: String, vecCol: String,
+  def centroidFarthest(corpus0: DataFrame, idCol: String, vecCol: String,
                        k: Int): DataFrame = {
+    // a null vector's null cosine would SORT FIRST in the ascending
+    // outlier cut — drop rather than report phantom outliers
+    val corpus = corpus0.filter(col(vecCol).isNotNull)
     val cents = meanPool(corpus.select(lit(1L).as("g"), col(vecCol).as("v")),
         "g", "v")
       .select("centroid").head().getSeq[Double](0).toArray
@@ -572,8 +578,11 @@ object Ann {
     * same window-prune as [[bruteForceTopK]]. Returns
     * (query_id, neighbor_id, qdot, rank).
     */
-  def int8QuantTopK(corpus: DataFrame, queries: DataFrame,
+  def int8QuantTopK(corpus0: DataFrame, queries0: DataFrame,
                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    // null vectors carry no codes and would NPE the quantize UDF
+    val corpus = corpus0.filter(col(vecCol).isNotNull)
+    val queries = queries0.filter(col(vecCol).isNotNull)
     val m = corpus
       .select(explode(col(vecCol)).as("v"))
       .agg(max(abs(col("v").cast("double")))).head().getDouble(0)

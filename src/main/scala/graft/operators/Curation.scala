@@ -590,7 +590,10 @@ object Curation {
     */
   def linearFitStats(docs: DataFrame, textCol: String): DataFrame = {
     import graft.functions.TextFunctions.stopwordCount
-    val base = docs.select(
+    // a null text would count toward n but contribute null (ignored)
+    // feature sums — inconsistent normal equations; drop the row on
+    // BOTH engine and oracle sides
+    val base = docs.filter(col(textCol).isNotNull).select(
       size(tokens(col(textCol))).cast("long").as("x1"),
       stopwordCount(col(textCol)).cast("long").as("x2"),
       length(regexp_replace(col(textCol), "[^A-Za-z]", "")).cast("long").as("x3"),

@@ -334,7 +334,10 @@ object Relational {
                          trimPpm: Long = 100000L): DataFrame = {
     require(trimPpm >= 0 && trimPpm < 500000L,
       s"trimPpm must be in [0, 500000), got $trimPpm")
+    // null values carry no rank — they would otherwise sort first and
+    // shift every cum count (SQL aggregate-ignores-NULL semantics)
     val hist = df.select(col(grpCol), valCents.as("__v"))
+      .filter(col("__v").isNotNull)
       .groupBy(grpCol, "__v").agg(count(lit(1)).as("__cnt"))
     val w = Window.partitionBy(grpCol).orderBy("__v")
     val wAll = Window.partitionBy(grpCol)
@@ -377,7 +380,10 @@ object Relational {
                             weightCol: Column,
                             bucketWidth: Long = 65536L): DataFrame = {
     require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    // null values/weights carry no mass (they would otherwise sort
+    // first and shift the cum walk / poison the weight sums)
     val hist = df.select(col(grpCol), valCol.as("__v"), weightCol.as("__w"))
+      .filter(col("__v").isNotNull && col("__w").isNotNull)
       .groupBy(grpCol, "__v").agg(sum("__w").as("__wv"))
       .withColumn("__b", expr(s"__v div $bucketWidth"))
     // within-bucket running weight: partitioned by (group, BUCKET), so

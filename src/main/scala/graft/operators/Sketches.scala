@@ -107,7 +107,11 @@ object Sketches {
       // oracle applies GREATEST(kth_min, 1) identically)
       else ((BigInt(k - 1) * BigInt(HashDomain)) / BigInt(buf.last max 1L)).toLong
     }
-    val h = tokenHash64(concat(lit(saltPrefix), keyCol.cast("string")))
+    // null keys hash to the negative sentinel the buffer ignores —
+    // a NULL contributes to no distinct count (SQL COUNT(DISTINCT)
+    // semantics), and the udaf never sees a null Long
+    val h = coalesce(
+      tokenHash64(concat(lit(saltPrefix), keyCol.cast("string"))), lit(-1L))
     df.select(col(groupCol), h.as("__h"))
       .groupBy(groupCol)
       .agg(kmv(col("__h")).as("__buf"))
@@ -168,7 +172,8 @@ object Sketches {
                  k: Int, saltPrefix: String): DataFrame = {
     val agg = new KmvAgg(k)
     val kmv = udaf(agg, Encoders.scalaLong)
-    val h = tokenHash64(concat(lit(saltPrefix), keyCol.cast("string")))
+    val h = coalesce(
+      tokenHash64(concat(lit(saltPrefix), keyCol.cast("string"))), lit(-1L))
     val sk = df.select(col(groupCol).as("g"), h.as("__h"))
       .groupBy("g").agg(kmv(col("__h")).as("buf"))
     val overlap = udf { (a: Seq[Long], b: Seq[Long]) =>
