@@ -90,6 +90,20 @@ object SparkEntry {
   /** q152's fixed query-term set, shared with the oracle SQL. */
   private val Bm25Terms = Seq("hash", "window", "spark")
 
+  /** q156's rendezvous-sharding fleet sizes + hash salt, shared with the
+    * oracle SQL (the movement bound being measured is 12 -> 16 shards).
+    */
+  private val HrwSalt = "hrw"
+  private val HrwOldShards = 12
+  private val HrwNewShards = 16
+
+  /** q158's perceptron hyperparameters, shared with the oracle SQL
+    * (labels 0..posMax are the +1 class; one unrolled oracle CTE pair
+    * per epoch).
+    */
+  private val PerceptronPosMax = 4
+  private val PerceptronEpochs = 3
+
   /** 4×4 determinant as a SQL expression — the 24-term permutation
     * expansion over entry expressions `m(i)(j)`. Generated, not
     * hand-written, so q155's oracle cannot drop a term; signs from
@@ -2056,7 +2070,47 @@ object SparkEntry {
         Curation.linearFitStats(documents(s, d), "text").head())
       import s.implicits._
       w.toDF("feature", "weight_ppm").orderBy("feature")
-    })
+    }),
+
+    "q156_rendezvous_shards" -> ((s, d) => {
+      // Elastic re-sharding audit under rendezvous (HRW) hashing: assign
+      // every doc under the old (12) and new (16) fleet, count movers
+      // per new shard. HRW's contract — movers land ONLY on the added
+      // shards — is visible in the result: n_moved = 0 for shard < 12
+      // (Curation.rendezvousAssign scaladoc; map-only, zero shuffle
+      // before the 16-key count agg).
+      val docs = documents(s, d).select(col("doc_id"))
+      val v1 = Curation.rendezvousAssign(docs, "doc_id", HrwOldShards,
+        HrwSalt, "shard_v1")
+      Curation.rendezvousAssign(v1, "doc_id", HrwNewShards, HrwSalt, "shard")
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("shard") =!= col("shard_v1"), 1L).otherwise(0L)).as("n_moved"))
+        .orderBy("shard")
+    }),
+
+    "q157_skyline" -> ((s, d) =>
+      // Pareto frontier (min price, max size) over part — the
+      // multi-objective "best offers" operator. Distributed as local
+      // skyline per partition + one tiny final pass over survivors,
+      // never the O(n²) dominance join the oracle runs
+      // (Relational.skylineMinMax scaladoc). Prices compare as exact
+      // cents.
+      Relational.skylineMinMax(
+          part(s, d).select(col("p_partkey"), cents(col("p_retailprice")).as("price_c"),
+            col("p_size")),
+          "p_partkey", "price_c", "p_size")
+        .orderBy("price_c", "p_partkey")),
+
+    "q158_perceptron_train" -> ((s, d) =>
+      // In-engine CLASSIFIER training: batch perceptron on int8-quantized
+      // embeddings (y = label <= 4), exact integer trajectory — one
+      // bounded aggregation per epoch, weights never leave the driver
+      // (Ann.perceptronTrain scaladoc). The oracle replays all three
+      // epochs in unrolled CTEs.
+      Ann.perceptronTrain(embeddings(s, d), "vec_id", "embedding",
+          "label", posMax = PerceptronPosMax, epochs = PerceptronEpochs)
+        .orderBy("epoch"))
   )
 
   // ---------------------------------------------------------------- //
@@ -4489,6 +4543,77 @@ object SparkEntry {
          | FROM f)
          |""".stripMargin + weightRows.mkString("\nUNION ALL\n") +
         "\nORDER BY feature"
+    },
+
+    // HRW argmax per fleet size as row_number over (h DESC, s DESC) —
+    // the tie order matching Spark's greatest(struct(h, s))
+    "q156_rendezvous_shards" -> {
+      def assign(name: String, n: Int) =
+        s"""$name AS (SELECT doc_id, s FROM (
+           |  SELECT d.doc_id, sh.s,
+           |   row_number() OVER (PARTITION BY d.doc_id ORDER BY
+           |     ${duckHash(s"concat('$HrwSalt', CAST(sh.s AS VARCHAR), '_', CAST(d.doc_id AS VARCHAR))", 15)} DESC,
+           |     sh.s DESC) AS rn
+           |  FROM documents d CROSS JOIN
+           |   (SELECT unnest(generate_series(0, ${n - 1})) AS s) sh) t
+           | WHERE rn = 1)""".stripMargin
+      s"""WITH ${assign("a1", HrwOldShards)},
+         |${assign("a2", HrwNewShards)}
+         |SELECT CAST(a2.s AS BIGINT) AS shard,
+         | CAST(COUNT(*) AS BIGINT) AS n_docs,
+         | CAST(SUM(CASE WHEN a2.s <> a1.s THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+         |FROM a2 JOIN a1 USING (doc_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    // the textbook dominance anti-join — the engine's two-pass local
+    // skyline must equal it exactly
+    "q157_skyline" ->
+      """WITH p AS (SELECT p_partkey,
+        |  CAST(round(p_retailprice*100,0) AS BIGINT) AS price_c,
+        |  CAST(p_size AS BIGINT) AS p_size FROM part)
+        |SELECT p_partkey, price_c, p_size FROM p a
+        |WHERE NOT EXISTS (SELECT 1 FROM p b
+        |  WHERE b.price_c <= a.price_c AND b.p_size >= a.p_size
+        |    AND (b.price_c < a.price_c OR b.p_size > a.p_size))
+        |ORDER BY price_c, p_partkey""".stripMargin,
+
+    // replays the exact integer trajectory: quantize once, then one
+    // (misclassify -> per-dim delta -> new weights) CTE pair per epoch;
+    // integer products stay far below 2^53 so list_dot_product's double
+    // accumulation is exact
+    "q158_perceptron_train" -> {
+      def iter(prevW: String, e: Int) =
+        s"""m$e AS (SELECT q.y, q.xq,
+           |  CASE WHEN q.y * list_dot_product(q.xq::DOUBLE[], $prevW.w::DOUBLE[]) <= 0
+           |   THEN 1 ELSE 0 END AS wrong FROM q, $prevW),
+           |d$e AS (SELECT pos, CAST(SUM(CASE WHEN wrong = 1 THEN y * x ELSE 0 END) AS BIGINT) AS dv
+           | FROM (SELECT y, wrong, unnest(xq) AS x, generate_subscripts(xq, 1) AS pos FROM m$e) u
+           | GROUP BY pos),
+           |w$e AS (SELECT list(we.wv + COALESCE(d$e.dv, 0) ORDER BY we.pos) AS w
+           | FROM (SELECT unnest(w) AS wv, generate_subscripts(w, 1) AS pos FROM $prevW) we
+           | LEFT JOIN d$e USING (pos)),
+           |s$e AS (SELECT CAST($e AS BIGINT) AS epoch,
+           |  (SELECT CAST(SUM(wrong) AS BIGINT) FROM m$e) AS n_wrong,
+           |  (SELECT CAST(SUM(abs(wv)) AS BIGINT)
+           |    FROM (SELECT unnest(w) AS wv FROM w$e) x) AS w_l1)""".stripMargin
+      val iters = (1 to PerceptronEpochs)
+        .map(e => iter(if (e == 1) "w0" else s"w${e - 1}", e))
+      val sel = (1 to PerceptronEpochs)
+        .map(e => s"SELECT epoch, n_wrong, w_l1 FROM s$e")
+      s"""WITH e AS (SELECT embedding::DOUBLE[] AS v,
+         |  CASE WHEN label <= $PerceptronPosMax THEN 1 ELSE -1 END AS y
+         | FROM embeddings WHERE embedding IS NOT NULL),
+         |st AS (SELECT MAX(abs(x)) AS m FROM (SELECT unnest(v) AS x FROM e)),
+         |q AS (SELECT y, list_append(list_transform(v, x ->
+         |   CASE WHEN st.m <= 0 THEN 0 ELSE CAST(floor(x * 127.0 / st.m) AS BIGINT) END),
+         |   127) AS xq FROM e, st),
+         |dim AS (SELECT len(xq) AS d FROM q LIMIT 1),
+         |w0 AS (SELECT list_transform(generate_series(1, dim.d), i -> CAST(0 AS BIGINT)) AS w
+         | FROM dim),
+         |${iters.mkString(",\n")}
+         |${sel.mkString("\nUNION ALL\n")}
+         |ORDER BY epoch""".stripMargin
     }
   )
 }

@@ -607,4 +607,79 @@ object Ann {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Batch perceptron training over an embedding column — the second
+    * in-engine trainer (q155's linear regression is least-squares; this
+    * is the classification twin). EXACT integer arithmetic end to end,
+    * so the learned trajectory is a pure function of the corpus and the
+    * DuckDB oracle replays it bit-for-bit:
+    *
+    *  - features: [[int8QuantTopK]]'s scalar quantization
+    *    floor(x·127/maxAbs) per dimension, plus a constant bias 127;
+    *  - label: y = +1 if labelCol <= posMax else -1;
+    *  - epoch t: score every row with the CURRENT weights (margin
+    *    y·⟨w,x⟩, misclassified iff <= 0), then one batch update
+    *    w += Σ_misclassified y·x — the parallel ("batch") variant: the
+    *    update folds ALL misclassified rows at once, so an epoch is ONE
+    *    aggregation, not a sequential pass (the online perceptron's
+    *    row-at-a-time update cannot be data-parallel).
+    *
+    * Output: one row per epoch — (epoch, n_wrong, w_l1) where n_wrong
+    * counts misclassifications under the pre-update weights and w_l1 is
+    * the post-update L1 norm, so the whole trajectory hash-checks.
+    *
+    * Scale shape: per epoch, one map-only scoring pass (weights are a
+    * driver array inside the UDF, dim+1 longs — the q155/k-means
+    * bounded-driver-state class) and one posexplode + groupBy(pos)
+    * aggregation whose map-side combine reduces every partition to
+    * dim+1 rows before the exchange; the quantized corpus is
+    * localCheckpointed once so `epochs` passes never replan the scan.
+    * No row ever carries more than its own vector; nothing scales with
+    * |corpus| except the embarrassingly-parallel scans.
+    */
+  def perceptronTrain(emb: DataFrame, idCol: String, vecCol: String,
+                      labelCol: String, posMax: Int, epochs: Int): DataFrame = {
+    require(epochs >= 1, s"epochs must be >= 1, got $epochs")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val base = emb.filter(col(vecCol).isNotNull)
+    val m = base.select(explode(col(vecCol)).as("v"))
+      .agg(max(abs(col("v").cast("double")))).head().getDouble(0)
+    val quant = udf { (v: Seq[Float]) =>
+      val out = new Array[Long](v.size + 1)
+      var i = 0
+      while (i < v.size) {
+        out(i) = if (m <= 0) 0L else math.floor(v(i).toDouble * 127.0 / m).toLong
+        i += 1
+      }
+      out(v.size) = 127L // bias
+      out
+    }
+    val q = base.select(
+        quant(col(vecCol)).as("xq"),
+        when(col(labelCol) <= posMax, 1L).otherwise(-1L).as("y"))
+      .localCheckpoint(true)
+    val dim = q.select(size(col("xq"))).head().getInt(0)
+    var w = new Array[Long](dim)
+    val trajectory = (1 to epochs).map { epoch =>
+      val wSnap = w.clone()
+      val wrongUdf = udf { (xq: Seq[Long], y: Long) =>
+        var s = 0L; var i = 0
+        while (i < wSnap.length) { s += wSnap(i) * xq(i); i += 1 }
+        y * s <= 0L
+      }
+      // one pass: per-dim misclassified contribution + the (constant
+      // per pos) wrong count riding the same 65-row aggregate
+      val stats = q.withColumn("wrong", wrongUdf(col("xq"), col("y")))
+        .select(posexplode(col("xq")).as(Seq("pos", "x")), col("y"), col("wrong"))
+        .groupBy("pos")
+        .agg(sum(when(col("wrong"), col("y") * col("x")).otherwise(0L)).as("dv"),
+          sum(when(col("wrong"), 1L).otherwise(0L)).as("nw"))
+        .collect()
+      val nWrong = if (stats.isEmpty) 0L else stats.head.getLong(2)
+      stats.foreach(r => w(r.getInt(0)) += r.getLong(1))
+      (epoch.toLong, nWrong, w.map(math.abs).sum)
+    }
+    trajectory.toDF("epoch", "n_wrong", "w_l1")
+  }
 }

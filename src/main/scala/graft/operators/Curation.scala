@@ -53,6 +53,41 @@ object Curation {
       .drop("__h")
   }
 
+  /** Rendezvous (highest-random-weight) shard assignment: each row goes
+    * to the shard with the LARGEST md5-derived score
+    * h(salt, shard, id) — Thaler & Ravishankar 1998, the consistent
+    * placement scheme behind distributed caches and crawl sharding.
+    * The property that matters for a 100 TB corpus: growing the fleet
+    * from n to n+k shards moves ONLY the rows whose new argmax lands on
+    * a NEW shard (expected k/(n+k) of the corpus); a mod-N scheme would
+    * reshuffle almost everything. q156 measures exactly that: re-assign
+    * under both fleet sizes and count movers per shard — every mover
+    * must sit on a shard id >= the old fleet size.
+    *
+    * Scale: map-only — the argmax folds `nShards` codegen'd md5 scores
+    * per row inside one projection; no shuffle, no state, no join
+    * against a shard table. Cost is O(nShards) hashes per row, the
+    * known HRW trade (fine to ~10³ shards; past that, nest two HRW
+    * levels — shard groups then members — for O(√n) hashes, same
+    * movement bound).
+    *
+    * Tie-break (astronomically rare 60-bit ties): larger shard id, via
+    * the struct ordering of greatest((h, shard)).
+    */
+  def rendezvousAssign(df: DataFrame, idCol: String, nShards: Int,
+                       salt: String, outCol: String = "shard"): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val scores = (0 until nShards).map { sId =>
+      struct(
+        tokenHash64(concat(lit(salt), lit(sId.toString), lit("_"),
+          col(idCol).cast("string"))).as("h"),
+        lit(sId.toLong).as("s"))
+    }
+    val best =
+      if (scores.size == 1) scores.head else greatest(scores: _*)
+    df.withColumn(outCol, best.getField("s"))
+  }
+
   /** Stratified sample with EXACT per-group quotas: selects precisely
     * ceil(frac * |group|) docs per group, the ones with the smallest
     * md5-derived sample keys (ties broken by id) — a deterministic

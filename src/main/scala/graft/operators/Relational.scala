@@ -548,6 +548,57 @@ object Relational {
       .filter(col("n") > 0)
   }
 
+  /** 2-D skyline (Pareto frontier): the rows no other row strictly
+    * dominates, minimizing `minCol` and maximizing `maxCol` (b dominates
+    * a iff b.min <= a.min, b.max >= a.max, and at least one is strict).
+    * Duplicate (min, max) pairs do not dominate each other — all stay.
+    *
+    * Distributed shape, NOT the textbook O(n²) NOT-EXISTS: local
+    * skyline per partition (sort by (min asc, max desc), one monotone
+    * scan), then one final pass over the unioned survivors. Sound
+    * because strict dominance is transitive: if b dominates a and b is
+    * itself pruned locally, b's dominator also dominates a — so every
+    * non-skyline row loses to SOME stage-1 survivor, and the final pass
+    * removes it. Survivor volume is the per-partition skyline size —
+    * O(log n) expected per partition for independent dims (O(√n) worst
+    * realistic correlation), so the single final task sees
+    * partitions × log n rows, the same "tiny final stage" contract as
+    * TakeOrdered; the repartition(1) exchange carries only survivors.
+    * All columns ride as longs so dominance compares are exact.
+    */
+  def skylineMinMax(df: DataFrame, idCol: String, minCol: String,
+                    maxCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    def localSkyline(it: Iterator[(Long, Long, Long)]): Iterator[(Long, Long, Long)] = {
+      // (id, minv, maxv) sorted by (minv asc, maxv desc, id): a row
+      // survives iff its maxv is the max of its minv-group AND beats
+      // every strictly-smaller-minv row's maxv strictly
+      val sorted = it.toArray.sortBy { case (id, p, s) => (p, -s, id) }
+      val out = Array.newBuilder[(Long, Long, Long)]
+      var i = 0
+      var bestPrev = Long.MinValue
+      while (i < sorted.length) {
+        val p = sorted(i)._2
+        val groupMax = sorted(i)._3
+        var j = i
+        while (j < sorted.length && sorted(j)._2 == p) {
+          if (sorted(j)._3 == groupMax && groupMax > bestPrev) out += sorted(j)
+          j += 1
+        }
+        if (groupMax > bestPrev) bestPrev = groupMax
+        i = j
+      }
+      out.result().iterator
+    }
+    val rows = df.select(col(idCol).cast("long"), col(minCol).cast("long"),
+      col(maxCol).cast("long")).as[(Long, Long, Long)]
+    rows.mapPartitions(localSkyline(_))
+      .repartition(1)
+      .mapPartitions(localSkyline(_))
+      .toDF(idCol, minCol, maxCol)
+  }
+
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
                    keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "snapshotDiff needs at least one key column")

@@ -354,4 +354,73 @@ class ChunkingCurationSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(rep == gotIds)
   }
+
+  test("rendezvousAssign: minimal movement on fleet growth, matches max-score model") {
+    import graft.functions.TextFunctions.tokenHash64Jvm
+    val ids = (1L to 400L).toSeq
+    val df = ids.toDF("id")
+    def model(id: Long, n: Int): Long =
+      (0 until n).map(s => (tokenHash64Jvm(s"rv${s}_$id"), s.toLong)).max._2
+    val a12 = Curation.rendezvousAssign(df, "id", 12, "rv")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a16 = Curation.rendezvousAssign(df, "id", 16, "rv")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ids.foreach { id =>
+      assert(a12(id) == model(id, 12))
+      assert(a16(id) == model(id, 16))
+    }
+    // HRW contract: a doc moves ONLY to one of the added shards
+    val movers = ids.filter(id => a12(id) != a16(id))
+    assert(movers.nonEmpty)
+    assert(movers.forall(id => a16(id) >= 12))
+    // same fleet size => identical assignment (restart-stable)
+    val again = Curation.rendezvousAssign(df.repartition(7), "id", 16, "rv")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == a16)
+    // expected movement fraction ~ 4/16; allow wide slack
+    assert(movers.size.toDouble / ids.size < 0.5)
+  }
+
+  test("skylineMinMax equals the O(n^2) dominance model, incl. duplicates") {
+    import graft.operators.Relational
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 300L).map(id => (id, rnd.nextInt(50).toLong, rnd.nextInt(50).toLong)) ++
+      Seq((301L, 5L, 40L), (302L, 5L, 40L)) // exact duplicate pair: both stay
+    def dominated(a: (Long, Long, Long)): Boolean = rows.exists { b =>
+      b._2 <= a._2 && b._3 >= a._3 && (b._2 < a._2 || b._3 > a._3)
+    }
+    val expect = rows.filterNot(dominated).toSet
+    for (nPart <- Seq(1, 3, 16)) {
+      val df = rows.toDF("id", "minv", "maxv").repartition(nPart)
+      val got = Relational.skylineMinMax(df, "id", "minv", "maxv")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expect, s"nPart=$nPart")
+    }
+    // the duplicate pair survives iff undominated; assert both present or both absent
+    val got1 = Relational.skylineMinMax(rows.toDF("id", "minv", "maxv"), "id", "minv", "maxv")
+      .collect().map(_.getLong(0)).toSet
+    assert(got1.contains(301L) == got1.contains(302L))
+  }
+
+  test("perceptronTrain: separable toy converges; epoch-1 counts every row under w=0") {
+    import graft.operators.Ann
+    // linearly separable: class +1 has positive first coordinate
+    val rows = (1 to 40).map { i =>
+      val y = if (i % 2 == 0) 1 else -1
+      val x0 = (0.3f + 0.01f * i) * y
+      (i.toLong, Array(x0, 0.05f * (i % 3)), if (y > 0) 2 else 7)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val out = Ann.perceptronTrain(df, "vec_id", "embedding", "label",
+      posMax = 4, epochs = 6).orderBy("epoch").collect()
+    assert(out.length == 6)
+    // epoch 1 scores with w = 0: every margin is 0 => everything "wrong"
+    assert(out.head.getLong(1) == 40L)
+    // converged: some later epoch reaches 0 misclassifications and stays
+    val wrongs = out.map(_.getLong(1))
+    assert(wrongs.last == 0L, s"trajectory ${wrongs.mkString(",")}")
+    // weights stop moving once converged
+    val l1 = out.map(_.getLong(2))
+    assert(l1.takeRight(2).distinct.length == 1)
+  }
 }
