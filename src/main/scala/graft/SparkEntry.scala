@@ -2110,7 +2110,37 @@ object SparkEntry {
       // epochs in unrolled CTEs.
       Ann.perceptronTrain(embeddings(s, d), "vec_id", "embedding",
           "label", posMax = PerceptronPosMax, epochs = PerceptronEpochs)
-        .orderBy("epoch"))
+        .orderBy("epoch")),
+
+    "q159_merge_upsert" -> ((s, d) => {
+      // CDC round trip, write side: apply q123's changelog back onto v1
+      // with MERGE semantics — the result must BE v2, and the oracle
+      // derives v2 directly, so the equality is checked end-to-end
+      // (Relational.applyChangelog scaladoc).
+      val base = orders(s, d).select(col("o_orderkey"),
+        cents(col("o_totalprice")).as("total_c"))
+      val m = pmod(col("o_orderkey"), lit(10L))
+      val v1 = base.filter(m =!= 3)
+      val v2 = base.filter(m =!= 5)
+        .withColumn("total_c",
+          when(m === 7, col("total_c") + 100L).otherwise(col("total_c")))
+      Relational.applyChangelog(v1,
+          Relational.snapshotDiff(v1, v2, Seq("o_orderkey")), Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q160_scd2_history" -> ((s, d) =>
+      // SCD Type-2 dimension history: per-user event_type validity
+      // intervals (change-collapsed), the table a point-in-time as-of
+      // join probes (Relational.scd2History scaladoc). Timestamps
+      // emitted as second-granularity strings per the cross-engine
+      // rules.
+      Relational.scd2History(events(s, d), "user_id", "ts", "event_type",
+          "event_id")
+        .select(col("user_id"), col("event_type"),
+          fmtTs(col("valid_from")).as("valid_from"),
+          fmtTs(col("valid_to")).as("valid_to"), col("is_current"))
+        .orderBy("user_id", "valid_from", "event_type"))
   )
 
   // ---------------------------------------------------------------- //
@@ -4614,6 +4644,34 @@ object SparkEntry {
          |${iters.mkString(",\n")}
          |${sel.mkString("\nUNION ALL\n")}
          |ORDER BY epoch""".stripMargin
-    }
+    },
+
+    // MERGE contract: the merged table IS the new snapshot, so the
+    // oracle derives v2 directly from q123's deterministic rules —
+    // independent of the diff+apply path entirely
+    "q159_merge_upsert" ->
+      """SELECT o_orderkey,
+        | CAST(CASE WHEN o_orderkey % 10 = 7
+        |   THEN round(o_totalprice*100,0) + 100
+        |   ELSE round(o_totalprice*100,0) END AS BIGINT) AS total_c
+        |FROM orders WHERE o_orderkey % 10 <> 5
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // same two-window collapse; previd (not prev) detects the first
+    // row so a NULL attribute never fakes a change point
+    "q160_scd2_history" ->
+      """WITH c AS (SELECT user_id, event_type, ts, event_id,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+        |  lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS previd
+        | FROM events),
+        |ch AS (SELECT user_id, event_type, ts, event_id FROM c
+        | WHERE previd IS NULL OR prev IS DISTINCT FROM event_type),
+        |h AS (SELECT user_id, event_type, ts,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt FROM ch)
+        |SELECT user_id, event_type,
+        | strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        | strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to,
+        | vt IS NULL AS is_current
+        |FROM h ORDER BY user_id, valid_from, event_type""".stripMargin
   )
 }

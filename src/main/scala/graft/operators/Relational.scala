@@ -548,6 +548,66 @@ object Relational {
       .filter(col("n") > 0)
   }
 
+  /** Apply a [[snapshotDiff]] changelog to the OLD snapshot — the
+    * MERGE/upsert write path that completes the CDC round trip
+    * (diff → [[incrementalSumCount]] for aggregates, diff → this for
+    * the base table): deletes drop, updates/inserts take `new_row`,
+    * untouched keys pass through. `applyChangelog(v1, snapshotDiff(v1,
+    * v2)) == v2` is the operator's contract (asserted in EntrySpec and
+    * by q159's oracle, which derives the new snapshot directly).
+    *
+    * Scale: one full-outer equi-join on the key — the changelog side is
+    * a day's changes, not the table; with the snapshot bucket-written
+    * on the key it degrades to zero-shuffle sort-merge, and the output
+    * can be written straight back into the same bucketing. Payloads
+    * ride as single structs (inherited from the diff), so the exchange
+    * carries each row once.
+    */
+  def applyChangelog(snapshot: DataFrame, changelog: DataFrame,
+                     keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "applyChangelog needs at least one key column")
+    val payload = snapshot.columns.filterNot(keyCols.contains)
+    val s = snapshot.select(keyCols.map(col) :+
+      struct(payload.map(col): _*).as("__cur"): _*)
+    val c = changelog
+      .filter(col("change_type") =!= "unchanged")
+      .select(keyCols.map(col) :+ col("change_type") :+ col("new_row"): _*)
+    s.join(c, keyCols, "full_outer")
+      .filter(col("change_type").isNull || col("change_type") =!= "delete")
+      .withColumn("__out",
+        when(col("change_type").isNull, col("__cur")).otherwise(col("new_row")))
+      .select(keyCols.map(col) ++
+        payload.map(p => col(s"__out.$p").as(p)): _*)
+  }
+
+  /** SCD Type-2 dimension history from a raw event stream: per key,
+    * collapse consecutive rows with the same tracked attribute and emit
+    * one validity interval per CHANGE — (key, attr, valid_from,
+    * valid_to, is_current), valid_to = next change's timestamp (null =
+    * open/current). This is the point-in-time dimension table an as-of
+    * join (q21) probes.
+    *
+    * Two windows, both partitioned by the key and ordered by
+    * (ts, tieCol) — Spark plans ONE exchange and reuses the sort: a
+    * lag() to find change points, then a lead() over the surviving
+    * change rows for interval ends. State per key = its rows in one
+    * partition; nothing is global. `tieCol` makes same-timestamp events
+    * deterministic; attribute comparison is null-safe.
+    */
+  def scd2History(events: DataFrame, keyCol: String, tsCol: String,
+                  attrCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+    events
+      .select(col(keyCol), col(tsCol), col(attrCol), col(tieCol))
+      .withColumn("__prev", lag(col(attrCol), 1).over(w))
+      .withColumn("__first", lag(col(tieCol), 1).over(w).isNull)
+      .filter(col("__first") || !(col("__prev") <=> col(attrCol)))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .select(col(keyCol), col(attrCol),
+        col(tsCol).as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+  }
+
   /** 2-D skyline (Pareto frontier): the rows no other row strictly
     * dominates, minimizing `minCol` and maximizing `maxCol` (b dominates
     * a iff b.min <= a.min, b.max >= a.max, and at least one is strict).

@@ -114,6 +114,54 @@ class EntrySpec extends AnyFunSuite {
     assert(wInc == Set((Some("B"), 7L, 1L)))
   }
 
+  test("applyChangelog round-trips snapshotDiff for any v1 -> v2, incl. null payloads") {
+    import graft.operators.Relational
+    import org.apache.spark.sql.functions._
+    // v1 -> v2 exercises all three change types plus a null payload
+    // appearing AND disappearing
+    val v1 = Seq((1L, Some(10L)), (2L, Some(20L)), (4L, Option.empty[Long]),
+      (5L, Some(50L))).toDF("k", "v")
+    val v2 = Seq((1L, Some(10L)), (2L, Option.empty[Long]), (4L, Some(44L)),
+      (6L, Some(60L))).toDF("k", "v")
+    val merged = Relational.applyChangelog(v1,
+        Relational.snapshotDiff(v1, v2, Seq("k")), Seq("k"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    val want = v2.collect().map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    assert(merged == want)
+    // empty changelog: merge is the identity
+    val id = Relational.applyChangelog(v1,
+        Relational.snapshotDiff(v1, v1, Seq("k")), Seq("k"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    assert(id == v1.collect().map(r => (r.getLong(0), Option(r.get(1)))).toSet)
+  }
+
+  test("scd2History: hand-computed intervals, change-collapse, open current row") {
+    import graft.operators.Relational
+    import java.sql.Timestamp
+    def ts(s: Int) = new Timestamp(1700000000000L + s * 1000L)
+    // user 1: A@0 A@10 B@20 B@30 A@40  => [A 0-20) [B 20-40) [A 40-)
+    // user 2: X@5                      => [X 5-)
+    val ev = Seq(
+      (1L, ts(0), "A", 100L), (1L, ts(10), "A", 101L), (1L, ts(20), "B", 102L),
+      (1L, ts(30), "B", 103L), (1L, ts(40), "A", 104L),
+      (2L, ts(5), "X", 105L)).toDF("u", "t", "a", "eid")
+    val got = Relational.scd2History(ev, "u", "t", "a", "eid")
+      .orderBy("u", "valid_from")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2), Option(r.getTimestamp(3)), r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      (1L, "A", ts(0), Some(ts(20)), false),
+      (1L, "B", ts(20), Some(ts(40)), false),
+      (1L, "A", ts(40), None, true),
+      (2L, "X", ts(5), None, true)))
+    // same-timestamp tie: eid orders deterministically; last one wins the interval
+    val tie = Seq((3L, ts(0), "P", 1L), (3L, ts(0), "Q", 2L)).toDF("u", "t", "a", "eid")
+    val gt = Relational.scd2History(tie, "u", "t", "a", "eid")
+      .orderBy("valid_from", "a").collect()
+      .map(r => (r.getString(1), r.getBoolean(4)))
+    assert(gt.toSeq == Seq(("P", false), ("Q", true)))
+  }
+
   test("multimodal: stub decoder features match a manual computation") {
     val media = Multimodal.mediaFromDocuments(
       spark, Seq((2L, "AB")).toDF("doc_id", "text"))
