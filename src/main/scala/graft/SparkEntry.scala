@@ -104,6 +104,12 @@ object SparkEntry {
   private val PerceptronPosMax = 4
   private val PerceptronEpochs = 3
 
+  /** q161's BFS hop cap and q162's sample rate, shared with the oracle
+    * SQL (the recursive CTE's depth guard / the md5-coin modulus).
+    */
+  private val BfsMaxHops = 4
+  private val QsampOneIn = 4L
+
   /** 4×4 determinant as a SQL expression — the 24-term permutation
     * expansion over entry expressions `m(i)(j)`. Generated, not
     * hand-written, so q155's oracle cannot drop a term; signs from
@@ -2140,7 +2146,40 @@ object SparkEntry {
         .select(col("user_id"), col("event_type"),
           fmtTs(col("valid_from")).as("valid_from"),
           fmtTs(col("valid_to")).as("valid_to"), col("is_current"))
-        .orderBy("user_id", "valid_from", "event_type"))
+        .orderBy("user_id", "valid_from", "event_type")),
+
+    "q161_bfs_hops" -> ((s, d) =>
+      // Blast-radius query: multi-source BFS (4 hops) over the q105
+      // simhash dup graph from the doc_id % 50 == 0 seed set — which
+      // docs are transitively near a flagged set (GraphOps.bfsHops
+      // scaladoc). The oracle is a DuckDB recursive CTE over the
+      // identical edge list.
+      GraphOps.bfsHops(
+          Dedup.simHashDup(documents(s, d), "doc_id", "text", nBits = 16),
+          "id_a", "id_b",
+          documents(s, d).filter(pmod(col("doc_id"), lit(50L)) === 0),
+          "doc_id", maxHops = BfsMaxHops)
+        .select(col("id").as("doc_id"), col("hops"))
+        .orderBy("doc_id")),
+
+    "q162_hashsample_quantile" -> ((s, d) => {
+      // Deterministic approximate quantiles: a 1-in-4 md5-coin sample
+      // (reproducible, engine-neutral — the q137-for-q39 move applied
+      // to q70's opaque percentile sketch) feeding the bounded-state
+      // histogram percentile machinery; error vs the exact q101
+      // medians is regression-guarded in SketchAccuracySpec.
+      val sampled = orders(s, d).filter(
+        pmod(tokenHash64(concat(lit("qsamp_"), col("o_orderkey").cast("string"))),
+          lit(QsampOneIn)) === 0)
+      Relational.histogramPercentiles(
+          sampled.select(col("o_orderstatus"), cents(col("o_totalprice")).as("price_c")),
+          "o_orderstatus", "price_c",
+          Seq("est_median_c" -> 0.5, "est_p90_c" -> 0.9))
+        .select(col("o_orderstatus"),
+          round(col("est_median_c"), 2).as("est_median_c"),
+          round(col("est_p90_c"), 2).as("est_p90_c"))
+        .orderBy("o_orderstatus")
+    })
   )
 
   // ---------------------------------------------------------------- //
@@ -4672,6 +4711,40 @@ object SparkEntry {
         | strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
         | strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to,
         | vt IS NULL AS is_current
-        |FROM h ORDER BY user_id, valid_from, event_type""".stripMargin
+        |FROM h ORDER BY user_id, valid_from, event_type""".stripMargin,
+
+    // q105's simhash-16 edge CTEs + a depth-guarded recursive CTE; the
+    // UNION dedups (id, hops) pairs and MIN collapses path lengths, so
+    // the recursion is the textbook bounded BFS
+    "q161_bfs_hops" ->
+      s"""WITH RECURSIVE w AS (SELECT doc_id AS id, unnest($TOKS) AS w FROM documents),
+         |h AS (SELECT id, ${duckHash("w", 15)} AS h FROM w),
+         |bits AS (SELECT id, bit,
+         |  SUM(CASE WHEN ((h >> bit) & 1) = 1 THEN 1 ELSE -1 END) AS v
+         | FROM h CROSS JOIN (SELECT unnest(generate_series(0,15)) AS bit) b GROUP BY 1,2),
+         |sh AS (SELECT id,
+         |  CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+         | FROM bits GROUP BY 1),
+         |p AS (SELECT a.id AS id_a, b.id AS id_b
+         | FROM sh a JOIN sh b ON a.simhash = b.simhash AND a.id < b.id),
+         |e AS (SELECT id_a AS u, id_b AS v FROM p UNION ALL SELECT id_b, id_a FROM p),
+         |seeds AS (SELECT DISTINCT doc_id AS id FROM documents WHERE doc_id % 50 = 0),
+         |bfs(id, hops) AS (
+         |  SELECT id, 0 FROM seeds
+         |  UNION
+         |  SELECT e.v, bfs.hops + 1 FROM bfs JOIN e ON e.u = bfs.id
+         |  WHERE bfs.hops < $BfsMaxHops)
+         |SELECT id AS doc_id, CAST(MIN(hops) AS BIGINT) AS hops
+         |FROM bfs GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // identical md5 coin, then quantile_cont with q101's rounding
+    "q162_hashsample_quantile" ->
+      s"""WITH s AS (SELECT o_orderstatus,
+         |  CAST(round(o_totalprice*100,0) AS BIGINT) AS price_c FROM orders
+         | WHERE ${duckHash("concat('qsamp_', CAST(o_orderkey AS VARCHAR))", 15)} % $QsampOneIn = 0)
+         |SELECT o_orderstatus,
+         | round(quantile_cont(price_c, 0.5), 2) AS est_median_c,
+         | round(quantile_cont(price_c, 0.9), 2) AS est_p90_c
+         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -106,4 +106,42 @@ object GraphOps {
           round(lit(3.0) * col("n_triangles") / col("n_wedges"), 4))
           .otherwise(lit(0.0)).as("closure"))
   }
+
+  /** Multi-source BFS hop distance over an undirected pair list, capped
+    * at `maxHops`: returns (id, hops) for every node within `maxHops`
+    * of ANY seed — min over seeds, the "blast radius" query a dedup
+    * pipeline runs from a known-bad set (spam cluster, contaminated
+    * shard) to find everything transitively near it. Seeds not in the
+    * graph report hops 0 (distance to themselves).
+    *
+    * Scale shape: per hop, ONLY the newest frontier (nodes first
+    * reached the previous hop) joins the edge list — re-expanding
+    * settled nodes would redo every earlier hop's work — then one
+    * min-agg merges discoveries into the settled set. Both are |E|- or
+    * |frontier|-bounded equi-key shuffles; per-iteration
+    * localCheckpoint stops lineage growth (reliable checkpoint on a
+    * cluster), the same doctrine as [[pageRankInt]]. The cap bounds
+    * the round count — BFS depth, unlike the q84 star rounds, is NOT
+    * log-compressed, so an uncapped high-diameter chain would mean
+    * diameter rounds.
+    */
+  def bfsHops(pairs: DataFrame, aCol: String, bCol: String,
+              seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val e = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .localCheckpoint(true)
+    var dist = seeds.select(col(seedCol).as("id")).distinct()
+      .withColumn("hops", lit(0L)).localCheckpoint(true)
+    for (h <- 1 to maxHops) {
+      val frontier = dist.filter(col("hops") === (h - 1).toLong)
+        .select(col("id").as("fid"))
+      val next = e.join(frontier, col("u") === col("fid"))
+        .select(col("v").as("id"), lit(h.toLong).as("hops"))
+      dist = dist.unionByName(next)
+        .groupBy("id").agg(min("hops").as("hops"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
 }

@@ -775,4 +775,26 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(got.size == n)
     got.foreach { case (id, r) => assert(rank(id) == r, s"node $id") }
   }
+
+  test("bfsHops: hand graph — min over seeds, hop cap, isolated seed") {
+    import spark.implicits._
+    // chain 1-2-3-4-5-6, branch 3-30; seeds {1, 30}; node 99 isolated
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (3L, 30L))
+      .toDF("id_a", "id_b")
+    val seeds = Seq(1L, 30L, 99L).toDF("doc_id")
+    val got = GraphOps.bfsHops(pairs, "id_a", "id_b", seeds, "doc_id", maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // node 4: via 3 (min(seed1: 1-2-3-4 = 3, seed30: 30-3-4 = 2)) = 2
+    assert(got == Map(1L -> 0L, 30L -> 0L, 99L -> 0L,
+      2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 3L, 6L -> 4L).filter(_._2 <= 3))
+    // cap respected: 6 (distance 4) absent above; maxHops=5 reaches it
+    val full = GraphOps.bfsHops(pairs, "id_a", "id_b", seeds, "doc_id", maxHops = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full(6L) == 4L)
+    // partition-invariance of the iterative min-agg
+    val rep = GraphOps.bfsHops(pairs.repartition(5), "id_a", "id_b",
+        seeds.repartition(2), "doc_id", maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep == got)
+  }
 }

@@ -64,4 +64,36 @@ class SketchAccuracySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q162 hash-sample median error shrinks as ~1/sqrt(sample) per group at every SF") {
+    import graft.functions.TextFunctions.tokenHash64
+    import graft.operators.Relational
+    for (dir <- dirs) {
+      val o = engine.Tables.orders(spark, dir)
+        .select(col("o_orderstatus"), col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("price_c"))
+      val sampled = o.filter(
+        pmod(tokenHash64(concat(lit("qsamp_"), col("o_orderkey").cast("string"))),
+          lit(4L)) === 0)
+      val nSamp = sampled.groupBy("o_orderstatus").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val est = Relational.histogramPercentiles(sampled, "o_orderstatus",
+          "price_c", Seq("m" -> 0.5))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val exact = Relational.histogramPercentiles(o, "o_orderstatus",
+          "price_c", Seq("m" -> 0.5))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      exact.foreach { case (g, e) =>
+        val a = est(g)
+        val err = math.abs(a - e) / e
+        // binomial quantile error: the p50 sample estimate sits ~
+        // z/(2*sqrt(n)) quantile-positions off; 2.5/sqrt(n) of VALUE
+        // relative error is a loose cover for this distribution, with a
+        // 3% floor once n is large (sf0.1: n~3.7k => bound 4.1%->floor)
+        val bound = math.max(0.03, 2.5 / math.sqrt(nSamp(g).toDouble))
+        assert(err < bound,
+          f"$dir group=$g: sample=$a exact=$e err=$err%.4f bound=$bound%.4f n=${nSamp(g)}")
+      }
+    }
+  }
 }
