@@ -110,6 +110,11 @@ object SparkEntry {
   private val BfsMaxHops = 4
   private val QsampOneIn = 4L
 
+  /** q163's coreset size, shared with the oracle SQL (one unrolled
+    * farthest-first CTE round per center past the seed).
+    */
+  private val KCenterK = 6
+
   /** 4×4 determinant as a SQL expression — the 24-term permutation
     * expansion over entry expressions `m(i)(j)`. Generated, not
     * hand-written, so q155's oracle cannot drop a term; signs from
@@ -2179,7 +2184,31 @@ object SparkEntry {
           round(col("est_median_c"), 2).as("est_median_c"),
           round(col("est_p90_c"), 2).as("est_p90_c"))
         .orderBy("o_orderstatus")
-    })
+    }),
+
+    "q163_kcenter_coreset" -> ((s, d) =>
+      // Diversity-maximizing coreset: greedy k-center (farthest-first)
+      // over the embeddings — k exemplars covering the space, one
+      // bounded-agg corpus scan per round (Ann.kCenterGreedy scaladoc);
+      // the oracle replays all rounds in unrolled CTEs.
+      Ann.kCenterGreedy(embeddings(s, d), "vec_id", "embedding",
+          k = KCenterK)
+        .orderBy("rank")),
+
+    "q164_group_mode" -> ((s, d) =>
+      // Exact per-group mode with deterministic ties (largest count,
+      // then smallest value): two map-side-combinable aggregations,
+      // state bounded by the (source × lang) domain — the scale-safe
+      // form of "most common value", vs a rank window over raw rows.
+      documents(s, d)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("source")
+        .agg(min(struct((-col("cnt")).as("nc"), col("lang").as("l"))).as("m"),
+          sum(col("cnt")).as("n_docs"))
+        .select(col("source"), col("m.l").as("mode_lang"),
+          (-col("m.nc")).as("n_mode"), col("n_docs"))
+        .orderBy("source"))
   )
 
   // ---------------------------------------------------------------- //
@@ -4745,6 +4774,47 @@ object SparkEntry {
          |SELECT o_orderstatus,
          | round(quantile_cont(price_c, 0.5), 2) AS est_median_c,
          | round(quantile_cont(price_c, 0.9), 2) AS est_p90_c
-         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // farthest-first replay: round i carries dmin forward as
+    // least(prev, dist-to-new-center) — min is associative, so it
+    // equals the engine UDF's fresh min over all chosen centers
+    "q163_kcenter_coreset" -> {
+      def dist(src: String, ctr: String) =
+        s"round($src.vv - 2.0*list_dot_product($src.v, $ctr.v) + $ctr.vv, 6)"
+      val rounds = (2 to KCenterK).map { i =>
+        val (prevD, prevK) = (s"d${i - 1}", s"k$i")
+        val prevCol = if (i == 2) "dmin" else "dmin_c"
+        val carry = s"least(d${i - 1}.$prevCol, ${dist(s"d${i - 1}", s"k$i")})"
+        s"""k$i AS (SELECT vec_id, v, vv, dmin${if (i == 2) "" else "_c"} AS dsel
+           | FROM d${i - 1} ORDER BY dmin${if (i == 2) "" else "_c"} DESC, vec_id LIMIT 1),
+           |d$i AS (SELECT ${prevD}.vec_id, ${prevD}.v, ${prevD}.vv,
+           |  $carry AS dmin_c FROM $prevD, $prevK)""".stripMargin
+      }
+      val sel = Seq("SELECT CAST(1 AS BIGINT) AS rank, vec_id AS id, 0.0 AS d2_sel FROM k1") ++
+        (2 to KCenterK).map(i =>
+          s"SELECT CAST($i AS BIGINT), vec_id, dsel FROM k$i")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |  list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS vv
+         | FROM embeddings WHERE embedding IS NOT NULL),
+         |k1 AS (SELECT vec_id, v, vv FROM e
+         | ORDER BY ${duckHash("concat('kc_', CAST(vec_id AS VARCHAR))", 15)}, vec_id LIMIT 1),
+         |d1 AS (SELECT e.vec_id, e.v, e.vv, ${dist("e", "k1")} AS dmin FROM e, k1),
+         |${rounds.mkString(",\n")}
+         |${sel.mkString("\nUNION ALL\n")}
+         |ORDER BY rank""".stripMargin
+    },
+
+    // rank-1 row per source over the (source, lang) count table —
+    // same (cnt DESC, lang ASC) tie order as the engine's min(struct)
+    "q164_group_mode" ->
+      """WITH c AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS cnt
+        | FROM documents GROUP BY 1, 2),
+        |r AS (SELECT source, lang, cnt,
+        |  row_number() OVER (PARTITION BY source ORDER BY cnt DESC, lang) AS rn,
+        |  SUM(cnt) OVER (PARTITION BY source) AS n_docs FROM c)
+        |SELECT source, lang AS mode_lang, cnt AS n_mode,
+        | CAST(n_docs AS BIGINT) AS n_docs
+        |FROM r WHERE rn = 1 ORDER BY source""".stripMargin
   )
 }

@@ -682,4 +682,77 @@ object Ann {
     }
     trajectory.toDF("epoch", "n_wrong", "w_l1")
   }
+
+  /** Greedy k-center coreset (Gonzalez 1985, the farthest-first
+    * traversal): pick the md5-smallest vector as the seed, then k-1
+    * times the vector FARTHEST from its nearest chosen center — a
+    * 2-approximation to the k-center cover, and the standard
+    * diversity-maximizing subset selector for curation (cover the
+    * embedding space with k exemplars; the complement of dedup's
+    * "collapse the near", this keeps the far).
+    *
+    * Deterministic end to end: distances are the k-means path's
+    * round(‖v‖² − 2⟨v,c⟩ + ‖c‖², 6) with the same element-wise
+    * float→double widening as [[assignCidUdf]], argmax ties go to the
+    * smallest id, and the seed is an md5 order statistic — so the
+    * DuckDB oracle replays every round (q163).
+    *
+    * Scale shape: one corpus scan per round — a map-only min-distance
+    * UDF over the driver-held center list (≤ k×dim doubles, the
+    * bounded-driver-state class) and ONE max(struct) aggregation; no
+    * shuffle wider than the agg's single row, no pairwise anything.
+    * k rounds = k scans; at 100 TB run the selection on a hash sample
+    * (the [[kmeansCentroidsLocal]] sampleOneIn trick) — the guarantee
+    * degrades gracefully with sample rate.
+    *
+    * Returns (rank 1..k, id, d2_sel) where d2_sel is the selected
+    * point's distance-to-cover at selection time (0.0 for the seed).
+    */
+  def kCenterGreedy(emb: DataFrame, idCol: String, vecCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    import graft.functions.TextFunctions.tokenHash64
+    val keyed = emb.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+        tokenHash64(concat(lit("kc_"), col(idCol).cast("string"))).as("h"))
+      .localCheckpoint(true)
+    val seed = keyed.orderBy("h", "id").limit(1)
+      .select(col("id"), transform(col("v"), x => x.cast("double")).as("cv"))
+      .as[(Long, Array[Double])].head()
+    val centers = scala.collection.mutable.ArrayBuffer((1L, seed._1, 0.0))
+    val centerVecs = scala.collection.mutable.ArrayBuffer(seed._2)
+    for (r <- 2 to k) {
+      val cvs = centerVecs.toArray
+      val ccs = cvs.map(c => c.map(x => x * x).sum)
+      val dminUdf = udf { (v: Seq[Float]) =>
+        var vv = 0.0
+        var i = 0
+        while (i < v.size) { val x = v(i).toDouble; vv += x * x; i += 1 }
+        var best = Double.MaxValue
+        var c = 0
+        while (c < cvs.length) {
+          var dot = 0.0
+          var j = 0
+          val cv = cvs(c)
+          while (j < v.size && j < cv.length) { dot += v(j).toDouble * cv(j); j += 1 }
+          val d = java.math.BigDecimal.valueOf(vv - 2.0 * dot + ccs(c))
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+          if (d < best) best = d
+          c += 1
+        }
+        best
+      }
+      val best = keyed
+        .select(col("id"), col("v"), dminUdf(col("v")).as("d"))
+        .agg(max(struct(col("d"), (-col("id")).as("nid"),
+          transform(col("v"), x => x.cast("double")).as("cv"))).as("m"))
+        .select(col("m.d"), (-col("m.nid")).as("id"), col("m.cv"))
+        .as[(Double, Long, Array[Double])].head()
+      centers += ((r.toLong, best._2, best._1))
+      centerVecs += best._3
+    }
+    centers.toSeq.toDF("rank", "id", "d2_sel")
+  }
 }

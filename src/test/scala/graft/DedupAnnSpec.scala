@@ -797,4 +797,38 @@ class DedupAnnSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(rep == got)
   }
+
+  test("kCenterGreedy matches a driver-side farthest-first model") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.tokenHash64Jvm
+    val rnd = new scala.util.Random(11)
+    val rows = (1L to 60L).map(id =>
+      (id, Array.fill(4)(rnd.nextFloat() * 2f - 1f)))
+    val df = rows.toDF("vec_id", "embedding")
+    def d2(v: Array[Float], c: Array[Double]): Double = {
+      var vv = 0.0; var dot = 0.0; var cc = 0.0
+      for (j <- v.indices) { val x = v(j).toDouble; vv += x * x; dot += x * c(j) }
+      c.foreach(x => cc += x * x)
+      java.math.BigDecimal.valueOf(vv - 2.0 * dot + cc)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+    // model: md5-min seed, then argmax of min-dist with ties to min id
+    val seedId = rows.minBy(r => (tokenHash64Jvm("kc_" + r._1), r._1))._1
+    var cents = Seq(rows.find(_._1 == seedId).get._2.map(_.toDouble))
+    var want = Seq((1L, seedId, 0.0))
+    for (r <- 2 to 5) {
+      val (bid, bd) = rows.map { case (id, v) =>
+        (id, cents.map(c => d2(v, c)).min)
+      }.maxBy { case (id, dm) => (dm, -id) }
+      want :+= ((r.toLong, bid, bd))
+      cents :+= rows.find(_._1 == bid).get._2.map(_.toDouble)
+    }
+    val got = Ann.kCenterGreedy(df.repartition(7), "vec_id", "embedding", k = 5)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == want)
+    // selection distances are non-increasing (farthest-first invariant)
+    val ds = got.drop(1).map(_._3)
+    assert(ds == ds.sorted.reverse)
+  }
 }
