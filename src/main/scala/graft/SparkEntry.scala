@@ -2208,7 +2208,19 @@ object SparkEntry {
           sum(col("cnt")).as("n_docs"))
         .select(col("source"), col("m.l").as("mode_lang"),
           (-col("m.nc")).as("n_mode"), col("n_docs"))
-        .orderBy("source"))
+        .orderBy("source")),
+
+    "q165_video_scene_cuts" -> ((s, d) =>
+      // Scene-cut detection over REAL AVI decode (keyframe selection
+      // primitive): exact integer mean-gray change between consecutive
+      // frames, map-only, blob dies in-stage
+      // (Multimodal.videoSceneCuts scaladoc). The fixture's windows are
+      // piecewise-constant, so the oracle derives every cut position
+      // analytically.
+      Multimodal.videoSceneCuts(
+          Multimodal.mediaWithDupVideo(s, documents(s, d)))
+        .toDF()
+        .orderBy("media_id"))
   )
 
   // ---------------------------------------------------------------- //
@@ -4804,6 +4816,31 @@ object SparkEntry {
          |${sel.mkString("\nUNION ALL\n")}
          |ORDER BY rank""".stripMargin
     },
+
+    // q134's fixture CTEs (md5-bit window grays), then cuts = adjacent
+    // window level changes; frame index of window-k's first frame is
+    // k * (nf/64); a cut-less video reports first_cut -1
+    "q165_video_scene_cuts" ->
+      """WITH dim AS (SELECT doc_id AS id, doc_id // 10 AS gid,
+        |  ((doc_id % 10) * 11) % 64 AS fw,
+        |  64*((doc_id % 2)+1) AS nf
+        | FROM documents WHERE doc_id % 2 = 1),
+        |hsh AS (SELECT id, fw, nf,
+        |  CAST(concat('0x', substr(md5(concat('v', CAST(gid AS VARCHAR))),1,15)) AS BIGINT) AS hp
+        | FROM dim),
+        |lum AS (SELECT id, nf, k,
+        |  CASE WHEN (((hp >> (k % 60)) & 1) = 1) != (k = fw)
+        |       THEN 220 ELSE 30 END AS a
+        | FROM hsh, LATERAL (SELECT unnest(generate_series(0, 63)) AS k) t),
+        |d AS (SELECT cur.id, cur.nf, cur.k, cur.a, prv.a AS pa
+        | FROM lum cur JOIN lum prv ON cur.id = prv.id AND prv.k = cur.k - 1),
+        |c AS (SELECT id, nf,
+        |  CAST(COUNT(CASE WHEN a <> pa THEN 1 END) AS BIGINT) AS n_cuts,
+        |  MIN(CASE WHEN a <> pa THEN k END) AS fck
+        | FROM d GROUP BY 1, 2)
+        |SELECT id AS media_id, CAST(nf AS BIGINT) AS n_frames, n_cuts,
+        | CAST(COALESCE(fck * (nf // 64), -1) AS BIGINT) AS first_cut
+        |FROM c ORDER BY media_id""".stripMargin,
 
     // rank-1 row per source over the (source, lang) count table —
     // same (cnt DESC, lang ASC) tie order as the engine's min(struct)

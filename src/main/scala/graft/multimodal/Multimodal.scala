@@ -1012,10 +1012,14 @@ object Multimodal {
     * same [[graft.operators.Dedup.hammingNearDup]] banding join. None
     * for non-AVI blobs or videos shorter than 64 decodable frames.
     */
-  def videoFingerprint(bytes: Array[Byte], nWindows: Int = 64): Option[Long] = {
-    // fast path first (hand-rolled PNG gray sums — PngCodec scaladoc);
-    // per-frame ImageIO fallback keeps MJPG/exotic-PNG frames decoding
-    val decoded = VideoCodec.frameChunks(bytes).flatMap { fb =>
+  /** Per-frame (width, height, graySum) from a real AVI blob — the
+    * shared decode loop behind [[videoFingerprint]] and
+    * [[videoSceneCuts]]: hand-rolled PNG gray sums on the fast path,
+    * per-frame ImageIO fallback for MJPG/exotic PNGs; undecodable
+    * frames drop.
+    */
+  private def decodedFrameSums(bytes: Array[Byte]): Seq[(Int, Int, Long)] =
+    VideoCodec.frameChunks(bytes).flatMap { fb =>
       PngCodec.decodeGraySum(fb).orElse {
         Option(javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(fb))).map { img =>
@@ -1034,6 +1038,9 @@ object Multimodal {
         }
       }
     }
+
+  def videoFingerprint(bytes: Array[Byte], nWindows: Int = 64): Option[Long] = {
+    val decoded = decodedFrameSums(bytes)
     val f = decoded.length
     if (f < nWindows) None
     else {
@@ -1059,6 +1066,54 @@ object Multimodal {
         k += 1
       }
       Some(hash)
+    }
+  }
+
+  case class VideoSceneCuts(media_id: Long, n_frames: Long, n_cuts: Long,
+                            first_cut: Long)
+
+  /** Scene-cut detection from REAL decoded frames: a cut at frame i ≥ 1
+    * whenever the mean gray differs from frame i-1 — compared by exact
+    * integer cross-multiplication (sum_i · pix_{i-1} ≠ sum_{i-1} ·
+    * pix_i), no float threshold, so the DuckDB oracle derives cut
+    * positions analytically from the fixture's window-gray formula
+    * (piecewise-constant windows ⇒ cuts exactly at boundaries whose
+    * levels differ). The keyframe-selection primitive: first_cut is the
+    * first boundary (-1 for a cut-less video), n_cuts the scene count
+    * minus one.
+    *
+    * Scale: map-only like every multimodal stage — container parse +
+    * per-frame decode + the linear cut scan all happen inside
+    * mapPartitions; the blob dies in-stage and only four fixed-width
+    * columns ride on. Undecodable frames drop (a corrupt frame
+    * shortens, never kills); non-video or frame-less blobs drop rows.
+    */
+  def videoSceneCuts(media: Dataset[MediaRow]): Dataset[VideoSceneCuts] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { r =>
+        if (r.kind != "video") None
+        else {
+          val f = decodedFrameSums(r.content)
+          if (f.isEmpty) None
+          else {
+            var cuts = 0L
+            var first = -1L
+            var i = 1
+            while (i < f.length) {
+              val (w0, h0, s0) = f(i - 1)
+              val (w1, h1, s1) = f(i)
+              if (s1 * (w0.toLong * h0) != s0 * (w1.toLong * h1)) {
+                cuts += 1
+                if (first < 0) first = i.toLong
+              }
+              i += 1
+            }
+            Some(VideoSceneCuts(r.media_id, f.length.toLong, cuts, first))
+          }
+        }
+      }
     }
   }
 

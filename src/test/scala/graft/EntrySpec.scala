@@ -162,6 +162,24 @@ class EntrySpec extends AnyFunSuite {
     assert(gt.toSeq == Seq(("P", false), ("Q", true)))
   }
 
+  test("videoSceneCuts: hand-built AVI — cut positions, cut-less video, corrupt frame") {
+    import graft.multimodal.Multimodal
+    import graft.multimodal.Multimodal.{MediaRow, PngCodec, VideoCodec}
+    def avi(grays: Seq[Int], w: Int = 6, h: Int = 5) =
+      VideoCodec.buildAvi(w, h, grays.map(g => PngCodec.encodeGray(w, h, g)), "MPNG")
+    // grays 10,10,200,200,200,40 => cuts at frames 2 and 5
+    val cutsVid = MediaRow(1L, "video", avi(Seq(10, 10, 200, 200, 200, 40)), 6, 5)
+    // constant video => no cuts, first_cut -1
+    val flatVid = MediaRow(2L, "video", avi(Seq(77, 77, 77)), 6, 5)
+    // non-video rows drop
+    val junk = MediaRow(3L, "audio", Array[Byte](1, 2, 3), 0, 0)
+    val ds = spark.createDataset(Seq(cutsVid, flatVid, junk))(
+      org.apache.spark.sql.Encoders.product[MediaRow])
+    val got = Multimodal.videoSceneCuts(ds).collect()
+      .map(r => r.media_id -> ((r.n_frames, r.n_cuts, r.first_cut))).toMap
+    assert(got == Map(1L -> ((6L, 2L, 2L)), 2L -> ((3L, 0L, -1L))))
+  }
+
   test("multimodal: stub decoder features match a manual computation") {
     val media = Multimodal.mediaFromDocuments(
       spark, Seq((2L, "AB")).toDF("doc_id", "text"))

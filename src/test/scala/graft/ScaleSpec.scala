@@ -626,4 +626,42 @@ class ScaleSpec extends AnyFunSuite {
       case (k, None)    => c.unset(k)
     }
   }
+
+  test("round-9 plan shapes: HRW map-only, skyline join-free, SCD2 one exchange") {
+    import graft.engine.Scale
+    val dir = SparkTestSession.sfDir
+    // q156: the double HRW assignment is map-only — the only shuffles
+    // are the 16-key count agg and the 16-ROW final sort; the scan
+    // prunes to doc_id alone
+    val hrw = SparkEntry.queries("q156_rendezvous_shards")(spark, dir)
+    val hrwPlan = hrw.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(hrwPlan).length == 1,
+      s"HRW should hash-shuffle once (the count agg):\n$hrwPlan")
+    assert(hrwPlan.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"HRW scan should prune to doc_id:\n$hrwPlan")
+    // q157: the distributed skyline never plans a join of any kind —
+    // dominance is resolved by two mapPartitions passes
+    val sky = SparkEntry.queries("q157_skyline")(spark, dir)
+    val skyPlan = sky.queryExecution.executedPlan.toString
+    assert(!skyPlan.contains("Join") && !skyPlan.contains("CartesianProduct"),
+      s"skyline must be join-free:\n$skyPlan")
+    // q160: both SCD2 windows share the user_id partitioning — ONE
+    // exchange feeds the lag-filter-lead chain (plus none for the sort)
+    val scd = graft.operators.Relational.scd2History(
+      graft.engine.Tables.events(spark, dir), "user_id", "ts", "event_type",
+      "event_id")
+    assert(Scale.exchangeCount(scd) == 1,
+      s"SCD2 should reuse one exchange:\n${scd.queryExecution.executedPlan}")
+    // q164: mode is two hash aggregations, never a rank window over rows
+    val mode = SparkEntry.queries("q164_group_mode")(spark, dir)
+    val modePlan = mode.queryExecution.executedPlan.toString
+    assert(!modePlan.contains("Window"), s"mode must not window:\n$modePlan")
+    // q159: diff + merge compose to exactly two full-outer joins and no
+    // broadcast-nested-loop fallback
+    val merge = SparkEntry.queries("q159_merge_upsert")(spark, dir)
+    val mergePlan = merge.queryExecution.executedPlan.toString
+    assert("FullOuter".r.findAllIn(mergePlan).length == 2 &&
+      !mergePlan.contains("BroadcastNestedLoopJoin"),
+      s"merge should be two full-outer equi-joins:\n$mergePlan")
+  }
 }
