@@ -206,4 +206,56 @@ object EventStreams {
             if (buf.isEmpty) 0L else buf.last, est))
         })
   }
+
+  case class UpsertOp(k: Long, v: Long, op: String)
+  case class ChangeRow(k: Long, change_type: String, old_v: Option[Long],
+                       new_v: Option[Long])
+
+  /** Streaming CDC upsert — the ingest-time twin of the batch
+    * snapshotDiff → applyChangelog pair (q123/q159): a keyed stream of
+    * put/del records maintained as per-key state, emitting the SAME
+    * change_type vocabulary snapshotDiff produces (insert / update /
+    * delete; idempotent puts and deletes of absent keys emit nothing,
+    * matching the diff of identical snapshots). After any prefix of the
+    * stream, the state IS the upserted table: equivalence with
+    * applyChangelog(v1, snapshotDiff(v1, v2)) is asserted in
+    * StreamingSpec by replaying v1 then v2 as puts/dels.
+    *
+    * Scale: state = one Long per live key (Spark partitions the state
+    * store by key); each micro-batch touches only its keys. Per-key
+    * multiple records in one batch fold in arrival order, emitting one
+    * change per transition — the same per-key linearization a
+    * changelog-compacting sink performs.
+    */
+  def streamingUpsert(records: org.apache.spark.sql.Dataset[UpsertOp])
+      : org.apache.spark.sql.Dataset[ChangeRow] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = records.sparkSession
+    import spark.implicits._
+    records.groupByKey(_.k)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (k: Long, it: Iterator[UpsertOp], state: GroupState[Long]) => {
+          val out = scala.collection.mutable.ArrayBuffer.empty[ChangeRow]
+          var cur: Option[Long] = state.getOption
+          it.foreach { r =>
+            (r.op, cur) match {
+              case ("put", None) =>
+                out += ChangeRow(k, "insert", None, Some(r.v)); cur = Some(r.v)
+              case ("put", Some(old)) if old != r.v =>
+                out += ChangeRow(k, "update", Some(old), Some(r.v)); cur = Some(r.v)
+              case ("put", _) => // idempotent put: unchanged, no emission
+              case ("del", Some(old)) =>
+                out += ChangeRow(k, "delete", Some(old), None); cur = None
+              case ("del", None) => // deleting an absent key: no-op
+              case (other, _) =>
+                throw new IllegalArgumentException(s"unknown op '$other'")
+            }
+          }
+          cur match {
+            case Some(v) => state.update(v)
+            case None    => state.remove()
+          }
+          out.iterator
+        })
+  }
 }

@@ -287,4 +287,56 @@ class StreamingSpec extends AnyFunSuite {
       case None    => spark.conf.unset(key)
     }
   }
+
+  test("streamingUpsert changelog equals snapshotDiff; folded state equals the merge") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStreams.{ChangeRow, UpsertOp}
+    import graft.operators.Relational
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[UpsertOp]
+    val q = graft.streaming.EventStreams.streamingUpsert(src.toDS())
+      .toDF().writeStream.outputMode("append")
+      .format("memory").queryName("t_upsert").start()
+    // batch 1 builds v1 (with an idempotent re-put and a del of an
+    // absent key — both must emit nothing)
+    src.addData(UpsertOp(1L, 10L, "put"), UpsertOp(2L, 20L, "put"),
+      UpsertOp(4L, 40L, "put"), UpsertOp(1L, 10L, "put"),
+      UpsertOp(99L, 0L, "del"))
+    q.processAllAvailable()
+    val b1 = spark.table("t_upsert").as[ChangeRow].collect().toSet
+    assert(b1 == Set(ChangeRow(1L, "insert", None, Some(10L)),
+      ChangeRow(2L, "insert", None, Some(20L)),
+      ChangeRow(4L, "insert", None, Some(40L))))
+    // batch 2 realizes v2: 1 unchanged, 2 updated, 4 deleted, 6 inserted
+    src.addData(UpsertOp(1L, 10L, "put"), UpsertOp(2L, 25L, "put"),
+      UpsertOp(4L, 0L, "del"), UpsertOp(6L, 60L, "put"))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("t_upsert").as[ChangeRow].collect().toSet
+    val b2 = all -- b1
+    // the second batch's emissions ARE snapshotDiff(v1, v2)'s changes
+    val v1 = Seq((1L, 10L), (2L, 20L), (4L, 40L)).toDF("k", "v")
+    val v2 = Seq((1L, 10L), (2L, 25L), (6L, 60L)).toDF("k", "v")
+    val diff = Relational.snapshotDiff(v1, v2, Seq("k"))
+      .filter(col("change_type") =!= "unchanged")
+      .select(col("k"), col("change_type"), col("old_row.v").as("old_v"),
+        col("new_row.v").as("new_v"))
+      .as[ChangeRow].collect().toSet
+    assert(b2 == diff, s"stream $b2 != diff $diff")
+    // folding the emissions in batch order reproduces the merge (= v2);
+    // each batch emits at most one change per key, so batch order is
+    // the only ordering needed
+    val folded = (b1.toSeq ++ b2.toSeq)
+      .foldLeft(Map.empty[Long, Long]) { (m, ch) =>
+        ch.new_v match {
+          case Some(v) => m + (ch.k -> v)
+          case None    => m - ch.k
+        }
+      }
+    val merged = Relational.applyChangelog(v1,
+        Relational.snapshotDiff(v1, v2, Seq("k")), Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(folded == merged)
+  }
 }
