@@ -616,7 +616,9 @@ object Ann {
     *
     *  - features: [[int8QuantTopK]]'s scalar quantization
     *    floor(x·127/maxAbs) per dimension, plus a constant bias 127;
-    *  - label: y = +1 if labelCol <= posMax else -1;
+    *  - label: y = +1 if labelCol <= posMax else -1 (a NULL label
+    *    falls to the -1 class on both engines — Spark's otherwise()
+    *    and SQL's CASE ELSE agree);
     *  - epoch t: score every row with the CURRENT weights (margin
     *    y·⟨w,x⟩, misclassified iff <= 0), then one batch update
     *    w += Σ_misclassified y·x — the parallel ("batch") variant: the

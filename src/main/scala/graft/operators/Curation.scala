@@ -72,7 +72,10 @@ object Curation {
     * movement bound).
     *
     * Tie-break (astronomically rare 60-bit ties): larger shard id, via
-    * the struct ordering of greatest((h, shard)).
+    * the struct ordering of greatest((h, shard)). A NULL id hashes to
+    * NULL for every shard, so all scores tie and the row lands
+    * (deterministically) on the largest shard id — filter null ids
+    * upstream if they should not shard at all.
     */
   def rendezvousAssign(df: DataFrame, idCol: String, nShards: Int,
                        salt: String, outCol: String = "shard"): DataFrame = {

@@ -592,7 +592,9 @@ object Relational {
     * lag() to find change points, then a lead() over the surviving
     * change rows for interval ends. State per key = its rows in one
     * partition; nothing is global. `tieCol` makes same-timestamp events
-    * deterministic; attribute comparison is null-safe.
+    * deterministic and must be NON-NULL (its lag doubles as the
+    * first-row detector, so a null attribute never fakes a change
+    * point); attribute comparison is null-safe.
     */
   def scd2History(events: DataFrame, keyCol: String, tsCol: String,
                   attrCol: String, tieCol: String): DataFrame = {
@@ -624,7 +626,13 @@ object Relational {
     * realistic correlation), so the single final task sees
     * partitions × log n rows, the same "tiny final stage" contract as
     * TakeOrdered; the repartition(1) exchange carries only survivors.
-    * All columns ride as longs so dominance compares are exact.
+    * All columns ride as longs so dominance compares are exact. Rows
+    * with a NULL dimension are excluded up front — dominance against
+    * an unknown coordinate is undefined (SQL's NOT EXISTS drops them
+    * identically: a NULL comparison can never assert dominance, and
+    * the null row itself would vacuously "survive" under one
+    * formulation and not another; excluding is the unambiguous
+    * contract).
     */
   def skylineMinMax(df: DataFrame, idCol: String, minCol: String,
                     maxCol: String): DataFrame = {
@@ -652,7 +660,9 @@ object Relational {
       out.result().iterator
     }
     val rows = df.select(col(idCol).cast("long"), col(minCol).cast("long"),
-      col(maxCol).cast("long")).as[(Long, Long, Long)]
+      col(maxCol).cast("long"))
+      .na.drop()
+      .as[(Long, Long, Long)]
     rows.mapPartitions(localSkyline(_))
       .repartition(1)
       .mapPartitions(localSkyline(_))

@@ -400,6 +400,13 @@ class ChunkingCurationSpec extends AnyFunSuite {
     val got1 = Relational.skylineMinMax(rows.toDF("id", "minv", "maxv"), "id", "minv", "maxv")
       .collect().map(_.getLong(0)).toSet
     assert(got1.contains(301L) == got1.contains(302L))
+    // NULL dimensions are excluded, never crash the encoder or distort
+    // the frontier
+    val withNulls = Seq((1L, Some(1L), Some(9L)), (2L, Option.empty[Long], Some(99L)),
+      (3L, Some(0L), Option.empty[Long])).toDF("id", "minv", "maxv")
+    val gn = Relational.skylineMinMax(withNulls, "id", "minv", "maxv")
+      .collect().map(_.getLong(0)).toSet
+    assert(gn == Set(1L))
   }
 
   test("perceptronTrain: separable toy converges; epoch-1 counts every row under w=0") {
