@@ -115,6 +115,16 @@ object SparkEntry {
     */
   private val KCenterK = 6
 
+  /** q166's search phrase, shared with the oracle SQL. */
+  private val PhraseQ166 = Seq("value", "table")
+
+  /** q167's MMR geometry (candidate pool, picks), shared with the
+    * oracle SQL's unrolled greedy rounds. λ = 7/10 is hard-coded in
+    * both score expressions (7·rel − 3·maxsim).
+    */
+  private val MmrCandC = 24
+  private val MmrK = 8
+
   /** 4×4 determinant as a SQL expression — the 24-term permutation
     * expansion over entry expressions `m(i)(j)`. Generated, not
     * hand-written, so q155's oracle cannot drop a term; signs from
@@ -2220,7 +2230,27 @@ object SparkEntry {
       Multimodal.videoSceneCuts(
           Multimodal.mediaWithDupVideo(s, documents(s, d)))
         .toDF()
-        .orderBy("media_id"))
+        .orderBy("media_id")),
+
+    "q166_phrase_match" -> ((s, d) =>
+      // Exact positional phrase search — the retrieval operator the
+      // doc-level inverted index (q148) cannot answer: candidate
+      // postings filter to the phrase words BEFORE any exchange, then
+      // adjacency verifies via (doc, pos+offset) equi-joins
+      // (Indexing.phraseMatch scaladoc).
+      Indexing.phraseMatch(documents(s, d), "doc_id", "text", PhraseQ166)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
+    "q167_mmr_rerank" -> ((s, d) =>
+      // MMR diverse re-ranking of the query-0 top-24 candidates
+      // (k = 8, λ = 0.7): the post-retrieval step that stops k
+      // near-duplicates of the best hit from filling a RAG context
+      // window — exact integer trajectory, candidates bounded at
+      // candC×dim driver doubles (Ann.mmrRerank scaladoc).
+      Ann.mmrRerank(embeddings(s, d), "vec_id", "embedding",
+          queryId = 0L, candC = MmrCandC, k = MmrK)
+        .orderBy("rank"))
   )
 
   // ---------------------------------------------------------------- //
@@ -4841,6 +4871,56 @@ object SparkEntry {
         |SELECT id AS media_id, CAST(nf AS BIGINT) AS n_frames, n_cuts,
         | CAST(COALESCE(fck * (nf // 64), -1) AS BIGINT) AS first_cut
         |FROM c ORDER BY media_id""".stripMargin,
+
+    // positional adjacency over unnest-with-subscripts; DuckDB arrays
+    // are 1-based where Spark's posexplode is 0-based, so first_pos =
+    // p0 (SQL) = pos+1 (engine) line up at 1-based
+    "q166_phrase_match" -> {
+      val conds = PhraseQ166.zipWithIndex
+        .map { case (w, i) => s"toks[p0+$i] = '$w'" }.mkString(" AND ")
+      s"""WITH t AS (SELECT doc_id AS id, $TOKS AS toks FROM documents),
+         |p AS (SELECT id, p0 FROM t, LATERAL (SELECT
+         |   unnest(generate_series(1, GREATEST(len(toks)-${PhraseQ166.size - 1}, 0))) AS p0) s
+         | WHERE $conds)
+         |SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+         | CAST(MIN(p0) AS BIGINT) AS first_pos
+         |FROM p GROUP BY 1 ORDER BY doc_id""".stripMargin
+    },
+
+    // unrolled greedy MMR: pick i's score subtracts the max rounded
+    // sim against the accumulated sel_{i-1} set; integer 1e-4 units
+    // end to end (CAST of the scaled double rounds to nearest, which
+    // recovers the exact integer the engine's BigDecimal path yields)
+    "q167_mmr_rerank" -> {
+      def simM4(a: String, b: String) =
+        s"CAST(round(${duckCos(a, b)}, 4) * 10000 AS BIGINT)"
+      // every sel_i is referenced twice by round i+1 (max-sim subquery
+      // + NOT IN); MATERIALIZED stops DuckDB's default CTE inlining
+      // from exponentially re-expanding the chain across rounds
+      val rounds = (2 to MmrK).map { i =>
+        s"""r$i AS MATERIALIZED (SELECT c.id, c.v, c.rel_m4,
+           |  7*c.rel_m4 - 3*(SELECT MAX(${simM4("c.v", "s.v")})
+           |    FROM sel${i - 1} s) AS score_m4
+           | FROM cand c WHERE c.id NOT IN (SELECT id FROM sel${i - 1})),
+           |p$i AS MATERIALIZED (SELECT * FROM r$i ORDER BY score_m4 DESC, id LIMIT 1),
+           |sel$i AS MATERIALIZED (SELECT id, v FROM sel${i - 1} UNION ALL SELECT id, v FROM p$i)"""
+          .stripMargin
+      }
+      val sel = Seq(s"SELECT CAST(1 AS BIGINT) AS rank, id AS vec_id, rel_m4, score_m4 FROM p1") ++
+        (2 to MmrK).map(i => s"SELECT CAST($i AS BIGINT), id, rel_m4, score_m4 FROM p$i")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         | WHERE embedding IS NOT NULL),
+         |q AS (SELECT v FROM e WHERE vec_id = 0),
+         |rel AS (SELECT e.vec_id AS id, e.v, ${simM4("e.v", "q.v")} AS rel_m4
+         | FROM e, q WHERE e.vec_id <> 0),
+         |cand AS MATERIALIZED (SELECT id, v, rel_m4 FROM rel ORDER BY rel_m4 DESC, id LIMIT $MmrCandC),
+         |p1 AS MATERIALIZED (SELECT id, v, rel_m4, CAST(7*rel_m4 AS BIGINT) AS score_m4
+         | FROM cand ORDER BY rel_m4 DESC, id LIMIT 1),
+         |sel1 AS MATERIALIZED (SELECT id, v FROM p1),
+         |${rounds.mkString(",\n")}
+         |${sel.mkString("\nUNION ALL\n")}
+         |ORDER BY rank""".stripMargin
+    },
 
     // rank-1 row per source over the (source, lang) count table —
     // same (cnt DESC, lang ASC) tie order as the engine's min(struct)

@@ -685,6 +685,75 @@ object Ann {
     trajectory.toDF("epoch", "n_wrong", "w_l1")
   }
 
+  /** MMR (maximal marginal relevance, Carbonell & Goldstein 1998)
+    * diverse re-ranking: from the top-`candC` most query-relevant
+    * vectors, greedily pick k that trade relevance against redundancy —
+    * pick 1 = argmax relevance; pick i = argmax
+    * λ·rel − (1−λ)·max_{s∈selected} sim(c, s). The standard RAG-grade
+    * retrieval step after q35/q153's pure-relevance top-k: without it,
+    * k near-duplicates of the best hit fill the context window.
+    *
+    * Exact integer arithmetic end to end so the greedy trajectory is
+    * oracle-replayable: cosines round to 4 decimals then scale to
+    * integer 1e-4 units (rel_m4/sim_m4), λ = 7/10 becomes
+    * score_m4 = 7·rel_m4 − 3·maxsim_m4, ties to the smallest id.
+    *
+    * Scale shape: relevance is one map-only scan (query vector is a
+    * literal) + TakeOrdered(candC); everything after runs on the
+    * driver over candC×dim doubles and a candC² rounded-sim matrix —
+    * the bounded-driver-state class (candC is a context-window-scale
+    * constant, not data-scale). The corpus is never pairwise-joined.
+    */
+  def mmrRerank(emb: DataFrame, idCol: String, vecCol: String,
+                queryId: Long, candC: Int, k: Int): DataFrame = {
+    require(candC >= k && k >= 1, s"need candC >= k >= 1, got $candC/$k")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val base = emb.filter(col(vecCol).isNotNull)
+    val qv = base.filter(col(idCol) === queryId)
+      .select(transform(col(vecCol), x => x.cast("double")))
+      .as[Array[Double]].head()
+    def cosJvm(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length && i < b.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      val np = math.sqrt(na) * math.sqrt(nb)
+      if (np > 0) dot / np else 0.0
+    }
+    def m4(x: Double): Long =
+      java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP)
+        .movePointRight(4).longValueExact()
+    val qlit = qv
+    val relUdf = udf { (v: Seq[Float]) =>
+      m4(cosJvm(v.map(_.toDouble).toArray, qlit))
+    }
+    val cands = base.filter(col(idCol) =!= queryId)
+      .select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("cv"),
+        relUdf(col(vecCol)).as("rel_m4"))
+      .orderBy(col("rel_m4").desc, col("id"))
+      .limit(candC)
+      .as[(Long, Array[Double], Long)].collect()
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+    val remaining = scala.collection.mutable.LinkedHashMap(
+      cands.map(c => c._1 -> c): _*)
+    for (r <- 1 to math.min(k, cands.length)) {
+      val best = remaining.values.map { case (id, cv, rel) =>
+        val maxSim = if (chosen.isEmpty) 0L
+          else chosen.map(s => m4(cosJvm(cv, s._2))).max
+        val score = 7L * rel - 3L * maxSim
+        (score, -id, id, cv, rel)
+      }.maxBy(t => (t._1, t._2))
+      selected += ((r.toLong, best._3, best._5, best._1))
+      chosen += ((best._3, best._4))
+      remaining.remove(best._3)
+    }
+    selected.toSeq.toDF("rank", "vec_id", "rel_m4", "score_m4")
+  }
+
   /** Greedy k-center coreset (Gonzalez 1985, the farthest-first
     * traversal): pick the md5-smallest vector as the seed, then k-1
     * times the vector FARTHEST from its nearest chosen center — a

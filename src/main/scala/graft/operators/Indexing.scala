@@ -133,4 +133,41 @@ object Indexing {
         sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_unseen"))
       .withColumn("novelty_ppm", expr("(n_unseen * 1000000) div n_grams"))
   }
+
+  /** Exact multi-word phrase search via POSITIONAL postings — the
+    * operator [[invertedIndex]] (doc-level postings) cannot answer:
+    * which documents contain `phrase` as consecutive tokens, where,
+    * and how often. Candidate generation is phrase-words-only: the
+    * token stream filters to the m phrase words BEFORE any exchange
+    * (an `isin` the scan can evaluate), then m-1 equi-joins on
+    * (doc, position + offset) verify adjacency — each join keyed on
+    * (id, pos), so a stopword-heavy phrase shuffles its posting lists,
+    * never the corpus, and AQE splits a hot word's partition. Returns
+    * one row per matching doc: (id, n_matches, first_pos), positions
+    * 1-based. Overlapping matches count separately (the literal
+    * consecutive-window semantics).
+    *
+    * Scale: shuffle volume = Σ posting(w_i); no window, no per-doc
+    * state. Degenerate inputs: a repeated word in the phrase is just
+    * two joins against the same posting list at different offsets —
+    * correct by construction.
+    */
+  def phraseMatch(docs: DataFrame, idCol: String, textCol: String,
+                  phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one word")
+    val toks = docs.select(col(idCol).cast("long").as("id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "w")))
+      .filter(col("w").isin(phrase.distinct: _*))
+    val first = toks.filter(col("w") === phrase.head)
+      .select(col("id"), col("pos").as("p0"))
+    val matched = phrase.zipWithIndex.drop(1).foldLeft(first) {
+      case (acc, (word, i)) =>
+        val ti = toks.filter(col("w") === word)
+          .select(col("id"), (col("pos") - i).as("p0"))
+        acc.join(ti, Seq("id", "p0"))
+    }
+    matched.groupBy("id")
+      .agg(count(lit(1)).as("n_matches"),
+        (min(col("p0")) + 1).cast("long").as("first_pos"))
+  }
 }

@@ -321,4 +321,48 @@ class SelectionLmSpec extends AnyFunSuite {
       assert(math.abs(dotv) <= 4L * 127L * 127L, s"qdot $dotv out of range")
     }
   }
+
+  test("phraseMatch: 3-word phrase, overlapping matches, repeated word, positions") {
+    val docs = Seq(
+      (1L, "a b c a b c"),      // "a b c" at pos 1 and 4
+      (2L, "a a a a"),          // "a a a" overlapping at pos 1 and 2
+      (3L, "a b"),              // too short for "a b c"
+      (4L, "x y z"),            // no phrase words at all
+      (5L, "c b a")             // words present, wrong order
+    ).toDF("doc_id", "text")
+    def run(p: Seq[String]) =
+      Indexing.phraseMatch(docs, "doc_id", "text", p)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(run(Seq("a", "b", "c")) == Map(1L -> ((2L, 1L))))
+    assert(run(Seq("a", "a", "a")) == Map(2L -> ((2L, 1L))))
+    assert(run(Seq("b", "c")) == Map(1L -> ((2L, 2L))))
+    // single-word phrase degenerates to a posting count
+    assert(run(Seq("a")) == Map(1L -> ((2L, 1L)), 2L -> ((4L, 1L)),
+      3L -> ((1L, 1L)), 5L -> ((1L, 3L))))
+    // partition-invariance
+    val rep = Indexing.phraseMatch(docs.repartition(4), "doc_id", "text",
+        Seq("a", "b", "c"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rep == Map(1L -> ((2L, 1L))))
+  }
+
+  test("mmrRerank diversifies: redundant near-copies of the best hit are demoted") {
+    // query q; c1 best hit; c2 = near-clone of c1 (sim ~1, so its MMR
+    // score loses ~3*10000); c3 equally relevant but ORTHOGONAL to c1
+    // (sim ~0, no penalty). Pure relevance ranks c1, c2, c3; MMR must
+    // pick c1 then c3.
+    val rows = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),        // query
+      (1L, Array(0.71f, 0.7f, 0.0f)),       // best hit
+      (2L, Array(0.7099f, 0.7f, 0.0f)),     // near-clone of 1
+      (3L, Array(0.7f, -0.7f, 0.0f))        // diverse, same relevance class
+    ).toDF("vec_id", "embedding")
+    val got = Ann.mmrRerank(rows, "vec_id", "embedding", queryId = 0L,
+        candC = 3, k = 3)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(got == Seq(1L, 3L, 2L), s"got $got")
+    // rank-1 score is 7x its relevance (no redundancy penalty yet)
+    val r1 = Ann.mmrRerank(rows, "vec_id", "embedding", 0L, 3, 1).head()
+    assert(r1.getLong(3) == 7L * r1.getLong(2))
+  }
 }
