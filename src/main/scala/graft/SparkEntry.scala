@@ -125,6 +125,30 @@ object SparkEntry {
   private val MmrCandC = 24
   private val MmrK = 8
 
+  /** q170's Benford expectations: round(log10(1+1/d)·1e6) for d=1..9,
+    * fixed literals shared with the oracle SQL (no float log at query
+    * time on either engine).
+    */
+  private val BenfordPpm = Seq(301030L, 176091L, 124939L, 96910L,
+    79181L, 66947L, 57992L, 51153L, 45757L)
+
+  /** The whole-corpus KMV oracle, shared by q137 (direct sketch) and
+    * q168 (merged half-sketches, which must equal it bit-for-bit).
+    */
+  private lazy val kmvWholeCorpusOracle: String =
+    s"""WITH h AS (SELECT DISTINCT event_type,
+       |  ${duckHash("concat('kmv_', CAST(user_id AS VARCHAR))", 15)} AS h
+       | FROM events),
+       |r AS (SELECT event_type, h,
+       |  row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h),
+       |b AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       |  MAX(h) AS kth_min FROM r WHERE rn <= $KmvK GROUP BY 1)
+       |SELECT event_type, n_kept, kth_min,
+       | CASE WHEN n_kept < $KmvK THEN n_kept
+       |  ELSE CAST((CAST(${KmvK - 1} AS HUGEINT) * ${Sketches.HashDomain})
+       |    // GREATEST(kth_min, 1) AS BIGINT) END AS est_distinct
+       |FROM b ORDER BY event_type""".stripMargin
+
   /** 4×4 determinant as a SQL expression — the 24-term permutation
     * expansion over entry expressions `m(i)(j)`. Generated, not
     * hand-written, so q155's oracle cannot drop a term; signs from
@@ -2250,7 +2274,64 @@ object SparkEntry {
       // candC×dim driver doubles (Ann.mmrRerank scaladoc).
       Ann.mmrRerank(embeddings(s, d), "vec_id", "embedding",
           queryId = 0L, candC = MmrCandC, k = MmrK)
-        .orderBy("rank"))
+        .orderBy("rank")),
+
+    "q168_kmv_merge" -> ((s, d) => {
+      // Sketch MERGEABILITY, proven: sketch each md5-half of events
+      // separately, merge the bounded sketch tables, and the result
+      // must be BIT-IDENTICAL to the whole-corpus sketch — the oracle
+      // is q137's whole-corpus SQL verbatim. This is the property that
+      // lets incremental/partitioned ingest maintain distinct counts
+      // without ever rescanning history (Sketches.kmvMergeEstimate
+      // scaladoc).
+      val ev = events(s, d)
+      val coin = pmod(tokenHash64(concat(lit("half_"),
+        col("event_id").cast("string"))), lit(2L))
+      def half(m: Int) = Sketches.kmvSketches(ev.filter(coin === m),
+        "event_type", col("user_id"), k = KmvK, saltPrefix = "kmv_")
+      Sketches.kmvMergeEstimate(half(0), half(1), "event_type", k = KmvK)
+        .orderBy("event_type")
+    }),
+
+    "q169_equidepth_buckets" -> ((s, d) => {
+      // Equi-depth (quartile) binning of order value — the feature
+      // discretization step: boundaries from the bounded-state
+      // histogram percentiles (ONE collect of 3 doubles), assignment a
+      // map-only comparison against broadcast literals, stats one agg.
+      val o = orders(s, d).select(cents(col("o_totalprice")).as("price_c"))
+        .withColumn("__g", lit(1))
+      val b = Relational.histogramPercentiles(o, "__g", "price_c",
+        Seq("b1" -> 0.25, "b2" -> 0.5, "b3" -> 0.75)).head()
+      val (b1, b2, b3) = (b.getDouble(1), b.getDouble(2), b.getDouble(3))
+      o.withColumn("bucket",
+          (lit(1L) + when(col("price_c") > b1, 1L).otherwise(0L)
+            + when(col("price_c") > b2, 1L).otherwise(0L)
+            + when(col("price_c") > b3, 1L).otherwise(0L)))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), min("price_c").as("min_c"),
+          max("price_c").as("max_c"), sum("price_c").as("sum_c"))
+        .orderBy("bucket")
+    }),
+
+    "q170_benford_audit" -> ((s, d) => {
+      // Benford first-digit audit of prices (fraud/synthetic-data
+      // screen for numeric columns): observed vs expected leading-digit
+      // mix in exact integer ppm; expectations are fixed log10(1+1/d)
+      // literals shared with the oracle. One map-side-combinable
+      // 9-key agg.
+      val expPpm = typedLit(BenfordPpm)
+      val digits = lineitem(s, d)
+        .select(cents(col("l_extendedprice")).as("c"))
+        .filter(col("c") > 0)
+        .withColumn("digit", substring(col("c").cast("string"), 1, 1).cast("long"))
+      val n = digits.count()
+      digits.groupBy("digit")
+        .agg(count(lit(1)).as("n_obs"))
+        .withColumn("obs_ppm", expr(s"(n_obs * 1000000) div ${n}L"))
+        .withColumn("exp_ppm", element_at(expPpm, col("digit").cast("int")))
+        .withColumn("dev_ppm", col("obs_ppm") - col("exp_ppm"))
+        .orderBy("digit")
+    })
   )
 
   // ---------------------------------------------------------------- //
@@ -4292,19 +4373,12 @@ object SparkEntry {
     // hashes -> k smallest via row_number) and the (k-1)·2^60/h_k
     // estimator in HUGEINT — the estimate hash-compares exactly, unlike
     // q39's engine-private HLL state
-    "q137_kmv_distinct" ->
-      s"""WITH h AS (SELECT DISTINCT event_type,
-         |  ${duckHash("concat('kmv_', CAST(user_id AS VARCHAR))", 15)} AS h
-         | FROM events),
-         |r AS (SELECT event_type, h,
-         |  row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h),
-         |b AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_kept,
-         |  MAX(h) AS kth_min FROM r WHERE rn <= $KmvK GROUP BY 1)
-         |SELECT event_type, n_kept, kth_min,
-         | CASE WHEN n_kept < $KmvK THEN n_kept
-         |  ELSE CAST((CAST(${KmvK - 1} AS HUGEINT) * ${Sketches.HashDomain})
-         |    // GREATEST(kth_min, 1) AS BIGINT) END AS est_distinct
-         |FROM b ORDER BY event_type""".stripMargin,
+    "q137_kmv_distinct" -> kmvWholeCorpusOracle,
+
+    // q168's merged half-sketches must equal the WHOLE-corpus sketch
+    // bit-for-bit — mergeability IS the claim, so the oracle is q137's
+    // whole-corpus SQL verbatim
+    "q168_kmv_merge" -> kmvWholeCorpusOracle,
 
     // the sketch cells are a pure function of the corpus: row r's hash
     // is bits [15r, 15r+15) of ONE 60-bit md5 hash (Sketches.cmsBuild
@@ -4920,6 +4994,37 @@ object SparkEntry {
          |${rounds.mkString(",\n")}
          |${sel.mkString("\nUNION ALL\n")}
          |ORDER BY rank""".stripMargin
+    },
+
+    // quantile_cont boundaries (bit-equal to histogramPercentiles per
+    // the q101 parity) + the same three broadcast comparisons
+    "q169_equidepth_buckets" ->
+      """WITH o AS (SELECT CAST(round(o_totalprice*100,0) AS BIGINT) AS price_c FROM orders),
+        |b AS (SELECT quantile_cont(price_c, 0.25) AS b1,
+        |  quantile_cont(price_c, 0.5) AS b2,
+        |  quantile_cont(price_c, 0.75) AS b3 FROM o)
+        |SELECT CAST(1 + CAST(price_c > b.b1 AS INT) + CAST(price_c > b.b2 AS INT)
+        |   + CAST(price_c > b.b3 AS INT) AS BIGINT) AS bucket,
+        | CAST(COUNT(*) AS BIGINT) AS n, MIN(price_c) AS min_c,
+        | MAX(price_c) AS max_c, CAST(SUM(price_c) AS BIGINT) AS sum_c
+        |FROM o, b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // fixed expectation literals; leading digit via the string cast of
+    // a positive BIGINT, identical on both engines
+    "q170_benford_audit" -> {
+      val vals = BenfordPpm.zipWithIndex
+        .map { case (p, i) => s"(${i + 1}, $p)" }.mkString(", ")
+      s"""WITH c AS (SELECT CAST(round(l_extendedprice*100,0) AS BIGINT) AS c
+         | FROM lineitem WHERE round(l_extendedprice*100,0) > 0),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c),
+         |e AS (SELECT * FROM (VALUES $vals) AS t(digit, exp_ppm)),
+         |d AS (SELECT CAST(substr(CAST(c AS VARCHAR),1,1) AS BIGINT) AS digit,
+         |  COUNT(*) AS n_obs FROM c GROUP BY 1)
+         |SELECT d.digit, CAST(d.n_obs AS BIGINT) AS n_obs,
+         | CAST(d.n_obs*1000000 // n.n AS BIGINT) AS obs_ppm,
+         | CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+         | CAST(d.n_obs*1000000 // n.n - e.exp_ppm AS BIGINT) AS dev_ppm
+         |FROM d JOIN e ON d.digit = e.digit, n ORDER BY d.digit""".stripMargin
     },
 
     // rank-1 row per source over the (source, lang) count table —

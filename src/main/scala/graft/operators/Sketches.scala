@@ -121,6 +121,48 @@ object Sketches {
         est(col("__buf")).as("est_distinct"))
   }
 
+  /** Per-group KMV sketches as raw k-min buffers — the mergeable form
+    * [[kmvMergeEstimate]] consumes. Same hashing/null contract as
+    * [[kmvDistinct]].
+    */
+  def kmvSketches(df: DataFrame, groupCol: String, keyCol: Column,
+                  k: Int, saltPrefix: String): DataFrame = {
+    val kmv = udaf(new KmvAgg(k), Encoders.scalaLong)
+    val h = coalesce(
+      tokenHash64(concat(lit(saltPrefix), keyCol.cast("string"))), lit(-1L))
+    df.select(col(groupCol), h.as("__h"))
+      .groupBy(groupCol)
+      .agg(kmv(col("__h")).as("sketch"))
+  }
+
+  /** Merge two per-group KMV sketch tables and estimate — the property
+    * that makes KMV a DISTRIBUTED sketch: merge(sketch(A), sketch(B))
+    * is bit-identical to sketch(A ∪ B), so partitioned/incremental
+    * ingest never needs the raw rows again (q168 proves it against the
+    * whole-corpus oracle). One full-outer equi-join on the group key
+    * over |groups|-sized tables; the merge itself is the Aggregator's
+    * own sorted k-min merge, order-free and idempotent.
+    */
+  def kmvMergeEstimate(a: DataFrame, b: DataFrame, groupCol: String,
+                       k: Int): DataFrame = {
+    val agg = new KmvAgg(k)
+    val mergeUdf = udf { (x: Seq[Long], y: Seq[Long]) =>
+      agg.merge(Option(x).map(_.toArray).getOrElse(Array.empty),
+        Option(y).map(_.toArray).getOrElse(Array.empty))
+    }
+    val est = udf { (buf: Seq[Long]) =>
+      if (buf.size < k) buf.size.toLong
+      else ((BigInt(k - 1) * BigInt(HashDomain)) / BigInt(buf.last max 1L)).toLong
+    }
+    val bb = b.withColumnRenamed("sketch", "__sb")
+    a.join(bb, Seq(groupCol), "full_outer")
+      .withColumn("__m", mergeUdf(col("sketch"), col("__sb")))
+      .select(col(groupCol),
+        size(col("__m")).cast("long").as("n_kept"),
+        element_at(col("__m"), -1).as("kth_min"),
+        est(col("__m")).as("est_distinct"))
+  }
+
   /** One-pass table profiler — the Deequ-class ingest audit every
     * pipeline runs before trusting a delivery: per column, row count,
     * null count and KMV-estimated distinct count, ALL from a single

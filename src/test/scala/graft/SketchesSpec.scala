@@ -113,4 +113,30 @@ class SketchesSpec extends AnyFunSuite {
     val cells = Sketches.cmsBuild(docs, "text", d = 4, w = 64, saltPrefix = "t")
     assert(cells.count() <= 4L * 64L)
   }
+
+  test("KMV merge of any partition equals the whole-corpus sketch bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    val rows = Seq.tabulate(900)(i =>
+      (s"g${i % 3}", (i * 17 % 211).toLong)).toDF("g", "key")
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val whole = shape(Sketches.kmvDistinct(rows, "g", col("key"), k = 16,
+      saltPrefix = "m_"))
+    // arbitrary 2-way split by a hash coin
+    val coin = pmod(col("key") * 2654435761L, lit(2L))
+    def sk(m: Int) = Sketches.kmvSketches(rows.filter(coin === m), "g",
+      col("key"), k = 16, saltPrefix = "m_")
+    assert(shape(Sketches.kmvMergeEstimate(sk(0), sk(1), "g", 16)) == whole)
+    // idempotence: merging a sketch with itself changes nothing
+    assert(shape(Sketches.kmvMergeEstimate(
+      Sketches.kmvSketches(rows, "g", col("key"), 16, "m_"),
+      Sketches.kmvSketches(rows, "g", col("key"), 16, "m_"), "g", 16)) == whole)
+    // a group present on only one side survives the full-outer merge
+    val onlyA = Sketches.kmvSketches(
+      Seq(("solo", 1L), ("solo", 2L)).toDF("g", "key"), "g", col("key"), 16, "m_")
+    val empty = Sketches.kmvSketches(rows.filter(lit(false)), "g", col("key"), 16, "m_")
+    val m = shape(Sketches.kmvMergeEstimate(onlyA, empty, "g", 16))
+    assert(m.contains("solo") && m("solo")._1 == 2L && m("solo")._3 == 2L)
+  }
 }
