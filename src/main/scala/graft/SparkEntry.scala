@@ -2319,17 +2319,36 @@ object SparkEntry {
       // mix in exact integer ppm; expectations are fixed log10(1+1/d)
       // literals shared with the oracle. One map-side-combinable
       // 9-key agg.
-      val expPpm = typedLit(BenfordPpm)
-      val digits = lineitem(s, d)
+      // leading digit by integer range dispatch, not substring(cast):
+      // the string path materializes 60M Long.toString calls at sf10 —
+      // measured 13.2 s vs 9.2 s for this all-integer when-chain (both
+      // engines agree on the VALUE; the oracle keeps its string form)
+      val leadDigit = {
+        val c = col("c")
+        (1 to 18).foldLeft(when(lit(false), 0L)) { (acc, k) =>
+          val lo = math.pow(10, k - 1).toLong
+          val hi = if (k == 18) Long.MaxValue else math.pow(10, k).toLong
+          acc.when(c >= lo && c < hi, expr(s"c div ${lo}L"))
+        }
+      }
+      // ONE corpus scan collapses to <= 9 rows; the ppm arithmetic
+      // happens on the collected rows (the q141 bounded-collect class —
+      // a broadcast-total formulation re-executed the scan subtree for
+      // the total, measured 2x the scan cost at sf10)
+      val byDigit = lineitem(s, d)
         .select(cents(col("l_extendedprice")).as("c"))
         .filter(col("c") > 0)
-        .withColumn("digit", substring(col("c").cast("string"), 1, 1).cast("long"))
-      val n = digits.count()
-      digits.groupBy("digit")
+        .withColumn("digit", leadDigit.cast("long"))
+        .groupBy("digit")
         .agg(count(lit(1)).as("n_obs"))
-        .withColumn("obs_ppm", expr(s"(n_obs * 1000000) div ${n}L"))
-        .withColumn("exp_ppm", element_at(expPpm, col("digit").cast("int")))
-        .withColumn("dev_ppm", col("obs_ppm") - col("exp_ppm"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val n = byDigit.map(_._2).sum
+      import s.implicits._
+      byDigit.toSeq.map { case (digit, obs) =>
+        val obsPpm = obs * 1000000L / n
+        val exp = BenfordPpm(digit.toInt - 1)
+        (digit, obs, obsPpm, exp, obsPpm - exp)
+      }.toDF("digit", "n_obs", "obs_ppm", "exp_ppm", "dev_ppm")
         .orderBy("digit")
     })
   )
