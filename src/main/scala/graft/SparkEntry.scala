@@ -118,6 +118,21 @@ object SparkEntry {
   /** q166's search phrase, shared with the oracle SQL. */
   private val PhraseQ166 = Seq("value", "table")
 
+  /** q171's hybrid-retrieval geometry, shared with the oracle SQL:
+    * query docs = ids below RrfQueryMax, per-list depth, the RRF
+    * damping constant (Cormack et al. 2009's k=60), fused top-k.
+    */
+  private val RrfQueryMax = 5L
+  private val RrfListK = 20
+  private val RrfDamp = 60
+  private val RrfTopK = 10
+
+  /** q172's corpus-scaled Gopher-rule stop list, shared with the oracle
+    * SQL (thresholds live in Curation.gopherRules' defaults; the oracle
+    * inlines the same literals).
+    */
+  private val GopherStop = Seq("the", "a", "of", "and", "to")
+
   /** q167's MMR geometry (candidate pool, picks), shared with the
     * oracle SQL's unrolled greedy rounds. λ = 7/10 is hard-coded in
     * both score expressions (7·rel − 3·maxsim).
@@ -2350,6 +2365,57 @@ object SparkEntry {
         (digit, obs, obsPpm, exp, obsPpm - exp)
       }.toDF("digit", "n_obs", "obs_ppm", "exp_ppm", "dev_ppm")
         .orderBy("digit")
+    }),
+
+    "q171_rrf_fusion" -> ((s, d) =>
+      // Hybrid retrieval: exact-cosine semantic list + distinct-token
+      // Jaccard lexical list over the SAME id domain (doc_id == vec_id),
+      // fused by reciprocal rank in integer ppm. Both candidate
+      // generators broadcast the query side; fusion touches only
+      // |Q|*2*listK rank rows (Indexing.rrfHybridTopK scaladoc).
+      Indexing.rrfHybridTopK(
+          documents(s, d),
+          embeddings(s, d).withColumnRenamed("vec_id", "doc_id"),
+          "doc_id", "text", "embedding",
+          queryMax = RrfQueryMax, listK = RrfListK, rrfK = RrfDamp,
+          k = RrfTopK)
+        .orderBy("query_id", "rnk")),
+
+    "q172_gopher_rules" -> ((s, d) =>
+      // Gopher-style quality-rule dashboard per source: five integer-
+      // exact rules (word count, mean word length, long-word, unique-
+      // ratio repetition, distinct-stopword prose screen), flag counts
+      // and pass ppm (Curation.gopherRules scaladoc).
+      Curation.gopherRules(documents(s, d), "doc_id", "text", "source",
+          stopWords = GopherStop)
+        .orderBy("src")),
+
+    "q173_nb_confusion" -> ((s, d) =>
+      // In-engine Naive Bayes language classifier: log2-quantized
+      // add-one likelihoods (integer-exact train -> predict ->
+      // confusion; Curation.naiveBayesConfusion scaladoc). The model is
+      // one vocabulary-bounded (class, token) agg; scoring joins each
+      // eval token once per class.
+      Curation.naiveBayesConfusion(documents(s, d), "doc_id", "text", "lang")
+        .orderBy("actual", "predicted")),
+
+    "q174_sssp_cheapest" -> ((s, d) => {
+      // Weighted blast radius: Bellman-Ford (4 rounds) over the q105
+      // dup graph with md5-derived integer edge weights, multi-source
+      // from the q161 seed set — min-COST contamination route, not just
+      // hop count (GraphOps.ssspHops scaladoc). The oracle enumerates
+      // the same <=4-edge paths in a bounded recursive CTE.
+      val pairs = Dedup.simHashDup(documents(s, d), "doc_id", "text",
+        nBits = 16)
+      val weighted = pairs.withColumn("w",
+        lit(1L) + pmod(tokenHash64(concat(lit("sp_"),
+          col("id_a").cast("string"), lit("_"),
+          col("id_b").cast("string"))), lit(9L)))
+      GraphOps.ssspHops(weighted, "id_a", "id_b", "w",
+          documents(s, d).filter(pmod(col("doc_id"), lit(50L)) === 0),
+          "doc_id", maxHops = BfsMaxHops)
+        .select(col("id").as("doc_id"), col("dist"))
+        .orderBy("doc_id")
     })
   )
 
@@ -5056,6 +5122,133 @@ object SparkEntry {
         |  SUM(cnt) OVER (PARTITION BY source) AS n_docs FROM c)
         |SELECT source, lang AS mode_lang, cnt AS n_mode,
         | CAST(n_docs AS BIGINT) AS n_docs
-        |FROM r WHERE rn = 1 ORDER BY source""".stripMargin
+        |FROM r WHERE rn = 1 ORDER BY source""".stripMargin,
+
+    // the same two ranked lists (cosine / distinct-token Jaccard) and
+    // the same integer 1e6//(60+rank) fusion
+    "q171_rrf_fusion" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $RrfQueryMax),
+         |sc AS (SELECT query_id, e.vec_id AS neighbor_id,
+         |  round(${duckCos("qv", "e.v")}, 4) AS cos
+         | FROM e CROSS JOIN q WHERE e.vec_id <> query_id),
+         |sem AS (SELECT query_id, neighbor_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         | FROM sc),
+         |tok AS (SELECT DISTINCT doc_id AS id, unnest(t) AS w
+         | FROM (SELECT doc_id, $TOKS AS t FROM documents)),
+         |sz AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS nt FROM tok GROUP BY 1),
+         |qt AS (SELECT id AS query_id, w FROM tok WHERE id < $RrfQueryMax),
+         |itr AS (SELECT qt.query_id, tok.id, CAST(COUNT(*) AS BIGINT) AS inter
+         | FROM tok JOIN qt USING (w) WHERE tok.id <> qt.query_id GROUP BY 1, 2),
+         |jac AS (SELECT itr.query_id, itr.id AS neighbor_id,
+         |  (inter * 1000000) // (sz.nt + qs.nt - inter) AS jac_ppm
+         | FROM itr JOIN sz ON itr.id = sz.id
+         | JOIN sz qs ON itr.query_id = qs.id),
+         |lex AS (SELECT query_id, neighbor_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY jac_ppm DESC, neighbor_id) AS rank
+         | FROM jac),
+         |u AS (SELECT query_id, neighbor_id, rank FROM sem WHERE rank <= $RrfListK
+         | UNION ALL
+         | SELECT query_id, neighbor_id, rank FROM lex WHERE rank <= $RrfListK),
+         |f AS (SELECT query_id, neighbor_id, CAST(COUNT(*) AS BIGINT) AS n_lists,
+         |  CAST(SUM(1000000 // ($RrfDamp + rank)) AS BIGINT) AS rrf_ppm
+         | FROM u GROUP BY 1, 2),
+         |r AS (SELECT query_id, neighbor_id, n_lists, rrf_ppm,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rrf_ppm DESC, neighbor_id) AS BIGINT) AS rnk FROM f)
+         |SELECT query_id, neighbor_id, n_lists, rrf_ppm, rnk FROM r
+         |WHERE rnk <= $RrfTopK ORDER BY query_id, rnk""".stripMargin,
+
+    // same five integer rules; the LEFT JOIN keeps zero-token docs as
+    // rows that fail the word-count rule
+    "q172_gopher_rules" -> {
+      val stops = GopherStop.map(w => s"'$w'").mkString(", ")
+      s"""WITH tok AS (SELECT doc_id AS id, unnest(t) AS w
+         | FROM (SELECT doc_id, $TOKS AS t FROM documents)),
+         |pd AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(length(w)) AS BIGINT) AS sl,
+         |  CAST(MAX(length(w)) AS BIGINT) AS mx,
+         |  CAST(COUNT(DISTINCT w) AS BIGINT) AS nd,
+         |  CAST(COUNT(DISTINCT CASE WHEN w IN ($stops) THEN w END) AS BIGINT) AS stp
+         | FROM tok GROUP BY 1),
+         |fl AS (SELECT d.source AS src,
+         |  CASE WHEN COALESCE(n, 0) < 25 OR COALESCE(n, 0) > 100 THEN 1 ELSE 0 END AS f_words,
+         |  CASE WHEN n IS NULL OR (sl*1000)//n < 4200 OR (sl*1000)//n > 4900 THEN 1 ELSE 0 END AS f_mwl,
+         |  CASE WHEN COALESCE(mx, 0) > 10 THEN 1 ELSE 0 END AS f_longword,
+         |  CASE WHEN n IS NULL OR (nd*1000)//n < 350 THEN 1 ELSE 0 END AS f_unique,
+         |  CASE WHEN COALESCE(stp, 0) < 2 THEN 1 ELSE 0 END AS f_stop
+         | FROM documents d LEFT JOIN pd ON d.doc_id = pd.id),
+         |a AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(f_words) AS BIGINT) AS f_words,
+         |  CAST(SUM(f_mwl) AS BIGINT) AS f_mwl,
+         |  CAST(SUM(f_longword) AS BIGINT) AS f_longword,
+         |  CAST(SUM(f_unique) AS BIGINT) AS f_unique,
+         |  CAST(SUM(f_stop) AS BIGINT) AS f_stop,
+         |  CAST(SUM(CASE WHEN f_words + f_mwl + f_longword + f_unique + f_stop = 0
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+         | FROM fl GROUP BY 1)
+         |SELECT src, n_docs, f_words, f_mwl, f_longword, f_unique, f_stop,
+         | n_pass, CAST((n_pass * 1000000) // n_docs AS BIGINT) AS pass_ppm
+         |FROM a ORDER BY src""".stripMargin
+    },
+
+    // same md5 split, same floor-log2 add-one likelihood bits, same
+    // argmin-with-class-tiebreak
+    "q173_nb_confusion" ->
+      s"""WITH t AS (SELECT doc_id AS id, lang AS actual,
+         |  ${duckHash("concat('nb_', CAST(doc_id AS VARCHAR))", 15)} % 1000000 < 800000 AS is_train,
+         |  $TOKS AS toks FROM documents),
+         |cnt AS (SELECT actual AS cls, w, CAST(COUNT(*) AS BIGINT) AS cnt
+         | FROM (SELECT actual, unnest(toks) AS w FROM t WHERE is_train) GROUP BY 1, 2),
+         |voc AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM cnt),
+         |totc AS (SELECT cls, CAST(SUM(cnt) AS BIGINT) AS tot_c FROM cnt GROUP BY 1),
+         |nd AS (SELECT actual AS cls, CAST(COUNT(*) AS BIGINT) AS nd_c
+         | FROM t WHERE is_train GROUP BY 1),
+         |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_cls,
+         |  CAST(SUM(nd_c) AS BIGINT) AS n_train FROM nd),
+         |cl AS (SELECT cls, tot_c, v,
+         |  length(bin((n_train + k_cls) // (nd_c + 1))) - 1 AS prior_bits
+         | FROM totc JOIN nd USING (cls) CROSS JOIN voc CROSS JOIN st),
+         |ev AS (SELECT id, actual, w, CAST(COUNT(*) AS BIGINT) AS n_w
+         | FROM (SELECT id, actual, unnest(toks) AS w FROM t WHERE NOT is_train)
+         | GROUP BY 1, 2, 3),
+         |sc AS (SELECT ev.id, ev.actual, cl.cls,
+         |  MAX(cl.prior_bits) + SUM(ev.n_w *
+         |    (length(bin((cl.tot_c + cl.v) // (COALESCE(cnt.cnt, 0) + 1))) - 1)) AS cost
+         | FROM ev CROSS JOIN cl
+         | LEFT JOIN cnt ON cnt.cls = cl.cls AND cnt.w = ev.w
+         | GROUP BY 1, 2, 3),
+         |pr AS (SELECT id, actual, cls,
+         |  row_number() OVER (PARTITION BY id ORDER BY cost, cls) AS rn FROM sc)
+         |SELECT actual, cls AS predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |FROM pr WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q161's simhash dup graph with md5-derived weights; the bounded
+    // recursive CTE enumerates every <=4-edge path and takes min cost
+    "q174_sssp_cheapest" ->
+      s"""WITH RECURSIVE w AS (SELECT doc_id AS id, unnest($TOKS) AS w FROM documents),
+         |h AS (SELECT id, ${duckHash("w", 15)} AS h FROM w),
+         |bits AS (SELECT id, bit,
+         |  SUM(CASE WHEN ((h >> bit) & 1) = 1 THEN 1 ELSE -1 END) AS v
+         | FROM h CROSS JOIN (SELECT unnest(generate_series(0,15)) AS bit) b GROUP BY 1,2),
+         |sh AS (SELECT id,
+         |  CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+         | FROM bits GROUP BY 1),
+         |p AS (SELECT a.id AS id_a, b.id AS id_b
+         | FROM sh a JOIN sh b ON a.simhash = b.simhash AND a.id < b.id),
+         |pw AS (SELECT id_a, id_b,
+         |  1 + ${duckHash("concat('sp_', CAST(id_a AS VARCHAR), '_', CAST(id_b AS VARCHAR))", 15)} % 9 AS w
+         | FROM p),
+         |e AS (SELECT id_a AS u, id_b AS v, w FROM pw
+         | UNION ALL SELECT id_b, id_a, w FROM pw),
+         |seeds AS (SELECT DISTINCT doc_id AS id FROM documents WHERE doc_id % 50 = 0),
+         |sp(id, dist, hops) AS (
+         |  SELECT id, CAST(0 AS BIGINT), 0 FROM seeds
+         |  UNION
+         |  SELECT e.v, sp.dist + e.w, sp.hops + 1 FROM sp JOIN e ON e.u = sp.id
+         |  WHERE sp.hops < $BfsMaxHops)
+         |SELECT id AS doc_id, CAST(MIN(dist) AS BIGINT) AS dist
+         |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -792,4 +792,125 @@ object Curation {
         expr("(cross_bits * 1000) div n_tokens").as("cross_bits_per_1k"),
         expr("((cross_bits - self_bits) * 1000) div n_tokens").as("drift_per_1k"))
   }
+
+  /** Multinomial Naive Bayes text classifier trained AND evaluated
+    * in-engine, with log2-QUANTIZED likelihoods so the whole train→
+    * predict→confusion round trip is integer-exact and DuckDB-oracle-
+    * checkable: cost(d, c) = prior_bits(c) + Σ_w n_w(d) ·
+    * floor_log2((tot_c + V) div (cnt_{w,c} + 1)) — the add-one-smoothed
+    * inverse probability in bits (the q152 idf-bits trick applied to
+    * class-conditional likelihoods). Predicted class = argmin cost,
+    * ties to the lexicographically first class. Docs md5-split into
+    * train/eval like [[bigramSurprisal]]; zero-token eval docs have no
+    * evidence and are excluded (none exist in this corpus).
+    *
+    * Scale: the model is one (class, token) hash agg over the train
+    * half — vocabulary-bounded, the same shape as [[sourceDrift]]; the
+    * class table (priors, totals, V) is a handful of rows and
+    * broadcast. Scoring joins each eval token ONCE per class (|classes|
+    * is a small constant), so the eval-side shuffle is |eval tokens| ×
+    * |classes| — linear in the corpus. Returns the confusion matrix
+    * (actual, predicted, n_docs).
+    */
+  def naiveBayesConfusion(docs: DataFrame, idCol: String, textCol: String,
+                          classCol: String, trainPpm: Long = 800000L)
+      : DataFrame = {
+    val base = docs.select(col(idCol).cast("long").as("id"),
+      col(classCol).as("actual"),
+      (hashKey("nb_", idCol) < trainPpm).as("is_train"),
+      tokens(col(textCol)).as("toks"))
+    val cnt = base.filter(col("is_train"))
+      .select(col("actual").as("cls"), explode(col("toks")).as("w"))
+      .groupBy("cls", "w").agg(count(lit(1)).as("cnt"))
+    val vocab = cnt.select("w").distinct().agg(count(lit(1)).as("v"))
+    val totc = cnt.groupBy("cls").agg(sum("cnt").as("tot_c"))
+    val ndoc = base.filter(col("is_train"))
+      .groupBy(col("actual").as("cls")).agg(count(lit(1)).as("nd_c"))
+    val stats = ndoc.agg(count(lit(1)).as("k_cls"), sum("nd_c").as("n_train"))
+    val classes = totc.join(ndoc, Seq("cls"))
+      .crossJoin(vocab).crossJoin(stats)
+      .select(col("cls"), col("tot_c"), col("v"),
+        bits(expr("(n_train + k_cls) div (nd_c + 1)")).as("prior_bits"))
+    val evalTok = base.filter(!col("is_train"))
+      .select(col("id"), col("actual"), explode(col("toks")).as("w"))
+      .groupBy("id", "actual", "w").agg(count(lit(1)).as("n_w"))
+    val perDocClass = evalTok.crossJoin(broadcast(classes))
+      .join(cnt, Seq("cls", "w"), "left")
+      .groupBy("id", "actual", "cls")
+      .agg((max(col("prior_bits")) +
+        sum(col("n_w") * bits(expr("(tot_c + v) div (coalesce(cnt, 0) + 1)"))))
+        .as("cost"))
+    val w = Window.partitionBy("id").orderBy(col("cost").asc, col("cls").asc)
+    perDocClass.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("actual"), col("cls").as("predicted"))
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+  }
+
+  /** Gopher-style rule filter (Rae et al. 2021 §A1.1), thresholds scaled
+    * to this corpus's [a-z ] word distribution: a document is dropped if
+    * any rule fires — word count outside [minWords, maxWords], mean word
+    * length (exact milli-chars, integer div) outside [minMwl, maxMwl],
+    * any word longer than maxWordLen, unique-word ratio below
+    * minUniqueMilli (the repetition rule), or fewer than minStopDistinct
+    * DISTINCT stop words present (the "is this natural prose" rule —
+    * on this corpus it keys on the English function words, so it doubles
+    * as a weak language screen). All arithmetic is integer, so the
+    * per-source report hash-matches the oracle exactly.
+    *
+    * Scale: one token explode + per-doc hash agg (map-side combined),
+    * a left join back to the doc table (docs with zero tokens keep a
+    * row and fail the word-count rule, not vanish), then a per-source
+    * hash agg. Nothing is quadratic; the explode's shuffle is bounded
+    * by token volume, same as every other text-analysis operator here.
+    *
+    * Returns per source: n_docs, per-rule flag counts, n_pass,
+    * pass_ppm — the corpus-quality dashboard a curation run reads
+    * before choosing mixing weights.
+    */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+                  sourceCol: String,
+                  minWords: Int = 25, maxWords: Int = 100,
+                  minMwlMilli: Long = 4200L, maxMwlMilli: Long = 4900L,
+                  maxWordLen: Int = 10, minUniqueMilli: Long = 350L,
+                  minStopDistinct: Int = 2,
+                  stopWords: Seq[String] = Seq("the", "a", "of", "and", "to"))
+      : DataFrame = {
+    val tok = docs.select(col(idCol).cast("long").as("id"),
+      explode(tokens(col(textCol))).as("w"))
+    val perDoc = tok.groupBy("id").agg(
+      count(lit(1)).as("n"),
+      sum(length(col("w"))).as("sl"),
+      max(length(col("w"))).as("mx"),
+      countDistinct(col("w")).as("nd"),
+      countDistinct(when(col("w").isin(stopWords: _*), col("w"))).as("stp"))
+    val flagged = docs.select(col(idCol).cast("long").as("id"),
+        col(sourceCol).as("src"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("src"),
+        when(coalesce(col("n"), lit(0L)) < minWords ||
+             coalesce(col("n"), lit(0L)) > maxWords, 1L).otherwise(0L)
+          .as("f_words"),
+        when(col("n").isNull ||
+             expr("sl * 1000 div n") < minMwlMilli ||
+             expr("sl * 1000 div n") > maxMwlMilli, 1L).otherwise(0L)
+          .as("f_mwl"),
+        when(coalesce(col("mx"), lit(0L)) > maxWordLen, 1L).otherwise(0L)
+          .as("f_longword"),
+        when(col("n").isNull ||
+             expr("nd * 1000 div n") < minUniqueMilli, 1L).otherwise(0L)
+          .as("f_unique"),
+        when(coalesce(col("stp"), lit(0L)) < minStopDistinct, 1L).otherwise(0L)
+          .as("f_stop"))
+    flagged.groupBy("src").agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum("f_words").cast("long").as("f_words"),
+        sum("f_mwl").cast("long").as("f_mwl"),
+        sum("f_longword").cast("long").as("f_longword"),
+        sum("f_unique").cast("long").as("f_unique"),
+        sum("f_stop").cast("long").as("f_stop"),
+        sum(when(col("f_words") + col("f_mwl") + col("f_longword") +
+                 col("f_unique") + col("f_stop") === 0, 1L).otherwise(0L))
+          .cast("long").as("n_pass"))
+      .withColumn("pass_ppm", expr("n_pass * 1000000 div n_docs"))
+  }
 }

@@ -144,4 +144,49 @@ object GraphOps {
     }
     dist
   }
+
+  /** Weighted multi-source shortest paths (Bellman-Ford, `maxHops`
+    * relaxation rounds) over an undirected weighted pair list: returns
+    * (id, dist) = the minimum total edge weight from ANY seed over
+    * paths of at most `maxHops` edges — [[bfsHops]] with a cost model,
+    * the "cheapest contamination route" form of the blast-radius query.
+    * Integer weights, so min-of-sums is engine-exact.
+    *
+    * Scale shape: the sparse Bellman-Ford — per round only nodes whose
+    * distance IMPROVED last round (the frontier) join the edge list,
+    * relaxations pre-combine per target (map-side-combinable min), and
+    * one full-outer merge against the settled set computes the new
+    * frontier. Every step is an |E|- or |frontier|-bounded equi-key
+    * shuffle; per-round localCheckpoint caps lineage like
+    * [[pageRankInt]]. `maxHops` bounds rounds — with negative-free
+    * integer weights each round only lowers distances, so the result
+    * after k rounds is exactly min-cost over ≤k-edge paths (what the
+    * oracle's bounded recursive CTE enumerates).
+    */
+  def ssspHops(edges: DataFrame, aCol: String, bCol: String, wCol: String,
+               seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val e = edges.select(col(aCol).as("u"), col(bCol).as("v"),
+        col(wCol).cast("long").as("w"))
+      .unionByName(edges.select(col(bCol).as("u"), col(aCol).as("v"),
+        col(wCol).cast("long").as("w")))
+      .localCheckpoint(true)
+    var dist = seeds.select(col(seedCol).as("id")).distinct()
+      .withColumn("dist", lit(0L)).withColumn("improved", lit(true))
+      .localCheckpoint(true)
+    for (_ <- 1 to maxHops) {
+      val frontier = dist.filter(col("improved"))
+        .select(col("id").as("fid"), col("dist").as("fd"))
+      val relaxed = e.join(frontier, col("u") === col("fid"))
+        .groupBy(col("v").as("id"))
+        .agg(min(col("fd") + col("w")).as("nd"))
+      dist = dist.select("id", "dist").join(relaxed, Seq("id"), "full")
+        .select(col("id"),
+          least(col("dist"), col("nd")).as("dist"),
+          (col("dist").isNull || (col("nd").isNotNull && col("nd") < col("dist")))
+            .as("improved"))
+        .localCheckpoint(true)
+    }
+    dist.select("id", "dist")
+  }
 }

@@ -170,4 +170,58 @@ object Indexing {
       .agg(count(lit(1)).as("n_matches"),
         (min(col("p0")) + 1).cast("long").as("first_pos"))
   }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of a SEMANTIC ranking
+    * (exact cosine over the doc embeddings, [[Ann.bruteForceTopK]]) and
+    * a LEXICAL ranking (distinct-token Jaccard against the query doc's
+    * token set) — the standard hybrid-retrieval shape every RAG stack
+    * runs: `score(d) = Σ_lists 1/(rrfK + rank_list(d))`, here in exact
+    * integer ppm (`1000000 div (rrfK + rank)`) so both engines fuse
+    * bit-identically.
+    *
+    * Scale: the query set is broadcast on BOTH signals — the corpus
+    * token explode joins broadcast query tokens (posting-style, never
+    * all-pairs) and the embedding side reuses the broadcast-join brute
+    * scorer; fusion itself touches only |Q|·2·listK rank rows. At
+    * 100 TB the lexical side's shuffle is bounded by corpus tokens ∩
+    * query vocabulary, not by the corpus.
+    *
+    * `docs` and `emb` must share the id domain (doc_id == vec_id).
+    * Returns (query_id, neighbor_id, n_lists, rrf_ppm, rnk), top `k`
+    * fused neighbors per query.
+    */
+  def rrfHybridTopK(docs: DataFrame, emb: DataFrame, idCol: String,
+                    textCol: String, vecCol: String, queryMax: Long,
+                    listK: Int, rrfK: Int, k: Int): DataFrame = {
+    require(listK >= k, s"listK=$listK must be >= k=$k")
+    val sem = Ann.bruteForceTopK(emb, emb.filter(col(idCol) < queryMax),
+        idCol, vecCol, listK)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    val tok = docs.select(col(idCol).cast("long").as("id"),
+      explode(array_distinct(tokens(col(textCol)))).as("w"))
+    val sizes = tok.groupBy("id").agg(count(lit(1)).as("nt"))
+    val qtok = tok.filter(col("id") < queryMax)
+      .select(col("id").as("query_id"), col("w"))
+    val qsize = sizes.filter(col("id") < queryMax)
+      .select(col("id").as("query_id"), col("nt").as("qnt"))
+    val inter = tok.join(broadcast(qtok), Seq("w"))
+      .filter(col("id") =!= col("query_id"))
+      .groupBy("query_id", "id").agg(count(lit(1)).as("inter"))
+    val jac = inter.join(sizes, Seq("id")).join(broadcast(qsize), Seq("query_id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        expr("inter * 1000000 div (nt + qnt - inter)").as("jac_ppm"))
+    val wl = Window.partitionBy("query_id")
+      .orderBy(col("jac_ppm").desc, col("neighbor_id").asc)
+    val lex = jac.withColumn("rank", row_number().over(wl))
+      .filter(col("rank") <= listK)
+      .select("query_id", "neighbor_id", "rank")
+    val fused = sem.unionByName(lex)
+      .groupBy("query_id", "neighbor_id")
+      .agg(count(lit(1)).cast("long").as("n_lists"),
+        sum(expr(s"1000000 div ($rrfK + rank)")).cast("long").as("rrf_ppm"))
+    val wf = Window.partitionBy("query_id")
+      .orderBy(col("rrf_ppm").desc, col("neighbor_id").asc)
+    fused.withColumn("rnk", row_number().over(wf).cast("long"))
+      .filter(col("rnk") <= k)
+  }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Ann, Dedup, GraphOps}
+import graft.operators.{Ann, Curation, Dedup, GraphOps}
 
 class DedupAnnSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
@@ -796,6 +796,47 @@ class DedupAnnSpec extends AnyFunSuite {
         seeds.repartition(2), "doc_id", maxHops = 3)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(rep == got)
+  }
+
+  test("ssspHops: cheaper 2-edge path beats direct edge; hop cap flips it") {
+    import spark.implicits._
+    // triangle 1-2 (w1), 2-3 (w1), 1-3 (w10); island 4-5; seed {1}
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 10L), (4L, 5L, 2L))
+      .toDF("id_a", "id_b", "w")
+    val seeds = Seq(1L).toDF("doc_id")
+    def run(k: Int) = GraphOps.ssspHops(edges, "id_a", "id_b", "w",
+        seeds, "doc_id", maxHops = k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 2 rounds: node 3 reached cheaper via 1-2-3 (2) than direct (10)
+    assert(run(2) == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    // 1 round: only direct edges relaxed, node 3 pays the w=10 edge
+    assert(run(1) == Map(1L -> 0L, 2L -> 1L, 3L -> 10L))
+    // island 4-5 unreachable: absent, not infinite
+    assert(!run(3).contains(4L) && !run(3).contains(5L))
+    // partition invariance of the iterative min-merge
+    val rep = GraphOps.ssspHops(edges.repartition(4), "id_a", "id_b", "w",
+        seeds.repartition(2), "doc_id", maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep == run(2))
+  }
+
+  test("naiveBayesConfusion: separable corpus classifies diagonal-only") {
+    import spark.implicits._
+    // two classes with DISJOINT vocabularies; whatever the md5 split
+    // selects as eval must land on the diagonal
+    val docs = (
+      (1L to 30L).map(i => (i, "foo bar foo bar foo", "x")) ++
+      (31L to 60L).map(i => (i, "baz qux baz qux baz", "y"))
+    ).toDF("doc_id", "text", "lang")
+    val got = Curation.naiveBayesConfusion(docs, "doc_id", "text", "lang")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    assert(got.forall { case (a, p, _) => a == p }, got.mkString(";"))
+    // deterministic across partitionings (md5 split + integer costs)
+    val rep = Curation.naiveBayesConfusion(docs.repartition(7),
+        "doc_id", "text", "lang")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rep.sorted.toSeq == got.sorted.toSeq)
   }
 
   test("kCenterGreedy matches a driver-side farthest-first model") {

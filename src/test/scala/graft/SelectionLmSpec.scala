@@ -365,4 +365,60 @@ class SelectionLmSpec extends AnyFunSuite {
     val r1 = Ann.mmrRerank(rows, "vec_id", "embedding", 0L, 3, 1).head()
     assert(r1.getLong(3) == 7L * r1.getLong(2))
   }
+
+  test("rrfHybridTopK: doc on BOTH lists beats the single-list winners") {
+    // doc 1 wins the lexical list only (token overlap, orthogonal
+    // embedding), doc 2 wins the semantic list only (near-identical
+    // embedding, disjoint tokens), doc 3 is rank-2 on BOTH — RRF must
+    // fuse 3 to the top with n_lists=2, then break the 1-vs-2 tie
+    // (identical single-list rrf contribution) by neighbor id.
+    val docs = Seq(
+      (0L, "alpha beta gamma"),
+      (1L, "alpha beta gamma delta"),
+      (2L, "zeta eta theta"),
+      (3L, "alpha beta other")
+    ).toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f)),
+      (2L, Array(0.99f, 0.1f, 0.0f)),
+      (3L, Array(0.7f, 0.7f, 0.0f))
+    ).toDF("doc_id", "embedding")
+    val got = Indexing.rrfHybridTopK(docs, emb, "doc_id", "text",
+        "embedding", queryMax = 1L, listK = 2, rrfK = 60, k = 2)
+      .orderBy("rnk").collect()
+    assert(got.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(3L, 1L),
+      got.mkString(";"))
+    assert(got.head.getAs[Long]("n_lists") == 2L)
+    // rank-2 on both lists: 2 * (1e6 div 62)
+    assert(got.head.getAs[Long]("rrf_ppm") == 2L * (1000000L / 62L))
+  }
+
+  test("gopherRules: each rule fires on its planted violator, zero-token doc kept") {
+    val w4 = (0 until 15).map(i => s"w${('a' + i).toChar}aa")
+    val w5 = (0 until 15).map(i => s"v${('a' + i).toChar}aaa")
+    val docs = Seq(
+      // pass: n=30, sum len=130 -> mwl 4333, all-distinct, 2 stops
+      (0L, ("the a " + (w4.take(14) ++ w5.take(14)).mkString(" ")), "s"),
+      // short: n=8 (also trips mwl: 31*1000/8 = 3875)
+      (1L, ("the a " + (w4.take(3) ++ w5.take(3)).mkString(" ")), "s"),
+      // long word: one 12-char token, everything else like the pass doc
+      (2L, ("the a twelvecharss " + (w4.take(14) ++ w5.take(13)).mkString(" ")), "s"),
+      // repetitive: 28 copies of one 5-char word -> unique ratio 100
+      (3L, ("the a " + Seq.fill(28)("ccccc").mkString(" ")), "s"),
+      // no stop words: 30 distinct, mwl 4500
+      (4L, (w4 ++ w5).mkString(" "), "s"),
+      // zero tokens: must stay a row and fail words/mwl/unique
+      (5L, "   ", "s")
+    ).toDF("doc_id", "text", "source")
+    val row = Curation.gopherRules(docs, "doc_id", "text", "source").head()
+    assert(row.getAs[Long]("n_docs") == 6L)
+    assert(row.getAs[Long]("f_words") == 2L, "short + empty")
+    assert(row.getAs[Long]("f_mwl") == 2L, "short + empty")
+    assert(row.getAs[Long]("f_longword") == 1L)
+    assert(row.getAs[Long]("f_unique") == 2L, "repetitive + empty")
+    assert(row.getAs[Long]("f_stop") == 2L, "stopless + empty")
+    assert(row.getAs[Long]("n_pass") == 1L)
+    assert(row.getAs[Long]("pass_ppm") == 1000000L / 6L)
+  }
 }
