@@ -2416,6 +2416,34 @@ object SparkEntry {
           "doc_id", maxHops = BfsMaxHops)
         .select(col("id").as("doc_id"), col("dist"))
         .orderBy("doc_id")
+    }),
+
+    "q175_cohort_retention" -> ((s, d) =>
+      // Product-analytics retention triangle: users cohorted by first
+      // active ISO week, (cohort, offset) active counts + ppm ratio —
+      // all user-key-partitioned aggs (Relational.cohortRetention
+      // scaladoc).
+      Relational.cohortRetention(events(s, d), "user_id", "ts")
+        .orderBy("cohort_week", "offset_w")),
+
+    "q176_assoc_rules" -> ((s, d) =>
+      // Market-basket rules over per-user event-type baskets:
+      // support/confidence/lift as fused integer ratios; pair fan-out
+      // bounded by the type-domain constant, marginals broadcast
+      // (Relational.assocRules scaladoc).
+      Relational.assocRules(events(s, d), "user_id", "event_type")
+        .orderBy("antecedent", "consequent")),
+
+    "q177_autocorr_daily" -> ((s, d) => {
+      // Lag-1 autocorrelation of each event type's daily spend series:
+      // integer-cent day sums -> exact Long moment sums -> one IEEE
+      // double ratio per group (Relational.autocorrLag1 scaladoc on why
+      // this is bit-reproducible cross-engine).
+      val daily = events(s, d).filter(col("value").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(cents(col("value"))).as("v_c"))
+      Relational.autocorrLag1(daily, "event_type", "day", "v_c")
+        .orderBy("grp")
     })
   )
 
@@ -5249,6 +5277,57 @@ object SparkEntry {
          |  SELECT e.v, sp.dist + e.w, sp.hops + 1 FROM sp JOIN e ON e.u = sp.id
          |  WHERE sp.hops < $BfsMaxHops)
          |SELECT id AS doc_id, CAST(MIN(dist) AS BIGINT) AS dist
-         |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin
+         |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same Monday week truncation, integer day-div-7 offsets, ppm ratio
+    "q175_cohort_retention" ->
+      """WITH wk AS (SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS w
+        | FROM events),
+        |c AS (SELECT u, MIN(w) AS cw FROM wk GROUP BY 1),
+        |sz AS (SELECT cw, CAST(COUNT(*) AS BIGINT) AS n_cohort FROM c GROUP BY 1),
+        |a AS (SELECT c.cw, datediff('day', c.cw, wk.w) // 7 AS offset_w,
+        |  CAST(COUNT(*) AS BIGINT) AS n_active
+        | FROM wk JOIN c USING (u) GROUP BY 1, 2)
+        |SELECT strftime(a.cw, '%Y-%m-%d') AS cohort_week,
+        | CAST(offset_w AS BIGINT) AS offset_w, n_active, n_cohort,
+        | CAST(n_active * 1000000 // n_cohort AS BIGINT) AS retention_ppm
+        |FROM a JOIN sz USING (cw) ORDER BY 1, 2""".stripMargin,
+
+    // same per-user distinct baskets and fused integer ratios
+    "q176_assoc_rules" ->
+      """WITH ut AS (SELECT DISTINCT user_id AS u, event_type AS t FROM events),
+        |m AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_t FROM ut GROUP BY 1),
+        |nu AS (SELECT CAST(COUNT(DISTINCT u) AS BIGINT) AS n_users FROM ut),
+        |p AS (SELECT a.t AS antecedent, b.t AS consequent,
+        |  CAST(COUNT(*) AS BIGINT) AS n_both
+        | FROM ut a JOIN ut b ON a.u = b.u AND a.t <> b.t GROUP BY 1, 2)
+        |SELECT antecedent, consequent, n_both,
+        | ma.n_t AS n_ant, mc.n_t AS n_cons,
+        | CAST(n_both * 1000000 // n_users AS BIGINT) AS support_ppm,
+        | CAST(n_both * 1000000 // ma.n_t AS BIGINT) AS confidence_ppm,
+        | CAST((n_both * n_users * 1000) // (ma.n_t * mc.n_t) AS BIGINT) AS lift_milli
+        |FROM p JOIN m ma ON p.antecedent = ma.t
+        |JOIN m mc ON p.consequent = mc.t CROSS JOIN nu
+        |ORDER BY 1, 2""".stripMargin,
+
+    // identical integer moment sums; the Pearson ratio is the same IEEE
+    // double expression on both engines
+    "q177_autocorr_daily" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |  CAST(SUM(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT) AS v
+        | FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |p AS (SELECT event_type, v AS x,
+        |  lead(v) OVER (PARTITION BY event_type ORDER BY day) AS y FROM d),
+        |a AS (SELECT event_type AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |  CAST(SUM(x*y) AS BIGINT) AS sxy, CAST(SUM(x*x) AS BIGINT) AS sxx,
+        |  CAST(SUM(y*y) AS BIGINT) AS syy
+        | FROM p WHERE y IS NOT NULL GROUP BY 1)
+        |SELECT grp, n AS n_pairs,
+        | round(CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+        |  THEN CAST(n*sxy - sx*sy AS DOUBLE) /
+        |    (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+        |  ELSE 0.0 END, 6) AS corr6
+        |FROM a ORDER BY grp""".stripMargin
   )
 }

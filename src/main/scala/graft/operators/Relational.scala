@@ -687,4 +687,109 @@ object Relational {
           .when(!(col("old_row") <=> col("new_row")), lit("update"))
           .otherwise(lit("unchanged")))
   }
+
+  /** Cohort retention matrix: users cohorted by their FIRST active week
+    * (Monday-truncated), then for every (cohort, week offset) the count
+    * of cohort members active that week and the retention ratio in
+    * exact ppm — the standard product-analytics triangle, all-integer.
+    *
+    * Scale: one (user, week) distinct (the activity table), a per-user
+    * min-agg for the cohort (both shuffle on the user key, so the join
+    * back is co-partitioned and AQE elides the exchange), one
+    * (cohort, offset) count agg. No window, no per-user state beyond
+    * the agg buffers. Returns (cohort_week, offset_w, n_active,
+    * n_cohort, retention_ppm).
+    */
+  def cohortRetention(ev: DataFrame, userCol: String, tsCol: String)
+      : DataFrame = {
+    val wk = ev.select(col(userCol).as("u"),
+      date_trunc("week", col(tsCol)).as("w")).distinct()
+    val cohort = wk.groupBy("u").agg(min("w").as("cw"))
+    val sizes = cohort.groupBy("cw").agg(count(lit(1)).as("n_cohort"))
+    wk.join(cohort, Seq("u"))
+      .groupBy(col("cw"), expr("datediff(w, cw) div 7").as("offset_w"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, Seq("cw"))
+      .select(date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"),
+        col("offset_w").cast("long").as("offset_w"),
+        col("n_active").cast("long").as("n_active"),
+        col("n_cohort").cast("long").as("n_cohort"),
+        expr("n_active * 1000000 div n_cohort").as("retention_ppm"))
+  }
+
+  /** Association rules over per-user event-type co-occurrence:
+    * support / confidence / lift for every ordered (antecedent →
+    * consequent) pair, in exact integer ppm/milli (lift_milli =
+    * n_both·n_users·1000 div (n_ant·n_cons) — one fused integer ratio,
+    * so no float probability product ever forms). "Occurs" =
+    * the user emitted the type at least once; the basket is the user.
+    *
+    * Scale: the (user, type) distinct bounds everything — pairs come
+    * from a self-join on the user key (co-partitioned, never all-pairs
+    * across users) and the per-user pair fan-out is |types|², a domain
+    * constant, not data-sized. Type marginals ride a broadcast.
+    * Returns (antecedent, consequent, n_both, n_ant, n_cons,
+    * support_ppm, confidence_ppm, lift_milli).
+    */
+  def assocRules(ev: DataFrame, userCol: String, typeCol: String)
+      : DataFrame = {
+    val ut = ev.select(col(userCol).as("u"), col(typeCol).as("t")).distinct()
+    val marg = ut.groupBy("t").agg(count(lit(1)).as("n_t"))
+    val nUsers = ut.select("u").distinct().agg(count(lit(1)).as("n_users"))
+    val pairs = ut.join(ut.select(col("u"), col("t").as("t2")), Seq("u"))
+      .filter(col("t") =!= col("t2"))
+      .groupBy(col("t").as("antecedent"), col("t2").as("consequent"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(marg.select(col("t").as("antecedent"), col("n_t").as("n_ant"))),
+        Seq("antecedent"))
+      .join(broadcast(marg.select(col("t").as("consequent"), col("n_t").as("n_cons"))),
+        Seq("consequent"))
+      .crossJoin(broadcast(nUsers))
+      .select(col("antecedent"), col("consequent"),
+        col("n_both").cast("long").as("n_both"),
+        col("n_ant").cast("long").as("n_ant"),
+        col("n_cons").cast("long").as("n_cons"),
+        expr("n_both * 1000000 div n_users").as("support_ppm"),
+        expr("n_both * 1000000 div n_ant").as("confidence_ppm"),
+        expr("(n_both * n_users * 1000) div (n_ant * n_cons)").as("lift_milli"))
+  }
+
+  /** Lag-1 autocorrelation of a per-group daily series, from EXACT
+    * integer sufficient statistics: the per-day sums are integer cents,
+    * the (x_t, x_{t+1}) moment sums are Long, and the final Pearson
+    * ratio is computed in doubles FROM those exact integers —
+    * int→double conversion, sqrt, multiply and divide are all
+    * IEEE-754-exactly-specified, so the rounded result is bit-identical
+    * across engines (the reason no float accumulates over data order).
+    * Lag pairs are over the OBSERVED day sequence (calendar gaps do not
+    * inject zeros — compose with the q109 gap-fill first if they
+    * should).
+    *
+    * Scale: one (group, day) agg bounds the series; the lag window
+    * partitions by group over day-count-sized state; the moment agg
+    * collapses to one row per group. Day sums fit Long up to ~10¹⁶
+    * cents/day. Returns (group, n_pairs, corr6).
+    */
+  def autocorrLag1(daily: DataFrame, groupCol: String, dayCol: String,
+                   valCol: String): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(col(dayCol).asc)
+    val pairs = daily
+      .withColumn("x", col(valCol).cast("long"))
+      .withColumn("y", lead(col("x"), 1).over(w))
+      .filter(col("y").isNotNull)
+    pairs.groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("grp"), col("n").cast("long").as("n_pairs"),
+        round(
+          when(col("n") * col("sxx") - col("sx") * col("sx") > 0 &&
+               col("n") * col("syy") - col("sy") * col("sy") > 0,
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+               sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+            .otherwise(lit(0.0)), 6).as("corr6"))
+  }
 }

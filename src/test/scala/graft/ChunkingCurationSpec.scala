@@ -430,4 +430,54 @@ class ChunkingCurationSpec extends AnyFunSuite {
     val l1 = out.map(_.getLong(2))
     assert(l1.takeRight(2).distinct.length == 1)
   }
+
+  test("cohortRetention: hand triangle — cohorts, offsets, ppm") {
+    import graft.operators.Relational
+    import java.sql.Timestamp
+    // 2024-01-01 is a Monday; W0 = that week, W1 = +7d
+    def ts(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-02 10:00:00")), (1L, ts("2024-01-09 10:00:00")),
+      (2L, ts("2024-01-03 10:00:00")),
+      (3L, ts("2024-01-10 10:00:00"))
+    ).toDF("user_id", "ts")
+    val got = Relational.cohortRetention(ev, "user_id", "ts")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == Map(
+      ("2024-01-01", 0L) -> ((2L, 2L, 1000000L)),
+      ("2024-01-01", 1L) -> ((1L, 2L, 500000L)),
+      ("2024-01-08", 0L) -> ((1L, 1L, 1000000L))))
+  }
+
+  test("assocRules: hand baskets — support, confidence, fused lift") {
+    import graft.operators.Relational
+    // u1{a,b} u2{a,b} u3{a} u4{b,c}; repeats must not inflate counts
+    val ev = Seq((1L, "a"), (1L, "b"), (1L, "a"), (2L, "a"), (2L, "b"),
+      (3L, "a"), (4L, "b"), (4L, "c")).toDF("user_id", "event_type")
+    val got = Relational.assocRules(ev, "user_id", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    // a->b: both 2, support 2/4, conf 2/3, lift 2*4*1000/(3*3)
+    assert(got(("a", "b")) == ((2L, 500000L, 666666L, 888L)))
+    // c->b: conf 1/1, lift 4000/3
+    assert(got(("c", "b")) == ((1L, 250000L, 1000000L, 1333L)))
+    assert(!got.contains(("a", "c")), "a and c never co-occur")
+  }
+
+  test("autocorrLag1: linear +1, alternating -1, constant guarded to 0") {
+    import graft.operators.Relational
+    import java.sql.Date
+    def day(i: Int) = Date.valueOf(f"2024-01-${i}%02d")
+    val daily = (
+      (1 to 4).map(i => ("up", day(i), i.toLong)) ++
+      (1 to 4).map(i => ("alt", day(i), (if (i % 2 == 0) 2L else 1L))) ++
+      (1 to 4).map(i => ("flat", day(i), 7L))
+    ).toDF("grp", "day", "v")
+    val got = Relational.autocorrLag1(daily, "grp", "day", "v")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got("up") == ((3L, 1.0)))
+    assert(got("alt") == ((3L, -1.0)))
+    assert(got("flat") == ((3L, 0.0)))
+  }
 }
