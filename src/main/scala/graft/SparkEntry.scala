@@ -164,6 +164,28 @@ object SparkEntry {
        |    // GREATEST(kth_min, 1) AS BIGINT) END AS est_distinct
        |FROM b ORDER BY event_type""".stripMargin
 
+  /** The whole-corpus count-min probe oracle, shared by q138 (direct
+    * sketch) and q178 (merged half-sketches — CMS is a linear sketch,
+    * so the merge must equal this bit-for-bit, the q168 property for
+    * frequencies instead of distincts).
+    */
+  private lazy val cmsWholeCorpusOracle: String = {
+    val probes = CmsProbeWords.map(w => s"'$w'").mkString(", ")
+    s"""WITH tok AS (SELECT unnest($TOKS) AS w FROM documents),
+       |rr AS (SELECT unnest(generate_series(0, ${CmsDepth - 1})) AS r),
+       |cell AS (SELECT r,
+       |  (${duckHash("concat('cms', w)", 15)} >> (15 * r)) % $CmsWidth AS c,
+       |  COUNT(*) AS cnt
+       | FROM tok CROSS JOIN rr GROUP BY 1, 2),
+       |probe AS (SELECT unnest([$probes]) AS word),
+       |pc AS (SELECT word, r,
+       |  (${duckHash("concat('cms', word)", 15)} >> (15 * r)) % $CmsWidth AS c
+       | FROM probe CROSS JOIN rr)
+       |SELECT word, CAST(MIN(COALESCE(cell.cnt, 0)) AS BIGINT) AS est_count
+       |FROM pc LEFT JOIN cell USING (r, c)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** 4×4 determinant as a SQL expression — the 24-term permutation
     * expansion over entry expressions `m(i)(j)`. Generated, not
     * hand-written, so q155's oracle cannot drop a term; signs from
@@ -2444,6 +2466,75 @@ object SparkEntry {
         .agg(sum(cents(col("value"))).as("v_c"))
       Relational.autocorrLag1(daily, "event_type", "day", "v_c")
         .orderBy("grp")
+    }),
+
+    "q178_cms_merge" -> ((s, d) => {
+      // CMS MERGEABILITY, proven: sketch each md5-half of documents
+      // separately, merge cellwise, probe — must be BIT-IDENTICAL to
+      // the q138 whole-corpus sketch (CMS is linear; the q168 property
+      // for frequencies). The oracle is q138's SQL verbatim.
+      val docs = documents(s, d)
+      val coin = pmod(tokenHash64(concat(lit("half_"),
+        col("doc_id").cast("string"))), lit(2L))
+      def half(m: Int) = Sketches.cmsBuild(docs.filter(coin === m), "text",
+        d = CmsDepth, w = CmsWidth, saltPrefix = "cms")
+      Sketches.cmsProbe(s, Sketches.cmsMerge(Seq(half(0), half(1))),
+          CmsProbeWords, d = CmsDepth, w = CmsWidth, saltPrefix = "cms")
+        .orderBy("word")
+    }),
+
+    "q179_ppr_dupgraph" -> ((s, d) =>
+      // Personalized PageRank (3 iterations) over the dup graph,
+      // teleporting only to the q161 seed set — TrustRank-style
+      // proximity in the same scaled-long integer arithmetic as q105
+      // (GraphOps.personalizedPageRankInt scaladoc).
+      GraphOps.personalizedPageRankInt(
+          Dedup.simHashDup(documents(s, d), "doc_id", "text", nBits = 16),
+          "id_a", "id_b",
+          documents(s, d).filter(pmod(col("doc_id"), lit(50L)) === 0),
+          "doc_id", iters = 3)
+        .select(col("id").as("doc_id"), col("r").as("rank_scaled"),
+          col("d").as("degree"))
+        .orderBy("doc_id")),
+
+    "q180_attribution" -> ((s, d) => {
+      // Last-touch attribution: each purchase credits the most recent
+      // non-purchase event of the same user within a 24 h lookback —
+      // the merge-form as-of join (no pair fan-out), then a 4-row
+      // channel rollup with exact ppm shares.
+      val ev = events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val touches = ev.filter(col("event_type") =!= "purchase")
+        .select(col("event_id").as("t_id"), col("user_id").as("t_user"),
+          col("ts").as("t_ts"), col("event_type").as("channel"))
+      val attributed = Relational.asOfJoinMergeDirected(purchases, touches,
+        "user_id", "t_user", "ts", "t_ts", "t_id", forward = false,
+        toleranceSeconds = 86400L)
+      val counts = attributed.groupBy("channel")
+        .agg(count(lit(1)).as("n_purchases"))
+      counts
+        .crossJoin(broadcast(counts.agg(sum("n_purchases").as("n_total"))))
+        .select(col("channel"), col("n_purchases").cast("long").as("n_purchases"),
+          expr("n_purchases * 1000000 div n_total").as("share_ppm"))
+        .orderBy("channel")
+    }),
+
+    "q181_markov_transitions" -> ((s, d) => {
+      // Event-sequence Markov transition matrix: per-user ordered lag
+      // pairs, (from, to) counts, row-normalized in exact ppm. State is
+      // bounded by the |type|^2 domain; the window partitions by user.
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val tr = events(s, d)
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev").as("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = tr.groupBy("from_type").agg(sum("n").as("n_from"))
+      tr.join(broadcast(tot), Seq("from_type"))
+        .select(col("from_type"), col("to_type"), col("n").cast("long").as("n"),
+          expr("n * 1000000 div n_from").as("p_ppm"))
+        .orderBy("from_type", "to_type")
     })
   )
 
@@ -4497,22 +4588,7 @@ object SparkEntry {
     // is bits [15r, 15r+15) of ONE 60-bit md5 hash (Sketches.cmsBuild
     // scaladoc), so the oracle rebuilds the identical d x w cell table
     // and takes the same min over rows per probe word
-    "q138_cms_heavy" -> {
-      val probes = CmsProbeWords.map(w => s"'$w'").mkString(", ")
-      s"""WITH tok AS (SELECT unnest($TOKS) AS w FROM documents),
-         |rr AS (SELECT unnest(generate_series(0, ${CmsDepth - 1})) AS r),
-         |cell AS (SELECT r,
-         |  (${duckHash("concat('cms', w)", 15)} >> (15 * r)) % $CmsWidth AS c,
-         |  COUNT(*) AS cnt
-         | FROM tok CROSS JOIN rr GROUP BY 1, 2),
-         |probe AS (SELECT unnest([$probes]) AS word),
-         |pc AS (SELECT word, r,
-         |  (${duckHash("concat('cms', word)", 15)} >> (15 * r)) % $CmsWidth AS c
-         | FROM probe CROSS JOIN rr)
-         |SELECT word, CAST(MIN(COALESCE(cell.cnt, 0)) AS BIGINT) AS est_count
-         |FROM pc LEFT JOIN cell USING (r, c)
-         |GROUP BY 1 ORDER BY 1""".stripMargin
-    },
+    "q138_cms_heavy" -> cmsWholeCorpusOracle,
 
     // the bounded 1024-bucket weight table and the integer-bits
     // log-ratio recomputed verbatim; the top-100 cut is total-ordered
@@ -5328,6 +5404,82 @@ object SparkEntry {
         |  THEN CAST(n*sxy - sx*sy AS DOUBLE) /
         |    (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
         |  ELSE 0.0 END, 6) AS corr6
-        |FROM a ORDER BY grp""".stripMargin
+        |FROM a ORDER BY grp""".stripMargin,
+
+    // the whole-corpus probe verbatim — the merged half-sketches must
+    // reproduce it bit-for-bit
+    "q178_cms_merge" -> cmsWholeCorpusOracle,
+
+    // q105's graph with the teleport restricted to the q161 seed set;
+    // three unrolled generated rounds
+    "q179_ppr_dupgraph" -> {
+      val rounds = (1 to 3).map { i =>
+        s"""s$i AS (SELECT e.v AS id, CAST(SUM(r${i - 1}.r // r${i - 1}.d) AS BIGINT) AS s
+           | FROM e JOIN r${i - 1} ON e.u = r${i - 1}.id GROUP BY 1),
+           |r$i AS (SELECT nodes.id, nodes.d, nodes.is_seed,
+           |  (CASE WHEN nodes.is_seed
+           |    THEN (15 * (CAST(1000000000 AS BIGINT) // ns.n)) // 100 ELSE 0 END)
+           |   + (85 * COALESCE(s$i.s, 0)) // 100 AS r
+           | FROM nodes LEFT JOIN s$i USING (id), ns)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH w AS (SELECT doc_id AS id, unnest($TOKS) AS w FROM documents),
+         |h AS (SELECT id, ${duckHash("w", 15)} AS h FROM w),
+         |bits AS (SELECT id, bit,
+         |  SUM(CASE WHEN ((h >> bit) & 1) = 1 THEN 1 ELSE -1 END) AS v
+         | FROM h CROSS JOIN (SELECT unnest(generate_series(0,15)) AS bit) b GROUP BY 1,2),
+         |sh AS (SELECT id,
+         |  CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+         | FROM bits GROUP BY 1),
+         |p AS (SELECT a.id AS id_a, b.id AS id_b
+         | FROM sh a JOIN sh b ON a.simhash = b.simhash AND a.id < b.id),
+         |e AS (SELECT id_a AS u, id_b AS v FROM p UNION ALL SELECT id_b, id_a FROM p),
+         |deg AS (SELECT u AS id, COUNT(*) AS d FROM e GROUP BY 1),
+         |sd AS (SELECT DISTINCT doc_id AS id FROM documents WHERE doc_id % 50 = 0),
+         |nodes AS (SELECT deg.id, deg.d, (sd.id IS NOT NULL) AS is_seed
+         | FROM deg LEFT JOIN sd ON deg.id = sd.id),
+         |ns AS (SELECT COUNT(*) AS n FROM nodes WHERE is_seed),
+         |r0 AS (SELECT id, d, is_seed,
+         |  CASE WHEN is_seed THEN CAST(1000000000 AS BIGINT) // ns.n
+         |   ELSE CAST(0 AS BIGINT) END AS r
+         | FROM nodes, ns),
+         |$rounds
+         |SELECT id AS doc_id, CAST(r AS BIGINT) AS rank_scaled, d AS degree
+         |FROM r3 ORDER BY doc_id""".stripMargin
+    },
+
+    // same pick-then-tolerance semantics: the single last touch is
+    // chosen first, and dropped (not replaced) if outside the window
+    "q180_attribution" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        | WHERE event_type = 'purchase'),
+        |t AS (SELECT event_id AS t_id, user_id, ts AS t_ts,
+        |  event_type AS channel FROM events WHERE event_type <> 'purchase'),
+        |m AS (SELECT p.event_id, t.channel, t.t_ts, p.ts,
+        |  row_number() OVER (PARTITION BY p.event_id
+        |    ORDER BY t.t_ts DESC, t.t_id DESC) AS rn
+        | FROM p JOIN t ON t.user_id = p.user_id AND t.t_ts <= p.ts),
+        |a AS (SELECT event_id, channel FROM m WHERE rn = 1
+        |  AND abs(epoch_us(t_ts) - epoch_us(ts)) <= CAST(86400 AS BIGINT) * 1000000),
+        |c AS (SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_purchases
+        | FROM a GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_purchases) AS BIGINT) AS n_total FROM c)
+        |SELECT channel, n_purchases,
+        | CAST(n_purchases * 1000000 // n_total AS BIGINT) AS share_ppm
+        |FROM c, tot ORDER BY channel""".stripMargin,
+
+    // same per-user lag pairs and exact row-normalized ppm
+    "q181_markov_transitions" ->
+      """WITH l AS (SELECT event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        | FROM events),
+        |tr AS (SELECT prev AS from_type, event_type AS to_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        | FROM l WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+        | FROM tr GROUP BY 1)
+        |SELECT tr.from_type, tr.to_type, tr.n,
+        | CAST(tr.n * 1000000 // tot.n_from AS BIGINT) AS p_ppm
+        |FROM tr JOIN tot USING (from_type)
+        |ORDER BY 1, 2""".stripMargin
   )
 }

@@ -286,4 +286,19 @@ object Sketches {
       .groupBy("word")
       .agg(min(col("cnt")).as("est_count"))
   }
+
+  /** Merge count-min sketches by cellwise addition. CMS is a LINEAR
+    * sketch — every cell is a sum of per-occurrence contributions — so
+    * the merged table is EXACTLY the sketch of the concatenated corpus,
+    * bit-for-bit (q178 proves it against the whole-corpus oracle; the
+    * KMV twin is q168). This is what lets partitioned/incremental
+    * ingest maintain frequency sketches without rescanning history.
+    * Each input is a bounded d·w cell table, so the merge shuffles
+    * only sketch cells, never data.
+    */
+  def cmsMerge(cells: Seq[DataFrame]): DataFrame = {
+    require(cells.nonEmpty, "need at least one sketch to merge")
+    cells.reduce(_.unionByName(_))
+      .groupBy("r", "c").agg(sum("cnt").as("cnt"))
+  }
 }

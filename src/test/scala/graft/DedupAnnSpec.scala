@@ -798,6 +798,26 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(rep == got)
   }
 
+  test("personalizedPageRankInt: hand path graph, teleport only to the seed") {
+    import spark.implicits._
+    // path 1-2-3, seed {1}, scale 1e9, 2 iterations — hand-unrolled:
+    // r0 = [1e9, 0, 0]; deg = [1, 2, 1]; base = 15e7 (seed only)
+    // it1: 2 <- 1e9 from node 1        => r1 = [15e7, 85e7, 0]
+    // it2: 1,3 <- 425e6 each from node 2; 2 <- 15e7 from node 1
+    //   r2 = [15e7 + 361250000, 127500000, 361250000]
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val seeds = Seq(1L).toDF("doc_id")
+    val got = GraphOps.personalizedPageRankInt(pairs, "id_a", "id_b",
+        seeds, "doc_id", iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(1L -> 511250000L, 2L -> 127500000L, 3L -> 361250000L),
+      got.toString)
+    // non-seed nodes get NO teleport mass: with the seed removed from
+    // the graph's reach (isolated seed), ranks would be undefined —
+    // assert instead that total mass stays bounded by scale
+    assert(got.values.sum <= 1000000000L)
+  }
+
   test("ssspHops: cheaper 2-edge path beats direct edge; hop cap flips it") {
     import spark.implicits._
     // triangle 1-2 (w1), 2-3 (w1), 1-3 (w10); island 4-5; seed {1}

@@ -139,4 +139,24 @@ class SketchesSpec extends AnyFunSuite {
     val m = shape(Sketches.kmvMergeEstimate(onlyA, empty, "g", 16))
     assert(m.contains("solo") && m("solo")._1 == 2L && m("solo")._3 == 2L)
   }
+
+  test("count-min merge of halves equals the whole-corpus sketch cellwise") {
+    import spark.implicits._
+    val docs = (1L to 200L)
+      .map(i => (i, s"tok${i % 17} tok${i % 5} shared tok${i % 17}"))
+      .toDF("doc_id", "text")
+    def build(df: org.apache.spark.sql.DataFrame) =
+      Sketches.cmsBuild(df, "text", d = 4, w = 64, saltPrefix = "t")
+    val whole = build(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val merged = Sketches.cmsMerge(Seq(
+        build(docs.filter(col("doc_id") % 2 === 0)),
+        build(docs.filter(col("doc_id") % 2 === 1))))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == whole, "CMS linearity: merge must equal whole corpus")
+    // merging a single sketch is the identity
+    val solo = Sketches.cmsMerge(Seq(build(docs))).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(solo == whole)
+  }
 }
