@@ -133,6 +133,12 @@ object SparkEntry {
     */
   private val GopherStop = Seq("the", "a", "of", "and", "to")
 
+  /** q182's Jaccard threshold (0.5 in ppm) and q183's activity-window
+    * length, shared with the oracle SQL.
+    */
+  private val PpJoinTPpm = 500000L
+  private val IntervalSessionSec = 1800L
+
   /** q167's MMR geometry (candidate pool, picks), shared with the
     * oracle SQL's unrolled greedy rounds. λ = 7/10 is hard-coded in
     * both score expressions (7·rel − 3·maxsim).
@@ -2535,6 +2541,30 @@ object SparkEntry {
         .select(col("from_type"), col("to_type"), col("n").cast("long").as("n"),
           expr("n * 1000000 div n_from").as("p_ppm"))
         .orderBy("from_type", "to_type")
+    }),
+
+    "q182_ppjoin" -> ((s, d) =>
+      // EXACT set-similarity self-join with prefix filtering
+      // (PPJoin-lite): every 3-shingle-Jaccard >= 0.5 pair, no LSH
+      // recall loss, no all-pairs — rare-first global shingle order
+      // keeps prefix postings short (Dedup.ppJoinShingles scaladoc).
+      // The oracle is the brute-force quadratic join: the filter must
+      // lose NOTHING.
+      Dedup.ppJoinShingles(documents(s, d), "doc_id", "text",
+          tPpm = PpJoinTPpm)
+        .orderBy("id_a", "id_b")),
+
+    "q183_interval_union" -> ((s, d) => {
+      // Total covered time per user from overlapping 30-min activity
+      // windows: sweep-line island merge, one exchange, exact integer
+      // microseconds (Relational.intervalUnionLength scaladoc).
+      val iv = events(s, d).select(col("user_id"),
+        unix_micros(col("ts")).as("s_us"),
+        (unix_micros(col("ts")) + lit(IntervalSessionSec * 1000000L)).as("e_us"))
+      Relational.intervalUnionLength(iv, "user_id", "s_us", "e_us")
+        .select(col("k").as("user_id"), col("n_islands"),
+          expr("covered_us div 1000000").as("covered_s"))
+        .orderBy("user_id")
     })
   )
 
@@ -5480,6 +5510,40 @@ object SparkEntry {
         |SELECT tr.from_type, tr.to_type, tr.n,
         | CAST(tr.n * 1000000 // tot.n_from AS BIGINT) AS p_ppm
         |FROM tr JOIN tot USING (from_type)
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+
+    // the brute-force quadratic join — the engine's prefix filter must
+    // reproduce it EXACTLY (prefix filtering has no false negatives)
+    "q182_ppjoin" ->
+      s"""WITH sh AS ($SHINGLES3),
+         |ss AS (SELECT id, list_sort(list(sh)) AS sset FROM sh GROUP BY 1),
+         |p AS (SELECT a.id AS id_a, b.id AS id_b,
+         |  CAST(len(list_intersect(a.sset, b.sset)) AS BIGINT) AS inter,
+         |  CAST(len(a.sset) AS BIGINT) AS na, CAST(len(b.sset) AS BIGINT) AS nb
+         | FROM ss a JOIN ss b ON a.id < b.id)
+         |SELECT id_a, id_b, inter,
+         | CAST(inter * 1000000 // (na + nb - inter) AS BIGINT) AS jac_ppm
+         |FROM p WHERE inter * 1000000 // (na + nb - inter) >= $PpJoinTPpm
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // same sweep: island flag from the running max end, island id from
+    // the running flag sum
+    "q183_interval_union" ->
+      s"""WITH b AS (SELECT user_id AS k, epoch_us(ts) AS s,
+         |  epoch_us(ts) + CAST(${IntervalSessionSec} AS BIGINT) * 1000000 AS e
+         | FROM events),
+         |f AS (SELECT k, s, e,
+         |  CASE WHEN max(e) OVER (PARTITION BY k ORDER BY s, e
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+         |    OR s > max(e) OVER (PARTITION BY k ORDER BY s, e
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |   THEN 1 ELSE 0 END AS ni FROM b),
+         |i AS (SELECT k, s, e, SUM(ni) OVER (PARTITION BY k ORDER BY s, e
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM f),
+         |g AS (SELECT k, island, MIN(s) AS i_s, MAX(e) AS i_e
+         | FROM i GROUP BY 1, 2)
+         |SELECT k AS user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+         | CAST(SUM(i_e - i_s) // 1000000 AS BIGINT) AS covered_s
+         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -755,6 +755,39 @@ object Relational {
         expr("(n_both * n_users * 1000) div (n_ant * n_cons)").as("lift_milli"))
   }
 
+  /** Union length of (possibly overlapping) intervals per key — the
+    * sweep-line "total covered time" query (actual usage hours from
+    * overlapping sessions, sensor uptime, ad exposure): merge
+    * overlapping intervals into islands, sum island lengths. All in
+    * exact integer microseconds. The island construction is the
+    * classic two-window sweep: a row OPENS a new island iff its start
+    * exceeds the running max end of every earlier row; the island id is
+    * the running sum of those flags. Exact-duplicate rows are
+    * order-symmetric under the (start, end) sort, so the result is
+    * deterministic under any tie order.
+    *
+    * Scale: two windows over the same (key, start, end) sort — ONE
+    * exchange, state = one running max + one running sum — then two
+    * hash aggs. Returns (k, n_islands, covered_us).
+    */
+  def intervalUnionLength(df: DataFrame, keyCol: String,
+                          startCol: String, endCol: String): DataFrame = {
+    val base = df.select(col(keyCol).as("k"),
+      col(startCol).cast("long").as("s"), col(endCol).cast("long").as("e"))
+    val ord = Window.partitionBy("k").orderBy(col("s").asc, col("e").asc)
+    val prevMax = max(col("e"))
+      .over(ord.rowsBetween(Window.unboundedPreceding, -1))
+    val flagged = base.withColumn("ni",
+      when(prevMax.isNull || col("s") > prevMax, 1L).otherwise(0L))
+    val islands = flagged.withColumn("island",
+      sum("ni").over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    islands.groupBy("k", "island")
+      .agg(min("s").as("i_s"), max("e").as("i_e"))
+      .groupBy("k")
+      .agg(count(lit(1)).cast("long").as("n_islands"),
+        sum(col("i_e") - col("i_s")).cast("long").as("covered_us"))
+  }
+
   /** Lag-1 autocorrelation of a per-group daily series, from EXACT
     * integer sufficient statistics: the per-day sums are integer cents,
     * the (x_t, x_{t+1}) moment sums are Long, and the final Pearson

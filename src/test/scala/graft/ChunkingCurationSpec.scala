@@ -465,6 +465,22 @@ class ChunkingCurationSpec extends AnyFunSuite {
     assert(!got.contains(("a", "c")), "a and c never co-occur")
   }
 
+  test("intervalUnionLength: overlap merges, touching merges, gap splits") {
+    import graft.operators.Relational
+    // [0,10) [5,20) overlap; [20,30) touches (closed-open => merges);
+    // [40,50) after a gap. Second key: one interval.
+    val iv = Seq(("u", 0L, 10L), ("u", 5L, 20L), ("u", 20L, 30L),
+      ("u", 40L, 50L), ("v", 3L, 7L)).toDF("k", "s", "e")
+    val got = Relational.intervalUnionLength(iv, "k", "s", "e")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map("u" -> ((2L, 40L)), "v" -> ((1L, 4L))))
+    // duplicate rows and partitioning do not change the sweep
+    val rep = Relational.intervalUnionLength(
+        iv.unionAll(iv).repartition(5), "k", "s", "e")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rep == got)
+  }
+
   test("autocorrLag1: linear +1, alternating -1, constant guarded to 0") {
     import graft.operators.Relational
     import java.sql.Date

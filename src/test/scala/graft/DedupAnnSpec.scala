@@ -798,6 +798,38 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(rep == got)
   }
 
+  test("ppJoinShingles equals the brute-force model at several thresholds") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    def doc() = Seq.fill(8 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val base = (1L to 30L).map(i => (i, doc()))
+    // planted near-dups: copy with one word changed
+    val dups = base.take(6).map { case (i, t) =>
+      (i + 100L, t.split(" ").updated(0, "omega").mkString(" ")) }
+    val docs = (base ++ dups).toDF("doc_id", "text")
+    def shingleSet(t: String): Set[String] = {
+      val toks = t.trim.split("\\s+").toSeq
+      if (toks.size < 3) Set(toks.mkString(" "))
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val sets = (base ++ dups).map { case (i, t) => i -> shingleSet(t) }.toMap
+    for (tPpm <- Seq(300000L, 600000L)) {
+      val model = (for {
+        (a, sa) <- sets; (b, sb) <- sets if a < b
+        inter = (sa & sb).size
+        jac = inter.toLong * 1000000L / (sa.size + sb.size - inter)
+        if jac >= tPpm
+      } yield (a, b, inter.toLong, jac)).toSet
+      val got = Dedup.ppJoinShingles(docs, "doc_id", "text", tPpm)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got == model, s"tPpm=$tPpm: prefix filter must lose nothing")
+      assert(model.nonEmpty, s"tPpm=$tPpm: vacuous fixture")
+    }
+  }
+
   test("personalizedPageRankInt: hand path graph, teleport only to the seed") {
     import spark.implicits._
     // path 1-2-3, seed {1}, scale 1e9, 2 iterations — hand-unrolled:
