@@ -136,7 +136,7 @@ object SparkEntry {
   /** q182's Jaccard threshold (0.5 in ppm) and q183's activity-window
     * length, shared with the oracle SQL.
     */
-  private val PpJoinTPpm = 500000L
+  private val PpJoinTPpm = 700000L
   private val IntervalSessionSec = 1800L
 
   /** q167's MMR geometry (candidate pool, picks), shared with the

@@ -1343,10 +1343,15 @@ object Dedup {
     val prefix = pos
       .filter(col("pos") <= col("sz") -
         expr(s"(($tPpm * sz) + 999999) div 1000000") + 1)
-      .select("id", "sh")
+      .select("id", "sh", "sz")
+    // size filter (Arasu et al. VLDB'06): J(a,b) >= t forces
+    // t·|b| <= |a| (and symmetrically) — a length-mismatched pair can
+    // never verify, so it is dropped BEFORE the distinct/verify joins
     val cand = prefix.as("a")
       .join(prefix.as("b"),
-        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id") &&
+          col("a.sz") * 1000000L >= lit(tPpm) * col("b.sz") &&
+          col("b.sz") * 1000000L >= lit(tPpm) * col("a.sz"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     val sets = sh.groupBy("id")
