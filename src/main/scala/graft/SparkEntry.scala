@@ -139,6 +139,17 @@ object SparkEntry {
   private val PpJoinTPpm = 700000L
   private val IntervalSessionSec = 1800L
 
+  /** q184's core order and peel-round bound (the oracle unrolls exactly
+    * this many rounds; the engine asserts fixpoint within them — the
+    * two MUST move together), q185's noise floor + list depth, q186's
+    * minimum series length — all shared with the oracle SQL.
+    */
+  private val KCoreK = 2
+  private val KCoreMaxRounds = 12
+  private val CooccurMinBoth = 2L
+  private val CooccurTopK = 3
+  private val ChangepointMinDays = 8
+
   /** q167's MMR geometry (candidate pool, picks), shared with the
     * oracle SQL's unrolled greedy rounds. λ = 7/10 is hard-coded in
     * both score expressions (7·rel − 3·maxsim).
@@ -2564,6 +2575,56 @@ object SparkEntry {
       Relational.intervalUnionLength(iv, "user_id", "s_us", "e_us")
         .select(col("k").as("user_id"), col("n_islands"),
           expr("covered_us div 1000000").as("covered_s"))
+        .orderBy("user_id")
+    }),
+
+    "q184_kcore" -> ((s, d) => {
+      // Dense-backbone query: 2-core of the dup graph AUGMENTED with
+      // bounded chain edges (consecutive ids within blocks of 8) —
+      // chains dangling off clique anchors peel away round by round,
+      // paths BETWEEN anchors survive, so the peel is genuinely
+      // iterative (GraphOps.kCore scaladoc). The oracle unrolls the
+      // same rounds; the engine asserts fixpoint within them.
+      val docs = documents(s, d)
+      val dup = Dedup.simHashDup(docs, "doc_id", "text", nBits = 16)
+        .select("id_a", "id_b")
+      val ids = docs.select(col("doc_id"))
+      val chain = ids.as("a").join(ids.as("b"),
+          col("b.doc_id") === col("a.doc_id") + 1 &&
+            pmod(col("a.doc_id"), lit(8L)) < 7)
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      GraphOps.kCore(dup.unionByName(chain).distinct(), "id_a", "id_b",
+          k = KCoreK, maxRounds = KCoreMaxRounds)
+        .select(col("id").as("doc_id"), col("core_deg"))
+        .orderBy("doc_id")
+    }),
+
+    "q185_cooccur_recs" -> ((s, d) =>
+      // "Bought X, also bought Y": per-part top-3 co-purchase partners
+      // by exact integer cosine² over order baskets — basket-keyed
+      // pair fan-out, never catalog×catalog
+      // (Relational.cooccurRecsTopK scaladoc).
+      Relational.cooccurRecsTopK(
+          lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+          "l_orderkey", "l_partkey",
+          minBoth = CooccurMinBoth, topK = CooccurTopK)
+        .select(col("item").as("part_id"), col("rec_item").as("rec_part_id"),
+          col("n_both"), col("n_item"), col("n_rec"), col("score_ppm"),
+          col("rn"))
+        .orderBy("part_id", "rn")),
+
+    "q186_changepoint" -> ((s, d) => {
+      // At-most-one mean-shift detection per user over the daily spend
+      // series: exact integer CUSUM statistic, argmax split point,
+      // ties to the earliest day (Relational.meanShiftCut scaladoc).
+      val daily = events(s, d).groupBy(col("user_id"),
+          to_date(col("ts")).as("day"))
+        .agg(sum(cents(col("value"))).as("v_c"))
+      Relational.meanShiftCut(daily, "user_id", "day", "v_c",
+          minDays = ChangepointMinDays)
+        .select(col("grp").as("user_id"), col("n_days"),
+          date_format(col("cut_day"), "yyyy-MM-dd").as("cut_day"),
+          col("score"))
         .orderBy("user_id")
     })
   )
@@ -5544,6 +5605,81 @@ object SparkEntry {
          | FROM i GROUP BY 1, 2)
          |SELECT k AS user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
          | CAST(SUM(i_e - i_s) // 1000000 AS BIGINT) AS covered_s
-         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // peel rounds unrolled to the engine's asserted bound: extra
+    // rounds past the fixpoint are no-ops, so equality holds exactly
+    // when the engine's loop really converged. MATERIALIZED: each
+    // round references the previous edge set three times — default
+    // inlining re-expands the chain exponentially (the q167 lesson)
+    "q184_kcore" -> {
+      val rounds = (1 to KCoreMaxRounds).map { i =>
+        s"""d$i AS MATERIALIZED (SELECT u, COUNT(*) AS c FROM e${i - 1} GROUP BY 1),
+           |k$i AS MATERIALIZED (SELECT u FROM d$i WHERE c >= $KCoreK),
+           |e$i AS MATERIALIZED (SELECT e.u, e.v FROM e${i - 1} e
+           |  JOIN k$i a ON e.u = a.u JOIN k$i b ON e.v = b.u)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH w AS (SELECT doc_id AS id, unnest($TOKS) AS w FROM documents),
+         |h AS (SELECT id, ${duckHash("w", 15)} AS h FROM w),
+         |bits AS (SELECT id, bit,
+         |  SUM(CASE WHEN ((h >> bit) & 1) = 1 THEN 1 ELSE -1 END) AS v
+         | FROM h CROSS JOIN (SELECT unnest(generate_series(0,15)) AS bit) b GROUP BY 1,2),
+         |sh AS (SELECT id,
+         |  CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+         | FROM bits GROUP BY 1),
+         |p AS (SELECT a.id AS id_a, b.id AS id_b
+         | FROM sh a JOIN sh b ON a.simhash = b.simhash AND a.id < b.id),
+         |ch AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         | FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+         | WHERE a.doc_id % 8 < 7),
+         |pe AS (SELECT id_a, id_b FROM p UNION SELECT id_a, id_b FROM ch),
+         |e0 AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM pe UNION SELECT id_b, id_a FROM pe),
+         |$rounds
+         |SELECT u AS doc_id, CAST(COUNT(*) AS BIGINT) AS core_deg
+         |FROM e$KCoreMaxRounds GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    // the basket self-join brute force; rec_item is unique per item so
+    // the rank order is total
+    "q185_cooccur_recs" ->
+      s"""WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+         |m AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n_i FROM bi GROUP BY 1),
+         |pr AS (SELECT a.i AS item, b.i AS rec_item,
+         |  CAST(COUNT(*) AS BIGINT) AS n_both
+         | FROM bi a JOIN bi b ON a.b = b.b AND a.i <> b.i GROUP BY 1, 2
+         | HAVING COUNT(*) >= $CooccurMinBoth),
+         |sc AS (SELECT item, rec_item, n_both, ma.n_i AS n_item,
+         |  mb.n_i AS n_rec,
+         |  (n_both * n_both * 1000000) // (ma.n_i * mb.n_i) AS score_ppm
+         | FROM pr JOIN m ma ON pr.item = ma.i JOIN m mb ON pr.rec_item = mb.i),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY item
+         |   ORDER BY score_ppm DESC, n_both DESC, rec_item) AS rn FROM sc)
+         |SELECT item AS part_id, rec_item AS rec_part_id, n_both, n_item,
+         | n_rec, CAST(score_ppm AS BIGINT) AS score_ppm,
+         | CAST(rn AS BIGINT) AS rn
+         |FROM r WHERE rn <= $CooccurTopK ORDER BY 1, rn""".stripMargin,
+
+    // same prefix-sum statistic; numerator squared before the floor
+    // division, so Spark div and DuckDB // agree
+    "q186_changepoint" ->
+      s"""WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
+         |  CAST(SUM(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS x
+         | FROM events GROUP BY 1, 2),
+         |w AS (SELECT user_id, day, x,
+         |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS BIGINT) AS t,
+         |  SUM(x) OVER (PARTITION BY user_id ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS st,
+         |  CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+         |  SUM(x) OVER (PARTITION BY user_id) AS s
+         | FROM daily),
+         |sc AS (SELECT user_id, day, n, t,
+         |  ((n * st - t * s) * (n * st - t * s)) // (t * (n - t)) AS score
+         | FROM w WHERE n >= $ChangepointMinDays AND t < n),
+         |r AS (SELECT user_id, day, n, score,
+         |  row_number() OVER (PARTITION BY user_id
+         |    ORDER BY score DESC, t) AS rn FROM sc)
+         |SELECT user_id, n AS n_days, strftime(day, '%Y-%m-%d') AS cut_day,
+         | CAST(score AS BIGINT) AS score
+         |FROM r WHERE rn = 1 ORDER BY 1""".stripMargin
   )
 }

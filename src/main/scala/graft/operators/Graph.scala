@@ -237,4 +237,54 @@ object GraphOps {
     }
     dist.select("id", "dist")
   }
+
+  /** k-core decomposition (iterative peeling to the Seidman fixpoint):
+    * the maximal subgraph in which every node keeps degree ≥ k — the
+    * "dense backbone" query a dedup/graph pipeline runs to separate
+    * tightly duplicated families from stragglers dangling off them.
+    * Returns (id, core_deg) = every node of the k-core with its
+    * IN-CORE degree (degree counted over surviving edges only).
+    *
+    * Peeling is confluent: removing any under-degree node never makes
+    * another node eligible to stay, so round order cannot change the
+    * fixpoint — the result is deterministic and oracle-comparable
+    * against the same rounds unrolled in SQL.
+    *
+    * Scale shape: each round is one |E|-bounded degree agg + two
+    * semi-joins that shrink the edge list; per-round localCheckpoint
+    * caps lineage ([[pageRankInt]] doctrine). Rounds are bounded by the
+    * longest peel chain, NOT log-compressed — `maxRounds` asserts the
+    * input's chains are bounded (this engine's inputs cap chain
+    * components by construction) instead of silently stopping early:
+    * exceeding it throws rather than returning a non-fixpoint. The two
+    * per-round driver counts are scalars on checkpointed frames.
+    */
+  def kCore(pairs: DataFrame, aCol: String, bCol: String, k: Int,
+            maxRounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    var e = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .distinct()
+      .localCheckpoint(true)
+    var rounds = 0
+    var stable = false
+    while (!stable) {
+      val deg = e.groupBy("u").agg(count(lit(1)).as("d")).localCheckpoint(true)
+      val keep = deg.filter(col("d") >= k).select(col("u").as("kid"))
+        .localCheckpoint(true)
+      if (keep.count() == deg.count()) stable = true
+      else {
+        rounds += 1
+        require(rounds <= maxRounds,
+          s"k-core not at fixpoint after $maxRounds peel rounds — " +
+            "raise maxRounds (and the oracle's unroll depth) together")
+        e = e.join(keep, col("u") === col("kid"), "left_semi")
+          .join(keep, col("v") === col("kid"), "left_semi")
+          .localCheckpoint(true)
+      }
+    }
+    e.groupBy("u").agg(count(lit(1)).as("core_deg"))
+      .select(col("u").as("id"), col("core_deg").cast("long").as("core_deg"))
+  }
 }

@@ -788,6 +788,91 @@ object Relational {
         sum(col("i_e") - col("i_s")).cast("long").as("covered_us"))
   }
 
+  /** Item-item co-occurrence recommendations ("customers who bought X
+    * also bought Y") over (basket, item) rows: for every item, the
+    * `topK` partners by exact integer cosine² of the co-occurrence
+    * vectors — score_ppm = n_both²·10⁶ div (n_a·n_b), the fused
+    * integer form of (n_ab/√(n_a·n_b))², so no float square root ever
+    * forms and ranking is engine-exact. `minBoth` drops
+    * noise pairs seen together fewer times.
+    *
+    * Scale: pair fan-out comes from a self-join on the BASKET key —
+    * co-partitioned, |basket|²-bounded per basket (baskets are small by
+    * nature: an order has a handful of lines) — never item×item across
+    * the catalog. Marginals are one (item) agg the pair stream joins
+    * back; the per-item top-k runs on the ≥minBoth survivors through
+    * the rank-filter pattern Spark prunes per-partition before the
+    * exchange (WindowGroupLimit). Long overflow bound: n_both²·10⁶
+    * needs n_both < 3·10⁶ — co-occurrence counts that large mean the
+    * pair IS the catalog; scale scores down first. Returns
+    * (item, rec_item, n_both, n_item, n_rec, score_ppm, rn).
+    */
+  def cooccurRecsTopK(baskets: DataFrame, basketCol: String, itemCol: String,
+                      minBoth: Long, topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val bi = baskets.select(col(basketCol).as("b"), col(itemCol).as("i"))
+      .distinct()
+    val marg = bi.groupBy("i").agg(count(lit(1)).as("n_i"))
+    val pairs = bi.join(bi.select(col("b"), col("i").as("i2")), Seq("b"))
+      .filter(col("i") =!= col("i2"))
+      .groupBy(col("i").as("item"), col("i2").as("rec_item"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= minBoth)
+    val w = Window.partitionBy("item")
+      .orderBy(col("score_ppm").desc, col("n_both").desc, col("rec_item").asc)
+    pairs
+      .join(marg.select(col("i").as("item"), col("n_i").as("n_item")), Seq("item"))
+      .join(marg.select(col("i").as("rec_item"), col("n_i").as("n_rec")),
+        Seq("rec_item"))
+      .withColumn("score_ppm",
+        expr("(n_both * n_both * 1000000) div (n_item * n_rec)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .select(col("item"), col("rec_item"),
+        col("n_both").cast("long").as("n_both"),
+        col("n_item").cast("long").as("n_item"),
+        col("n_rec").cast("long").as("n_rec"),
+        col("score_ppm"), col("rn").cast("long").as("rn"))
+  }
+
+  /** Single changepoint (at-most-one mean shift, the integer CUSUM
+    * statistic) per group over an ordered integer series: the split
+    * point t maximizing (n·S_t − t·S)² div (t·(n−t)) — the squared
+    * between-segment mean gap, cross-multiplied into exact Longs so
+    * the argmax is engine-exact (no float mean ever forms; ties break
+    * to the EARLIEST split). Returns the last order key of the prefix
+    * segment — the day the level shifted after.
+    *
+    * Scale: prefix sums and totals are two window passes over the SAME
+    * (group, order) sort — one exchange — and the argmax is one
+    * max(struct) agg, so state never exceeds the per-group series,
+    * which is day-domain-bounded for daily inputs. Overflow: |n·S_t −
+    * t·S| ≤ n·|S|, squared — safe while n·|S| < 3·10⁹ (a year of daily
+    * cents sums up to ~10⁷/day); rescale the value column first beyond
+    * that. Returns (group, n_days, cut_day, score).
+    */
+  def meanShiftCut(daily: DataFrame, groupCol: String, dayCol: String,
+                   valCol: String, minDays: Int): DataFrame = {
+    val ord = Window.partitionBy(groupCol).orderBy(col(dayCol).asc)
+    val all = Window.partitionBy(groupCol)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val scored = daily
+      .withColumn("x", col(valCol).cast("long"))
+      .withColumn("t", row_number().over(ord).cast("long"))
+      .withColumn("st", sum("x").over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(all).cast("long"))
+      .withColumn("s", sum("x").over(all))
+      .filter(col("n") >= minDays && col("t") < col("n"))
+      .withColumn("score", expr(
+        "((n * st - t * s) * (n * st - t * s)) div (t * (n - t))"))
+    scored.groupBy(col(groupCol).as("grp"))
+      .agg(max(struct(col("score"), col("t").cast("long").*(lit(-1L)).as("negt"),
+        col(dayCol).as("day"), col("n").as("n"))).as("best"))
+      .select(col("grp"), col("best.n").as("n_days"),
+        col("best.day").as("cut_day"), col("best.score").as("score"))
+  }
+
   /** Lag-1 autocorrelation of a per-group daily series, from EXACT
     * integer sufficient statistics: the per-day sums are integer cents,
     * the (x_t, x_{t+1}) moment sums are Long, and the final Pearson

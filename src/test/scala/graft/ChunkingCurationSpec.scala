@@ -481,6 +481,45 @@ class ChunkingCurationSpec extends AnyFunSuite {
     assert(rep == got)
   }
 
+  test("cooccurRecsTopK: hand baskets — fused cosine², floor, repeats") {
+    import graft.operators.Relational
+    // b1{x,y,z} b2{x,y} b3{x,y} b4{y,z} b5{x,w}; duplicate (b2,x) rows
+    // must not inflate counts. n_x=4 n_y=4 n_z=2 n_w=1; xy=3 xz=1 yz=2.
+    val bi = Seq(("b1", "x"), ("b1", "y"), ("b1", "z"), ("b2", "x"),
+      ("b2", "x"), ("b2", "y"), ("b3", "x"), ("b3", "y"), ("b4", "y"),
+      ("b4", "z"), ("b5", "x"), ("b5", "w")).toDF("b", "i")
+    val got = Relational.cooccurRecsTopK(bi, "b", "i", minBoth = 2L, topK = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(5), r.getLong(6))).toMap
+    // xy: 9e6/16 = 562500; yz: 4e6/8 = 500000; xz/xw below minBoth
+    assert(got == Map(
+      ("x", "y") -> ((3L, 562500L, 1L)),
+      ("y", "x") -> ((3L, 562500L, 1L)),
+      ("y", "z") -> ((2L, 500000L, 2L)),
+      ("z", "y") -> ((2L, 500000L, 1L))))
+  }
+
+  test("meanShiftCut: planted level shift found, ties break earliest") {
+    import graft.operators.Relational
+    import java.sql.Date
+    def day(i: Int) = Date.valueOf(f"2024-01-${i}%02d")
+    val daily = (
+      // a: 4 days of 100 then 4 days of 200 — cut after day 4,
+      // score (8·400−4·1200)²/(4·4) = 160000
+      (1 to 8).map(i => ("a", day(i), if (i <= 4) 100L else 200L)) ++
+      // b: constant — every split scores 0, tie breaks to day 1
+      (1 to 8).map(i => ("b", day(i), 50L)) ++
+      // c: under minDays, must not appear
+      (1 to 4).map(i => ("c", day(i), 999L))
+    ).toDF("grp", "day", "v")
+    val got = Relational.meanShiftCut(daily, "grp", "day", "v", minDays = 8)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDate(2).toString, r.getLong(3))).toMap
+    assert(got == Map(
+      "a" -> ((8L, "2024-01-04", 160000L)),
+      "b" -> ((8L, "2024-01-01", 0L))))
+  }
+
   test("autocorrLag1: linear +1, alternating -1, constant guarded to 0") {
     import graft.operators.Relational
     import java.sql.Date

@@ -872,6 +872,35 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(rep == run(2))
   }
 
+  test("kCore: tails peel, anchored paths survive, fixpoint bound throws") {
+    import spark.implicits._
+    // triangle 1-2-3 with tail 3-4-5: the tail peels inward (5 then 4),
+    // the triangle is the 2-core at degree 2 each
+    val g1 = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("id_a", "id_b")
+    val core1 = GraphOps.kCore(g1, "id_a", "id_b", k = 2, maxRounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core1 == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // path BETWEEN two triangles: every path node keeps degree 2, so
+    // the whole graph is its own 2-core (peeling never starts)
+    val g2 = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 7L), (7L, 8L), (6L, 8L)).toDF("id_a", "id_b")
+    val core2 = GraphOps.kCore(g2, "id_a", "id_b", k = 2, maxRounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core2.keySet == (1L to 8L).toSet && core2(4L) == 2L)
+    // 10-node path at k=2 needs 5 peel rounds to empty — a bound of 3
+    // must throw (never silently return a non-fixpoint), 5 must empty
+    val path = (1L to 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalArgumentException] {
+      GraphOps.kCore(path, "id_a", "id_b", k = 2, maxRounds = 3).collect()
+    }
+    assert(GraphOps.kCore(path, "id_a", "id_b", k = 2, maxRounds = 5).count() == 0L)
+    // partition invariance of the peel loop
+    val rep = GraphOps.kCore(g1.repartition(4), "id_a", "id_b", 2, 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep == core1)
+  }
+
   test("naiveBayesConfusion: separable corpus classifies diagonal-only") {
     import spark.implicits._
     // two classes with DISJOINT vocabularies; whatever the md5 split
