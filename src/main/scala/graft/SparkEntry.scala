@@ -150,6 +150,17 @@ object SparkEntry {
   private val CooccurTopK = 3
   private val ChangepointMinDays = 8
 
+  /** q187's DBSCAN geometry over the customer RFM plane (x = 25·orders,
+    * y = spend div 10⁶ cents — the ×25 balances the two ranges so the
+    * eps ball is round), q188's TextRank geometry — all shared with the
+    * oracle SQL.
+    */
+  private val DbscanEps = 25L
+  private val DbscanMinPts = 8
+  private val TextRankMinCount = 3L
+  private val TextRankIters = 3
+  private val TextRankTopK = 20
+
   /** q167's MMR geometry (candidate pool, picks), shared with the
     * oracle SQL's unrolled greedy rounds. λ = 7/10 is hard-coded in
     * both score expressions (7·rel − 3·maxsim).
@@ -2626,7 +2637,62 @@ object SparkEntry {
           date_format(col("cut_day"), "yyyy-MM-dd").as("cut_day"),
           col("score"))
         .orderBy("user_id")
-    })
+    }),
+
+    "q187_dbscan_rfm" -> ((s, d) => {
+      // Density clustering (grid-partitioned DBSCAN) over the customer
+      // RFM plane: eps-grid candidate join, exact integer L2 cut,
+      // core/border/noise with deterministic min-label borders
+      // (Ann.dbscanGrid scaladoc). Oracle is the brute-force eps-join
+      // + recursive-closure labeling.
+      val rfm = orders(s, d).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_ord"),
+          sum(cents(col("o_totalprice"))).as("spend_c"))
+        .select(col("o_custkey").as("id"),
+          (col("n_ord") * 25).cast("long").as("x"),
+          expr("spend_c div 1000000").as("y"))
+      Ann.dbscanGrid(rfm, "id", "x", "y",
+          eps = DbscanEps, minPts = DbscanMinPts)
+        .select(col("id").as("cust_id"), col("role"), col("label"))
+        .orderBy("cust_id")
+    }),
+
+    "q188_textrank_keywords" -> ((s, d) => {
+      // TextRank keyword extraction (Mihalcea & Tarau 2004): windowed
+      // co-occurrence edges (offsets 1-2, ONE doc-partitioned window
+      // exchange — no position self-join) weighted by corpus count,
+      // WEIGHTED integer PageRank, top-20. Unweighted ranks collapse
+      // to uniform on this near-complete vocabulary graph — the
+      // weights carry all the signal (GraphOps.weightedPageRankInt
+      // scaladoc).
+      val t = documents(s, d).select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("p", "w")))
+      val win = Window.partitionBy("doc_id").orderBy("p")
+      val adj = t.withColumn("w1", lead("w", 1).over(win))
+        .withColumn("w2", lead("w", 2).over(win))
+      val pairsRaw = adj.select(col("w").as("a"), col("w1").as("b"))
+        .unionByName(adj.select(col("w").as("a"), col("w2").as("b")))
+        .filter(col("b").isNotNull && col("a") =!= col("b"))
+      val edges = pairsRaw.select(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("w"))
+        .filter(col("w") >= TextRankMinCount)
+      GraphOps.weightedPageRankInt(edges, "u", "v", "w",
+          iters = TextRankIters)
+        .orderBy(col("r").desc, col("id").asc)
+        .limit(TextRankTopK)
+        .select(col("id").as("word"), col("r").as("rank_i"))
+    }),
+
+    "q189_audio_silence" -> ((s, d) =>
+      // VAD-lite: silence segmentation over REAL WAV decode — map-only,
+      // per-file run merge inside the stage, blob never shuffles; the
+      // oracle derives silent windows from the fixture amplitude
+      // formula, no WAV decoded (Multimodal.audioSilenceSegments
+      // scaladoc).
+      Multimodal.audioSilenceSegments(
+          Multimodal.mediaWithDupAudio(s, documents(s, d))).toDF()
+        .orderBy("media_id", "seg"))
   )
 
   // ---------------------------------------------------------------- //
@@ -5680,6 +5746,97 @@ object SparkEntry {
          |    ORDER BY score DESC, t) AS rn FROM sc)
          |SELECT user_id, n AS n_days, strftime(day, '%Y-%m-%d') AS cut_day,
          | CAST(score AS BIGINT) AS score
-         |FROM r WHERE rn = 1 ORDER BY 1""".stripMargin
+         |FROM r WHERE rn = 1 ORDER BY 1""".stripMargin,
+
+    // brute-force eps-join over the POSITION histogram (identically
+    // placed points share a neighborhood, so multiplicity sums are the
+    // exact DBSCAN counts — and the closure runs over positions, which
+    // the value domain bounds) + exact recursive transitive closure
+    // over core-core position edges (q84 pattern); border label = MIN
+    // adjacent core label, same as the engine
+    "q187_dbscan_rfm" ->
+      s"""WITH RECURSIVE p AS (SELECT o_custkey AS id,
+         |  CAST(count(*) * 25 AS BIGINT) AS x,
+         |  CAST(SUM(CAST(round(o_totalprice*100,0) AS BIGINT)) // 1000000 AS BIGINT) AS y
+         | FROM orders GROUP BY 1),
+         |pos AS (SELECT x, y, COUNT(*) AS m, MIN(id) AS pid FROM p GROUP BY 1, 2),
+         |nb AS (SELECT a.pid pa, b.pid pb, b.m mb FROM pos a JOIN pos b
+         | ON (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y) <= ${DbscanEps * DbscanEps}),
+         |cnt AS (SELECT pa, SUM(mb) c FROM nb GROUP BY 1),
+         |core AS (SELECT pa AS cid FROM cnt WHERE c >= $DbscanMinPts),
+         |ce AS (SELECT nb.pa u, nb.pb v FROM nb
+         |  JOIN core ca ON nb.pa = ca.cid JOIN core cb ON nb.pb = cb.cid
+         |  WHERE nb.pa <> nb.pb),
+         |reach AS (SELECT u AS node, u AS label FROM ce
+         | UNION SELECT ce.u, r.label FROM ce JOIN reach r ON ce.v = r.node),
+         |lab AS (SELECT node, MIN(label) AS lbl FROM reach GROUP BY 1),
+         |corelab AS (SELECT core.cid, COALESCE(lab.lbl, core.cid) AS lbl
+         | FROM core LEFT JOIN lab ON core.cid = lab.node),
+         |borderlab AS (SELECT nb.pa AS pid, MIN(cl.lbl) AS lbl FROM nb
+         |  JOIN corelab cl ON nb.pb = cl.cid
+         |  WHERE nb.pa NOT IN (SELECT cid FROM core) GROUP BY 1),
+         |verdict AS (SELECT cid AS pid, 'core' AS role, lbl FROM corelab
+         | UNION ALL SELECT pid, 'border', lbl FROM borderlab)
+         |SELECT p.id AS cust_id, COALESCE(v.role, 'noise') AS role,
+         | CAST(COALESCE(v.lbl, -1) AS BIGINT) AS label
+         |FROM p JOIN pos ON p.x = pos.x AND p.y = pos.y
+         | LEFT JOIN verdict v ON pos.pid = v.pid
+         |ORDER BY cust_id""".stripMargin,
+
+    // same windowed edges, weighted PageRank unrolled per iteration
+    // (the q105 oracle shape with swt in place of degree)
+    "q188_textrank_keywords" -> {
+      val base = "CAST(1000000000 AS BIGINT) // nn.n"
+      val iterCtes = (1 to TextRankIters).map { i =>
+        s"""s$i AS (SELECT e.v AS id,
+           |  CAST(SUM((r${i - 1}.r * e.w) // r${i - 1}.swt) AS BIGINT) AS s
+           | FROM e JOIN r${i - 1} ON e.u = r${i - 1}.id GROUP BY 1),
+           |r$i AS (SELECT sw.id, sw.swt,
+           |  (15 * ($base)) // 100 + (85 * COALESCE(s$i.s, 0)) // 100 AS r
+           | FROM sw LEFT JOIN s$i USING (id), nn)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH t AS (SELECT doc_id AS id, $TOKS AS toks FROM documents),
+         |adj AS (SELECT toks[p] AS a, toks[p+o] AS b
+         | FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS p) pp,
+         |      LATERAL (SELECT unnest([1, 2]) AS o) oo
+         | WHERE p + o <= len(toks) AND toks[p] <> toks[p+o]),
+         |eh AS (SELECT LEAST(a, b) AS u, GREATEST(a, b) AS v,
+         |  CAST(COUNT(*) AS BIGINT) AS w
+         | FROM adj GROUP BY 1, 2 HAVING COUNT(*) >= $TextRankMinCount),
+         |e AS (SELECT u, v, w FROM eh UNION ALL SELECT v, u, w FROM eh),
+         |sw AS (SELECT u AS id, SUM(w) AS swt FROM e GROUP BY 1),
+         |nn AS (SELECT COUNT(*) AS n FROM sw),
+         |r0 AS (SELECT id, swt, $base AS r FROM sw, nn),
+         |$iterCtes
+         |SELECT id AS word, CAST(r AS BIGINT) AS rank_i FROM r$TextRankIters
+         |ORDER BY r DESC, id LIMIT $TextRankTopK""".stripMargin
+    },
+
+    // silent window k <=> the q132 amplitude formula bit is 0 (amp 10
+    // vs threshold 100); runs via the k - row_number grouping, no WAV
+    // decoded oracle-side
+    "q189_audio_silence" ->
+      """WITH dim AS (SELECT doc_id AS id, doc_id // 10 AS gid,
+        |  ((doc_id % 10) * 11) % 64 AS fw
+        | FROM documents WHERE doc_id % 2 = 1),
+        |hsh AS (SELECT id, fw,
+        |  CAST(concat('0x', substr(md5(CAST(gid AS VARCHAR)),1,15)) AS BIGINT) AS hp
+        | FROM dim),
+        |amp AS (SELECT id, k,
+        |  CASE WHEN (((hp >> (k % 60)) & 1) = 1) != (k = fw)
+        |       THEN 240 ELSE 10 END AS a
+        | FROM hsh, LATERAL (SELECT unnest(generate_series(0, 63)) AS k) t),
+        |sil AS (SELECT id, k FROM amp WHERE a = 10),
+        |g AS (SELECT id, k,
+        |  k - row_number() OVER (PARTITION BY id ORDER BY k) AS grp FROM sil),
+        |seg0 AS (SELECT id, grp, MIN(k) AS start_win, MAX(k) AS end_win,
+        |  COUNT(*) AS n_win FROM g GROUP BY 1, 2),
+        |seg AS (SELECT id,
+        |  row_number() OVER (PARTITION BY id ORDER BY start_win) - 1 AS seg,
+        |  start_win, end_win, n_win FROM seg0)
+        |SELECT id AS media_id, CAST(seg AS BIGINT) AS seg,
+        | CAST(start_win AS BIGINT) AS start_win,
+        | CAST(end_win AS BIGINT) AS end_win, CAST(n_win AS BIGINT) AS n_win
+        |FROM seg ORDER BY media_id, seg""".stripMargin
   )
 }

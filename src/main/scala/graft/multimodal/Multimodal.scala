@@ -560,6 +560,64 @@ object Multimodal {
     }
   }
 
+  case class SilenceSeg(media_id: Long, seg: Long, start_win: Long,
+                        end_win: Long, n_win: Long)
+
+  /** Silence segmentation over REAL decoded PCM (the audio counterpart
+    * of [[videoSceneCuts]]' keyframe detection — the VAD-lite primitive
+    * a speech pipeline runs before transcription): the clip is cut into
+    * `nWindows` equal windows (the [[audioFingerprint]] boundaries) and
+    * window k is silent when its mean |sample| is below `thrAbs` —
+    * compared cross-multiplied (sumAbs_k < thrAbs · n_k), no division.
+    * Consecutive silent windows merge into segments (seg index, first
+    * and last window, length), computed INSIDE the map step — windows
+    * are file-local, so segmentation is map-only: zero shuffle, the
+    * blob dies in-stage, undecodable/short clips yield no rows rather
+    * than a throw. The fixture's constant-amplitude windows make the
+    * oracle analytic: silent ⟺ the md5 formula bit is 0.
+    */
+  def audioSilenceSegments(media: Dataset[MediaRow], nWindows: Int = 64,
+                           thrAbs: Long = 100L): Dataset[SilenceSeg] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        AudioCodec.pcm16DataRange(m.content).toSeq.flatMap { case (dLo, dHi) =>
+          val n = (dHi - dLo) / 2
+          if (n < nWindows) Seq.empty
+          else {
+            val segs = Seq.newBuilder[SilenceSeg]
+            var seg = 0L
+            var runStart = -1
+            var k = 0
+            while (k < nWindows) {
+              val lo = (k.toLong * n / nWindows).toInt
+              val hi = ((k + 1).toLong * n / nWindows).toInt
+              var s = 0L
+              var i = lo
+              while (i < hi) {
+                val v = (m.content(dLo + 2 * i + 1).toInt << 8) |
+                  (m.content(dLo + 2 * i) & 0xff)
+                s += math.abs(v)
+                i += 1
+              }
+              val silent = s < thrAbs * (hi - lo)
+              if (silent && runStart < 0) runStart = k
+              if (!silent && runStart >= 0) {
+                segs += SilenceSeg(m.media_id, seg, runStart, k - 1, k - runStart)
+                seg += 1; runStart = -1
+              }
+              k += 1
+            }
+            if (runStart >= 0)
+              segs += SilenceSeg(m.media_id, seg, runStart, nWindows - 1,
+                nWindows - runStart)
+            segs.result()
+          }
+        }
+      }
+    }
+  }
+
   /** REAL image resize: decode via javax.imageio, nearest-neighbor
     * resample (source pixel of (x', y') is (x'·w/w', y'·h/h'), integer
     * floor — the same index mapping the byte-level [[resize]] stub uses,

@@ -238,6 +238,50 @@ object GraphOps {
     dist.select("id", "dist")
   }
 
+  /** WEIGHTED PageRank ([[pageRankInt]] with per-edge weights — the
+    * TextRank formulation, Mihalcea & Tarau 2004): each node's rank
+    * flows to neighbors proportionally to edge weight, contribution =
+    * (r·w) div sw in exact scaled-long arithmetic (sw = the node's
+    * total incident weight), damping (85·Σ) div 100 + the uniform 15%
+    * base. On a near-complete graph (small shared vocabulary) the
+    * UNWEIGHTED ranks collapse to uniform — the weights are what
+    * differentiate nodes, which is why TextRank prescribes them.
+    *
+    * Scale shape identical to [[pageRankInt]]: edges and weight sums
+    * materialize once, each iteration is one |E| equi-join + one
+    * map-side-combinable sum, per-round localCheckpoint. Overflow:
+    * r·w ≤ scale · max weight — fine while co-occurrence counts stay
+    * below ~9·10⁹/scale (rescale first otherwise).
+    */
+  def weightedPageRankInt(edges: DataFrame, aCol: String, bCol: String,
+                          wCol: String, iters: Int,
+                          scale: Long = 1000000000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.select(col(aCol).as("u"), col(bCol).as("v"),
+        col(wCol).cast("long").as("w"))
+      .unionByName(edges.select(col(bCol).as("u"), col(aCol).as("v"),
+        col(wCol).cast("long").as("w")))
+      .localCheckpoint(true)
+    val sw = e.groupBy("u").agg(sum("w").as("swt"))
+      .select(col("u").as("id"), col("swt"))
+      .localCheckpoint(true)
+    val n = sw.count()
+    val r0 = scale / n
+    val base = (15L * r0) / 100L
+    var r = sw.select(col("id"), col("swt"), lit(r0).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = r.select(col("id").as("cid"), col("r"), col("swt"))
+      val sums = e.join(contrib, col("u") === col("cid"))
+        .select(col("v"), expr("(r * w) div swt").as("c"))
+        .groupBy("v").agg(sum("c").as("s"))
+      r = sw.join(sums, sw("id") === sums("v"), "left")
+        .select(sw("id"), sw("swt"),
+          (lit(base) + expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("r"))
+        .localCheckpoint(true)
+    }
+    r.select(col("id"), col("r"))
+  }
+
   /** k-core decomposition (iterative peeling to the Seidman fixpoint):
     * the maximal subgraph in which every node keeps degree ≥ k — the
     * "dense backbone" query a dedup/graph pipeline runs to separate

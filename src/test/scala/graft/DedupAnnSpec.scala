@@ -901,6 +901,52 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(rep == core1)
   }
 
+  test("dbscanGrid: blobs, border min-label, noise, multiplicity collapse") {
+    import spark.implicits._
+    // blob A: 4 points at (10,10)-(11,11); blob B: 4 points at (50,50)
+    // area; outlier at (90,90); border point at (14,10) — within eps of
+    // blob A's cores but with a sparse own-neighborhood
+    val pts = Seq(
+      (1L, 10L, 10L), (2L, 11L, 10L), (3L, 10L, 11L), (4L, 11L, 11L),
+      (10L, 50L, 50L), (11L, 51L, 50L), (12L, 50L, 51L), (13L, 51L, 51L),
+      (20L, 90L, 90L),
+      (30L, 14L, 10L)
+    ).toDF("id", "x", "y")
+    val got = Ann.dbscanGrid(pts, "id", "x", "y", eps = 3L, minPts = 4)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert((1L to 4L).forall(i => got(i) == (("core", 1L))))
+    assert((10L to 13L).forall(i => got(i) == (("core", 10L))))
+    assert(got(20L) == (("noise", -1L)))
+    assert(got(30L) == (("border", 1L)))
+    // duplicate positions collapse but every point reports; the extra
+    // mass promotes the outlier pair to core
+    val dup = pts.unionAll(Seq((21L, 90L, 90L), (22L, 90L, 90L),
+      (23L, 90L, 90L)).toDF("id", "x", "y"))
+    val got2 = Ann.dbscanGrid(dup, "id", "x", "y", eps = 3L, minPts = 4)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got2(20L) == (("core", 20L)) && got2(23L) == (("core", 20L)))
+    assert(got2(1L) == (("core", 1L)))
+  }
+
+  test("weightedPageRankInt: hand triangle, weights steer the flow") {
+    import spark.implicits._
+    // edges 1-2 (w3), 2-3 (w1); undirected. swt: 1->3, 2->4, 3->1.
+    // scale 1e9, n=3, r0=333333333, base=49999999 (15% of r0).
+    // it1: node1 gets (r0*3) div 4 = 249999999 -> r=49999999+212499999
+    //      node2 gets (r0*3) div 3 + (r0*1) div 1 = 333333333+333333333
+    //      node3 gets (r0*1) div 4 = 83333333
+    val e = Seq((1L, 2L, 3L), (2L, 3L, 1L)).toDF("u", "v", "w")
+    val got = GraphOps.weightedPageRankInt(e, "u", "v", "w", iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val r0 = 1000000000L / 3
+    val base = (15L * r0) / 100
+    assert(got(1L) == base + (85L * ((r0 * 3) / 4)) / 100)
+    assert(got(2L) == base + (85L * ((r0 * 3) / 3 + (r0 * 1) / 1)) / 100)
+    assert(got(3L) == base + (85L * ((r0 * 1) / 4)) / 100)
+    // heavier 1-2 edge must rank 2 above what the unweighted walk gives 3
+    assert(got(2L) > got(3L))
+  }
+
   test("naiveBayesConfusion: separable corpus classifies diagonal-only") {
     import spark.implicits._
     // two classes with DISJOINT vocabularies; whatever the md5 split

@@ -283,6 +283,27 @@ class EntrySpec extends AnyFunSuite {
     assert(pairs.forall(_._3 == 2L), pairs.mkString(","))
   }
 
+  test("audio silence segments: planted runs, edges, corrupt blob drops") {
+    import graft.multimodal.Multimodal.{AudioCodec, MediaRow}
+    import spark.implicits._
+    // 128 samples = 64 windows of 2; windows 0-9 silent (amp 10),
+    // 10-39 loud (240), 40-63 silent — two segments, one touching the
+    // start and one the end
+    def amp(k: Int) = if (k < 10 || k >= 40) 10 else 240
+    val wav = AudioCodec.encodePcm(Array.tabulate(128)(i => amp(i / 2)))
+    val media = Seq(
+      MediaRow(1L, "audio", wav, 128, 8000),
+      MediaRow(2L, "audio", "junk".getBytes("UTF-8"), 0, 0)
+    ).toDS()
+    val got = Multimodal.audioSilenceSegments(media).collect()
+      .map(s => (s.media_id, s.seg, s.start_win, s.end_win, s.n_win)).toSet
+    assert(got == Set((1L, 0L, 0L, 9L, 10L), (1L, 1L, 40L, 63L, 24L)))
+    // an all-loud clip yields zero segments, not an empty-run row
+    val loud = AudioCodec.encodePcm(Array.fill(128)(240))
+    assert(Multimodal.audioSilenceSegments(
+      Seq(MediaRow(3L, "audio", loud, 128, 8000)).toDS()).count() == 0L)
+  }
+
   test("PngCodec: gray roundtrip, ImageIO agreement, all five filters") {
     import graft.multimodal.Multimodal.PngCodec
     // uniform-gray writer: ImageIO and the narrow reader agree exactly
