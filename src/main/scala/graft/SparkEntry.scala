@@ -2665,17 +2665,10 @@ object SparkEntry {
       // to uniform on this near-complete vocabulary graph — the
       // weights carry all the signal (GraphOps.weightedPageRankInt
       // scaladoc).
-      val t = documents(s, d).select(col("doc_id"),
-        posexplode(tokens(col("text"))).as(Seq("p", "w")))
-      val win = Window.partitionBy("doc_id").orderBy("p")
-      val adj = t.withColumn("w1", lead("w", 1).over(win))
-        .withColumn("w2", lead("w", 2).over(win))
-      val pairsRaw = adj.select(col("w").as("a"), col("w1").as("b"))
-        .unionByName(adj.select(col("w").as("a"), col("w2").as("b")))
-        .filter(col("b").isNotNull && col("a") =!= col("b"))
-      val edges = pairsRaw.select(least(col("a"), col("b")).as("u"),
-          greatest(col("a"), col("b")).as("v"))
-        .groupBy("u", "v").agg(count(lit(1)).as("w"))
+      val edges = documents(s, d)
+        .select(explode(cooccurPairsUdf(2)(tokens(col("text")))).as("pr"))
+        .groupBy(col("pr._1").as("u"), col("pr._2").as("v"))
+        .agg(count(lit(1)).as("w"))
         .filter(col("w") >= TextRankMinCount)
       GraphOps.weightedPageRankInt(edges, "u", "v", "w",
           iters = TextRankIters)

@@ -243,6 +243,34 @@ object TextFunctions {
   def tokenHash32(t: Column): Column =
     conv(substring(md5(t), 1, 7), 16, 10).cast("long")
 
+  /** Windowed co-occurrence pairs for TextRank-style graphs, MAP-SIDE:
+    * one tight JVM pass over a doc's token array emits every
+    * (min, max)-normalized unordered pair at position offsets
+    * 1..maxOffset with distinct words — no posexplode + full-corpus
+    * window exchange (the lead() form shuffled every token; this form's
+    * only shuffle is the downstream edge-count agg — measured 8.3 s →
+    * linear at sf1 for q188).
+    */
+  def cooccurPairsUdf(maxOffset: Int) =
+    org.apache.spark.sql.functions.udf { toks: Seq[String] =>
+      if (toks == null) Seq.empty[(String, String)]
+      else {
+        val n = toks.size
+        val out = Seq.newBuilder[(String, String)]
+        var i = 0
+        while (i < n) {
+          var o = 1
+          while (o <= maxOffset && i + o < n) {
+            val a = toks(i); val b = toks(i + o)
+            if (a != b) out += (if (a < b) (a, b) else (b, a))
+            o += 1
+          }
+          i += 1
+        }
+        out.result()
+      }
+    }
+
   /** Rolling polynomial hash (Rabin-Karp shape) of the full string:
     * h = sum(c_i * B^(n-1-i)) mod M with B=257, M=2^31-1 — ONE tight
     * JVM loop per document. The original higher-order
