@@ -2685,7 +2685,58 @@ object SparkEntry {
       // scaladoc).
       Multimodal.audioSilenceSegments(
           Multimodal.mediaWithDupAudio(s, documents(s, d))).toDF()
-        .orderBy("media_id", "seg"))
+        .orderBy("media_id", "seg")),
+
+    "q190_theilsen_trend" -> ((s, d) => {
+      // Robust revenue trend per return flag: exact Theil-Sen over the
+      // daily series — median-of-slopes is immune to the outlier days
+      // that tilt q155's least-squares fit (Relational.theilSenSlope
+      // scaladoc; pair fan-out bounded by the day domain, never the
+      // corpus).
+      val daily = lineitem(s, d).groupBy(col("l_returnflag"),
+          to_date(col("l_shipdate")).as("day"))
+        .agg(sum(cents(col("l_extendedprice"))).as("rev_c"))
+        .select(col("l_returnflag"),
+          datediff(col("day"), lit("1970-01-01")).cast("long").as("x"),
+          col("rev_c").as("y"))
+      Relational.theilSenSlope(daily, "l_returnflag", "x", "y")
+        .select(col("grp").as("l_returnflag"), col("n_pairs"),
+          col("slope_milli"))
+        .orderBy("l_returnflag")
+    }),
+
+    "q191_entity_resolution" -> ((s, d) => {
+      // Record-linkage composition (the pipeline q121 stops short of):
+      // SymSpell ed<=1 candidate pairs -> nation blocking -> star CC
+      // collapse -> per-entity cluster label + size; singletons
+      // self-label. Every stage is the proven machinery (q121, q84).
+      val c = customer(s, d)
+      val pairs = Dedup.editDistance1Join(c, "c_custkey", "c_name")
+      val nat = c.select(col("c_custkey"), col("c_nationkey"))
+      // checkpoint BEFORE the star loop: dupClustersStar materializes
+      // nodes and edges as two separate actions, and each CC round has
+      // its own lineage root — without this the whole SymSpell posting
+      // pipeline re-executes per consumer (measured 49 s -> ~16 s
+      // at sf1)
+      val blocked = pairs
+        .join(nat.select(col("c_custkey").as("id_a"),
+          col("c_nationkey").as("na")), Seq("id_a"))
+        .join(nat.select(col("c_custkey").as("id_b"),
+          col("c_nationkey").as("nb")), Seq("id_b"))
+        .filter(col("na") === col("nb"))
+        .select("id_a", "id_b")
+        .localCheckpoint(true)
+      val labels = Dedup.dupClustersStar(blocked, "id_a", "id_b")
+      val out = c.select(col("c_custkey").as("cust_id"))
+        .join(labels.withColumnRenamed("node", "cust_id"), Seq("cust_id"),
+          "left")
+        .select(col("cust_id"),
+          coalesce(col("label"), col("cust_id")).as("label"))
+      val sizes = out.groupBy("label").agg(count(lit(1)).as("csize"))
+      out.join(sizes, Seq("label"))
+        .select(col("cust_id"), col("label"), col("csize").cast("long").as("csize"))
+        .orderBy("cust_id")
+    })
   )
 
   // ---------------------------------------------------------------- //
@@ -5830,6 +5881,45 @@ object SparkEntry {
         |SELECT id AS media_id, CAST(seg AS BIGINT) AS seg,
         | CAST(start_win AS BIGINT) AS start_win,
         | CAST(end_win AS BIGINT) AS end_win, CAST(n_win AS BIGINT) AS n_win
-        |FROM seg ORDER BY media_id, seg""".stripMargin
+        |FROM seg ORDER BY media_id, seg""".stripMargin,
+
+    // pairwise slopes brute force; // floors like the engine's
+    // (dy - pmod) div spelling; lower median via the q150 rule
+    "q190_theilsen_trend" ->
+      """WITH daily AS (SELECT l_returnflag, CAST(l_shipdate AS DATE) AS day,
+        |  CAST(SUM(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS BIGINT) AS y
+        | FROM lineitem GROUP BY 1, 2),
+        |d2 AS (SELECT l_returnflag,
+        |  CAST(day - DATE '1970-01-01' AS BIGINT) AS x, y FROM daily),
+        |pr AS (SELECT a.l_returnflag AS g,
+        |  ((b.y - a.y) * 1000) // (b.x - a.x) AS s
+        | FROM d2 a JOIN d2 b ON a.l_returnflag = b.l_returnflag AND a.x < b.x),
+        |h AS (SELECT g, s, CAST(COUNT(*) AS BIGINT) AS wv FROM pr GROUP BY 1, 2),
+        |c AS (SELECT g, s, wv,
+        |  SUM(wv) OVER (PARTITION BY g ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  SUM(wv) OVER (PARTITION BY g) AS tot FROM h)
+        |SELECT g AS l_returnflag, CAST(MAX(tot) AS BIGINT) AS n_pairs,
+        | CAST(MIN(s) AS BIGINT) AS slope_milli
+        |FROM c WHERE cum * 2 >= tot GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q121's brute-force levenshtein pairs restricted to the nation
+    // block, exact recursive closure, singleton self-label
+    "q191_entity_resolution" ->
+      """WITH RECURSIVE pr AS (SELECT a.c_custkey ia, b.c_custkey ib
+        | FROM customer a JOIN customer b
+        | ON a.c_custkey < b.c_custkey AND a.c_nationkey = b.c_nationkey
+        | WHERE levenshtein(a.c_name, b.c_name) <= 1),
+        |e AS (SELECT ia u, ib v FROM pr UNION ALL SELECT ib, ia FROM pr),
+        |reach AS (SELECT u AS node, u AS label FROM e
+        | UNION SELECT e.u, r.label FROM e JOIN reach r ON e.v = r.node),
+        |lab AS (SELECT node, MIN(label) lbl FROM reach GROUP BY 1),
+        |allc AS (SELECT c_custkey AS cust_id,
+        |  COALESCE(lab.lbl, c_custkey) AS label
+        | FROM customer LEFT JOIN lab ON customer.c_custkey = lab.node),
+        |sz AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS csize
+        | FROM allc GROUP BY 1)
+        |SELECT cust_id, CAST(label AS BIGINT) AS label, csize
+        |FROM allc JOIN sz USING (label) ORDER BY cust_id""".stripMargin
   )
 }

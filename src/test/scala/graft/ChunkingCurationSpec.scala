@@ -520,6 +520,23 @@ class ChunkingCurationSpec extends AnyFunSuite {
       "b" -> ((8L, "2024-01-01", 0L))))
   }
 
+  test("theilSenSlope: outlier-immune median slope, truncating division") {
+    import graft.operators.Relational
+    val series = (
+      // g1: y = 2x with one wild outlier — 6 of 10 pairwise slopes are
+      // exactly 2000 milli, so the lower median ignores the outlier
+      Seq((0L, 0L), (1L, 2L), (2L, 4L), (3L, 6L), (4L, 1000L))
+        .map { case (x, y) => ("g1", x, y) } ++
+      // g2: single pair with negative non-exact slope: -7000 div 3
+      // truncates to -2333 (floor would be -2334) on BOTH engines
+      Seq(("g2", 0L, 0L), ("g2", 3L, -7L))
+    ).toDF("g", "x", "y")
+    val got = Relational.theilSenSlope(series, "g", "x", "y")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got("g1") == ((10L, 2000L)))
+    assert(got("g2") == ((1L, -2333L)))
+  }
+
   test("autocorrLag1: linear +1, alternating -1, constant guarded to 0") {
     import graft.operators.Relational
     import java.sql.Date
