@@ -161,6 +161,15 @@ object SparkEntry {
   private val TextRankIters = 3
   private val TextRankTopK = 20
 
+  /** q192's product-quantization geometry (8 subspaces × 16 codes over
+    * the 64-dim embeddings, 2 Lloyd rounds per subspace, 5 query
+    * vectors, top-5) — shared with the generated oracle SQL.
+    */
+  private val PqM = 8
+  private val PqCodes = 16
+  private val PqQueryMax = 5L
+  private val PqK = 5
+
   /** q167's MMR geometry (candidate pool, picks), shared with the
     * oracle SQL's unrolled greedy rounds. λ = 7/10 is hard-coded in
     * both score expressions (7·rel − 3·maxsim).
@@ -2736,6 +2745,20 @@ object SparkEntry {
       out.join(sizes, Seq("label"))
         .select(col("cust_id"), col("label"), col("csize").cast("long").as("csize"))
         .orderBy("cust_id")
+    }),
+
+    "q192_pq_ann" -> ((s, d) => {
+      // Product-quantization ANN: 8 subspace codebooks (q54's Lloyd
+      // semantics per subspace), corpus stored as 8 codes/vector,
+      // queries scored by asymmetric-distance lookup-table sums in
+      // fixed subspace order (Ann.pqTopK scaladoc). The oracle replays
+      // all 8 k-means builds + the LUT chain in generated SQL.
+      val e = embeddings(s, d)
+      Ann.pqTopK(e, e.filter(col("vec_id") < PqQueryMax), "vec_id",
+          "embedding", k = PqK, m = PqM, codesPerSub = PqCodes, iters = 2)
+        .select(col("query_id"), col("neighbor_id"), col("adist"),
+          col("rank").as("rnk"))
+        .orderBy("query_id", "rnk")
     })
   )
 
@@ -5920,6 +5943,67 @@ object SparkEntry {
         |sz AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS csize
         | FROM allc GROUP BY 1)
         |SELECT cust_id, CAST(label AS BIGINT) AS label, csize
-        |FROM allc JOIN sz USING (label) ORDER BY cust_id""".stripMargin
+        |FROM allc JOIN sz USING (label) ORDER BY cust_id""".stripMargin,
+
+    // the full PQ replay: one shared seed-id list (q54's md5 seeding),
+    // per subspace 2 Lloyd rounds + encode + query LUT, then the
+    // asymmetric distance as an EXPLICIT left-to-right addition chain
+    // (a SUM aggregate would be order-free and could differ in the
+    // last bit). MATERIALIZED: every subspace chain re-references its
+    // predecessors through the joins.
+    "q192_pq_ann" -> {
+      val sub = 64 / PqM
+      def dist(x: String, p: String) =
+        s"""round(list_dot_product($x.v, $x.v) - 2.0*list_dot_product($x.v, $p.cv)
+           | + list_dot_product($p.cv, $p.cv), 6)""".stripMargin
+      def iter(ej: String, prev: String, a: String, c: String) =
+        s"""$a AS MATERIALIZED (SELECT sid, v, cid FROM (
+           |  SELECT x.vec_id AS sid, x.v, $prev.cid,
+           |   row_number() OVER (PARTITION BY x.vec_id
+           |     ORDER BY ${dist("x", prev)}, $prev.cid) AS rn
+           |  FROM $ej x CROSS JOIN $prev) t WHERE rn = 1),
+           |$c AS MATERIALIZED (SELECT cid, list(m ORDER BY pos) AS cv FROM (
+           |  SELECT cid, pos, round(avg(xx), 6) AS m FROM (
+           |   SELECT cid, unnest(v) AS xx, generate_subscripts(v, 1) AS pos FROM $a) u
+           |  GROUP BY 1, 2) g GROUP BY 1)""".stripMargin
+      val chains = (0 until PqM).map { j =>
+        val (a, b) = (j * sub + 1, j * sub + sub)
+        s"""e$j AS MATERIALIZED (SELECT vec_id, v[$a:$b] AS v FROM e),
+           |seed$j AS MATERIALIZED (SELECT s.cid, x.v AS cv
+           | FROM seedids s JOIN e$j x ON x.vec_id = s.sid),
+           |${iter(s"e$j", s"seed$j", s"a1_$j", s"c1_$j")},
+           |${iter(s"e$j", s"c1_$j", s"a2_$j", s"c2_$j")},
+           |enc$j AS MATERIALIZED (SELECT sid AS vec_id, cid AS c FROM (
+           |  SELECT x.vec_id AS sid, c2_$j.cid,
+           |   row_number() OVER (PARTITION BY x.vec_id
+           |     ORDER BY ${dist("x", s"c2_$j")}, c2_$j.cid) AS rn
+           |  FROM e$j x CROSS JOIN c2_$j) t WHERE rn = 1),
+           |lut$j AS MATERIALIZED (SELECT q.vec_id AS qid, c.cid, ${dist("q", "c")} AS d
+           | FROM (SELECT vec_id, v FROM e$j WHERE vec_id < $PqQueryMax) q
+           | CROSS JOIN c2_$j c)""".stripMargin
+      }.mkString(",\n")
+      val encJoins = (0 until PqM)
+        .map(j => s"JOIN enc$j ON enc$j.vec_id = x.vec_id").mkString(" ")
+      val lutJoins = (0 until PqM).map { j =>
+        if (j == 0) s"JOIN lut0 l0 ON l0.cid = enc0.c"
+        else s"JOIN lut$j l$j ON l$j.qid = l0.qid AND l$j.cid = enc$j.c"
+      }.mkString(" ")
+      val addChain = (0 until PqM).map(j => s"l$j.d").mkString(" + ")
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |seedids AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY h, sid) AS BIGINT) AS cid, sid
+         | FROM (SELECT vec_id AS sid,
+         |   ${duckHash("concat('ivf_', CAST(vec_id AS VARCHAR))", 15)} AS h
+         |  FROM e ORDER BY h, sid LIMIT $PqCodes) t),
+         |$chains,
+         |ad AS (SELECT l0.qid AS query_id, x.vec_id AS neighbor_id,
+         |  round($addChain, 6) AS adist
+         | FROM e x $encJoins $lutJoins
+         | WHERE l0.qid <> x.vec_id),
+         |r AS (SELECT query_id, neighbor_id, adist,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adist, neighbor_id) AS BIGINT) AS rnk FROM ad)
+         |SELECT query_id, neighbor_id, adist, rnk FROM r WHERE rnk <= $PqK
+         |ORDER BY query_id, rnk""".stripMargin
+    }
   )
 }

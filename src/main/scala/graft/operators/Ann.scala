@@ -827,6 +827,92 @@ object Ann {
     centers.toSeq.toDF("rank", "id", "d2_sel")
   }
 
+  /** Product-quantization ANN (Jégou et al. TPAMI 2011) — the
+    * compressed-corpus scale path: vectors split into `m` subvectors,
+    * each subspace k-means-coded ([[kmeansCentroidsLocal]], so the
+    * codebook build reuses q54's audited Lloyd semantics per
+    * subspace), the corpus stored as m SMALL CODES per vector (m bytes
+    * at 256 codes — a 256× compression of a float[64]), and queries
+    * scored by Asymmetric Distance Computation: per query one
+    * m × codes lookup table of exact subspace distances, approx
+    * distance = the FIXED-ORDER sum of table entries — left-to-right
+    * over subspaces, each entry HALF_UP-6-rounded, so the ranking is
+    * engine-exact and the oracle can replay it as a generated
+    * expression chain (never an order-free SUM aggregate).
+    *
+    * Scale: the codebooks are driver-bounded (m × codes × dim/m
+    * doubles); encoding is ONE map-only corpus pass (m argmin UDFs
+    * over sliced columns); scoring touches only the (query × corpus)
+    * code table — the float corpus is read exactly once at encode
+    * time, which is the published point of PQ. Returns
+    * (query_id, neighbor_id, adist, rank).
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, m: Int, codesPerSub: Int,
+             iters: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    require(m >= 1 && codesPerSub >= 1 && k >= 1,
+      s"need m, codesPerSub, k >= 1; got $m/$codesPerSub/$k")
+    val dim = corpus.select(size(col(vecCol))).as[Int].head()
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    val sub = dim / m
+    val books: Array[Array[(Long, Array[Double])]] = (0 until m).map { j =>
+      kmeansCentroidsLocal(
+        corpus.select(col(idCol).as("sid2"),
+          slice(col(vecCol), j * sub + 1, sub).as("sv")),
+        "sid2", "sv", codesPerSub, iters)
+    }.toArray
+    val vecType = corpus.schema(vecCol).dataType
+    var enc = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      col(vecCol).as("v"))
+    for (j <- 0 until m)
+      enc = enc.withColumn(s"c$j",
+        assignCidUdf(vecType, books(j))(slice(col("v"), j * sub + 1, sub)))
+    val encoded = enc.select(col("neighbor_id") +:
+      (0 until m).map(j => col(s"c$j")): _*)
+    // query-side LUTs on the driver: |queries| × m × codes rounded
+    // subspace distances (queries are a probe batch, small by contract)
+    val qRows = queries.select(col(idCol).cast("long").as("qid"), col(vecCol))
+      .collect()
+    val lut: Map[(Long, Int, Long), Double] = qRows.flatMap { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Number](1).map(_.doubleValue()).toArray
+      (0 until m).flatMap { j =>
+        val q = qv.slice(j * sub, (j + 1) * sub)
+        var qq = 0.0
+        var i = 0
+        while (i < sub) { qq += q(i) * q(i); i += 1 }
+        books(j).map { case (cid, cv) =>
+          var dot = 0.0; var cc = 0.0
+          i = 0
+          while (i < sub) { dot += q(i) * cv(i); cc += cv(i) * cv(i); i += 1 }
+          val d = java.math.BigDecimal.valueOf(qq - 2.0 * dot + cc)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+          ((qid, j, cid), d)
+        }
+      }
+    }.toMap
+    val adistUdf = udf { (qid: Long, codes: Seq[Long]) =>
+      var s = 0.0
+      var j = 0
+      while (j < codes.length) { s += lut((qid, j, codes(j))); j += 1 }
+      s
+    }
+    val qids = qRows.map(_.getLong(0)).toSeq.toDF("query_id")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    encoded
+      .crossJoin(broadcast(qids))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", round(adistUdf(col("query_id"),
+        array((0 until m).map(j => col(s"c$j")): _*)), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("adist"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** Grid-partitioned DBSCAN over 2-D integer points (the MR-DBSCAN
     * shape, He et al. 2011): density clustering without any all-pairs
     * join. Candidate neighbor pairs come from an eps-sized GRID — each

@@ -901,6 +901,42 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(rep == core1)
   }
 
+  test("pqTopK: clustered corpus retrieves own cluster; partition-invariant") {
+    import spark.implicits._
+    // 4 well-separated prototypes in R^64; 10 members each with tiny
+    // deterministic jitter. PQ-coded distances must rank same-cluster
+    // members above every other cluster for a prototype query.
+    def proto(c: Int) = Array.tabulate(64)(i =>
+      if (i % 4 == c) 10.0f else 0.0f)
+    val corpus = (for {
+      c <- 0 until 4
+      j <- 0 until 10
+    } yield {
+      val v = proto(c).clone()
+      v(j % 64) = v(j % 64) + 0.01f * ((c * 10 + j) % 7)
+      ((c * 10 + j).toLong, v)
+    }).toDF("vec_id", "embedding")
+    val queries = (0 until 4).map(c => (100L + c, proto(c)))
+      .toDF("vec_id", "embedding")
+    val got = Ann.pqTopK(corpus, queries, "vec_id", "embedding",
+        k = 5, m = 8, codesPerSub = 8, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 20)
+    got.foreach { case (qid, nid) =>
+      val c = (qid - 100L).toInt
+      assert(nid / 10 == c, s"query $qid pulled $nid from another cluster")
+    }
+    // partition invariance: codebooks, codes and LUT sums are all
+    // deterministic functions of the data
+    val rep = Ann.pqTopK(corpus.repartition(7), queries.repartition(3),
+        "vec_id", "embedding", k = 5, m = 8, codesPerSub = 8, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val base = Ann.pqTopK(corpus, queries, "vec_id", "embedding",
+        k = 5, m = 8, codesPerSub = 8, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(rep == base)
+  }
+
   test("dbscanGrid: blobs, border min-label, noise, multiplicity collapse") {
     import spark.implicits._
     // blob A: 4 points at (10,10)-(11,11); blob B: 4 points at (50,50)
