@@ -170,6 +170,12 @@ object SparkEntry {
   private val PqQueryMax = 5L
   private val PqK = 5
 
+  /** q193's sorted-neighborhood window and q194's join-size salt —
+    * shared with the oracle SQL (q194 reuses the q138 CMS geometry).
+    */
+  private val SnmWindow = 4
+  private val JoinSizeSalt = "js_"
+
   /** q167's MMR geometry (candidate pool, picks), shared with the
     * oracle SQL's unrolled greedy rounds. λ = 7/10 is hard-coded in
     * both score expressions (7·rel − 3·maxsim).
@@ -2759,6 +2765,46 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("adist"),
           col("rank").as("rnk"))
         .orderBy("query_id", "rnk")
+    }),
+
+    "q193_snm_dedup" -> ((s, d) => {
+      // Sorted-neighborhood blocking + exact verify: candidates within
+      // 4 sorted-name positions, kept at levenshtein <= 1 — the
+      // sort-based complement of q121's deletion-key blocking
+      // (Dedup.sortedNeighborhoodPairs scaladoc: distributed rank, no
+      // single-partition window).
+      val c = customer(s, d)
+      val named = c.select(col("c_custkey"), col("c_name"))
+      Dedup.sortedNeighborhoodPairs(c, "c_custkey", "c_name",
+          window = SnmWindow)
+        .join(named.select(col("c_custkey").as("id_a"),
+          col("c_name").as("na")), Seq("id_a"))
+        .join(named.select(col("c_custkey").as("id_b"),
+          col("c_name").as("nb")), Seq("id_b"))
+        .withColumn("dist", levenshtein(col("na"), col("nb")).cast("long"))
+        .filter(col("dist") <= 1)
+        .select(col("id_a"), col("id_b"), col("dist"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q194_cms_joinsize" -> ((s, d) => {
+      // Join-size estimation from two count-min sketches (the
+      // count-min inner-product estimator): overestimate-only sizing
+      // of |events ⋈ orders on customer| from d·w cells per side —
+      // the sketch algebra a join planner consults without reading
+      // either table (Sketches.cmsJoinSizeEstimate scaladoc).
+      val ev = events(s, d).select(col("user_id").as("k"))
+      val od = orders(s, d).select(col("o_custkey").as("k"))
+      val est = Sketches.cmsJoinSizeEstimate(
+        Sketches.cmsBuildKeys(ev, "k", CmsDepth, CmsWidth, JoinSizeSalt),
+        Sketches.cmsBuildKeys(od, "k", CmsDepth, CmsWidth, JoinSizeSalt))
+      val exact = ev.groupBy("k").agg(count(lit(1)).as("na"))
+        .join(od.groupBy("k").agg(count(lit(1)).as("nb")), Seq("k"))
+        .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).cast("long")
+          .as("exact_join_size"))
+      est.crossJoin(exact)
+        .select(col("est_join_size"), col("exact_join_size"),
+          expr("est_join_size * 1000000 div exact_join_size").as("over_ppm"))
     })
   )
 
@@ -6004,6 +6050,42 @@ object SparkEntry {
          |    ORDER BY adist, neighbor_id) AS BIGINT) AS rnk FROM ad)
          |SELECT query_id, neighbor_id, adist, rnk FROM r WHERE rnk <= $PqK
          |ORDER BY query_id, rnk""".stripMargin
-    }
+    },
+
+    // the rank the engine computes distributed, as one oracle window;
+    // (name, id) sort pair keeps the rank total
+    "q193_snm_dedup" ->
+      s"""WITH r AS (SELECT c_custkey AS id, c_name AS nm,
+         |  row_number() OVER (ORDER BY c_name, c_custkey) AS pos FROM customer)
+         |SELECT a.id AS id_a, b.id AS id_b,
+         | CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+         |FROM r a JOIN r b ON b.pos > a.pos AND b.pos <= a.pos + ${SnmWindow - 1}
+         |WHERE levenshtein(a.nm, b.nm) <= 1
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // both sketches rebuilt cellwise, inner product per row, min over
+    // rows; exact side is the key-count product sum
+    "q194_cms_joinsize" ->
+      s"""WITH rr AS (SELECT unnest(generate_series(0, ${CmsDepth - 1})) AS r),
+         |ta AS (SELECT CAST(user_id AS VARCHAR) AS w, COUNT(*) AS cnt
+         | FROM events GROUP BY 1),
+         |cellsa AS (SELECT r,
+         |  (${duckHash(s"concat('$JoinSizeSalt', w)", 15)} >> (15 * r)) % $CmsWidth AS c,
+         |  SUM(cnt) AS cnt
+         | FROM ta CROSS JOIN rr GROUP BY 1, 2),
+         |tb AS (SELECT CAST(o_custkey AS VARCHAR) AS w, COUNT(*) AS cnt
+         | FROM orders GROUP BY 1),
+         |cellsb AS (SELECT r,
+         |  (${duckHash(s"concat('$JoinSizeSalt', w)", 15)} >> (15 * r)) % $CmsWidth AS c,
+         |  SUM(cnt) AS cnt
+         | FROM tb CROSS JOIN rr GROUP BY 1, 2),
+         |ip AS (SELECT a.r, SUM(a.cnt * b.cnt) AS ip
+         | FROM cellsa a JOIN cellsb b ON a.r = b.r AND a.c = b.c GROUP BY 1),
+         |est AS (SELECT CAST(MIN(ip) AS BIGINT) AS est_join_size FROM ip),
+         |ex AS (SELECT CAST(COALESCE(SUM(x.cnt * y.cnt), 0) AS BIGINT) AS exact_join_size
+         | FROM ta x JOIN tb y USING (w))
+         |SELECT est_join_size, exact_join_size,
+         | CAST(est_join_size * 1000000 // exact_join_size AS BIGINT) AS over_ppm
+         |FROM est, ex""".stripMargin
   )
 }

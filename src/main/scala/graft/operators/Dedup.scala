@@ -1366,4 +1366,57 @@ object Dedup {
       .filter(col("jac_ppm") >= tPpm)
       .select(col("id_a"), col("id_b"), col("inter"), col("jac_ppm"))
   }
+
+  /** Sorted-neighborhood candidate pairs (SNM, Hernández & Stolfo
+    * 1995 — the sort-based blocking alternative to [[editDistance1Join]]'s
+    * deletion keys): rows sort by `keyCol` globally and every pair
+    * within `window` positions becomes a candidate — O(n·window)
+    * candidates total, whatever the key distribution (the method's
+    * published trade: recall is bounded by what sorts nearby).
+    *
+    * The GLOBAL rank never runs as a single-partition window: it is
+    * the distributed prefix-sum shape (range repartition by the sort
+    * key + per-partition local positions + one row-per-partition
+    * driver base — Chunking.orderedOffsets' doctrine, generalized to a
+    * string sort key), and the neighborhood join is an EQUI-join on
+    * pos_b = pos_a + delta with delta exploded 1..window−1 — shuffle
+    * bounded by n·(window−1). The (key, id) sort pair makes the rank
+    * total even on duplicate keys. Returns (id_a, id_b, pos_a, pos_b)
+    * with pos in global sort order; callers verify candidates with
+    * their own exact matcher.
+    */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String, keyCol: String,
+                              window: Int,
+                              numPartitions: Int = 32): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val local = df
+      .select(col(keyCol).cast("string").as("k"), col(idCol).cast("long").as("id"))
+      .as[(String, Long)]
+      .repartitionByRange(numPartitions, col("k"), col("id"))
+      .sortWithinPartitions("k", "id")
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var i = 0L
+        it.map { case (k, id) => val p = i; i += 1; (pid, k, id, p) }
+      }
+      .toDF("pid", "k", "id", "local_pos")
+      .localCheckpoint(true)
+    val counts = local.groupBy("pid").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var base = 0L
+    val bases = counts.map { case (pid, n) => val b = base; base += n; (pid, b) }
+    val ranked = local
+      .join(broadcast(bases.toSeq.toDF("pid", "base")), Seq("pid"))
+      .select(col("id"), (col("base") + col("local_pos")).as("pos"))
+    val probes = ranked
+      .select(col("id").as("id_a"), col("pos").as("pos_a"),
+        explode(sequence(lit(1), lit(window - 1))).as("delta"))
+      .select(col("id_a"), col("pos_a"),
+        (col("pos_a") + col("delta")).as("pos"))
+    probes.join(ranked.select(col("id").as("id_b"), col("pos")), Seq("pos"))
+      .select(col("id_a"), col("id_b"), col("pos_a"),
+        col("pos").as("pos_b"))
+  }
 }

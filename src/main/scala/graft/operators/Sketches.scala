@@ -301,4 +301,43 @@ object Sketches {
     cells.reduce(_.unionByName(_))
       .groupBy("r", "c").agg(sum("cnt").as("cnt"))
   }
+
+  /** [[cmsBuild]] over a KEY column (no tokenization) — the sketch a
+    * join-size estimator wants: cells count key occurrences, the key
+    * rendered as its canonical string so the md5 row hashes are
+    * engine-neutral.
+    */
+  def cmsBuildKeys(df: DataFrame, keyCol: String, d: Int, w: Int,
+                   saltPrefix: String): DataFrame = {
+    require(d >= 1 && d <= 4 && w >= 2 && w <= 32768,
+      s"need 1 <= d <= 4, 2 <= w <= 32768; got d=$d w=$w")
+    val tf = df.select(col(keyCol).cast("string").as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val h = tokenHash64(concat(lit(saltPrefix), col("w")))
+    val rows = (0 until d).map(r => pmod(shiftright(h, 15 * r), lit(w.toLong)))
+    tf.select(col("cnt"), posexplode(array(rows: _*)).as(Seq("r", "c")))
+      .groupBy(col("r").cast("long").as("r"), col("c"))
+      .agg(sum("cnt").as("cnt"))
+  }
+
+  /** Join-size estimation from two count-min sketches (the
+    * AMS/count-min inner-product estimator, Cormode & Muthukrishnan
+    * 2005 §4.2): |A ⋈_k B| = Σ_k cntA(k)·cntB(k), estimated as
+    * min over rows r of Σ_c cellsA[r,c]·cellsB[r,c]. Hash collisions
+    * only ADD positive cross terms, so the estimate is
+    * overestimate-only — exactly the one-sided guarantee a join
+    * planner wants for sizing the build side. Both sketches must share
+    * (d, w, saltPrefix).
+    *
+    * Scale: the whole computation touches d·w cells per side — the
+    * corpus-size-independent sketch algebra of [[cmsMerge]], but as an
+    * inner product instead of a cellwise sum; the estimator never
+    * re-reads either input. Returns one row (est_join_size).
+    */
+  def cmsJoinSizeEstimate(cellsA: DataFrame, cellsB: DataFrame): DataFrame =
+    cellsA.select(col("r"), col("c"), col("cnt").as("ca"))
+      .join(cellsB.select(col("r"), col("c"), col("cnt").as("cb")),
+        Seq("r", "c"))
+      .groupBy("r").agg(sum(col("ca") * col("cb")).as("ip"))
+      .agg(min("ip").cast("long").as("est_join_size"))
 }

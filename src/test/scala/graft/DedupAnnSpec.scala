@@ -901,6 +901,44 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(rep == core1)
   }
 
+  test("sortedNeighborhoodPairs: window geometry, ties, partition-invariance") {
+    import spark.implicits._
+    // sort order by (key, id): b1(2) b2(5) b2(7) c1(1) d4(9) — window 3
+    // pairs = positions within 2 of each other
+    val df = Seq((1L, "c1"), (2L, "b1"), (5L, "b2"), (7L, "b2"), (9L, "d4"))
+      .toDF("id", "k")
+    val got = Dedup.sortedNeighborhoodPairs(df, "id", "k", window = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // sorted: 2,5,7,1,9 -> pairs at distance 1-2
+    assert(got == Set((2L, 5L), (2L, 7L), (5L, 7L), (5L, 1L), (7L, 1L),
+      (7L, 9L), (1L, 9L)))
+    val rep = Dedup.sortedNeighborhoodPairs(df.repartition(4), "id", "k",
+        window = 3, numPartitions = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rep == got)
+    // candidate count is exactly n*(w-1) - boundary truncation
+    assert(got.size == 5 * 2 - 3)
+  }
+
+  test("cmsJoinSizeEstimate: overestimate-only, exact at collision-free width") {
+    import spark.implicits._
+    import graft.operators.Sketches
+    val a = Seq(1L, 1L, 1L, 2L, 3L).toDF("k")
+    val b = Seq(1L, 2L, 2L, 4L).toDF("k")
+    // exact |A join B| = 3*1 + 1*2 = 5
+    val wide = Sketches.cmsJoinSizeEstimate(
+      Sketches.cmsBuildKeys(a, "k", 4, 32768, "t_"),
+      Sketches.cmsBuildKeys(b, "k", 4, 32768, "t_"))
+      .collect()(0).getLong(0)
+    assert(wide == 5L, s"collision-free width must be exact, got $wide")
+    // a tiny width forces collisions; the estimate may only go UP
+    val tight = Sketches.cmsJoinSizeEstimate(
+      Sketches.cmsBuildKeys(a, "k", 4, 2, "t_"),
+      Sketches.cmsBuildKeys(b, "k", 4, 2, "t_"))
+      .collect()(0).getLong(0)
+    assert(tight >= 5L, s"count-min join size must never underestimate, got $tight")
+  }
+
   test("pqTopK: clustered corpus retrieves own cluster; partition-invariant") {
     import spark.implicits._
     // 4 well-separated prototypes in R^64; 10 members each with tiny
