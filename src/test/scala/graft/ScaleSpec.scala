@@ -664,4 +664,26 @@ class ScaleSpec extends AnyFunSuite {
       !mergePlan.contains("BroadcastNestedLoopJoin"),
       s"merge should be two full-outer equi-joins:\n$mergePlan")
   }
+
+  test("round-11 plan shapes: q185 posting, q190 joinless, q193 windowless") {
+    val d = SparkTestSession.sfDir
+    // q185: pairs come from generators over ONE basket agg — no
+    // sort-merge join anywhere (the self-join form measured 12.7 s
+    // at sf1); marginals ride broadcasts
+    val p185 = graft.SparkEntry.queries("q185_cooccur_recs")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(!p185.contains("SortMergeJoin"), p185.take(600))
+    assert(p185.contains("Generate"), p185.take(600))
+    // q190: the Theil-Sen pair loop lives in the agg-buffer UDF — the
+    // plan has NO join at all (the join form shuffled 9M pair rows)
+    val p190 = graft.SparkEntry.queries("q190_theilsen_trend")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(!p190.contains("Join"), p190.take(600))
+    // q193: the global rank is the distributed prefix-sum shape —
+    // no Window operator (a single-partition window would be the
+    // classic SNM scale bug)
+    val p193 = graft.SparkEntry.queries("q193_snm_dedup")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(!p193.contains("Window"), p193.take(600))
+  }
 }
