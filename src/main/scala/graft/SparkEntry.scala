@@ -2805,6 +2805,24 @@ object SparkEntry {
       est.crossJoin(exact)
         .select(col("est_join_size"), col("exact_join_size"),
           expr("est_join_size * 1000000 div exact_join_size").as("over_ppm"))
+    }),
+
+    "q195_gapfill_interp" -> ((s, d) => {
+      // Linear-interpolation gap fill over per-user daily spend (the
+      // interpolating complement of q109's LOCF): interior calendar
+      // gaps get the exact integer line between their observed
+      // anchors; one window exchange, map-side explode
+      // (Relational.gapFillInterpolate scaladoc).
+      val daily = events(s, d).groupBy(col("user_id"),
+          to_date(col("ts")).as("day"))
+        .agg(sum(cents(col("value"))).as("v_c"))
+        .select(col("user_id"),
+          datediff(col("day"), lit("1970-01-01")).cast("long").as("x"),
+          col("v_c"))
+      Relational.gapFillInterpolate(daily, "user_id", "x", "v_c")
+        .select(col("k").as("user_id"), col("x").as("day_num"),
+          col("v").as("v_c"), col("kind"))
+        .orderBy("user_id", "day_num")
     })
   )
 
@@ -6086,6 +6104,27 @@ object SparkEntry {
          | FROM ta x JOIN tb y USING (w))
          |SELECT est_join_size, exact_join_size,
          | CAST(est_join_size * 1000000 // exact_join_size AS BIGINT) AS over_ppm
-         |FROM est, ex""".stripMargin
+         |FROM est, ex""".stripMargin,
+
+    // same lead-window anchors + generate_series fill; // truncates
+    // like div (q190's verification)
+    "q195_gapfill_interp" ->
+      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |  CAST(SUM(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS v
+        | FROM events GROUP BY 1, 2),
+        |d2 AS (SELECT user_id, CAST(day - DATE '1970-01-01' AS BIGINT) AS x, v
+        | FROM daily),
+        |wn AS (SELECT user_id, x, v,
+        |  lead(x) OVER (PARTITION BY user_id ORDER BY x) AS nx,
+        |  lead(v) OVER (PARTITION BY user_id ORDER BY x) AS nv
+        | FROM d2),
+        |fill AS (SELECT user_id, xi AS x,
+        |  v + ((nv - v) * (xi - x)) // (nx - x) AS v, 'interp' AS kind
+        | FROM wn, LATERAL (SELECT unnest(generate_series(x + 1, nx - 1)) AS xi) t
+        | WHERE nx IS NOT NULL AND nx > x + 1)
+        |SELECT user_id, x AS day_num, CAST(v AS BIGINT) AS v_c, kind FROM (
+        | SELECT user_id, x, v, 'obs' AS kind FROM d2
+        | UNION ALL SELECT user_id, x, v, kind FROM fill)
+        |ORDER BY user_id, day_num""".stripMargin
   )
 }

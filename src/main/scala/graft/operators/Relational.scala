@@ -788,6 +788,38 @@ object Relational {
         sum(col("i_e") - col("i_s")).cast("long").as("covered_us"))
   }
 
+  /** Linear-interpolation gap fill per key (the interpolating
+    * complement of the q109 LOCF fill): for every missing step x
+    * strictly between two OBSERVED neighbors (x1,v1) < (x2,v2), emit
+    * v1 + (v2−v1)·(x−x1) div (x2−x1) — exact integer interpolation
+    * with TRUNCATING division (Spark div == DuckDB //, the q190
+    * verification). Leading/trailing gaps stay unfilled — there is no
+    * second anchor to interpolate toward. Returns every step as
+    * (k, x, v, kind) with kind ∈ {obs, interp}.
+    *
+    * Scale: one (key, x) window exchange finds each observation's
+    * successor; gap rows explode MAP-SIDE from sequence(x+1, x2−1) —
+    * the output is step-domain-bounded per key, and nothing shuffles
+    * after the single window sort.
+    */
+  def gapFillInterpolate(series: DataFrame, keyCol: String, xCol: String,
+                         vCol: String): DataFrame = {
+    val base = series.select(col(keyCol).as("k"),
+      col(xCol).cast("long").as("x"), col(vCol).cast("long").as("v"))
+    val w = Window.partitionBy("k").orderBy("x")
+    val withNext = base
+      .withColumn("nx", lead("x", 1).over(w))
+      .withColumn("nv", lead("v", 1).over(w))
+    val interp = withNext
+      .filter(col("nx").isNotNull && col("nx") > col("x") + 1)
+      .select(col("k"), col("x"), col("v"), col("nx"), col("nv"),
+        explode(sequence(col("x") + 1, col("nx") - 1)).as("xi"))
+      .select(col("k"), col("xi").as("x"),
+        expr("v + ((nv - v) * (xi - x)) div (nx - x)").as("v"),
+        lit("interp").as("kind"))
+    base.withColumn("kind", lit("obs")).unionByName(interp)
+  }
+
   /** EXACT Theil-Sen robust trend per group (median-of-pairwise-slopes,
     * Sen 1968 — the outlier-immune complement of q155's least-squares
     * and q124's MAD): slope = LOWER MEDIAN over all x_i < x_j pairs of

@@ -258,4 +258,40 @@ object EventStreams {
           out.iterator
         })
   }
+
+  case class CmsCellUpdate(r: Long, c: Long, cnt: Long)
+
+  /** Streaming count-min sketch — the ingest twin of the batch
+    * `Sketches.cmsBuildKeys` (q138/q178/q194 machinery): each record
+    * fans out to its d cells map-side, cells are the stream keys, and
+    * per-cell Long state accumulates counts. CMS is a LINEAR sketch,
+    * so streaming state after any prefix == the batch sketch of that
+    * prefix (the q178 merge property, realized incrementally) — the
+    * equivalence StreamingSpec asserts cell-for-cell. State is bounded
+    * at d·w Longs FOREVER, whatever the stream volume: the reason a
+    * frequency monitor can run on an unbounded ingest.
+    */
+  def streamingCmsCells(records: DataFrame, keyCol: String, d: Int, w: Int,
+                        saltPrefix: String)
+      : org.apache.spark.sql.Dataset[CmsCellUpdate] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.functions.{col, concat, lit, pmod, shiftright, posexplode, array}
+    val spark = records.sparkSession
+    import spark.implicits._
+    val h = graft.functions.TextFunctions.tokenHash64(
+      concat(lit(saltPrefix), col(keyCol).cast("string")))
+    val rows = (0 until d).map(r => pmod(shiftright(h, 15 * r), lit(w.toLong)))
+    records
+      .select(posexplode(array(rows: _*)).as(Seq("r", "c")))
+      .select(col("r").cast("long"), col("c").cast("long"))
+      .as[(Long, Long)]
+      .groupByKey(identity)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (cell: (Long, Long), it: Iterator[(Long, Long)],
+         state: GroupState[Long]) => {
+          val cnt = state.getOption.getOrElse(0L) + it.size
+          state.update(cnt)
+          Iterator(CmsCellUpdate(cell._1, cell._2, cnt))
+        })
+  }
 }

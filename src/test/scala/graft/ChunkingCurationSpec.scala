@@ -520,6 +520,29 @@ class ChunkingCurationSpec extends AnyFunSuite {
       "b" -> ((8L, "2024-01-01", 0L))))
   }
 
+  test("gapFillInterpolate: interior gaps filled on the line, edges stay") {
+    import graft.operators.Relational
+    // k=a: observed x=1(v10), x=4(v40), x=6(v20): gap 2,3 on the
+    // 10->40 line (+10/step); gap 5 midway 40->20 (truncating)
+    val s = Seq(("a", 1L, 10L), ("a", 4L, 40L), ("a", 6L, 20L),
+      ("b", 7L, 5L)).toDF("k", "x", "v")
+    val got = Relational.gapFillInterpolate(s, "k", "x", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getString(3))).toMap
+    assert(got(("a", 2L)) == ((20L, "interp")))
+    assert(got(("a", 3L)) == ((30L, "interp")))
+    assert(got(("a", 5L)) == ((30L, "interp")))
+    assert(got(("a", 1L)) == ((10L, "obs")) && got(("a", 6L)) == ((20L, "obs")))
+    // single-point key emits only itself; no leading/trailing fill
+    assert(got(("b", 7L)) == ((5L, "obs")))
+    assert(got.size == 7)
+    // negative-slope truncation: 0 -> -7 over 3 steps: -7*1 div 3 = -2
+    val neg = Seq(("n", 0L, 0L), ("n", 3L, -7L)).toDF("k", "x", "v")
+    val gotN = Relational.gapFillInterpolate(neg, "k", "x", "v")
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(gotN(1L) == -2L && gotN(2L) == -4L)
+  }
+
   test("theilSenSlope: outlier-immune median slope, truncating division") {
     import graft.operators.Relational
     val series = (

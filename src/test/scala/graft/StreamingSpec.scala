@@ -260,6 +260,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch, s"streamed $streamed != batch $batch")
   }
 
+  test("streaming CMS cells converge to the batch cmsBuildKeys sketch exactly") {
+    val updates = runToMemory(
+      EventStreams.streamingCmsCells(
+        EventStreams.readEventStream(spark, eventsDir),
+        "event_type", d = 4, w = 1024, saltPrefix = "scms_").toDF(),
+      "t_cms", "update")
+    // one input batch -> one update per touched cell = the final state
+    val streamed = updates.collect()
+      .map(r => (r.getAs[Long]("r"), r.getAs[Long]("c")) -> r.getAs[Long]("cnt"))
+      .toMap
+    val batch = graft.operators.Sketches.cmsBuildKeys(
+        engine.Tables.events(spark, SparkTestSession.sfDir),
+        "event_type", d = 4, w = 1024, saltPrefix = "scms_")
+      .collect().map(r => (r.getAs[Long]("r"), r.getAs[Long]("c")) ->
+        r.getAs[Long]("cnt")).toMap
+    assert(streamed == batch,
+      s"streamed ${streamed.size} cells != batch ${batch.size}")
+  }
+
   test("transformWithState (RocksDB) totals equal the fMGWS twin and the batch") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = scala.util.Try(spark.conf.get(key)).toOption.filter(_ != null)
