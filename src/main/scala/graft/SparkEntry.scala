@@ -176,6 +176,33 @@ object SparkEntry {
   private val SnmWindow = 4
   private val JoinSizeSalt = "js_"
 
+  /** q191/q197's shared ER labeling: SymSpell ed<=1 pairs, nation
+    * blocking, star CC, singletons self-labeled. Checkpointed BEFORE
+    * the star loop: dupClustersStar materializes nodes and edges as
+    * two separate actions and each CC round is its own lineage root —
+    * without this the whole posting pipeline re-executes per consumer
+    * (measured 49 s -> ~16 s at sf1). Returns (cust_id, label).
+    */
+  private def erClusterLabels(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+    val pairs = operators.Dedup.editDistance1Join(c, "c_custkey", "c_name")
+    val nat = c.select(col("c_custkey"), col("c_nationkey"))
+    val blocked = pairs
+      .join(nat.select(col("c_custkey").as("id_a"),
+        col("c_nationkey").as("na")), Seq("id_a"))
+      .join(nat.select(col("c_custkey").as("id_b"),
+        col("c_nationkey").as("nb")), Seq("id_b"))
+      .filter(col("na") === col("nb"))
+      .select("id_a", "id_b")
+      .localCheckpoint(true)
+    val labels = operators.Dedup.dupClustersStar(blocked, "id_a", "id_b")
+    c.select(col("c_custkey").as("cust_id"))
+      .join(labels.withColumnRenamed("node", "cust_id"), Seq("cust_id"),
+        "left")
+      .select(col("cust_id"),
+        coalesce(col("label"), col("cust_id")).as("label"))
+  }
+
   /** q167's MMR geometry (candidate pool, picks), shared with the
     * oracle SQL's unrolled greedy rounds. λ = 7/10 is hard-coded in
     * both score expressions (7·rel − 3·maxsim).
@@ -2725,28 +2752,7 @@ object SparkEntry {
       // SymSpell ed<=1 candidate pairs -> nation blocking -> star CC
       // collapse -> per-entity cluster label + size; singletons
       // self-label. Every stage is the proven machinery (q121, q84).
-      val c = customer(s, d)
-      val pairs = Dedup.editDistance1Join(c, "c_custkey", "c_name")
-      val nat = c.select(col("c_custkey"), col("c_nationkey"))
-      // checkpoint BEFORE the star loop: dupClustersStar materializes
-      // nodes and edges as two separate actions, and each CC round has
-      // its own lineage root — without this the whole SymSpell posting
-      // pipeline re-executes per consumer (measured 49 s -> ~16 s
-      // at sf1)
-      val blocked = pairs
-        .join(nat.select(col("c_custkey").as("id_a"),
-          col("c_nationkey").as("na")), Seq("id_a"))
-        .join(nat.select(col("c_custkey").as("id_b"),
-          col("c_nationkey").as("nb")), Seq("id_b"))
-        .filter(col("na") === col("nb"))
-        .select("id_a", "id_b")
-        .localCheckpoint(true)
-      val labels = Dedup.dupClustersStar(blocked, "id_a", "id_b")
-      val out = c.select(col("c_custkey").as("cust_id"))
-        .join(labels.withColumnRenamed("node", "cust_id"), Seq("cust_id"),
-          "left")
-        .select(col("cust_id"),
-          coalesce(col("label"), col("cust_id")).as("label"))
+      val out = erClusterLabels(s, d)
       val sizes = out.groupBy("label").agg(count(lit(1)).as("csize"))
       out.join(sizes, Seq("label"))
         .select(col("cust_id"), col("label"), col("csize").cast("long").as("csize"))
@@ -2823,6 +2829,42 @@ object SparkEntry {
         .select(col("k").as("user_id"), col("x").as("day_num"),
           col("v").as("v_c"), col("kind"))
         .orderBy("user_id", "day_num")
+    }),
+
+    "q196_gram_matrix" -> ((s, d) =>
+      // Exact int8 Gram matrix X'X over the embedding corpus — the
+      // covariance/PCA sufficient statistic: one quantized corpus
+      // pass, dim² Long state per partition, |partitions|·dim² cells
+      // shuffled (Ann.int8GramMatrix scaladoc).
+      Ann.int8GramMatrix(embeddings(s, d), "embedding")
+        .select(col("i"), col("j"), col("s").cast("long").as("s"))
+        .orderBy("i", "j")),
+
+    "q197_golden_record" -> ((s, d) => {
+      // Survivorship (the "golden record" step completing q191's ER
+      // pipeline): per entity cluster, field-wise best values —
+      // representative name from the MIN member id, max balance,
+      // majority segment with deterministic (count desc, segment asc)
+      // ties — all as plain aggs over the shared cluster labels.
+      val lab = erClusterLabels(s, d)
+      val full = customer(s, d)
+        .select(col("c_custkey").as("cust_id"), col("c_name"),
+          cents(col("c_acctbal")).as("bal_c"), col("c_mktsegment"))
+        .join(lab, Seq("cust_id"))
+      val agg = full.groupBy("label").agg(
+        count(lit(1)).cast("long").as("n_members"),
+        min(struct(col("cust_id"), col("c_name"))).getField("c_name")
+          .as("rep_name"),
+        max("bal_c").cast("long").as("max_bal_c"))
+      val mode = full.groupBy("label", "c_mktsegment")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("label")
+        .agg(min(struct((col("cnt") * -1).as("nc"), col("c_mktsegment")))
+          .getField("c_mktsegment").as("top_segment"))
+      agg.join(mode, Seq("label"))
+        .select(col("label"), col("n_members"), col("rep_name"),
+          col("max_bal_c"), col("top_segment"))
+        .orderBy("label")
     })
   )
 
@@ -6125,6 +6167,49 @@ object SparkEntry {
         |SELECT user_id, x AS day_num, CAST(v AS BIGINT) AS v_c, kind FROM (
         | SELECT user_id, x, v, 'obs' AS kind FROM d2
         | UNION ALL SELECT user_id, x, v, kind FROM fill)
-        |ORDER BY user_id, day_num""".stripMargin
+        |ORDER BY user_id, day_num""".stripMargin,
+
+    // q140's symmetric quantization, then the per-vector position
+    // self-join brute force (the engine never builds per-row outer
+    // products — its plan folds into partition-local accumulators)
+    "q196_gram_matrix" ->
+      """WITH st AS (SELECT MAX(abs(x)) AS m FROM
+        |  (SELECT unnest(embedding::DOUBLE[]) AS x FROM embeddings)),
+        |q AS (SELECT vec_id, CAST(pos - 1 AS BIGINT) AS i,
+        |  CASE WHEN st.m <= 0 THEN 0
+        |       ELSE CAST(floor(x * 127.0 / st.m) AS BIGINT) END AS qv
+        | FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+        |    generate_subscripts(embedding::DOUBLE[], 1) AS pos
+        |   FROM embeddings), st)
+        |SELECT a.i, b.i AS j, CAST(SUM(a.qv * b.qv) AS BIGINT) AS s
+        |FROM q a JOIN q b ON a.vec_id = b.vec_id AND b.i >= a.i
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q191's closure CTEs + field-wise survivorship: arg_min name,
+    // max balance, majority segment with (count desc, segment) ties
+    "q197_golden_record" ->
+      """WITH RECURSIVE pr AS (SELECT a.c_custkey ia, b.c_custkey ib
+        | FROM customer a JOIN customer b
+        | ON a.c_custkey < b.c_custkey AND a.c_nationkey = b.c_nationkey
+        | WHERE levenshtein(a.c_name, b.c_name) <= 1),
+        |e AS (SELECT ia u, ib v FROM pr UNION ALL SELECT ib, ia FROM pr),
+        |reach AS (SELECT u AS node, u AS label FROM e
+        | UNION SELECT e.u, r.label FROM e JOIN reach r ON e.v = r.node),
+        |lab AS (SELECT node, MIN(label) lbl FROM reach GROUP BY 1),
+        |fl AS (SELECT c_custkey AS cust_id,
+        |  CAST(COALESCE(lab.lbl, c_custkey) AS BIGINT) AS label, c_name,
+        |  CAST(round(c_acctbal*100, 0) AS BIGINT) AS bal_c, c_mktsegment
+        | FROM customer LEFT JOIN lab ON customer.c_custkey = lab.node),
+        |agg AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members,
+        |  arg_min(c_name, cust_id) AS rep_name,
+        |  CAST(MAX(bal_c) AS BIGINT) AS max_bal_c
+        | FROM fl GROUP BY 1),
+        |sm AS (SELECT label, c_mktsegment, COUNT(*) AS cnt
+        | FROM fl GROUP BY 1, 2),
+        |md AS (SELECT label, c_mktsegment AS top_segment FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY label
+        |    ORDER BY cnt DESC, c_mktsegment) AS rn FROM sm) t WHERE rn = 1)
+        |SELECT a.label, a.n_members, a.rep_name, a.max_bal_c, md.top_segment
+        |FROM agg a JOIN md USING (label) ORDER BY a.label""".stripMargin
   )
 }

@@ -608,6 +608,58 @@ object Ann {
       .filter(col("rank") <= k)
   }
 
+  /** EXACT int8 Gram matrix X'X over an embedding column — the
+    * covariance/PCA sufficient statistic at corpus scale (q155's 4×4
+    * X'X generalized to the full dim×dim): vectors quantize with
+    * [[int8QuantTopK]]'s symmetric global max-abs scale (floor(v·127/m),
+    * the measured-correct trade there), then every partition folds its
+    * rows into ONE dim×dim Long accumulator inside mapPartitions — the
+    * letter-counter doctrine: per-partition state is dim² Longs, the
+    * shuffle carries |partitions|·dim² cells, never a per-row outer
+    * product. All-integer, so the matrix is engine-exact. Returns the
+    * upper triangle (i, j, s) with i ≤ j, 0-based dims.
+    *
+    * Overflow bound: |q| ≤ 127 ⇒ each cell gains ≤ 16129 per row —
+    * safe to ~5·10¹⁴ rows.
+    */
+  def int8GramMatrix(corpus0: DataFrame, vecCol: String): DataFrame = {
+    val spark = corpus0.sparkSession
+    import spark.implicits._
+    val corpus = corpus0.filter(col(vecCol).isNotNull)
+    val m = corpus
+      .select(explode(col(vecCol)).as("v"))
+      .agg(max(abs(col("v").cast("double")))).head().getDouble(0)
+    val quantized = corpus.select(col(vecCol)).as[Seq[Float]]
+    val cells = quantized.mapPartitions { it =>
+      var acc: Array[Long] = null
+      var dim = 0
+      it.foreach { v =>
+        if (acc == null) { dim = v.size; acc = new Array[Long](dim * dim) }
+        val q = new Array[Long](dim)
+        var i = 0
+        while (i < dim) {
+          q(i) = if (m <= 0) 0L
+                 else math.floor(v(i).toDouble * 127.0 / m).toLong
+          i += 1
+        }
+        i = 0
+        while (i < dim) {
+          var j = i
+          while (j < dim) { acc(i * dim + j) += q(i) * q(j); j += 1 }
+          i += 1
+        }
+      }
+      if (acc == null) Iterator.empty
+      else {
+        val d = dim
+        Iterator.range(0, d).flatMap(i =>
+          Iterator.range(i, d).map(j => (i.toLong, j.toLong, acc(i * d + j))))
+      }
+    }
+    cells.toDF("i", "j", "s")
+      .groupBy("i", "j").agg(sum("s").as("s"))
+  }
+
   /** Batch perceptron training over an embedding column — the second
     * in-engine trainer (q155's linear regression is least-squares; this
     * is the classification twin). EXACT integer arithmetic end to end,

@@ -901,6 +901,20 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(rep == core1)
   }
 
+  test("int8GramMatrix: hand X'X, floor quantization, partition-invariance") {
+    import spark.implicits._
+    // m = 2: [1,-1] -> [63, -64] (floor(-63.5) = -64), [2,0] -> [127, 0]
+    val df = Seq((1L, Array(1.0f, -1.0f)), (2L, Array(2.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Ann.int8GramMatrix(df, "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((0L, 0L) -> 20098L, (0L, 1L) -> -4032L,
+      (1L, 1L) -> 4096L))
+    val rep = Ann.int8GramMatrix(df.repartition(3), "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rep == got)
+  }
+
   test("sortedNeighborhoodPairs: window geometry, ties, partition-invariance") {
     import spark.implicits._
     // sort order by (key, id): b1(2) b2(5) b2(7) c1(1) d4(9) — window 3
