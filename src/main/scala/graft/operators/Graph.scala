@@ -315,14 +315,17 @@ object GraphOps {
     var stable = false
     while (!stable) {
       val deg = e.groupBy("u").agg(count(lit(1)).as("d")).localCheckpoint(true)
-      val keep = deg.filter(col("d") >= k).select(col("u").as("kid"))
-        .localCheckpoint(true)
-      if (keep.count() == deg.count()) stable = true
+      // ONE driver action per round: total and surviving node counts
+      // from the same (checkpointed) degree frame
+      val counts = deg.agg(count(lit(1)),
+        count(when(col("d") >= k, 1))).first()
+      if (counts.getLong(0) == counts.getLong(1)) stable = true
       else {
         rounds += 1
         require(rounds <= maxRounds,
           s"k-core not at fixpoint after $maxRounds peel rounds — " +
             "raise maxRounds (and the oracle's unroll depth) together")
+        val keep = deg.filter(col("d") >= k).select(col("u").as("kid"))
         e = e.join(keep, col("u") === col("kid"), "left_semi")
           .join(keep, col("v") === col("kid"), "left_semi")
           .localCheckpoint(true)
