@@ -2865,6 +2865,24 @@ object SparkEntry {
         .select(col("label"), col("n_members"), col("rep_name"),
           col("max_bal_c"), col("top_segment"))
         .orderBy("label")
+    }),
+
+    "q198_kmv_window_rollup" -> ((s, d) => {
+      // Trailing-7-day distinct-user rollup from MERGED per-day KMV
+      // sketches — days sketch once, windows merge buffers, raw rows
+      // never re-read per window (Sketches.kmvWindowRollup scaladoc;
+      // exactness of the merge is q168's proven property). The oracle
+      // recomputes each window's sketch from scratch — merge must
+      // equal it bit-for-bit.
+      val ev = events(s, d).select(
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long")
+          .as("day_num"),
+        col("user_id"))
+      Sketches.kmvWindowRollup(ev, "day_num", col("user_id"), k = KmvK,
+          windowDays = 7, saltPrefix = "kmvw_")
+        .select(col("wday").as("day_num"), col("n_kept"), col("kth_min"),
+          col("est_distinct"))
+        .orderBy("day_num")
     })
   )
 
@@ -6210,6 +6228,28 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY label
         |    ORDER BY cnt DESC, c_mktsegment) AS rn FROM sm) t WHERE rn = 1)
         |SELECT a.label, a.n_members, a.rep_name, a.max_bal_c, md.top_segment
-        |FROM agg a JOIN md USING (label) ORDER BY a.label""".stripMargin
+        |FROM agg a JOIN md USING (label) ORDER BY a.label""".stripMargin,
+
+    // each window's sketch recomputed FROM SCRATCH (distinct hashes in
+    // the window, k smallest, q137's estimator) — the engine's per-day
+    // merge must reproduce it exactly
+    "q198_kmv_window_rollup" ->
+      s"""WITH h AS (SELECT DISTINCT
+         |  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+         |  ${duckHash("concat('kmvw_', CAST(user_id AS VARCHAR))", 15)} AS h
+         | FROM events),
+         |days AS (SELECT DISTINCT day FROM h),
+         |wm AS (SELECT d.day AS wday, h.h FROM days d
+         |  JOIN h ON h.day BETWEEN d.day - 6 AND d.day),
+         |dh AS (SELECT DISTINCT wday, h FROM wm),
+         |r AS (SELECT wday, h,
+         |  row_number() OVER (PARTITION BY wday ORDER BY h) AS rn FROM dh),
+         |b AS (SELECT wday, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |  MAX(h) AS kth_min FROM r WHERE rn <= $KmvK GROUP BY 1)
+         |SELECT wday AS day_num, n_kept, kth_min,
+         | CASE WHEN n_kept < $KmvK THEN n_kept
+         |  ELSE CAST((CAST(${KmvK - 1} AS HUGEINT) * ${Sketches.HashDomain})
+         |    // GREATEST(kth_min, 1) AS BIGINT) END AS est_distinct
+         |FROM b ORDER BY 1""".stripMargin
   )
 }

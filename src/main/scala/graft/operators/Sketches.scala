@@ -163,6 +163,51 @@ object Sketches {
         est(col("__m")).as("est_distinct"))
   }
 
+  /** Trailing-window distinct rollup from MERGED per-day KMV sketches —
+    * the sketch-OLAP pattern that justifies keeping sketch columns in a
+    * warehouse: each day is sketched ONCE (one agg over the raw rows),
+    * then every trailing `windowDays` window merges its days' k-min
+    * buffers — raw rows are never re-read per window, and a new day
+    * extends every rollup by one sketch merge. Correct because KMV
+    * merge is exact ([[kmvMergeEstimate]]'s q168-proven property): the
+    * union's k smallest hashes each lie in their own day's k smallest,
+    * and the sorted merge dedups cross-day repeats. Windows anchor at
+    * each OBSERVED day (end-inclusive, days wday−w+1..wday). The merge
+    * fold is order-free, so collect_list's arbitrary order cannot move
+    * the estimate. Returns (wday, n_kept, kth_min, est_distinct);
+    * `dayCol` must be an integer day number.
+    *
+    * Scale: day-sketch table = \|days\| rows × k longs; window fan-out
+    * replicates each w times; per-window state ≤ w·k longs.
+    */
+  def kmvWindowRollup(df: DataFrame, dayCol: String, keyCol: Column, k: Int,
+                      windowDays: Int, saltPrefix: String): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val agg = new KmvAgg(k)
+    val daySk = kmvSketches(
+      df.select(col(dayCol).cast("long").as("__day"), keyCol.as("__key")),
+      "__day", col("__key"), k, saltPrefix)
+    val spine = daySk.select(col("__day").as("wday"))
+    val contrib = daySk.select(col("sketch"),
+        explode(sequence(col("__day"), col("__day") + (windowDays - 1)))
+          .as("wday"))
+      .join(spine, Seq("wday"), "left_semi")
+    val mergeAll = udf { bufs: Seq[Seq[Long]] =>
+      bufs.foldLeft(Array.empty[Long])((a, b) => agg.merge(a, b.toArray))
+    }
+    val est = udf { (buf: Seq[Long]) =>
+      if (buf.size < k) buf.size.toLong
+      else ((BigInt(k - 1) * BigInt(HashDomain)) / BigInt(buf.last max 1L)).toLong
+    }
+    contrib.groupBy("wday")
+      .agg(collect_list("sketch").as("bs"))
+      .withColumn("__m", mergeAll(col("bs")))
+      .select(col("wday"),
+        size(col("__m")).cast("long").as("n_kept"),
+        element_at(col("__m"), -1).as("kth_min"),
+        est(col("__m")).as("est_distinct"))
+  }
+
   /** One-pass table profiler — the Deequ-class ingest audit every
     * pipeline runs before trusting a delivery: per column, row count,
     * null count and KMV-estimated distinct count, ALL from a single

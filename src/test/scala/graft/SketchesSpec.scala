@@ -159,4 +159,21 @@ class SketchesSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(solo == whole)
   }
+
+  test("kmvWindowRollup: small windows are exact; unobserved days skip") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // days 1,2,3,5 with overlapping users: trailing-2 windows
+    val ev = Seq((1L, 10L), (1L, 11L), (2L, 11L), (2L, 12L), (3L, 13L),
+      (5L, 10L), (5L, 10L)).toDF("day_num", "user_id")
+    val got = Sketches.kmvWindowRollup(ev, "day_num", col("user_id"),
+        k = 64, windowDays = 2, saltPrefix = "t_")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    // under k distinct => n_kept IS the exact windowed distinct count
+    assert(got(1L) == ((2L, 2L)))  // {10,11}
+    assert(got(2L) == ((3L, 3L)))  // {10,11,12}
+    assert(got(3L) == ((3L, 3L)))  // {11,12,13}
+    assert(got(5L) == ((1L, 1L)))  // day 4 unobserved: {10} only
+    assert(got.size == 4)
+  }
 }
