@@ -2883,6 +2883,21 @@ object SparkEntry {
         .select(col("wday").as("day_num"), col("n_kept"), col("kth_min"),
           col("est_distinct"))
         .orderBy("day_num")
+    }),
+
+    "q199_activity_select" -> ((s, d) => {
+      // Max conflict-free sessions per user (earliest-end greedy,
+      // provably optimal) over the q183 activity windows — the
+      // scheduling complement of q183's coverage sum
+      // (Relational.activitySelect scaladoc); oracle replays the fold
+      // as a rank-indexed recursive CTE.
+      val iv = events(s, d).select(col("user_id"),
+        unix_micros(col("ts")).as("s_us"),
+        (unix_micros(col("ts")) + lit(IntervalSessionSec * 1000000L))
+          .as("e_us"))
+      Relational.activitySelect(iv, "user_id", "s_us", "e_us")
+        .select(col("k").as("user_id"), col("n_total"), col("n_selected"))
+        .orderBy("user_id")
     })
   )
 
@@ -6250,6 +6265,27 @@ object SparkEntry {
          | CASE WHEN n_kept < $KmvK THEN n_kept
          |  ELSE CAST((CAST(${KmvK - 1} AS HUGEINT) * ${Sketches.HashDomain})
          |    // GREATEST(kth_min, 1) AS BIGINT) END AS est_distinct
-         |FROM b ORDER BY 1""".stripMargin
+         |FROM b ORDER BY 1""".stripMargin,
+
+    // the greedy fold replayed one rank per recursion round; every
+    // user advances in lockstep, rounds = max intervals per user
+    "q199_activity_select" ->
+      s"""WITH RECURSIVE b AS (SELECT user_id AS k, epoch_us(ts) AS s,
+         |  epoch_us(ts) + CAST(${IntervalSessionSec} AS BIGINT) * 1000000 AS e
+         | FROM events),
+         |rk AS (SELECT k, s, e,
+         |  CAST(row_number() OVER (PARTITION BY k ORDER BY e, s) AS BIGINT) AS r
+         | FROM b),
+         |g(k, r, cur, cnt) AS (
+         |  SELECT k, CAST(0 AS BIGINT), CAST(-1 AS BIGINT), CAST(0 AS BIGINT)
+         |  FROM (SELECT DISTINCT k FROM rk) t
+         |  UNION ALL
+         |  SELECT g.k, g.r + 1,
+         |   CASE WHEN rk.s >= g.cur THEN rk.e ELSE g.cur END,
+         |   CASE WHEN rk.s >= g.cur THEN g.cnt + 1 ELSE g.cnt END
+         |  FROM g JOIN rk ON rk.k = g.k AND rk.r = g.r + 1)
+         |SELECT k AS user_id, CAST(MAX(r) AS BIGINT) AS n_total,
+         | CAST(arg_max(cnt, r) AS BIGINT) AS n_selected
+         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -788,6 +788,39 @@ object Relational {
         sum(col("i_e") - col("i_s")).cast("long").as("covered_us"))
   }
 
+  /** Maximum non-overlapping interval selection per key (activity
+    * selection, the earliest-end-first greedy — provably optimal for
+    * the unweighted problem): how many conflict-free sessions/bookings/
+    * jobs fit. Intervals sort by (end, start) and the fold keeps one
+    * running `cur` end: pick iff start ≥ cur (closed-open — touching
+    * intervals both fit). The count is order-canonical: equal (end,
+    * start) duplicates are interchangeable and the (end, start) sort
+    * fixes every other tie, so the greedy count is engine-exact and
+    * the oracle can replay the fold as a rank-indexed recursive CTE.
+    *
+    * Scale: the fold runs INSIDE one agg-buffer UDF over the collected
+    * per-key interval list (the q190 doctrine) — state bounded by the
+    * per-key interval count, the one exchange carries the intervals.
+    * Returns (k, n_total, n_selected).
+    */
+  def activitySelect(iv: DataFrame, keyCol: String, startCol: String,
+                     endCol: String): DataFrame = {
+    val sel = udf { rows: Seq[org.apache.spark.sql.Row] =>
+      val arr = rows.map(r => (r.getLong(0), r.getLong(1))).toArray
+        .sortBy(t => (t._2, t._1))
+      var cur = Long.MinValue
+      var cnt = 0L
+      arr.foreach { case (s, e) => if (s >= cur) { cnt += 1; cur = e } }
+      cnt
+    }
+    iv.select(col(keyCol).as("k"), col(startCol).cast("long").as("s"),
+        col(endCol).cast("long").as("e"))
+      .groupBy("k")
+      .agg(count(lit(1)).cast("long").as("n_total"),
+        collect_list(struct(col("s"), col("e"))).as("ivs"))
+      .select(col("k"), col("n_total"), sel(col("ivs")).as("n_selected"))
+  }
+
   /** Linear-interpolation gap fill per key (the interpolating
     * complement of the q109 LOCF fill): for every missing step x
     * strictly between two OBSERVED neighbors (x1,v1) < (x2,v2), emit

@@ -520,6 +520,21 @@ class ChunkingCurationSpec extends AnyFunSuite {
       "b" -> ((8L, "2024-01-01", 0L))))
   }
 
+  test("activitySelect: greedy beats the long interval, touching fits") {
+    import graft.operators.Relational
+    val iv = Seq(
+      // u: [0,100) vs shorts [0,10)[10,20)[15,30)[30,40): greedy picks
+      // [0,10),[10,20),[30,40) — 3 selected, the long one loses
+      ("u", 0L, 100L), ("u", 0L, 10L), ("u", 10L, 20L), ("u", 15L, 30L),
+      ("u", 30L, 40L),
+      // v: two identical intervals — only one fits
+      ("v", 5L, 9L), ("v", 5L, 9L)
+    ).toDF("k", "s", "e")
+    val got = Relational.activitySelect(iv, "k", "s", "e")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map("u" -> ((5L, 3L)), "v" -> ((2L, 1L))))
+  }
+
   test("gapFillInterpolate: interior gaps filled on the line, edges stay") {
     import graft.operators.Relational
     // k=a: observed x=1(v10), x=4(v40), x=6(v20): gap 2,3 on the
