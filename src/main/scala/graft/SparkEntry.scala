@@ -2898,6 +2898,30 @@ object SparkEntry {
       Relational.activitySelect(iv, "user_id", "s_us", "e_us")
         .select(col("k").as("user_id"), col("n_total"), col("n_selected"))
         .orderBy("user_id")
+    }),
+
+    "q200_corpus_report" -> ((s, d) => {
+      // Corpus health report — the daily monitoring composition a
+      // curation pipeline alerts on: doc count, unique-content count
+      // (q29's fingerprint), total token volume, and long-doc count,
+      // as one (metric, value) frame. Four independent aggs over ONE
+      // scanned frame; each metric is a single bounded row.
+      val docs = documents(s, d)
+      val base = docs.select(col("text"),
+        fingerprint(col("text")).as("fp"),
+        size(tokens(col("text"))).cast("long").as("ntok"))
+      base.agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("fp")).as("n_unique_texts"),
+          sum(col("ntok")).as("total_tokens"),
+          count(when(col("ntok") >= 50, 1)).as("n_len50"))
+        .select(explode(map(
+          lit("n_docs"), col("n_docs").cast("long"),
+          lit("n_len50"), col("n_len50").cast("long"),
+          lit("n_unique_texts"), col("n_unique_texts").cast("long"),
+          lit("total_tokens"), col("total_tokens").cast("long")))
+          .as(Seq("metric", "value")))
+        .orderBy("metric")
     })
   )
 
@@ -6286,6 +6310,20 @@ object SparkEntry {
          |  FROM g JOIN rk ON rk.k = g.k AND rk.r = g.r + 1)
          |SELECT k AS user_id, CAST(MAX(r) AS BIGINT) AS n_total,
          | CAST(arg_max(cnt, r) AS BIGINT) AS n_selected
-         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // four one-row aggregates over the same base, unioned as the
+    // (metric, value) report frame
+    "q200_corpus_report" ->
+      s"""WITH base AS (SELECT text,
+         |  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+         |  CAST(len($TOKS) AS BIGINT) AS ntok FROM documents)
+         |SELECT metric, value FROM (
+         | SELECT 'n_docs' AS metric, CAST(COUNT(*) AS BIGINT) AS value FROM base
+         | UNION ALL SELECT 'n_len50', CAST(COUNT(*) AS BIGINT)
+         |  FROM base WHERE ntok >= 50
+         | UNION ALL SELECT 'n_unique_texts', CAST(COUNT(DISTINCT fp) AS BIGINT) FROM base
+         | UNION ALL SELECT 'total_tokens', CAST(SUM(ntok) AS BIGINT) FROM base)
+         |ORDER BY metric""".stripMargin
   )
 }
