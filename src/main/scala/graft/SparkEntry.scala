@@ -133,7 +133,7 @@ object SparkEntry {
     */
   private val GopherStop = Seq("the", "a", "of", "and", "to")
 
-  /** q182's Jaccard threshold (0.5 in ppm) and q183's activity-window
+  /** q182's Jaccard threshold (0.7 in ppm) and q183's activity-window
     * length, shared with the oracle SQL.
     */
   private val PpJoinTPpm = 700000L
@@ -537,15 +537,26 @@ object SparkEntry {
     }),
 
     "q39_approx_distinct" -> ((s, d) => {
-      // HLL++ sketch — estimate differs from DuckDB's approx_distinct by
-      // design, so no SQL oracle (rows-only check); accuracy asserted in
-      // SketchAccuracySpec against exact counts at every SF incl. sf1.
-      // rsd 0.02, not the 0.05 default: rsd is a STANDARD deviation and
-      // the default measured 7.8% off at sf1's 1.5M-key cardinality;
-      // 0.02 holds the 5% contract everywhere for ~2.7K registers.
+      // HLL++ sketch as an oracle-checked ACCURACY CONTRACT: the raw
+      // estimate differs from DuckDB's approx_distinct by design, so
+      // the checked columns are the exact counts (both engines compute
+      // them) plus a boolean "sketch within 5% of exact" — the oracle
+      // asserts TRUE, so a drifting sketch turns this row red instead
+      // of hiding behind a rows-only check. rsd 0.02, not the 0.05
+      // default: rsd is a STANDARD deviation and the default measured
+      // 7.8% off at sf1's 1.5M-key cardinality; 0.02 holds the 5%
+      // contract everywhere for ~2.7K registers. (Accuracy also
+      // regression-guarded per-SF in SketchAccuracySpec.)
       lineitem(s, d).agg(
-        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+          approx_count_distinct(col("l_partkey"), 0.02).as("__ap"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("__ao"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          countDistinct(col("l_orderkey")).as("exact_orders"))
+        .select(col("exact_parts"), col("exact_orders"),
+          (abs(col("__ap") - col("exact_parts")) <=
+            col("exact_parts") * 0.05).cast("long").as("parts_ok"),
+          (abs(col("__ao") - col("exact_orders")) <=
+            col("exact_orders") * 0.05).cast("long").as("orders_ok"))
     }),
 
     // --- scan/filter/projection (reference J3 generalized) ---
@@ -782,15 +793,32 @@ object SparkEntry {
         .orderBy("custkey")
     }),
 
-    "q70_approx_percentile" -> ((s, d) =>
-      // quantile sketch (no SQL oracle — Spark's approx algorithm differs
-      // from DuckDB's by design; rows-only check here, accuracy vs the
-      // exact percentile asserted in EntrySpec)
-      lineitem(s, d)
-        .groupBy("l_returnflag")
-        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_approx"),
-          percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95_approx"))
-        .orderBy("l_returnflag")),
+    "q70_approx_percentile" -> ((s, d) => {
+      // Quantile sketch as an oracle-checked ACCURACY CONTRACT (the q39
+      // move): Spark's percentile_approx algorithm differs from DuckDB's
+      // by design, so the checked columns are the EXACT interpolated
+      // p50/p95 over price cents (histogramPercentiles — quantile_cont
+      // reproduces it exactly on integers, the q101/q162 precedent) plus
+      // 0/1 "sketch within 2% of exact" flags the oracle asserts as 1 —
+      // a drifting sketch turns this row red instead of hiding behind a
+      // rows-only check.
+      val base = lineitem(s, d).select(col("l_returnflag"),
+        cents(col("l_extendedprice")).as("price_c"))
+      val exact = Relational.histogramPercentiles(base, "l_returnflag",
+        "price_c", Seq("p50_exact_c" -> 0.5, "p95_exact_c" -> 0.95))
+      val approx = base.groupBy("l_returnflag").agg(
+        percentile_approx(col("price_c"), lit(0.5), lit(10000)).as("__a50"),
+        percentile_approx(col("price_c"), lit(0.95), lit(10000)).as("__a95"))
+      exact.join(approx, Seq("l_returnflag"))
+        .select(col("l_returnflag"),
+          round(col("p50_exact_c"), 2).as("p50_exact_c"),
+          round(col("p95_exact_c"), 2).as("p95_exact_c"),
+          (abs(col("__a50") - col("p50_exact_c")) <=
+            col("p50_exact_c") * 0.02).cast("long").as("p50_ok"),
+          (abs(col("__a95") - col("p95_exact_c")) <=
+            col("p95_exact_c") * 0.02).cast("long").as("p95_ok"))
+        .orderBy("l_returnflag")
+    }),
 
     "q80_funnel" -> ((s, d) => {
       // funnel conversion: users whose first view precedes their first
@@ -2148,6 +2176,11 @@ object SparkEntry {
       // (WindowGroupLimit), so stopword postings never serialize onto
       // one task (Indexing.invertedIndex scaladoc).
       Indexing.invertedIndex(documents(s, d), "doc_id", "text", cap = 10)
+        // fixed-width posting rendering: the harness comparator hashes
+        // scalar cells only (ArrayType crashes its pandas sort), so the
+        // sorted id list rides as one comma-joined string — content
+        // identical, type oracle-comparable
+        .withColumn("doc_ids", array_join(col("doc_ids"), ","))
         .orderBy("w")),
 
     "q149_ngram_novelty" -> ((s, d) =>
@@ -2609,7 +2642,7 @@ object SparkEntry {
 
     "q182_ppjoin" -> ((s, d) =>
       // EXACT set-similarity self-join with prefix filtering
-      // (PPJoin-lite): every 3-shingle-Jaccard >= 0.5 pair, no LSH
+      // (PPJoin-lite): every 3-shingle-Jaccard >= 0.7 pair, no LSH
       // recall loss, no all-pairs — rare-first global shingle order
       // keeps prefix postings short (Dedup.ppJoinShingles scaladoc).
       // The oracle is the brute-force quadratic join: the filter must
@@ -2810,7 +2843,12 @@ object SparkEntry {
           .as("exact_join_size"))
       est.crossJoin(exact)
         .select(col("est_join_size"), col("exact_join_size"),
-          expr("est_join_size * 1000000 div exact_join_size").as("over_ppm"))
+          // explicit NULL on exact=0 (disjoint key sets) — mirrors the
+          // oracle's guarded CASE; Spark's div yields null there anyway
+          // but the contract should be stated, not incidental
+          when(col("exact_join_size") > 0,
+            expr("est_join_size * 1000000 div exact_join_size"))
+            .as("over_ppm"))
     }),
 
     "q195_gapfill_interp" -> ((s, d) => {
@@ -3065,6 +3103,27 @@ object SparkEntry {
         | coalesce(n_urgent, 0) AS n_urgent,
         | coalesce(n_finished, 0) AS n_finished
         |FROM u FULL OUTER JOIN f ON ck_a = ck_b ORDER BY custkey""".stripMargin,
+
+    // accuracy-contract oracles (the q39/q70 sketches): the oracle
+    // recomputes the EXACT statistic both engines agree on and asserts
+    // the engine's within-tolerance flags are 1 — a drifting sketch
+    // flips a flag to 0 and the row hash-mismatches
+    "q39_approx_distinct" ->
+      """SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        | CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+        | CAST(1 AS BIGINT) AS parts_ok,
+        | CAST(1 AS BIGINT) AS orders_ok
+        |FROM lineitem""".stripMargin,
+
+    "q70_approx_percentile" ->
+      """WITH b AS (SELECT l_returnflag,
+        |  CAST(round(l_extendedprice*100,0) AS BIGINT) AS price_c FROM lineitem)
+        |SELECT l_returnflag,
+        | round(quantile_cont(price_c, 0.5), 2) AS p50_exact_c,
+        | round(quantile_cont(price_c, 0.95), 2) AS p95_exact_c,
+        | CAST(1 AS BIGINT) AS p50_ok,
+        | CAST(1 AS BIGINT) AS p95_ok
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q17_agg_conditional" ->
       """SELECT l_returnflag,
@@ -5162,12 +5221,13 @@ object SparkEntry {
 
     // exact df over the distinct (token, doc) pairs; the capped list is
     // the 10 smallest ids — list_sort + slice reproduces the engine's
-    // row_number <= cap + sort_array exactly
+    // row_number <= cap + sort_array exactly, rendered as a comma-joined
+    // string (scalar cell) to match the engine's array_join
     "q148_inverted_index" ->
       s"""WITH p AS (SELECT DISTINCT id, w FROM
          |  (SELECT doc_id AS id, unnest($TOKS) AS w FROM documents))
          |SELECT w, CAST(COUNT(*) AS BIGINT) AS df,
-         | list_sort(list(id))[1:10] AS doc_ids
+         | array_to_string(list_sort(list(id))[1:10], ',') AS doc_ids
          |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the oracle joins the exact gram STRINGS (the engine's xxhash64
@@ -6196,13 +6256,17 @@ object SparkEntry {
          |  (${duckHash(s"concat('$JoinSizeSalt', w)", 15)} >> (15 * r)) % $CmsWidth AS c,
          |  SUM(cnt) AS cnt
          | FROM tb CROSS JOIN rr GROUP BY 1, 2),
-         |ip AS (SELECT a.r, SUM(a.cnt * b.cnt) AS ip
-         | FROM cellsa a JOIN cellsb b ON a.r = b.r AND a.c = b.c GROUP BY 1),
+         |ip AS (SELECT COALESCE(a.r, b.r) AS r,
+         |  SUM(COALESCE(a.cnt, 0) * COALESCE(b.cnt, 0)) AS ip
+         | FROM cellsa a FULL OUTER JOIN cellsb b
+         |   ON a.r = b.r AND a.c = b.c GROUP BY 1),
          |est AS (SELECT CAST(MIN(ip) AS BIGINT) AS est_join_size FROM ip),
          |ex AS (SELECT CAST(COALESCE(SUM(x.cnt * y.cnt), 0) AS BIGINT) AS exact_join_size
          | FROM ta x JOIN tb y USING (w))
          |SELECT est_join_size, exact_join_size,
-         | CAST(est_join_size * 1000000 // exact_join_size AS BIGINT) AS over_ppm
+         | CASE WHEN exact_join_size = 0 THEN NULL
+         |  ELSE CAST(est_join_size * 1000000 // exact_join_size AS BIGINT)
+         | END AS over_ppm
          |FROM est, ex""".stripMargin,
 
     // same lead-window anchors + generate_series fill; // truncates
@@ -6301,7 +6365,12 @@ object SparkEntry {
          |  CAST(row_number() OVER (PARTITION BY k ORDER BY e, s) AS BIGINT) AS r
          | FROM b),
          |g(k, r, cur, cnt) AS (
-         |  SELECT k, CAST(0 AS BIGINT), CAST(-1 AS BIGINT), CAST(0 AS BIGINT)
+         |  -- greedy cursor seeded at the engine's exact sentinel
+         |  -- (Long.MinValue in activitySelect), not -1: intervals
+         |  -- starting before 1970 (s < -1) must be accepted by the
+         |  -- first pick on both sides
+         |  SELECT k, CAST(0 AS BIGINT),
+         |   CAST(-9223372036854775807 AS BIGINT) - 1, CAST(0 AS BIGINT)
          |  FROM (SELECT DISTINCT k FROM rk) t
          |  UNION ALL
          |  SELECT g.k, g.r + 1,

@@ -19,6 +19,16 @@ object Verify {
     case c => c.toString
   } + "\""
 
+  /** Oracle-comparable cell types: atomic scalars only (the driver
+    * hashes pandas cells — ndarray/dict cells are unhashable). */
+  private[graft] def isScalar(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case _: org.apache.spark.sql.types.ArrayType  => false
+      case _: org.apache.spark.sql.types.MapType    => false
+      case _: org.apache.spark.sql.types.StructType => false
+      case _ => true
+    }
+
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional third arg: comma-separated name substrings for fast local
@@ -39,9 +49,22 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       if (selected(name)) {
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+        try {
+          val df = fn(spark, sfDir)
+          // The driver's pandas comparator hashes scalar cells only —
+          // an Array/Map/Struct output column crashes it BEFORE any
+          // row/hash check (q148 shipped red for 3 rounds this way).
+          // Fail loudly at dump time instead: render collections as
+          // joined strings in the registered query.
+          val complex = df.schema.fields.collect {
+            case f if !isScalar(f.dataType) => s"${f.name}: ${f.dataType.sql}"
+          }
+          require(complex.isEmpty,
+            s"$name emits non-scalar column(s) the oracle comparator " +
+            s"cannot hash: ${complex.mkString(", ")} — array_join/render " +
+            "to a scalar in the registered query")
+          df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       }

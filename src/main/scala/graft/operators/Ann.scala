@@ -583,9 +583,12 @@ object Ann {
     // null vectors carry no codes and would NPE the quantize UDF
     val corpus = corpus0.filter(col(vecCol).isNotNull)
     val queries = queries0.filter(col(vecCol).isNotNull)
-    val m = corpus
+    // empty corpus → max(abs) aggregates to NULL; m=0 keeps the quant
+    // UDF total and the (empty) join preserves the output schema
+    val mRow = corpus
       .select(explode(col(vecCol)).as("v"))
-      .agg(max(abs(col("v").cast("double")))).head().getDouble(0)
+      .agg(max(abs(col("v").cast("double")))).head()
+    val m = if (mRow.isNullAt(0)) 0.0 else mRow.getDouble(0)
     val quant = udf { (v: Seq[Float]) =>
       Array.tabulate(v.size) { i =>
         if (m <= 0) 0L
@@ -626,9 +629,11 @@ object Ann {
     val spark = corpus0.sparkSession
     import spark.implicits._
     val corpus = corpus0.filter(col(vecCol).isNotNull)
-    val m = corpus
+    // empty corpus → NULL max; m=0 is safe (no rows reach the fold)
+    val mRow = corpus
       .select(explode(col(vecCol)).as("v"))
-      .agg(max(abs(col("v").cast("double")))).head().getDouble(0)
+      .agg(max(abs(col("v").cast("double")))).head()
+    val m = if (mRow.isNullAt(0)) 0.0 else mRow.getDouble(0)
     val quantized = corpus.select(col(vecCol)).as[Seq[Float]]
     val cells = quantized.mapPartitions { it =>
       var acc: Array[Long] = null
@@ -697,8 +702,13 @@ object Ann {
     val spark = emb.sparkSession
     import spark.implicits._
     val base = emb.filter(col(vecCol).isNotNull)
-    val m = base.select(explode(col(vecCol)).as("v"))
-      .agg(max(abs(col("v").cast("double")))).head().getDouble(0)
+    // empty corpus → NULL max and no dim row below: short-circuit to an
+    // empty trajectory (the kmeansCentroidsLocal/semDedup convention)
+    val mRow = base.select(explode(col(vecCol)).as("v"))
+      .agg(max(abs(col("v").cast("double")))).head()
+    if (mRow.isNullAt(0))
+      return Seq.empty[(Long, Long, Long)].toDF("epoch", "n_wrong", "w_l1")
+    val m = mRow.getDouble(0)
     val quant = udf { (v: Seq[Float]) =>
       val out = new Array[Long](v.size + 1)
       var i = 0

@@ -959,10 +959,16 @@ object Relational {
       col("item").as("rec_item"), col("n_both")))
     val w = Window.partitionBy("item")
       .orderBy(col("score_ppm").desc, col("n_both").desc, col("rec_item").asc)
+    // no forced broadcast of the marginal table: it is one row per
+    // catalog ITEM, which can exceed the broadcast threshold / driver
+    // memory on a large catalog — the pair stream is already keyed on
+    // item/rec_item, so AQE picks broadcast when the catalog is small
+    // and a co-partitioned shuffle join when it is not (degrades, never
+    // fails)
     pairs
-      .join(broadcast(marg.select(col("i").as("item"), col("n_i").as("n_item"))),
+      .join(marg.select(col("i").as("item"), col("n_i").as("n_item")),
         Seq("item"))
-      .join(broadcast(marg.select(col("i").as("rec_item"), col("n_i").as("n_rec"))),
+      .join(marg.select(col("i").as("rec_item"), col("n_i").as("n_rec")),
         Seq("rec_item"))
       .withColumn("score_ppm",
         expr("(n_both * n_both * 1000000) div (n_item * n_rec)"))

@@ -381,8 +381,14 @@ object Sketches {
     */
   def cmsJoinSizeEstimate(cellsA: DataFrame, cellsB: DataFrame): DataFrame =
     cellsA.select(col("r"), col("c"), col("cnt").as("ca"))
+      // FULL outer, missing cells as 0: an inner join would drop a hash
+      // row with no overlapping non-zero cells, skipping its (tightest,
+      // zero) inner product before the min — disjoint key sets must
+      // estimate 0, not min over the surviving rows
       .join(cellsB.select(col("r"), col("c"), col("cnt").as("cb")),
-        Seq("r", "c"))
-      .groupBy("r").agg(sum(col("ca") * col("cb")).as("ip"))
+        Seq("r", "c"), "full_outer")
+      .groupBy("r")
+      .agg(sum(coalesce(col("ca"), lit(0L)) *
+        coalesce(col("cb"), lit(0L))).as("ip"))
       .agg(min("ip").cast("long").as("est_join_size"))
 }
