@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.engine.Scale.MaterializeOps
 import graft.engine.Tables._
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions
@@ -183,18 +184,29 @@ object SparkEntry {
     * without this the whole posting pipeline re-executes per consumer
     * (measured 49 s -> ~16 s at sf1). Returns (cust_id, label).
     */
-  private def erClusterLabels(s: SparkSession, d: String): DataFrame = {
-    val c = customer(s, d)
-    val pairs = operators.Dedup.editDistance1Join(c, "c_custkey", "c_name")
+  private def erClusterLabels(s: SparkSession, d: String): DataFrame =
+    erLabelsOf(customer(s, d))
+
+  /** Same-nation blocking for candidate pairs over a customer-shaped
+    * frame (id_a, id_b vs c_custkey/c_nationkey) — shared by the
+    * from-scratch (q191/q197) and incremental (q201) ER paths.
+    */
+  private def erNationBlocked(pairs: DataFrame, c: DataFrame): DataFrame = {
     val nat = c.select(col("c_custkey"), col("c_nationkey"))
-    val blocked = pairs
+    pairs
       .join(nat.select(col("c_custkey").as("id_a"),
         col("c_nationkey").as("na")), Seq("id_a"))
       .join(nat.select(col("c_custkey").as("id_b"),
         col("c_nationkey").as("nb")), Seq("id_b"))
       .filter(col("na") === col("nb"))
       .select("id_a", "id_b")
-      .localCheckpoint(true)
+  }
+
+  /** The from-scratch ER labeling over any customer-shaped frame. */
+  private def erLabelsOf(c: DataFrame): DataFrame = {
+    val blocked = erNationBlocked(
+      operators.Dedup.editDistance1Join(c, "c_custkey", "c_name"), c)
+      .materialized
     val labels = operators.Dedup.dupClustersStar(blocked, "id_a", "id_b")
     c.select(col("c_custkey").as("cust_id"))
       .join(labels.withColumnRenamed("node", "cust_id"), Seq("cust_id"),
@@ -216,6 +228,27 @@ object SparkEntry {
     */
   private val BenfordPpm = Seq(301030L, 176091L, 124939L, 96910L,
     79181L, 66947L, 57992L, 51153L, 45757L)
+
+  /** The full-recompute ER oracle, shared by q191 (from-scratch
+    * labeling) and q201 (incremental maintenance, which must equal the
+    * recompute bit-for-bit).
+    */
+  private lazy val erFullRecomputeOracle: String =
+    """WITH RECURSIVE pr AS (SELECT a.c_custkey ia, b.c_custkey ib
+      | FROM customer a JOIN customer b
+      | ON a.c_custkey < b.c_custkey AND a.c_nationkey = b.c_nationkey
+      | WHERE levenshtein(a.c_name, b.c_name) <= 1),
+      |e AS (SELECT ia u, ib v FROM pr UNION ALL SELECT ib, ia FROM pr),
+      |reach AS (SELECT u AS node, u AS label FROM e
+      | UNION SELECT e.u, r.label FROM e JOIN reach r ON e.v = r.node),
+      |lab AS (SELECT node, MIN(label) lbl FROM reach GROUP BY 1),
+      |allc AS (SELECT c_custkey AS cust_id,
+      |  COALESCE(lab.lbl, c_custkey) AS label
+      | FROM customer LEFT JOIN lab ON customer.c_custkey = lab.node),
+      |sz AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS csize
+      | FROM allc GROUP BY 1)
+      |SELECT cust_id, CAST(label AS BIGINT) AS label, csize
+      |FROM allc JOIN sz USING (label) ORDER BY cust_id""".stripMargin
 
   /** The whole-corpus KMV oracle, shared by q137 (direct sketch) and
     * q168 (merged half-sketches, which must equal it bit-for-bit).
@@ -547,16 +580,24 @@ object SparkEntry {
       // 7.8% off at sf1's 1.5M-key cardinality; 0.02 holds the 5%
       // contract everywhere for ~2.7K registers. (Accuracy also
       // regression-guarded per-SF in SketchAccuracySpec.)
-      lineitem(s, d).agg(
-          approx_count_distinct(col("l_partkey"), 0.02).as("__ap"),
-          approx_count_distinct(col("l_orderkey"), 0.02).as("__ao"),
-          countDistinct(col("l_partkey")).as("exact_parts"),
-          countDistinct(col("l_orderkey")).as("exact_orders"))
+      // each column pre-distincts ONCE (map-side partial distinct),
+      // then exact count and HLL run over the distinct set — HLL is a
+      // function of the distinct SET, so the estimate is identical to
+      // running it on the multiset, and the plan avoids the 4x Expand
+      // Spark needs for two countDistinct + two HLL in one aggregate
+      // (measured 3.6 s -> the two-shuffle form at sf0.1)
+      val li = lineitem(s, d)
+      def side(c: String, exactName: String, okName: String) =
+        li.select(col(c)).distinct().agg(
+            count(lit(1)).as(exactName),
+            approx_count_distinct(col(c), 0.02).as("__a"))
+          .select(col(exactName),
+            (abs(col("__a") - col(exactName)) <=
+              col(exactName) * 0.05).cast("long").as(okName))
+      side("l_partkey", "exact_parts", "parts_ok")
+        .crossJoin(side("l_orderkey", "exact_orders", "orders_ok"))
         .select(col("exact_parts"), col("exact_orders"),
-          (abs(col("__ap") - col("exact_parts")) <=
-            col("exact_parts") * 0.05).cast("long").as("parts_ok"),
-          (abs(col("__ao") - col("exact_orders")) <=
-            col("exact_orders") * 0.05).cast("long").as("orders_ok"))
+          col("parts_ok"), col("orders_ok"))
     }),
 
     // --- scan/filter/projection (reference J3 generalized) ---
@@ -1538,12 +1579,23 @@ object SparkEntry {
         (col("s") + 7).as("e_a"))
       val b = base.select(col("o_orderkey").as("id_b"), col("s").as("s_b"),
         (col("s") + 7).as("e_b"))
+      // Registered output is PER-INTERVAL degree stats, not the pair
+      // list: pair count grows quadratically with interval density
+      // (measured 101x per data decade — the output itself was the
+      // scaling-gate waiver), while this aggregate is one row per
+      // qualifying order. The groupBy exploits the join's existing
+      // bucket partitioning; the raw pair stream stays available as
+      // Relational.intervalOverlapJoin for callers that want rows.
       Relational.intervalOverlapJoin(a, b, "s_a", "e_a", "s_b", "e_b", 8L)
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
+        .filter(col("id_a") =!= col("id_b"))
+        .withColumn("ov",
           (least(col("e_a"), col("e_b")) - greatest(col("s_a"), col("s_b")) + 1)
-            .cast("long").as("overlap_days"))
-        .orderBy("id_a", "id_b")
+            .cast("long"))
+        .groupBy(col("id_a").as("id"))
+        .agg(count(lit(1)).as("n_overlaps"),
+          sum(col("ov")).cast("long").as("sum_overlap_days"),
+          max(col("ov")).cast("long").as("max_overlap_days"))
+        .orderBy("id")
     }),
 
     "q101_histogram_percentile" -> ((s, d) => {
@@ -2960,6 +3012,58 @@ object SparkEntry {
           lit("total_tokens"), col("total_tokens").cast("long")))
           .as(Seq("metric", "value")))
         .orderBy("metric")
+    }),
+
+    "q202_video_scenes_sampled" -> ((s, d) =>
+      // Every-2nd-frame scene-cut detection (VERDICT r07 #6): the
+      // keyframe-pipeline tuning of q165 — RIFF chunking still walks
+      // every frame, PNG decode (the 7-8x/decade cost) runs on half of
+      // them. first_cut is the ORIGINAL frame index of the sample that
+      // saw the change; the oracle derives every sampled comparison
+      // analytically from the fixture's window-gray formula
+      // (Multimodal.videoSceneCutsSampled scaladoc).
+      Multimodal.videoSceneCutsSampled(
+          Multimodal.mediaWithDupVideo(s, documents(s, d)), every = 2)
+        .toDF()
+        .orderBy("media_id")),
+
+    "q201_er_incremental" -> ((s, d) => {
+      // Incremental/persisted ER (VERDICT r07 #4): the standing corpus
+      // (deterministic md5-coin 80% of customers) is labeled once via
+      // the q191 pipeline; the remaining 20% arrives as an ingest
+      // batch whose candidate pairs are the batch-internal SymSpell
+      // join PLUS the batch-vs-standing posting join
+      // (Dedup.editDistance1JoinAgainst) — the standing corpus is
+      // never self-re-joined — and Dedup.incrementalClusterLabels
+      // merges them touching only affected components. The oracle is
+      // the FULL recompute over all customers (q191's SQL verbatim):
+      // a green row PROVES incremental == recompute.
+      val c = customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      val isBatch = pmod(tokenHash64(
+        concat(lit("erb_"), col("c_custkey").cast("string"))), lit(5L)) === 0
+      val corpus = c.filter(!isBatch)
+      val batch = c.filter(isBatch)
+      val standing = erLabelsOf(corpus).withColumnRenamed("cust_id", "node")
+      val newEdges = erNationBlocked(
+          operators.Dedup.editDistance1Join(batch, "c_custkey", "c_name"), c)
+        .unionAll(erNationBlocked(
+          operators.Dedup
+            .editDistance1JoinAgainst(batch, corpus, "c_custkey", "c_name")
+            .select(col("batch_id").as("id_a"), col("corpus_id").as("id_b")),
+          c))
+        .materialized
+      val labels = operators.Dedup
+        .incrementalClusterLabels(standing, newEdges, "id_a", "id_b")
+      val all = c.select(col("c_custkey").as("cust_id"))
+        .join(labels.withColumnRenamed("node", "cust_id"), Seq("cust_id"), "left")
+        .select(col("cust_id"),
+          coalesce(col("label"), col("cust_id")).as("label"))
+      val sizes = all.groupBy("label").agg(count(lit(1)).as("csize"))
+      all.join(sizes, Seq("label"))
+        .select(col("cust_id"), col("label").cast("long").as("label"),
+          col("csize").cast("long").as("csize"))
+        .orderBy("cust_id")
     })
   )
 
@@ -4507,12 +4611,15 @@ object SparkEntry {
     "q100_interval_overlap" ->
       """WITH iv AS (SELECT o_orderkey AS id,
         |  CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS s
-        | FROM orders WHERE o_totalprice > 450000)
-        |SELECT a.id AS id_a, b.id AS id_b,
-        | CAST(least(a.s+7, b.s+7) - greatest(a.s, b.s) + 1 AS BIGINT) AS overlap_days
-        |FROM iv a JOIN iv b
-        | ON a.id < b.id AND a.s <= b.s + 7 AND b.s <= a.s + 7
-        |ORDER BY id_a, id_b""".stripMargin,
+        | FROM orders WHERE o_totalprice > 450000),
+        |p AS (SELECT a.id AS id,
+        |  CAST(least(a.s+7, b.s+7) - greatest(a.s, b.s) + 1 AS BIGINT) AS ov
+        | FROM iv a JOIN iv b
+        |  ON a.id <> b.id AND a.s <= b.s + 7 AND b.s <= a.s + 7)
+        |SELECT id, CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+        | CAST(SUM(ov) AS BIGINT) AS sum_overlap_days,
+        | CAST(MAX(ov) AS BIGINT) AS max_overlap_days
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q94_date_spine" ->
       """WITH spine AS (SELECT unnest(generate_series(
@@ -6151,22 +6258,40 @@ object SparkEntry {
 
     // q121's brute-force levenshtein pairs restricted to the nation
     // block, exact recursive closure, singleton self-label
-    "q191_entity_resolution" ->
-      """WITH RECURSIVE pr AS (SELECT a.c_custkey ia, b.c_custkey ib
-        | FROM customer a JOIN customer b
-        | ON a.c_custkey < b.c_custkey AND a.c_nationkey = b.c_nationkey
-        | WHERE levenshtein(a.c_name, b.c_name) <= 1),
-        |e AS (SELECT ia u, ib v FROM pr UNION ALL SELECT ib, ia FROM pr),
-        |reach AS (SELECT u AS node, u AS label FROM e
-        | UNION SELECT e.u, r.label FROM e JOIN reach r ON e.v = r.node),
-        |lab AS (SELECT node, MIN(label) lbl FROM reach GROUP BY 1),
-        |allc AS (SELECT c_custkey AS cust_id,
-        |  COALESCE(lab.lbl, c_custkey) AS label
-        | FROM customer LEFT JOIN lab ON customer.c_custkey = lab.node),
-        |sz AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS csize
-        | FROM allc GROUP BY 1)
-        |SELECT cust_id, CAST(label AS BIGINT) AS label, csize
-        |FROM allc JOIN sz USING (label) ORDER BY cust_id""".stripMargin,
+    "q191_entity_resolution" -> erFullRecomputeOracle,
+
+    // the incremental path must equal the FULL recompute — same oracle
+    "q201_er_incremental" -> erFullRecomputeOracle,
+
+    // q165's analytic window-gray oracle at sampled positions: pair j
+    // compares original frames (j-1)*2 and j*2, i.e. windows
+    // idx // (nf//64); first_cut = j*2 of the first differing pair
+    "q202_video_scenes_sampled" ->
+      """WITH dim AS (SELECT doc_id AS id, doc_id // 10 AS gid,
+        |  ((doc_id % 10) * 11) % 64 AS fw,
+        |  64*((doc_id % 2)+1) AS nf
+        | FROM documents WHERE doc_id % 2 = 1),
+        |hsh AS (SELECT id, fw, nf,
+        |  CAST(concat('0x', substr(md5(concat('v', CAST(gid AS VARCHAR))),1,15)) AS BIGINT) AS hp
+        | FROM dim),
+        |lum AS (SELECT id, nf, k,
+        |  CASE WHEN (((hp >> (k % 60)) & 1) = 1) != (k = fw)
+        |       THEN 220 ELSE 30 END AS a
+        | FROM hsh, LATERAL (SELECT unnest(generate_series(0, 63)) AS k) t),
+        |sp AS (SELECT l.id, l.nf, j.j,
+        |  (j.j*2) // (l.nf // 64) AS kc, ((j.j-1)*2) // (l.nf // 64) AS kp
+        | FROM (SELECT DISTINCT id, nf FROM lum) l,
+        |  LATERAL (SELECT unnest(generate_series(1, (l.nf+1)//2 - 1)) AS j) j),
+        |d AS (SELECT sp.id, sp.nf, sp.j, cur.a, prv.a AS pa
+        | FROM sp JOIN lum cur ON cur.id = sp.id AND cur.k = sp.kc
+        |  JOIN lum prv ON prv.id = sp.id AND prv.k = sp.kp),
+        |c AS (SELECT id, nf,
+        |  CAST(COUNT(CASE WHEN a <> pa THEN 1 END) AS BIGINT) AS n_cuts,
+        |  MIN(CASE WHEN a <> pa THEN j*2 END) AS fck
+        | FROM d GROUP BY 1, 2)
+        |SELECT id AS media_id, CAST((nf+1)//2 AS BIGINT) AS n_sampled, n_cuts,
+        | CAST(COALESCE(fck, -1) AS BIGINT) AS first_cut
+        |FROM c ORDER BY media_id""".stripMargin,
 
     // the full PQ replay: one shared seed-id list (q54's md5 seeding),
     // per subspace 2 Lloyd rounds + encode + query LUT, then the

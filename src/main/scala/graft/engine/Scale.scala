@@ -10,6 +10,44 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
+  /** Cluster-durability switch for every iterative operator in the
+    * library (star CC, BFS/SSSP, k-core, PageRank, k-means, BPE merge
+    * rounds, ...): `spark.graft.checkpointDir` unset (the default, and
+    * the local[32] test mode) → `localCheckpoint(eager)`, whose blocks
+    * live on executors — fastest, but lost WITH an executor, so an
+    * executor failure at 1000-node scale kills the whole iterative job.
+    * Set `spark.graft.checkpointDir` to an HDFS/S3 path and every loop
+    * switches to reliable `checkpoint()` into that directory: lineage
+    * is truncated identically (same plan shape, same results — asserted
+    * by CheckpointEquivalenceSpec), but materialized blocks survive
+    * executor loss and the job resumes instead of recomputing from
+    * round 0. The sparkContext checkpoint dir is set lazily from the
+    * conf on first use.
+    */
+  def materialize(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.getOption(CheckpointDirConf).filter(_.nonEmpty) match {
+      case Some(dir) =>
+        val sc = spark.sparkContext
+        // setCheckpointDir appends a UUID subdir, so "already set to
+        // this dir" is a contains-check; re-pointing when the conf
+        // changes keeps long-lived sessions (tests, notebooks) honest
+        if (!sc.getCheckpointDir.exists(_.contains(dir)))
+          sc.setCheckpointDir(dir)
+        df.checkpoint(true)
+      case None => df.localCheckpoint(true)
+    }
+  }
+
+  val CheckpointDirConf = "spark.graft.checkpointDir"
+
+  /** Postfix form of [[materialize]] so iterative loops read as
+    * pipelines: `edges.materialized`.
+    */
+  implicit class MaterializeOps(private val df: DataFrame) {
+    def materialized: DataFrame = materialize(df)
+  }
+
   /** Skew-safe equi-join: salt the big (skewed) side into `saltFactor`
     * sub-keys and replicate the small side once per salt, turning one
     * hot key's partition into `saltFactor` even slices. Use when a key's

@@ -1077,23 +1077,30 @@ object Multimodal {
     * frames drop.
     */
   private def decodedFrameSums(bytes: Array[Byte]): Seq[(Int, Int, Long)] =
-    VideoCodec.frameChunks(bytes).flatMap { fb =>
-      PngCodec.decodeGraySum(fb).orElse {
-        Option(javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(fb))).map { img =>
-          var s = 0L
-          var y = 0
-          while (y < img.getHeight) {
-            var x = 0
-            while (x < img.getWidth) {
-              val p = img.getRGB(x, y)
-              s += (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
-              x += 1
-            }
-            y += 1
+    VideoCodec.frameChunks(bytes).flatMap(decodeFrameSum)
+
+  /** One frame chunk → (width, height, graySum): hand-rolled PNG gray
+    * sum on the fast path, ImageIO fallback for MJPG/exotic PNGs; None
+    * for an undecodable chunk. The per-frame unit [[decodedFrameSums]]
+    * maps over every chunk and [[videoSceneCutsSampled]] over every
+    * Nth.
+    */
+  private def decodeFrameSum(fb: Array[Byte]): Option[(Int, Int, Long)] =
+    PngCodec.decodeGraySum(fb).orElse {
+      Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(fb))).map { img =>
+        var s = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val p = img.getRGB(x, y)
+            s += (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+            x += 1
           }
-          (img.getWidth, img.getHeight, s)
+          y += 1
         }
+        (img.getWidth, img.getHeight, s)
       }
     }
 
@@ -1169,6 +1176,57 @@ object Multimodal {
               i += 1
             }
             Some(VideoSceneCuts(r.media_id, f.length.toLong, cuts, first))
+          }
+        }
+      }
+    }
+  }
+
+  case class VideoSceneCutsSampled(media_id: Long, n_sampled: Long,
+                                   n_cuts: Long, first_cut: Long)
+
+  /** [[videoSceneCuts]] with every-Nth-frame DECODE — the standard
+    * keyframe-pipeline tuning (VERDICT r07 #6: the video family is
+    * decode-dominated at 7-8×/decade). The RIFF walk still indexes
+    * every chunk (cheap pointer arithmetic); the PNG/JPEG decode — the
+    * actual cost — runs only on frames 0, every, 2·every, …, cutting
+    * decode work by `every`×. Cuts are detected between consecutive
+    * SAMPLED frames; `first_cut` reports the ORIGINAL frame index of
+    * the sample where the change was first seen, so a cut inside a
+    * skipped run is attributed to the next sample, and two opposite
+    * changes inside one gap cancel — the documented recall/cost trade
+    * (exact whenever `every` divides the content's stable-run length,
+    * e.g. every=1 reproduces [[videoSceneCuts]] bit-for-bit — asserted
+    * in MultimodalSpec). Undecodable sampled frames drop; comparison
+    * continues with the next decodable sample.
+    */
+  def videoSceneCutsSampled(media: Dataset[MediaRow],
+                            every: Int): Dataset[VideoSceneCutsSampled] = {
+    require(every >= 1, s"every must be >= 1, got $every")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { r =>
+        if (r.kind != "video") None
+        else {
+          val chunks = VideoCodec.frameChunks(r.content)
+          val f = (0 until chunks.length by every)
+            .flatMap(i => decodeFrameSum(chunks(i)).map(i -> _))
+          if (f.isEmpty) None
+          else {
+            var cuts = 0L
+            var first = -1L
+            var j = 1
+            while (j < f.length) {
+              val (_, (w0, h0, s0)) = f(j - 1)
+              val (i1, (w1, h1, s1)) = f(j)
+              if (s1 * (w0.toLong * h0) != s0 * (w1.toLong * h1)) {
+                cuts += 1
+                if (first < 0) first = i1.toLong
+              }
+              j += 1
+            }
+            Some(VideoSceneCutsSampled(r.media_id, f.length.toLong, cuts, first))
           }
         }
       }

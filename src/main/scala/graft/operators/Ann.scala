@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.engine.Scale.MaterializeOps
+
 import graft.functions.VectorFunctions._
 
 /** Approximate-nearest-neighbor search over an `array<float>` embedding
@@ -162,7 +164,7 @@ object Ann {
     val build = {
       val b = if (sampleOneIn <= 1) keyed
         else keyed.filter(pmod(col("h"), lit(sampleOneIn.toLong)) === 0)
-      if (reliable) b.checkpoint(true) else b.localCheckpoint(true)
+      if (reliable) b.checkpoint(true) else b.materialized
     }
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -360,7 +362,7 @@ object Ann {
     val assigned = (if (cents.isEmpty) src.withColumn("cid", lit(0L))
       else src.withColumn("cid",
         assignCidUdf(src.schema("v").dataType, cents)(col("v"))))
-      .localCheckpoint(true)
+      .materialized
     val a = assigned.select(col("cid"), col("vid").as("ia"),
       col("v").as("va"), col("nrm").as("na"))
     val b = assigned.select(col("cid"), col("vid").as("ib"),
@@ -722,7 +724,7 @@ object Ann {
     val q = base.select(
         quant(col(vecCol)).as("xq"),
         when(col(labelCol) <= posMax, 1L).otherwise(-1L).as("y"))
-      .localCheckpoint(true)
+      .materialized
     val dim = q.select(size(col("xq"))).head().getInt(0)
     var w = new Array[Long](dim)
     val trajectory = (1 to epochs).map { epoch =>
@@ -850,7 +852,7 @@ object Ann {
     val keyed = emb.filter(col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
         tokenHash64(concat(lit("kc_"), col(idCol).cast("string"))).as("h"))
-      .localCheckpoint(true)
+      .materialized
     val seed = keyed.orderBy("h", "id").limit(1)
       .select(col("id"), transform(col("v"), x => x.cast("double")).as("cv"))
       .as[(Long, Array[Double])].head()
@@ -1013,7 +1015,7 @@ object Ann {
       col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
     val pos = p.groupBy("x", "y")
       .agg(count(lit(1)).as("m"), min("id").as("pid"))
-      .localCheckpoint(true)
+      .materialized
     val left = pos.select(col("pid").as("pa"), col("x").as("xa"),
       col("y").as("ya"),
       expr(s"x div $eps").as("cx"), expr(s"y div $eps").as("cy"))

@@ -2,6 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+
+import graft.engine.Scale.MaterializeOps
 import org.apache.spark.sql.types._
 
 /** BPE vocabulary LEARNING — the iterative merge selection that q62's
@@ -70,7 +72,7 @@ object Bpe {
       : (DataFrame, Seq[(Long, String, String, Long)]) = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     if (syms0.count() <= localLimit) return mergeRoundsLocal(syms0, iters)
-    var syms = syms0.localCheckpoint(true)
+    var syms = syms0.materialized
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     for (rank <- 1 to iters) {
       // adjacent symbol pairs, 1-based element_at to mirror the oracle's
@@ -95,7 +97,7 @@ object Bpe {
         syms = syms
           .withColumn("s", trim(expr(
             s"replace(concat(' ', s, ' '), ' $pair ', ' $merged ')")))
-          .localCheckpoint(true)
+          .materialized
       }
     }
     (syms, merges.result())

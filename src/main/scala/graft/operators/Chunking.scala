@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.engine.Scale.MaterializeOps
+
 import graft.functions.TextFunctions.tokens
 
 /** Sequence-shaping operators for training-data pipelines: fixed-size
@@ -100,7 +102,7 @@ object Chunking {
         }
       }
       .toDF("pid", orderCol, valCol, "local_before")
-      .localCheckpoint(true)
+      .materialized
     val totals = local.groupBy("pid")
       .agg(max(col("local_before") + col(valCol)).as("total"))
       .collect()

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.engine.Scale.MaterializeOps
+
 import graft.functions.TextFunctions.{tokenHash64, tokenHash64Jvm, tokens}
 
 /** Deterministic corpus-curation operators: weighted source mixing and
@@ -458,7 +460,7 @@ object Curation {
       .toDF("pid", "id", "score", "n_tokens", "local_before")
       // pin the partition pass: the totals collect and the offset join
       // must see the SAME computation (and partition ids), not re-runs
-      .localCheckpoint(true)
+      .materialized
     val totals = local.groupBy("pid")
       .agg(max(col("local_before") + col("n_tokens")).as("total"))
       .collect()
@@ -699,7 +701,7 @@ object Curation {
                         groupCol: String): DataFrame = {
     val scored = unigramSurprisal(docs, idCol, textCol)
       .select(col("id"), col("bits_per_1k"))
-      .localCheckpoint(true) // read by the threshold scan AND the output agg
+      .materialized // read by the threshold scan AND the output agg
     val hist = scored.groupBy("bits_per_1k").agg(count(lit(1)).as("cnt"))
     val w = Window.orderBy("bits_per_1k")
     val cum = hist.withColumn("cum", sum("cnt").over(w))

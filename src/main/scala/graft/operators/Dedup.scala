@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.engine.Scale.MaterializeOps
+
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions
 
@@ -560,7 +562,7 @@ object Dedup {
     // survives executor loss — the cluster setting for long iterative
     // jobs (caller must setCheckpointDir).
     def materialize(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+      if (reliable) df.checkpoint(true) else df.materialized
     val edges = materialize(
       pairs.select(col(aCol).as("u"), col(bCol).as("v"))
         .unionAll(pairs.select(col(bCol).as("u"), col(aCol).as("v"))))
@@ -604,7 +606,7 @@ object Dedup {
                       reliable: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def materialize(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
+      if (reliable) df.checkpoint(true) else df.materialized
 
     def largeStar(e: DataFrame): DataFrame = {
       val bidir = e.unionAll(e.select(col("v").as("u"), col("u").as("v"))).distinct()
@@ -791,6 +793,80 @@ object Dedup {
       .groupBy("k").agg(count(lit(1)).as("freq"))
       .filter(col("freq") > maxKeyFreq)
       .orderBy(col("freq").desc, col("k"))
+
+  /** Cross-batch edit-distance ≤ 1 join: a NEW batch of strings against
+    * a STANDING corpus — the ingest-time shape of [[editDistance1Join]]
+    * (the [[minHashLshAgainst]] pattern applied to SymSpell deletion
+    * keys). The corpus's deletion-key postings are the reusable index;
+    * the batch generates its own (few) keys and equi-joins them, so a
+    * per-batch ingest shuffles the BATCH keys plus only the matched
+    * postings — the standing corpus is scanned for its postings but
+    * never pairwise re-joined against itself. Same `maxKeyFreq` cap and
+    * exact levenshtein verify as the self-join form (a capped key can
+    * only drop candidates the self-join would also drop). Returns
+    * (batch_id, corpus_id, dist), deduped.
+    */
+  def editDistance1JoinAgainst(batch: DataFrame, corpus: DataFrame,
+                               idCol: String, strCol: String,
+                               maxKeyFreq: Int = 1000): DataFrame = {
+    val posting = deletionKeyed(corpus, idCol, strCol)
+      .groupBy("k")
+      .agg(sort_array(collect_list(struct(col("id"), col("s")))).as("lst"))
+      .filter(size(col("lst")) <= maxKeyFreq)
+    deletionKeyed(batch, idCol, strCol)
+      .join(posting, Seq("k"))
+      .select(col("id").as("batch_id"), col("s").as("s_b"),
+        explode(col("lst")).as("c"))
+      .select(col("batch_id"), col("s_b"),
+        col("c.id").as("corpus_id"), col("c.s").as("s_c"))
+      .filter(col("batch_id") =!= col("corpus_id"))
+      .select(col("batch_id"), col("corpus_id"),
+        levenshtein(col("s_b"), col("s_c")).cast("long").as("dist"))
+      .filter(col("dist") <= 1)
+      .distinct()
+  }
+
+  /** Incremental connected-component label maintenance: merge a batch
+    * of `newEdges` into a STANDING (node, label) clustering WITHOUT
+    * recomputing the full graph. A standing clustering from
+    * [[dupClustersStar]]/[[dupClusters]] is a star forest (every node
+    * points at its component min), so the update graph is
+    * newEdges ∪ star edges of AFFECTED components only — affected =
+    * components holding an endpoint of a new edge, found by two
+    * semi-joins; everything else passes through untouched. Star CC
+    * over that bounded graph yields the merged labels, and the result
+    * EQUALS the full recompute (proved by q201's full-recompute
+    * oracle): star edges preserve component membership, so the merged
+    * component's min is the global min.
+    *
+    * Scale: the ingest shuffles |newEdges| + the affected components'
+    * star edges — proportional to the batch and what it touches, never
+    * the standing corpus. `standing` must cover every standing node
+    * (singletons self-labeled, the [[dupClustersStar]] contract); new
+    * nodes appearing only in `newEdges` label themselves through the
+    * CC. Returns the updated (node, label) covering standing ∪ new.
+    */
+  def incrementalClusterLabels(standing: DataFrame, newEdges: DataFrame,
+                               aCol: String, bCol: String): DataFrame = {
+    val e = newEdges.select(col(aCol).as("u"), col(bCol).as("v"))
+    val endpoints = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node"))).distinct()
+    val touchedLabels = standing
+      .join(endpoints, Seq("node"), "left_semi")
+      .select("label").distinct()
+    val affected = standing.join(touchedLabels, Seq("label"), "left_semi")
+    val starEdges = affected.filter(col("node") =!= col("label"))
+      .select(col("node").as("u"), col("label").as("v"))
+    // every affected node reaches `merged`: non-roots carry a star
+    // edge, an affected root is either a new-edge endpoint itself or
+    // the TARGET of a member's star edge, and dupClustersStar's node
+    // set is exactly the union of edge endpoints
+    val merged = dupClustersStar(e.unionAll(starEdges), "u", "v")
+    val untouched = standing.join(
+      merged.select(col("node")), Seq("node"), "left_anti")
+    untouched.select(col("node"), col("label"))
+      .unionAll(merged.select(col("node"), col("label")))
+  }
 
   /** Serialized bloom filter of the hash values occurring >= 2 times in
     * `hashes` (one LongType column) — a SUPERSET of the true duplicate
@@ -1402,7 +1478,7 @@ object Dedup {
         it.map { case (k, id) => val p = i; i += 1; (pid, k, id, p) }
       }
       .toDF("pid", "k", "id", "local_pos")
-      .localCheckpoint(true)
+      .materialized
     val counts = local.groupBy("pid").agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var base = 0L

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.engine.Scale.MaterializeOps
+
 /** Iterative whole-graph numeric propagation over a pair list — the
   * step past connected components (Dedup.dupClusters/dupClustersStar):
   * PageRank-style centrality over the duplicate graph ranks which copy
@@ -36,10 +38,10 @@ object GraphOps {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val e = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
-      .localCheckpoint(true)
+      .materialized
     val deg = e.groupBy("u").agg(count(lit(1)).as("d"))
       .select(col("u").as("id"), col("d"))
-      .localCheckpoint(true)
+      .materialized
     val n = deg.count()
     val r0 = scale / n
     val base = (15L * r0) / 100L
@@ -51,7 +53,7 @@ object GraphOps {
       r = deg.join(sums, deg("id") === sums("v"), "left")
         .select(deg("id"), deg("d"),
           (lit(base) + expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("r"))
-        .localCheckpoint(true)
+        .materialized
     }
     r
   }
@@ -77,13 +79,13 @@ object GraphOps {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val e = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
-      .localCheckpoint(true)
+      .materialized
     val deg = e.groupBy("u").agg(count(lit(1)).as("d"))
       .select(col("u").as("id"), col("d"))
     val sd = seeds.select(col(seedCol).as("sid")).distinct()
     val nodes = deg.join(sd, deg("id") === sd("sid"), "left")
       .select(col("id"), col("d"), col("sid").isNotNull.as("is_seed"))
-      .localCheckpoint(true)
+      .materialized
     val nSeeds = nodes.filter(col("is_seed")).count()
     require(nSeeds > 0, "no seed node appears in the pair graph")
     val r0 = scale / nSeeds
@@ -99,7 +101,7 @@ object GraphOps {
         .select(nodes("id"), nodes("d"), nodes("is_seed"),
           (when(nodes("is_seed"), lit(base)).otherwise(lit(0L)) +
             expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("r"))
-        .localCheckpoint(true)
+        .materialized
     }
     r.select("id", "d", "r")
   }
@@ -128,7 +130,7 @@ object GraphOps {
       .select(least(col(aCol), col(bCol)).as("a"),
         greatest(col(aCol), col(bCol)).as("b"))
       .filter(col("a") =!= col("b")).distinct()
-      .localCheckpoint(true) // read by degrees, orientation, and closing join
+      .materialized // read by degrees, orientation, and closing join
     val deg = und.select(explode(array(col("a"), col("b"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("d"))
     val withDeg = und
@@ -178,9 +180,9 @@ object GraphOps {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
     val e = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
-      .localCheckpoint(true)
+      .materialized
     var dist = seeds.select(col(seedCol).as("id")).distinct()
-      .withColumn("hops", lit(0L)).localCheckpoint(true)
+      .withColumn("hops", lit(0L)).materialized
     for (h <- 1 to maxHops) {
       val frontier = dist.filter(col("hops") === (h - 1).toLong)
         .select(col("id").as("fid"))
@@ -188,7 +190,7 @@ object GraphOps {
         .select(col("v").as("id"), lit(h.toLong).as("hops"))
       dist = dist.unionByName(next)
         .groupBy("id").agg(min("hops").as("hops"))
-        .localCheckpoint(true)
+        .materialized
     }
     dist
   }
@@ -218,10 +220,10 @@ object GraphOps {
         col(wCol).cast("long").as("w"))
       .unionByName(edges.select(col(bCol).as("u"), col(aCol).as("v"),
         col(wCol).cast("long").as("w")))
-      .localCheckpoint(true)
+      .materialized
     var dist = seeds.select(col(seedCol).as("id")).distinct()
       .withColumn("dist", lit(0L)).withColumn("improved", lit(true))
-      .localCheckpoint(true)
+      .materialized
     for (_ <- 1 to maxHops) {
       val frontier = dist.filter(col("improved"))
         .select(col("id").as("fid"), col("dist").as("fd"))
@@ -233,7 +235,7 @@ object GraphOps {
           least(col("dist"), col("nd")).as("dist"),
           (col("dist").isNull || (col("nd").isNotNull && col("nd") < col("dist")))
             .as("improved"))
-        .localCheckpoint(true)
+        .materialized
     }
     dist.select("id", "dist")
   }
@@ -261,10 +263,10 @@ object GraphOps {
         col(wCol).cast("long").as("w"))
       .unionByName(edges.select(col(bCol).as("u"), col(aCol).as("v"),
         col(wCol).cast("long").as("w")))
-      .localCheckpoint(true)
+      .materialized
     val sw = e.groupBy("u").agg(sum("w").as("swt"))
       .select(col("u").as("id"), col("swt"))
-      .localCheckpoint(true)
+      .materialized
     val n = sw.count()
     val r0 = scale / n
     val base = (15L * r0) / 100L
@@ -277,7 +279,7 @@ object GraphOps {
       r = sw.join(sums, sw("id") === sums("v"), "left")
         .select(sw("id"), sw("swt"),
           (lit(base) + expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")).as("r"))
-        .localCheckpoint(true)
+        .materialized
     }
     r.select(col("id"), col("r"))
   }
@@ -310,11 +312,11 @@ object GraphOps {
     var e = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
       .distinct()
-      .localCheckpoint(true)
+      .materialized
     var rounds = 0
     var stable = false
     while (!stable) {
-      val deg = e.groupBy("u").agg(count(lit(1)).as("d")).localCheckpoint(true)
+      val deg = e.groupBy("u").agg(count(lit(1)).as("d")).materialized
       // ONE driver action per round: total and surviving node counts
       // from the same (checkpointed) degree frame
       val counts = deg.agg(count(lit(1)),
@@ -328,7 +330,7 @@ object GraphOps {
         val keep = deg.filter(col("d") >= k).select(col("u").as("kid"))
         e = e.join(keep, col("u") === col("kid"), "left_semi")
           .join(keep, col("v") === col("kid"), "left_semi")
-          .localCheckpoint(true)
+          .materialized
       }
     }
     e.groupBy("u").agg(count(lit(1)).as("core_deg"))

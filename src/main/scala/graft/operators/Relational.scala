@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.engine.Scale.MaterializeOps
+
 /** Relational composites Spark has no single built-in operator for:
   * per-group top-k, as-of join, and batch sessionization. All are
   * window/equi-join compositions (SURVEY.md §4.2: compose built-ins
@@ -305,7 +307,7 @@ object Relational {
     */
   def madByGroup(df: DataFrame, grpCol: String, valCol: String): DataFrame = {
     val med = histogramPercentiles(df, grpCol, valCol, Seq("med" -> 0.5))
-      .localCheckpoint(true) // read by the deviation join AND the output join
+      .materialized // read by the deviation join AND the output join
     val dev = df.join(broadcast(med), Seq(grpCol))
       .select(col(grpCol),
         abs(lit(2L) * col(valCol).cast("long")

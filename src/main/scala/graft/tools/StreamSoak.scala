@@ -4,79 +4,89 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.streaming.EventStreams
 
-/** Streaming SOAK: a minutes-long run of the EventStreams tumbling
-  * aggregation over a continuously-fed file source, with a restart
-  * induced every `SOAK_RESTART_SECONDS` (kill the query mid-flight,
-  * start a new one on the same checkpoint) while the feeder keeps
-  * writing — the failure pattern a production ingest actually sees.
-  * At the end a sentinel event pushes the watermark past every real
-  * window, the stream drains, and the sink is compared ROW FOR ROW
-  * against the batch twin over everything the feeder wrote: any lost
-  * batch (at-most-once bug) or re-emitted window (at-least-once bug)
-  * fails the equality. State size is sampled every progress tick and
-  * its maximum asserted against the watermark-horizon bound, so
-  * sustained state growth — the thing the semantic specs cannot see —
-  * is measured, not assumed.
+/** Streaming SOAK: minutes-long runs of the streaming operators over a
+  * continuously-fed file source, with a restart induced every
+  * `SOAK_RESTART_SECONDS` (kill the query mid-flight, start a new one
+  * on the same checkpoint) while the feeder keeps writing — the
+  * failure pattern a production ingest actually sees. Three phases
+  * (VERDICT r07 #7 extended the original tumbling-window soak to the
+  * sketch twins):
+  *
+  *  1. `tumbling` — windowed counts; at the end a sentinel event
+  *     pushes the watermark past every real window, the stream drains,
+  *     and the sink is compared ROW FOR ROW against the batch twin
+  *     over everything the feeder wrote (lost batch = at-most-once
+  *     bug; re-emitted window = at-least-once bug).
+  *  2. `kmv` — streamingKmvDistinct; after the soak a one-file probe
+  *     batch triggers exactly one emission per group, which must equal
+  *     the BATCH kmvDistinct sketch over everything written (state
+  *     survived every induced restart bit-for-bit).
+  *  3. `cms` — streamingCmsCells; same probe protocol, cell-for-cell
+  *     equality against the batch cmsBuildKeys sketch.
+  *
+  * State size is sampled every progress tick and its maximum asserted
+  * against each operator's bound, so sustained state growth — the
+  * thing the semantic specs cannot see — is measured, not assumed.
   *
   * Event time is SYNTHETIC (each feeder batch advances one minute), so
   * the run is deterministic in structure regardless of wall-clock
   * scheduling; restarts land wherever they land, which is the point.
   *
-  * Prints one JSON line: {"events":N,"windows":W,"restarts":R,
-  * "max_state_rows":S,"result":"PASS"|"FAIL"} — the round artifact.
-  * Env: SOAK_SECONDS (default 180), SOAK_RESTART_SECONDS (default 20),
+  * Prints one JSON line:
+  * {"tumbling":{...},"kmv":{...},"cms":{...},"result":"PASS"|"FAIL"}.
+  * Env: SOAK_SECONDS (tumbling phase, default 180), SOAK_TWIN_SECONDS
+  * (each sketch phase, default 60), SOAK_RESTART_SECONDS (default 20),
   * SOAK_BATCH_EVENTS (default 2000).
   */
 object StreamSoak {
-  def main(args: Array[String]): Unit = {
-    val soakSeconds = sys.env.getOrElse("SOAK_SECONDS", "180").toInt
-    val restartSeconds = sys.env.getOrElse("SOAK_RESTART_SECONDS", "20").toInt
-    val batchEvents = sys.env.getOrElse("SOAK_BATCH_EVENTS", "2000").toInt
 
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", 8)
-      .config("spark.sql.streaming.fileSource.log.compactInterval", 10)
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+  case class PhaseResult(events: Long, windows: Long, restarts: Int,
+                         maxStateRows: Long, pass: Boolean) {
+    def json(extra: String = ""): String =
+      s"""{"events":$events,"windows":$windows,"restarts":$restarts,""" +
+        s""""max_state_rows":$maxStateRows$extra,"result":"${if (pass) "PASS" else "FAIL"}"}"""
+  }
+
+  private def rm(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles.foreach(rm); f.delete(): Unit
+  }
+
+  private val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
+
+  /** Feeder batch i: `n` events inside minute i — deterministic event
+    * time, 5 event types, user domain 50000 so new distinct users keep
+    * arriving (the KMV sketch keeps evolving across restarts).
+    */
+  private def writeBatch(spark: SparkSession, src: String, i: Int, n: Int): Unit = {
     import spark.implicits._
-
-    val root = "/tmp/graft-soak"
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles.foreach(rm); f.delete(): Unit
+    val rows = (0 until n).map { j =>
+      val id = i.toLong * n + j
+      (id, new java.sql.Timestamp(base + i * 60000L + (j % 60) * 1000L),
+        id % 50000, s"t${id % 5}", (id % 7).toDouble, "{}")
     }
-    rm(new java.io.File(root))
-    val src = s"$root/src"; val sink = s"$root/sink"; val ckpt = s"$root/ckpt"
-    new java.io.File(src).mkdirs()
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(src)
+  }
 
-    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
-
-    // feeder: batch i carries `batchEvents` events inside minute i —
-    // deterministic event-time, 5 event types, values derived from ids
+  /** Run `startQuery` against a live feeder for `seconds`, inducing a
+    * restart every `restartSeconds`; returns (restarts, maxStateRows,
+    * batchesWritten). The feeder stops before return; the caller owns
+    * the drain protocol.
+    */
+  private def soakLoop(spark: SparkSession, src: String, seconds: Int,
+                       restartSeconds: Int, batchEvents: Int)
+                      (startQuery: () => org.apache.spark.sql.streaming.StreamingQuery)
+      : (Int, Long, Int) = {
     @volatile var feeding = true
     @volatile var batches = 0
-    def writeBatch(i: Int): Unit = {
-      val rows = (0 until batchEvents).map { j =>
-        val id = i.toLong * batchEvents + j
-        (id, new java.sql.Timestamp(base + i * 60000L + (j % 60) * 1000L),
-          id % 100, s"t${id % 5}", (id % 7).toDouble, "{}")
-      }
-      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-        .coalesce(1).write.mode("append").parquet(src)
-    }
     val feeder = new Thread(() => {
       var i = 0
       while (feeding) {
-        writeBatch(i); i += 1; batches = i
+        writeBatch(spark, src, i, batchEvents); i += 1; batches = i
         Thread.sleep(200)
       }
     })
     feeder.setDaemon(true)
-
-    def startQuery() = EventStreams.tumblingCounts(
-        EventStreams.readEventStream(spark, src), "10 minutes", "5 minutes")
-      .writeStream.outputMode("append").format("parquet")
-      .option("path", sink).option("checkpointLocation", ckpt).start()
-
     var restarts = 0
     var maxStateRows = 0L
     def sampleState(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
@@ -84,9 +94,8 @@ object StreamSoak {
       if (p != null && p.stateOperators.nonEmpty)
         maxStateRows = math.max(maxStateRows, p.stateOperators.head.numRowsTotal)
     }
-
     feeder.start()
-    val deadline = System.nanoTime() + soakSeconds * 1000000000L
+    val deadline = System.nanoTime() + seconds * 1000000000L
     while (System.nanoTime() < deadline) {
       val q = startQuery()
       val stop = math.min(deadline,
@@ -100,16 +109,35 @@ object StreamSoak {
     }
     feeding = false
     feeder.join(5000)
+    (restarts, maxStateRows, batches)
+  }
+
+  /** Phase 1: tumbling windowed counts vs the batch twin (unchanged
+    * from the original soak).
+    */
+  private def tumblingPhase(spark: SparkSession, root: String, seconds: Int,
+                            restartSeconds: Int, batchEvents: Int): PhaseResult = {
+    import spark.implicits._
+    val src = s"$root/src"; val sink = s"$root/sink"; val ckpt = s"$root/ckpt"
+    new java.io.File(src).mkdirs()
+    def startQuery() = EventStreams.tumblingCounts(
+        EventStreams.readEventStream(spark, src), "10 minutes", "5 minutes")
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt).start()
+    val (restarts, maxStateRows0, batches) =
+      soakLoop(spark, src, seconds, restartSeconds, batchEvents)(startQuery _)
+    var maxStateRows = maxStateRows0
 
     // sentinel pushes the watermark past every real window, then drain
-    val lastMinute = batches // first unused minute index
-    Seq((Long.MaxValue, new java.sql.Timestamp(base + (lastMinute + 120) * 60000L),
+    Seq((Long.MaxValue, new java.sql.Timestamp(base + (batches + 120) * 60000L),
         0L, "sentinel", 0.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .coalesce(1).write.mode("append").parquet(src)
     val qf = startQuery()
     qf.processAllAvailable()
-    sampleState(qf)
+    val p = qf.lastProgress
+    if (p != null && p.stateOperators.nonEmpty)
+      maxStateRows = math.max(maxStateRows, p.stateOperators.head.numRowsTotal)
     qf.stop()
 
     // batch twin over EVERYTHING written (sentinel's own still-open
@@ -126,21 +154,135 @@ object StreamSoak {
       .select(col("window_start"), col("event_type"), col("n"), col("total_value"))
       .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2),
         r.getDouble(3))).toSet
-
-    val events = all.count()
     // state bound: <= (horizon/window + 2 open windows) x 5 types, with
-    // headroom for the provider's internal rows — growth would blow
-    // far past this within one soak
-    val stateBound = 200L
-    val pass = got == expect && maxStateRows <= stateBound
-    if (!pass) {
-      val missing = expect -- got
-      val extra = got -- expect
-      System.err.println(s"SOAK missing=${missing.take(5)} extra=${extra.take(5)} " +
-        s"maxState=$maxStateRows")
+    // headroom for the provider's internal rows
+    val pass = got == expect && maxStateRows <= 200L
+    if (!pass)
+      System.err.println(s"SOAK tumbling missing=${(expect -- got).take(5)} " +
+        s"extra=${(got -- expect).take(5)} maxState=$maxStateRows")
+    PhaseResult(all.count(), expect.size.toLong, restarts, maxStateRows, pass)
+  }
+
+  /** Probe protocol shared by the sketch twins: after the soak loop,
+    * drain the backlog on the soak checkpoint, write ONE more batch
+    * (touches every group/cell), and run a fresh query into a new
+    * memory table — that single micro-batch emits exactly the CURRENT
+    * state, which must equal the batch sketch over everything written
+    * (probe included on both sides).
+    */
+  private def probeFinalState(spark: SparkSession, src: String, ckpt: String,
+                              batchEvents: Int, batches: Int, memName: String)
+                             (startQuery: String => org.apache.spark.sql.streaming.StreamingQuery)
+      : (DataFrame, Long) = {
+    var maxStateRows = 0L
+    def sample(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      val p = q.lastProgress
+      if (p != null && p.stateOperators.nonEmpty)
+        maxStateRows = math.max(maxStateRows, p.stateOperators.head.numRowsTotal)
     }
-    println(s"""{"events":$events,"windows":${expect.size},"restarts":$restarts,""" +
-      s""""max_state_rows":$maxStateRows,"result":"${if (pass) "PASS" else "FAIL"}"}""")
+    val drain = startQuery(s"${memName}_drain")
+    drain.processAllAvailable(); sample(drain); drain.stop()
+    writeBatch(spark, src, batches, batchEvents) // the probe batch
+    val probe = startQuery(memName)
+    probe.processAllAvailable(); sample(probe); probe.stop()
+    (spark.table(memName), maxStateRows)
+  }
+
+  /** Phase 2: streaming KMV distinct sketch — state must survive every
+    * restart and equal the batch sketch of the whole feed.
+    */
+  private def kmvPhase(spark: SparkSession, root: String, seconds: Int,
+                       restartSeconds: Int, batchEvents: Int): PhaseResult = {
+    val src = s"$root/src"; val ckpt = s"$root/ckpt"
+    new java.io.File(src).mkdirs()
+    def startQuery(mem: String) = EventStreams.streamingKmvDistinct(
+        EventStreams.readEventStream(spark, src),
+        "event_type", "user_id", k = 64, saltPrefix = "soakkmv_").toDF()
+      .writeStream.outputMode("update").format("memory")
+      .queryName(mem).option("checkpointLocation", ckpt).start()
+    val (restarts, maxSoak, batches) =
+      soakLoop(spark, src, seconds, restartSeconds, batchEvents)(
+        () => startQuery(s"soak_kmv_live_$restartSeconds"))
+    val (mem, maxProbe) = probeFinalState(spark, src, ckpt, batchEvents,
+      batches, "soak_kmv")(startQuery)
+    val streamed = mem.collect().map(r => r.getAs[String]("group") ->
+      ((r.getAs[Long]("n_kept"), r.getAs[Long]("kth_min"),
+        r.getAs[Long]("est_distinct")))).toMap
+    val batch = graft.operators.Sketches.kmvDistinct(
+        spark.read.parquet(src), "event_type", col("user_id"),
+        k = 64, saltPrefix = "soakkmv_")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_kept"), r.getAs[Long]("kth_min"),
+          r.getAs[Long]("est_distinct")))).toMap
+    val maxStateRows = math.max(maxSoak, maxProbe)
+    // 5 groups x (k longs inside ONE state row each) + provider slack
+    val pass = streamed == batch && streamed.size == 5 && maxStateRows <= 64L
+    if (!pass)
+      System.err.println(s"SOAK kmv streamed=$streamed batch=$batch " +
+        s"maxState=$maxStateRows")
+    PhaseResult((batches + 1).toLong * batchEvents, streamed.size.toLong,
+      restarts, maxStateRows, pass)
+  }
+
+  /** Phase 3: streaming CMS cells — cell-for-cell equality with the
+    * batch sketch of the whole feed.
+    */
+  private def cmsPhase(spark: SparkSession, root: String, seconds: Int,
+                       restartSeconds: Int, batchEvents: Int): PhaseResult = {
+    val src = s"$root/src"; val ckpt = s"$root/ckpt"
+    new java.io.File(src).mkdirs()
+    def startQuery(mem: String) = EventStreams.streamingCmsCells(
+        EventStreams.readEventStream(spark, src),
+        "event_type", d = 4, w = 1024, saltPrefix = "soakcms_").toDF()
+      .writeStream.outputMode("update").format("memory")
+      .queryName(mem).option("checkpointLocation", ckpt).start()
+    val (restarts, maxSoak, batches) =
+      soakLoop(spark, src, seconds, restartSeconds, batchEvents)(
+        () => startQuery("soak_cms_live"))
+    val (mem, maxProbe) = probeFinalState(spark, src, ckpt, batchEvents,
+      batches, "soak_cms")(startQuery)
+    val streamed = mem.collect()
+      .map(r => (r.getAs[Long]("r"), r.getAs[Long]("c")) -> r.getAs[Long]("cnt"))
+      .toMap
+    val batch = graft.operators.Sketches.cmsBuildKeys(
+        spark.read.parquet(src), "event_type", d = 4, w = 1024,
+        saltPrefix = "soakcms_")
+      .collect().map(r => (r.getAs[Long]("r"), r.getAs[Long]("c")) ->
+        r.getAs[Long]("cnt")).toMap
+    val maxStateRows = math.max(maxSoak, maxProbe)
+    // 5 keys x d=4 cells (some may collide) + provider slack
+    val pass = streamed == batch && maxStateRows <= 100L
+    if (!pass)
+      System.err.println(s"SOAK cms streamed=${streamed.size} cells " +
+        s"batch=${batch.size} maxState=$maxStateRows " +
+        s"diff=${(streamed.toSet -- batch.toSet).take(5)}")
+    PhaseResult((batches + 1).toLong * batchEvents, streamed.size.toLong,
+      restarts, maxStateRows, pass)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val soakSeconds = sys.env.getOrElse("SOAK_SECONDS", "180").toInt
+    val twinSeconds = sys.env.getOrElse("SOAK_TWIN_SECONDS", "60").toInt
+    val restartSeconds = sys.env.getOrElse("SOAK_RESTART_SECONDS", "20").toInt
+    val batchEvents = sys.env.getOrElse("SOAK_BATCH_EVENTS", "2000").toInt
+
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.streaming.fileSource.log.compactInterval", 10)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    rm(new java.io.File("/tmp/graft-soak"))
+    val tumbling = tumblingPhase(spark, "/tmp/graft-soak/tumbling",
+      soakSeconds, restartSeconds, batchEvents)
+    val kmv = kmvPhase(spark, "/tmp/graft-soak/kmv",
+      twinSeconds, restartSeconds, batchEvents)
+    val cms = cmsPhase(spark, "/tmp/graft-soak/cms",
+      twinSeconds, restartSeconds, batchEvents)
+
+    val pass = tumbling.pass && kmv.pass && cms.pass
+    println(s"""{"tumbling":${tumbling.json()},"kmv":${kmv.json()},""" +
+      s""""cms":${cms.json()},"result":"${if (pass) "PASS" else "FAIL"}"}""")
     spark.stop()
     if (!pass) sys.exit(1)
   }

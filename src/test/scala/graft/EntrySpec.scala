@@ -185,6 +185,32 @@ class EntrySpec extends AnyFunSuite {
     assert(got == Map(1L -> ((6L, 2L, 2L)), 2L -> ((3L, 0L, -1L))))
   }
 
+  test("videoSceneCutsSampled: every=1 == videoSceneCuts; every=2 samples correctly") {
+    import graft.multimodal.Multimodal
+    import graft.multimodal.Multimodal.{MediaRow, PngCodec, VideoCodec}
+    def avi(grays: Seq[Int], w: Int = 6, h: Int = 5) =
+      VideoCodec.buildAvi(w, h, grays.map(g => PngCodec.encodeGray(w, h, g)), "MPNG")
+    val cutsVid = MediaRow(1L, "video", avi(Seq(10, 10, 200, 200, 200, 40)), 6, 5)
+    val flatVid = MediaRow(2L, "video", avi(Seq(77, 77, 77)), 6, 5)
+    // a cut inside a skipped gap attributes to the NEXT sample: grays
+    // 5,90,5,5 at every=2 samples frames 0,2 (both gray 5) => no cut
+    val hidden = MediaRow(3L, "video", avi(Seq(5, 90, 5, 5)), 6, 5)
+    val ds = spark.createDataset(Seq(cutsVid, flatVid, hidden))(
+      org.apache.spark.sql.Encoders.product[MediaRow])
+    // every=1 reproduces the unsampled operator bit-for-bit
+    val full = Multimodal.videoSceneCuts(ds).collect()
+      .map(r => r.media_id -> ((r.n_frames, r.n_cuts, r.first_cut))).toMap
+    val s1 = Multimodal.videoSceneCutsSampled(ds, every = 1).collect()
+      .map(r => r.media_id -> ((r.n_sampled, r.n_cuts, r.first_cut))).toMap
+    assert(s1 == full)
+    // every=2: vid1 samples frames 0,2,4 (grays 10,200,200) => one cut
+    // seen at ORIGINAL frame 2; vid3's gap-hidden cut cancels
+    val s2 = Multimodal.videoSceneCutsSampled(ds, every = 2).collect()
+      .map(r => r.media_id -> ((r.n_sampled, r.n_cuts, r.first_cut))).toMap
+    assert(s2 == Map(1L -> ((3L, 1L, 2L)), 2L -> ((2L, 0L, -1L)),
+      3L -> ((2L, 0L, -1L))))
+  }
+
   test("multimodal: stub decoder features match a manual computation") {
     val media = Multimodal.mediaFromDocuments(
       spark, Seq((2L, "AB")).toDF("doc_id", "text"))

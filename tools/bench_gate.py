@@ -23,6 +23,32 @@ import json
 import re
 import sys
 
+# Artifacts recorded on a contended machine (controls inflated past the
+# tools/bench_controls.json threshold) must never serve as a gate
+# baseline — r07's run overstated times ~1.7x and would mask real
+# regressions up to ~10x. Post-r07 artifacts carry a "polluted" stamp
+# from Bench.scala's control calibration; r07 itself predates the stamp.
+KNOWN_POLLUTED = {"BENCH_r07.json"}
+
+
+def is_polluted(path):
+    if path.split("/")[-1] in KNOWN_POLLUTED:
+        return True
+    try:
+        with open(path) as f:
+            data = json.load(f)
+    except Exception:
+        return False
+    if "tail" in data and "queries" not in data:
+        if isinstance(data.get("parsed"), dict):
+            data = data["parsed"]
+        else:
+            m = re.search(r'\{"metric".*\}', data.get("tail", ""))
+            data = json.loads(m.group(0)) if m else {}
+    ctl = data.get("controls", {})
+    return bool(data.get("polluted") or
+                (ctl.get("polluted") if isinstance(ctl, dict) else False))
+
 
 def load(path):
     """-> {query_number: (name, min_sec, spread_sec)}"""
@@ -55,13 +81,19 @@ def load(path):
 
 def main():
     cur_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_full.json"
+    if is_polluted(cur_path):
+        print(f"{cur_path}: POLLUTED run (control queries inflated past "
+              "threshold) — re-record on a quiet machine; refusing to gate",
+              file=sys.stderr)
+        sys.exit(2)
     if len(sys.argv) > 2:
         base_path = sys.argv[2]
     else:
         rounds = sorted(glob.glob("BENCH_r[0-9]*.json"),
                         key=lambda p: int(re.search(r"r(\d+)", p).group(1)))
+        rounds = [p for p in rounds if not is_polluted(p)]
         if not rounds:
-            print("no BENCH_r*.json baseline found", file=sys.stderr)
+            print("no clean BENCH_r*.json baseline found", file=sys.stderr)
             sys.exit(2)
         base_path = rounds[-1]
     cur, base = load(cur_path), load(base_path)
