@@ -51,11 +51,24 @@ object Bench {
     val (ctlBest, ctlThreshold) = {
       val p = java.nio.file.Paths.get("tools/bench_controls.json")
       if (java.nio.file.Files.exists(p)) {
-        val txt = java.nio.file.Files.readString(p)
-        val ctl = "\"(q\\w+)\"\\s*:\\s*([0-9.]+)".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        val thr = "\"threshold_ratio\"\\s*:\\s*([0-9.]+)".r
-          .findFirstMatchIn(txt).map(_.group(1).toDouble).getOrElse(1.15)
+        // real JSON parse (jackson, shipped with Spark), reading times
+        // only from the nested "controls" object — the old regex over
+        // raw text would have treated any "qNNN": <number> pattern
+        // anywhere in the file (e.g. the comment) as a control time
+        // (ADVICE r08)
+        val root = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(java.nio.file.Files.readString(p))
+        val ctl = Option(root.get("controls")).map { c =>
+          val it = c.fields()
+          val b = Map.newBuilder[String, Double]
+          while (it.hasNext) {
+            val e = it.next()
+            if (e.getValue.isNumber) b += e.getKey -> e.getValue.asDouble()
+          }
+          b.result()
+        }.getOrElse(Map.empty[String, Double])
+        val thr = Option(root.get("threshold_ratio"))
+          .filter(_.isNumber).map(_.asDouble()).getOrElse(1.15)
         (ctl, thr)
       } else (Map.empty[String, Double], 1.15)
     }

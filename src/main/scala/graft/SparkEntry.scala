@@ -202,6 +202,35 @@ object SparkEntry {
       .select("id_a", "id_b")
   }
 
+  /** q201/q203's ingest split: the deterministic md5-coin that sends
+    * 20% of customers to the ingest batch (true) and 80% to the
+    * standing corpus (false).
+    */
+  private def erBatchCoin: Column =
+    pmod(tokenHash64(
+      concat(lit("erb_"), col("c_custkey").cast("string"))), lit(5L)) === 0
+
+  /** q203's persisted standing-label fixture: the q201 standing corpus
+    * (md5-coin 80% of customers) labeled ONCE by the q191 pipeline and
+    * written to a per-SF parquet — the "yesterday's labels" a real
+    * ingest pipeline reads from the warehouse, so q203's measured time
+    * IS the ingest cost (batch candidate join + affected-component CC),
+    * not the standing recompute q201 pays inside its query (VERDICT r08
+    * #6). Written on first use, reused across runs; content is
+    * deterministic, so regeneration is value-identical.
+    */
+  private def erStandingLabelsPath(s: SparkSession, d: String): String = synchronized {
+    val sfName = new java.io.File(d).getName
+    val path = s"/tmp/graft-fixtures/$sfName/er_standing_labels.parquet"
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      val c = customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      erLabelsOf(c.filter(!erBatchCoin)).withColumnRenamed("cust_id", "node")
+        .write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
   /** The from-scratch ER labeling over any customer-shaped frame. */
   private def erLabelsOf(c: DataFrame): DataFrame = {
     val blocked = erNationBlocked(
@@ -249,6 +278,43 @@ object SparkEntry {
       | FROM allc GROUP BY 1)
       |SELECT cust_id, CAST(label AS BIGINT) AS label, csize
       |FROM allc JOIN sz USING (label) ORDER BY cust_id""".stripMargin
+
+  /** The analytic video-fingerprint-dedup oracle (VideoCodec.dup*
+    * formulas: uniform-gray window-constant frames, exact
+    * 64-frame-multiple durations => dims/counts cancel and bit k is
+    * gray_k*64 > sum(gray); no container ever parsed), shared by q134
+    * (dense decode) and q204 (every-2nd-frame decode, which sees one
+    * frame per 2-wide constant window => identical fingerprint).
+    * 'v' prefix decorrelates the group pattern from q132's; candidates
+    * via the same 3-chunk pigeonhole as q117/q132.
+    */
+  private lazy val videoFpDedupOracle: String =
+    """WITH dim AS (SELECT doc_id AS id, doc_id // 10 AS gid,
+      |  ((doc_id % 10) * 11) % 64 AS fw
+      | FROM documents WHERE doc_id % 2 = 1),
+      |hsh AS (SELECT id, fw,
+      |  CAST(concat('0x', substr(md5(concat('v', CAST(gid AS VARCHAR))),1,15)) AS BIGINT) AS hp
+      | FROM dim),
+      |lum AS (SELECT id, k,
+      |  CASE WHEN (((hp >> (k % 60)) & 1) = 1) != (k = fw)
+      |       THEN 220 ELSE 30 END AS a
+      | FROM hsh, LATERAL (SELECT unnest(generate_series(0, 63)) AS k) t),
+      |tot AS (SELECT id, SUM(a) AS ta FROM lum GROUP BY 1),
+      |bits AS (SELECT lum.id, k,
+      |  CASE WHEN a*64 > ta THEN '1' ELSE '0' END AS b
+      | FROM lum JOIN tot ON lum.id = tot.id),
+      |bs AS (SELECT id, string_agg(b, '' ORDER BY k) AS s FROM bits GROUP BY 1),
+      |cand AS (SELECT a.id AS id_a, b.id AS id_b, a.s AS sa, b.s AS sb
+      | FROM bs a JOIN bs b ON a.id < b.id AND (
+      |   substr(a.s, 1, 22) = substr(b.s, 1, 22) OR
+      |   substr(a.s, 23, 21) = substr(b.s, 23, 21) OR
+      |   substr(a.s, 44, 21) = substr(b.s, 44, 21))),
+      |ham AS (SELECT id_a, id_b, CAST(list_sum(list_transform(
+      |   generate_series(1, 64),
+      |   i -> CASE WHEN substr(sa, i, 1) <> substr(sb, i, 1) THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+      | FROM cand)
+      |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 2
+      |ORDER BY id_a, id_b""".stripMargin
 
   /** The whole-corpus KMV oracle, shared by q137 (direct sketch) and
     * q168 (merged half-sketches, which must equal it bit-for-bit).
@@ -3040,10 +3106,8 @@ object SparkEntry {
       // a green row PROVES incremental == recompute.
       val c = customer(s, d)
         .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
-      val isBatch = pmod(tokenHash64(
-        concat(lit("erb_"), col("c_custkey").cast("string"))), lit(5L)) === 0
-      val corpus = c.filter(!isBatch)
-      val batch = c.filter(isBatch)
+      val corpus = c.filter(!erBatchCoin)
+      val batch = c.filter(erBatchCoin)
       val standing = erLabelsOf(corpus).withColumnRenamed("cust_id", "node")
       val newEdges = erNationBlocked(
           operators.Dedup.editDistance1Join(batch, "c_custkey", "c_name"), c)
@@ -3064,7 +3128,69 @@ object SparkEntry {
         .select(col("cust_id"), col("label").cast("long").as("label"),
           col("csize").cast("long").as("csize"))
         .orderBy("cust_id")
-    })
+    }),
+
+    "q203_er_ingest" -> ((s, d) => {
+      // The ingest-shaped ER query (VERDICT r08 #6): q201 PROVES
+      // incremental == recompute but pays the standing-label recompute
+      // inside the query; here the standing labels are a PERSISTED
+      // parquet fixture (erStandingLabelsPath — written once, like a
+      // warehouse label table maintained across ingests), so the
+      // measured time IS the per-batch ingest cost: batch SymSpell
+      // self-join + batch-vs-corpus posting join + affected-component
+      // star CC. The oracle stays the FULL recompute — a green row
+      // proves persisted-labels ingest == recompute bit-for-bit.
+      val c = customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      val corpus = c.filter(!erBatchCoin)
+      val batch = c.filter(erBatchCoin)
+      val standing = s.read.parquet(erStandingLabelsPath(s, d))
+      val newEdges = erNationBlocked(
+          operators.Dedup.editDistance1Join(batch, "c_custkey", "c_name"), c)
+        .unionAll(erNationBlocked(
+          operators.Dedup
+            .editDistance1JoinAgainst(batch, corpus, "c_custkey", "c_name")
+            .select(col("batch_id").as("id_a"), col("corpus_id").as("id_b")),
+          c))
+        .materialized
+      val labels = operators.Dedup
+        .incrementalClusterLabels(standing, newEdges, "id_a", "id_b")
+      val all = c.select(col("c_custkey").as("cust_id"))
+        .join(labels.withColumnRenamed("node", "cust_id"), Seq("cust_id"), "left")
+        .select(col("cust_id"),
+          coalesce(col("label"), col("cust_id")).as("label"))
+      val sizes = all.groupBy("label").agg(count(lit(1)).as("csize"))
+      all.join(sizes, Seq("label"))
+        .select(col("cust_id"), col("label").cast("long").as("label"),
+          col("csize").cast("long").as("csize"))
+        .orderBy("cust_id")
+    }),
+
+    "q204_video_fp_dedup_sampled" -> ((s, d) => {
+      // q134's fingerprint-dedup with every-2nd-frame DECODE (VERDICT
+      // r08 #4): the dup-video fixture's windows are 2 frames wide and
+      // piecewise-constant, so the sampled 64-window fingerprint
+      // EQUALS the dense one exactly (videoFingerprintSampled
+      // scaladoc) and the oracle is q134's analytic formula verbatim —
+      // a hash match proves the sampled decode path reproduces the
+      // full fingerprint at half the decode cost.
+      val media = Multimodal.mediaWithDupVideo(s, documents(s, d))
+      Dedup.hammingNearDup(
+          Multimodal.videoFingerprintsSampled(media, every = 2).toDF(),
+          "media_id", "fhash", nBits = 64, maxHamming = 2)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "q205_video_frames_sampled" -> ((s, d) =>
+      // q118's per-frame decode stats at every-2nd-frame DECODE
+      // (VERDICT r08 #4): frame_idx keeps the ORIGINAL container
+      // index, so the oracle is q118's analytic formula restricted to
+      // even frames — decode work halves, the schema and sums stay
+      // exact.
+      Multimodal.videoFrameStatsSampled(
+          Multimodal.mediaWithRealVideo(s, documents(s, d)), every = 2)
+        .toDF()
+        .orderBy("media_id", "frame_idx"))
   )
 
   // ---------------------------------------------------------------- //
@@ -4953,33 +5079,30 @@ object SparkEntry {
     // and bit k reduces to gray_k*64 > sum(gray); no container ever
     // parsed). 'v' prefix decorrelates the group pattern from q132's.
     // Candidates via the same 3-chunk pigeonhole as q117/q132.
-    "q134_video_fingerprint_dedup" ->
-      """WITH dim AS (SELECT doc_id AS id, doc_id // 10 AS gid,
-        |  ((doc_id % 10) * 11) % 64 AS fw
+    "q134_video_fingerprint_dedup" -> videoFpDedupOracle,
+
+    // every-2nd-frame decode sees one frame per 2-wide constant window
+    // => identical fingerprint, identical dedup pairs: same oracle
+    "q204_video_fp_dedup_sampled" -> videoFpDedupOracle,
+
+    // q118's analytic per-frame oracle restricted to the sampled (even)
+    // container frames — frame_idx keeps the original index
+    "q205_video_frames_sampled" ->
+      """WITH v AS (SELECT doc_id AS id, (doc_id % 12) + 8 AS w,
+        |  (doc_id % 10) + 8 AS h, (doc_id % 4) + 2 AS nf
         | FROM documents WHERE doc_id % 2 = 1),
-        |hsh AS (SELECT id, fw,
-        |  CAST(concat('0x', substr(md5(concat('v', CAST(gid AS VARCHAR))),1,15)) AS BIGINT) AS hp
-        | FROM dim),
-        |lum AS (SELECT id, k,
-        |  CASE WHEN (((hp >> (k % 60)) & 1) = 1) != (k = fw)
-        |       THEN 220 ELSE 30 END AS a
-        | FROM hsh, LATERAL (SELECT unnest(generate_series(0, 63)) AS k) t),
-        |tot AS (SELECT id, SUM(a) AS ta FROM lum GROUP BY 1),
-        |bits AS (SELECT lum.id, k,
-        |  CASE WHEN a*64 > ta THEN '1' ELSE '0' END AS b
-        | FROM lum JOIN tot ON lum.id = tot.id),
-        |bs AS (SELECT id, string_agg(b, '' ORDER BY k) AS s FROM bits GROUP BY 1),
-        |cand AS (SELECT a.id AS id_a, b.id AS id_b, a.s AS sa, b.s AS sb
-        | FROM bs a JOIN bs b ON a.id < b.id AND (
-        |   substr(a.s, 1, 22) = substr(b.s, 1, 22) OR
-        |   substr(a.s, 23, 21) = substr(b.s, 23, 21) OR
-        |   substr(a.s, 44, 21) = substr(b.s, 44, 21))),
-        |ham AS (SELECT id_a, id_b, CAST(list_sum(list_transform(
-        |   generate_series(1, 64),
-        |   i -> CASE WHEN substr(sa, i, 1) <> substr(sb, i, 1) THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
-        | FROM cand)
-        |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 2
-        |ORDER BY id_a, id_b""".stripMargin,
+        |f AS (SELECT id, w, h,
+        |  unnest(generate_series(0, CAST(nf - 1 AS BIGINT))) AS fi FROM v),
+        |px AS (SELECT id, w, h, fi, id*1000 + fi AS seed, x, y FROM f
+        | CROSS JOIN (SELECT unnest(generate_series(0, 18)) AS x)
+        | CROSS JOIN (SELECT unnest(generate_series(0, 16)) AS y)
+        | WHERE x < w AND y < h AND fi % 2 = 0)
+        |SELECT id AS media_id, CAST(fi AS BIGINT) AS frame_idx,
+        | CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        | CAST(SUM((x*7 + y*11 + seed*3) % 256) AS BIGINT) AS sum_r,
+        | CAST(SUM((x*13 + y*5 + seed*7) % 256) AS BIGINT) AS sum_g,
+        | CAST(SUM((x*3 + y*17 + seed*11) % 256) AS BIGINT) AS sum_b
+        |FROM px GROUP BY 1, 2, 3, 4 ORDER BY 1, 2""".stripMargin,
 
     // Same integer-scaled association score as the engine: DuckDB's
     // `//` and Spark's `div` both floor for positive Longs, so the
@@ -6262,6 +6385,9 @@ object SparkEntry {
 
     // the incremental path must equal the FULL recompute — same oracle
     "q201_er_incremental" -> erFullRecomputeOracle,
+
+    // persisted-labels ingest must equal the FULL recompute too
+    "q203_er_ingest" -> erFullRecomputeOracle,
 
     // q165's analytic window-gray oracle at sampled positions: pair j
     // compares original frames (j-1)*2 and j*2, i.e. windows

@@ -29,15 +29,60 @@ object Scale {
     spark.conf.getOption(CheckpointDirConf).filter(_.nonEmpty) match {
       case Some(dir) =>
         val sc = spark.sparkContext
-        // setCheckpointDir appends a UUID subdir, so "already set to
-        // this dir" is a contains-check; re-pointing when the conf
-        // changes keeps long-lived sessions (tests, notebooks) honest
-        if (!sc.getCheckpointDir.exists(_.contains(dir)))
-          sc.setCheckpointDir(dir)
+        // Remember the EXACT conf value last applied (per application):
+        // setCheckpointDir appends a UUID subdir so the configured dir
+        // can't be compared to getCheckpointDir directly, and a
+        // substring containment check would skip re-pointing when the
+        // new dir is a substring of the old path (ADVICE r08, e.g.
+        // /data/ckpt after /data/ckpt2). Re-pointing when the conf
+        // changes keeps long-lived sessions (tests, notebooks) honest.
+        val key = (sc.applicationId, dir)
+        if (!appliedCheckpointDir.get().contains(key)) synchronized {
+          if (!appliedCheckpointDir.get().contains(key)) {
+            sc.setCheckpointDir(dir)
+            appliedCheckpointDir.set(Some(key))
+            // Reliable checkpoints are NOT removed by Spark's cleaner
+            // unless the context was started with
+            // spark.cleaner.referenceTracking.cleanCheckpoints=true (a
+            // context-creation conf this library cannot retrofit), so a
+            // long iterative job otherwise grows durable storage by one
+            // rdd-* dir per round (ADVICE r08). Surface that loudly —
+            // round N-1's files cannot be deleted eagerly here because
+            // loop-invariant frames (e.g. q191's blocked-edge frame)
+            // are legitimately re-read by every later round.
+            if (!sc.getConf.getBoolean(
+                "spark.cleaner.referenceTracking.cleanCheckpoints", false))
+              org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                s"$CheckpointDirConf is set but " +
+                  "spark.cleaner.referenceTracking.cleanCheckpoints is not: " +
+                  "superseded round checkpoints under " + dir + " will only " +
+                  "be removed at application end, not as rounds are GC'd — " +
+                  "set it at spark-submit time for long jobs")
+            // End-of-job floor either way: delete the UUID subdir this
+            // application created once the application ends (nothing
+            // can reference its checkpoints after that).
+            sc.getCheckpointDir.foreach { created =>
+              sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+                override def onApplicationEnd(
+                    e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+                  try {
+                    val p = new org.apache.hadoop.fs.Path(created)
+                    p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
+                  } catch { case _: Throwable => () } // best-effort
+              })
+            }
+          }
+        }
         df.checkpoint(true)
       case None => df.localCheckpoint(true)
     }
   }
+
+  /** (applicationId, configured dir) last routed through
+    * setCheckpointDir — exact equality, not containment (ADVICE r08).
+    */
+  private val appliedCheckpointDir =
+    new java.util.concurrent.atomic.AtomicReference[Option[(String, String)]](None)
 
   val CheckpointDirConf = "spark.graft.checkpointDir"
 

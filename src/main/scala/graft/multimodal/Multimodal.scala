@@ -1104,8 +1104,38 @@ object Multimodal {
       }
     }
 
-  def videoFingerprint(bytes: Array[Byte], nWindows: Int = 64): Option[Long] = {
-    val decoded = decodedFrameSums(bytes)
+  def videoFingerprint(bytes: Array[Byte], nWindows: Int = 64): Option[Long] =
+    fingerprintOfSums(decodedFrameSums(bytes), nWindows)
+
+  /** [[videoFingerprint]] with every-Nth-frame DECODE — the same
+    * keyframe-pipeline tuning as [[videoSceneCutsSampled]] (VERDICT r08
+    * #4): the RIFF walk still indexes every chunk, the PNG/JPEG decode
+    * (the 7-8×/decade cost at sf1, r7 scaling sweep) runs only on
+    * frames 0, every, 2·every, …. The 64 luminance windows are computed
+    * over the SAMPLED frame sequence, so for content whose gray is
+    * piecewise-constant on runs `every` divides (the standard
+    * stable-shot case — and the dup-video fixture exactly) the sampled
+    * fingerprint EQUALS the dense one bit-for-bit; `every=1` reproduces
+    * [[videoFingerprint]] identically by construction (shared
+    * [[fingerprintOfSums]] core, asserted in EntrySpec). None when
+    * fewer than nWindows sampled frames decode.
+    */
+  def videoFingerprintSampled(bytes: Array[Byte], every: Int,
+                              nWindows: Int = 64): Option[Long] = {
+    require(every >= 1, s"every must be >= 1, got $every")
+    val chunks = VideoCodec.frameChunks(bytes)
+    val decoded = (0 until chunks.length by every).flatMap(i =>
+      decodeFrameSum(chunks(i)))
+    fingerprintOfSums(decoded, nWindows)
+  }
+
+  /** Shared window-hash core of [[videoFingerprint]] and
+    * [[videoFingerprintSampled]]: 64 equal windows over the decoded
+    * (w, h, graySum) sequence, bit k set by exact integer
+    * cross-multiplication winLum·totalPix > totalLum·winPix.
+    */
+  private def fingerprintOfSums(decoded: Seq[(Int, Int, Long)],
+                                nWindows: Int): Option[Long] = {
     val f = decoded.length
     if (f < nWindows) None
     else {
@@ -1242,6 +1272,62 @@ object Multimodal {
     media.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       it.flatMap(r => videoFingerprint(r.content).map(VideoHash(r.media_id, _)))
+    }
+  }
+
+  /** [[videoFingerprints]] with every-Nth-frame decode
+    * ([[videoFingerprintSampled]] scaladoc for the exactness contract).
+    * Same map-only shape: blob dies in-stage, an 8-byte hash rides on.
+    */
+  def videoFingerprintsSampled(media: Dataset[MediaRow],
+                               every: Int): Dataset[VideoHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap(r => videoFingerprintSampled(r.content, every)
+        .map(VideoHash(r.media_id, _)))
+    }
+  }
+
+  /** [[videoFrameStats]] with every-Nth-frame DECODE (VERDICT r08 #4):
+    * the RIFF walk indexes every chunk, ImageIO decode (the dominant
+    * cost) runs only on container frames 0, every, 2·every, ….
+    * `frame_idx` reports the ORIGINAL container frame index — the
+    * right key for keyframe pipelines — so on fully-decodable input
+    * `every=1` reproduces [[videoFrameStats]] bit-for-bit (asserted in
+    * EntrySpec); a video with undecodable frames keeps container
+    * indices here where the dense scan renumbers by decode order
+    * (documented divergence, corrupt-input only). Map-only like every
+    * multimodal stage: the blob dies in-stage, fixed-width stat rows
+    * ride on.
+    */
+  def videoFrameStatsSampled(media: Dataset[MediaRow],
+                             every: Int): Dataset[VideoFrameStats] = {
+    require(every >= 1, s"every must be >= 1, got $every")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { r =>
+        val chunks = VideoCodec.frameChunks(r.content)
+        (0 until chunks.length by every).iterator.flatMap { i =>
+          Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(chunks(i)))).map { img =>
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val p = img.getRGB(x, y)
+                sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            VideoFrameStats(r.media_id, i.toLong, img.getWidth.toLong,
+              img.getHeight.toLong, sr, sg, sb)
+          }
+        }
+      }
     }
   }
 

@@ -805,6 +805,14 @@ object Dedup {
     * exact levenshtein verify as the self-join form (a capped key can
     * only drop candidates the self-join would also drop). Returns
     * (batch_id, corpus_id, dist), deduped.
+    *
+    * PRECONDITION: batch and corpus id spaces must be DISJOINT — a
+    * candidate with batch_id == corpus_id is dropped as a self-pair
+    * (the ingest contract: a batch row re-using a standing id is an
+    * upsert, not a new entity), so an ingest that recycles corpus ids
+    * for different strings would silently lose those cross pairs
+    * (ADVICE r08). q201/q203 satisfy this by construction (md5-coin
+    * partition of one key space).
     */
   def editDistance1JoinAgainst(batch: DataFrame, corpus: DataFrame,
                                idCol: String, strCol: String,

@@ -211,6 +211,38 @@ class EntrySpec extends AnyFunSuite {
       3L -> ((2L, 0L, -1L))))
   }
 
+  test("videoFrameStatsSampled: every=1 == videoFrameStats; every=2 keeps original indices") {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.mediaWithRealVideo(spark,
+      Seq(1L, 3L, 5L).toDF("doc_id"))
+    def key(r: Multimodal.VideoFrameStats) =
+      (r.media_id, r.frame_idx) -> ((r.width, r.height, r.sum_r, r.sum_g, r.sum_b))
+    val full = Multimodal.videoFrameStats(media).collect().map(key).toMap
+    val s1 = Multimodal.videoFrameStatsSampled(media, every = 1)
+      .collect().map(key).toMap
+    assert(s1 == full)
+    val s2 = Multimodal.videoFrameStatsSampled(media, every = 2)
+      .collect().map(key).toMap
+    // exactly the even-indexed subset of the dense scan, original indices
+    assert(s2 == full.filter { case ((_, fi), _) => fi % 2 == 0 })
+    assert(s2.nonEmpty && s2.size < full.size)
+  }
+
+  test("videoFingerprintSampled: every=1 == videoFingerprint; every=2 equals dense on window-constant fixture") {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.mediaWithDupVideo(spark,
+      Seq(11L, 13L, 21L).toDF("doc_id")).collect()
+    media.foreach { r =>
+      val dense = Multimodal.videoFingerprint(r.content)
+      assert(Multimodal.videoFingerprintSampled(r.content, every = 1) == dense)
+      // dup fixture: 128 frames, 64 two-frame constant windows — one
+      // sampled frame per window reproduces the dense fingerprint
+      assert(Multimodal.videoFingerprintSampled(r.content, every = 2) == dense)
+    }
+    // too few sampled frames => None, not a wrong hash
+    assert(Multimodal.videoFingerprintSampled(media.head.content, every = 4).isEmpty)
+  }
+
   test("multimodal: stub decoder features match a manual computation") {
     val media = Multimodal.mediaFromDocuments(
       spark, Seq((2L, "AB")).toDF("doc_id", "text"))

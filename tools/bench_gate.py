@@ -43,8 +43,15 @@ def is_polluted(path):
         if isinstance(data.get("parsed"), dict):
             data = data["parsed"]
         else:
-            m = re.search(r'\{"metric".*\}', data.get("tail", ""))
-            data = json.loads(m.group(0)) if m else {}
+            # the greedy-tail extraction can match a span that is not
+            # valid JSON (truncated tail) — an unreadable artifact must
+            # degrade to False like every other parse failure here, not
+            # crash the gate (ADVICE r08)
+            try:
+                m = re.search(r'\{"metric".*\}', data.get("tail", ""))
+                data = json.loads(m.group(0)) if m else {}
+            except Exception:
+                return False
     ctl = data.get("controls", {})
     return bool(data.get("polluted") or
                 (ctl.get("polluted") if isinstance(ctl, dict) else False))
