@@ -17,7 +17,7 @@ local[32]).
 Usage: external_bench.py [oracle_sql.json] [sf_dir] [q1,q2,...]
 (the optional third arg overrides the default QUERIES list)
 """
-import sys, time, json
+import os, sys, time, json
 import duckdb
 
 QUERIES = [
@@ -47,6 +47,12 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    # EXT_RUNS trims best-of-3 for minutes-long oracles (the ER
+    # recursive-CTE class); EXT_TIMEOUT_S interrupts a run that exceeds
+    # the budget so one DNF query cannot eat the whole table (recorded
+    # as an error row — a DNF at a given SF is itself a result).
+    runs = int(os.environ.get("EXT_RUNS", "3"))
+    timeout_s = float(os.environ.get("EXT_TIMEOUT_S", "0")) or None
     out = {}
     for name in queries:
         sql = oracle[name]
@@ -54,10 +60,19 @@ def main():
         rows = None
         err = None
         try:
-            for _ in range(3):
-                t0 = time.time()
-                rows = len(con.sql(sql).fetchall())
-                times.append(time.time() - t0)
+            for _ in range(runs):
+                timer = None
+                if timeout_s:
+                    import threading
+                    timer = threading.Timer(timeout_s, con.interrupt)
+                    timer.start()
+                try:
+                    t0 = time.time()
+                    rows = len(con.sql(sql).fetchall())
+                    times.append(time.time() - t0)
+                finally:
+                    if timer:
+                        timer.cancel()
         except Exception as e:  # a query that cannot complete (e.g. spill
             # exhausting disk at sf1) is a RESULT, not a reason to lose
             # the rest of the table
