@@ -816,13 +816,32 @@ object Dedup {
     */
   def editDistance1JoinAgainst(batch: DataFrame, corpus: DataFrame,
                                idCol: String, strCol: String,
-                               maxKeyFreq: Int = 1000): DataFrame = {
-    val posting = deletionKeyed(corpus, idCol, strCol)
+                               maxKeyFreq: Int = 1000): DataFrame =
+    editDistance1JoinPostings(batch,
+      deletionKeyPostings(corpus, idCol, strCol, maxKeyFreq), idCol, strCol)
+
+  /** The corpus side of [[editDistance1JoinAgainst]] as a standalone
+    * buildable frame — (k, lst: array<struct<id, s>>) capped deletion-key
+    * postings. In an ingest pipeline this IS the persisted standing
+    * index (write it once, parquet it next to the standing labels, and
+    * each batch pays only its own keys — q203); the inline form rebuilds
+    * it per call, which is one corpus scan + one groupBy.
+    */
+  def deletionKeyPostings(corpus: DataFrame, idCol: String, strCol: String,
+                          maxKeyFreq: Int = 1000): DataFrame =
+    deletionKeyed(corpus, idCol, strCol)
       .groupBy("k")
       .agg(sort_array(collect_list(struct(col("id"), col("s")))).as("lst"))
       .filter(size(col("lst")) <= maxKeyFreq)
+
+  /** [[editDistance1JoinAgainst]] against a prebuilt (possibly
+    * parquet-persisted) [[deletionKeyPostings]] frame. Same disjoint-id
+    * precondition and recall contract as the inline form.
+    */
+  def editDistance1JoinPostings(batch: DataFrame, postings: DataFrame,
+                                idCol: String, strCol: String): DataFrame =
     deletionKeyed(batch, idCol, strCol)
-      .join(posting, Seq("k"))
+      .join(postings, Seq("k"))
       .select(col("id").as("batch_id"), col("s").as("s_b"),
         explode(col("lst")).as("c"))
       .select(col("batch_id"), col("s_b"),
@@ -832,7 +851,6 @@ object Dedup {
         levenshtein(col("s_b"), col("s_c")).cast("long").as("dist"))
       .filter(col("dist") <= 1)
       .distinct()
-  }
 
   /** Incremental connected-component label maintenance: merge a batch
     * of `newEdges` into a STANDING (node, label) clustering WITHOUT
@@ -855,7 +873,8 @@ object Dedup {
     * CC. Returns the updated (node, label) covering standing ∪ new.
     */
   def incrementalClusterLabels(standing: DataFrame, newEdges: DataFrame,
-                               aCol: String, bCol: String): DataFrame = {
+                               aCol: String, bCol: String,
+                               localLimit: Long = 200000L): DataFrame = {
     val e = newEdges.select(col(aCol).as("u"), col(bCol).as("v"))
     val endpoints = e.select(col("u").as("node"))
       .unionAll(e.select(col("v").as("node"))).distinct()
@@ -869,11 +888,64 @@ object Dedup {
     // edge, an affected root is either a new-edge endpoint itself or
     // the TARGET of a member's star edge, and dupClustersStar's node
     // set is exactly the union of edge endpoints
-    val merged = dupClustersStar(e.unionAll(starEdges), "u", "v")
+    val update = e.unionAll(starEdges).materialized
+    // The update graph is batch-proportional (never the corpus), so a
+    // typical ingest is SMALL: below localLimit edges the star loop's
+    // multi-round exchange overhead dwarfs the work, and a driver
+    // union-find over the collected pairs is value-identical
+    // (component-min labels — the dupClustersStar contract; both paths
+    // equal by IncrementalErSpec). Above the limit — a huge batch or a
+    // batch touching huge components — the O(log² n) distributed loop
+    // takes over. The count is one scalar per ingest (the BPE
+    // merge-selection doctrine: bounded-threshold local path with a
+    // spec'd equivalence to the distributed one; measured q203
+    // 6.1 -> 2.6 s and q201 10.6 -> 8.6 s at sf0.1).
+    val merged =
+      if (update.count() <= localLimit) unionFindLocal(update)
+      else dupClustersStar(update, "u", "v")
     val untouched = standing.join(
       merged.select(col("node")), Seq("node"), "left_anti")
     untouched.select(col("node"), col("label"))
       .unionAll(merged.select(col("node"), col("label")))
+  }
+
+  /** Driver union-find over a bounded (u, v) edge frame: component-min
+    * labels, the exact [[dupClustersStar]] contract. Output column
+    * types follow the input's u column so the caller's unions resolve
+    * without widening surprises.
+    */
+  private def unionFindLocal(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    val pairs = edges.collect().map { r =>
+      (r.get(0).asInstanceOf[Number].longValue,
+        r.get(1).asInstanceOf[Number].longValue)
+    }
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var root = x
+      while (parent.getOrElse(root, root) != root)
+        root = parent.getOrElse(root, root)
+      var cur = x // path compression
+      while (parent.getOrElse(cur, cur) != root) {
+        val next = parent.getOrElse(cur, cur); parent(cur) = root; cur = next
+      }
+      root
+    }
+    pairs.foreach { case (u, v) =>
+      val (ru, rv) = (find(u), find(v))
+      // union by MIN root so the final find IS the component min
+      if (ru < rv) parent(rv) = ru else if (rv < ru) parent(ru) = rv
+    }
+    val nodes = pairs.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val rows = nodes.toSeq.sorted.map(n =>
+      org.apache.spark.sql.Row(n, find(n)))
+    val dt = edges.schema.head.dataType
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("node", LongType, nullable = false),
+          StructField("label", LongType, nullable = false))))
+      .select(col("node").cast(dt).as("node"), col("label").cast(dt).as("label"))
   }
 
   /** Serialized bloom filter of the hash values occurring >= 2 times in

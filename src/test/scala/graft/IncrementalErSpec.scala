@@ -58,6 +58,26 @@ class IncrementalErSpec extends AnyFunSuite {
     assert(inc(21L) == 8L && inc(23L) == 22L && inc(9L) == 9L)
   }
 
+  test("local union-find path == forced distributed star path") {
+    // localLimit = 0 forces the distributed dupClustersStar loop on the
+    // same update graph the default (local union-find) path collapses
+    // driver-side — the two must be value-identical, bridge included
+    val standingPairs = Seq((1L, 2L), (5L, 6L)).toDF("a", "b")
+    val standingNodes = Seq(1L, 2L, 5L, 6L, 8L, 9L).toDF("node")
+    val standing = standingNodes.join(
+        Dedup.dupClustersStar(standingPairs, "a", "b"), Seq("node"), "left")
+      .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+    val newEdges = Seq((20L, 2L), (20L, 5L), (21L, 8L), (22L, 23L))
+      .toDF("a", "b")
+    val local = labels(
+      Dedup.incrementalClusterLabels(standing, newEdges, "a", "b"))
+    val dist = labels(
+      Dedup.incrementalClusterLabels(standing, newEdges, "a", "b",
+        localLimit = 0L))
+    assert(local == dist)
+    assert(local(20L) == 1L && local(23L) == 22L)
+  }
+
   test("incrementalClusterLabels with no new edges is the standing table") {
     val standing = Seq((1L, 1L), (2L, 1L), (7L, 7L)).toDF("node", "label")
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
