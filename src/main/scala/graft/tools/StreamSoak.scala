@@ -165,49 +165,60 @@ object StreamSoak {
 
   /** Probe protocol shared by the sketch twins: after the soak loop,
     * drain the backlog on the soak checkpoint, write ONE more batch
-    * (touches every group/cell), and run a fresh query into a new
-    * memory table — that single micro-batch emits exactly the CURRENT
-    * state, which must equal the batch sketch over everything written
-    * (probe included on both sides).
+    * (touches every group/cell), and drain again — that final
+    * micro-batch emits exactly the CURRENT state into the upsert map,
+    * which must equal the batch sketch over everything written (probe
+    * included on both sides). Returns max observed state rows.
     */
-  private def probeFinalState(spark: SparkSession, src: String, ckpt: String,
-                              batchEvents: Int, batches: Int, memName: String)
-                             (startQuery: String => org.apache.spark.sql.streaming.StreamingQuery)
-      : (DataFrame, Long) = {
+  private def probeDrain(spark: SparkSession, src: String,
+                         batchEvents: Int, batches: Int)
+                        (startQuery: () => org.apache.spark.sql.streaming.StreamingQuery)
+      : Long = {
     var maxStateRows = 0L
     def sample(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
       val p = q.lastProgress
       if (p != null && p.stateOperators.nonEmpty)
         maxStateRows = math.max(maxStateRows, p.stateOperators.head.numRowsTotal)
     }
-    val drain = startQuery(s"${memName}_drain")
+    val drain = startQuery()
     drain.processAllAvailable(); sample(drain); drain.stop()
     writeBatch(spark, src, batches, batchEvents) // the probe batch
-    val probe = startQuery(memName)
+    val probe = startQuery()
     probe.processAllAvailable(); sample(probe); probe.stop()
-    (spark.table(memName), maxStateRows)
+    maxStateRows
   }
 
   /** Phase 2: streaming KMV distinct sketch — state must survive every
-    * restart and equal the batch sketch of the whole feed.
+    * restart and equal the batch sketch of the whole feed. Sink is a
+    * foreachBatch UPSERT into a driver map (latest row per group):
+    * foreachBatch supports checkpoint recovery where the memory sink
+    * REFUSES it ("does not support recovering from checkpoint
+    * location"), and upserts make the possible replay of the last
+    * uncommitted batch after a restart idempotent.
     */
   private def kmvPhase(spark: SparkSession, root: String, seconds: Int,
                        restartSeconds: Int, batchEvents: Int): PhaseResult = {
     val src = s"$root/src"; val ckpt = s"$root/ckpt"
     new java.io.File(src).mkdirs()
-    def startQuery(mem: String) = EventStreams.streamingKmvDistinct(
+    val state = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Long)]()
+    def startQuery() = EventStreams.streamingKmvDistinct(
         EventStreams.readEventStream(spark, src),
         "event_type", "user_id", k = 64, saltPrefix = "soakkmv_").toDF()
-      .writeStream.outputMode("update").format("memory")
-      .queryName(mem).option("checkpointLocation", ckpt).start()
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        // bounded collect: <= 5 groups' updated rows per micro-batch
+        df.collect().foreach(r => state.put(r.getAs[String]("group"),
+          (r.getAs[Long]("n_kept"), r.getAs[Long]("kth_min"),
+            r.getAs[Long]("est_distinct"))))
+      }
+      .option("checkpointLocation", ckpt).start()
     val (restarts, maxSoak, batches) =
-      soakLoop(spark, src, seconds, restartSeconds, batchEvents)(
-        () => startQuery(s"soak_kmv_live_$restartSeconds"))
-    val (mem, maxProbe) = probeFinalState(spark, src, ckpt, batchEvents,
-      batches, "soak_kmv")(startQuery)
-    val streamed = mem.collect().map(r => r.getAs[String]("group") ->
-      ((r.getAs[Long]("n_kept"), r.getAs[Long]("kth_min"),
-        r.getAs[Long]("est_distinct")))).toMap
+      soakLoop(spark, src, seconds, restartSeconds, batchEvents)(startQuery _)
+    val maxProbe = probeDrain(spark, src, batchEvents, batches)(startQuery _)
+    val streamed = {
+      import scala.jdk.CollectionConverters._
+      state.asScala.toMap
+    }
     val batch = graft.operators.Sketches.kmvDistinct(
         spark.read.parquet(src), "event_type", col("user_id"),
         k = 64, saltPrefix = "soakkmv_")
@@ -231,19 +242,24 @@ object StreamSoak {
                        restartSeconds: Int, batchEvents: Int): PhaseResult = {
     val src = s"$root/src"; val ckpt = s"$root/ckpt"
     new java.io.File(src).mkdirs()
-    def startQuery(mem: String) = EventStreams.streamingCmsCells(
+    val state = new java.util.concurrent.ConcurrentHashMap[(Long, Long), Long]()
+    def startQuery() = EventStreams.streamingCmsCells(
         EventStreams.readEventStream(spark, src),
         "event_type", d = 4, w = 1024, saltPrefix = "soakcms_").toDF()
-      .writeStream.outputMode("update").format("memory")
-      .queryName(mem).option("checkpointLocation", ckpt).start()
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        // bounded collect: <= d x |keys| updated cells per micro-batch
+        df.collect().foreach(r => state.put(
+          (r.getAs[Long]("r"), r.getAs[Long]("c")), r.getAs[Long]("cnt")))
+      }
+      .option("checkpointLocation", ckpt).start()
     val (restarts, maxSoak, batches) =
-      soakLoop(spark, src, seconds, restartSeconds, batchEvents)(
-        () => startQuery("soak_cms_live"))
-    val (mem, maxProbe) = probeFinalState(spark, src, ckpt, batchEvents,
-      batches, "soak_cms")(startQuery)
-    val streamed = mem.collect()
-      .map(r => (r.getAs[Long]("r"), r.getAs[Long]("c")) -> r.getAs[Long]("cnt"))
-      .toMap
+      soakLoop(spark, src, seconds, restartSeconds, batchEvents)(startQuery _)
+    val maxProbe = probeDrain(spark, src, batchEvents, batches)(startQuery _)
+    val streamed = {
+      import scala.jdk.CollectionConverters._
+      state.asScala.toMap
+    }
     val batch = graft.operators.Sketches.cmsBuildKeys(
         spark.read.parquet(src), "event_type", d = 4, w = 1024,
         saltPrefix = "soakcms_")
