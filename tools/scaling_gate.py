@@ -41,10 +41,10 @@ import re
 import sys
 
 WAIVERS = {
-    "q100_interval_overlap":
-        "output-inherent: 10x interval density in a fixed date span -> "
-        "101x overlap pairs (698K -> 70.5M, DuckDB-verified); engine "
-        "time grew 65x = sublinear in output",
+    # q100's waiver (output-inherent 101x overlap pairs) was RETIRED in
+    # round 9: the r8 re-contract to bounded per-key aggregates measures
+    # 3.7x growth in SCALING_sweep_r09.log — far from the gate, so the
+    # waiver would only mask a future regression.
     "q122_triangle_count":
         "algorithmic: rank-oriented wedge enumeration is O(m^1.5) = "
         "31.6x bound for 10x edges; measured 15.3x, well inside it",
