@@ -409,15 +409,55 @@ object Ann {
   /** IVF probe/score path over an explicit centroid table (cid, cv). */
   def ivfTopKWith(corpus: DataFrame, queries: DataFrame,
                   idCol: String, vecCol: String, k: Int,
-                  nProbe: Int, centroids: DataFrame): DataFrame = {
-    val spark = corpus.sparkSession
+                  nProbe: Int, centroids: DataFrame): DataFrame =
+    ivfTopKProbe(queries, centroids,
+      ivfListAssignments(corpus, idCol, vecCol, centroids),
+      idCol, vecCol, k, nProbe)
+
+  /** The bounded (nLists × dim) centroid table, collected once; the
+    * float→double cast is exact widening, so the rebuilt probe-side
+    * literal and the assignment UDF see identical values.
+    */
+  private def collectCentroids(centroids: DataFrame): Array[(Long, Array[Double])] = {
+    val spark = centroids.sparkSession
     import spark.implicits._
-    // the centroid table is bounded (nLists × dim) — collect it once;
-    // the float→double cast is exact widening, so the rebuilt probe-
-    // side literal and the assignment UDF see identical values
-    val local = centroids.select(col("cid").cast("long"),
+    centroids.select(col("cid").cast("long"),
         transform(col("cv"), x => x.cast("double")).as("cv"))
       .as[(Long, Array[Double])].collect().sortBy(_._1)
+  }
+
+  /** The standing half of [[ivfTopKWith]] as a buildable frame — every
+    * corpus vector filed on its nearest centroid's inverted list:
+    * (cid, neighbor_id, cv, cnrm). In a vector-store ingest pipeline
+    * this IS the persisted IVF index (write it once PARTITIONED BY cid
+    * next to its centroid table, and each query batch pays only its own
+    * probe argmins plus the probed lists' scan — q207); the inline form
+    * rebuilds it per call. Assignment is one map-only corpus scan
+    * ([[assignCidUdf]]); an empty centroid table assigns nothing.
+    */
+  def ivfListAssignments(corpus: DataFrame, idCol: String, vecCol: String,
+                         centroids: DataFrame): DataFrame = {
+    val local = collectCentroids(centroids)
+    val src = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("v"),
+        norm(col(vecCol)).as("cnrm"))
+    (if (local.isEmpty) src.filter(lit(false)).withColumn("cid", lit(0L))
+     else src.withColumn("cid",
+       assignCidUdf(src.schema("v").dataType, local)(col("v"))))
+      .select(col("cid"), col("neighbor_id"), col("v").as("cv"), col("cnrm"))
+  }
+
+  /** [[ivfTopKWith]] against a prebuilt (possibly parquet-persisted)
+    * [[ivfListAssignments]] frame plus the centroid table the
+    * assignments were built with (they MUST match — the probe argmin
+    * and the list filing share the rounded-distance formula).
+    */
+  def ivfTopKProbe(queries: DataFrame, centroids: DataFrame,
+                   assigned: DataFrame, idCol: String, vecCol: String,
+                   k: Int, nProbe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val local = collectCentroids(centroids)
     val cents = local.toSeq.toDF("cid", "cv")
       .withColumn("cc", dot(col("cv"), col("cv")))
     // ||v - c||^2 = vv - 2<v,c> + cc: vv is per-row, cc per-centroid, so
@@ -425,18 +465,6 @@ object Ann {
     // to 6 decimals BEFORE the argmin so list assignment is identical in
     // the oracle even if its dot-product fold differs by an ulp.
     def dist = round(col("vv") - lit(2.0) * dot(col("v"), col("cv")) + col("cc"), 6)
-
-    // CORPUS assignment is one map-only scan ([[assignCidUdf]]); only
-    // the small QUERY side keeps the broadcast-explode expression path
-    // below. An empty centroid table assigns nothing — matching the
-    // previous crossJoin-with-empty behavior.
-    val src = corpus
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("v"),
-        norm(col(vecCol)).as("cnrm"))
-    val assigned = (if (local.isEmpty) src.filter(lit(false)).withColumn("cid", lit(0L))
-      else src.withColumn("cid",
-        assignCidUdf(src.schema("v").dataType, local)(col("v"))))
-      .select(col("neighbor_id"), col("v").as("cv"), col("cnrm"), col("cid"))
 
     val w0 = Window.partitionBy("query_id").orderBy(col("d"), col("cid"))
     val probes = queries

@@ -312,20 +312,48 @@ object Dedup {
                         idCol: String, textCol: String,
                         k: Int, bands: Int, rowsPerBand: Int,
                         minEstJaccard: Double,
-                        maxBucketSize: Int = 10000): DataFrame = {
+                        maxBucketSize: Int = 10000): DataFrame =
+    minHashLshJoinPostings(newDocs,
+      minHashBandPostings(corpus, idCol, textCol, k, bands, rowsPerBand,
+        maxBucketSize),
+      idCol, textCol, k, bands, rowsPerBand, minEstJaccard)
+
+  /** The corpus side of [[minHashLshAgainst]] as a standalone buildable
+    * frame — (band, band_key, lst: array<struct<id, sig>>) capped band
+    * postings. In an ingest pipeline this IS the persisted standing LSH
+    * index (write it once, parquet/bucket it, and each batch pays only
+    * its own signatures — q206); the inline form rebuilds it per call.
+    */
+  def minHashBandPostings(corpus: DataFrame, idCol: String, textCol: String,
+                          k: Int, bands: Int, rowsPerBand: Int,
+                          maxBucketSize: Int = 10000): DataFrame = {
     require(bands >= 1 && rowsPerBand >= 1,
       s"bands/rowsPerBand must be >= 1, got $bands/$rowsPerBand")
     require(maxBucketSize >= 1, s"maxBucketSize must be >= 1, got $maxBucketSize")
-    val numHashes = bands * rowsPerBand
-    val nb = bandKeyed(
-      minHashSignature(newDocs, idCol, textCol, k, numHashes), bands, rowsPerBand)
-    val posting = bandKeyed(
-        minHashSignature(corpus, idCol, textCol, k, numHashes), bands, rowsPerBand)
+    bandKeyed(
+        minHashSignature(corpus, idCol, textCol, k, bands * rowsPerBand),
+        bands, rowsPerBand)
       .groupBy("band", "band_key")
       .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("lst"))
       .filter(if (maxBucketSize == Int.MaxValue) lit(true)
               else size(col("lst")) <= maxBucketSize)
-    val cand = nb.join(posting, Seq("band", "band_key"))
+  }
+
+  /** [[minHashLshAgainst]] against a prebuilt (possibly
+    * parquet-persisted) [[minHashBandPostings]] frame. The k/bands/
+    * rowsPerBand parameters MUST match the ones the postings were built
+    * with (signatures are a pure per-doc function of them).
+    */
+  def minHashLshJoinPostings(newDocs: DataFrame, postings: DataFrame,
+                             idCol: String, textCol: String,
+                             k: Int, bands: Int, rowsPerBand: Int,
+                             minEstJaccard: Double): DataFrame = {
+    require(bands >= 1 && rowsPerBand >= 1,
+      s"bands/rowsPerBand must be >= 1, got $bands/$rowsPerBand")
+    val numHashes = bands * rowsPerBand
+    val nb = bandKeyed(
+      minHashSignature(newDocs, idCol, textCol, k, numHashes), bands, rowsPerBand)
+    val cand = nb.join(postings, Seq("band", "band_key"))
       .select(col("id").as("new_id"), col("sig").as("sig_n"),
         explode(col("lst")).as("c"))
       .select(col("new_id"), col("sig_n"),

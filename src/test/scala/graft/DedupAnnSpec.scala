@@ -119,6 +119,30 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(got == expected, s"incremental=${got.size} self-join-cross=${expected.size}")
   }
 
+  test("LSH against a parquet-persisted band index equals the inline form") {
+    // q206's contract: minHashBandPostings written to parquet and read
+    // back must drive minHashLshJoinPostings to the exact pairs the
+    // inline minHashLshAgainst finds (signatures are a pure per-doc
+    // function of k/bands/rowsPerBand, and the postings frame is the
+    // only shared state)
+    val docs = engine.Tables.documents(spark, SparkTestSession.sfDir)
+    val batch = docs.filter(pmod(col("doc_id"), lit(10L)) === 0L)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inline = rows(Dedup.minHashLshAgainst(batch, corpus,
+      "doc_id", "text", k = 3, bands = 4, rowsPerBand = 4, minEstJaccard = 0.25))
+    val dir = java.nio.file.Files.createTempDirectory("lsh-postings").toString
+    Dedup.minHashBandPostings(corpus, "doc_id", "text",
+        k = 3, bands = 4, rowsPerBand = 4)
+      .write.mode("overwrite").parquet(dir)
+    val persisted = rows(Dedup.minHashLshJoinPostings(batch,
+      spark.read.parquet(dir), "doc_id", "text",
+      k = 3, bands = 4, rowsPerBand = 4, minEstJaccard = 0.25))
+    assert(inline.nonEmpty)
+    assert(persisted == inline, s"persisted=${persisted.size} inline=${inline.size}")
+  }
+
   test("filtered ANN: neighbors share the query's label and match post-filtered exact") {
     val e = engine.Tables.embeddings(spark, SparkTestSession.sfDir)
     val q = e.filter(col("vec_id") < 3)
@@ -350,6 +374,33 @@ class DedupAnnSpec extends AnyFunSuite {
         nLists = 4, nProbe = 2, iters = 1, sampleOneIn = 2)
       .select("query_id", "neighbor_id").collect()
     assert(sampled.nonEmpty)
+  }
+
+  test("IVF probe over a parquet-persisted index equals the inline form") {
+    // q207's contract: kmeansCentroids + ivfListAssignments written to
+    // parquet (lists PARTITIONED BY cid) and read back must drive
+    // ivfTopKProbe to the exact rows ivfTopKKmeans computes inline —
+    // the 6dp-rounded centroid doubles and the float vectors round-trip
+    // losslessly, and the split is definitional
+    val e = engine.Tables.embeddings(spark, SparkTestSession.sfDir)
+    val q = e.filter(col("vec_id") < 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "cos", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val inline = rows(Ann.ivfTopKKmeans(e, q, "vec_id", "embedding", 5,
+      nLists = 8, nProbe = 2, iters = 2))
+    val dir = java.nio.file.Files.createTempDirectory("ivf-index").toString
+    Ann.kmeansCentroids(e, "vec_id", "embedding", 8, iters = 2)
+      .write.mode("overwrite").parquet(s"$dir/cents")
+    Ann.ivfListAssignments(e, "vec_id", "embedding",
+        spark.read.parquet(s"$dir/cents"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/lists")
+    val persisted = rows(Ann.ivfTopKProbe(q,
+      spark.read.parquet(s"$dir/cents"),
+      spark.read.parquet(s"$dir/lists").withColumn("cid", col("cid").cast("long")),
+      "vec_id", "embedding", k = 5, nProbe = 2))
+    assert(inline.nonEmpty)
+    assert(persisted == inline, s"persisted=${persisted.size} inline=${inline.size}")
   }
 
   test("winnowing guarantee: a shared run of w+k-1 tokens yields a shared fingerprint") {
