@@ -544,15 +544,8 @@ object Dedup {
                           nBits: Int = 63, maxHamming: Int = 3,
                           nBlocks: Int = 6,
                           maxBucketSize: Int = 10000): DataFrame = {
-    val shs = simHash(docs, idCol, textCol, nBits)
-    val tableCols = simHashMultiTables(nBits, nBlocks, maxHamming).map {
-      case (t, blocks) =>
-        struct(lit(t).as("tbl"), multiTableKey(col("simhash"), blocks).as("key"))
-    }
-    val keyed = shs.select(col("id"), col("simhash"),
-        explode(array(tableCols: _*)).as("e"))
-      .select(col("id"), col("simhash"),
-        col("e.tbl").as("tbl"), col("e.key").as("key"))
+    val keyed = multiIndexKeyed(simHash(docs, idCol, textCol, nBits),
+      nBits, maxHamming, nBlocks)
     val posting = keyed
       .groupBy("tbl", "key")
       .agg(sort_array(collect_list(struct(col("id"), col("simhash")))).as("lst"))
@@ -563,6 +556,92 @@ object Dedup {
       .agg(first(col("a.simhash")).as("ha"), first(col("b.simhash")).as("hb"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Each (id, simhash) row keyed C(nBlocks, maxHamming) ways on its
+    * [[simHashMultiTables]] block-combination keys — the shared
+    * map-side explode of [[simHashNearDupMulti]] and the
+    * batch-vs-corpus forms below.
+    */
+  private def multiIndexKeyed(shs: DataFrame, nBits: Int,
+                              maxHamming: Int, nBlocks: Int): DataFrame = {
+    val tableCols = simHashMultiTables(nBits, nBlocks, maxHamming).map {
+      case (t, blocks) =>
+        struct(lit(t).as("tbl"), multiTableKey(col("simhash"), blocks).as("key"))
+    }
+    shs.select(col("id"), col("simhash"),
+        explode(array(tableCols: _*)).as("e"))
+      .select(col("id"), col("simhash"),
+        col("e.tbl").as("tbl"), col("e.key").as("key"))
+  }
+
+  /** Incremental SimHash near-dup: a new batch against a standing
+    * corpus (the [[minHashLshAgainst]] pattern applied to the
+    * multi-index SimHash family) — the corpus is keyed into capped
+    * (tbl, key, postings) lists and only the BATCH side is exploded
+    * against them, so ingest shuffles the batch plus the matched
+    * postings, never the corpus against itself. Exact-recall guarantee
+    * is [[simHashNearDupMulti]]'s, per bucket cap.
+    */
+  def simHashNearDupAgainst(batch: DataFrame, corpus: DataFrame,
+                            idCol: String, textCol: String,
+                            nBits: Int = 63, maxHamming: Int = 3,
+                            nBlocks: Int = 6,
+                            maxBucketSize: Int = 10000): DataFrame =
+    simHashJoinPostings(batch,
+      simHashMultiIndexPostings(corpus, idCol, textCol, nBits, maxHamming,
+        nBlocks, maxBucketSize),
+      idCol, textCol, nBits, maxHamming, nBlocks)
+
+  /** The corpus side of [[simHashNearDupAgainst]] as a standalone
+    * buildable frame — (tbl, key, lst: array<struct<id, simhash>>)
+    * capped multi-index postings. In an ingest pipeline this IS the
+    * persisted standing SimHash index (write it once, parquet it, and
+    * each batch pays only its own hashing + the key equi-join — q208);
+    * the inline form rebuilds it per call. Unlike the self-join form
+    * there is no size>=2 floor: a singleton corpus bucket still
+    * matches a batch doc.
+    */
+  def simHashMultiIndexPostings(corpus: DataFrame, idCol: String,
+                                textCol: String,
+                                nBits: Int = 63, maxHamming: Int = 3,
+                                nBlocks: Int = 6,
+                                maxBucketSize: Int = 10000): DataFrame = {
+    require(maxBucketSize >= 1, s"maxBucketSize must be >= 1, got $maxBucketSize")
+    multiIndexKeyed(simHash(corpus, idCol, textCol, nBits),
+        nBits, maxHamming, nBlocks)
+      .groupBy("tbl", "key")
+      .agg(sort_array(collect_list(struct(col("id"), col("simhash")))).as("lst"))
+      .filter(if (maxBucketSize == Int.MaxValue) lit(true)
+              else size(col("lst")) <= maxBucketSize)
+  }
+
+  /** [[simHashNearDupAgainst]] against a prebuilt (possibly
+    * parquet-persisted) [[simHashMultiIndexPostings]] frame. The
+    * nBits/maxHamming/nBlocks parameters MUST match the ones the
+    * postings were built with (the table keys are a pure per-doc
+    * function of them). Same-id pairs are dropped (the batch is
+    * expected id-disjoint from the corpus, as in
+    * [[minHashLshJoinPostings]]); output is (new_id, corpus_id,
+    * hamming) with the EXACT bit_count distance verified.
+    */
+  def simHashJoinPostings(batch: DataFrame, postings: DataFrame,
+                          idCol: String, textCol: String,
+                          nBits: Int, maxHamming: Int,
+                          nBlocks: Int): DataFrame = {
+    val keyed = multiIndexKeyed(simHash(batch, idCol, textCol, nBits),
+      nBits, maxHamming, nBlocks)
+    keyed.join(postings, Seq("tbl", "key"))
+      .select(col("id").as("new_id"), col("simhash").as("hn"),
+        explode(col("lst")).as("c"))
+      .select(col("new_id"), col("hn"),
+        col("c.id").as("corpus_id"), col("c.simhash").as("hc"))
+      .filter(col("new_id") =!= col("corpus_id"))
+      .groupBy("new_id", "corpus_id")
+      .agg(first(col("hn")).as("hn"), first(col("hc")).as("hc"))
+      .select(col("new_id"), col("corpus_id"),
+        bit_count(col("hn").bitwiseXOR(col("hc"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 

@@ -143,6 +143,41 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(persisted == inline, s"persisted=${persisted.size} inline=${inline.size}")
   }
 
+  test("SimHash ingest: multi-index against-form matches brute force, persisted equals inline") {
+    // q208's contract, both halves: (1) exact recall — the batch-vs-
+    // corpus multi-index join (cap disabled) finds EXACTLY the pairs a
+    // brute-force cross join verifies at Hamming<=3 (block pigeonhole:
+    // <=3 differing bits hit <=3 of 6 blocks, so some 3-block table
+    // keys both docs identically); (2) the parquet-persisted postings
+    // drive simHashJoinPostings to the inline simHashNearDupAgainst
+    // rows (table keys are a pure per-doc function of the parameters)
+    val docs = engine.Tables.documents(spark, SparkTestSession.sfDir)
+    val batch = docs.filter(pmod(col("doc_id"), lit(10L)) === 0L)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val inline = rows(Dedup.simHashNearDupAgainst(batch, corpus,
+      "doc_id", "text", nBits = 32, maxHamming = 3, nBlocks = 6,
+      maxBucketSize = Int.MaxValue))
+    val brute = rows(
+      Dedup.simHash(batch, "doc_id", "text", 32)
+        .select(col("id").as("new_id"), col("simhash").as("hn"))
+        .crossJoin(Dedup.simHash(corpus, "doc_id", "text", 32)
+          .select(col("id").as("corpus_id"), col("simhash").as("hc")))
+        .select(col("new_id"), col("corpus_id"),
+          bit_count(col("hn").bitwiseXOR(col("hc"))).cast("long").as("hamming"))
+        .filter(col("hamming") <= 3))
+    assert(inline == brute, s"inline=${inline.size} brute=${brute.size}")
+    val dir = java.nio.file.Files.createTempDirectory("simhash-postings").toString
+    Dedup.simHashMultiIndexPostings(corpus, "doc_id", "text",
+        nBits = 32, maxHamming = 3, nBlocks = 6, maxBucketSize = Int.MaxValue)
+      .write.mode("overwrite").parquet(dir)
+    val persisted = rows(Dedup.simHashJoinPostings(batch,
+      spark.read.parquet(dir), "doc_id", "text",
+      nBits = 32, maxHamming = 3, nBlocks = 6))
+    assert(persisted == inline, s"persisted=${persisted.size} inline=${inline.size}")
+  }
+
   test("filtered ANN: neighbors share the query's label and match post-filtered exact") {
     val e = engine.Tables.embeddings(spark, SparkTestSession.sfDir)
     val q = e.filter(col("vec_id") < 3)
