@@ -92,12 +92,29 @@ object Bench {
       // absolute ratio is meaningless, so calibrate only at sf0.1
       val calibrated = sfDir.contains("sf0.1")
       if (calibrated) {
+        // Warm the CONTROL queries untimed before the first measurement.
+        // Two same-evening idle-box runs showed successive control
+        // measurements improving monotonically within one JVM (1.71 →
+        // 1.61 → 1.31 → suite → END 1.006) — a cold-start JIT/CPU-ramp
+        // bias, not contention — and the 45 s *idle* pause the old loop
+        // slept between attempts let the CPU governor cool the box
+        // further (run 1 retried 1.51→1.41; run 2, launched colder,
+        // 1.71→1.61). So: warm untimed, then BUSY-retry (the
+        // measurement itself is the warm-up) and report the best factor
+        // seen. Real contention stays high across every attempt and is
+        // re-checked by the post-suite end factor either way.
+        ctlBest.keys.toSeq.sorted.foreach { name =>
+          SparkEntry.queries.get(name).foreach { fn =>
+            (1 to 2).foreach { _ =>
+              fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            }
+          }
+        }
         startFactor = controlFactor(); ctlAttempts = 1
-        while (startFactor > ctlThreshold && ctlAttempts < 3) {
+        while (startFactor > ctlThreshold && ctlAttempts < 5) {
           System.err.println(
-            f"[bench] controls ${startFactor}%.2fx best-known (> $ctlThreshold) — machine contended; pausing 45s (attempt $ctlAttempts)")
-          Thread.sleep(45000)
-          startFactor = controlFactor(); ctlAttempts += 1
+            f"[bench] controls ${startFactor}%.2fx best-known (> $ctlThreshold) — re-measuring while warm (attempt $ctlAttempts)")
+          startFactor = math.min(startFactor, controlFactor()); ctlAttempts += 1
         }
       }
     }
@@ -114,7 +131,36 @@ object Bench {
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.exists(name.contains))
     }
-    val results = selected.map { case (name, fn) =>
+    // Interleaved control probes (round-9 methodology fix). The two
+    // point probes could not judge the suite fairly: START controls on
+    // a VERIFIED-idle box measure 1.3-1.7x best-known from cold-start
+    // JIT/CPU-ramp that only the suite's own task volume burns through
+    // (the same runs' END factors: 1.006 and 1.093), while mid-run
+    // contention that inflates one query's 3 consecutive runs is
+    // invisible to both endpoints AND to that query's own spread
+    // column. So probe DURING the suite — one rotating control query,
+    // min-of-2, every ~1/8th of the suite: the median probe factor
+    // measures machine state at the moments the recorded times were
+    // actually taken. The start factor stays recorded (it calibrates
+    // the box's cold-start, and a 2.8x start still means "driver
+    // harness was running", r08) but no longer stamps pollution alone.
+    val probeEvery = math.max(1, selected.size / 8)
+    val ctlNames = ctlBest.keys.toSeq.sorted
+    val probes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def probe(qi: Int): Unit =
+      if (ctlNames.nonEmpty && sfDir.contains("sf0.1")) {
+        val name = ctlNames((qi / probeEvery) % ctlNames.size)
+        SparkEntry.queries.get(name).foreach { fn =>
+          val t = (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }.min
+          probes += t / ctlBest(name)
+        }
+      }
+    val results = selected.toSeq.zipWithIndex.map { case ((name, fn), qi) =>
+      if (qi % probeEvery == 0) probe(qi)
       // noop sink materializes every output column; count() would let
       // Catalyst prune projection-only queries down to a row count.
       // Best of 3 runs: the first pays one-shot codegen + JIT (measured
@@ -144,9 +190,16 @@ object Bench {
     // invisible to the start calibration
     val endFactor =
       if (ctlBest.nonEmpty && sfDir.contains("sf0.1")) controlFactor() else 1.0
-    val polluted = startFactor > ctlThreshold || endFactor > ctlThreshold
+    // mid_factor — the median of the interleaved probes — is the
+    // pollution authority: it is measured warm (no cold-start bias) at
+    // the moments the suite's times were taken. endFactor still gates
+    // (contention in the final stretch after the last probe).
+    val midFactor =
+      if (probes.isEmpty) 1.0 else probes.sorted.apply(probes.size / 2)
+    val polluted = midFactor > ctlThreshold || endFactor > ctlThreshold
+    val probesJson = probes.map(p => f"$p%.2f").mkString("[", ",", "]")
     val ctlJson =
-      f"""{"start_factor":$startFactor%.3f,"end_factor":$endFactor%.3f,"attempts":$ctlAttempts,"threshold":$ctlThreshold,"polluted":$polluted}"""
+      f"""{"start_factor":$startFactor%.3f,"mid_factor":$midFactor%.3f,"end_factor":$endFactor%.3f,"probes":$probesJson,"attempts":$ctlAttempts,"threshold":$ctlThreshold,"polluted":$polluted}"""
     if (polluted)
       System.err.println(s"[bench] POLLUTED RUN: controls $ctlJson — do not use as a gate baseline")
 
@@ -229,7 +282,7 @@ object Bench {
       val errPart = if (results.exists(_.err.isDefined)) s""","errors":$errs""" else ""
       // compact control stamp: [start_centi, end_centi] + polluted flag
       val ctlPart =
-        f""","ctl":[${math.round(startFactor * 100)},${math.round(endFactor * 100)}],"polluted":$polluted"""
+        f""","ctl":[${math.round(startFactor * 100)},${math.round(midFactor * 100)},${math.round(endFactor * 100)}],"polluted":$polluted"""
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","fmt":"$fmt","queries":$qs$errPart$ctlPart,"throughput_mb_s":$thr,"sf":${Verify.jsonString(sfDir)}}"""
     }
     // Tail budget: 2000 chars minus sbt's "[info] " prefix and trailing

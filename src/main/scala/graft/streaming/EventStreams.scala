@@ -259,6 +259,39 @@ object EventStreams {
         })
   }
 
+  /** Streaming LSH ingest — q206's standing-index near-dup check run
+    * CONTINUOUSLY: each micro-batch of new documents is minhash-signed,
+    * band-keyed, and equi-joined against the STATIC persisted
+    * [[graft.operators.Dedup.minHashBandPostings]] index, writing
+    * (new_id, corpus_id, est_jaccard) under `outDir/batch_id=<n>`.
+    * Signatures are a pure per-doc function and the index is static,
+    * so the computation is micro-batch DECOMPOSABLE: the union of all
+    * batch outputs equals the one-shot batch join (StreamingSpec
+    * asserts set equality over a multi-file replay) — no state store,
+    * no watermark. foreachBatch rather than a direct streaming plan
+    * because signature building aggregates per doc, which the
+    * streaming planner would treat as a cross-batch stateful
+    * aggregation; per micro-batch it is exactly q206's plan. Each
+    * batch OVERWRITES its own batch_id partition, so a replayed batch
+    * after failure lands idempotently — effectively-once output on
+    * top of foreachBatch's at-least-once contract.
+    */
+  def streamingLshIngest(docStream: DataFrame, postings: DataFrame,
+                         outDir: String, checkpointDir: String,
+                         idCol: String, textCol: String,
+                         k: Int, bands: Int, rowsPerBand: Int,
+                         minEstJaccard: Double)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Dedup.minHashLshJoinPostings(batch, postings,
+            idCol, textCol, k, bands, rowsPerBand, minEstJaccard)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        ()
+      }
+      .start()
+
   case class CmsCellUpdate(r: Long, c: Long, cnt: Long)
 
   /** Streaming count-min sketch — the ingest twin of the batch

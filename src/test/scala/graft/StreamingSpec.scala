@@ -239,6 +239,40 @@ class StreamingSpec extends AnyFunSuite {
     })
   }
 
+  test("streaming LSH ingest over a static standing index equals the batch join") {
+    // q206's ingest shape run as a stream: the batch split replayed in
+    // multiple micro-batches (maxFilesPerTrigger=1) against the SAME
+    // static minHashBandPostings index must union to exactly the
+    // one-shot batch join — per-doc signatures + a static side make
+    // the computation micro-batch decomposable
+    val docs = engine.Tables.documents(spark, SparkTestSession.sfDir)
+    val batchDocs = docs.filter(pmod(col("doc_id"), lit(10L)) === 0L)
+    val postings = operators.Dedup.minHashBandPostings(
+      docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0L),
+      "doc_id", "text", k = 3, bands = 4, rowsPerBand = 4)
+    val expected = operators.Dedup.minHashLshJoinPostings(batchDocs, postings,
+        "doc_id", "text", k = 3, bands = 4, rowsPerBand = 4,
+        minEstJaccard = 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val base = java.nio.file.Files.createTempDirectory("lsh-stream").toString
+    // several source files so the stream runs >1 micro-batch
+    batchDocs.repartition(3).write.parquet(s"$base/in")
+    val stream = spark.readStream
+      .schema(batchDocs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$base/in")
+    val q = EventStreams.streamingLshIngest(stream, postings,
+      s"$base/out", s"$base/ckpt", "doc_id", "text",
+      k = 3, bands = 4, rowsPerBand = 4, minEstJaccard = 0.25)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(s"$base/out")
+      .select("new_id", "corpus_id", "est_jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(expected.nonEmpty)
+    assert(got == expected, s"streamed=${got.size} batch=${expected.size}")
+  }
+
   test("streaming KMV sketch converges to the batch q137 sketch exactly") {
     val updates = runToMemory(
       EventStreams.streamingKmvDistinct(
