@@ -3282,6 +3282,23 @@ object SparkEntry {
           docs.filter(pmod(col("doc_id"), lit(10L)) === 0L), postings,
           "doc_id", "text", nBits = 32, maxHamming = 3, nBlocks = 6)
         .orderBy("new_id", "corpus_id")
+    }),
+
+    "q209_ann_lsh_ingest" -> ((s, d) => {
+      // q53's multi-probe LSH ANN with the standing index PERSISTED
+      // (the q207 pattern applied to the hyperplane-LSH path): the
+      // corpus's bucket assignments are written once per SF PARTITIONED
+      // BY bucket, so a query batch's equi-join reads only its probed
+      // buckets' files via dynamic partition pruning. Same result as
+      // q53 (lshTopK IS lshTopKProbe ∘ lshBucketAssignments), same
+      // oracle.
+      val e = embeddings(s, d)
+      Ann.lshTopKProbe(e.filter(col("vec_id") < 5),
+          lshIndexFixture(s, d, e), "vec_id", "embedding",
+          k = 5, nBits = 4, multiProbe = 2)
+        .select(col("query_id"), col("neighbor_id"), col("cos"),
+          col("rank").cast("long").as("rnk"))
+        .orderBy("query_id", "rnk")
     })
   )
 
@@ -3300,6 +3317,23 @@ object SparkEntry {
           maxBucketSize = 10000)
         .write.mode("overwrite").parquet(path)
     s.read.parquet(path)
+  }
+
+  /** q209's persisted standing hyperplane-LSH index (the q207 fixture
+    * convention): the corpus's bucket assignments at q36/q53's
+    * parameters, PARTITIONED BY bucket so a probe's equi-join prunes
+    * to its probed buckets' files.
+    */
+  private def lshIndexFixture(s: SparkSession, d: String,
+                              e: DataFrame): DataFrame = synchronized {
+    val sfName = new java.io.File(d).getName
+    val path = s"/tmp/graft-fixtures/$sfName/lsh_buckets.parquet"
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      operators.Ann.lshBucketAssignments(e, "vec_id", "embedding", nBits = 4)
+        .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    // partition-column type inference reads bucket back as INT —
+    // restore the long the probe side joins on
+    s.read.parquet(path).withColumn("bucket", col("bucket").cast("long"))
   }
 
   /** q208's persisted standing SimHash multi-index (the q203/q206
@@ -4359,30 +4393,13 @@ object SparkEntry {
 
     // q36's plan plus query-side probe explode: each query also probes
     // its bucket with hyperplane bits 0 and 1 flipped (multiProbe=2).
-    "q53_ann_lsh_multiprobe" -> {
-      val planes =
-        s"""SELECT p, list_transform(generate_series(0,63), j -> ${duckPlane("p", "j")}) AS c
-           |FROM (SELECT unnest(generate_series(0,3)) AS p)""".stripMargin
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |pl AS ($planes),
-         |proj AS (SELECT vec_id, p, list_dot_product(v, c) AS proj FROM e CROSS JOIN pl),
-         |bkt AS (SELECT vec_id,
-         |  CAST(SUM(CASE WHEN proj >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
-         | FROM proj GROUP BY 1),
-         |ev AS (SELECT e.vec_id, e.v, bkt.bucket FROM e JOIN bkt ON e.vec_id = bkt.vec_id),
-         |qb AS (SELECT vec_id, v,
-         |  unnest([bucket, xor(bucket, 1::BIGINT), xor(bucket, 2::BIGINT)]) AS bucket
-         | FROM ev WHERE vec_id < 5),
-         |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |  round(${duckCos("q.v", "c.v")}, 4) AS cos
-         | FROM ev c JOIN qb q ON c.bucket = q.bucket
-         | WHERE c.vec_id <> q.vec_id),
-         |r AS (SELECT query_id, neighbor_id, cos,
-         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
-         | FROM s)
-         |SELECT query_id, neighbor_id, cos, rnk FROM r WHERE rnk <= 5
-         |ORDER BY query_id, rnk""".stripMargin
-    },
+    "q53_ann_lsh_multiprobe" -> lshMultiprobeOracle,
+
+    // persisted-bucket-index probe finds the SAME neighbors (the split
+    // is exact: lshTopK == lshTopKProbe over lshBucketAssignments, and
+    // the parquet round-trip of float vectors is lossless) — same
+    // oracle
+    "q209_ann_lsh_ingest" -> lshMultiprobeOracle,
 
     // q46's probe path over Ann.kmeansCentroids(nLists=8, iters=2):
     // md5-keyed seeds, two Lloyd iterations with round(·,6) means and
@@ -5159,6 +5176,35 @@ object SparkEntry {
          | GROUP BY 1,2)
          |SELECT new_id, corpus_id, est_jaccard FROM est
          |WHERE est_jaccard >= 0.25 ORDER BY new_id, corpus_id""".stripMargin
+
+  /** q53/q209's shared multi-probe LSH oracle: 4 seeded hyperplanes,
+    * bucket per vector, each query probes its own bucket plus bits 0/1
+    * flipped, exact cosine top-5 within the probed buckets.
+    */
+  private lazy val lshMultiprobeOracle: String = {
+    val planes =
+      s"""SELECT p, list_transform(generate_series(0,63), j -> ${duckPlane("p", "j")}) AS c
+         |FROM (SELECT unnest(generate_series(0,3)) AS p)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |pl AS ($planes),
+       |proj AS (SELECT vec_id, p, list_dot_product(v, c) AS proj FROM e CROSS JOIN pl),
+       |bkt AS (SELECT vec_id,
+       |  CAST(SUM(CASE WHEN proj >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
+       | FROM proj GROUP BY 1),
+       |ev AS (SELECT e.vec_id, e.v, bkt.bucket FROM e JOIN bkt ON e.vec_id = bkt.vec_id),
+       |qb AS (SELECT vec_id, v,
+       |  unnest([bucket, xor(bucket, 1::BIGINT), xor(bucket, 2::BIGINT)]) AS bucket
+       | FROM ev WHERE vec_id < 5),
+       |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |  round(${duckCos("q.v", "c.v")}, 4) AS cos
+       | FROM ev c JOIN qb q ON c.bucket = q.bucket
+       | WHERE c.vec_id <> q.vec_id),
+       |r AS (SELECT query_id, neighbor_id, cos,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rnk
+       | FROM s)
+       |SELECT query_id, neighbor_id, cos, rnk FROM r WHERE rnk <= 5
+       |ORDER BY query_id, rnk""".stripMargin
+  }
 
   /** q54/q207's shared IVF-kmeans oracle: deterministic seeded k-means
     * (2 Lloyd rounds, 6dp-rounded means/distances), full assignment,

@@ -65,11 +65,36 @@ object Ann {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int, nBits: Int,
-              dim: Int = 64, multiProbe: Int = 0): DataFrame = {
+              dim: Int = 64, multiProbe: Int = 0): DataFrame =
+    lshTopKProbe(queries,
+      lshBucketAssignments(corpus, idCol, vecCol, nBits, dim),
+      idCol, vecCol, k, nBits, dim, multiProbe)
+
+  /** The standing half of [[lshTopK]] as a buildable frame — every
+    * corpus vector filed on its hyperplane bucket: (bucket,
+    * neighbor_id, cv, cnrm). In a vector-store ingest pipeline this IS
+    * the persisted LSH index (write it once PARTITIONED BY bucket and
+    * each query batch's equi-join reads only its (multi-)probed
+    * buckets' files via dynamic partition pruning — q209); the inline
+    * form rebuilds it per call. One map-only corpus scan.
+    */
+  def lshBucketAssignments(corpus: DataFrame, idCol: String, vecCol: String,
+                           nBits: Int, dim: Int = 64): DataFrame =
+    corpus.select(lshBucket(col(vecCol), nBits, dim).as("bucket"),
+      col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cnrm"))
+
+  /** [[lshTopK]] against a prebuilt (possibly parquet-persisted)
+    * [[lshBucketAssignments]] frame. The nBits/dim parameters MUST
+    * match the ones the assignments were built with (buckets are a
+    * pure per-vector function of the seeded hyperplanes).
+    */
+  def lshTopKProbe(queries: DataFrame, assigned: DataFrame,
+                   idCol: String, vecCol: String, k: Int, nBits: Int,
+                   dim: Int = 64, multiProbe: Int = 0): DataFrame = {
     require(multiProbe >= 0 && multiProbe <= nBits,
       s"multiProbe must be in [0, nBits=$nBits]")
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      lshBucket(col(vecCol), nBits, dim).as("bucket"), norm(col(vecCol)).as("cnrm"))
+    val c = assigned
     val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       lshBucket(col(vecCol), nBits, dim).as("bucket"), norm(col(vecCol)).as("qnrm"))
     val q = if (multiProbe == 0) q0 else {

@@ -438,6 +438,29 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(persisted == inline, s"persisted=${persisted.size} inline=${inline.size}")
   }
 
+  test("LSH-bucket probe over a parquet-persisted index equals the inline form") {
+    // q209's contract: lshBucketAssignments written to parquet
+    // (PARTITIONED BY bucket) and read back must drive lshTopKProbe to
+    // the exact rows lshTopK computes inline — buckets are a pure
+    // per-vector function of the seeded hyperplanes and float vectors
+    // round-trip losslessly
+    val e = engine.Tables.embeddings(spark, SparkTestSession.sfDir)
+    val q = e.filter(col("vec_id") < 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "cos", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val inline = rows(Ann.lshTopK(e, q, "vec_id", "embedding", 5,
+      nBits = 4, multiProbe = 2))
+    val dir = java.nio.file.Files.createTempDirectory("lsh-buckets").toString
+    Ann.lshBucketAssignments(e, "vec_id", "embedding", nBits = 4)
+      .write.mode("overwrite").partitionBy("bucket").parquet(dir)
+    val persisted = rows(Ann.lshTopKProbe(q,
+      spark.read.parquet(dir).withColumn("bucket", col("bucket").cast("long")),
+      "vec_id", "embedding", k = 5, nBits = 4, multiProbe = 2))
+    assert(inline.nonEmpty)
+    assert(persisted == inline, s"persisted=${persisted.size} inline=${inline.size}")
+  }
+
   test("winnowing guarantee: a shared run of w+k-1 tokens yields a shared fingerprint") {
     // doc 1 and 2 share a 6-token run (= w+k-1 with k=3, w=4) inside
     // otherwise-disjoint text; doc 3 is fully disjoint
