@@ -3299,8 +3299,82 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("cos"),
           col("rank").cast("long").as("rnk"))
         .orderBy("query_id", "rnk")
+    }),
+
+    "q210_url_dedup" -> ((s, d) => {
+      // URL-level crawl dedup (Curation.canonicalizeUrl scaladoc): raw
+      // surface forms — case-varied scheme/host, www. prefix, default
+      // port, trailing slash, tracking params, param order, fragment —
+      // collapse onto one canonical page key. The raw URLs are derived
+      // deterministically from the documents table (the corpus has no
+      // URL column) with enough mod-variation to exercise every rule;
+      // the oracle rebuilds the SAME derivation and normalization in
+      // SQL. Map-side expression + one hash agg: q29's scale shape.
+      val raw = documents(s, d).select(col("doc_id"),
+        rawUrl(col("doc_id"), col("source"), col("lang")).as("url"))
+      operators.Curation.urlDedup(raw, "doc_id", "url")
+        .orderBy("canonical_url")
+    }),
+
+    "q211_compaction_plan" -> ((s, d) => {
+      // Lakehouse small-file compaction planner
+      // (Relational.compactionPlan scaladoc): the file manifest is
+      // derived from events — each (event_type, user_id) cell is a
+      // "file" of bytes = its value-cents sum — then packed into
+      // ~50 KB output bins by size-DESC exclusive-cumsum div target.
+      // Planning shuffles file METADATA only (one window per table
+      // partition); the oracle replays the same two windows.
+      val files = events(s, d)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum(cents(col("value"))).as("bytes"))
+      operators.Relational.compactionPlan(
+          files, "event_type", "user_id", "bytes", targetBytes = 50000L)
+        .select(col("tbl"), col("file").cast("long").as("file"),
+          col("bytes"), col("bin"), col("bin_files"), col("bin_bytes"))
+        .orderBy("tbl", "bin", "file")
+    }),
+
+    "q212_skew_safe_agg" -> ((s, d) => {
+      // Hot-key aggregation via the salted two-phase rewrite plus the
+      // (key, value)-distinct count rewrite (Relational.skewSafeAgg
+      // scaladoc) — event_type IS the skew shape at warehouse scale (5
+      // keys over everything). Oracle is the PLAIN single-phase GROUP
+      // BY: the green row proves the rewrite is an identity on
+      // results, which is the whole point of a skew rewrite.
+      val ev = events(s, d).select(col("event_type"),
+        cents(col("value")).as("v_c"), col("event_id"))
+      operators.Relational.skewSafeAgg(ev, "event_type", "v_c",
+          "event_id", salts = 16)
+        .select(col("k").as("event_type"), col("n_rows"), col("sum_v"),
+          col("min_v"), col("max_v"), col("n_distinct_v"))
+        .orderBy("event_type")
     })
   )
+
+  /** q210's deterministic raw-URL derivation (shared with its oracle by
+    * construction): doc_id mods pick the surface variation — scheme
+    * case / www. prefix, an explicit default port, a trailing slash,
+    * tracking-param placement and param order, a fragment — while
+    * (source, lang, doc_id mod 250) pins the canonical page.
+    */
+  private def rawUrl(id: Column, source: Column, lang: Column): Column = {
+    val base = (id % 250L).cast("string")
+    val scheme = when(id % 4L === 0L, "https://")
+      .when(id % 4L === 1L, "HTTPS://")
+      .when(id % 4L === 2L, "https://WWW.")
+      .otherwise("HTTPS://www.")
+    val port = when(id % 2L === 0L, ":443").otherwise("")
+    val slash = when(id % 5L === 0L, "/").otherwise("")
+    val query = when(id % 3L === 0L,
+        concat(lit("?id="), base, lit("&lang="), lang,
+          lit("&utm_source=feed")))
+      .when(id % 3L === 1L,
+        concat(lit("?lang="), lang, lit("&id="), base))
+      .otherwise(concat(lit("?utm_campaign=x&id="), base,
+        lit("&lang="), lang, lit("#top")))
+    concat(scheme, source, lit(".Example.COM"), port,
+      lit("/Articles/"), base, slash, query)
+  }
 
   /** q206's persisted standing LSH band index (the q203 fixture
     * convention): built once per SF from the corpus split, parquet'd,
@@ -4400,6 +4474,104 @@ object SparkEntry {
     // the parquet round-trip of float vectors is lossless) — same
     // oracle
     "q209_ann_lsh_ingest" -> lshMultiprobeOracle,
+
+    // the raw-URL derivation (rawUrl) and every normalization rule of
+    // Curation.canonicalizeUrl replayed in SQL: fragment strip, scheme/
+    // host lowercase, www. strip, default-port drop, slash collapse +
+    // trailing-slash strip, tracking-param filter, param sort. DuckDB's
+    // regexp_replace needs the explicit 'g' flag where Spark replaces
+    // globally by default; both sides' param sort is binary on ASCII.
+    "q210_url_dedup" ->
+      """WITH raw AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 4 = 0 THEN 'https://'
+        |        WHEN doc_id % 4 = 1 THEN 'HTTPS://'
+        |        WHEN doc_id % 4 = 2 THEN 'https://WWW.'
+        |        ELSE 'HTTPS://www.' END)
+        |  || source || '.Example.COM'
+        |  || (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END)
+        |  || '/Articles/' || CAST(doc_id % 250 AS VARCHAR)
+        |  || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+        |  || (CASE WHEN doc_id % 3 = 0 THEN '?id=' ||
+        |        CAST(doc_id % 250 AS VARCHAR) || '&lang=' || lang ||
+        |        '&utm_source=feed'
+        |      WHEN doc_id % 3 = 1 THEN '?lang=' || lang || '&id=' ||
+        |        CAST(doc_id % 250 AS VARCHAR)
+        |      ELSE '?utm_campaign=x&id=' ||
+        |        CAST(doc_id % 250 AS VARCHAR) || '&lang=' || lang ||
+        |        '#top' END) AS url
+        | FROM documents),
+        |c AS (SELECT doc_id, url, regexp_replace(url, '#.*', '') AS u
+        | FROM raw),
+        |p AS (SELECT doc_id, url,
+        |  lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+        |    AS scheme,
+        |  lower(regexp_extract(u,
+        |    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+        |  regexp_extract(u,
+        |    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+        |  regexp_extract(u, '\?(.*)$', 1) AS qstr
+        | FROM c),
+        |n AS (SELECT doc_id, url, scheme,
+        |  regexp_replace(regexp_replace(hostport, ':[0-9]+$', ''),
+        |    '^www\.', '') AS host,
+        |  regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+        |  CASE WHEN scheme = 'https' THEN '443'
+        |       WHEN scheme = 'http' THEN '80' ELSE '' END AS defport,
+        |  regexp_replace(regexp_replace(path0, '/{2,}', '/', 'g'),
+        |    '/$', '') AS path1,
+        |  array_to_string(list_sort(list_filter(string_split(qstr, '&'),
+        |    x -> x <> '' AND NOT regexp_matches(lower(x),
+        |      '^(utm_[^=]*|gclid|fbclid|ref)='))), '&') AS q2
+        | FROM p),
+        |k AS (SELECT doc_id, url,
+        |  scheme || '://' || host
+        |  || (CASE WHEN port = '' OR port = defport THEN ''
+        |      ELSE ':' || port END)
+        |  || (CASE WHEN path1 = '' THEN '/' ELSE path1 END)
+        |  || (CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END)
+        |    AS canonical_url
+        | FROM n)
+        |SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_urls,
+        | CAST(count(DISTINCT url) AS BIGINT) AS n_raw_forms,
+        | CAST(min(doc_id) AS BIGINT) AS keeper_id
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the same two windows: size-DESC (file ASC ties) exclusive cumsum
+    // div 50000 assigns the bin; a second window over (tbl, bin) reads
+    // off each bin's fill. // not CAST(/): DuckDB's / rounds on cast.
+    "q211_compaction_plan" ->
+      """WITH f AS (SELECT event_type AS tbl, CAST(user_id AS BIGINT)
+        |  AS file,
+        |  CAST(SUM(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT)
+        |    AS bytes
+        | FROM events GROUP BY 1, 2),
+        |a AS (SELECT tbl, file, bytes,
+        |  CAST(COALESCE(SUM(bytes) OVER (PARTITION BY tbl
+        |    ORDER BY bytes DESC, file ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    // 50000 AS BIGINT) AS bin
+        | FROM f)
+        |SELECT tbl, file, bytes, bin,
+        | CAST(count(*) OVER (PARTITION BY tbl, bin) AS BIGINT)
+        |   AS bin_files,
+        | CAST(SUM(bytes) OVER (PARTITION BY tbl, bin) AS BIGINT)
+        |   AS bin_bytes
+        |FROM a ORDER BY tbl, bin, file""".stripMargin,
+
+    // the UNSALTED single-phase truth: the salted two-phase and the
+    // (key,value)-distinct rewrites must be result-identities
+    "q212_skew_safe_agg" ->
+      """SELECT event_type,
+        | CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(SUM(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT)
+        |   AS sum_v,
+        | CAST(MIN(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT)
+        |   AS min_v,
+        | CAST(MAX(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT)
+        |   AS max_v,
+        | CAST(count(DISTINCT CAST(round(value*100, 0) AS BIGINT))
+        |   AS BIGINT) AS n_distinct_v
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q46's probe path over Ann.kmeansCentroids(nLists=8, iters=2):
     // md5-keyed seeds, two Lloyd iterations with round(·,6) means and

@@ -915,4 +915,59 @@ object Curation {
           .cast("long").as("n_pass"))
       .withColumn("pass_ppm", expr("n_pass * 1000000 div n_docs"))
   }
+
+  /** Canonical URL — the web-crawl dedup key (CCNet / C4 lineage: a
+    * crawl sees the same page under many surface forms, and URL-level
+    * dedup runs BEFORE any content hash because it needs no fetch).
+    * Normalization rules, each a deliberate crawl-dedup convention:
+    * scheme and host lowercased; a leading `www.` stripped; the
+    * scheme's default port (`:443` https, `:80` http) dropped, any
+    * other port kept; the fragment dropped (never sent to the server);
+    * duplicate path slashes collapsed and a trailing slash stripped
+    * (empty path → `/`); tracking parameters (`utm_*`, `gclid`,
+    * `fbclid`, `ref`) removed and the surviving query parameters
+    * sorted so parameter order cannot split a group. Everything is
+    * built from codegen'd string/array functions — one map-side
+    * expression, no UDF, no shuffle of its own — so at crawl scale the
+    * canonical key is computed inside the scan stage.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val u = regexp_replace(url, "#.*", "")
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport =
+      lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val host = regexp_replace(
+      regexp_replace(hostport, ":[0-9]+$", ""), "^www\\.", "")
+    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    val defPort = when(scheme === "https", "443")
+      .when(scheme === "http", "80").otherwise("")
+    val portSeg = when(port === "" || port === defPort, "")
+      .otherwise(concat(lit(":"), port))
+    val path0 = regexp_extract(
+      u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val path1 = regexp_replace(regexp_replace(path0, "/{2,}", "/"), "/$", "")
+    val path = when(path1 === "", "/").otherwise(path1)
+    val qstr = regexp_extract(u, "\\?(.*)$", 1)
+    val params = array_sort(filter(split(qstr, "&"), p =>
+      p =!= "" && !lower(p).rlike("^(utm_[^=]*|gclid|fbclid|ref)=")))
+    val q2 = array_join(params, "&")
+    concat(scheme, lit("://"), host, portSeg, path,
+      when(q2 === "", "").otherwise(concat(lit("?"), q2)))
+  }
+
+  /** URL-level dedup: group raw URLs by [[canonicalizeUrl]] and report,
+    * per canonical page, how many raw rows and distinct surface forms
+    * collapsed into it plus the kept representative (min id — the
+    * deterministic keeper every dedup family here uses). One map-side
+    * canonicalization + one hash agg on the canonical key: the same
+    * shape (and scale budget) as exact content dedup (q29), but
+    * runnable on a crawl manifest before a single page body is fetched.
+    */
+  def urlDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame =
+    df.select(col(idCol), col(urlCol),
+        canonicalizeUrl(col(urlCol)).as("canonical_url"))
+      .groupBy("canonical_url")
+      .agg(count(lit(1)).cast("long").as("n_urls"),
+        countDistinct(col(urlCol)).cast("long").as("n_raw_forms"),
+        min(col(idCol)).cast("long").as("keeper_id"))
 }

@@ -1058,4 +1058,91 @@ object Relational {
                sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
             .otherwise(lit(0.0)), 6).as("corr6"))
   }
+
+  /** Small-file compaction planner — the OPTIMIZE/bin-packing pass every
+    * lakehouse table needs at scale (a 100 TB table accumulating
+    * thousands of sub-target files per partition turns every scan into
+    * a task-scheduling storm; Delta/Iceberg both ship this as a
+    * maintenance command). Given a file listing (table partition, file
+    * id, file bytes), assign each file to an output bin of ~targetBytes
+    * with the streaming variant of greedy bin-packing: files sorted by
+    * size DESC (id ASC on ties, for determinism), bin = exclusive
+    * running sum div targetBytes. Each bin's fill averages >= target
+    * with at most one straddling file — the property the rewrite needs
+    * (no pathological tiny outputs) without the sequential state of
+    * first-fit. The PLAN is one window per table partition (files of
+    * one partition co-locate in one exchange; partitions plan in
+    * parallel), so planning cost is a shuffle of file METADATA only —
+    * never data — and the rewrite itself is the engine's ordinary
+    * partitioned write.
+    *
+    * Returns (tbl, file, bytes, bin) plus each bin's resulting
+    * n_files/bin_bytes (a second window over the assigned bin, same
+    * exchange — Catalyst reuses the partitioning).
+    */
+  def compactionPlan(files: DataFrame, tableCol: String, fileCol: String,
+                     sizeCol: String, targetBytes: Long): DataFrame = {
+    val w = Window.partitionBy("tbl")
+      .orderBy(col("bytes").desc, col("file").asc)
+    val assigned = files.select(
+        col(tableCol).as("tbl"), col(fileCol).as("file"),
+        col(sizeCol).cast("long").as("bytes"))
+      .withColumn("__cum",
+        coalesce(sum(col("bytes")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      // integer div, not double /: exact at any cumulative magnitude.
+      // Sizes are nonnegative by contract, so truncation == floor on
+      // both engines.
+      .withColumn("bin", expr(s"__cum div ${targetBytes}L").cast("long"))
+      .drop("__cum")
+    val wb = Window.partitionBy(col("tbl"), col("bin"))
+    assigned
+      .withColumn("bin_files", count(lit(1)).over(wb).cast("long"))
+      .withColumn("bin_bytes", sum(col("bytes")).over(wb).cast("long"))
+  }
+
+  /** Skew-safe per-key aggregation — the hot-key rewrite for the
+    * groupBy keys that concentrate at warehouse scale (an event-type
+    * column with 5 values over 100 TB puts billions of rows behind one
+    * key). Two distinct remedies, matched to what actually skews:
+    *
+    *  - ALGEBRAIC aggs (count/sum/min/max) go through an explicit
+    *    salt phase: partial per (key, salt) — the salt an md5 hash of
+    *    the row id, NO rand(), so the plan is deterministic and
+    *    restartable — then final per key. Spark's own map-side partial
+    *    aggregation performs the same trick per input partition; the
+    *    explicit form is the library surface for engines/paths where
+    *    partial agg is unavailable (collect_*-style holistic buffers)
+    *    and bounds the final shuffle to `salts` rows per key.
+    *  - EXACT count-distinct is where a hot key genuinely hurts
+    *    (distinct values of one key otherwise converge on one
+    *    reducer): rewrite as distinct over (key, value) — hashed by
+    *    BOTH columns, a hot key spreads over every reducer — then a
+    *    partial-combinable count per key.
+    *
+    * Both phases shuffle at most (keys × salts) + distinct-(key,value)
+    * rows; no path funnels a key's full row volume to one task. The
+    * final equi-join is keys-only (broadcast-size by construction).
+    */
+  def skewSafeAgg(df: DataFrame, keyCol: String, valCol: String,
+                  idCol: String, salts: Int): DataFrame = {
+    import graft.functions.TextFunctions.tokenHash64
+    val salted = df.select(col(keyCol).as("k"),
+      col(valCol).cast("long").as("v"),
+      pmod(tokenHash64(concat(lit("skew_"), col(idCol).cast("string"))),
+        lit(salts.toLong)).as("__salt"))
+    val alg = salted.groupBy(col("k"), col("__salt"))
+      .agg(count(lit(1)).as("pn"), sum("v").as("ps"),
+        min("v").as("pmin"), max("v").as("pmax"))
+      .groupBy("k")
+      .agg(sum("pn").cast("long").as("n_rows"),
+        sum("ps").cast("long").as("sum_v"),
+        min("pmin").cast("long").as("min_v"),
+        max("pmax").cast("long").as("max_v"))
+    val dist = df.select(col(keyCol).as("k"),
+        col(valCol).cast("long").as("v"))
+      .distinct()
+      .groupBy("k").agg(count(lit(1)).cast("long").as("n_distinct_v"))
+    alg.join(dist, Seq("k"))
+  }
 }

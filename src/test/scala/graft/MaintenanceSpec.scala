@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Curation, Relational}
+
+/** Round-9 warehouse-maintenance / curation operators: URL
+  * canonicalization (q210), compaction bin-packing (q211), skew-safe
+  * aggregation rewrites (q212).
+  */
+class MaintenanceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[String] =
+    urls.toDF("u").select(Curation.canonicalizeUrl(col("u")).as("c"))
+      .as[String].collect().toSeq
+
+  test("canonicalizeUrl: each normalization rule, individually and stacked") {
+    // case + www + default port + fragment
+    assert(canon("HTTPS://WWW.Example.COM:443/a#frag") ==
+      Seq("https://example.com/a"))
+    // http default port dropped, non-default kept
+    assert(canon("http://example.com:80/a", "http://example.com:8080/a") ==
+      Seq("http://example.com/a", "http://example.com:8080/a"))
+    // empty path -> /, trailing slash stripped, duplicate slashes collapse
+    assert(canon("https://example.com", "https://example.com/a/",
+        "https://example.com//a///b") ==
+      Seq("https://example.com/", "https://example.com/a",
+        "https://example.com/a/b"))
+    // tracking params dropped, survivors sorted; all-tracking query vanishes
+    assert(canon("https://example.com/a?utm_source=x&b=2&a=1&fbclid=z",
+        "https://example.com/a?a=1&b=2",
+        "https://example.com/a?utm_campaign=only") ==
+      Seq("https://example.com/a?a=1&b=2", "https://example.com/a?a=1&b=2",
+        "https://example.com/a"))
+    // ref is a tracking param; ref-prefixed keys like referrer are NOT
+    assert(canon("https://example.com/a?ref=hn&referrer=keep") ==
+      Seq("https://example.com/a?referrer=keep"))
+    // root path with port + query, case-insensitive tracking prefix
+    assert(canon("HTTP://A.B:80?UTM_X=1&z=9") == Seq("http://a.b/?z=9"))
+  }
+
+  test("urlDedup groups surface forms and keeps the min id") {
+    val df = Seq(
+      (3L, "https://example.com/a?b=2&a=1"),
+      (1L, "HTTPS://WWW.example.com:443/a?a=1&b=2&utm_source=x"),
+      (2L, "https://other.com/a?a=1&b=2")).toDF("id", "url")
+    val got = Curation.urlDedup(df, "id", "url")
+      .orderBy("canonical_url")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("https://example.com/a?a=1&b=2", 2L, 2L, 1L),
+      ("https://other.com/a?a=1&b=2", 1L, 1L, 2L)))
+  }
+
+  test("compactionPlan: size-desc cumsum binning, per-table, with bin stats") {
+    // table t: sizes desc 90,60,40,40,30 target 100 ->
+    //   excl-cum 0,90,150,190,230 -> bins 0,0,1,1,2
+    val files = Seq(("t", "f1", 40L), ("t", "f2", 90L), ("t", "f3", 60L),
+      ("t", "f4", 40L), ("t", "f5", 30L), ("u", "g1", 10L), ("u", "g2", 10L))
+      .toDF("tbl", "file", "bytes")
+    val got = Relational.compactionPlan(files, "tbl", "file", "bytes", 100L)
+      .orderBy("tbl", "bin", "file")
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("t", "f2", 90L, 0L, 2L, 150L),
+      ("t", "f3", 60L, 0L, 2L, 150L),
+      ("t", "f1", 40L, 1L, 2L, 80L),
+      ("t", "f4", 40L, 1L, 2L, 80L),
+      ("t", "f5", 30L, 2L, 1L, 30L),
+      ("u", "g1", 10L, 0L, 2L, 20L),
+      ("u", "g2", 10L, 0L, 2L, 20L)))
+    // ties broken by file id: f1 < f4 get the same bin deterministically
+    val again = Relational.compactionPlan(
+        files.repartition(5), "tbl", "file", "bytes", 100L)
+      .orderBy("tbl", "bin", "file")
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(again == got)
+  }
+
+  test("skewSafeAgg is an identity vs the plain single-phase groupBy") {
+    val rows = (0 until 500).map { i =>
+      (s"k${i % 3}", (i * 37 % 50).toLong, i.toLong)
+    }
+    val df = rows.toDF("k", "v", "id").repartition(7)
+    val got = Relational.skewSafeAgg(df, "k", "v", "id", salts = 8)
+      .orderBy("k")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    val expected = rows.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (k, rs) =>
+        val vs = rs.map(_._2)
+        (k, rs.size.toLong, vs.sum, vs.min, vs.max, vs.distinct.size.toLong)
+    }
+    assert(got == expected)
+  }
+}
