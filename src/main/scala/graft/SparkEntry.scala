@@ -220,20 +220,66 @@ object SparkEntry {
     * deterministic, so regeneration is value-identical.
     */
   private def erStandingFixturePaths(s: SparkSession, d: String): (String, String) = synchronized {
-    val sfName = new java.io.File(d).getName
-    val labels = s"/tmp/graft-fixtures/$sfName/er_standing_labels.parquet"
-    val postings = s"/tmp/graft-fixtures/$sfName/er_standing_postings.parquet"
-    if (!new java.io.File(labels, "_SUCCESS").exists() ||
-        !new java.io.File(postings, "_SUCCESS").exists()) {
-      val corpus = customer(s, d)
-        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
-        .filter(!erBatchCoin)
+    val labels = fixturePath(d, "er_standing_labels.parquet")
+    val postings = fixturePath(d, "er_standing_postings.parquet")
+    lazy val corpus = customer(s, d)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      .filter(!erBatchCoin)
+    ensureFixture(labels) { tmp =>
       erLabelsOf(corpus).withColumnRenamed("cust_id", "node")
-        .write.mode("overwrite").parquet(labels)
+        .write.mode("overwrite").parquet(tmp)
+    }
+    ensureFixture(postings) { tmp =>
       operators.Dedup.deletionKeyPostings(corpus, "c_custkey", "c_name")
-        .write.mode("overwrite").parquet(postings)
+        .write.mode("overwrite").parquet(tmp)
     }
     (labels, postings)
+  }
+
+  /** Fixture location for dataset dir `d`: keyed on the CANONICAL
+    * dataset path's hash, not just its basename, so two roots sharing
+    * a basename (/a/sf0.1 vs /b/sf0.1) never collide and a moved
+    * dataset never inherits another's cache (ADVICE r9).
+    */
+  private def fixturePath(d: String, name: String): String = {
+    val f = new java.io.File(d)
+    val canonical = try f.getCanonicalPath catch { case _: java.io.IOException => f.getAbsolutePath }
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(canonical.getBytes("UTF-8"))
+      .take(5).map(b => f"$b%02x").mkString
+    s"/tmp/graft-fixtures/${f.getName}-$digest/$name"
+  }
+
+  /** Write-once fixture with an atomic publish: `build` writes into a
+    * process-private tmp dir which is then RENAMED into place, so a
+    * concurrent bench process never reads a half-written fixture. If
+    * the rename loses the race (destination appeared), the tmp copy is
+    * discarded and the winner's — value-identical, the generators are
+    * deterministic — is used.
+    */
+  private def ensureFixture(path: String)(build: String => Unit): Unit = {
+    val dest = new java.io.File(path)
+    if (new java.io.File(dest, "_SUCCESS").exists()) return
+    val tmp = new java.io.File(
+      dest.getParentFile,
+      s".tmp-${dest.getName}-${java.lang.ProcessHandle.current().pid()}")
+    build(tmp.getPath)
+    if (!tmp.renameTo(dest)) {
+      // lost the publish race (or stale dest without _SUCCESS): clear a
+      // broken dest once, retry, else defer to the winner
+      if (!new java.io.File(dest, "_SUCCESS").exists()) {
+        deleteRecursively(dest)
+        if (!tmp.renameTo(dest) && !new java.io.File(dest, "_SUCCESS").exists())
+          throw new java.io.IOException(s"cannot publish fixture $path")
+      }
+      deleteRecursively(tmp)
+    }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete(): Unit
   }
 
   /** Persisted media fixture: a real pipeline's blobs arrive as a
@@ -249,10 +295,10 @@ object SparkEntry {
   private def mediaFixture(s: SparkSession, d: String, name: String)
                           (build: => org.apache.spark.sql.Dataset[Multimodal.MediaRow])
       : org.apache.spark.sql.Dataset[Multimodal.MediaRow] = synchronized {
-    val sfName = new java.io.File(d).getName
-    val path = s"/tmp/graft-fixtures/$sfName/media_$name.parquet"
-    if (!new java.io.File(path, "_SUCCESS").exists())
-      build.write.mode("overwrite").parquet(path)
+    val path = fixturePath(d, s"media_$name.parquet")
+    ensureFixture(path) { tmp =>
+      build.write.mode("overwrite").parquet(tmp)
+    }
     import s.implicits._
     s.read.parquet(path).as[Multimodal.MediaRow]
   }
@@ -3382,14 +3428,14 @@ object SparkEntry {
     */
   private def lshPostingsFixture(s: SparkSession, d: String,
                                  docs: DataFrame): DataFrame = synchronized {
-    val sfName = new java.io.File(d).getName
-    val path = s"/tmp/graft-fixtures/$sfName/lsh_band_postings.parquet"
-    if (!new java.io.File(path, "_SUCCESS").exists())
+    val path = fixturePath(d, "lsh_band_postings.parquet")
+    ensureFixture(path) { tmp =>
       operators.Dedup.minHashBandPostings(
           docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0L),
           "doc_id", "text", k = 3, bands = 4, rowsPerBand = 4,
           maxBucketSize = 10000)
-        .write.mode("overwrite").parquet(path)
+        .write.mode("overwrite").parquet(tmp)
+    }
     s.read.parquet(path)
   }
 
@@ -3400,11 +3446,11 @@ object SparkEntry {
     */
   private def lshIndexFixture(s: SparkSession, d: String,
                               e: DataFrame): DataFrame = synchronized {
-    val sfName = new java.io.File(d).getName
-    val path = s"/tmp/graft-fixtures/$sfName/lsh_buckets.parquet"
-    if (!new java.io.File(path, "_SUCCESS").exists())
+    val path = fixturePath(d, "lsh_buckets.parquet")
+    ensureFixture(path) { tmp =>
       operators.Ann.lshBucketAssignments(e, "vec_id", "embedding", nBits = 4)
-        .write.mode("overwrite").partitionBy("bucket").parquet(path)
+        .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    }
     // partition-column type inference reads bucket back as INT —
     // restore the long the probe side joins on
     s.read.parquet(path).withColumn("bucket", col("bucket").cast("long"))
@@ -3416,14 +3462,14 @@ object SparkEntry {
     */
   private def simHashPostingsFixture(s: SparkSession, d: String,
                                      docs: DataFrame): DataFrame = synchronized {
-    val sfName = new java.io.File(d).getName
-    val path = s"/tmp/graft-fixtures/$sfName/simhash_postings.parquet"
-    if (!new java.io.File(path, "_SUCCESS").exists())
+    val path = fixturePath(d, "simhash_postings.parquet")
+    ensureFixture(path) { tmp =>
       operators.Dedup.simHashMultiIndexPostings(
           docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0L),
           "doc_id", "text", nBits = 32, maxHamming = 3, nBlocks = 6,
           maxBucketSize = 10000)
-        .write.mode("overwrite").parquet(path)
+        .write.mode("overwrite").parquet(tmp)
+    }
     s.read.parquet(path)
   }
 
@@ -3436,17 +3482,17 @@ object SparkEntry {
     */
   private def ivfIndexFixture(s: SparkSession, d: String,
                               e: DataFrame): (DataFrame, DataFrame) = synchronized {
-    val sfName = new java.io.File(d).getName
-    val base = s"/tmp/graft-fixtures/$sfName"
-    val cPath = s"$base/ivf_centroids.parquet"
-    val aPath = s"$base/ivf_lists.parquet"
-    if (!new java.io.File(aPath, "_SUCCESS").exists()) {
+    val cPath = fixturePath(d, "ivf_centroids.parquet")
+    val aPath = fixturePath(d, "ivf_lists.parquet")
+    ensureFixture(cPath) { tmp =>
       operators.Ann.kmeansCentroids(e, "vec_id", "embedding",
           nLists = 8, iters = 2)
-        .write.mode("overwrite").parquet(cPath)
+        .write.mode("overwrite").parquet(tmp)
+    }
+    ensureFixture(aPath) { tmp =>
       operators.Ann.ivfListAssignments(e, "vec_id", "embedding",
           s.read.parquet(cPath))
-        .write.mode("overwrite").partitionBy("cid").parquet(aPath)
+        .write.mode("overwrite").partitionBy("cid").parquet(tmp)
     }
     // partition-column type inference reads cid back as INT — restore
     // the long the probe side joins on

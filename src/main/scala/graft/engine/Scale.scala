@@ -60,16 +60,21 @@ object Scale {
                   "set it at spark-submit time for long jobs")
             // End-of-job floor either way: delete the UUID subdir this
             // application created once the application ends (nothing
-            // can reference its checkpoints after that).
+            // can reference its checkpoints after that). At most ONE
+            // listener per created UUID dir — sessions alternating
+            // between two configured dirs re-point on every call, and
+            // an unguarded add would accumulate listeners for the
+            // application's lifetime (ADVICE r9).
             sc.getCheckpointDir.foreach { created =>
-              sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-                override def onApplicationEnd(
-                    e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
-                  try {
-                    val p = new org.apache.hadoop.fs.Path(created)
-                    p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
-                  } catch { case _: Throwable => () } // best-effort
-              })
+              if (cleanupRegistered.add(created))
+                sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+                  override def onApplicationEnd(
+                      e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+                    try {
+                      val p = new org.apache.hadoop.fs.Path(created)
+                      p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
+                    } catch { case _: Throwable => () } // best-effort
+                })
             }
           }
         }
@@ -83,6 +88,12 @@ object Scale {
     */
   private val appliedCheckpointDir =
     new java.util.concurrent.atomic.AtomicReference[Option[(String, String)]](None)
+
+  /** Created UUID checkpoint dirs that already have an end-of-app
+    * cleanup listener — one listener per dir, ever (ADVICE r9).
+    */
+  private val cleanupRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   val CheckpointDirConf = "spark.graft.checkpointDir"
 

@@ -1007,8 +1007,16 @@ object Dedup {
     // merge-selection doctrine: bounded-threshold local path with a
     // spec'd equivalence to the distributed one; measured q203
     // 6.1 -> 2.6 s and q201 10.6 -> 8.6 s at sf0.1).
+    // The local path's LongMap union-find requires integral node ids;
+    // dupClustersStar handles any ordered id type (least/greatest), so
+    // string-keyed callers stay on the distributed path.
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val integralIds = update.schema.head.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
     val merged =
-      if (update.count() <= localLimit) unionFindLocal(update)
+      if (integralIds && update.count() <= localLimit) unionFindLocal(update)
       else dupClustersStar(update, "u", "v")
     val untouched = standing.join(
       merged.select(col("node")), Seq("node"), "left_anti")

@@ -44,9 +44,14 @@ def main():
     sfdir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     queries = sys.argv[3].split(",") if len(sys.argv) > 3 else QUERIES
     oracle = json.load(open(oracle_path))
-    con = duckdb.connect()
-    for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+
+    def fresh_connection(d):
+        c = duckdb.connect()
+        for t in TABLES:
+            c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+        return c
+
+    con = fresh_connection(sfdir)
     # EXT_RUNS trims best-of-3 for minutes-long oracles (the ER
     # recursive-CTE class); EXT_TIMEOUT_S interrupts a run that exceeds
     # the budget so one DNF query cannot eat the whole table (recorded
@@ -62,9 +67,21 @@ def main():
         try:
             for _ in range(runs):
                 timer = None
+                fired = []
                 if timeout_s:
                     import threading
-                    timer = threading.Timer(timeout_s, con.interrupt)
+                    # the timer only interrupts while THIS run is still
+                    # active: an unguarded con.interrupt() can fire after
+                    # fetchall() returns but before cancel(), poisoning
+                    # the shared connection for the next run (ADVICE r9)
+                    active = threading.Event()
+                    active.set()
+
+                    def watchdog():
+                        if active.is_set():
+                            fired.append(True)
+                            con.interrupt()
+                    timer = threading.Timer(timeout_s, watchdog)
                     timer.start()
                 try:
                     t0 = time.time()
@@ -72,7 +89,14 @@ def main():
                     times.append(time.time() - t0)
                 finally:
                     if timer:
+                        active.clear()
                         timer.cancel()
+                        timer.join()  # a started watchdog finishes before we test `fired`
+                        if fired:
+                            # an interrupt landed (possibly post-result):
+                            # recreate the connection so the stray state
+                            # cannot fail the next run spuriously
+                            con = fresh_connection(sfdir)
         except Exception as e:  # a query that cannot complete (e.g. spill
             # exhausting disk at sf1) is a RESULT, not a reason to lose
             # the rest of the table
