@@ -3394,6 +3394,65 @@ object SparkEntry {
         .select(col("k").as("event_type"), col("n_rows"), col("sum_v"),
           col("min_v"), col("max_v"), col("n_distinct_v"))
         .orderBy("event_type")
+    }),
+
+    "q213_bm25_ingest" -> ((s, d) => {
+      // BM25 against a PERSISTED standing inverted index (the ingest
+      // pattern applied to retrieval): the wb-partitioned postings are
+      // probed with plan-time shard literals, so the measured time is
+      // the touched postings + the doclen join — never a corpus text
+      // scan (Indexing.bm25ProbeTopK scaladoc). Same rows as q152.
+      val (postings, doclen, stats) = bm25IndexFixture(s, d)
+      Indexing.bm25ProbeTopK(postings, doclen, stats, Bm25Terms,
+          buckets = Bm25IndexBuckets, k = 20)
+        .orderBy(col("score_milli").desc, col("id"))
+    }),
+
+    "q214_heavy_hitters" -> ((s, d) => {
+      // Misra-Gries heavy hitters with the PODS-mergeable merge rule:
+      // the summary is <= k-1 counters per task at ANY corpus size, and
+      // the output is the q39-style accuracy contract — every exact
+      // heavy hitter (count*k > n) must be retained, never overcounted,
+      // and undercounted by at most n/k (Sketches.mgHeavyHitters
+      // scaladoc; guarantees proven property-style in SketchesSpec).
+      Sketches.mgHeavyHitters(
+          documents(s, d).select(explode(tokens(col("text"))).as("w")),
+          col("w"), k = 100)
+        .select(col("w"), col("exact_cnt"),
+          col("found").cast("long").as("found"),
+          col("no_over").cast("long").as("no_over"),
+          col("within_bound").cast("long").as("within_bound"))
+        .orderBy("w")
+    }),
+
+    "q215_dedup_keeper" -> ((s, d) => {
+      // Exact dedup with the QUALITY keeper policy (Dedup.exactKeeperBy
+      // scaladoc): per content cluster keep the highest-quality member,
+      // ties to the lowest id — the curation-grade upgrade of q29's
+      // min-id rule. One fingerprint exchange carries both the rank and
+      // the cluster size.
+      Dedup.exactKeeperBy(documents(s, d), "doc_id", "text",
+          qualityScore(col("text")))
+        .orderBy("fp")
+    }),
+
+    "q216_bloom_join" -> ((s, d) => {
+      // Bloom-pruned equi-join (Relational.bloomPrunedEquiJoin
+      // scaladoc): a zero-shuffle bloom over the selective customer
+      // subset's keys prunes the orders side MAP-SIDE before its
+      // exchange; the exact join condition drops bloom false
+      // positives, so the oracle is the PLAIN join — the green row
+      // proves the prune is a result-identity, which is the whole
+      // point of a semi-join filter.
+      val vip = customer(s, d)
+        .filter(col("c_acctbal") >= 9000.0)
+        .select(col("c_custkey"), col("c_nationkey"))
+      Relational.bloomPrunedEquiJoin(orders(s, d), vip,
+          "o_custkey", "c_custkey")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(cents(col("o_totalprice"))).as("rev_c"))
+        .orderBy("c_nationkey")
     })
   )
 
@@ -3471,6 +3530,40 @@ object SparkEntry {
         .write.mode("overwrite").parquet(tmp)
     }
     s.read.parquet(path)
+  }
+
+  /** q213's term-shard count, shared by the index build and the probe's
+    * plan-time bucket literals.
+    */
+  private val Bm25IndexBuckets = 64
+
+  /** q213's persisted standing inverted index (the q203/q206-q209
+    * fixture convention applied to retrieval): `Indexing.bm25Index` —
+    * the full (wb, w, id, tf) postings PARTITIONED BY the term shard
+    * wb (so a probe's literal-IN on its terms' shards prunes to those
+    * directories), the (id, dl) doclen table, and the 1-row corpus
+    * stats — written once per SF, read back.
+    */
+  private def bm25IndexFixture(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = synchronized {
+    val pPath = fixturePath(d, "bm25_postings.parquet")
+    val dPath = fixturePath(d, "bm25_doclen.parquet")
+    val sPath = fixturePath(d, "bm25_stats.parquet")
+    lazy val built = operators.Indexing.bm25Index(
+      documents(s, d), "doc_id", "text", buckets = Bm25IndexBuckets)
+    ensureFixture(pPath) { tmp =>
+      built._1.write.mode("overwrite").partitionBy("wb").parquet(tmp)
+    }
+    ensureFixture(dPath) { tmp =>
+      built._2.write.mode("overwrite").parquet(tmp)
+    }
+    ensureFixture(sPath) { tmp =>
+      built._3.write.mode("overwrite").parquet(tmp)
+    }
+    // partition-column type inference reads wb back as INT — restore
+    // the long the probe's literals compare against
+    (s.read.parquet(pPath).withColumn("wb", col("wb").cast("long")),
+     s.read.parquet(dPath), s.read.parquet(sPath))
   }
 
   /** q207's persisted standing IVF index (the q203/q206 fixture
@@ -4619,6 +4712,57 @@ object SparkEntry {
         |   AS BIGINT) AS n_distinct_v
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // the EXACT heavy-hitter set (count*k > n, k=100) with the three
+    // contract booleans claimed true — retention, no overcount, and
+    // undercount <= n/k are GUARANTEED by Misra-Gries theory, so the
+    // hash match proves the guarantees held on this corpus
+    "q214_heavy_hitters" ->
+      s"""WITH tok AS (SELECT unnest($TOKS) AS w FROM documents),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM tok),
+         |e AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+         | FROM tok GROUP BY 1)
+         |SELECT w, exact_cnt, CAST(1 AS BIGINT) AS found,
+         | CAST(1 AS BIGINT) AS no_over,
+         | CAST(1 AS BIGINT) AS within_bound
+         |FROM e, n WHERE exact_cnt * 100 > n_total ORDER BY w""".stripMargin,
+
+    // the same fingerprint as q29 and the same quality formula as q40,
+    // keeper = (quality DESC, doc_id ASC) rank 1 per cluster
+    "q215_dedup_keeper" -> {
+      val sw = StopWords.map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, text,
+         |  md5(regexp_replace(lower(trim(text)),'\\s+',' ','g')) AS fp,
+         |  $TOKS AS toks FROM documents),
+         |s AS (SELECT doc_id, fp, text,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_filter(toks, x -> x IN ($sw))) AS BIGINT) AS n_stop
+         | FROM t),
+         |q AS (SELECT doc_id, fp,
+         |  round(least(CAST(n_tokens AS DOUBLE)/50.0, 1.0)*0.4
+         |   + least((CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE)/n_tokens ELSE 0.0 END)*4.0, 1.0)*0.3
+         |   + (CASE WHEN length(text) > 0
+         |      THEN CAST(length(regexp_replace(text,'[^A-Za-z]','','g')) AS DOUBLE)/length(text)
+         |      ELSE 0.0 END)*0.3, 4) AS quality
+         | FROM s),
+         |r AS (SELECT fp, doc_id, quality,
+         |  CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS n_copies,
+         |  row_number() OVER (PARTITION BY fp
+         |    ORDER BY quality DESC, doc_id) AS rn FROM q)
+         |SELECT fp, CAST(doc_id AS BIGINT) AS keep_id,
+         | quality AS best_score, n_copies
+         |FROM r WHERE rn = 1 ORDER BY fp""".stripMargin
+    },
+
+    // the PLAIN join: the bloom prune must be a result-identity
+    "q216_bloom_join" ->
+      """SELECT c.c_nationkey,
+        | CAST(count(*) AS BIGINT) AS n_orders,
+        | CAST(SUM(CAST(round(o.o_totalprice*100, 0) AS BIGINT))
+        |   AS BIGINT) AS rev_c
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_acctbal >= 9000.0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // q46's probe path over Ann.kmeansCentroids(nLists=8, iters=2):
     // md5-keyed seeds, two Lloyd iterations with round(·,6) means and
     // round(·,6) distances before every argmin — bit-reproducible.
@@ -5399,6 +5543,35 @@ object SparkEntry {
     * bucket per vector, each query probes its own bucket plus bits 0/1
     * flipped, exact cosine top-5 within the probed buckets.
     */
+  /** q152/q213's shared integer BM25 oracle: bits idf, milli-scaled
+    * saturation, one canonical division order.
+    */
+  private lazy val bm25LiteOracle: String = {
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH tok AS (SELECT doc_id AS id, unnest($TOKS) AS w FROM documents),
+       |dl AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(dl) AS BIGINT) AS n_tokens FROM dl),
+       |hits AS (SELECT id, w, CAST(COUNT(*) AS BIGINT) AS tf
+       | FROM tok WHERE w IN ($terms) GROUP BY 1, 2),
+       |dfr AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM hits GROUP BY 1),
+       |idf AS (SELECT w,
+       |  CAST(length(bin(st.n_docs // df)) - 1 AS BIGINT) AS idf_bits
+       | FROM dfr, st),
+       |sc AS (SELECT hits.id, idf.idf_bits, hits.tf, dl.dl,
+       |  (st.n_tokens * 1000) // st.n_docs AS avgdl_m
+       | FROM hits JOIN idf USING (w) JOIN dl USING (id) CROSS JOIN st),
+       |p AS (SELECT id, idf_bits, tf,
+       |  (dl * 1000000) // avgdl_m AS dln_m FROM sc),
+       |p2 AS (SELECT id, idf_bits, tf,
+       |  (1200 * (250 + (750 * dln_m) // 1000)) // 1000 AS k_m FROM p),
+       |a AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+       |  CAST(SUM(idf_bits * ((tf * 2200 * 1000) // (tf * 1000 + k_m))) AS BIGINT) AS score_milli
+       | FROM p2 GROUP BY 1)
+       |SELECT id, n_terms_hit, score_milli FROM a
+       |ORDER BY score_milli DESC, id LIMIT 20""".stripMargin
+  }
+
   private lazy val lshMultiprobeOracle: String = {
     val planes =
       s"""SELECT p, list_transform(generate_series(0,63), j -> ${duckPlane("p", "j")}) AS c
@@ -6003,31 +6176,12 @@ object SparkEntry {
 
     // the same integer BM25: bits idf, milli-scaled saturation, one
     // canonical division order
-    "q152_bm25_topk" -> {
-      val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
-      s"""WITH tok AS (SELECT doc_id AS id, unnest($TOKS) AS w FROM documents),
-         |dl AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
-         |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-         |  CAST(SUM(dl) AS BIGINT) AS n_tokens FROM dl),
-         |hits AS (SELECT id, w, CAST(COUNT(*) AS BIGINT) AS tf
-         | FROM tok WHERE w IN ($terms) GROUP BY 1, 2),
-         |dfr AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM hits GROUP BY 1),
-         |idf AS (SELECT w,
-         |  CAST(length(bin(st.n_docs // df)) - 1 AS BIGINT) AS idf_bits
-         | FROM dfr, st),
-         |sc AS (SELECT hits.id, idf.idf_bits, hits.tf, dl.dl,
-         |  (st.n_tokens * 1000) // st.n_docs AS avgdl_m
-         | FROM hits JOIN idf USING (w) JOIN dl USING (id) CROSS JOIN st),
-         |p AS (SELECT id, idf_bits, tf,
-         |  (dl * 1000000) // avgdl_m AS dln_m FROM sc),
-         |p2 AS (SELECT id, idf_bits, tf,
-         |  (1200 * (250 + (750 * dln_m) // 1000)) // 1000 AS k_m FROM p),
-         |a AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
-         |  CAST(SUM(idf_bits * ((tf * 2200 * 1000) // (tf * 1000 + k_m))) AS BIGINT) AS score_milli
-         | FROM p2 GROUP BY 1)
-         |SELECT id, n_terms_hit, score_milli FROM a
-         |ORDER BY score_milli DESC, id LIMIT 20""".stripMargin
-    },
+    "q152_bm25_topk" -> bm25LiteOracle,
+
+    // persisted-inverted-index probe scores the SAME docs (the split is
+    // definitional: bm25LiteTopK == bm25ProbeTopK over bm25Index, and
+    // Long tfs / dls parquet-round-trip losslessly) — same oracle
+    "q213_bm25_ingest" -> bm25LiteOracle,
 
     // the same two stages: rounded prefix-dot candidate cut, exact
     // full-width cosine rerank

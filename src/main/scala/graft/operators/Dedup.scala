@@ -41,6 +41,34 @@ object Dedup {
       .groupBy("fp")
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Exact dedup with a QUALITY keeper policy: per normalized-content
+    * cluster keep the highest-`score` member, ties to the lowest id —
+    * what a production curation pass actually does (the min-id rule of
+    * [[exact]] discards quality; near-identical pages differ in
+    * boilerplate, and the pipeline wants the cleanest copy). Returns
+    * (fp, keep_id, best_score, n_copies).
+    *
+    * Scale: ONE exchange on the fingerprint; both window functions
+    * share the partition key, so the rank and the cluster size ride the
+    * same shuffle (the rank adds a sort, not an exchange), and
+    * WindowGroupLimit prunes each task to its per-fp top row before the
+    * filter.
+    */
+  def exactKeeperBy(docs: DataFrame, idCol: String, textCol: String,
+                    score: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byFp = Window.partitionBy("fp")
+    docs
+      .select(fingerprint(col(textCol)).as("fp"), col(idCol).as("id"),
+        score.as("score"))
+      .withColumn("__rn",
+        row_number().over(byFp.orderBy(col("score").desc, col("id"))))
+      .withColumn("n_copies", count(lit(1)).over(byFp))
+      .filter(col("__rn") === 1)
+      .select(col("fp"), col("id").as("keep_id"),
+        col("score").as("best_score"), col("n_copies"))
+  }
+
   /** Word k-shingles of a text column (distinct, first-occurrence order).
     *
     * Deliberately a Scala UDF, not higher-order array functions: Spark's
@@ -1111,6 +1139,32 @@ object Dedup {
       acc.mergeInPlace(BloomFilter.readFrom(allBytes))
     }
     ser(dup)
+  }
+
+  /** Serialized bloom filter of ALL hash values in `hashes` (one
+    * LongType column) — the membership superset a bloom-pruned join
+    * probes ([[Relational.bloomPrunedEquiJoin]]). Built WITHOUT any
+    * exchange: per-partition blooms stream once over their rows and the
+    * driver merges by bit-array OR — the zero-shuffle shape of
+    * [[duplicateKeyBloom]] minus the duplicate bookkeeping. False
+    * positives only weaken the prune, never membership (no false
+    * negatives), so any consumer that re-verifies with an exact join
+    * stays exact.
+    */
+  def keyBloom(hashes: DataFrame, expectedPerPartition: Long = 4L << 20,
+               fpp: Double = 0.03): Array[Byte] = {
+    import org.apache.spark.util.sketch.BloomFilter
+    def ser(bf: BloomFilter): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream(); bf.writeTo(bos); bos.toByteArray
+    }
+    val perPart = hashes.rdd.mapPartitions { it =>
+      val all = BloomFilter.create(expectedPerPartition, fpp)
+      it.foreach(r => all.putLong(r.getLong(0)))
+      Iterator.single(ser(all))
+    }.collect()
+    val acc = BloomFilter.create(expectedPerPartition, fpp)
+    perPart.foreach(b => acc.mergeInPlace(BloomFilter.readFrom(b)))
+    ser(acc)
   }
 
   /** EXACT substring duplication — the suffix-array dedup family (Lee

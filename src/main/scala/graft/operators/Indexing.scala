@@ -224,4 +224,76 @@ object Indexing {
     fused.withColumn("rnk", row_number().over(wf).cast("long"))
       .filter(col("rnk") <= k)
   }
+
+  /** The STANDING half of [[bm25LiteTopK]] split for ingest-time reuse
+    * (the q203/q206-q209 persisted-index pattern applied to retrieval):
+    * ONE corpus token pass yields the three tables a BM25 scorer needs —
+    *  - postings (wb, w, id, tf): the full inverted index with term
+    *    frequencies, `wb` a `buckets`-way term shard (write it
+    *    PARTITIONED BY wb and a probe's equi-filter prunes to its
+    *    terms' shard files — the cid-partitioned IVF layout applied to
+    *    a term dictionary, which is too wide to partition by raw `w`);
+    *  - doclen (id, dl): per-doc token counts (docs with no tokens have
+    *    no postings and no dl row — exactly [[bm25LiteTopK]]'s perDoc
+    *    domain);
+    *  - stats (n_docs, n_tokens): the two corpus scalars.
+    * df is NOT stored: it is derivable per probed term from its own
+    * postings, so the index never goes stale against itself.
+    */
+  def bm25Index(docs: DataFrame, idCol: String, textCol: String,
+                buckets: Int): (DataFrame, DataFrame, DataFrame) = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val tok = docs.select(col(idCol).cast("long").as("id"),
+      explode(tokens(col(textCol))).as("w"))
+    val postings = tok.groupBy("id", "w").agg(count(lit(1)).as("tf"))
+      .withColumn("wb", pmod(xxhash64(col("w")), lit(buckets.toLong)))
+      .select("wb", "w", "id", "tf")
+    val doclen = postings.groupBy("id").agg(sum("tf").as("dl"))
+    val stats = doclen.agg(count(lit(1)).as("n_docs"),
+      sum("dl").as("n_tokens"))
+    (postings, doclen, stats)
+  }
+
+  /** The PROBE half: score `terms` against a persisted [[bm25Index]] —
+    * row-identical to [[bm25LiteTopK]] over the same corpus (the split
+    * is definitional; spec'd). The postings filter carries BOTH the
+    * term equality and the term-shard equality, so a wb-partitioned
+    * index reads only the probed terms' shard directories; df and idf
+    * are recomputed from the touched postings alone; doclen joins only
+    * the hit docs. Nothing here scans the corpus text.
+    */
+  def bm25ProbeTopK(postings: DataFrame, doclen: DataFrame, stats: DataFrame,
+                    terms: Seq[String], buckets: Int, k: Int): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    val termBuckets = terms.map { t =>
+      // the same xxhash64(seed 42) + pmod the index side applied,
+      // evaluated at PLAN time so the wb predicate is a literal IN —
+      // the shape partition pruning needs
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t),
+        org.apache.spark.sql.types.StringType, 42L)
+      val m = buckets.toLong
+      (((h % m) + m) % m): java.lang.Long
+    }.distinct
+    val hits = postings
+      .filter(col("wb").isin(termBuckets: _*) && col("w").isin(terms: _*))
+      .select("id", "w", "tf")
+    val df_ = hits.groupBy("w").agg(count(lit(1)).as("df"))
+    val idf = df_.join(broadcast(stats))
+      .select(col("w"), (length(bin(expr("n_docs div df"))) - 1)
+        .cast("long").as("idf_bits"))
+    hits
+      .join(broadcast(idf), Seq("w"))
+      .join(doclen, Seq("id"))
+      .join(broadcast(stats))
+      .withColumn("__avgdl_m", expr("(n_tokens * 1000) div n_docs"))
+      .withColumn("__dln_m", expr("(dl * 1000000) div __avgdl_m"))
+      .withColumn("__k_m", expr("(1200 * (250 + (750 * __dln_m) div 1000)) div 1000"))
+      .withColumn("__part",
+        expr("idf_bits * ((tf * 2200 * 1000) div (tf * 1000 + __k_m))"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_terms_hit"), sum("__part").as("score_milli"))
+      .orderBy(col("score_milli").desc, col("id"))
+      .limit(k)
+  }
 }

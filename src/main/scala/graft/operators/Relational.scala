@@ -1145,4 +1145,36 @@ object Relational {
       .groupBy("k").agg(count(lit(1)).cast("long").as("n_distinct_v"))
     alg.join(dist, Seq("k"))
   }
+
+  /** Bloom-pruned inner equi-join: build a bloom over the SELECTIVE
+    * side's join keys with ZERO shuffle ([[Dedup.keyBloom]] — per-
+    * partition blooms, driver bit-OR), then filter the big side
+    * MAP-SIDE before its exchange. Bloom false positives pass extra
+    * rows into the join, where the exact equi-condition drops them —
+    * the result is IDENTICAL to the plain join (the oracle contract),
+    * only the shuffle volume changes.
+    *
+    * This is the library form of what AQE's runtime bloom filter does
+    * inside one query, for the cases AQE cannot see: a filter side
+    * computed by another pipeline stage, or a PERSISTED key bloom
+    * probed at ingest time (the q127 standing-bloom pattern applied to
+    * joins). At 100 TB the ledger is: one `|big|` map-side probe + the
+    * bloom broadcast (MBs) buys a shuffle write/read cut equal to the
+    * join's selectivity — for a 1% selective join, 99% of the exchange.
+    * Keys ride xxhash64 on BOTH sides, so the probe decision is a
+    * deterministic function of the key value.
+    */
+  def bloomPrunedEquiJoin(big: DataFrame, small: DataFrame,
+                          bigKey: String, smallKey: String,
+                          expectedKeys: Long = 4L << 20,
+                          fpp: Double = 0.03): DataFrame = {
+    import org.apache.spark.sql.GraftSqlShim
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal => CatLit}
+    val bloom = Dedup.keyBloom(
+      small.select(xxhash64(col(smallKey)).as("h")), expectedKeys, fpp)
+    val pruned = big.filter(GraftSqlShim.column(BloomFilterMightContain(
+      CatLit.create(bloom, org.apache.spark.sql.types.BinaryType),
+      GraftSqlShim.expression(xxhash64(col(bigKey))))))
+    pruned.join(small, pruned(bigKey) === small(smallKey))
+  }
 }

@@ -391,4 +391,105 @@ object Sketches {
       .agg(sum(coalesce(col("ca"), lit(0L)) *
         coalesce(col("cb"), lit(0L))).as("ip"))
       .agg(min("ip").cast("long").as("est_join_size"))
+
+  /** Misra-Gries heavy-hitters summary (Misra & Gries 1982), mergeable
+    * per Agarwal et al. 2012 ("Mergeable Summaries", PODS): at most
+    * `capacity` (item, count) counters. reduce: increment a resident
+    * item, insert if there is room, else decrement EVERY counter by one
+    * and drop zeros (amortized O(1)/item — each decrement pass retires
+    * capacity+1 units of total count, so passes number ≤ n/(capacity+1)).
+    * merge: sum counters, and if over capacity subtract the
+    * (capacity+1)-th largest count from all and keep the positive —
+    * the PODS merge rule that keeps the TOTAL undercount ≤ n/(capacity+1)
+    * across any merge tree.
+    *
+    * Guarantees (with k = capacity+1, n = total items):
+    *  - estimates only UNDERCOUNT: est(x) ≤ true(x);
+    *  - undercount is bounded: true(x) − est(x) ≤ n/k;
+    *  - hence every item with true(x) > n/k is RETAINED.
+    * The summary's exact contents depend on encounter order (unlike KMV),
+    * but the guarantee does not — so the oracle-checkable output is the
+    * q39-style accuracy contract over the deterministic exact-heavy-hitter
+    * set, not the raw counters.
+    */
+  class MgAgg(capacity: Int)
+      extends Aggregator[String, scala.collection.mutable.HashMap[String, Long],
+                         Map[String, Long]] {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    type Buf = scala.collection.mutable.HashMap[String, Long]
+    def zero: Buf = scala.collection.mutable.HashMap.empty
+
+    def reduce(b: Buf, x: String): Buf = {
+      if (x == null) return b
+      b.get(x) match {
+        case Some(c) => b(x) = c + 1
+        case None if b.size < capacity => b(x) = 1L
+        case None => // decrement-all: the incoming item cancels too
+          val dead = List.newBuilder[String]
+          b.foreachEntry { (k, c) => if (c == 1L) dead += k else b(k) = c - 1 }
+          dead.result().foreach(b.remove)
+      }
+      b
+    }
+
+    def merge(a: Buf, b: Buf): Buf = {
+      val (into, from) = if (a.size >= b.size) (a, b) else (b, a)
+      from.foreachEntry { (k, c) => into(k) = into.getOrElse(k, 0L) + c }
+      if (into.size > capacity) {
+        // subtract the (capacity+1)-th largest count from every counter
+        val counts = into.values.toArray
+        java.util.Arrays.sort(counts)
+        val cut = counts(counts.length - capacity - 1)
+        val dead = List.newBuilder[String]
+        into.foreachEntry { (k, c) =>
+          if (c <= cut) dead += k else into(k) = c - cut }
+        dead.result().foreach(into.remove)
+      }
+      into
+    }
+
+    def finish(b: Buf): Map[String, Long] = b.toMap
+    def bufferEncoder =
+      Encoders.kryo[scala.collection.mutable.HashMap[String, Long]]
+    def outputEncoder =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  }
+
+  /** The Misra-Gries accuracy contract over a token column: ONE corpus
+    * pass builds the bounded summary (≤ k−1 counters per task, merged
+    * map-side — shuffle volume is |partitions|·(k−1) counters no matter
+    * the corpus), a second exact pass computes the DETERMINISTIC set of
+    * true heavy hitters (count·k > n), and the output asserts, per true
+    * heavy hitter: it is retained in the summary (`found`), its estimate
+    * never overcounts (`no_over`), and the undercount is within n/k
+    * (`within_bound`) — all guaranteed by the sketch theory, so the
+    * oracle (which computes only the exact side and claims the three
+    * booleans true) hash-matches iff the guarantees held on real data.
+    * The exact pass exists for the CONTRACT; a production pipeline ships
+    * the summary alone (the first pass) — that is the part with
+    * bounded state.
+    */
+  def mgHeavyHitters(df: DataFrame, keyCol: Column, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val mg = udaf(new MgAgg(k - 1), Encoders.STRING)
+    val keyed = df.select(keyCol.cast("string").as("w"))
+    val summary = keyed.agg(mg(col("w")).as("mg")) // one row: the sketch
+    val exact = keyed.filter(col("w").isNotNull)
+      .groupBy("w").agg(count(lit(1)).as("exact_cnt"))
+    val n = keyed.filter(col("w").isNotNull)
+      .agg(count(lit(1)).as("n_total"))
+    exact
+      .join(broadcast(n))
+      .filter(col("exact_cnt") * k > col("n_total"))
+      .join(broadcast(summary))
+      // try_element_at: a missing key must report found=false, not the
+      // ANSI MAP_KEY_DOES_NOT_EXIST error
+      .withColumn("est", try_element_at(col("mg"), col("w")))
+      .select(col("w"), col("exact_cnt"),
+        col("est").isNotNull.as("found"),
+        (coalesce(col("est"), lit(0L)) <= col("exact_cnt")).as("no_over"),
+        ((col("exact_cnt") - coalesce(col("est"), lit(0L))) * k
+          <= col("n_total")).as("within_bound"))
+      .orderBy("w")
+  }
 }

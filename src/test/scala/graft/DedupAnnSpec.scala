@@ -25,6 +25,27 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(got(0).getAs[Long]("n_copies") == 2L)
   }
 
+  test("exact dedup keeper policy: highest score wins, ties to min id") {
+    import graft.functions.TextFunctions.qualityScore
+    val d2 = Seq(
+      (1L, "Hello   world"),   // dup cluster (normalizes with 2)
+      (2L, "hello world"),
+      (3L, "unique text here"),
+      (10L, "same score a"), (11L, "same score a") // exact dup, equal score
+    ).toDF("doc_id", "text")
+    val got = Dedup.exactKeeperBy(d2, "doc_id", "text", qualityScore(col("text")))
+      .collect().map(r => r.getAs[Long]("keep_id") ->
+        (r.getAs[Long]("n_copies"), r.getAs[Double]("best_score"))).toMap
+    assert(got.size == 3)
+    assert(got.contains(3L))
+    assert(got(10L)._1 == 2L)  // equal scores: min id 10 kept
+    // the 1-vs-2 cluster: both normalize identically so quality ties on
+    // tokens but differs on alpha ratio (extra spaces in doc 1) — doc 2
+    // has the higher alpha ratio and must win despite the larger id
+    val hw = got.collect { case (k, (n, _)) if n == 2L && k != 10L => k }
+    assert(hw == Iterable(2L), s"keeper: $got")
+  }
+
   test("ngram jaccard: near-dups rank far above unrelated pairs") {
     val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", k = 3, minJaccard = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

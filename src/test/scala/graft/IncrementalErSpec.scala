@@ -78,6 +78,19 @@ class IncrementalErSpec extends AnyFunSuite {
     assert(local(20L) == 1L && local(23L) == 22L)
   }
 
+  test("string node ids take the distributed path and still label correctly") {
+    // ADVICE r9: the driver union-find assumes integral ids; a
+    // string-keyed update graph must route to dupClustersStar (ordered
+    // by string least/greatest) instead of ClassCastException-ing
+    val standing = Seq(("a", "a"), ("b", "a"), ("x", "x"))
+      .toDF("node", "label")
+    val newEdges = Seq(("c", "b"), ("x", "y")).toDF("u", "v")
+    val got = Dedup.incrementalClusterLabels(standing, newEdges, "u", "v")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "x", "y" -> "x"))
+  }
+
   test("incrementalClusterLabels with no new edges is the standing table") {
     val standing = Seq((1L, 1L), (2L, 1L), (7L, 7L)).toDF("node", "label")
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")

@@ -686,4 +686,23 @@ class ScaleSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!p193.contains("Window"), p193.take(600))
   }
+
+  test("bloom-pruned equi-join is a result-identity and prunes map-side") {
+    import graft.operators.Relational
+    val big = spark.range(0, 20000)
+      .select(col("id").as("k"), (col("id") % 97).as("payload"))
+    val small = spark.range(0, 20000)
+      .filter(col("id") % 50 === 0) // 2% selective
+      .select(col("id").as("sk"))
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)), sum("payload")).collect()(0)
+    val pruned = Relational.bloomPrunedEquiJoin(big, small, "k", "sk")
+    assert(agg(pruned) == agg(big.join(small, col("k") === col("sk"))))
+    // the prune sits on the BIG side's scan stage, before any exchange
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan.take(800))
+    // keyBloom never produces a false NEGATIVE: every true match survives
+    val n = pruned.count()
+    assert(n == 400L, s"expected all 400 true matches, got $n")
+  }
 }

@@ -213,6 +213,32 @@ class SelectionLmSpec extends AnyFunSuite {
       s"tf=4 ${got(2L)} vs tf=1 ${got(1L)}")
   }
 
+  test("BM25 against a parquet-persisted inverted index equals the inline form") {
+    // q213's contract: bm25Index written to parquet (postings
+    // partitioned by the wb term shard) and read back must drive
+    // bm25ProbeTopK to the exact rows bm25LiteTopK computes — the
+    // split is definitional, and Long tfs/dls round-trip losslessly.
+    // Probed on real corpus text so the shard pruning path (plan-time
+    // literal buckets) is exercised against genuine vocabulary.
+    val docs = engine.Tables.documents(spark, SparkTestSession.sfDir)
+    val terms = Seq("hash", "window", "spark")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val inline = rows(Indexing.bm25LiteTopK(docs, "doc_id", "text", terms, k = 20))
+    val dir = java.nio.file.Files.createTempDirectory("bm25-index").toString
+    val (postings, doclen, stats) =
+      Indexing.bm25Index(docs, "doc_id", "text", buckets = 64)
+    postings.write.mode("overwrite").partitionBy("wb").parquet(s"$dir/p")
+    doclen.write.mode("overwrite").parquet(s"$dir/d")
+    stats.write.mode("overwrite").parquet(s"$dir/s")
+    val persisted = rows(Indexing.bm25ProbeTopK(
+      spark.read.parquet(s"$dir/p").withColumn("wb", col("wb").cast("long")),
+      spark.read.parquet(s"$dir/d"), spark.read.parquet(s"$dir/s"),
+      terms, buckets = 64, k = 20))
+    assert(inline.nonEmpty)
+    assert(persisted == inline, s"persisted=$persisted inline=$inline")
+  }
+
   test("prefix rerank: full-width candidates reproduce brute force exactly") {
     val rnd = new scala.util.Random(5)
     val vecs = Seq.tabulate(120)(i =>

@@ -176,4 +176,43 @@ class SketchesSpec extends AnyFunSuite {
     assert(got(5L) == ((1L, 1L)))  // day 4 unobserved: {10} only
     assert(got.size == 4)
   }
+
+  test("Misra-Gries: summary bounded at k-1 counters on any input") {
+    import org.apache.spark.sql.{functions => F, Encoders}
+    // 500 distinct items, uniform — nothing is heavy; summary must stay
+    // bounded regardless
+    val df = spark.range(5000)
+      .select(F.concat(F.lit("w"), (F.col("id") % 500)).as("w"))
+      .repartition(8)
+    val mg = F.udaf(new Sketches.MgAgg(9), Encoders.STRING)
+    val m = df.agg(mg(F.col("w"))).collect()(0).getMap[String, Long](0)
+    assert(m.size <= 9, s"summary grew to ${m.size}")
+  }
+
+  test("Misra-Gries: heavy hitters retained, never overcounted, within n/k") {
+    import org.apache.spark.sql.{functions => F}
+    // zipf-ish skew: "hot" 4000x, "warm" 900x, 100 cold items 31x each;
+    // n = 8000, k = 10 => threshold 800: heavy = {hot, warm}
+    val rows = Seq.fill(4000)("hot") ++ Seq.fill(900)("warm") ++
+      (0 until 100).flatMap(i => Seq.fill(31)(s"cold_$i"))
+    val df = rows.toDF("w").repartition(16) // exercise the PODS merge rule
+    val got = Sketches.mgHeavyHitters(df, F.col("w"), k = 10)
+      .collect().map(r => r.getString(0) ->
+        (r.getBoolean(2), r.getBoolean(3), r.getBoolean(4))).toMap
+    assert(got.keySet == Set("hot", "warm"), s"heavy set: ${got.keySet}")
+    assert(got.values.forall(_ == ((true, true, true))), s"contract: $got")
+  }
+
+  test("Misra-Gries: contract holds across partitionings (merge-tree independence)") {
+    import org.apache.spark.sql.{functions => F}
+    val rows = Seq.fill(600)("a") ++ Seq.fill(350)("b") ++
+      (0 until 50).flatMap(i => Seq.fill(7)(s"x$i"))
+    for (p <- Seq(1, 3, 13)) {
+      val got = Sketches.mgHeavyHitters(rows.toDF("w").repartition(p),
+        F.col("w"), k = 8).collect()
+      assert(got.map(_.getString(0)).toSet == Set("a", "b"))
+      assert(got.forall(r => r.getBoolean(2) && r.getBoolean(3) && r.getBoolean(4)),
+        s"p=$p: ${got.mkString(", ")}")
+    }
+  }
 }
