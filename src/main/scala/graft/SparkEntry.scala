@@ -3447,8 +3447,13 @@ object SparkEntry {
       val vip = customer(s, d)
         .filter(col("c_acctbal") >= 9000.0)
         .select(col("c_custkey"), col("c_nationkey"))
+      // expectedKeys sized to the selective side (~10% of customers up
+      // through sf10): the default 4M-capacity per-partition blooms are
+      // a 100 TB setting whose build cost (4 MB bit array per task,
+      // driver OR-merge) dominated this query's 2.3 s flat floor in the
+      // round-10 sweep; 64K capacity is ~60 KB per task at the same fpp
       Relational.bloomPrunedEquiJoin(orders(s, d), vip,
-          "o_custkey", "c_custkey")
+          "o_custkey", "c_custkey", expectedKeys = 1L << 16)
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("n_orders"),
           sum(cents(col("o_totalprice"))).as("rev_c"))

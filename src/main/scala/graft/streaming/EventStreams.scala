@@ -207,6 +207,46 @@ object EventStreams {
         })
   }
 
+  case class MgUpdate(group: String, n_counters: Long, items: Map[String, Long])
+
+  /** Streaming Misra-Gries heavy-hitter summary per key — the
+    * ingest-time twin of the batch [[graft.operators.Sketches.MgAgg]]
+    * (q214): per-group state is the SAME ≤ capacity-counter map,
+    * folded with the batch Aggregator's own `reduce` (so the two paths
+    * cannot drift on the decrement rule), emitting the current summary
+    * per micro-batch. MG is NOT a linear sketch — the summary's
+    * contents depend on arrival order — but the q214 guarantees
+    * (every item with count > n/(capacity+1) retained, estimates only
+    * undercount, undercount ≤ n/(capacity+1)) hold for ANY order, and
+    * the streaming fold IS some order of the same multiset: the
+    * contract-over-prefix equivalence StreamingSpec asserts. State is
+    * ≤ capacity (string, long) counters per group FOREVER — a trending-
+    * items monitor that runs unbounded.
+    */
+  def streamingMgSummary(records: DataFrame, groupCol: String,
+                         itemCol: String, capacity: Int)
+      : org.apache.spark.sql.Dataset[MgUpdate] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.functions.col
+    val agg = new graft.operators.Sketches.MgAgg(capacity)
+    val spark = records.sparkSession
+    import spark.implicits._
+    records.select(col(groupCol).cast("string").as("g"),
+        col(itemCol).cast("string").as("w"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (g: String, it: Iterator[(String, String)],
+         state: GroupState[Map[String, Long]]) => {
+          val buf = scala.collection.mutable.HashMap.empty[String, Long]
+          state.getOption.foreach(m => buf ++= m)
+          it.foreach { case (_, w) => agg.reduce(buf, w) }
+          val snap = buf.toMap
+          state.update(snap)
+          Iterator(MgUpdate(g, snap.size.toLong, snap))
+        })
+  }
+
   case class UpsertOp(k: Long, v: Long, op: String)
   case class ChangeRow(k: Long, change_type: String, old_v: Option[Long],
                        new_v: Option[Long])

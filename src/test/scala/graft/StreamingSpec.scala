@@ -313,6 +313,46 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed ${streamed.size} cells != batch ${batch.size}")
   }
 
+  test("streaming Misra-Gries summary satisfies the q214 contract over a multi-batch stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // skewed per-group streams split across 3 micro-batches: MG state
+    // must carry across batches and the q214 guarantees must hold on
+    // the final summary, whatever the arrival order
+    val items =
+      (Seq.fill(300)("hot") ++ Seq.fill(90)("warm") ++
+        (0 until 40).flatMap(i => Seq.fill(3)(s"cold_$i"))).map(("g1", _)) ++
+      (Seq.fill(200)("only") ++ (0 until 30).map(i => s"x_$i")).map(("g2", _))
+    val src = MemoryStream[(String, String)]
+    val cap = 9 // k = 10
+    val q = EventStreams.streamingMgSummary(
+        src.toDF().toDF("g", "w"), "g", "w", capacity = cap)
+      .toDF().writeStream.outputMode("update")
+      .format("memory").queryName("t_mg").start()
+    items.grouped(items.size / 3 + 1).foreach { chunk =>
+      src.addData(chunk: _*); q.processAllAvailable()
+    }
+    q.stop()
+    // LAST update per group is the final summary
+    val finalSummaries = spark.table("t_mg").collect()
+      .zipWithIndex.groupBy(_._1.getString(0))
+      .map { case (g, rows) => g ->
+        rows.maxBy(_._2)._1.getAs[Map[String, Long]]("items") }
+    val exact = items.groupBy(identity).view.mapValues(_.size.toLong)
+    val nPerGroup = items.groupBy(_._1).view.mapValues(_.size.toLong)
+    for (((g, w), cnt) <- exact; if cnt * (cap + 1) > nPerGroup(g)) {
+      val summary = finalSummaries(g)
+      assert(summary.contains(w), s"heavy ($g,$w) cnt=$cnt missing: $summary")
+      val est = summary(w)
+      assert(est <= cnt, s"($g,$w) overcounted: est=$est exact=$cnt")
+      assert((cnt - est) * (cap + 1) <= nPerGroup(g),
+        s"($g,$w) undercount ${cnt - est} > n/k")
+    }
+    // state bound: never more than `cap` counters per group
+    assert(finalSummaries.values.forall(_.size <= cap))
+  }
+
   test("transformWithState (RocksDB) totals equal the fMGWS twin and the batch") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = scala.util.Try(spark.conf.get(key)).toOption.filter(_ != null)
