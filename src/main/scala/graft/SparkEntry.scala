@@ -3458,6 +3458,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"),
           sum(cents(col("o_totalprice"))).as("rev_c"))
         .orderBy("c_nationkey")
+    }),
+
+    "q217_neardup_keeper" -> ((s, d) => {
+      // The full NEAR-dup curation pass (q33 pairs -> q84 star CC ->
+      // q215's keeper rule generalized): every doc gets a cluster label
+      // (CC label for edge-touched docs, self for singletons), then per
+      // cluster the highest-quality member survives, ties to min id
+      // (Dedup.clusterKeeper scaladoc). This is the pass a training
+      // pipeline actually ships — near-identical pages collapse AND the
+      // cleanest copy is the one kept.
+      val docs = documents(s, d)
+      val labels = Dedup.dupClustersStar(
+        Dedup.simHashDup(docs, "doc_id", "text", nBits = 16),
+        "id_a", "id_b")
+      val members = docs
+        .select(col("doc_id"), qualityScore(col("text")).as("q"))
+        .join(labels, col("doc_id") === col("node"), "left")
+        .select(coalesce(col("label"), col("doc_id")).as("cluster"),
+          col("doc_id"), col("q"))
+      Dedup.clusterKeeper(members, "cluster", "doc_id", col("q"))
+        .orderBy("cluster")
     })
   )
 
@@ -4756,6 +4777,52 @@ object SparkEntry {
          |SELECT fp, CAST(doc_id AS BIGINT) AS keep_id,
          | quality AS best_score, n_copies
          |FROM r WHERE rn = 1 ORDER BY fp""".stripMargin
+    },
+
+    // q84's simhash pairs + recursive closure, q40's quality formula,
+    // keeper = (quality DESC, doc_id ASC) rank 1 per cluster;
+    // singletons self-cluster via the COALESCE
+    "q217_neardup_keeper" -> {
+      val sw = StopWords.map(w => s"'$w'").mkString(", ")
+      s"""WITH RECURSIVE w AS (SELECT doc_id AS id, unnest($TOKS) AS w FROM documents),
+         |h AS (SELECT id, ${duckHash("w", 15)} AS h FROM w),
+         |bits AS (SELECT id, bit,
+         |  SUM(CASE WHEN ((h >> bit) & 1) = 1 THEN 1 ELSE -1 END) AS v
+         | FROM h CROSS JOIN (SELECT unnest(generate_series(0,15)) AS bit) b GROUP BY 1,2),
+         |sh AS (SELECT id,
+         |  CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+         | FROM bits GROUP BY 1),
+         |p AS (SELECT a.id AS id_a, b.id AS id_b
+         | FROM sh a JOIN sh b ON a.simhash = b.simhash AND a.id < b.id),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM p
+         | UNION ALL SELECT id_b AS u, id_a AS v FROM p),
+         |reach AS (
+         | SELECT u AS node, u AS label FROM edges
+         | UNION
+         | SELECT e.u AS node, r.label FROM edges e JOIN reach r ON e.v = r.node),
+         |lab AS (SELECT node, MIN(label) AS label FROM reach GROUP BY node),
+         |t AS (SELECT doc_id, text, $TOKS AS toks FROM documents),
+         |st AS (SELECT doc_id, text,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_filter(toks, x -> x IN ($sw))) AS BIGINT) AS n_stop
+         | FROM t),
+         |q AS (SELECT doc_id,
+         |  round(least(CAST(n_tokens AS DOUBLE)/50.0, 1.0)*0.4
+         |   + least((CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE)/n_tokens ELSE 0.0 END)*4.0, 1.0)*0.3
+         |   + (CASE WHEN length(text) > 0
+         |      THEN CAST(length(regexp_replace(text,'[^A-Za-z]','','g')) AS DOUBLE)/length(text)
+         |      ELSE 0.0 END)*0.3, 4) AS quality
+         | FROM st),
+         |m AS (SELECT CAST(COALESCE(l.label, q.doc_id) AS BIGINT) AS cluster,
+         |  q.doc_id, q.quality
+         | FROM q LEFT JOIN lab l ON q.doc_id = l.node),
+         |r AS (SELECT cluster, doc_id, quality,
+         |  CAST(count(*) OVER (PARTITION BY cluster) AS BIGINT) AS n_members,
+         |  row_number() OVER (PARTITION BY cluster
+         |    ORDER BY quality DESC, doc_id) AS rn FROM m)
+         |SELECT cluster, CAST(doc_id AS BIGINT) AS keep_id,
+         | quality AS best_score, n_members
+         |FROM r WHERE rn = 1 ORDER BY cluster""".stripMargin
     },
 
     // the PLAIN join: the bloom prune must be a result-identity

@@ -69,6 +69,30 @@ object Dedup {
         col("score").as("best_score"), col("n_copies"))
   }
 
+  /** The keeper policy over ARBITRARY cluster labels (the
+    * [[exactKeeperBy]] rule generalized past content fingerprints —
+    * feed it [[dupClustersStar]] labels and it completes a NEAR-dup
+    * curation pass): per `clusterCol`, keep the highest-`score` member,
+    * ties to the lowest id. Same one-exchange shape: both windows share
+    * the cluster partitioning. Returns
+    * (cluster, keep_id, best_score, n_members).
+    */
+  def clusterKeeper(members: DataFrame, clusterCol: String, idCol: String,
+                    score: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    members
+      .select(col(clusterCol).as("cluster"), col(idCol).as("id"),
+        score.as("score"))
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy("cluster")
+          .orderBy(col("score").desc, col("id"))))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy("cluster")))
+      .filter(col("__rn") === 1)
+      .select(col("cluster"), col("id").as("keep_id"),
+        col("score").as("best_score"), col("n_members"))
+  }
+
   /** Word k-shingles of a text column (distinct, first-occurrence order).
     *
     * Deliberately a Scala UDF, not higher-order array functions: Spark's
