@@ -3479,6 +3479,23 @@ object SparkEntry {
           col("doc_id"), col("q"))
       Dedup.clusterKeeper(members, "cluster", "doc_id", col("q"))
         .orderBy("cluster")
+    }),
+
+    "q218_ppjoin_ingest" -> ((s, d) => {
+      // EXACT set-similarity ingest against a PERSISTED prefix-posting
+      // index (the last candidate-generation family to get its ingest
+      // form — Dedup.ppJoinAgainstPostings scaladoc): the batch ranks
+      // its shingles by the index's own rarity order and equi-joins the
+      // corpus's prefix postings; the exact verify touches candidate
+      // ids only; NO recall loss (prefix theorem under the shared
+      // order, spec'd against brute force). Oracle = the brute-force
+      // batch x corpus Jaccard join.
+      val (dfreq, postings, sets) = ppJoinIndexFixture(s, d)
+      val batch = documents(s, d)
+        .filter(pmod(col("doc_id"), lit(10L)) === 0L)
+      Dedup.ppJoinAgainstPostings(batch, dfreq, postings, sets,
+          "doc_id", "text", PpJoinTPpm)
+        .orderBy("new_id", "corpus_id")
     })
   )
 
@@ -3590,6 +3607,31 @@ object SparkEntry {
     // the long the probe's literals compare against
     (s.read.parquet(pPath).withColumn("wb", col("wb").cast("long")),
      s.read.parquet(dPath), s.read.parquet(sPath))
+  }
+
+  /** q218's persisted standing PPJoin index (the ingest pattern applied
+    * to exact set similarity): `Dedup.ppJoinIndex` — the corpus's
+    * global shingle-rarity table, its PREFIX postings at q182's
+    * threshold, and its sorted full shingle sets — written once per SF.
+    */
+  private def ppJoinIndexFixture(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = synchronized {
+    val fPath = fixturePath(d, "ppjoin_dfreq.parquet")
+    val pPath = fixturePath(d, "ppjoin_postings.parquet")
+    val sPath = fixturePath(d, "ppjoin_sets.parquet")
+    lazy val built = operators.Dedup.ppJoinIndex(
+      documents(s, d).filter(pmod(col("doc_id"), lit(10L)) =!= 0L),
+      "doc_id", "text", PpJoinTPpm)
+    ensureFixture(fPath) { tmp =>
+      built._1.write.mode("overwrite").parquet(tmp)
+    }
+    ensureFixture(pPath) { tmp =>
+      built._2.write.mode("overwrite").parquet(tmp)
+    }
+    ensureFixture(sPath) { tmp =>
+      built._3.write.mode("overwrite").parquet(tmp)
+    }
+    (s.read.parquet(fPath), s.read.parquet(pPath), s.read.parquet(sPath))
   }
 
   /** q207's persisted standing IVF index (the q203/q206 fixture
@@ -4824,6 +4866,20 @@ object SparkEntry {
          | quality AS best_score, n_members
          |FROM r WHERE rn = 1 ORDER BY cluster""".stripMargin
     },
+
+    // the brute-force batch x corpus Jaccard join: the prefix-posting
+    // probe must find EXACTLY these pairs (no recall loss)
+    "q218_ppjoin_ingest" ->
+      s"""WITH sh AS ($SHINGLES3),
+         |ss AS (SELECT id, list_sort(list(sh)) AS sset FROM sh GROUP BY 1),
+         |p AS (SELECT a.id AS new_id, b.id AS corpus_id,
+         |  CAST(len(list_intersect(a.sset, b.sset)) AS BIGINT) AS inter,
+         |  CAST(len(a.sset) AS BIGINT) AS na, CAST(len(b.sset) AS BIGINT) AS nb
+         | FROM ss a JOIN ss b ON a.id % 10 = 0 AND b.id % 10 <> 0)
+         |SELECT new_id, corpus_id, inter,
+         | CAST(inter * 1000000 // (na + nb - inter) AS BIGINT) AS jac_ppm
+         |FROM p WHERE inter * 1000000 // (na + nb - inter) >= $PpJoinTPpm
+         |ORDER BY new_id, corpus_id""".stripMargin,
 
     // the PLAIN join: the bloom prune must be a result-identity
     "q216_bloom_join" ->

@@ -1716,6 +1716,92 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("inter"), col("jac_ppm"))
   }
 
+  /** The STANDING half of [[ppJoinShingles]] split for ingest-time
+    * reuse (the persisted-index pattern applied to exact set
+    * similarity): from the corpus, ONE shingle pass yields
+    *  - dfreq (sh, df): the global rarity order's key — the batch must
+    *    rank its shingles in the SAME total order (df asc, sh asc) or
+    *    the prefix theorem breaks;
+    *  - postings (sh, id, sz): the corpus's PREFIX postings only
+    *    (position ≤ |set| − ⌈t·|set|⌉ + 1 in that order) — the join
+    *    side, far smaller than the full shingle volume;
+    *  - sets (id, sset, n): sorted full shingle arrays for the exact
+    *    verify, equi-joined for CANDIDATE ids only.
+    * All three parquet-persist losslessly (strings/longs/arrays).
+    */
+  def ppJoinIndex(corpus: DataFrame, idCol: String, textCol: String,
+                  tPpm: Long): (DataFrame, DataFrame, DataFrame) = {
+    require(tPpm > 0 && tPpm <= 1000000L, s"tPpm in (0, 1e6], got $tPpm")
+    val sh = corpus.select(col(idCol).cast("long").as("id"),
+      explode(shingles(col(textCol), 3)).as("sh"))
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val wRank = Window.partitionBy("id").orderBy(col("df").asc, col("sh").asc)
+    val wSz = Window.partitionBy("id")
+    val postings = sh.join(dfreq, Seq("sh"))
+      .select(col("id"), col("sh"),
+        row_number().over(wRank).as("pos"),
+        count(lit(1)).over(wSz).as("sz"))
+      .filter(col("pos") <= col("sz") -
+        expr(s"(($tPpm * sz) + 999999) div 1000000") + 1)
+      .select("sh", "id", "sz")
+    val sets = sh.groupBy("id")
+      .agg(sort_array(collect_list("sh")).as("sset"), count(lit(1)).as("n"))
+    (dfreq, postings, sets)
+  }
+
+  /** Batch-vs-standing-corpus EXACT set-similarity join — the ingest
+    * form of [[ppJoinShingles]], probing a persisted [[ppJoinIndex]]:
+    * every (new doc, corpus doc) pair with 3-shingle Jaccard ≥ tPpm,
+    * NO recall loss. The batch ranks its shingles by the INDEX's
+    * (df, sh) order — shingles the corpus has never seen take df = 0
+    * (they sort first, harmlessly: no corpus posting can match them,
+    * and any SHARED total order keeps the Chaudhuri/Bayardo prefix
+    * theorem exact — a qualifying pair must collide within the two
+    * prefixes taken under one common order). Candidates carry the
+    * Arasu size filter on both sides; the exact verify joins full
+    * arrays for candidate ids only. Only the BATCH is shingled here —
+    * the corpus contributes pre-computed postings and sets.
+    * Returns (new_id, corpus_id, inter, jac_ppm).
+    */
+  def ppJoinAgainstPostings(batch: DataFrame, dfreq: DataFrame,
+                            postings: DataFrame, corpusSets: DataFrame,
+                            idCol: String, textCol: String,
+                            tPpm: Long): DataFrame = {
+    require(tPpm > 0 && tPpm <= 1000000L, s"tPpm in (0, 1e6], got $tPpm")
+    val sh = batch.select(col(idCol).cast("long").as("id"),
+      explode(shingles(col(textCol), 3)).as("sh"))
+    val ranked = sh.join(dfreq, Seq("sh"), "left")
+      .select(col("id"), col("sh"), coalesce(col("df"), lit(0L)).as("df"))
+    val wRank = Window.partitionBy("id").orderBy(col("df").asc, col("sh").asc)
+    val wSz = Window.partitionBy("id")
+    val prefix = ranked
+      .select(col("id"), col("sh"),
+        row_number().over(wRank).as("pos"),
+        count(lit(1)).over(wSz).as("sz"))
+      .filter(col("pos") <= col("sz") -
+        expr(s"(($tPpm * sz) + 999999) div 1000000") + 1)
+      .select(col("id").as("new_id"), col("sh"), col("sz").as("sza"))
+    val cand = prefix
+      .join(postings.select(col("sh"), col("id").as("corpus_id"),
+          col("sz").as("szb")),
+        Seq("sh"))
+      .filter(col("sza") * 1000000L >= lit(tPpm) * col("szb") &&
+        col("szb") * 1000000L >= lit(tPpm) * col("sza"))
+      .select("new_id", "corpus_id")
+      .distinct()
+    val batchSets = sh.groupBy("id")
+      .agg(sort_array(collect_list("sh")).as("sa"), count(lit(1)).as("na"))
+      .withColumnRenamed("id", "new_id")
+    cand
+      .join(batchSets, Seq("new_id"))
+      .join(corpusSets.select(col("id").as("corpus_id"),
+        col("sset").as("sb"), col("n").as("nb")), Seq("corpus_id"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("jac_ppm", expr("inter * 1000000 div (na + nb - inter)"))
+      .filter(col("jac_ppm") >= tPpm)
+      .select(col("new_id"), col("corpus_id"), col("inter"), col("jac_ppm"))
+  }
+
   /** Sorted-neighborhood candidate pairs (SNM, Hernández & Stolfo
     * 1995 — the sort-based blocking alternative to [[editDistance1Join]]'s
     * deletion keys): rows sort by `keyCol` globally and every pair

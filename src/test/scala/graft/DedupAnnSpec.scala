@@ -164,6 +164,46 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(persisted == inline, s"persisted=${persisted.size} inline=${inline.size}")
   }
 
+  test("PPJoin ingest: prefix-posting probe matches brute force, persisted equals inline") {
+    // q218's contract, both halves: (1) NO recall loss — the batch-vs-
+    // corpus prefix-posting probe finds EXACTLY the pairs a brute-force
+    // cross join verifies at Jaccard >= t (the prefix theorem under the
+    // index's shared (df, sh) order, incl. batch shingles the corpus
+    // never saw); (2) the parquet-persisted index drives the probe to
+    // the same rows as the in-memory one (strings/longs/arrays
+    // round-trip losslessly)
+    val docs = engine.Tables.documents(spark, SparkTestSession.sfDir)
+    val batch = docs.filter(pmod(col("doc_id"), lit(10L)) === 0L)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0L)
+    val t = 300000L // lower threshold than q218's 0.5: more pairs to check
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val (dfreq, postings, sets) = Dedup.ppJoinIndex(corpus, "doc_id", "text", t)
+    val inline = rows(Dedup.ppJoinAgainstPostings(batch, dfreq, postings, sets,
+      "doc_id", "text", t))
+    // brute force: all batch x corpus pairs at Jaccard >= t
+    val shA = batch.select(col("doc_id").as("new_id"),
+      Dedup.shingles(col("text"), 3).as("sa"))
+    val shB = corpus.select(col("doc_id").as("corpus_id"),
+      Dedup.shingles(col("text"), 3).as("sb"))
+    val brute = rows(shA.crossJoin(shB)
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("jac_ppm",
+        expr("inter * 1000000 div (size(sa) + size(sb) - inter)"))
+      .filter(col("jac_ppm") >= t)
+      .select("new_id", "corpus_id", "inter", "jac_ppm"))
+    assert(inline.nonEmpty, "threshold found no pairs — test data too thin")
+    assert(inline == brute, s"inline=${inline.size} brute=${brute.size}")
+    val dir = java.nio.file.Files.createTempDirectory("ppjoin-index").toString
+    dfreq.write.mode("overwrite").parquet(s"$dir/f")
+    postings.write.mode("overwrite").parquet(s"$dir/p")
+    sets.write.mode("overwrite").parquet(s"$dir/s")
+    val persisted = rows(Dedup.ppJoinAgainstPostings(batch,
+      spark.read.parquet(s"$dir/f"), spark.read.parquet(s"$dir/p"),
+      spark.read.parquet(s"$dir/s"), "doc_id", "text", t))
+    assert(persisted == inline, s"persisted=${persisted.size} inline=${inline.size}")
+  }
+
   test("SimHash ingest: multi-index against-form matches brute force, persisted equals inline") {
     // q208's contract, both halves: (1) exact recall — the batch-vs-
     // corpus multi-index join (cap disabled) finds EXACTLY the pairs a
