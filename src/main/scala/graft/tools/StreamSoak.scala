@@ -276,6 +276,64 @@ object StreamSoak {
       restarts, maxStateRows, pass)
   }
 
+  /** Phase 4: streaming Misra-Gries heavy hitters — MG state is
+    * order-dependent (unlike KMV/CMS there is no bit-equality twin), so
+    * the PASS criterion is the q214 CONTRACT over everything written,
+    * which holds for ANY arrival order INCLUDING replays across induced
+    * restarts: per group, every exact heavy hitter (count·k > n_group)
+    * is retained in the final summary, never overcounted, and
+    * undercounted by at most n_group/k. The item stream is skewed by
+    * construction (user_id%3==0 collapses to one hot item per group,
+    * ~33% share; everything else stays a cold tail) so the contract is
+    * non-vacuous. State = one map of ≤ k−1 counters per group, forever.
+    */
+  private def mgPhase(spark: SparkSession, root: String, seconds: Int,
+                      restartSeconds: Int, batchEvents: Int): PhaseResult = {
+    val src = s"$root/src"; val ckpt = s"$root/ckpt"
+    new java.io.File(src).mkdirs()
+    val cap = 7 // k = 8: hot (~33%) is heavy, the uniform tail is not
+    def skewed(df: DataFrame): DataFrame = df.withColumn("item",
+      when(col("user_id") % 3L === 0L, lit("hot"))
+        .otherwise(concat(lit("u"), col("user_id"))))
+    val state = new java.util.concurrent.ConcurrentHashMap[String, Map[String, Long]]()
+    def startQuery() = EventStreams.streamingMgSummary(
+        skewed(EventStreams.readEventStream(spark, src)),
+        "event_type", "item", capacity = cap).toDF()
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        // bounded collect: <= 5 groups' summaries per micro-batch
+        df.collect().foreach(r => state.put(r.getAs[String]("group"),
+          r.getAs[Map[String, Long]]("items")))
+      }
+      .option("checkpointLocation", ckpt).start()
+    val (restarts, maxSoak, batches) =
+      soakLoop(spark, src, seconds, restartSeconds, batchEvents)(startQuery _)
+    val maxProbe = probeDrain(spark, src, batchEvents, batches)(startQuery _)
+    val streamed = {
+      import scala.jdk.CollectionConverters._
+      state.asScala.toMap
+    }
+    val exact = skewed(spark.read.parquet(src))
+      .groupBy("event_type", "item").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val nPerGroup = exact.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val heavy = exact.filter { case ((g, _), c) => c * (cap + 1) > nPerGroup(g) }
+    val contract = heavy.forall { case ((g, w), c) =>
+      val m = streamed.getOrElse(g, Map.empty)
+      m.contains(w) && m(w) <= c && (c - m(w)) * (cap + 1) <= nPerGroup(g)
+    }
+    val maxStateRows = math.max(maxSoak, maxProbe)
+    // contract must be non-vacuous (the hot item per group) and state
+    // must stay at one row per group
+    val pass = contract && heavy.size == 5 && streamed.size == 5 &&
+      streamed.values.forall(_.size <= cap) && maxStateRows <= 10L
+    if (!pass)
+      System.err.println(s"SOAK mg heavy=${heavy.size} contract=$contract " +
+        s"summaries=${streamed.view.mapValues(_.size).toMap} maxState=$maxStateRows")
+    PhaseResult((batches + 1).toLong * batchEvents, heavy.size.toLong,
+      restarts, maxStateRows, pass)
+  }
+
   def main(args: Array[String]): Unit = {
     val soakSeconds = sys.env.getOrElse("SOAK_SECONDS", "180").toInt
     val twinSeconds = sys.env.getOrElse("SOAK_TWIN_SECONDS", "60").toInt
@@ -295,10 +353,13 @@ object StreamSoak {
       twinSeconds, restartSeconds, batchEvents)
     val cms = cmsPhase(spark, "/tmp/graft-soak/cms",
       twinSeconds, restartSeconds, batchEvents)
+    val mg = mgPhase(spark, "/tmp/graft-soak/mg",
+      twinSeconds, restartSeconds, batchEvents)
 
-    val pass = tumbling.pass && kmv.pass && cms.pass
+    val pass = tumbling.pass && kmv.pass && cms.pass && mg.pass
     println(s"""{"tumbling":${tumbling.json()},"kmv":${kmv.json()},""" +
-      s""""cms":${cms.json()},"result":"${if (pass) "PASS" else "FAIL"}"}""")
+      s""""cms":${cms.json()},"mg":${mg.json()},""" +
+      s""""result":"${if (pass) "PASS" else "FAIL"}"}""")
     spark.stop()
     if (!pass) sys.exit(1)
   }
