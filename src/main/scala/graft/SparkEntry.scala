@@ -3496,6 +3496,28 @@ object SparkEntry {
       Dedup.ppJoinAgainstPostings(batch, dfreq, postings, sets,
           "doc_id", "text", PpJoinTPpm)
         .orderBy("new_id", "corpus_id")
+    }),
+
+    "q219_lsh_index_upsert" -> ((s, d) => {
+      // Index MAINTENANCE (the other half of the q206 ingest story:
+      // probing is read-only, an accepted batch must also be FOLDED
+      // INTO the standing index): the batch's band lists broadcast
+      // against the persisted uncapped index, and only the TOUCHED
+      // buckets are rewritten — cost ∝ batch + touched buckets, never
+      // the index (Dedup.minHashBandPostingsUpsert scaladoc). Output =
+      // the touched buckets' post-merge membership; oracle recomputes
+      // the bands over corpus ∪ batch and restricts to buckets with a
+      // batch member — the green row proves merge == recompute.
+      val docs = documents(s, d)
+      val batch = docs.filter(pmod(col("doc_id"), lit(10L)) === 0L)
+      Dedup.minHashBandPostingsUpsert(
+          lshPostingsFullFixture(s, d, docs), batch,
+          "doc_id", "text", k = 3, bands = 4, rowsPerBand = 4)
+        .select(col("band").cast("long").as("band"), col("band_key"),
+          size(col("lst")).cast("long").as("n"),
+          array_join(transform(col("lst"),
+            x => x.getField("id").cast("string")), ",").as("ids"))
+        .orderBy("band", "band_key")
     })
   )
 
@@ -3607,6 +3629,24 @@ object SparkEntry {
     // the long the probe's literals compare against
     (s.read.parquet(pPath).withColumn("wb", col("wb").cast("long")),
      s.read.parquet(dPath), s.read.parquet(sPath))
+  }
+
+  /** q219's persisted UNCAPPED standing LSH band index (the
+    * maintenance-side sibling of [[lshPostingsFixture]]: an index you
+    * UPSERT must keep full buckets — the cap is a probe-time filter, a
+    * capped store loses members unrecoverably).
+    */
+  private def lshPostingsFullFixture(s: SparkSession, d: String,
+                                     docs: DataFrame): DataFrame = synchronized {
+    val path = fixturePath(d, "lsh_band_postings_full.parquet")
+    ensureFixture(path) { tmp =>
+      operators.Dedup.minHashBandPostings(
+          docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0L),
+          "doc_id", "text", k = 3, bands = 4, rowsPerBand = 4,
+          maxBucketSize = Int.MaxValue)
+        .write.mode("overwrite").parquet(tmp)
+    }
+    s.read.parquet(path)
   }
 
   /** q218's persisted standing PPJoin index (the ingest pattern applied
@@ -4866,6 +4906,26 @@ object SparkEntry {
          | quality AS best_score, n_members
          |FROM r WHERE rn = 1 ORDER BY cluster""".stripMargin
     },
+
+    // q31's band-key derivation over corpus UNION batch (= all
+    // documents), restricted to buckets containing a batch member —
+    // merge must equal recompute on every touched bucket
+    "q219_lsh_index_upsert" ->
+      s"""WITH sh AS ($SHINGLES3),
+         |h AS (SELECT id, ${duckHash("sh", 7)} AS h FROM sh),
+         |mh AS (SELECT id, i AS hash_idx,
+         |  min((h*(2*i+1) + i*40503 + 7) % 2147483647) AS min_hash
+         | FROM h CROSS JOIN (SELECT unnest(generate_series(0,15)) AS i) GROUP BY 1,2),
+         |bk0 AS (SELECT id, hash_idx // 4 AS band,
+         |  md5(string_agg(CAST(min_hash AS VARCHAR), ',' ORDER BY hash_idx)) AS band_key
+         | FROM mh GROUP BY 1,2),
+         |b AS (SELECT band, band_key, CAST(COUNT(*) AS BIGINT) AS n,
+         |  string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS ids
+         | FROM bk0 GROUP BY 1,2),
+         |touched AS (SELECT DISTINCT band, band_key FROM bk0 WHERE id % 10 = 0)
+         |SELECT CAST(b.band AS BIGINT) AS band, b.band_key, n, ids
+         |FROM b JOIN touched USING (band, band_key)
+         |ORDER BY band, band_key""".stripMargin,
 
     // the brute-force batch x corpus Jaccard join: the prefix-posting
     // probe must find EXACTLY these pairs (no recall loss)

@@ -391,6 +391,41 @@ object Dedup {
               else size(col("lst")) <= maxBucketSize)
   }
 
+  /** Index MAINTENANCE for the LSH band index: merge a batch INTO a
+    * prebuilt (possibly parquet-persisted) UNCAPPED
+    * [[minHashBandPostings]] frame, returning the post-merge lists of
+    * the TOUCHED buckets only — the partitions an upsert actually
+    * rewrites; untouched buckets are untouched, which is the point
+    * (cost ∝ batch + touched buckets, never the index). On uncapped
+    * postings the merge is EXACT: per (band, band_key) the merged list
+    * is the sorted member list of corpus ∪ batch (groupBy/collect
+    * distributes over union; signatures are a pure per-doc function of
+    * the parameters), so recompute-over-union restricted to touched
+    * buckets is the oracle. A cap, where wanted, is a downstream filter
+    * applied identically to either path. Plan shape: the batch's band
+    * lists BROADCAST against the standing index scan — the index never
+    * shuffles.
+    */
+  def minHashBandPostingsUpsert(existing: DataFrame, batch: DataFrame,
+                                idCol: String, textCol: String,
+                                k: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    require(bands >= 1 && rowsPerBand >= 1,
+      s"bands/rowsPerBand must be >= 1, got $bands/$rowsPerBand")
+    val nb = bandKeyed(
+      minHashSignature(batch, idCol, textCol, k, bands * rowsPerBand),
+      bands, rowsPerBand)
+    val batchLists = nb.groupBy("band", "band_key")
+      .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("new_lst"))
+    existing
+      .join(broadcast(batchLists), Seq("band", "band_key"), "right")
+      .select(col("band"), col("band_key"),
+        // concat(NULL, x) is NULL — a batch-only bucket (no standing
+        // list) is just the batch's own list
+        when(col("lst").isNull, col("new_lst"))
+          .otherwise(sort_array(concat(col("lst"), col("new_lst"))))
+          .as("lst"))
+  }
+
   /** [[minHashLshAgainst]] against a prebuilt (possibly
     * parquet-persisted) [[minHashBandPostings]] frame. The k/bands/
     * rowsPerBand parameters MUST match the ones the postings were built

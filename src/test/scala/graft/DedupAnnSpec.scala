@@ -164,6 +164,36 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(persisted == inline, s"persisted=${persisted.size} inline=${inline.size}")
   }
 
+  test("LSH index upsert: merged touched buckets bit-equal the recompute over the union") {
+    // q219's contract: on UNCAPPED postings, merging the batch's band
+    // lists into the standing index reproduces, for every touched
+    // bucket, EXACTLY the (id, sig) list a full recompute over
+    // corpus UNION batch builds — including batch-only buckets (no
+    // standing list) and the signatures, not just membership
+    val docs = engine.Tables.documents(spark, SparkTestSession.sfDir)
+    val batch = docs.filter(pmod(col("doc_id"), lit(10L)) === 0L)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0L)
+    val standing = Dedup.minHashBandPostings(corpus, "doc_id", "text",
+      k = 3, bands = 4, rowsPerBand = 4, maxBucketSize = Int.MaxValue)
+    val merged = Dedup.minHashBandPostingsUpsert(standing, batch,
+        "doc_id", "text", k = 3, bands = 4, rowsPerBand = 4)
+      .collect().map(r => (r.get(0), r.getString(1)) ->
+        r.getSeq[org.apache.spark.sql.Row](2).map(x =>
+          (x.getLong(0), x.getSeq[Long](1)))).toMap
+    val full = Dedup.minHashBandPostings(docs, "doc_id", "text",
+        k = 3, bands = 4, rowsPerBand = 4, maxBucketSize = Int.MaxValue)
+      .collect().map(r => (r.get(0), r.getString(1)) ->
+        r.getSeq[org.apache.spark.sql.Row](2).map(x =>
+          (x.getLong(0), x.getSeq[Long](1)))).toMap
+    val batchBuckets = Dedup.minHashBandPostings(batch, "doc_id", "text",
+        k = 3, bands = 4, rowsPerBand = 4, maxBucketSize = Int.MaxValue)
+      .collect().map(r => (r.get(0), r.getString(1))).toSet
+    val expected = full.view.filterKeys(batchBuckets).toMap
+    assert(merged.nonEmpty && merged.keySet == batchBuckets)
+    assert(merged == expected,
+      s"merged=${merged.size} buckets, recompute-touched=${expected.size}")
+  }
+
   test("PPJoin ingest: prefix-posting probe matches brute force, persisted equals inline") {
     // q218's contract, both halves: (1) NO recall loss — the batch-vs-
     // corpus prefix-posting probe finds EXACTLY the pairs a brute-force
