@@ -3518,6 +3518,24 @@ object SparkEntry {
           array_join(transform(col("lst"),
             x => x.getField("id").cast("string")), ",").as("ids"))
         .orderBy("band", "band_key")
+    }),
+
+    "q220_substring_ingest" -> ((s, d) => {
+      // EXACT substring spans of a batch against a PERSISTED standing
+      // gram index (the Lee et al. family's ingest form —
+      // Dedup.exactSubstringSpansAgainstPostings scaladoc): the batch
+      // hashes its own 40-grams, the fan-out cap reads the PERSISTED
+      // df table (corpus-side freq <= 1000; singleton corpus grams
+      // stay eligible — the batch occurrence is the pair's other
+      // side), and the index is never re-aggregated or shuffled.
+      val (postings, gramdf) = substringIndexFixture(s, d)
+      val batch = documents(s, d)
+        .filter(pmod(col("doc_id"), lit(10L)) === 0L)
+      Dedup.exactSubstringSpansAgainstPostings(batch, postings, gramdf,
+          "doc_id", "text", minLen = 40, maxGramFreq = 1000)
+        .select(col("id_a").as("new_id"), col("id_b").as("corpus_id"),
+          col("start_a"), col("start_b"), col("span_len"))
+        .orderBy("new_id", "corpus_id", "start_a", "start_b")
     })
   )
 
@@ -3647,6 +3665,26 @@ object SparkEntry {
         .write.mode("overwrite").parquet(tmp)
     }
     s.read.parquet(path)
+  }
+
+  /** q220's persisted standing substring-gram index: the corpus's
+    * per-position 40-gram xxhash64 postings and their frequency table
+    * (`Dedup.substringGramIndex`), written once per SF.
+    */
+  private def substringIndexFixture(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = synchronized {
+    val pPath = fixturePath(d, "substring_postings.parquet")
+    val fPath = fixturePath(d, "substring_gramdf.parquet")
+    lazy val built = operators.Dedup.substringGramIndex(
+      documents(s, d).filter(pmod(col("doc_id"), lit(10L)) =!= 0L),
+      "doc_id", "text", minLen = 40)
+    ensureFixture(pPath) { tmp =>
+      built._1.write.mode("overwrite").parquet(tmp)
+    }
+    ensureFixture(fPath) { tmp =>
+      built._2.write.mode("overwrite").parquet(tmp)
+    }
+    (s.read.parquet(pPath), s.read.parquet(fPath))
   }
 
   /** q218's persisted standing PPJoin index (the ingest pattern applied
@@ -4906,6 +4944,31 @@ object SparkEntry {
          | quality AS best_score, n_members
          |FROM r WHERE rn = 1 ORDER BY cluster""".stripMargin
     },
+
+    // q125's gram/diagonal CTEs split batch-vs-corpus: corpus-side
+    // postings with the df <= 1000 cap (no lower bound — the batch
+    // occurrence is the pair's other side), diagonal islands per
+    // (new, corpus) pair
+    "q220_substring_ingest" ->
+      """WITH grams AS (
+        |  SELECT doc_id AS id, p AS pos, substring(text, p, 40) AS g
+        |  FROM documents, LATERAL (SELECT unnest(generate_series(1,
+        |    greatest(length(text) - 39, 1))) AS p) t
+        |  WHERE p <= length(text) - 39),
+        |cg AS (SELECT * FROM grams WHERE id % 10 <> 0),
+        |bg AS (SELECT * FROM grams WHERE id % 10 = 0),
+        |gf AS (SELECT g FROM cg GROUP BY g HAVING count(*) <= 1000),
+        |pairs AS (
+        |  SELECT b.id AS new_id, b.pos AS pos_a, c.id AS corpus_id, c.pos AS pos_b
+        |  FROM bg b JOIN gf USING (g) JOIN cg c USING (g)),
+        |d AS (SELECT *, pos_a - pos_b AS diag,
+        |  pos_a - row_number() OVER (PARTITION BY new_id, corpus_id, pos_a - pos_b
+        |    ORDER BY pos_a) AS isl FROM pairs)
+        |SELECT new_id, corpus_id, CAST(min(pos_a) AS BIGINT) AS start_a,
+        | CAST(min(pos_b) AS BIGINT) AS start_b,
+        | CAST(count(*) + 39 AS BIGINT) AS span_len
+        |FROM d GROUP BY new_id, corpus_id, diag, isl
+        |ORDER BY new_id, corpus_id, start_a, start_b""".stripMargin,
 
     // q31's band-key derivation over corpus UNION batch (= all
     // documents), restricted to buckets containing a batch member —

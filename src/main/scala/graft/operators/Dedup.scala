@@ -1511,13 +1511,71 @@ object Dedup {
     }
     val anchors = (crossAnchors.toSeq ++ selfAnchors.toSeq)
       .reduce(_ unionByName _)
-      .withColumn("diag", col("pos_a") - col("pos_b"))
-    // anchors are unique per (pair, pos_a): the gram AT a position is a
-    // function of the position, so no distinct is needed before the
-    // window, and pos_a orders each diagonal strictly
+    anchorsToSpans(anchors, L)
+  }
+
+  /** The STANDING half of [[exactSubstringSpans]] split for ingest-time
+    * reuse (the persisted-index pattern applied to the Lee et al.
+    * substring family): the corpus's per-position L-gram postings
+    * (g, id, pos) — grams as 8-byte xxhash64 keys, the q125-measured
+    * win whose string-mode equivalence is property-tested — plus the
+    * per-gram frequency table the probe's fan-out cap consults without
+    * ever re-aggregating the index. Both parquet-persist losslessly.
+    */
+  def substringGramIndex(corpus: DataFrame, idCol: String, textCol: String,
+                         minLen: Int): (DataFrame, DataFrame) = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    val postings = gramPostings(corpus, idCol, textCol, minLen,
+      hashGrams = true, bloomPrune = false)
+    (postings, postings.groupBy("g").agg(count(lit(1)).as("df")))
+  }
+
+  /** Batch-vs-standing-corpus EXACT substring spans — the ingest form
+    * of [[exactSubstringSpans]], probing a persisted
+    * [[substringGramIndex]]: every maximal ≥ minLen-char span a NEW
+    * document shares verbatim with a corpus document, as exact 1-based
+    * coordinates (id_a = new, id_b = corpus). The batch hashes its own
+    * grams with the same xxhash64; the fan-out cap reads the PERSISTED
+    * df table (corpus-side frequency ≤ maxGramFreq — singleton corpus
+    * grams stay eligible, the batch occurrence is the other side of
+    * the pair); anchors flow through the shared diagonal-island merge.
+    *
+    * Scale shape: the batch's gram set joins the df table and then the
+    * postings on g — both joins stream the persisted tables once with
+    * the batch side broadcast; the index never shuffles and is never
+    * re-aggregated.
+    */
+  def exactSubstringSpansAgainstPostings(batch: DataFrame,
+                                         postings: DataFrame, gramDf: DataFrame,
+                                         idCol: String, textCol: String,
+                                         minLen: Int,
+                                         maxGramFreq: Int = 1000): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    require(maxGramFreq >= 1, s"maxGramFreq must be >= 1, got $maxGramFreq")
+    val bg = gramPostings(batch, idCol, textCol, minLen,
+      hashGrams = true, bloomPrune = false)
+    val anchors = bg
+      .join(gramDf.filter(col("df") <= maxGramFreq).select("g"), Seq("g"))
+      .select(col("g"), col("id").as("id_a"), col("pos").as("pos_a"))
+      .join(postings.select(col("g"), col("id").as("id_b"),
+        col("pos").as("pos_b")), Seq("g"))
+      .select("id_a", "pos_a", "id_b", "pos_b")
+    anchorsToSpans(anchors, minLen)
+  }
+
+  /** The diagonal-island merge shared by every substring-span form:
+    * matching L-gram anchors (id_a, pos_a, id_b, pos_b) collapse to
+    * maximal spans — consecutive anchors on one diagonal
+    * (pos_a − pos_b) are one island, island length + L − 1 is the span.
+    * Anchors are unique per (pair, pos_a): the gram AT a position is a
+    * function of the position, so no distinct is needed before the
+    * window, and pos_a orders each diagonal strictly.
+    */
+  private def anchorsToSpans(anchors: DataFrame, L: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
     anchors
+      .withColumn("diag", col("pos_a") - col("pos_b"))
       .withColumn("isl", col("pos_a") - row_number().over(w))
       .groupBy("id_a", "id_b", "diag", "isl")
       .agg(min("pos_a").as("start_a"), min("pos_b").as("start_b"),

@@ -164,6 +164,50 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(persisted == inline, s"persisted=${persisted.size} inline=${inline.size}")
   }
 
+  test("substring ingest: against-form equals the cross-restricted span model, persisted equals inline") {
+    // q220's contract: (1) the batch-vs-corpus probe finds exactly the
+    // maximal spans a direct model computes — batch grams paired with
+    // corpus occurrences (corpus df <= cap), diagonal islands merged;
+    // (2) the parquet-persisted index drives the probe to the same rows
+    val docs = engine.Tables.documents(spark, SparkTestSession.sfDir)
+    val batch = docs.filter(pmod(col("doc_id"), lit(10L)) === 0L)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0L)
+    val L = 20 // shorter grams than q220: more spans at unit scale
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val (postings, gramdf) = Dedup.substringGramIndex(corpus, "doc_id", "text", L)
+    val inline = rows(Dedup.exactSubstringSpansAgainstPostings(
+      batch, postings, gramdf, "doc_id", "text", L, maxGramFreq = 1000))
+    // model: exactSubstringSpans over ALL docs (includeSelf=false,
+    // within-pair cross plane) restricted to (batch, corpus) pairs in
+    // EITHER orientation, remapped to (new, corpus) coordinates. The
+    // global [2, cap] frequency filter equals the ingest's corpus-df
+    // cap on these pairs as long as no gram is corpus-absent-but-
+    // batch-repeated with freq > cap — with cap=1000 at unit scale
+    // that cannot trigger, and corpus-df <= global-freq keeps every
+    // ingest-eligible gram model-eligible.
+    val spans = Dedup.exactSubstringSpans(docs, "doc_id", "text", L,
+      maxGramFreq = 1000)
+    val isBatch = (id: Long) => id % 10 == 0
+    val model = spans.collect().flatMap { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val (sa, sb, len) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      if (isBatch(a) && !isBatch(b)) Some((a, b, sa, sb, len))
+      else if (isBatch(b) && !isBatch(a)) Some((b, a, sb, sa, len))
+      else None
+    }.toSet
+    assert(inline.nonEmpty, "no cross spans at unit scale — data too thin")
+    assert(inline == model, s"inline=${inline.size} model=${model.size}")
+    val dir = java.nio.file.Files.createTempDirectory("substring-index").toString
+    postings.write.mode("overwrite").parquet(s"$dir/p")
+    gramdf.write.mode("overwrite").parquet(s"$dir/f")
+    val persisted = rows(Dedup.exactSubstringSpansAgainstPostings(batch,
+      spark.read.parquet(s"$dir/p"), spark.read.parquet(s"$dir/f"),
+      "doc_id", "text", L, maxGramFreq = 1000))
+    assert(persisted == inline)
+  }
+
   test("LSH index upsert: merged touched buckets bit-equal the recompute over the union") {
     // q219's contract: on UNCAPPED postings, merging the batch's band
     // lists into the standing index reproduces, for every touched
