@@ -3536,6 +3536,30 @@ object SparkEntry {
         .select(col("id_a").as("new_id"), col("id_b").as("corpus_id"),
           col("start_a"), col("start_b"), col("span_len"))
         .orderBy("new_id", "corpus_id", "start_a", "start_b")
+    }),
+
+    "q221_lsh_index_delete" -> ((s, d) => {
+      // The DELETE half of index maintenance (q219's sibling — the
+      // tombstone pass a takedown/retention policy runs): a deterministic
+      // md5-free coin (corpus ids with id%7==0) tombstones ~14% of the
+      // standing index; only buckets that CONTAINED a deleted member
+      // are rewritten (fully-emptied buckets disappear), untouched
+      // buckets untouched, the index streams once against the broadcast
+      // tombstone set (Dedup.minHashBandPostingsDelete scaladoc).
+      // Oracle recomputes the bands over corpus MINUS deleted,
+      // restricted to touched buckets — delete == recompute.
+      val docs = documents(s, d)
+      val deleted = docs
+        .filter(pmod(col("doc_id"), lit(10L)) =!= 0L &&
+          pmod(col("doc_id"), lit(7L)) === 0L)
+        .select(col("doc_id"))
+      Dedup.minHashBandPostingsDelete(
+          lshPostingsFullFixture(s, d, docs), deleted)
+        .select(col("band").cast("long").as("band"), col("band_key"),
+          size(col("lst")).cast("long").as("n"),
+          array_join(transform(col("lst"),
+            x => x.getField("id").cast("string")), ",").as("ids"))
+        .orderBy("band", "band_key")
     })
   )
 
@@ -4944,6 +4968,28 @@ object SparkEntry {
          | quality AS best_score, n_members
          |FROM r WHERE rn = 1 ORDER BY cluster""".stripMargin
     },
+
+    // q219's band CTEs over the CORPUS split minus the tombstoned ids,
+    // restricted to buckets that contained a deleted member — delete
+    // must equal recompute on every touched bucket, and fully-emptied
+    // buckets must vanish (the inner join against non-empty recompute
+    // groups encodes that)
+    "q221_lsh_index_delete" ->
+      s"""WITH sh AS (SELECT id, sh FROM ($SHINGLES3) WHERE id % 10 <> 0),
+         |h AS (SELECT id, ${duckHash("sh", 7)} AS h FROM sh),
+         |mh AS (SELECT id, i AS hash_idx,
+         |  min((h*(2*i+1) + i*40503 + 7) % 2147483647) AS min_hash
+         | FROM h CROSS JOIN (SELECT unnest(generate_series(0,15)) AS i) GROUP BY 1,2),
+         |bk0 AS (SELECT id, hash_idx // 4 AS band,
+         |  md5(string_agg(CAST(min_hash AS VARCHAR), ',' ORDER BY hash_idx)) AS band_key
+         | FROM mh GROUP BY 1,2),
+         |touched AS (SELECT DISTINCT band, band_key FROM bk0 WHERE id % 7 = 0),
+         |b AS (SELECT band, band_key, CAST(COUNT(*) AS BIGINT) AS n,
+         |  string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS ids
+         | FROM bk0 WHERE id % 7 <> 0 GROUP BY 1,2)
+         |SELECT CAST(b.band AS BIGINT) AS band, b.band_key, n, ids
+         |FROM b JOIN touched USING (band, band_key)
+         |ORDER BY band, band_key""".stripMargin,
 
     // q125's gram/diagonal CTEs split batch-vs-corpus: corpus-side
     // postings with the df <= 1000 cap (no lower bound — the batch

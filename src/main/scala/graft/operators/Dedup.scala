@@ -426,6 +426,38 @@ object Dedup {
           .as("lst"))
   }
 
+  /** The DELETE half of LSH index maintenance (the tombstone pass a
+    * GDPR takedown or a retention policy runs): remove `deletedIds`
+    * (one id column) from a prebuilt UNCAPPED [[minHashBandPostings]]
+    * frame, returning the post-delete lists of the TOUCHED buckets —
+    * buckets that contained a deleted member; a fully-emptied bucket
+    * disappears (no empty-list rows), and untouched buckets are
+    * untouched. The deleted-id set BROADCASTS both into the touch
+    * filter and the list rewrite, so the index streams once and never
+    * shuffles. delete == recompute over (corpus MINUS deleted)
+    * restricted to the touched buckets, exactly (same
+    * groupBy-distributes-over-difference argument as
+    * [[minHashBandPostingsUpsert]]'s union).
+    */
+  def minHashBandPostingsDelete(existing: DataFrame,
+                                deletedIds: DataFrame): DataFrame = {
+    val del = deletedIds.select(col(deletedIds.columns.head).cast("long").as("__del"))
+    val touched = existing
+      .select(col("band"), col("band_key"), explode(col("lst")).as("m"))
+      .join(broadcast(del), col("m.id") === col("__del"), "left_semi")
+      .select("band", "band_key").distinct()
+    existing
+      .join(broadcast(touched), Seq("band", "band_key"), "left_semi")
+      // the deleted set rides as ONE collected array row (bounded: a
+      // tombstone batch), cross-joined broadcast so the member filter
+      // is a map-side array_contains
+      .join(broadcast(del.agg(sort_array(collect_list("__del")).as("__dels"))))
+      .select(col("band"), col("band_key"),
+        filter(col("lst"),
+          m => !array_contains(col("__dels"), m.getField("id"))).as("lst"))
+      .filter(size(col("lst")) > 0)
+  }
+
   /** [[minHashLshAgainst]] against a prebuilt (possibly
     * parquet-persisted) [[minHashBandPostings]] frame. The k/bands/
     * rowsPerBand parameters MUST match the ones the postings were built

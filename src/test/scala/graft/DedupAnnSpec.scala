@@ -238,6 +238,39 @@ class DedupAnnSpec extends AnyFunSuite {
       s"merged=${merged.size} buckets, recompute-touched=${expected.size}")
   }
 
+  test("LSH index delete: touched buckets bit-equal the recompute minus tombstones") {
+    // q221's contract: deleting ids from the uncapped standing index
+    // reproduces, for every bucket that contained a deleted member,
+    // EXACTLY the recompute over corpus-minus-deleted — including
+    // signatures; fully-emptied buckets vanish; untouched buckets are
+    // not in the output
+    val docs = engine.Tables.documents(spark, SparkTestSession.sfDir)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0L)
+    val standing = Dedup.minHashBandPostings(corpus, "doc_id", "text",
+      k = 3, bands = 4, rowsPerBand = 4, maxBucketSize = Int.MaxValue)
+    val deleted = corpus.filter(pmod(col("doc_id"), lit(7L)) === 0L)
+      .select(col("doc_id"))
+    def buckets(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.get(0), r.getString(1)) ->
+        r.getSeq[org.apache.spark.sql.Row](2).map(x =>
+          (x.getLong(0), x.getSeq[Long](1)))).toMap
+    val got = buckets(Dedup.minHashBandPostingsDelete(standing, deleted))
+    val remaining = buckets(Dedup.minHashBandPostings(
+      corpus.filter(pmod(col("doc_id"), lit(7L)) =!= 0L), "doc_id", "text",
+      k = 3, bands = 4, rowsPerBand = 4, maxBucketSize = Int.MaxValue))
+    val delIds = deleted.collect().map(_.getLong(0)).toSet
+    // NOT Map.collect: a partial function yielding the (band, band_key)
+    // TUPLE makes collect rebuild a Map keyed by band alone (4 keys)
+    val touchedKeys = buckets(standing)
+      .filter { case (_, lst) => lst.exists(m => delIds(m._1)) }.keySet
+    val expected = remaining.view.filterKeys(touchedKeys).toMap
+    assert(got.nonEmpty && got == expected,
+      s"got=${got.size} expected=${expected.size}")
+    // a fully-emptied bucket must NOT appear
+    assert(got.keySet.subsetOf(touchedKeys))
+    assert((touchedKeys -- remaining.keySet).forall(k => !got.contains(k)))
+  }
+
   test("PPJoin ingest: prefix-posting probe matches brute force, persisted equals inline") {
     // q218's contract, both halves: (1) NO recall loss — the batch-vs-
     // corpus prefix-posting probe finds EXACTLY the pairs a brute-force
