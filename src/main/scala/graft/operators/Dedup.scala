@@ -416,8 +416,17 @@ object Dedup {
       bands, rowsPerBand)
     val batchLists = nb.groupBy("band", "band_key")
       .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("new_lst"))
-    existing
-      .join(broadcast(batchLists), Seq("band", "band_key"), "right")
+    // Two joins instead of one right-outer: Spark cannot broadcast the
+    // RIGHT side of a right outer join (build-left only — the hint is
+    // ignored and the INDEX side would shuffle), but a broadcast LEFT
+    // SEMI streams the index once map-side to select the touched
+    // buckets, and the outer merge then joins two batch-proportional
+    // frames.
+    val touchedExisting = existing.join(
+      broadcast(batchLists.select("band", "band_key")),
+      Seq("band", "band_key"), "left_semi")
+    batchLists
+      .join(touchedExisting, Seq("band", "band_key"), "left")
       .select(col("band"), col("band_key"),
         // concat(NULL, x) is NULL — a batch-only bucket (no standing
         // list) is just the batch's own list
