@@ -3,7 +3,7 @@ package graft
 import org.scalacheck.{Gen, rng}
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, Sketches}
 
 /** Model-based property tests of the dedup family: ScalaCheck-generated
   * corpora (planted exact copies, whitespace variants, case flips, token
@@ -252,5 +252,74 @@ class DedupPropertySpec extends AnyFunSuite {
           s"includeSelf=$includeSelf cap=$cap hashGrams=$hash diverged")
       }
     }
+  }
+
+  test("ppJoinAgainstPostings equals the brute-force cross model at several thresholds") {
+    // the generated corpus splits on the q218 coin; the model is the
+    // exact shingle-set Jaccard over every (batch, corpus) pair — the
+    // prefix filter must lose NOTHING at any threshold, including
+    // batch shingles the corpus never saw (the reorder/append mutations
+    // plant plenty)
+    val df = docs.toDF("doc_id", "text")
+    val batch = df.filter(org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.lit(10L)) === 0L)
+    val corpus = df.filter(org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.lit(10L)) =!= 0L)
+    def shingleSet(t: String): Set[String] = {
+      val toks = t.trim match { case "" => Nil; case s => s.split("\\s+").toList }
+      if (toks.size < 3) Set(toks.mkString(" "))
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val bSets = docs.filter(_._1 % 10 == 0).map { case (i, t) => i -> shingleSet(t) }
+    val cSets = docs.filter(_._1 % 10 != 0).map { case (i, t) => i -> shingleSet(t) }
+    for (t <- Seq(200000L, 500000L, 800000L)) {
+      val model = (for {
+        (bi, bs) <- bSets; (ci, cs) <- cSets
+        inter = (bs intersect cs).size.toLong
+        jac = inter * 1000000L / (bs.size + cs.size - inter)
+        if jac >= t
+      } yield (bi, ci, inter, jac)).toSet
+      val (dfreq, postings, sets) = Dedup.ppJoinIndex(corpus, "doc_id", "text", t)
+      val got = Dedup.ppJoinAgainstPostings(batch, dfreq, postings, sets,
+          "doc_id", "text", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == model, s"t=$t got=${got.size} model=${model.size}")
+    }
+  }
+
+  test("Misra-Gries: contract holds on random skewed streams at random partitionings") {
+    // ScalaCheck-generated zipf-ish streams: for every (k, partitioning)
+    // the exact heavy hitters must be retained, never overcounted, and
+    // undercounted by at most n/k — the PODS merge rule across whatever
+    // merge tree Spark's partitioning induces
+    import org.apache.spark.sql.{functions => F}
+    val params = Gen.Parameters.default
+    val streamGen = for {
+      nHot <- Gen.chooseNum(1, 3)
+      hotReps <- Gen.chooseNum(150, 400)
+      coldKinds <- Gen.chooseNum(20, 80)
+      coldReps <- Gen.chooseNum(1, 9)
+    } yield (0 until nHot).flatMap(h => Seq.fill(hotReps)(s"hot$h")) ++
+      (0 until coldKinds).flatMap(c => Seq.fill(coldReps)(s"c$c"))
+    var checked = 0
+    Iterator.iterate(rng.Seed(11L))(_.next).take(4).foreach { seed =>
+      val stream = streamGen.pureApply(params, seed)
+      for (k <- Seq(5, 12); parts <- Seq(1, 7)) {
+        val n = stream.size.toLong
+        val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val heavy = exact.filter { case (_, c) => c * k > n }
+        val rows = Sketches.mgHeavyHitters(
+            stream.toDF("w").repartition(parts), F.col("w"), k)
+          .collect().map(r => r.getString(0) ->
+            (r.getBoolean(2), r.getBoolean(3), r.getBoolean(4))).toMap
+        assert(rows.keySet == heavy.keySet, s"k=$k parts=$parts")
+        assert(rows.values.forall(_ == ((true, true, true))),
+          s"k=$k parts=$parts contract: $rows")
+        checked += heavy.size
+      }
+    }
+    assert(checked > 0, "no heavy hitters generated — weak test data")
   }
 }
