@@ -3560,6 +3560,33 @@ object SparkEntry {
           array_join(transform(col("lst"),
             x => x.getField("id").cast("string")), ",").as("ids"))
         .orderBy("band", "band_key")
+    }),
+
+    "q222_ann_ivf_upsert" -> ((s, d) => {
+      // IVF list UPSERT against FROZEN corpus-trained centroids (the
+      // ANN-side q219: real IVF systems freeze the codebook between
+      // retrains and fold new vectors into their argmin lists):
+      // assignment is a pure per-vector function of the centroids, so
+      // merged-touched-lists == recompute-over-union is definitional —
+      // the oracle proves the ENGINE's assignments (round-6dp argmin,
+      // q54 semantics) agree on every touched list. Only batch vectors
+      // are assigned here; corpus lists come from the persisted
+      // cid-partitioned fixture.
+      val e = embeddings(s, d)
+      val (cents, lists) = ivfCorpusIndexFixture(s, d, e)
+      val batch = e.filter(pmod(col("vec_id"), lit(10L)) === 0L)
+      val bAssign = Ann.ivfListAssignments(batch, "vec_id", "embedding", cents)
+        .select(col("cid").cast("long").as("cid"),
+          col("neighbor_id").cast("long").as("vec_id"))
+      val touched = bAssign.select("cid").distinct()
+      lists.select(col("cid"), col("neighbor_id").cast("long").as("vec_id"))
+        .join(broadcast(touched), Seq("cid"), "left_semi")
+        .unionByName(bAssign)
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n"),
+          array_join(transform(sort_array(collect_list(col("vec_id"))),
+            v => v.cast("string")), ",").as("ids"))
+        .orderBy("cid")
     })
   )
 
@@ -3734,6 +3761,31 @@ object SparkEntry {
       built._3.write.mode("overwrite").parquet(tmp)
     }
     (s.read.parquet(fPath), s.read.parquet(pPath), s.read.parquet(sPath))
+  }
+
+  /** q222's persisted CORPUS-split IVF index: centroids trained on the
+    * standing corpus only (vec_id%10 != 0 — frozen between retrains,
+    * the production IVF policy) plus its cid-partitioned inverted
+    * lists. The q207 fixture trains on the full table (its probe is a
+    * read); an UPSERT needs the corpus/batch split.
+    */
+  private def ivfCorpusIndexFixture(s: SparkSession, d: String,
+                                    e: DataFrame): (DataFrame, DataFrame) = synchronized {
+    val cPath = fixturePath(d, "ivfc_centroids.parquet")
+    val aPath = fixturePath(d, "ivfc_lists.parquet")
+    lazy val corpus = e.filter(pmod(col("vec_id"), lit(10L)) =!= 0L)
+    ensureFixture(cPath) { tmp =>
+      operators.Ann.kmeansCentroids(corpus, "vec_id", "embedding",
+          nLists = 8, iters = 2)
+        .write.mode("overwrite").parquet(tmp)
+    }
+    ensureFixture(aPath) { tmp =>
+      operators.Ann.ivfListAssignments(corpus, "vec_id", "embedding",
+          s.read.parquet(cPath))
+        .write.mode("overwrite").partitionBy("cid").parquet(tmp)
+    }
+    (s.read.parquet(cPath),
+     s.read.parquet(aPath).withColumn("cid", col("cid").cast("long")))
   }
 
   /** q207's persisted standing IVF index (the q203/q206 fixture
@@ -5071,6 +5123,10 @@ object SparkEntry {
     // vectors is lossless) — same oracle
     "q207_ann_ivf_ingest" -> ivfKmeansOracle,
 
+    // corpus-trained k-means + union assignment restricted to the
+    // batch's lists: upsert == recompute on every touched list
+    "q222_ann_ivf_upsert" -> ivfUpsertOracle,
+
     // q54's k-means CTEs (seed + 2 Lloyd rounds + full assignment),
     // then SemDeDup's verdict: drop any vector with a lower-id
     // cluster-mate at cosine >= 0.35 (rounded to 4 decimals before the
@@ -5898,6 +5954,47 @@ object SparkEntry {
     * (2 Lloyd rounds, 6dp-rounded means/distances), full assignment,
     * nProbe=2 probe, exact cosine top-5 within the probed lists.
     */
+  /** q222's oracle: q54's k-means CTEs trained on the CORPUS split
+    * (vec_id%10 != 0) — seeds and both Lloyd rounds see corpus vectors
+    * only — then ALL vectors assigned to the frozen result, restricted
+    * to the lists containing a batch vector.
+    */
+  private lazy val ivfUpsertOracle: String = {
+    def iter(prev: String, a: String, c: String) =
+      s"""$a AS (SELECT sid, v, cid FROM (
+         |  SELECT ec.vec_id AS sid, ec.v, $prev.cid,
+         |   row_number() OVER (PARTITION BY ec.vec_id
+         |     ORDER BY round(ec.vv - 2.0*list_dot_product(ec.v, $prev.cv)
+         |       + list_dot_product($prev.cv, $prev.cv), 6), $prev.cid) AS rn
+         |  FROM ec CROSS JOIN $prev) t WHERE rn = 1),
+         |$c AS (SELECT cid, list(m ORDER BY pos) AS cv FROM (
+         |  SELECT cid, pos, round(avg(x), 6) AS m FROM (
+         |   SELECT cid, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM $a) u
+         |  GROUP BY 1, 2) g GROUP BY 1)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+       |  list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS vv FROM embeddings),
+       |ec AS (SELECT * FROM e WHERE vec_id % 10 <> 0),
+       |seed AS (SELECT CAST(row_number() OVER (ORDER BY h, sid) AS BIGINT) AS cid, v AS cv
+       | FROM (SELECT vec_id AS sid, v,
+       |   ${duckHash("concat('ivf_', CAST(vec_id AS VARCHAR))", 15)} AS h
+       |  FROM ec ORDER BY h, sid LIMIT 8) t),
+       |${iter("seed", "a1", "c1")},
+       |${iter("c1", "a2", "c2")},
+       |ad AS (SELECT e.vec_id, c2.cid,
+       |  round(e.vv - 2.0*list_dot_product(e.v, c2.cv)
+       |    + list_dot_product(c2.cv, c2.cv), 6) AS d
+       | FROM e CROSS JOIN c2),
+       |asgn AS (SELECT vec_id, cid FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM ad)
+       | WHERE rn = 1),
+       |touched AS (SELECT DISTINCT cid FROM asgn WHERE vec_id % 10 = 0)
+       |SELECT CAST(asgn.cid AS BIGINT) AS cid,
+       | CAST(COUNT(*) AS BIGINT) AS n,
+       | string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY vec_id) AS ids
+       |FROM asgn JOIN touched USING (cid)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   private lazy val ivfKmeansOracle: String = {
     val dist = "round(vv - 2.0*list_dot_product(v, cv) + list_dot_product(cv, cv), 6)"
     def iter(prev: String, a: String, c: String) =
