@@ -82,6 +82,66 @@ object SparkEntry {
     "merge", "row", "scan", "slow", "sort", "spark", "table", "the",
     "value", "window", "zzz_absent")
 
+  /** q223/q224's log-bucket quantile sketch geometry: 5 sub-bucket bits
+    * ⇒ relative error < 2^-5 ≈ 3.1%, state ≤ 64·32 = 2048 cells per
+    * group forever. Shared with the oracle SQL (same bit arithmetic)
+    * and the quantile targets (ppm, integer rank rule).
+    */
+  private val LbSubBits = 5
+  private val LbQPpms = Seq(500000L, 900000L, 990000L)
+
+  /** The shared WITH-chain of the q223/q224 oracles: recompute the
+    * log-bucket sketch (pure bit arithmetic — deterministic in any
+    * engine), apply the integer rank rule, decode the selected bucket's
+    * lower bound + width, and compute the exact discrete quantile under
+    * the SAME rank rule from the raw value histogram.
+    */
+  private lazy val logBucketOracleCore: String = {
+    val s = LbSubBits
+    val w = 1L << s
+    val qs = LbQPpms.mkString(", ")
+    s"""WITH v AS (SELECT o_orderpriority AS grp,
+       |  CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+       |cells AS (SELECT grp,
+       |  CAST(length(bin(v)) - 1 AS BIGINT) * $w
+       |    + (v >> GREATEST(length(bin(v)) - 1 - $s, 0))
+       |    - (CAST(1 AS BIGINT) << ((length(bin(v)) - 1)
+       |        - GREATEST(length(bin(v)) - 1 - $s, 0))) AS k,
+       |  COUNT(*) AS cnt
+       | FROM v GROUP BY 1, 2),
+       |n AS (SELECT grp, CAST(SUM(cnt) AS BIGINT) AS n_total
+       | FROM cells GROUP BY 1),
+       |q AS (SELECT CAST(unnest([$qs]) AS BIGINT) AS q_ppm),
+       |r AS (SELECT grp, n_total, q_ppm,
+       |  GREATEST((n_total * q_ppm + 999999) // 1000000, 1) AS rnk
+       | FROM n CROSS JOIN q),
+       |cum AS (SELECT grp, k,
+       |  SUM(cnt) OVER (PARTITION BY grp ORDER BY k) AS c FROM cells),
+       |sel AS (SELECT r.grp, q_ppm, n_total,
+       |  MIN(CASE WHEN c >= rnk THEN k END) AS kb
+       | FROM r JOIN cum ON r.grp = cum.grp GROUP BY 1, 2, 3),
+       |est AS (SELECT grp, q_ppm, n_total,
+       |  ((kb % $w) + (CAST(1 AS BIGINT)
+       |     << (CAST(kb // $w AS INT) - GREATEST(CAST(kb // $w AS INT) - $s, 0))))
+       |    << GREATEST(CAST(kb // $w AS INT) - $s, 0) AS est,
+       |  CAST(1 AS BIGINT) << GREATEST(CAST(kb // $w AS INT) - $s, 0) AS width
+       | FROM sel),
+       |ex AS (SELECT grp, v, COUNT(*) AS cnt FROM v GROUP BY 1, 2),
+       |excum AS (SELECT grp, v,
+       |  SUM(cnt) OVER (PARTITION BY grp ORDER BY v) AS c FROM ex),
+       |exact AS (SELECT r.grp, q_ppm, MIN(CASE WHEN c >= rnk THEN v END) AS exact
+       | FROM r JOIN excum ON r.grp = excum.grp GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** q226's phrase denylist, shared with the oracle SQL. Chosen to
+    * exercise the automaton: mid-word hits (`ash` inside `hash`),
+    * cross-word-boundary phrases (`order s`, `scan merge`), a pattern
+    * nested inside another's matches (`an me` inside `scan merge`), and
+    * a never-matching entry (absent patterns simply emit no rows).
+    */
+  private val BlockPatterns = Seq("an me", "ash", "hash", "order s",
+    "scan merge", "slow", "zz_absent")
+
   /** q139's hashed-feature space (DSIR): the weight table is bounded at
     * this many rows regardless of corpus size — the paper's own trick
     * for web scale. Shared with the oracle SQL's % modulus.
@@ -3587,7 +3647,89 @@ object SparkEntry {
           array_join(transform(sort_array(collect_list(col("vec_id"))),
             v => v.cast("string")), ",").as("ids"))
         .orderBy("cid")
-    })
+    }),
+
+    "q223_logbucket_quantiles" -> ((s, d) => {
+      // Log-bucket quantile sketch (HdrHistogram bucketing / DDSketch
+      // with gamma = 2^-5): p50/p90/p99 of order value per priority
+      // class from a sketch whose state is <= 64*2^5 cells per group
+      // FOREVER — one map-side-combined agg, no corpus sort (the
+      // latency/price dashboard quantile at 100 TB). est = selected
+      // bucket's lower bound; the exact discrete quantile (same integer
+      // rank rule over q92's value-domain histogram) rides along, and
+      // the two contract booleans assert the structural guarantee
+      // est <= exact < est + width (relative error < 2^-5). The oracle
+      // recomputes sketch AND exact, so every column hash-compares
+      // (Sketches.logBucketCells scaladoc).
+      val o = orders(s, d).select(col("o_orderpriority").as("grp"),
+        cents(col("o_totalprice")).as("v"))
+      val cells = Sketches.logBucketCells(o, "grp", col("v"), LbSubBits)
+      val est = Sketches.logBucketQuantiles(cells, LbQPpms, LbSubBits)
+      val exact = Sketches.exactDiscQuantiles(o, "grp", col("v"), LbQPpms)
+      est.join(exact.select("grp", "q_ppm", "exact"), Seq("grp", "q_ppm"))
+        .select(col("grp"), col("q_ppm"), col("n_total"), col("est"),
+          col("exact"),
+          (col("est") <= col("exact")).cast("long").as("le_exact"),
+          (col("exact") < col("est") + col("width")).cast("long").as("lt_ub"))
+        .orderBy("grp", "q_ppm")
+    }),
+
+    "q224_logbucket_merge" -> ((s, d) => {
+      // Sketch LINEARITY proven for quantiles (the q168/q178 property
+      // on the log-bucket sketch): sketch each md5-half of orders
+      // separately, merge cellwise, and the quantile rows must equal
+      // the whole-corpus sketch's — the oracle is q223's est side
+      // verbatim. This is what lets a warehouse keep per-day/partition
+      // quantile-sketch columns and answer global percentiles without
+      // re-reading history (Sketches.logBucketMerge scaladoc).
+      val o = orders(s, d).select(col("o_orderkey"),
+        col("o_orderpriority").as("grp"), cents(col("o_totalprice")).as("v"))
+      val coin = pmod(tokenHash64(concat(lit("lbq_"),
+        col("o_orderkey").cast("string"))), lit(2L))
+      def half(m: Int) = Sketches.logBucketCells(
+        o.filter(coin === m), "grp", col("v"), LbSubBits)
+      Sketches.logBucketQuantiles(
+          Sketches.logBucketMerge(Seq(half(0), half(1))), LbQPpms, LbSubBits)
+        .drop("width")
+        .orderBy("grp", "q_ppm")
+    }),
+
+    "q225_skew_safe_join" -> ((s, d) => {
+      // Skew-safe fact->dim equi-join (the q212 hot-key doctrine on
+      // JOINS): lineitem rows salt deterministically on their row id,
+      // supplier replicates per salt, the join runs on (suppkey, salt)
+      // so a viral supplier's volume spreads over 8 reducers instead
+      // of one. Result is IDENTICAL to the plain join — the oracle IS
+      // the plain join, so the green row proves the rewrite is a
+      // result identity (Relational.skewSafeJoin scaladoc).
+      val joined = Relational.skewSafeJoin(
+        lineitem(s, d).select(col("l_suppkey"), col("l_orderkey"),
+          col("l_linenumber"), cents(col("l_extendedprice")).as("price_c")),
+        supplier(s, d).select(col("s_suppkey"), col("s_nationkey")),
+        "l_suppkey", "s_suppkey",
+        concat(col("l_orderkey"), lit("_"), col("l_linenumber")), salts = 8)
+      joined.groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_li"), sum("price_c").as("sum_price_c"))
+        .select(col("s_nationkey").cast("long").as("nation_key"),
+          col("n_li"), col("sum_price_c"))
+        .orderBy("nation_key")
+    }),
+
+    "q226_blocklist_screen" -> ((s, d) =>
+      // Phrase-denylist screening via ONE Aho-Corasick pass per
+      // document (map-only; the automaton is KBs in the closure):
+      // every occurrence of every pattern — overlapping, mid-word,
+      // cross-word-boundary — counted at its end position, then rolled
+      // up per pattern. The oracle replays the count positionally
+      // (substr at every start), so the hash match proves the
+      // automaton's occurrence semantics (Curation.blocklistScreen
+      // scaladoc).
+      Curation.blocklistScreen(documents(s, d), "doc_id", "text",
+          BlockPatterns)
+        .groupBy("pat")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum("cnt").cast("long").as("total_occ"))
+        .orderBy("pat"))
   )
 
   /** q210's deterministic raw-URL derivation (shared with its oracle by
@@ -7680,6 +7822,48 @@ object SparkEntry {
          |  FROM base WHERE ntok >= 50
          | UNION ALL SELECT 'n_unique_texts', CAST(COUNT(DISTINCT fp) AS BIGINT) FROM base
          | UNION ALL SELECT 'total_tokens', CAST(SUM(ntok) AS BIGINT) FROM base)
-         |ORDER BY metric""".stripMargin
+         |ORDER BY metric""".stripMargin,
+
+    // the full contract row: sketch estimate + exact discrete quantile
+    // (shared integer rank rule) + the two structural-guarantee booleans
+    "q223_logbucket_quantiles" ->
+      s"""$logBucketOracleCore
+         |SELECT e.grp, e.q_ppm, e.n_total, e.est, x.exact,
+         |  CAST(e.est <= x.exact AS BIGINT) AS le_exact,
+         |  CAST(x.exact < e.est + e.width AS BIGINT) AS lt_ub
+         |FROM est e JOIN exact x ON e.grp = x.grp AND e.q_ppm = x.q_ppm
+         |ORDER BY e.grp, e.q_ppm""".stripMargin,
+
+    // merged half-sketches must reproduce the WHOLE-corpus sketch's
+    // quantile rows exactly (the sketch is linear) — est side of q223
+    "q224_logbucket_merge" ->
+      s"""$logBucketOracleCore
+         |SELECT grp, q_ppm, n_total, est FROM est
+         |ORDER BY grp, q_ppm""".stripMargin,
+
+    // the plain join IS the oracle: the salted rewrite must be a
+    // result identity
+    "q225_skew_safe_join" ->
+      """SELECT CAST(s_nationkey AS BIGINT) AS nation_key,
+        | CAST(COUNT(*) AS BIGINT) AS n_li,
+        | CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |   AS sum_price_c
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // occurrence counts replayed POSITIONALLY: substr at every start
+    // position (overlapping matches counted, like the automaton)
+    "q226_blocklist_screen" -> {
+      val pl = BlockPatterns.map(p => s"'$p'").mkString(", ")
+      s"""WITH pats AS (SELECT unnest([$pl]) AS pat),
+         |occ AS (SELECT d.doc_id AS id, p.pat, COUNT(*) AS cnt
+         | FROM documents d, pats p, LATERAL (SELECT unnest(generate_series(1,
+         |   greatest(length(d.text) - length(p.pat) + 1, 0))) AS i) t
+         | WHERE substr(d.text, CAST(t.i AS INT), length(p.pat)) = p.pat
+         | GROUP BY 1, 2)
+         |SELECT pat, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         | CAST(SUM(cnt) AS BIGINT) AS total_occ
+         |FROM occ GROUP BY 1 ORDER BY 1""".stripMargin
+    }
   )
 }

@@ -970,4 +970,95 @@ object Curation {
       .agg(count(lit(1)).cast("long").as("n_urls"),
         countDistinct(col(urlCol)).cast("long").as("n_raw_forms"),
         min(col(idCol)).cast("long").as("keeper_id"))
+
+  /** Aho-Corasick multi-pattern automaton (Aho & Corasick, CACM 1975):
+    * one pass over the text finds EVERY occurrence of every pattern —
+    * including overlapping ones — in O(|text| + matches), independent
+    * of pattern count. Built once per JVM per pattern set (the
+    * automaton is a pure function of the patterns) and reached through
+    * a process-level cache, so the UDF closure ships only the pattern
+    * strings. `out` is pre-merged through the fail links in BFS order
+    * (fail targets are shallower, hence already final), so a node visit
+    * reports every pattern ending at that text position.
+    */
+  private final class AcAutomaton(patterns: Array[String])
+      extends Serializable {
+    import scala.collection.mutable
+    private val next = mutable.ArrayBuffer(mutable.HashMap.empty[Char, Int])
+    private val fail = mutable.ArrayBuffer(0)
+    private val out = mutable.ArrayBuffer(List.empty[Int])
+    patterns.zipWithIndex.foreach { case (p, pi) =>
+      var n = 0
+      p.foreach { c =>
+        n = next(n).getOrElseUpdate(c, {
+          next += mutable.HashMap.empty[Char, Int]
+          fail += 0; out += Nil; next.length - 1
+        })
+      }
+      out(n) = pi :: out(n)
+    }
+    locally {
+      val q = mutable.Queue.empty[Int]
+      next(0).valuesIterator.foreach { v => fail(v) = 0; q += v }
+      while (q.nonEmpty) {
+        val u = q.dequeue()
+        next(u).foreach { case (c, v) =>
+          var f = fail(u)
+          while (f != 0 && !next(f).contains(c)) f = fail(f)
+          val t = next(f).getOrElse(c, 0)
+          fail(v) = if (t != v) t else 0
+          out(v) = out(v) ::: out(fail(v))
+          q += v
+        }
+      }
+    }
+    /** Total occurrence count per pattern index (overlaps counted). */
+    def countMatches(text: String): Array[Long] = {
+      val counts = new Array[Long](patterns.length)
+      var n = 0; var i = 0
+      while (i < text.length) {
+        val c = text.charAt(i)
+        while (n != 0 && !next(n).contains(c)) n = fail(n)
+        n = next(n).getOrElse(c, 0)
+        var os = out(n)
+        while (os.nonEmpty) { counts(os.head) += 1; os = os.tail }
+        i += 1
+      }
+      counts
+    }
+  }
+
+  private val acCache =
+    new java.util.concurrent.ConcurrentHashMap[java.util.List[String], AcAutomaton]()
+  private def acFor(pats: Array[String]): AcAutomaton =
+    acCache.computeIfAbsent(java.util.Arrays.asList(pats: _*),
+      _ => new AcAutomaton(pats))
+
+  /** Blocklist screening — the substring form of content filtering a
+    * curation pipeline runs against a phrase denylist (slurs, template
+    * boilerplate, licence markers) where token-level matching misses
+    * multi-word and mid-word hits. MAP-ONLY: the automaton (KBs) rides
+    * the closure, each document is scanned once, and only (id, pattern,
+    * count) rows for actual hits survive — no shuffle until whatever
+    * aggregation the caller adds. Occurrences are counted at every end
+    * position (overlapping matches included), the semantics the oracle
+    * replays positionally. Returns (id, pat, cnt) with cnt ≥ 1.
+    */
+  def blocklistScreen(docs: DataFrame, idCol: String, textCol: String,
+                      patterns: Seq[String]): DataFrame = {
+    require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
+      "patterns must be non-empty strings")
+    require(patterns.distinct.size == patterns.size, "duplicate pattern")
+    val pats = patterns.toArray
+    val countsUdf = udf { (text: String) =>
+      if (text == null) Map.empty[String, Long]
+      else {
+        val c = acFor(pats).countMatches(text)
+        pats.indices.iterator.filter(c(_) > 0L)
+          .map(i => pats(i) -> c(i)).toMap
+      }
+    }
+    docs.select(col(idCol).as("id"),
+        explode(countsUdf(col(textCol))).as(Seq("pat", "cnt")))
+  }
 }

@@ -1146,6 +1146,38 @@ object Relational {
     alg.join(dist, Seq("k"))
   }
 
+  /** Skew-safe equi-join via deterministic salting — the hot-key
+    * rewrite for a fact→dimension join whose fact-side key distribution
+    * concentrates at warehouse scale (one viral item behind billions of
+    * fact rows puts that key's whole volume on one reducer). Fact rows
+    * get salt = md5(row id) mod `salts` — NO rand(), so the plan is
+    * deterministic and restartable — and the dimension side replicates
+    * each row `salts` times; the join runs on (key, salt), spreading a
+    * hot key over `salts` reducers. Every fact row matches EXACTLY the
+    * one replica carrying its salt, so the result is IDENTICAL to the
+    * plain join — the q212 result-identity contract, applied to joins
+    * (q225's oracle is the plain join). Cost ledger at 100 TB:
+    * |dim|·salts replication (the dim is the small side by assumption)
+    * buys the removal of the per-key reducer ceiling. AQE's skew-split
+    * handles the sort-merge case adaptively at runtime; the explicit
+    * salt is the library surface for what AQE cannot touch —
+    * deterministic bucketed layouts, pre-partitioned standing tables,
+    * and plans that must not depend on runtime statistics.
+    */
+  def skewSafeJoin(facts: DataFrame, dim: DataFrame, factKey: String,
+                   dimKey: String, factIdCol: Column, salts: Int): DataFrame = {
+    import graft.functions.TextFunctions.tokenHash64
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    val fs = facts.withColumn("__fsalt",
+      pmod(tokenHash64(concat(lit("sj_"), factIdCol.cast("string"))),
+        lit(salts.toLong)))
+    val ds = dim.withColumn("__dsalt",
+      explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    fs.join(ds, fs(factKey) === ds(dimKey) &&
+        fs("__fsalt") === ds("__dsalt"))
+      .drop("__fsalt", "__dsalt")
+  }
+
   /** Bloom-pruned inner equi-join: build a bloom over the SELECTIVE
     * side's join keys with ZERO shuffle ([[Dedup.keyBloom]] — per-
     * partition blooms, driver bit-OR), then filter the big side

@@ -392,6 +392,132 @@ object Sketches {
         coalesce(col("cb"), lit(0L))).as("ip"))
       .agg(min("ip").cast("long").as("est_join_size"))
 
+  // ------------------------------------------------------------------ //
+  // Log-bucket quantile sketch (HdrHistogram bucketing / DDSketch with //
+  // a power-of-two gamma — Tene, HdrHistogram; Masson et al. VLDB'19). //
+  // ------------------------------------------------------------------ //
+
+  /** Log-bucket index of a positive integer value, `subBits` sub-bucket
+    * bits per power of two. With e = floor(log2(v)):
+    *
+    *   shift = max(e - subBits, 0)
+    *   idx   = e·2^subBits + (v >> shift) − 2^(e − shift)
+    *
+    * i.e. the exponent plus the top `subBits` mantissa bits. The map is
+    * monotone in v (so bucket order IS value order), buckets are
+    * singletons below 2^subBits (small values exact), and above that a
+    * bucket spans 2^(e−subBits) consecutive values starting at its
+    * [[logBucketLowerSql]] — a guaranteed RELATIVE error < 2^-subBits.
+    * Everything is integer bit arithmetic (`length(bin(v))−1` is the
+    * exact floor-log2 both engines share — no float log), so the sketch
+    * is a pure function of the data: DETERMINISTIC, order-free, and
+    * oracle-recomputable like KMV/CMS, unlike q70's engine-private KLL.
+    *
+    * State bound: e ≤ 63 ⇒ at most 64·2^subBits buckets per group EVER
+    * (2048 at subBits=5) — bounded forever, mergeable by cellwise
+    * addition ([[logBucketMerge]]; the sketch is linear like CMS).
+    */
+  def logBucketIdxSql(v: String, subBits: Int): String = {
+    val w = 1L << subBits
+    val e = s"(length(bin($v)) - 1)"
+    val sh = s"greatest($e - $subBits, 0)"
+    s"(cast($e as bigint) * ${w}L + ($v >> $sh) - shiftleft(1L, $e - $sh))"
+  }
+
+  /** Inclusive lower bound of log bucket `k` (smallest v mapping to it):
+    * with e = k div 2^subBits, m = k mod 2^subBits, shift = max(e −
+    * subBits, 0): lb = (m + 2^(e−shift)) << shift.
+    */
+  def logBucketLowerSql(k: String, subBits: Int): String = {
+    val w = 1L << subBits
+    val e = s"cast($k div ${w}L as int)"
+    val sh = s"greatest($e - $subBits, 0)"
+    s"shiftleft(($k % ${w}L) + shiftleft(1L, $e - $sh), $sh)"
+  }
+
+  /** Exclusive-width of log bucket `k`: 2^shift (1 below 2^subBits). */
+  def logBucketWidthSql(k: String, subBits: Int): String = {
+    val w = 1L << subBits
+    s"shiftleft(1L, greatest(cast($k div ${w}L as int) - $subBits, 0))"
+  }
+
+  /** Build the per-group log-bucket sketch: (grp, bucket, cnt). ONE hash
+    * aggregation over a ≤ 64·2^subBits key domain per group — map-side
+    * partials bound the shuffle at |groups|·|buckets| cells regardless
+    * of corpus size (the cmsBuild shape for quantiles). `v` must be a
+    * positive integer column (money in cents, latencies in µs, token
+    * counts — the quantile targets of a pipeline dashboard).
+    */
+  def logBucketCells(df: DataFrame, grpCol: String, v: Column,
+                     subBits: Int): DataFrame = {
+    require(subBits >= 1 && subBits <= 16,
+      s"need 1 <= subBits <= 16, got $subBits")
+    df.select(col(grpCol).as("grp"), v.cast("long").as("__v"))
+      .withColumn("bucket", expr(logBucketIdxSql("__v", subBits)))
+      .groupBy("grp", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge log-bucket sketches by cellwise addition — the sketch is
+    * LINEAR (every cell is a sum of per-row contributions), so the
+    * merged table is EXACTLY the sketch of the concatenated input,
+    * bit-for-bit (q224 proves it against the whole-corpus oracle; the
+    * CMS twin is q178, the KMV twin q168). Merging shuffles only
+    * bounded cell tables, never data.
+    */
+  def logBucketMerge(cells: Seq[DataFrame]): DataFrame = {
+    require(cells.nonEmpty, "need at least one sketch to merge")
+    cells.reduce(_.unionByName(_))
+      .groupBy("grp", "bucket").agg(sum("cnt").as("cnt"))
+  }
+
+  /** Quantile selection over a (grp, key, cnt) histogram frame with the
+    * shared integer rank rule rank = max(ceil(n·q_ppm/10^6), 1): per
+    * (grp, q_ppm), the smallest key whose cumulative count reaches the
+    * rank. The cum-window runs over the BOUNDED histogram (sketch cells,
+    * or a value-domain histogram for the exact twin — the q92 doctrine),
+    * never the raw rows. Returns (grp, q_ppm, n_total, <kOut>).
+    */
+  private def rankSelect(cells: DataFrame, keyCol: String, kOut: String,
+                         qPpms: Seq[Long]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(qPpms.nonEmpty, "at least one quantile required")
+    val totals = cells.groupBy("grp").agg(sum("cnt").as("n_total"))
+    val byK = Window.partitionBy("grp").orderBy(keyCol)
+    cells.withColumn("__c", sum("cnt").over(byK))
+      .join(broadcast(totals), Seq("grp"))
+      .withColumn("q_ppm", explode(array(qPpms.map(lit(_)): _*)))
+      .withColumn("__rank",
+        expr("greatest((n_total * q_ppm + 999999L) div 1000000L, 1L)"))
+      .groupBy("grp", "q_ppm", "n_total")
+      .agg(min(when(col("__c") >= col("__rank"), col(keyCol))).as(kOut))
+  }
+
+  /** Per-group quantile estimates from a log-bucket sketch: the
+    * selected bucket's LOWER BOUND, which is ≤ the exact discrete
+    * quantile and within relative error 2^-subBits of it (q223 asserts
+    * both on real data; the guarantee is structural — the exact
+    * quantile lies inside the selected bucket). Returns
+    * (grp, q_ppm, n_total, est, width).
+    */
+  def logBucketQuantiles(cells: DataFrame, qPpms: Seq[Long],
+                         subBits: Int): DataFrame =
+    rankSelect(cells, "bucket", "__kb", qPpms)
+      .withColumn("est", expr(logBucketLowerSql("__kb", subBits)))
+      .withColumn("width", expr(logBucketWidthSql("__kb", subBits)))
+      .drop("__kb")
+
+  /** EXACT discrete per-group quantiles under the SAME rank rule, via
+    * the (grp, value) histogram — state bounded by the value domain
+    * (q92/q124 doctrine), the contract twin the sketch is judged
+    * against. Returns (grp, q_ppm, n_total, exact).
+    */
+  def exactDiscQuantiles(df: DataFrame, grpCol: String, v: Column,
+                         qPpms: Seq[Long]): DataFrame =
+    rankSelect(
+      df.select(col(grpCol).as("grp"), v.cast("long").as("__v"))
+        .groupBy("grp", "__v").agg(count(lit(1)).as("cnt")),
+      "__v", "exact", qPpms)
+
   /** Misra-Gries heavy-hitters summary (Misra & Gries 1982), mergeable
     * per Agarwal et al. 2012 ("Mergeable Summaries", PODS): at most
     * `capacity` (item, count) counters. reduce: increment a resident

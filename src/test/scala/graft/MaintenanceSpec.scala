@@ -95,4 +95,51 @@ class MaintenanceSpec extends AnyFunSuite {
     }
     assert(got == expected)
   }
+
+  test("skewSafeJoin: result identity vs the plain join on a hot-key fixture") {
+    // one viral key (90% of facts) + a key missing from the dim +
+    // a dim key with no facts
+    val facts = ((1 to 900).map(i => (7L, i.toLong, 10L)) ++
+      (1 to 50).map(i => (3L, 1000L + i, 20L)) ++
+      Seq((99L, 5000L, 30L))).toDF("k", "rid", "v")
+    val dim = Seq((7L, "hot"), (3L, "cold"), (42L, "orphan"))
+      .toDF("dk", "name")
+    for (salts <- Seq(1, 4, 13)) {
+      val got = Relational.skewSafeJoin(facts, dim, "k", "dk",
+          col("rid"), salts)
+        .groupBy("k", "name").agg(count(lit(1)).as("n"), sum("v").as("s"))
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getLong(2), r.getLong(3))).toSet
+      val want = facts.join(dim, facts("k") === dim("dk"))
+        .groupBy("k", "name").agg(count(lit(1)).as("n"), sum("v").as("s"))
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getLong(2), r.getLong(3))).toSet
+      assert(got == want, s"salts=$salts")
+    }
+  }
+
+  test("blocklistScreen: overlapping/mid-word/boundary counts match brute force") {
+    def brute(text: String, pat: String): Long =
+      (0 to text.length - pat.length)
+        .count(i => text.regionMatches(i, pat, 0, pat.length)).toLong
+    val pats = Seq("aa", "aaa", "ab", "ba", "an me", "zzz")
+    val texts = Seq(
+      1L -> "aaaaab",          // overlapping aa x4, aaa x3
+      2L -> "scan merge scan", // boundary phrase
+      3L -> "banana bandana",
+      4L -> "",                // empty
+      5L -> "abababa")
+    val got = Curation.blocklistScreen(texts.toDF("id", "text"),
+        "id", "text", pats)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    texts.foreach { case (id, t) =>
+      pats.foreach { p =>
+        val want = brute(t, p)
+        assert(got.getOrElse((id, p), 0L) == want, s"id=$id pat='$p'")
+      }
+    }
+    // null text yields no rows rather than a throw
+    val withNull = Seq((9L, null: String)).toDF("id", "text")
+    assert(Curation.blocklistScreen(withNull, "id", "text", pats).count() == 0)
+  }
 }

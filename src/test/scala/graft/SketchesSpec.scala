@@ -215,4 +215,69 @@ class SketchesSpec extends AnyFunSuite {
         s"p=$p: ${got.mkString(", ")}")
     }
   }
+
+  test("log-bucket: index is monotone, small values exact, decode brackets v") {
+    // driver-side twin of the SQL bit arithmetic, for an exhaustive check
+    def idx(v: Long, s: Int): Long = {
+      val e = 63 - java.lang.Long.numberOfLeadingZeros(v)
+      val sh = math.max(e - s, 0)
+      e.toLong * (1L << s) + (v >> sh) - (1L << (e - sh))
+    }
+    def lower(k: Long, s: Int): Long = {
+      val e = (k >> s).toInt; val sh = math.max(e - s, 0)
+      ((k & ((1L << s) - 1)) + (1L << (e - sh))) << sh
+    }
+    def width(k: Long, s: Int): Long = 1L << math.max((k >> s).toInt - s, 0)
+    val s = 5
+    val vs = (1L to 4096L) ++ Seq(1L << 40, (1L << 40) + 12345, (1L << 62) + 999)
+    vs.sliding(2).foreach {
+      case Seq(a, b) => assert(idx(a, s) <= idx(b, s), s"monotone at $a,$b")
+      case _ =>
+    }
+    vs.foreach { v =>
+      val k = idx(v, s)
+      assert(lower(k, s) <= v && v < lower(k, s) + width(k, s), s"bracket $v")
+      if (v < 32) assert(lower(k, s) == v, s"small-exact $v")
+    }
+    // the SQL expression agrees with the driver twin
+    val df = spark.range(1, 3000).select((col("id") * col("id") + 7).as("__v"))
+    val got = df.withColumn("k",
+        expr(Sketches.logBucketIdxSql("__v", s))).collect()
+    got.foreach(r => assert(r.getLong(1) == idx(r.getLong(0), s),
+      s"sql-vs-driver at ${r.getLong(0)}"))
+  }
+
+  test("log-bucket: est <= exact < est + width at every quantile; bounded state") {
+    val rows = (1 to 5000).map(i => ("g", (i.toLong * i * 31 + 11) % 900001 + 1))
+    val df = rows.toDF("grp", "v")
+    val cells = Sketches.logBucketCells(df, "grp", col("v"), 5)
+    assert(cells.count() <= 64L * 32, "state bound")
+    val qs = Seq(10000L, 250000L, 500000L, 900000L, 990000L, 1000000L)
+    val est = Sketches.logBucketQuantiles(cells, qs, 5)
+    val exact = Sketches.exactDiscQuantiles(df, "grp", col("v"), qs)
+    val j = est.join(exact.select("grp", "q_ppm", "exact"), Seq("grp", "q_ppm"))
+      .collect()
+    assert(j.length == qs.length)
+    j.foreach { r =>
+      val (e, x, w) = (r.getAs[Long]("est"), r.getAs[Long]("exact"),
+        r.getAs[Long]("width"))
+      assert(e <= x && x < e + w, s"contract at ${r.getAs[Long]("q_ppm")}")
+      assert((x - e).toDouble / x < 1.0 / 32, "relative error bound")
+    }
+  }
+
+  test("log-bucket: merged half-sketches equal the whole sketch bit-for-bit") {
+    val rows = (1 to 4000).map(i => (s"g${i % 3}", (i.toLong * 7919) % 65536 + 1))
+    val df = rows.toDF("grp", "v")
+    val coin = pmod(col("v") * 2654435761L, lit(2L))
+    val merged = Sketches.logBucketMerge(Seq(
+      Sketches.logBucketCells(df.filter(coin === 0), "grp", col("v"), 5),
+      Sketches.logBucketCells(df.filter(coin === 1), "grp", col("v"), 5)))
+    val whole = Sketches.logBucketCells(df, "grp", col("v"), 5)
+    assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty)
+    // and a rank selection over either yields identical quantile rows
+    val a = Sketches.logBucketQuantiles(merged, Seq(500000L), 5).collect().toSet
+    val b = Sketches.logBucketQuantiles(whole, Seq(500000L), 5).collect().toSet
+    assert(a == b)
+  }
 }
