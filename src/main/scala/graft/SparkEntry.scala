@@ -142,6 +142,13 @@ object SparkEntry {
   private val BlockPatterns = Seq("an me", "ash", "hash", "order s",
     "scan merge", "slow", "zz_absent")
 
+  /** q227's parent-snapshot cutoff (orders span 1995..2001 in the
+    * testdata): lineitems referencing orders on/after it are the
+    * late-arriving orphans the audit must count. Shared with the
+    * oracle SQL.
+    */
+  private val RefIntCutoff = "1999-01-01"
+
   /** q139's hashed-feature space (DSIR): the weight table is bounded at
     * this many rows regardless of corpus size — the paper's own trick
     * for web scale. Shared with the oracle SQL's % modulus.
@@ -587,7 +594,10 @@ object SparkEntry {
   // Queries                                                          //
   // ---------------------------------------------------------------- //
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    queriesMain ++ queriesR11b
+
+  private lazy val queriesMain: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // --- aggregation family (reference J1/J2 generalized: partial+final hash agg) ---
 
@@ -3730,6 +3740,111 @@ object SparkEntry {
         .agg(count(lit(1)).cast("long").as("n_docs"),
           sum("cnt").cast("long").as("total_occ"))
         .orderBy("pat"))
+  )
+
+  private lazy val queriesR11b: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q227_ref_integrity" -> ((s, d) => {
+      // Referential-integrity audit — the ingest gate a warehouse runs
+      // before publishing a delivery: per FK constraint, child count +
+      // orphan count (+ exact ppm). The order-snapshot constraint
+      // checks lineitem against a DATE-CUTOFF parent snapshot — the
+      // late-arriving-fact scenario where orphans are real, not a data
+      // bug. Each constraint is one left join + conditional count
+      // (parents reduced to their key column first, so the audit
+      // shuffles keys, never payloads); at 100 TB the selective-parent
+      // cases ride q216's bloom-pruned join. NULL FKs are not orphans
+      // (SQL semantics).
+      val li = lineitem(s, d)
+      val snap = orders(s, d)
+        .filter(col("o_orderdate") < lit(RefIntCutoff).cast("timestamp"))
+        .select(col("o_orderkey").as("pk"))
+      val ord = orders(s, d)
+      val cust = customer(s, d).select(col("c_custkey").as("pk"))
+      val nat = nation(s, d).select(col("n_nationkey").as("pk"))
+      def audit(name: String, child: DataFrame, fk: String,
+                parent: DataFrame): DataFrame =
+        child.select(col(fk).as("fk"))
+          .join(parent, col("fk") === col("pk"), "left")
+          .agg(count(lit(1)).as("n_child"),
+            sum(when(col("fk").isNotNull && col("pk").isNull, 1L)
+              .otherwise(0L)).as("n_orphan"))
+          .select(lit(name).as("fk_name"), col("n_child"), col("n_orphan"))
+      audit("customer.nation", customer(s, d), "c_nationkey", nat)
+        .unionByName(audit("lineitem.order_snapshot", li, "l_orderkey", snap))
+        .unionByName(audit("orders.customer", ord, "o_custkey", cust))
+        .withColumn("orphan_ppm",
+          expr("(n_orphan * 1000000L) div n_child"))
+        .orderBy("fk_name")
+    }),
+
+    "q228_event_paths" -> ((s, d) => {
+      // Top-20 user-journey trigrams (path mining — the product-
+      // analytics complement of q181's Markov matrix): per user the
+      // event sequence orders by (ts, event_id), two leads share ONE
+      // user-key window exchange, and the trigram agg is bounded by
+      // |event type|^3 keys no matter the corpus; top-20 with full
+      // deterministic tie order (n desc, then the trigram).
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("t1"))
+        .withColumn("t2", lead("t1", 1).over(w))
+        .withColumn("t3", lead("t1", 2).over(w))
+        .filter(col("t3").isNotNull)
+        .groupBy("t1", "t2", "t3")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+        .limit(20)
+    }),
+
+    "q229_embedding_drift" -> ((s, d) => {
+      // Per-label embedding drift vs the global centroid — the
+      // mixture-health monitor for vector corpora (a label whose
+      // centroid swings away from global signals a bad encoder batch
+      // or distribution shift; the q143 idea in embedding space).
+      // Components quantize to integer milli-units (floor(x*1000) on
+      // the exact double — q140's canonicalization), so per-(label,
+      // pos) sums are EXACT Longs from one map-side-combined agg over
+      // ONE corpus scan; centroids are truncating-div integer means,
+      // global derives from the label sums (no second scan), and the
+      // final cosine^2 ppm is computed driver-side in BigInt over the
+      // <= |labels|*dim collected cells (the q141 bounded-collect
+      // class). Sign rides the dot: cos2_ppm = sign(dot)*dot^2*1e6
+      // div (|c_l|^2*|c_g|^2) — exact integers, no sqrt.
+      val sums = embeddings(s, d)
+        .select(col("label").cast("long").as("label"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .withColumn("m", floor(col("x").cast("double") * 1000).cast("long"))
+        .groupBy("label", "pos")
+        .agg(sum("m").as("s"), count(lit(1)).as("n"))
+        .collect()
+      val labels = sums.map(_.getAs[Long]("label")).distinct.sorted
+      val dim = sums.map(_.getAs[Int]("pos")).max + 1
+      val sByL = labels.map { l =>
+        val rs = sums.filter(_.getAs[Long]("label") == l)
+        val arr = new Array[Long](dim)
+        rs.foreach(r => arr(r.getAs[Int]("pos")) = r.getAs[Long]("s"))
+        l -> (arr, rs.head.getAs[Long]("n"))
+      }.toMap
+      val gSum = new Array[Long](dim)
+      var gN = 0L
+      sByL.values.foreach { case (arr, n) =>
+        (0 until dim).foreach(i => gSum(i) += arr(i)); gN += n }
+      val cg = gSum.map(_ / gN)
+      val gg = cg.map(c => BigInt(c) * c).sum
+      val out = labels.map { l =>
+        val (arr, n) = sByL(l)
+        val cl = arr.map(_ / n)
+        val dot = (0 until dim).map(i => BigInt(cl(i)) * cg(i)).sum
+        val ss = cl.map(c => BigInt(c) * c).sum
+        val cos2 = if (ss == 0 || gg == 0) BigInt(0)
+          else (dot * dot * 1000000) / (ss * gg)
+        (l, n, dot.toLong, (if (dot < 0) -cos2 else cos2).toLong)
+      }
+      import s.implicits._
+      out.toSeq.toDF("label", "n_vecs", "dot", "cos2_ppm")
+        .orderBy("label")
+    })
   )
 
   /** q210's deterministic raw-URL derivation (shared with its oracle by
@@ -7864,6 +7979,71 @@ object SparkEntry {
          |SELECT pat, CAST(COUNT(*) AS BIGINT) AS n_docs,
          | CAST(SUM(cnt) AS BIGINT) AS total_occ
          |FROM occ GROUP BY 1 ORDER BY 1""".stripMargin
-    }
+    },
+
+    // one left join + conditional count per constraint; NULL FKs are
+    // not orphans
+    "q227_ref_integrity" ->
+      s"""WITH snap AS (SELECT o_orderkey AS pk FROM orders
+         |  WHERE o_orderdate < TIMESTAMP '$RefIntCutoff'),
+         |a1 AS (SELECT 'customer.nation' AS fk_name,
+         |  CAST(COUNT(*) AS BIGINT) AS n_child,
+         |  CAST(SUM(CASE WHEN c_nationkey IS NOT NULL
+         |    AND n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan
+         | FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey),
+         |a2 AS (SELECT 'lineitem.order_snapshot' AS fk_name,
+         |  CAST(COUNT(*) AS BIGINT) AS n_child,
+         |  CAST(SUM(CASE WHEN l_orderkey IS NOT NULL
+         |    AND s.pk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan
+         | FROM lineitem l LEFT JOIN snap s ON l.l_orderkey = s.pk),
+         |a3 AS (SELECT 'orders.customer' AS fk_name,
+         |  CAST(COUNT(*) AS BIGINT) AS n_child,
+         |  CAST(SUM(CASE WHEN o_custkey IS NOT NULL
+         |    AND c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan
+         | FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey)
+         |SELECT fk_name, n_child, n_orphan,
+         |  CAST((n_orphan * 1000000) // n_child AS BIGINT) AS orphan_ppm
+         |FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2
+         |  UNION ALL SELECT * FROM a3)
+         |ORDER BY fk_name""".stripMargin,
+
+    // the two leads share one per-user window; full deterministic tie
+    // order at the top-20 cut
+    "q228_event_paths" ->
+      """WITH s AS (SELECT user_id, event_type AS t1,
+        |  lead(event_type, 1) OVER w AS t2,
+        |  lead(event_type, 2) OVER w AS t3
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n
+        | FROM s WHERE t3 IS NOT NULL GROUP BY 1, 2, 3)
+        |SELECT t1, t2, t3, n FROM g
+        |ORDER BY n DESC, t1, t2, t3 LIMIT 20""".stripMargin,
+
+    // exact integer milli-quantized centroids (floor on the double —
+    // q140's canonicalization); truncating // matches engine div
+    "q229_embedding_drift" ->
+      """WITH m AS (SELECT CAST(label AS BIGINT) AS label, pos,
+        |  CAST(floor(x * 1000) AS BIGINT) AS m FROM (
+        |   SELECT label, unnest(embedding::DOUBLE[]) AS x,
+        |     generate_subscripts(embedding, 1) AS pos FROM embeddings) u),
+        |ls AS (SELECT label, pos, SUM(m) AS s,
+        |  CAST(COUNT(*) AS BIGINT) AS n FROM m GROUP BY 1, 2),
+        |nl AS (SELECT label, MAX(n) AS n_vecs FROM ls GROUP BY 1),
+        |gs AS (SELECT pos, SUM(s) AS gsum, SUM(n) AS gn FROM ls GROUP BY 1),
+        |cl AS (SELECT label, pos, s // n AS c FROM ls),
+        |cg AS (SELECT pos, gsum // gn AS c FROM gs),
+        |dt AS (SELECT label, CAST(SUM(cl.c * cg.c) AS BIGINT) AS dot,
+        |  CAST(SUM(cl.c * cl.c) AS HUGEINT) AS ss
+        | FROM cl JOIN cg USING (pos) GROUP BY 1),
+        |gg AS (SELECT CAST(SUM(c * c) AS HUGEINT) AS gg FROM cg)
+        |SELECT label, n_vecs, dot,
+        | CAST(CASE WHEN ss = 0 OR gg = 0 THEN 0
+        |   WHEN dot >= 0
+        |     THEN (CAST(dot AS HUGEINT) * dot * 1000000) // (ss * gg)
+        |   ELSE -((CAST(dot AS HUGEINT) * dot * 1000000) // (ss * gg))
+        |  END AS BIGINT) AS cos2_ppm
+        |FROM dt CROSS JOIN gg JOIN nl USING (label)
+        |ORDER BY label""".stripMargin
   )
 }
