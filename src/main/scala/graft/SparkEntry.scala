@@ -3844,6 +3844,26 @@ object SparkEntry {
       import s.implicits._
       out.toSeq.toDF("label", "n_vecs", "dot", "cos2_ppm")
         .orderBy("label")
+    }),
+
+    "q230_ann_ivfpq" -> ((s, d) => {
+      // IVF-PQ probe against the PERSISTED compressed index (FAISS
+      // IVFPQ / Jégou IVFADC, no residual encoding): coarse probe
+      // selects 2 of 8 inverted lists per query, the cid-partitioned
+      // coded lists are read ONLY for those lists (dynamic partition
+      // pruning) and hold 8 codes per vector instead of 64 floats —
+      // the q207 pruned-scan and q192 compressed-scoring stories
+      // COMPOSED, which is the default production ANN shape at 100 TB
+      // (Ann.ivfPqTopKProbe scaladoc). Oracle replays the coarse
+      // k-means chain, the 8 subspace k-means chains, and the
+      // fixed-order ADC sum.
+      val e = embeddings(s, d)
+      val (cents, books, codedLists) = ivfPqIndexFixture(s, d, e)
+      Ann.ivfPqTopKProbe(e.filter(col("vec_id") < PqQueryMax), cents,
+          codedLists, books, "vec_id", "embedding",
+          k = PqK, nProbe = 2, m = PqM)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy("query_id", "rnk")
     })
   )
 
@@ -4070,6 +4090,36 @@ object SparkEntry {
     // the long the probe side joins on
     (s.read.parquet(cPath),
      s.read.parquet(aPath).withColumn("cid", col("cid").cast("long")))
+  }
+
+  /** q230's persisted IVF-PQ index: the q207 coarse index (centroids +
+    * cid partitioning) EXTENDED with PQ compression — the per-subspace
+    * codebooks (q192's audited build, lossless round-6dp doubles) and
+    * the coded inverted lists (cid, neighbor_id, codes), PARTITIONED BY
+    * cid so a probe reads only its nProbe lists' files — and those
+    * files hold m codes per vector, not floats. Returns
+    * (centroids, codebooks, codedLists).
+    */
+  private def ivfPqIndexFixture(s: SparkSession, d: String,
+                                e: DataFrame): (DataFrame, DataFrame, DataFrame) = synchronized {
+    val (cents, lists) = ivfIndexFixture(s, d, e)
+    val bPath = fixturePath(d, "ivfpq_books.parquet")
+    val lPath = fixturePath(d, "ivfpq_lists.parquet")
+    ensureFixture(bPath) { tmp =>
+      operators.Ann.pqCodebooks(e, "vec_id", "embedding", PqM, PqCodes)
+        .write.mode("overwrite").parquet(tmp)
+    }
+    ensureFixture(lPath) { tmp =>
+      val codes = operators.Ann.pqEncodeWith(e, "vec_id", "embedding",
+        s.read.parquet(bPath), PqM)
+      lists.select(col("cid"),
+          col("neighbor_id").cast("long").as("neighbor_id"))
+        .join(codes, Seq("neighbor_id"))
+        .select("cid", "neighbor_id", "codes")
+        .write.mode("overwrite").partitionBy("cid").parquet(tmp)
+    }
+    (cents, s.read.parquet(bPath),
+     s.read.parquet(lPath).withColumn("cid", col("cid").cast("long")))
   }
 
   // ---------------------------------------------------------------- //
@@ -8044,6 +8094,81 @@ object SparkEntry {
         |   ELSE -((CAST(dot AS HUGEINT) * dot * 1000000) // (ss * gg))
         |  END AS BIGINT) AS cos2_ppm
         |FROM dt CROSS JOIN gg JOIN nl USING (label)
-        |ORDER BY label""".stripMargin
+        |ORDER BY label""".stripMargin,
+
+    // q192's 8 subspace k-means chains + the q54/q207 coarse chain,
+    // composed: candidates restricted to the probed lists, ADC as the
+    // fixed-order addition chain
+    "q230_ann_ivfpq" -> {
+      val sub = 64 / PqM
+      def dist(x: String, p: String) =
+        s"""round(list_dot_product($x.v, $x.v) - 2.0*list_dot_product($x.v, $p.cv)
+           | + list_dot_product($p.cv, $p.cv), 6)""".stripMargin
+      def iter(ej: String, prev: String, a: String, c: String) =
+        s"""$a AS MATERIALIZED (SELECT sid, v, cid FROM (
+           |  SELECT x.vec_id AS sid, x.v, $prev.cid,
+           |   row_number() OVER (PARTITION BY x.vec_id
+           |     ORDER BY ${dist("x", prev)}, $prev.cid) AS rn
+           |  FROM $ej x CROSS JOIN $prev) t WHERE rn = 1),
+           |$c AS MATERIALIZED (SELECT cid, list(m ORDER BY pos) AS cv FROM (
+           |  SELECT cid, pos, round(avg(xx), 6) AS m FROM (
+           |   SELECT cid, unnest(v) AS xx, generate_subscripts(v, 1) AS pos FROM $a) u
+           |  GROUP BY 1, 2) g GROUP BY 1)""".stripMargin
+      val chains = (0 until PqM).map { j =>
+        val (a, b) = (j * sub + 1, j * sub + sub)
+        s"""e$j AS MATERIALIZED (SELECT vec_id, v[$a:$b] AS v FROM e),
+           |seed$j AS MATERIALIZED (SELECT s.cid, x.v AS cv
+           | FROM seedids s JOIN e$j x ON x.vec_id = s.sid),
+           |${iter(s"e$j", s"seed$j", s"a1_$j", s"c1_$j")},
+           |${iter(s"e$j", s"c1_$j", s"a2_$j", s"c2_$j")},
+           |enc$j AS MATERIALIZED (SELECT sid AS vec_id, cid AS c FROM (
+           |  SELECT x.vec_id AS sid, c2_$j.cid,
+           |   row_number() OVER (PARTITION BY x.vec_id
+           |     ORDER BY ${dist("x", s"c2_$j")}, c2_$j.cid) AS rn
+           |  FROM e$j x CROSS JOIN c2_$j) t WHERE rn = 1),
+           |lut$j AS MATERIALIZED (SELECT q.vec_id AS qid, c.cid, ${dist("q", "c")} AS d
+           | FROM (SELECT vec_id, v FROM e$j WHERE vec_id < $PqQueryMax) q
+           | CROSS JOIN c2_$j c)""".stripMargin
+      }.mkString(",\n")
+      val encJoins = (0 until PqM)
+        .map(j => s"JOIN enc$j ON enc$j.vec_id = cand.neighbor_id").mkString(" ")
+      val lutJoins = (0 until PqM)
+        .map(j => s"JOIN lut$j l$j ON l$j.qid = cand.query_id AND l$j.cid = enc$j.c")
+        .mkString(" ")
+      val addChain = (0 until PqM).map(j => s"l$j.d").mkString(" + ")
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |seedids AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY h, sid) AS BIGINT) AS cid, sid
+         | FROM (SELECT vec_id AS sid,
+         |   ${duckHash("concat('ivf_', CAST(vec_id AS VARCHAR))", 15)} AS h
+         |  FROM e ORDER BY h, sid LIMIT $PqCodes) t),
+         |$chains,
+         |cseed AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY h, sid) AS BIGINT) AS cid, v AS cv
+         | FROM (SELECT vec_id AS sid, v,
+         |   ${duckHash("concat('ivf_', CAST(vec_id AS VARCHAR))", 15)} AS h
+         |  FROM e ORDER BY h, sid LIMIT 8) t),
+         |${iter("e", "cseed", "ca1", "cc1")},
+         |${iter("e", "cc1", "ca2", "cc2")},
+         |casgn AS MATERIALIZED (SELECT sid AS neighbor_id, cid FROM (
+         |  SELECT x.vec_id AS sid, cc2.cid,
+         |   row_number() OVER (PARTITION BY x.vec_id
+         |     ORDER BY ${dist("x", "cc2")}, cc2.cid) AS rn
+         |  FROM e x CROSS JOIN cc2) t WHERE rn = 1),
+         |probes AS (SELECT query_id, cid FROM (
+         |  SELECT x.vec_id AS query_id, cc2.cid,
+         |   row_number() OVER (PARTITION BY x.vec_id
+         |     ORDER BY ${dist("x", "cc2")}, cc2.cid) AS rn
+         |  FROM e x CROSS JOIN cc2 WHERE x.vec_id < $PqQueryMax) t WHERE rn <= 2),
+         |cand AS (SELECT probes.query_id, casgn.neighbor_id
+         | FROM probes JOIN casgn USING (cid)
+         | WHERE probes.query_id <> casgn.neighbor_id),
+         |ad AS (SELECT cand.query_id, cand.neighbor_id,
+         |  round($addChain, 6) AS adist
+         | FROM cand $encJoins $lutJoins),
+         |r AS (SELECT query_id, neighbor_id, adist,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adist, neighbor_id) AS BIGINT) AS rnk FROM ad)
+         |SELECT query_id, neighbor_id, adist, rnk FROM r WHERE rnk <= $PqK
+         |ORDER BY query_id, rnk""".stripMargin
+    }
   )
 }

@@ -1030,6 +1030,144 @@ object Ann {
         col("rank").cast("long").as("rank"))
   }
 
+  /** The PQ codebooks as a persistable frame (j, cid, cv): per
+    * subspace j, [[kmeansCentroidsLocal]] over the sliced corpus —
+    * q192's audited per-subspace build (shared 'ivf_' seed ordering).
+    * The centroid values are round-6dp Lloyd means (exact doubles), so
+    * a parquet round-trip is LOSSLESS and a probe-side LUT rebuilt
+    * from the persisted table is value-identical to the build-time
+    * one — the property that makes the codebook a standing index
+    * component rather than a per-query recomputation.
+    */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                  m: Int, codesPerSub: Int, iters: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    require(m >= 1 && codesPerSub >= 1, s"need m, codes >= 1; got $m/$codesPerSub")
+    val dim = corpus.select(size(col(vecCol))).as[Int].head()
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    val sub = dim / m
+    (0 until m).flatMap { j =>
+      kmeansCentroidsLocal(
+        corpus.select(col(idCol).as("sid2"),
+          slice(col(vecCol), j * sub + 1, sub).as("sv")),
+        "sid2", "sv", codesPerSub, iters)
+        .map { case (cid, cv) => (j.toLong, cid, cv) }
+    }.toDF("j", "cid", "cv")
+  }
+
+  /** Collect a [[pqCodebooks]] frame to the driver, indexed by
+    * subspace: bounded at m × codes × (dim/m) doubles by construction.
+    */
+  private def collectBooks(codebooks: DataFrame,
+                           m: Int): Array[Array[(Long, Array[Double])]] = {
+    val spark = codebooks.sparkSession
+    import spark.implicits._
+    val rows = codebooks.select(col("j").cast("long"), col("cid").cast("long"),
+        transform(col("cv"), x => x.cast("double")).as("cv"))
+      .as[(Long, Long, Array[Double])].collect()
+    (0 until m).map(j =>
+      rows.filter(_._1 == j).map(t => (t._2, t._3)).sortBy(_._1)).toArray
+  }
+
+  /** Encode a corpus to PQ codes against PERSISTED codebooks: ONE
+    * map-only pass, m argmin UDFs over sliced columns ([[assignCidUdf]]
+    * — q192's exact HALF_UP-6 tie semantics). Returns
+    * (neighbor_id, codes array&lt;long&gt;) — m small codes per vector,
+    * the compressed representation the float corpus collapses to.
+    */
+  def pqEncodeWith(corpus: DataFrame, idCol: String, vecCol: String,
+                   codebooks: DataFrame, m: Int): DataFrame = {
+    val books = collectBooks(codebooks, m)
+    require(books.forall(_.nonEmpty), "every subspace needs a codebook")
+    val sub = books(0)(0)._2.length
+    val vecType = corpus.schema(vecCol).dataType
+    var enc = corpus.select(col(idCol).cast("long").as("neighbor_id"),
+      col(vecCol).as("v"))
+    for (j <- 0 until m)
+      enc = enc.withColumn(s"c$j",
+        assignCidUdf(vecType, books(j))(slice(col("v"), j * sub + 1, sub)))
+    enc.select(col("neighbor_id"),
+      array((0 until m).map(j => col(s"c$j")): _*).as("codes"))
+  }
+
+  /** IVF-PQ probe — the IVFADC system of Jégou et al. TPAMI 2011 §IV
+    * (without residual encoding): the coarse quantizer selects nProbe
+    * inverted lists per query (q207's probe argmin over the persisted
+    * centroid table), candidates come back as PQ CODES from the
+    * cid-partitioned coded lists (so a probe reads only its lists'
+    * files — dynamic partition pruning, and the lists hold m codes per
+    * vector, not floats), and scoring is q192's Asymmetric Distance
+    * Computation: per-query LUTs from the PERSISTED codebooks, approx
+    * distance = the FIXED-ORDER subspace sum, each entry HALF_UP-6 —
+    * engine-exact, oracle-replayable. The float corpus is touched by
+    * NO part of the probe: this is the compressed-corpus + pruned-scan
+    * composition production vector stores ship as their default
+    * (FAISS IVFPQ). Returns (query_id, neighbor_id, adist, rank).
+    */
+  def ivfPqTopKProbe(queries: DataFrame, centroids: DataFrame,
+                     codedLists: DataFrame, codebooks: DataFrame,
+                     idCol: String, vecCol: String, k: Int, nProbe: Int,
+                     m: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val local = collectCentroids(centroids)
+    val cents = local.toSeq.toDF("cid", "cv")
+      .withColumn("cc", dot(col("cv"), col("cv")))
+    def cdist = round(col("vv") - lit(2.0) * dot(col("v"), col("cv")) + col("cc"), 6)
+    val w0 = Window.partitionBy("query_id").orderBy(col("d"), col("cid"))
+    val probes = queries
+      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("v"))
+      .withColumn("vv", dot(col("v"), col("v")))
+      .crossJoin(broadcast(cents))
+      .withColumn("d", cdist)
+      .withColumn("rn", row_number().over(w0))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("cid"))
+
+    val books = collectBooks(codebooks, m)
+    require(books.forall(_.nonEmpty), "every subspace needs a codebook")
+    val sub = books(0)(0)._2.length
+    val qRows = queries.select(col(idCol).cast("long").as("qid"), col(vecCol))
+      .collect()
+    val lut: Map[(Long, Int, Long), Double] = qRows.flatMap { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Number](1).map(_.doubleValue()).toArray
+      (0 until m).flatMap { j =>
+        val q = qv.slice(j * sub, (j + 1) * sub)
+        var qq = 0.0
+        var i = 0
+        while (i < sub) { qq += q(i) * q(i); i += 1 }
+        books(j).map { case (cid, cv) =>
+          var dt = 0.0; var cc = 0.0
+          i = 0
+          while (i < sub) { dt += q(i) * cv(i); cc += cv(i) * cv(i); i += 1 }
+          val dd = java.math.BigDecimal.valueOf(qq - 2.0 * dt + cc)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+          ((qid, j, cid), dd)
+        }
+      }
+    }.toMap
+    val adistUdf = udf { (qid: Long, codes: Seq[Long]) =>
+      var sacc = 0.0
+      var j = 0
+      while (j < codes.length) { sacc += lut((qid, j, codes(j))); j += 1 }
+      sacc
+    }
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adist").asc, col("neighbor_id").asc)
+    codedLists
+      .select(col("cid").cast("long").as("cid"),
+        col("neighbor_id").cast("long").as("neighbor_id"), col("codes"))
+      .join(broadcast(probes), Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", round(adistUdf(col("query_id"), col("codes")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("adist"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** Grid-partitioned DBSCAN over 2-D integer points (the MR-DBSCAN
     * shape, He et al. 2011): density clustering without any all-pairs
     * join. Candidate neighbor pairs come from an eps-sized GRID — each

@@ -1364,4 +1364,33 @@ class DedupAnnSpec extends AnyFunSuite {
     val ds = got.drop(1).map(_._3)
     assert(ds == ds.sorted.reverse)
   }
+
+  test("ivfPqTopKProbe: probing ALL lists reduces to plain PQ; codebooks round-trip") {
+    import spark.implicits._
+    val e = engine.Tables.embeddings(spark, SparkTestSession.sfDir)
+    val queries = e.filter(col("vec_id") < 3)
+    val (m, codes, nLists) = (8, 8, 4)
+    val cents = Ann.kmeansCentroids(e, "vec_id", "embedding", nLists, iters = 2)
+    val books = Ann.pqCodebooks(e, "vec_id", "embedding", m, codes)
+    // parquet round-trip of the codebooks is lossless (round-6dp doubles)
+    val dir = java.nio.file.Files.createTempDirectory("pqbooks").toString
+    books.write.mode("overwrite").parquet(dir)
+    val booksRt = spark.read.parquet(dir)
+    assert(books.exceptAll(booksRt).isEmpty && booksRt.exceptAll(books).isEmpty)
+    val codedLists = Ann.ivfListAssignments(e, "vec_id", "embedding", cents)
+      .select(col("cid"), col("neighbor_id").cast("long").as("neighbor_id"))
+      .join(Ann.pqEncodeWith(e, "vec_id", "embedding", booksRt, m),
+        Seq("neighbor_id"))
+    // with nProbe = nLists every list is probed, so IVF-PQ degenerates
+    // to plain PQ ADC over the whole corpus — definitional equivalence
+    val ivfpq = Ann.ivfPqTopKProbe(queries, cents, codedLists, booksRt,
+        "vec_id", "embedding", k = 5, nProbe = nLists, m = m)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    val pq = Ann.pqTopK(e, queries, "vec_id", "embedding",
+        k = 5, m = m, codesPerSub = codes)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    assert(ivfpq == pq)
+  }
 }
