@@ -142,6 +142,32 @@ object SparkEntry {
   private val BlockPatterns = Seq("an me", "ash", "hash", "order s",
     "scan merge", "slow", "zz_absent")
 
+  /** The shared WITH-chain of the q232/q233 HLL oracles: recompute the
+    * md5 registers (bucket = low 6 bits, rho = 55 − bit_length of the
+    * rest, MAX per bucket) and the integer raw estimator.
+    */
+  private lazy val hllOracleCore: String = {
+    val m = Sketches.HllBuckets
+    val rmax = Sketches.HllRhoMax
+    s"""WITH hh AS (SELECT event_type,
+       |  ${duckHash("concat('hll_', CAST(user_id AS VARCHAR))", 15)} AS h
+       | FROM events WHERE user_id IS NOT NULL),
+       |rr AS (SELECT event_type, h % $m AS bucket,
+       |  CASE WHEN h // $m = 0 THEN $rmax
+       |   ELSE $rmax - length(bin(h // $m)) END AS rho
+       | FROM hh),
+       |regs AS (SELECT event_type, bucket, MAX(rho) AS reg
+       | FROM rr GROUP BY 1, 2),
+       |agg AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_present,
+       |  CAST(SUM(CAST(1 AS BIGINT) << ($rmax - reg))
+       |    + ($m - COUNT(*)) * ${1L << 55} AS BIGINT) AS s_scaled
+       | FROM regs GROUP BY 1),
+       |fin AS (SELECT event_type, n_present, s_scaled,
+       |  CAST((${Sketches.HllAlphaPpm}::HUGEINT * ${m * m} * ${1L << 55})
+       |    // (CAST(s_scaled AS HUGEINT) * 1000000) AS BIGINT) AS est_hll
+       | FROM agg)""".stripMargin
+  }
+
   /** q227's parent-snapshot cutoff (orders span 1995..2001 in the
     * testdata): lineitems referencing orders on/after it are the
     * late-arriving orphans the audit must count. Shared with the
@@ -3864,6 +3890,96 @@ object SparkEntry {
           k = PqK, nProbe = 2, m = PqM)
         .withColumnRenamed("rank", "rnk")
         .orderBy("query_id", "rnk")
+    }),
+
+    "q231_skipping_audit" -> ((s, d) => {
+      // Zone-map data-skipping audit — QUANTIFIES the layout claim
+      // behind q98's z-order: per candidate file layout (z-order
+      // value-bins vs a single-dimension sort's bins), per workload
+      // predicate, how many files min/max zone maps let the scanner
+      // skip. Bins are VALUE-DOMAIN (zval div 2^14, x div 16 — both
+      // deterministic, 64 bins each; no sampled range partitioner in
+      // the result path); the zone-map table is |layout|*|bins| rows,
+      // the predicate check a tiny literal cross join over it. The
+      // expected shape IS the q98 thesis: the x-sort layout skips only
+      // x-predicates, z-order skips on BOTH dimensions.
+      val zExpr = graft.engine.Scale.zValue2(col("x"), col("y"), 10)
+      val base = orders(s, d).select(
+        pmod(col("o_custkey"), lit(1024L)).as("x"),
+        pmod(datediff(to_date(col("o_orderdate")),
+          lit("1970-01-01").cast("date")), lit(1024)).cast("long").as("y"))
+      val files = base
+        .select(col("x"), col("y"), zExpr.as("zv"))
+        .select(col("x"), col("y"),
+          explode(array(
+            struct(lit("zorder").as("layout"),
+              expr("zv div 16384L").as("bin")),
+            struct(lit("xsort").as("layout"),
+              expr("x div 16L").as("bin")))).as("lb"))
+        .select(col("lb.layout").as("layout"), col("lb.bin").as("bin"),
+          col("x"), col("y"))
+        .groupBy("layout", "bin")
+        .agg(count(lit(1)).as("n_rows"),
+          min("x").as("min_x"), max("x").as("max_x"),
+          min("y").as("min_y"), max("y").as("max_y"))
+      val preds = Seq(
+        ("x_40_59", 40L, 59L, 0L, 1023L),
+        ("y_100_149", 0L, 1023L, 100L, 149L),
+        ("xy_small", 40L, 59L, 100L, 149L))
+      import s.implicits._
+      val pdf = preds.toDF("pred", "xlo", "xhi", "ylo", "yhi")
+      files.crossJoin(broadcast(pdf))
+        .withColumn("skip",
+          (col("max_x") < col("xlo")) || (col("min_x") > col("xhi")) ||
+          (col("max_y") < col("ylo")) || (col("min_y") > col("yhi")))
+        .groupBy("layout", "pred")
+        .agg(count(lit(1)).as("n_files"),
+          sum(when(col("skip"), 1L).otherwise(0L)).as("n_skip"),
+          sum(when(col("skip"), col("n_rows")).otherwise(0L)).as("rows_skipped"))
+        .withColumn("skip_ppm", expr("(n_skip * 1000000L) div n_files"))
+        .orderBy("layout", "pred")
+    }),
+
+    "q232_hll_distinct" -> ((s, d) => {
+      // Deterministic HyperLogLog (md5-register form): unlike q39's
+      // engine-private native HLL (whose binary state forced an
+      // accuracy-contract oracle), these registers are a pure function
+      // of the key set — bucket/rho from the shared 60-bit md5, MAX
+      // per bucket — so the DuckDB oracle recomputes the SKETCH and
+      // the integer raw estimator hash-compares exactly, with the
+      // exact count and its error riding along in the row. State: 64
+      // registers per group forever; ONE map-side-combined hash agg
+      // (Sketches.hllRegisters scaladoc). The KMV counterpart at the
+      // same (group, key) domain is q137.
+      val ev = events(s, d)
+      val est = Sketches.hllEstimate(
+        Sketches.hllRegisters(ev, "event_type", col("user_id"), "hll_"))
+      val exact = ev.filter(col("user_id").isNotNull)
+        .groupBy(col("event_type").as("grp"))
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+      est.join(exact, Seq("grp"))
+        .withColumn("err_ppm", expr(
+          "(abs(est_hll - exact_distinct) * 1000000L) div exact_distinct"))
+        .withColumnRenamed("grp", "event_type")
+        .orderBy("event_type")
+    }),
+
+    "q233_hll_merge" -> ((s, d) => {
+      // HLL MERGEABILITY proven (the q168/q178/q224 property on the
+      // max-semilattice sketch): registers of each md5-half merged by
+      // groupwise MAX must reproduce the whole-corpus registers
+      // bit-for-bit — the oracle is q232's est side verbatim. MAX
+      // merge is also IDEMPOTENT (re-merging a sketch is a no-op),
+      // the property that makes HLL columns safe under at-least-once
+      // ingest (Sketches.hllMerge scaladoc).
+      val ev = events(s, d)
+      val coin = pmod(tokenHash64(concat(lit("hhalf_"),
+        col("event_id").cast("string"))), lit(2L))
+      def half(m: Int) = Sketches.hllRegisters(ev.filter(coin === m),
+        "event_type", col("user_id"), "hll_")
+      Sketches.hllEstimate(Sketches.hllMerge(Seq(half(0), half(1))))
+        .withColumnRenamed("grp", "event_type")
+        .orderBy("event_type")
     })
   )
 
@@ -8169,6 +8285,55 @@ object SparkEntry {
          |    ORDER BY adist, neighbor_id) AS BIGINT) AS rnk FROM ad)
          |SELECT query_id, neighbor_id, adist, rnk FROM r WHERE rnk <= $PqK
          |ORDER BY query_id, rnk""".stripMargin
-    }
+    },
+
+    // the q98 bit-interleave fragment, value-domain bins, literal
+    // predicate table, min/max disjointness per (file, predicate)
+    "q231_skipping_audit" -> {
+      val z = (0 until 10).flatMap(b => Seq(
+        s"(((x >> $b) & 1) << ${2 * b})", s"(((y >> $b) & 1) << ${2 * b + 1})"))
+        .mkString(" | ")
+      s"""WITH t AS (SELECT CAST(o_custkey % 1024 AS BIGINT) AS x,
+         |  CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) % 1024 AS BIGINT) AS y
+         | FROM orders),
+         |z AS (SELECT x, y, CAST($z AS BIGINT) AS zv FROM t),
+         |lb AS (SELECT 'zorder' AS layout, zv // 16384 AS bin, x, y FROM z
+         | UNION ALL SELECT 'xsort', x // 16, x, y FROM z),
+         |files AS (SELECT layout, bin, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  MIN(x) AS min_x, MAX(x) AS max_x,
+         |  MIN(y) AS min_y, MAX(y) AS max_y
+         | FROM lb GROUP BY 1, 2),
+         |preds AS (SELECT * FROM (VALUES ('x_40_59', 40, 59, 0, 1023),
+         |  ('y_100_149', 0, 1023, 100, 149),
+         |  ('xy_small', 40, 59, 100, 149)) p(pred, xlo, xhi, ylo, yhi)),
+         |sk AS (SELECT layout, pred, n_rows,
+         |  (max_x < xlo OR min_x > xhi OR max_y < ylo OR min_y > yhi) AS skip
+         | FROM files CROSS JOIN preds)
+         |SELECT layout, pred, CAST(COUNT(*) AS BIGINT) AS n_files,
+         | CAST(SUM(CASE WHEN skip THEN 1 ELSE 0 END) AS BIGINT) AS n_skip,
+         | CAST(SUM(CASE WHEN skip THEN n_rows ELSE 0 END) AS BIGINT) AS rows_skipped,
+         | CAST((SUM(CASE WHEN skip THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT) AS skip_ppm
+         |FROM sk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+
+    // the register table and integer estimator recomputed in full; the
+    // exact count and its error ride the row
+    "q232_hll_distinct" ->
+      s"""$hllOracleCore,
+         |ex AS (SELECT event_type,
+         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+         | FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+         |SELECT f.event_type, n_present, s_scaled, est_hll, exact_distinct,
+         | CAST((abs(est_hll - exact_distinct) * 1000000) // exact_distinct
+         |   AS BIGINT) AS err_ppm
+         |FROM fin f JOIN ex USING (event_type)
+         |ORDER BY event_type""".stripMargin,
+
+    // merged half-registers must reproduce the whole-corpus registers
+    // (MAX distributes over union) — est side of q232
+    "q233_hll_merge" ->
+      s"""$hllOracleCore
+         |SELECT event_type, n_present, s_scaled, est_hll FROM fin
+         |ORDER BY event_type""".stripMargin
   )
 }

@@ -518,6 +518,83 @@ object Sketches {
         .groupBy("grp", "__v").agg(count(lit(1)).as("cnt")),
       "__v", "exact", qPpms)
 
+  // ------------------------------------------------------------------ //
+  // Deterministic HyperLogLog (Flajolet et al. 2007) — md5-register    //
+  // form, so the oracle recomputes the sketch itself (unlike q39's     //
+  // engine-private native HLL, which can only be error-bounded).       //
+  // ------------------------------------------------------------------ //
+
+  /** Register width: 2^HllBBits buckets; rho lives in [1, HllRhoMax]. */
+  val HllBBits = 6
+  val HllBuckets: Long = 1L << HllBBits // 64
+  val HllRhoMax: Int = 60 - HllBBits + 1 // 55
+
+  /** alpha_64 = 0.7213/(1 + 1.079/64) in exact ppm — the published
+    * bias constant, fixed as an integer literal both engines share.
+    */
+  val HllAlphaPpm = 709341L
+
+  /** Per-group HLL registers from the 60-bit md5 hash: bucket = low 6
+    * bits, rho = leading-zero count of the remaining 54 bits + 1
+    * (= 55 − floor(log2(w)) for w ≥ 1, 55 for w = 0 — pure
+    * `length(bin(w))` bit arithmetic, no float log), register =
+    * MAX(rho). MAX is idempotent, commutative and associative, so the
+    * register table is a pure function of the key SET — deterministic,
+    * order-free, and mergeable by groupwise MAX ([[hllMerge]]; q233
+    * proves merged halves == whole corpus bit-for-bit). State: ≤ 64
+    * registers per group FOREVER; the build is ONE hash aggregation
+    * with map-side combine. Returns (grp, bucket, reg).
+    */
+  def hllRegisters(df: DataFrame, grpCol: String, keyCol: Column,
+                   saltPrefix: String): DataFrame = {
+    val h = tokenHash64(concat(lit(saltPrefix), keyCol.cast("string")))
+    df.select(col(grpCol).as("grp"), h.as("__h"))
+      .filter(col("__h").isNotNull)
+      .withColumn("bucket", expr(s"__h % $HllBuckets"))
+      .withColumn("__w", expr(s"__h div $HllBuckets"))
+      // rho = 54-bit leading zeros + 1 = 55 − bit_length(w); w = 0 (all
+      // zeros) saturates at 55
+      .withColumn("rho", when(col("__w") === 0L, lit(HllRhoMax.toLong))
+        .otherwise(lit(HllRhoMax.toLong) - length(bin(col("__w")))))
+      .groupBy("grp", "bucket")
+      .agg(max("rho").as("reg"))
+  }
+
+  /** Merge HLL register tables by groupwise MAX — exact by the max
+    * semilattice (register(x) is a max over per-key contributions, and
+    * max distributes over union), so merged == whole-corpus registers
+    * bit-for-bit. Idempotent: re-merging a sketch is a no-op.
+    */
+  def hllMerge(regs: Seq[DataFrame]): DataFrame = {
+    require(regs.nonEmpty, "need at least one sketch to merge")
+    regs.reduce(_.unionByName(_))
+      .groupBy("grp", "bucket").agg(max("reg").as("reg"))
+  }
+
+  /** The raw HLL estimate from a register table: with S = Σ_j 2^-reg_j
+    * over all m registers (absent buckets contribute reg = 0, i.e. 1),
+    * est = alpha_m · m² / S — computed entirely in integers:
+    * S·2^55 = (m − n_present)·2^55 + Σ 2^(55−reg) fits a Long, and the
+    * final ratio runs in BigInt with the ppm alpha. This is the RAW
+    * estimator (no small-range linear counting — that correction needs
+    * a float ln; the exhaustive-small-set regime is KMV's job, q137).
+    * rsd ≈ 1.04/√64 = 13%. Returns (grp, n_present, s_scaled, est_hll).
+    */
+  def hllEstimate(regs: DataFrame): DataFrame = {
+    val m = HllBuckets
+    val est = udf { (nPresent: Long, sScaled: Long) =>
+      ((BigInt(HllAlphaPpm) * m * m * (BigInt(1) << HllRhoMax)) /
+        (BigInt(sScaled) * 1000000L)).toLong
+    }
+    regs.groupBy("grp")
+      .agg(count(lit(1)).as("n_present"),
+        sum(expr(s"shiftleft(1L, $HllRhoMax - cast(reg as int))")).as("__sp"))
+      .withColumn("s_scaled",
+        expr(s"__sp + ($m - n_present) * shiftleft(1L, $HllRhoMax)"))
+      .select(col("grp"), col("n_present"),
+        col("s_scaled"), est(col("n_present"), col("s_scaled")).as("est_hll"))
+  }
+
   /** Misra-Gries heavy-hitters summary (Misra & Gries 1982), mergeable
     * per Agarwal et al. 2012 ("Mergeable Summaries", PODS): at most
     * `capacity` (item, count) counters. reduce: increment a resident

@@ -266,6 +266,33 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("HLL: estimate lands within rsd bounds; registers bounded at 64") {
+    val df = (1 to 5000).map(i => ("g", i.toLong)).toDF("grp", "key")
+    val regs = Sketches.hllRegisters(df, "grp", col("key"), "t_")
+    assert(regs.count() <= Sketches.HllBuckets)
+    val est = Sketches.hllEstimate(regs).collect()(0).getAs[Long]("est_hll")
+    // rsd = 1.04/sqrt(64) = 13%; assert 4 rsd
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.52, s"est=$est")
+  }
+
+  test("HLL: merge of halves equals whole bit-for-bit; merge is idempotent") {
+    val rows = (1 to 3000).map(i => (s"g${i % 2}", i.toLong))
+    val df = rows.toDF("grp", "key")
+    val coin = pmod(col("key") * 2654435761L, lit(2L))
+    def half(m: Int) =
+      Sketches.hllRegisters(df.filter(coin === m), "grp", col("key"), "t_")
+    val merged = Sketches.hllMerge(Seq(half(0), half(1)))
+    val whole = Sketches.hllRegisters(df, "grp", col("key"), "t_")
+    assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty)
+    // idempotence: re-merging a sketch with itself is a no-op
+    val self = Sketches.hllMerge(Seq(whole, whole))
+    assert(self.exceptAll(whole).isEmpty && whole.exceptAll(self).isEmpty)
+    // duplicates never move a register (set semantics)
+    val dup = Sketches.hllRegisters(
+      (rows ++ rows).toDF("grp", "key"), "grp", col("key"), "t_")
+    assert(dup.exceptAll(whole).isEmpty && whole.exceptAll(dup).isEmpty)
+  }
+
   test("log-bucket: merged half-sketches equal the whole sketch bit-for-bit") {
     val rows = (1 to 4000).map(i => (s"g${i % 3}", (i.toLong * 7919) % 65536 + 1))
     val df = rows.toDF("grp", "v")
