@@ -3980,7 +3980,24 @@ object SparkEntry {
       Sketches.hllEstimate(Sketches.hllMerge(Seq(half(0), half(1))))
         .withColumnRenamed("grp", "event_type")
         .orderBy("event_type")
-    })
+    }),
+
+    "q234_lpa_communities" -> ((s, d) =>
+      // Community detection over the q105 dup graph via SYNCHRONOUS
+      // deterministic label propagation (3 rounds, most-frequent
+      // neighbor label, ties count-desc-then-label-asc): the
+      // dense-core structure min-label CC (q63) cannot see — a weakly
+      // bridged pair of clusters keeps two labels here where CC
+      // collapses them. Per round one edge join + two node-keyed aggs;
+      // oracle = the SAME three rounds unrolled
+      // (GraphOps.labelPropagation scaladoc).
+      GraphOps.labelPropagation(
+          Dedup.simHashDup(documents(s, d), "doc_id", "text", nBits = 16),
+          "id_a", "id_b", rounds = 3)
+        .groupBy("lbl")
+        .agg(count(lit(1)).as("n_members"), min("id").as("min_id"))
+        .select(col("lbl").as("community"), col("n_members"), col("min_id"))
+        .orderBy("community"))
   )
 
   /** q210's deterministic raw-URL derivation (shared with its oracle by
@@ -8334,6 +8351,36 @@ object SparkEntry {
     "q233_hll_merge" ->
       s"""$hllOracleCore
          |SELECT event_type, n_present, s_scaled, est_hll FROM fin
-         |ORDER BY event_type""".stripMargin
+         |ORDER BY event_type""".stripMargin,
+
+    // q105's simhash edge CTEs + three unrolled synchronous vote
+    // rounds (count DESC, label ASC tie rule = the engine's struct-max)
+    "q234_lpa_communities" -> {
+      def round(prev: String, out: String) =
+        s"""v$out AS (SELECT e.u, $prev.lbl, COUNT(*) AS c
+           | FROM e JOIN $prev ON e.v = $prev.id GROUP BY 1, 2),
+           |$out AS (SELECT u AS id, lbl FROM (
+           |  SELECT u, lbl, row_number() OVER (PARTITION BY u
+           |    ORDER BY c DESC, lbl) AS rn FROM v$out) t WHERE rn = 1)""".stripMargin
+      s"""WITH w AS (SELECT doc_id AS id, unnest($TOKS) AS w FROM documents),
+         |h AS (SELECT id, ${duckHash("w", 15)} AS h FROM w),
+         |bits AS (SELECT id, bit,
+         |  SUM(CASE WHEN ((h >> bit) & 1) = 1 THEN 1 ELSE -1 END) AS v
+         | FROM h CROSS JOIN (SELECT unnest(generate_series(0,15)) AS bit) b GROUP BY 1,2),
+         |sh AS (SELECT id,
+         |  CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+         | FROM bits GROUP BY 1),
+         |p AS (SELECT a.id AS id_a, b.id AS id_b
+         | FROM sh a JOIN sh b ON a.simhash = b.simhash AND a.id < b.id),
+         |e AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM p
+         | UNION ALL SELECT id_b, id_a FROM p),
+         |l0 AS (SELECT DISTINCT u AS id, u AS lbl FROM e),
+         |${round("l0", "l1")},
+         |${round("l1", "l2")},
+         |${round("l2", "l3")}
+         |SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_members,
+         | CAST(MIN(id) AS BIGINT) AS min_id
+         |FROM l3 GROUP BY 1 ORDER BY 1""".stripMargin
+    }
   )
 }

@@ -336,4 +336,46 @@ object GraphOps {
     e.groupBy("u").agg(count(lit(1)).as("core_deg"))
       .select(col("u").as("id"), col("core_deg").cast("long").as("core_deg"))
   }
+
+  /** SYNCHRONOUS label propagation (Raghavan et al. 2007, Phys. Rev.
+    * E 76) — community detection over an undirected pair list, made
+    * fully deterministic: every node starts as its own label, and each
+    * round every node simultaneously takes its neighbors' most frequent
+    * label with the fixed tie rule (count DESC, label ASC) — the
+    * struct-max idiom, so there is no random visit order and no
+    * coin-flip ties, and a fixed `rounds` unrolls exactly in the
+    * oracle (q105's iteration discipline applied to communities).
+    * Unlike min-label CC ([[graft.operators.Dedup.dupClusters]], which
+    * finds connected components), frequency voting splits a weakly
+    * bridged component along its dense cores — the community structure
+    * CC cannot see.
+    *
+    * Scale: per round ONE equi-join of the edge list against the
+    * |nodes|-row label frame + two map-side-combinable aggs keyed by
+    * node; rounds are checkpointed ([[graft.engine.Scale.materialize]])
+    * so lineage stays one round deep. Only edge-touched nodes appear
+    * (isolated rows have no votes to cast or receive). Returns
+    * (id, lbl).
+    */
+  def labelPropagation(pairs: DataFrame, aCol: String, bCol: String,
+                       rounds: Int): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val e = pairs.select(col(aCol).cast("long").as("u"),
+        col(bCol).cast("long").as("v"))
+      .unionByName(pairs.select(col(bCol).cast("long").as("u"),
+        col(aCol).cast("long").as("v")))
+      .materialized
+    var lab = e.select(col("u").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+    for (_ <- 1 to rounds) {
+      lab = e.join(lab.withColumnRenamed("id", "v"), Seq("v"))
+        .groupBy(col("u"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("u")
+        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("u").as("id"), (-col("m.nl")).as("lbl"))
+        .materialized
+    }
+    lab
+  }
 }

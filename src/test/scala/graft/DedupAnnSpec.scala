@@ -1365,6 +1365,25 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(ds == ds.sorted.reverse)
   }
 
+  test("labelPropagation: barbell graph splits into two communities where CC merges") {
+    import spark.implicits._
+    import graft.operators.GraphOps
+    // two triangles bridged by one edge: CC would report ONE component;
+    // frequency voting keeps the two dense cores apart
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("id_a", "id_b")
+    val got = GraphOps.labelPropagation(pairs, "id_a", "id_b", rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == (1L to 6L).toSet)
+    assert(Set(got(1L), got(2L), got(3L)).size == 1, "left core one label")
+    assert(Set(got(4L), got(5L), got(6L)).size == 1, "right core one label")
+    assert(got(1L) != got(4L), "bridge must not merge the cores")
+    // partition invariance: sync rounds + deterministic ties
+    val rep = GraphOps.labelPropagation(pairs.repartition(5), "id_a", "id_b",
+      rounds = 3).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep == got)
+  }
+
   test("ivfPqTopKProbe: probing ALL lists reduces to plain PQ; codebooks round-trip") {
     import spark.implicits._
     val e = engine.Tables.embeddings(spark, SparkTestSession.sfDir)
