@@ -3997,7 +3997,35 @@ object SparkEntry {
         .groupBy("lbl")
         .agg(count(lit(1)).as("n_members"), min("id").as("min_id"))
         .select(col("lbl").as("community"), col("n_members"), col("min_id"))
-        .orderBy("community"))
+        .orderBy("community")),
+
+    "q235_quantile_rollup" -> ((s, d) =>
+      // Trailing-7-day p50/p99 of event value from MERGED per-day
+      // log-bucket sketches (the q198 sketch-OLAP pattern for
+      // QUANTILES): days sketch once, windows merge bounded cell
+      // tables — raw rows never re-read per window; the oracle
+      // recomputes every window FROM SCRATCH, so the hash match proves
+      // merge == direct (Sketches.logBucketWindowRollup scaladoc).
+      Sketches.logBucketWindowRollup(
+          events(s, d).select(
+            datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+              .cast("long").as("day"),
+            cents(col("value")).as("v")),
+          "day", col("v"), LbSubBits, windowDays = 7,
+          qPpms = Seq(500000L, 990000L))
+        .orderBy("wday", "q_ppm")),
+
+    "q236_negative_pairs" -> ((s, d) =>
+      // Deterministic negative-pair sampling for contrastive training:
+      // docs ranked on an md5 ring (distributed prefix-sum rank, no
+      // single-partition window), each doc pairs with the ring
+      // neighbors at offsets {1, 37, 1001} modulo N — hash-derived,
+      // coin-free, so the same corpus yields the same negatives on
+      // every run (Curation.negativePairs scaladoc). Oracle replays
+      // the ring with one row_number window.
+      Curation.negativePairs(documents(s, d), "doc_id",
+          offsets = Seq(1, 37, 1001), saltPrefix = "neg_")
+        .orderBy("id_a", "off"))
   )
 
   /** q210's deterministic raw-URL derivation (shared with its oracle by
@@ -8381,6 +8409,59 @@ object SparkEntry {
          |SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_members,
          | CAST(MIN(id) AS BIGINT) AS min_id
          |FROM l3 GROUP BY 1 ORDER BY 1""".stripMargin
-    }
+    },
+
+    // every trailing window recomputed FROM SCRATCH (values re-binned
+    // per window) — the engine's per-day cell merge must reproduce it
+    "q235_quantile_rollup" -> {
+      val s = LbSubBits
+      val w = 1L << s
+      val idx = s"""CAST(length(bin(v)) - 1 AS BIGINT) * $w
+        + (v >> GREATEST(length(bin(v)) - 1 - $s, 0))
+        - (CAST(1 AS BIGINT) << ((length(bin(v)) - 1)
+            - GREATEST(length(bin(v)) - 1 - $s, 0)))"""
+      val e = s"CAST(kb // $w AS INT)"
+      s"""WITH v AS (SELECT
+         |  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+         |  CAST(round(value * 100) AS BIGINT) AS v FROM events),
+         |days AS (SELECT DISTINCT day FROM v),
+         |wm AS (SELECT d.day AS wday, v.v FROM days d
+         |  JOIN v ON v.day BETWEEN d.day - 6 AND d.day),
+         |cells AS (SELECT wday, $idx AS k, COUNT(*) AS cnt
+         | FROM wm GROUP BY 1, 2),
+         |n AS (SELECT wday, CAST(SUM(cnt) AS BIGINT) AS n_total
+         | FROM cells GROUP BY 1),
+         |q AS (SELECT CAST(unnest([500000, 990000]) AS BIGINT) AS q_ppm),
+         |r AS (SELECT wday, n_total, q_ppm,
+         |  GREATEST((n_total * q_ppm + 999999) // 1000000, 1) AS rnk
+         | FROM n CROSS JOIN q),
+         |cum AS (SELECT wday, k,
+         |  SUM(cnt) OVER (PARTITION BY wday ORDER BY k) AS c FROM cells),
+         |sel AS (SELECT r.wday, q_ppm, n_total,
+         |  MIN(CASE WHEN c >= rnk THEN k END) AS kb
+         | FROM r JOIN cum ON r.wday = cum.wday GROUP BY 1, 2, 3)
+         |SELECT wday, q_ppm, n_total,
+         | CAST(((kb % $w) + (CAST(1 AS BIGINT)
+         |    << ($e - GREATEST($e - $s, 0)))) << GREATEST($e - $s, 0)
+         |  AS BIGINT) AS est
+         |FROM sel ORDER BY wday, q_ppm""".stripMargin
+    },
+
+    // the ring replayed with one window; self-pairs (off ≡ 0 mod N)
+    // excluded on both sides
+    "q236_negative_pairs" ->
+      s"""WITH h AS (SELECT doc_id AS id,
+         |  ${duckHash("concat('neg_', CAST(doc_id AS VARCHAR))", 15)} AS h
+         | FROM documents),
+         |r AS (SELECT id,
+         |  CAST(row_number() OVER (ORDER BY h, id) - 1 AS BIGINT) AS pos
+         | FROM h),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM r),
+         |p AS (SELECT r.id AS id_a, CAST(o.off AS BIGINT) AS off,
+         |  (r.pos + o.off) % nn.n AS pos
+         | FROM r CROSS JOIN (VALUES (1), (37), (1001)) o(off) CROSS JOIN nn)
+         |SELECT p.id_a, b.id AS id_b, p.off
+         |FROM p JOIN r b USING (pos) WHERE p.id_a <> b.id
+         |ORDER BY id_a, off""".stripMargin
   )
 }

@@ -1034,6 +1034,61 @@ object Curation {
     acCache.computeIfAbsent(java.util.Arrays.asList(pats: _*),
       _ => new AcAutomaton(pats))
 
+  /** Deterministic negative-pair sampling — the contrastive-training
+    * data op (every dual-encoder/embedding trainer needs k negatives
+    * per anchor): documents are ranked on an md5 RING (rank by
+    * (md5-hash, id) — pseudo-random order, decorrelated from content
+    * and insertion order), and each doc pairs with the docs at fixed
+    * ring offsets, wrapping modulo N. Hash-derived and coin-free, so
+    * the same corpus yields the same negatives on every run/engine —
+    * reproducible training data (the md5-mixing doctrine applied to
+    * pair generation).
+    *
+    * Scale: the global rank is the DISTRIBUTED prefix-sum shape
+    * (range repartition + per-partition positions + one-row-per-
+    * partition driver bases — [[graft.operators.Dedup.sortedNeighborhoodPairs]]'
+    * machinery, never a single-partition window); pairing is an
+    * EQUI-join on (pos + offset) mod N, |docs|·|offsets| candidates at
+    * any distribution. Self-pairs (offset ≡ 0 mod N) drop. Returns
+    * (id_a, id_b, off).
+    */
+  def negativePairs(df: DataFrame, idCol: String, offsets: Seq[Int],
+                    saltPrefix: String, numPartitions: Int = 32): DataFrame = {
+    require(offsets.nonEmpty && offsets.forall(_ >= 1), "offsets must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val local = df
+      .select(tokenHash64(concat(lit(saltPrefix),
+          col(idCol).cast("string"))).as("h"),
+        col(idCol).cast("long").as("id"))
+      .as[(Long, Long)]
+      .repartitionByRange(numPartitions, col("h"), col("id"))
+      .sortWithinPartitions("h", "id")
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var i = 0L
+        it.map { case (_, id) => val p = i; i += 1; (pid, id, p) }
+      }
+      .toDF("pid", "id", "local_pos")
+      .materialized
+    val counts = local.groupBy("pid").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var b = 0L
+    val bases = counts.map { case (pid, n) => val x = b; b += n; (pid, x) }
+    val nTotal = b
+    val ranked = local
+      .join(broadcast(bases.toSeq.toDF("pid", "base")), Seq("pid"))
+      .select(col("id"), (col("base") + col("local_pos")).as("pos"))
+    val probes = ranked
+      .select(col("id").as("id_a"), col("pos").as("pos_a"),
+        explode(array(offsets.map(o => lit(o.toLong)): _*)).as("off"))
+      .select(col("id_a"), col("off"),
+        pmod(col("pos_a") + col("off"), lit(nTotal)).as("pos"))
+    probes.join(ranked.select(col("id").as("id_b"), col("pos")), Seq("pos"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"), col("off"))
+  }
+
   /** Blocklist screening — the substring form of content filtering a
     * curation pipeline runs against a phrase denylist (slurs, template
     * boilerplate, licence markers) where token-level matching misses

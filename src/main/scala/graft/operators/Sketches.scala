@@ -506,6 +506,41 @@ object Sketches {
       .withColumn("width", expr(logBucketWidthSql("__kb", subBits)))
       .drop("__kb")
 
+  /** Trailing-window quantile rollup from MERGED per-day log-bucket
+    * sketches — the q198 sketch-OLAP pattern for QUANTILES: each day
+    * is sketched ONCE (one agg over its raw rows), then every trailing
+    * `windowDays` window (anchored at each OBSERVED day, end-inclusive)
+    * merges its days' cell tables — raw rows are never re-read per
+    * window, and a new day extends every rollup by one cellwise sum.
+    * Exact by linearity (q224's proven property: merged cells == the
+    * window's direct sketch), so the oracle recomputes each window
+    * FROM SCRATCH and the hash match proves merge == direct at every
+    * SF. Returns (wday, q_ppm, n_total, est).
+    *
+    * Scale: day-cell table = |days| × ≤ 64·2^subBits rows; window
+    * fan-out replicates each cell `windowDays` times; per-window state
+    * is the bounded cell table, never the rows.
+    */
+  def logBucketWindowRollup(df: DataFrame, dayCol: String, v: Column,
+                            subBits: Int, windowDays: Int,
+                            qPpms: Seq[Long]): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val dayCells = logBucketCells(
+      df.select(col(dayCol).cast("long").as("__day"), v.as("__v")),
+      "__day", col("__v"), subBits)
+    val spine = dayCells.select(col("grp").as("wday")).distinct()
+    val merged = dayCells
+      .select(col("bucket"), col("cnt"),
+        explode(sequence(col("grp"), col("grp") + (windowDays - 1)))
+          .as("wday"))
+      .join(spine, Seq("wday"), "left_semi")
+      .groupBy(col("wday").as("grp"), col("bucket"))
+      .agg(sum("cnt").as("cnt"))
+    logBucketQuantiles(merged, qPpms, subBits)
+      .withColumnRenamed("grp", "wday")
+      .drop("width")
+  }
+
   /** EXACT discrete per-group quantiles under the SAME rank rule, via
     * the (grp, value) histogram — state bounded by the value domain
     * (q92/q124 doctrine), the contract twin the sketch is judged

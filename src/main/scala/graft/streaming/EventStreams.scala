@@ -367,4 +367,42 @@ object EventStreams {
           Iterator(CmsCellUpdate(cell._1, cell._2, cnt))
         })
   }
+
+  case class LbCellUpdate(grp: String, bucket: Long, cnt: Long)
+
+  /** STREAMING log-bucket quantile sketch (the ingest twin of
+    * q223/q224): each record maps map-side to its (group, bucket) cell
+    * — the same bit arithmetic as the batch sketch
+    * ([[graft.operators.Sketches.logBucketIdxSql]]) — cells are the
+    * stream keys, and per-cell Long state accumulates. The sketch is
+    * LINEAR (q224's merge property realized incrementally), so
+    * streaming state after ANY prefix == the batch sketch of that
+    * prefix — StreamingSpec asserts it cell-for-cell across
+    * micro-batches. State is bounded at |groups|·64·2^subBits Longs
+    * FOREVER: a latency/price quantile monitor runs on an unbounded
+    * ingest, and any moment's cells feed
+    * [[graft.operators.Sketches.logBucketQuantiles]] directly.
+    */
+  def streamingLogBucketCells(records: DataFrame, grpCol: String,
+                              vCents: org.apache.spark.sql.Column,
+                              subBits: Int)
+      : org.apache.spark.sql.Dataset[LbCellUpdate] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = records.sparkSession
+    import spark.implicits._
+    records
+      .select(col(grpCol).cast("string").as("grp"), vCents.cast("long").as("__v"))
+      .withColumn("bucket",
+        expr(graft.operators.Sketches.logBucketIdxSql("__v", subBits)))
+      .select(col("grp"), col("bucket"))
+      .as[(String, Long)]
+      .groupByKey(identity)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (cell: (String, Long), it: Iterator[(String, Long)],
+         state: GroupState[Long]) => {
+          val cnt = state.getOption.getOrElse(0L) + it.size
+          state.update(cnt)
+          Iterator(LbCellUpdate(cell._1, cell._2, cnt))
+        })
+  }
 }

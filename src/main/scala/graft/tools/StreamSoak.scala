@@ -334,6 +334,52 @@ object StreamSoak {
       restarts, maxStateRows, pass)
   }
 
+  /** Phase 5: streaming log-bucket quantile cells — cell-for-cell
+    * equality with the batch sketch of the whole feed (the sketch is
+    * linear like CMS; the quantile decode stage is stateless
+    * downstream, so cells ARE the state contract). Feed values include
+    * 0.0 and the sketch domain is v ≥ 1, so the phase sketches
+    * cents + 1 on both sides.
+    */
+  private def lbPhase(spark: SparkSession, root: String, seconds: Int,
+                      restartSeconds: Int, batchEvents: Int): PhaseResult = {
+    val src = s"$root/src"; val ckpt = s"$root/ckpt"
+    new java.io.File(src).mkdirs()
+    def vExpr = round(col("value") * 100) + 1
+    val state = new java.util.concurrent.ConcurrentHashMap[(String, Long), Long]()
+    def startQuery() = EventStreams.streamingLogBucketCells(
+        EventStreams.readEventStream(spark, src),
+        "event_type", vExpr, subBits = 5).toDF()
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        // bounded collect: <= |groups| x |distinct feed values| cells
+        df.collect().foreach(r => state.put(
+          (r.getAs[String]("grp"), r.getAs[Long]("bucket")),
+          r.getAs[Long]("cnt")))
+      }
+      .option("checkpointLocation", ckpt).start()
+    val (restarts, maxSoak, batches) =
+      soakLoop(spark, src, seconds, restartSeconds, batchEvents)(startQuery _)
+    val maxProbe = probeDrain(spark, src, batchEvents, batches)(startQuery _)
+    val streamed = {
+      import scala.jdk.CollectionConverters._
+      state.asScala.toMap
+    }
+    val batch = graft.operators.Sketches.logBucketCells(
+        spark.read.parquet(src), "event_type", vExpr, subBits = 5)
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("bucket")) ->
+        r.getAs[Long]("cnt")).toMap
+    val maxStateRows = math.max(maxSoak, maxProbe)
+    // 5 groups x 7 distinct feed values -> <= 35 cells + provider slack
+    val pass = streamed == batch && maxStateRows <= 64L
+    if (!pass)
+      System.err.println(s"SOAK lb streamed=${streamed.size} cells " +
+        s"batch=${batch.size} maxState=$maxStateRows " +
+        s"diff=${(streamed.toSet -- batch.toSet).take(5)}")
+    PhaseResult((batches + 1).toLong * batchEvents, streamed.size.toLong,
+      restarts, maxStateRows, pass)
+  }
+
   def main(args: Array[String]): Unit = {
     val soakSeconds = sys.env.getOrElse("SOAK_SECONDS", "180").toInt
     val twinSeconds = sys.env.getOrElse("SOAK_TWIN_SECONDS", "60").toInt
@@ -355,10 +401,12 @@ object StreamSoak {
       twinSeconds, restartSeconds, batchEvents)
     val mg = mgPhase(spark, "/tmp/graft-soak/mg",
       twinSeconds, restartSeconds, batchEvents)
+    val lb = lbPhase(spark, "/tmp/graft-soak/lb",
+      twinSeconds, restartSeconds, batchEvents)
 
-    val pass = tumbling.pass && kmv.pass && cms.pass && mg.pass
+    val pass = tumbling.pass && kmv.pass && cms.pass && mg.pass && lb.pass
     println(s"""{"tumbling":${tumbling.json()},"kmv":${kmv.json()},""" +
-      s""""cms":${cms.json()},"mg":${mg.json()},""" +
+      s""""cms":${cms.json()},"mg":${mg.json()},"lb":${lb.json()},""" +
       s""""result":"${if (pass) "PASS" else "FAIL"}"}""")
     spark.stop()
     if (!pass) sys.exit(1)

@@ -142,4 +142,29 @@ class MaintenanceSpec extends AnyFunSuite {
     val withNull = Seq((9L, null: String)).toDF("id", "text")
     assert(Curation.blocklistScreen(withNull, "id", "text", pats).count() == 0)
   }
+
+  test("negativePairs: ring bijection, no self-pairs, partition-invariant") {
+    val docs = (0L until 97L).map(Tuple1(_)).toDF("id")
+    val offs = Seq(1, 5, 40)
+    val got = Curation.negativePairs(docs, "id", offs, "t_")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every doc anchors exactly |offsets| pairs (no offset ≡ 0 mod 97)
+    assert(got.length == 97 * offs.size)
+    assert(got.groupBy(_._1).values.forall(_.length == offs.size))
+    // the ring is a bijection per offset: every doc serves as negative
+    // exactly once per offset
+    offs.foreach { o =>
+      val bs = got.filter(_._3 == o).map(_._2)
+      assert(bs.distinct.length == 97, s"offset $o not a bijection")
+    }
+    assert(got.forall { case (a, b, _) => a != b })
+    // deterministic under repartitioning (rank reconstruction is
+    // partition-independent)
+    val rep = Curation.negativePairs(docs.repartition(7), "id", offs, "t_")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rep == got.toSet)
+    // an offset that is a multiple of N drops every (self-)pair
+    val self = Curation.negativePairs(docs, "id", Seq(97), "t_")
+    assert(self.count() == 0)
+  }
 }

@@ -313,6 +313,25 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed ${streamed.size} cells != batch ${batch.size}")
   }
 
+  test("streaming log-bucket cells converge to the batch sketch exactly") {
+    import org.apache.spark.sql.functions.{col, round}
+    val updates = runToMemory(
+      EventStreams.streamingLogBucketCells(
+        EventStreams.readEventStream(spark, eventsDir),
+        "event_type", round(col("value") * 100), subBits = 5).toDF(),
+      "t_lb", "update")
+    val streamed = updates.collect()
+      .map(r => (r.getAs[String]("grp"), r.getAs[Long]("bucket")) ->
+        r.getAs[Long]("cnt")).toMap
+    val batch = graft.operators.Sketches.logBucketCells(
+        engine.Tables.events(spark, SparkTestSession.sfDir),
+        "event_type", round(col("value") * 100), subBits = 5)
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("bucket")) ->
+        r.getAs[Long]("cnt")).toMap
+    assert(streamed == batch,
+      s"streamed ${streamed.size} cells != batch ${batch.size}")
+  }
+
   test("streaming Misra-Gries summary satisfies the q214 contract over a multi-batch stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
