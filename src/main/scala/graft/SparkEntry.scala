@@ -4025,7 +4025,29 @@ object SparkEntry {
       // the ring with one row_number window.
       Curation.negativePairs(documents(s, d), "doc_id",
           offsets = Seq(1, 37, 1001), saltPrefix = "neg_")
-        .orderBy("id_a", "off"))
+        .orderBy("id_a", "off")),
+
+    "q237_budget_waterfill" -> ((s, d) => {
+      // Integer water-filling over per-source token supplies at a 60%
+      // total budget — the fair-division allocation a mixing plan runs
+      // before q65's weighted mix: under-supplied sources satisfied in
+      // full (ascending-supply walk), the rest capped at the water
+      // level, all exact integers (Curation.waterFill scaladoc). The
+      // per-source supply table is the ONE corpus agg; the fold is a
+      // bounded driver pass; oracle replays the walk as a recursive
+      // CTE over the ranked sources.
+      val sup = documents(s, d)
+        .select(col("source"), size(tokens(col("text"))).cast("long").as("nt"))
+        .groupBy("source").agg(sum("nt").as("sv"))
+        .collect().map(r => r.getString(0) -> r.getAs[Long]("sv")).toSeq
+      val budget = sup.map(_._2).sum * 60L / 100L
+      val alloc = Curation.waterFill(sup, budget).toMap
+      import s.implicits._
+      sup.map { case (src, sv) =>
+        (src, sv, alloc(src), if (alloc(src) == sv) 1L else 0L) }
+        .toDF("source", "supply_tokens", "allocated_tokens", "fully_satisfied")
+        .orderBy("source")
+    })
   )
 
   /** q210's deterministic raw-URL derivation (shared with its oracle by
@@ -8462,6 +8484,28 @@ object SparkEntry {
          | FROM r CROSS JOIN (VALUES (1), (37), (1001)) o(off) CROSS JOIN nn)
          |SELECT p.id_a, b.id AS id_b, p.off
          |FROM p JOIN r b USING (pos) WHERE p.id_a <> b.id
-         |ORDER BY id_a, off""".stripMargin
+         |ORDER BY id_a, off""".stripMargin,
+
+    // the ascending-supply walk replayed as a recursive CTE; LEAST(s,
+    // rem // m) is the engine's exact integer rule
+    "q237_budget_waterfill" ->
+      s"""WITH RECURSIVE sup AS (SELECT source,
+         |  CAST(SUM(len($TOKS)) AS BIGINT) AS s FROM documents GROUP BY 1),
+         |b AS (SELECT (SUM(s) * 60) // 100 AS budget FROM sup),
+         |ord AS (SELECT source, s,
+         |  CAST(row_number() OVER (ORDER BY s, source) AS BIGINT) AS rk
+         | FROM sup),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ord),
+         |rec(rk, rem, a) AS (
+         |  SELECT CAST(0 AS BIGINT), budget, CAST(0 AS BIGINT) FROM b
+         |  UNION ALL
+         |  SELECT o.rk,
+         |   rec.rem - LEAST(o.s, rec.rem // (nn.n - rec.rk)),
+         |   LEAST(o.s, rec.rem // (nn.n - rec.rk))
+         |  FROM rec JOIN ord o ON o.rk = rec.rk + 1 CROSS JOIN nn)
+         |SELECT o.source, o.s AS supply_tokens, r.a AS allocated_tokens,
+         | CAST(r.a = o.s AS BIGINT) AS fully_satisfied
+         |FROM ord o JOIN rec r ON r.rk = o.rk
+         |ORDER BY o.source""".stripMargin
   )
 }

@@ -1089,6 +1089,33 @@ object Curation {
       .select(col("id_a"), col("id_b"), col("off"))
   }
 
+  /** Integer water-filling allocation — the fair-division step of a
+    * token-budget mixing plan: given per-source token supplies and a
+    * total budget, allocate each source min(its supply, its fair share
+    * of what remains), visiting sources in ASCENDING supply order
+    * (ties by name) so under-supplied sources are satisfied in full
+    * before the cap binds — the classic water-filling level, in exact
+    * integer arithmetic (a = min(s, rem div m); the two standard
+    * formulations s·m ≤ rem and s ≤ rem div m coincide on integers).
+    * Deterministic, and the fold is a driver-side pass over the
+    * BOUNDED per-source table (the q141 bounded-collect class);
+    * leftover from integer division stays unallocated (≤ |sources|−1
+    * tokens). Returns (source, allocated) in input order of the sorted
+    * walk.
+    */
+  def waterFill(supplies: Seq[(String, Long)], budget: Long): Seq[(String, Long)] = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    require(supplies.forall(_._2 >= 0), "supplies must be >= 0")
+    var rem = budget
+    var m = supplies.size
+    supplies.sortBy(t => (t._2, t._1)).map { case (src, s) =>
+      val a = math.min(s, rem / m)
+      rem -= a
+      m -= 1
+      (src, a)
+    }
+  }
+
   /** Blocklist screening — the substring form of content filtering a
     * curation pipeline runs against a phrase denylist (slurs, template
     * boilerplate, licence markers) where token-level matching misses

@@ -143,6 +143,24 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(Curation.blocklistScreen(withNull, "id", "text", pats).count() == 0)
   }
 
+  test("waterFill: small sources satisfied in full, cap binds the rest, budget conserved") {
+    val sup = Seq("big" -> 1000L, "tiny" -> 10L, "mid" -> 300L, "huge" -> 5000L)
+    val got = Curation.waterFill(sup, budget = 900L).toMap
+    // ascending walk at budget 900: tiny (10 <= 900 div 4) is satisfied
+    // in full; mid/big/huge hit the water level. Assert the structural
+    // water-filling properties rather than hand-derived levels:
+    assert(got("tiny") == 10L, "under-supplied source satisfied in full")
+    assert(got.values.sum <= 900L, "never over budget")
+    assert(900L - got.values.sum < sup.size, "leftover < |sources|")
+    assert(got.forall { case (s, a) => a <= sup.toMap.apply(s) }, "never over supply")
+    // capped sources all sit within 1 of each other (the water level)
+    val capped = sup.toMap.filter { case (s, v) => got(s) < v }.keys.map(got)
+    assert(capped.max - capped.min <= 1, s"level not flat: $capped")
+    // budget >= total supply -> everyone fully satisfied, nothing invented
+    val all = Curation.waterFill(sup, budget = 100000L).toMap
+    assert(all == sup.toMap)
+  }
+
   test("negativePairs: ring bijection, no self-pairs, partition-invariant") {
     val docs = (0L until 97L).map(Tuple1(_)).toDF("id")
     val offs = Seq(1, 5, 40)
