@@ -396,6 +396,25 @@ object SparkEntry {
     s.read.parquet(path).as[Multimodal.MediaRow]
   }
 
+  /** q238's persisted image-fingerprint band index: the CORPUS media's
+    * (media_id % 10 != 0) aHashes banded into the Hamming≤2 pigeonhole
+    * postings (no size floor — singleton buckets must match arriving
+    * batch images), written once per SF next to the media fixture.
+    */
+  private def imageFpPostingsFixture(
+      s: SparkSession, d: String,
+      media: => org.apache.spark.sql.Dataset[Multimodal.MediaRow]): DataFrame = synchronized {
+    val p = fixturePath(d, "imgfp_postings.parquet")
+    ensureFixture(p) { tmp =>
+      Dedup.hammingBandPostings(
+          Multimodal.imageAHash(
+            media.filter(pmod(col("media_id"), lit(10L)) =!= 0L)).toDF(),
+          "media_id", "ahash", nBits = 64, maxHamming = 2)
+        .write.mode("overwrite").parquet(tmp)
+    }
+    s.read.parquet(p)
+  }
+
   /** The from-scratch ER labeling over any customer-shaped frame. */
   private def erLabelsOf(c: DataFrame): DataFrame = {
     val blocked = erNationBlocked(
@@ -4047,6 +4066,28 @@ object SparkEntry {
         (src, sv, alloc(src), if (alloc(src) == sv) 1L else 0L) }
         .toDF("source", "supply_tokens", "allocated_tokens", "fully_satisfied")
         .orderBy("source")
+    }),
+
+    "q238_image_fp_ingest" -> ((s, d) => {
+      // Image-fingerprint INGEST against the persisted band index —
+      // the q206/q208 standing-index pattern completed for the
+      // multimodal fingerprint family: the corpus's aHash pigeonhole
+      // postings live in a write-once fixture, an arriving batch
+      // (media_id % 10 == 0) decodes + hashes only ITSELF, bands 3
+      // ways, equi-joins the index, and the exact popcount verdict
+      // runs on touched buckets only (Dedup.hammingJoinPostings
+      // scaladoc). Oracle recomputes both sides' aHashes analytically
+      // from the q117 cell formula — no PNG decoded oracle-side.
+      val media = mediaFixture(s, d, "img_dup")(
+        Multimodal.mediaWithDupImages(s, documents(s, d)))
+      val postings = imageFpPostingsFixture(s, d, media)
+      val batch = Multimodal.imageAHash(
+        media.filter(pmod(col("media_id"), lit(10L)) === 0L)).toDF()
+      Dedup.hammingJoinPostings(batch, postings, "media_id", "ahash",
+          nBits = 64, maxHamming = 2)
+        .select(col("id_a").as("new_id"), col("id_b").as("corpus_id"),
+          col("hamming"))
+        .orderBy("new_id", "corpus_id")
     })
   )
 
@@ -8506,6 +8547,39 @@ object SparkEntry {
          |SELECT o.source, o.s AS supply_tokens, r.a AS allocated_tokens,
          | CAST(r.a = o.s AS BIGINT) AS fully_satisfied
          |FROM ord o JOIN rec r ON r.rk = o.rk
-         |ORDER BY o.source""".stripMargin
+         |ORDER BY o.source""".stripMargin,
+
+    // q117's analytic aHash chain with the sides SPLIT: batch (id%10=0)
+    // vs corpus, candidates via the same 3-chunk pigeonhole
+    "q238_image_fp_ingest" ->
+      """WITH dim AS (SELECT doc_id AS id, (doc_id % 16) + 8 AS w,
+        |  (doc_id % 12) + 8 AS h, doc_id // 10 AS gid
+        | FROM documents WHERE doc_id % 2 = 0),
+        |xs AS (SELECT id, unnest(generate_series(0, w-1)) AS x FROM dim),
+        |ys AS (SELECT id, unnest(generate_series(0, h-1)) AS y FROM dim),
+        |px AS (SELECT d.id, (x*8)//d.w AS cx, (y*8)//d.h AS cy,
+        |  CASE WHEN ((CAST(concat('0x', substr(md5(CAST(d.gid AS VARCHAR)),1,15)) AS BIGINT)
+        |              >> ((((y*8)//d.h)*8 + (x*8)//d.w) % 60)) & 1) = 1
+        |       THEN 220 ELSE 30 END AS v
+        | FROM dim d JOIN xs ON xs.id = d.id JOIN ys ON ys.id = d.id),
+        |cell AS (SELECT id, cy*8 + cx AS k, SUM(v) AS cs, COUNT(*) AS cn
+        | FROM px GROUP BY 1, 2),
+        |tot AS (SELECT id, SUM(v) AS ts, COUNT(*) AS tn FROM px GROUP BY 1),
+        |bits AS (SELECT cell.id, k,
+        |  CASE WHEN cs*tn > ts*cn THEN '1' ELSE '0' END AS b
+        | FROM cell JOIN tot ON cell.id = tot.id),
+        |bs AS (SELECT id, string_agg(b, '' ORDER BY k) AS s FROM bits GROUP BY 1),
+        |cand AS (SELECT a.id AS id_a, b.id AS id_b, a.s AS sa, b.s AS sb
+        | FROM bs a JOIN bs b ON a.id % 10 = 0 AND b.id % 10 <> 0 AND (
+        |   substr(a.s, 1, 22) = substr(b.s, 1, 22) OR
+        |   substr(a.s, 23, 21) = substr(b.s, 23, 21) OR
+        |   substr(a.s, 44, 21) = substr(b.s, 44, 21))),
+        |ham AS (SELECT id_a, id_b, CAST(list_sum(list_transform(
+        |   generate_series(1, 64),
+        |   i -> CASE WHEN substr(sa, i, 1) <> substr(sb, i, 1) THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+        | FROM cand)
+        |SELECT id_a AS new_id, id_b AS corpus_id, hamming
+        |FROM ham WHERE hamming <= 2
+        |ORDER BY new_id, corpus_id""".stripMargin
   )
 }

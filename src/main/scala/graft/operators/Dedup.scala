@@ -614,6 +614,62 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** The standing half of [[hammingNearDup]] as a persistable index:
+    * the corpus's (chunk, key) band postings over ANY fingerprint
+    * column (text SimHash, image aHash, audio/video energy hashes) —
+    * the q206/q208 standing-index pattern generalized to the
+    * fingerprint-dedup triad. NO size ≥ 2 floor: a singleton corpus
+    * bucket must still match an arriving batch doc (the q208 lesson).
+    * Write once next to the fingerprint table; probe with
+    * [[hammingJoinPostings]].
+    */
+  def hammingBandPostings(hashed: DataFrame, idCol: String, hashCol: String,
+                          nBits: Int, maxHamming: Int): DataFrame = {
+    val shs = hashed.select(col(idCol).as("id"), col(hashCol).as("simhash"))
+    val bandCols = simHashBands(nBits, maxHamming).map { case (i, start, len) =>
+      struct(lit(i).as("chunk"),
+        shiftright(col("simhash"), start).bitwiseAND(lit((1L << len) - 1)).as("key"))
+    }
+    shs.select(col("id"), col("simhash"),
+        explode(array(bandCols: _*)).as("e"))
+      .select(col("id"), col("simhash"),
+        col("e.chunk").as("chunk"), col("e.key").as("key"))
+      .groupBy("chunk", "key")
+      .agg(sort_array(collect_list(struct(col("id"), col("simhash")))).as("lst"))
+  }
+
+  /** Batch-vs-corpus Hamming ≤ d near-dup against a PERSISTED
+    * [[hammingBandPostings]] index: only the BATCH side bands and
+    * shuffles (d+1 rows per doc), the index streams through one
+    * equi-join on (chunk, key), candidates explode from the touched
+    * buckets only, and the exact popcount verdict drops band-collision
+    * false positives. Pigeonhole recall is exact: a true pair within
+    * Hamming d agrees on ≥ 1 of the d+1 chunks, and that chunk's
+    * bucket holds the corpus member. Pairs reached through several
+    * chunks collapse via the final groupBy. Returns
+    * (id_a = batch, id_b = corpus, hamming).
+    */
+  def hammingJoinPostings(batchHashed: DataFrame, postings: DataFrame,
+                          idCol: String, hashCol: String,
+                          nBits: Int, maxHamming: Int): DataFrame = {
+    val shs = batchHashed.select(col(idCol).as("bid"), col(hashCol).as("bh"))
+    val bandCols = simHashBands(nBits, maxHamming).map { case (i, start, len) =>
+      struct(lit(i).as("chunk"),
+        shiftright(col("bh"), start).bitwiseAND(lit((1L << len) - 1)).as("key"))
+    }
+    shs.select(col("bid"), col("bh"), explode(array(bandCols: _*)).as("e"))
+      .select(col("bid"), col("bh"),
+        col("e.chunk").as("chunk"), col("e.key").as("key"))
+      .join(postings, Seq("chunk", "key"))
+      .select(col("bid"), col("bh"), explode(col("lst")).as("m"))
+      .filter(col("bid") =!= col("m.id"))
+      .groupBy(col("bid").as("id_a"), col("m.id").as("id_b"))
+      .agg(first(col("bh")).as("ha"), first(col("m.simhash")).as("hb"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Multi-index tables for Hamming<=d banding (the generalization of
     * [[simHashBands]] that keeps keys WIDE as d grows — the approach of
     * Manku, Jain & Sarma, WWW'07 §3, expressed as block combinations

@@ -1365,6 +1365,43 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(ds == ds.sorted.reverse)
   }
 
+  test("hammingJoinPostings: ingest equals the cross-side subset of hammingNearDup; parquet round-trip") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // 25 groups of 4 fingerprints: base xor one flipped bit each, so
+    // same-group pairs sit at Hamming <= 2; bases are far apart
+    val rows = (0L until 100L).map { i =>
+      val base = (i / 4) * 2654435761L ^ ((i / 4) * 40503L << 17)
+      (i, base ^ (1L << (i % 4).toInt))
+    }
+    val df = rows.toDF("id", "fp")
+    val corpus = df.filter(col("id") % 10 =!= 0)
+    val batch = df.filter(col("id") % 10 === 0)
+    val postings = Dedup.hammingBandPostings(corpus, "id", "fp", 64, 2)
+    val dir = java.nio.file.Files.createTempDirectory("hfp").toString
+    postings.write.mode("overwrite").parquet(dir)
+    val got = Dedup.hammingJoinPostings(batch, spark.read.parquet(dir),
+        "id", "fp", 64, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // reference: the full self-join, restricted to cross-side pairs and
+    // re-oriented (batch, corpus)
+    val full = Dedup.hammingNearDup(df, "id", "fp", 64, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = full.flatMap { case (a, b, h) =>
+      (a % 10, b % 10) match {
+        case (0, x) if x != 0 => Some((a, b, h))
+        case (x, 0) if x != 0 => Some((b, a, h))
+        case _ => None
+      }
+    }.toSet
+    assert(got == want, s"got ${got.size} want ${want.size}")
+    assert(got.nonEmpty, "fixture must produce cross-side pairs")
+    // inline == persisted
+    val inline0 = Dedup.hammingJoinPostings(batch, postings, "id", "fp", 64, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inline0 == got)
+  }
+
   test("labelPropagation: barbell graph splits into two communities where CC merges") {
     import spark.implicits._
     import graft.operators.GraphOps
