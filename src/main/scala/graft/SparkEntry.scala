@@ -557,13 +557,18 @@ object SparkEntry {
     * grow with the corpus to keep |cluster| ~constant — the paper runs
     * 50k clusters at web scale for exactly this reason. A fixed
     * nLists=8 measured 56x per data decade at sf10 (7.75 s -> 436 s,
-    * the pair join quadratic in corpus size); nLists = n/2500 keeps
-    * every oracle-checked SF (n <= 20000 -> still 8 lists, results
-    * bit-identical) while the sf10 tier gets 80 lists and linear pair
-    * volume.
+    * the pair join quadratic in corpus size). Cluster size 625 makes
+    * the nLists ∝ n regime start AT sf0.1 (n=5000 → the 8-list floor
+    * exactly; n=20000 → 32 lists; sf10 → 320), keeping |cluster| — and
+    * with it per-cluster pair volume — CONSTANT from sf0.1 upward: the
+    * round-11 sweep had measured 13.8× for the sf0.1→sf1 tier under
+    * the old 2500 constant, which was exactly the one-tier quadratic
+    * transition while the floor still bound (pair volume 16× for 4×
+    * vectors); with 625 the tier re-measures at ~4× for 4× data.
+    * Every SF at or below sf0.1 is bit-identical (floor unchanged).
     */
   private val SemDedupMinLists = 8
-  private val SemDedupClusterSize = 2500L
+  private val SemDedupClusterSize = 625L
   private[graft] def semDedupNLists(n: Long): Int =
     math.max(SemDedupMinLists, (n / SemDedupClusterSize).toInt)
 
