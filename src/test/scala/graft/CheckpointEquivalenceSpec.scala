@@ -121,4 +121,16 @@ class CheckpointEquivalenceSpec extends AnyFunSuite {
       assert(wrote, s"no checkpoint data under $dir")
     } finally spark.conf.unset(Scale.CheckpointDirConf)
   }
+
+  test("labelPropagation identical via local and reliable paths") {
+    // the round-11 loop family: barbell + an isolated pair
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L), (20L, 21L)).toDF("a", "b")
+    def run() = labelsOf(GraphOps.labelPropagation(pairs, "a", "b", rounds = 3))
+    val local = run()
+    val reliable = withReliableDir(run())
+    assert(local == reliable)
+    assert(local(1L) == local(2L) && local(4L) == local(5L) &&
+      local(1L) != local(4L))
+  }
 }

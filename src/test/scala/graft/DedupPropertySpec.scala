@@ -322,4 +322,65 @@ class DedupPropertySpec extends AnyFunSuite {
     }
     assert(checked > 0, "no heavy hitters generated — weak test data")
   }
+
+  test("log-bucket quantiles bracket the exact disc quantile on generated value sets") {
+    import org.apache.spark.sql.functions.col
+    val params = Gen.Parameters.default
+    // mixed magnitudes: small exact range, mid range, heavy tail
+    val vGen = Gen.oneOf(Gen.chooseNum(1L, 31L), Gen.chooseNum(32L, 5000L),
+      Gen.chooseNum(1L, 1L << 40))
+    val qGen = Gen.chooseNum(1L, 1000000L)
+    (1 to 5).foreach { trial =>
+      val seed0 = rng.Seed(1000L + trial)
+      val vs = Iterator.iterate(seed0)(_.next).take(400)
+        .map(s => vGen.pureApply(params, s)).toVector
+      val qs = Iterator.iterate(seed0.next.next)(_.next).take(4)
+        .map(s => qGen.pureApply(params, s)).toVector.distinct
+      val df = vs.map(("g", _)).toDF("grp", "v")
+      val cells = Sketches.logBucketCells(df, "grp", col("v"), 5)
+      val est = Sketches.logBucketQuantiles(cells, qs, 5)
+        .collect().map(r => r.getAs[Long]("q_ppm") ->
+          (r.getAs[Long]("est"), r.getAs[Long]("width"))).toMap
+      // driver model: exact disc quantile under the shared rank rule
+      val sorted = vs.sorted
+      qs.foreach { q =>
+        val rank = math.max((vs.size.toLong * q + 999999L) / 1000000L, 1L)
+        val exact = sorted(math.min(rank, vs.size).toInt - 1)
+        val (e, w) = est(q)
+        assert(e <= exact && exact < e + w,
+          s"trial $trial q=$q est=$e width=$w exact=$exact")
+      }
+    }
+  }
+
+  test("Aho-Corasick blocklist counts match brute force on generated text/patterns") {
+    import graft.operators.Curation
+    val params = Gen.Parameters.default
+    val textGen = Gen.chooseNum(0, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', ' ')).map(_.mkString))
+    val patGen = Gen.chooseNum(1, 4).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', ' ')).map(_.mkString))
+    def brute(text: String, pat: String): Long =
+      (0 to text.length - pat.length)
+        .count(i => text.regionMatches(i, pat, 0, pat.length)).toLong
+    (1 to 4).foreach { trial =>
+      val seed0 = rng.Seed(9000L + trial)
+      val texts = Iterator.iterate(seed0)(_.next).take(40)
+        .map(s => textGen.pureApply(params, s)).toVector
+        .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val pats = Iterator.iterate(seed0.next)(_.next)
+        .map(s => patGen.pureApply(params, s))
+        .distinct.take(6).toVector
+      val got = Curation.blocklistScreen(texts.toDF("id", "text"),
+          "id", "text", pats)
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      texts.foreach { case (id, t) =>
+        pats.foreach { p =>
+          assert(got.getOrElse((id, p), 0L) == brute(t, p),
+            s"trial $trial id=$id pat='$p' text='$t'")
+        }
+      }
+    }
+  }
 }
