@@ -168,6 +168,12 @@ object SparkEntry {
        | FROM agg)""".stripMargin
   }
 
+  /** q240's exact-Jaccard ground-truth threshold (0.5 — decorrelated
+    * from q182's 0.7 so the eval exercises a different operating
+    * point). Shared with the oracle SQL.
+    */
+  private val DedupEvalTPpm = 500000L
+
   /** q227's parent-snapshot cutoff (orders span 1995..2001 in the
     * testdata): lineitems referencing orders on/after it are the
     * late-arriving orphans the audit must count. Shared with the
@@ -4093,6 +4099,61 @@ object SparkEntry {
         .select(col("id_a").as("new_id"), col("id_b").as("corpus_id"),
           col("hamming"))
         .orderBy("new_id", "corpus_id")
+    }),
+
+    "q239_pit_lookup" -> ((s, d) => {
+      // Point-in-time dimension lookup — the query SCD2 history exists
+      // to answer: each purchase joined to the user's STATE (latest
+      // non-purchase event type) valid AT purchase time, via the
+      // single-exchange as-of merge against the q160 validity table
+      // (no pair fan-out; valid_from <= ts inclusive). Purchases
+      // before any state report 'none' (left-anti complement). State
+      // at t over collapsed SCD2 intervals == last event <= t, and the
+      // data has no same-(user, ts) collisions at any SF, so the
+      // oracle replays the lookup directly over the raw events.
+      val ev = events(s, d)
+      val hist = Relational.scd2History(
+          ev.filter(col("event_type") =!= "purchase"),
+          "user_id", "ts", "event_type", "event_id")
+        .select(col("user_id").as("h_user"), col("event_type").as("state"),
+          col("valid_from"))
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          cents(col("value")).as("value_c"))
+      val matched = Relational.asOfJoinMergeDirected(facts, hist,
+        "user_id", "h_user", "ts", "valid_from", "valid_from",
+        forward = false)
+      val none = facts.join(matched.select(col("event_id").as("m_id")),
+        col("event_id") === col("m_id"), "left_anti")
+      matched.select(col("state"), col("value_c"))
+        .unionByName(none.select(lit("none").as("state"), col("value_c")))
+        .groupBy("state")
+        .agg(count(lit(1)).as("n_purchases"), sum("value_c").as("sum_value_c"))
+        .orderBy("state")
+    }),
+
+    "q240_dedup_eval" -> ((s, d) => {
+      // Candidate-quality audit for the dedup index — the harness a
+      // team tunes banding with (q129's recall@k idea applied to
+      // near-dup candidates): ground truth = the EXACT Jaccard >= 0.5
+      // pair set (ppJoinShingles — no recall loss by construction),
+      // candidates = the 16-bit simhash equality buckets, metrics =
+      // precision/recall in exact ppm. One semi-join over two pair
+      // frames; counts are three bounded driver actions.
+      import s.implicits._
+      val docs = documents(s, d)
+      val truth = Dedup.ppJoinShingles(docs, "doc_id", "text",
+          tPpm = DedupEvalTPpm)
+        .select("id_a", "id_b")
+      val cand = Dedup.simHashDup(docs, "doc_id", "text", nBits = 16)
+        .select("id_a", "id_b")
+      val nT = truth.count()
+      val nC = cand.count()
+      val nH = cand.join(truth, Seq("id_a", "id_b"), "left_semi").count()
+      Seq((nT, nC, nH,
+          if (nC > 0) nH * 1000000L / nC else 0L,
+          if (nT > 0) nH * 1000000L / nT else 0L))
+        .toDF("n_truth", "n_cand", "n_hit", "precision_ppm", "recall_ppm")
     })
   )
 
@@ -8585,6 +8646,65 @@ object SparkEntry {
         | FROM cand)
         |SELECT id_a AS new_id, id_b AS corpus_id, hamming
         |FROM ham WHERE hamming <= 2
-        |ORDER BY new_id, corpus_id""".stripMargin
+        |ORDER BY new_id, corpus_id""".stripMargin,
+
+    // state at t == the latest non-purchase event <= t (no same-(user,
+    // ts) collisions at any SF, verified, so the raw-event replay
+    // equals the SCD2-interval lookup); unmatched purchases -> 'none'
+    "q239_pit_lookup" ->
+      """WITH np AS (SELECT user_id,
+        |  CAST(date_trunc('microseconds', ts) AS TIMESTAMP) AS ts,
+        |  event_id, event_type
+        | FROM events WHERE event_type <> 'purchase'),
+        |p AS (SELECT user_id, event_id,
+        |  CAST(date_trunc('microseconds', ts) AS TIMESTAMP) AS ts,
+        |  CAST(round(value * 100) AS BIGINT) AS value_c
+        | FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT p.event_id, np.event_type,
+        |  row_number() OVER (PARTITION BY p.event_id
+        |    ORDER BY np.ts DESC, np.event_id DESC) AS rn
+        | FROM p JOIN np ON np.user_id = p.user_id AND np.ts <= p.ts),
+        |st AS (SELECT event_id, event_type AS state FROM j WHERE rn = 1),
+        |allp AS (SELECT p.event_id, p.value_c,
+        |  COALESCE(st.state, 'none') AS state
+        | FROM p LEFT JOIN st USING (event_id))
+        |SELECT state, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        | CAST(SUM(value_c) AS BIGINT) AS sum_value_c
+        |FROM allp GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // ground truth = brute-force exact Jaccard >= 0.5; candidates =
+    // the q105 simhash replay; metrics as exact integer ppm
+    "q240_dedup_eval" ->
+      s"""WITH sh AS ($SHINGLES3),
+         |ss AS (SELECT id, list_sort(list(sh)) AS sset FROM sh GROUP BY 1),
+         |tp AS (SELECT id_a, id_b FROM (
+         |  SELECT a.id AS id_a, b.id AS id_b,
+         |   CAST(len(list_intersect(a.sset, b.sset)) AS BIGINT) AS inter,
+         |   CAST(len(a.sset) AS BIGINT) AS na, CAST(len(b.sset) AS BIGINT) AS nb
+         |  FROM ss a JOIN ss b ON a.id < b.id) t
+         | WHERE inter * 1000000 // (na + nb - inter) >= $DedupEvalTPpm),
+         |w2 AS (SELECT doc_id AS id, unnest($TOKS) AS w FROM documents),
+         |h2 AS (SELECT id, ${duckHash("w", 15)} AS h FROM w2),
+         |bits AS (SELECT id, bit,
+         |  SUM(CASE WHEN ((h >> bit) & 1) = 1 THEN 1 ELSE -1 END) AS v
+         | FROM h2 CROSS JOIN (SELECT unnest(generate_series(0,15)) AS bit) b
+         | GROUP BY 1, 2),
+         |sh2 AS (SELECT id,
+         |  CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+         | FROM bits GROUP BY 1),
+         |cp AS (SELECT a.id AS id_a, b.id AS id_b
+         | FROM sh2 a JOIN sh2 b ON a.simhash = b.simhash AND a.id < b.id),
+         |hit AS (SELECT cp.id_a, cp.id_b FROM cp JOIN tp USING (id_a, id_b)),
+         |c AS (SELECT (SELECT COUNT(*) FROM tp) AS n_truth,
+         |  (SELECT COUNT(*) FROM cp) AS n_cand,
+         |  (SELECT COUNT(*) FROM hit) AS n_hit)
+         |SELECT CAST(n_truth AS BIGINT) AS n_truth,
+         | CAST(n_cand AS BIGINT) AS n_cand,
+         | CAST(n_hit AS BIGINT) AS n_hit,
+         | CAST(CASE WHEN n_cand > 0 THEN n_hit * 1000000 // n_cand
+         |   ELSE 0 END AS BIGINT) AS precision_ppm,
+         | CAST(CASE WHEN n_truth > 0 THEN n_hit * 1000000 // n_truth
+         |   ELSE 0 END AS BIGINT) AS recall_ppm
+         |FROM c""".stripMargin
   )
 }
