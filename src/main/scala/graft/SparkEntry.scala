@@ -174,6 +174,11 @@ object SparkEntry {
     */
   private val DedupEvalTPpm = 500000L
 
+  /** q241's ordered funnel definition, shared with the oracle SQL:
+    * the strictly time-increasing subsequence a user must traverse.
+    */
+  private val FunnelStages = Seq("signup", "view", "click", "purchase")
+
   /** q227's parent-snapshot cutoff (orders span 1995..2001 in the
     * testdata): lineitems referencing orders on/after it are the
     * late-arriving orphans the audit must count. Shared with the
@@ -4154,7 +4159,18 @@ object SparkEntry {
           if (nC > 0) nH * 1000000L / nC else 0L,
           if (nT > 0) nH * 1000000L / nT else 0L))
         .toDF("n_truth", "n_cand", "n_hit", "precision_ppm", "recall_ppm")
-    })
+    }),
+
+    "q241_funnel" -> ((s, d) =>
+      // Ordered-funnel conversion over the event stream: users
+      // progressing signup -> view -> click -> purchase as a strictly
+      // time-increasing subsequence, with per-stage conversion in
+      // exact ppm. Greedy-earliest min-agg per stage — one hash
+      // exchange on user_id per stage, partitioning reused across the
+      // stage joins, never a per-user event buffer
+      // (Relational.funnelStages scaladoc).
+      Relational.funnelStages(events(s, d), "user_id", "ts",
+        "event_type", FunnelStages))
   )
 
   /** q210's deterministic raw-URL derivation (shared with its oracle by
@@ -8705,6 +8721,39 @@ object SparkEntry {
          |   ELSE 0 END AS BIGINT) AS precision_ppm,
          | CAST(CASE WHEN n_truth > 0 THEN n_hit * 1000000 // n_truth
          |   ELSE 0 END AS BIGINT) AS recall_ppm
-         |FROM c""".stripMargin
+         |FROM c""".stripMargin,
+
+    // greedy-earliest per stage is lossless (any witness subsequence
+    // has a pointwise-earlier greedy witness), so sequential min-aggs
+    // replay the funnel exactly
+    "q241_funnel" -> {
+      val (st1, st2, st3, st4) =
+        (FunnelStages(0), FunnelStages(1), FunnelStages(2), FunnelStages(3))
+      s"""WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+         |  WHERE event_type = '$st1' GROUP BY 1),
+         |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+         |  JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.t
+         |  WHERE e.event_type = '$st2' GROUP BY 1),
+         |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+         |  JOIN s2 ON s2.user_id = e.user_id AND e.ts > s2.t
+         |  WHERE e.event_type = '$st3' GROUP BY 1),
+         |s4 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+         |  JOIN s3 ON s3.user_id = e.user_id AND e.ts > s3.t
+         |  WHERE e.event_type = '$st4' GROUP BY 1),
+         |c AS (SELECT (SELECT count(*) FROM s1) AS n1,
+         |  (SELECT count(*) FROM s2) AS n2,
+         |  (SELECT count(*) FROM s3) AS n3,
+         |  (SELECT count(*) FROM s4) AS n4)
+         |SELECT * FROM (
+         | SELECT CAST(1 AS INTEGER) AS stage_idx, '$st1' AS stage,
+         |  CAST(n1 AS BIGINT) AS n_users, CAST(1000000 AS BIGINT) AS conv_ppm FROM c
+         | UNION ALL SELECT CAST(2 AS INTEGER), '$st2', CAST(n2 AS BIGINT),
+         |  CAST(CASE WHEN n1 > 0 THEN n2 * 1000000 // n1 ELSE 0 END AS BIGINT) FROM c
+         | UNION ALL SELECT CAST(3 AS INTEGER), '$st3', CAST(n3 AS BIGINT),
+         |  CAST(CASE WHEN n2 > 0 THEN n3 * 1000000 // n2 ELSE 0 END AS BIGINT) FROM c
+         | UNION ALL SELECT CAST(4 AS INTEGER), '$st4', CAST(n4 AS BIGINT),
+         |  CAST(CASE WHEN n3 > 0 THEN n4 * 1000000 // n3 ELSE 0 END AS BIGINT) FROM c)
+         |ORDER BY stage_idx""".stripMargin
+    }
   )
 }

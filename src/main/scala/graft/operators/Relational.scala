@@ -671,6 +671,52 @@ object Relational {
       .toDF(idCol, minCol, maxCol)
   }
 
+  /** Ordered funnel: for each user, the furthest prefix of `stages`
+    * reachable as a strictly time-increasing event subsequence
+    * (stage k's event must carry ts strictly after the ts CHOSEN for
+    * stage k-1). Returns one row per stage with the users reaching at
+    * least that stage and the conversion from the previous stage in
+    * exact ppm.
+    *
+    * Greedy-earliest is lossless: taking the MINIMUM qualifying ts at
+    * every stage can only enlarge the set of qualifying events for
+    * the next stage (any subsequence witness has a pointwise-earlier
+    * greedy witness), so min-per-stage decides reachability exactly.
+    * That makes the distributed shape one hash aggregation per stage —
+    * filter the stage's events, join to the previous stage's chosen
+    * ts (both sides hash-partitioned on the user key, so after the
+    * first exchange the join and the min-agg reuse the partitioning),
+    * keep strictly-later events, take min(ts). No per-user event list
+    * is ever buffered (a power user with 10⁹ events costs only its
+    * share of |stages| filtered scans), unlike the collect_list/UDF
+    * funnel that dies on skew. Stage frames shrink monotonically;
+    * the final per-stage counts are one agg row each.
+    */
+  def funnelStages(events: DataFrame, userCol: String, tsCol: String,
+                   typeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnelStages needs at least one stage")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val first = events.filter(col(typeCol) === stages.head)
+      .groupBy(col(userCol).as("u")).agg(min(col(tsCol)).as("t_prev"))
+    val reachedPerStage = stages.tail.scanLeft(first) { (prev, stage) =>
+      events.filter(col(typeCol) === stage)
+        .select(col(userCol).as("u"), col(tsCol).as("t_cur"))
+        .join(prev, "u")
+        .filter(col("t_cur") > col("t_prev"))
+        .groupBy("u").agg(min(col("t_cur")).as("t_prev"))
+    }
+    val counts = reachedPerStage.map(_.select(count(lit(1)).as("n")).head().getLong(0))
+    val rows = stages.zip(counts).zipWithIndex.map { case ((stage, n), i) =>
+      val convPpm =
+        if (i == 0) 1000000L
+        else if (counts(i - 1) > 0) n * 1000000L / counts(i - 1)
+        else 0L
+      (i + 1, stage, n, convPpm)
+    }
+    rows.toDF("stage_idx", "stage", "n_users", "conv_ppm")
+  }
+
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
                    keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "snapshotDiff needs at least one key column")

@@ -590,4 +590,57 @@ class ChunkingCurationSpec extends AnyFunSuite {
     assert(got("alt") == ((3L, -1.0)))
     assert(got("flat") == ((3L, 0.0)))
   }
+
+  test("funnelStages equals the brute-force ordered-subsequence model") {
+    import graft.operators.Relational
+    val stages = Seq("a", "b", "c")
+    val rnd = new scala.util.Random(13)
+    // random per-user event streams, ts collisions included (strict >)
+    val events = for {
+      u <- 1L to 80L
+      _ <- 1 to rnd.nextInt(8)
+    } yield (u, rnd.nextInt(10).toLong, stages(rnd.nextInt(3)))
+    // brute force: greedy earliest subsequence per user, stop at the
+    // first stage with no strictly-later event
+    def reachDepth(evs: Seq[(Long, String)]): Int = {
+      var t = Long.MinValue; var depth = 0; var blocked = false
+      for (st <- stages if !blocked) {
+        val cand = evs.collect { case (ts, `st`) if depth == 0 || ts > t => ts }
+        if (cand.isEmpty) blocked = true
+        else { t = cand.min; depth += 1 }
+      }
+      depth
+    }
+    val byUser = events.groupBy(_._1).view
+      .mapValues(_.map(e => (e._2, e._3)).toSeq).toMap
+    val expectCounts = stages.indices.map { k =>
+      byUser.values.count(reachDepth(_) >= k + 1).toLong
+    }
+    for (nPart <- Seq(1, 4)) {
+      val df = events.toDF("user_id", "ts", "event_type").repartition(nPart)
+      val got = Relational.funnelStages(df, "user_id", "ts", "event_type", stages)
+        .orderBy("stage_idx").collect()
+      assert(got.map(_.getLong(2)).toSeq == expectCounts, s"nPart=$nPart")
+      // conv_ppm is the exact integer ratio vs the previous stage
+      val ppm = got.map(_.getLong(3)).toSeq
+      assert(ppm.head == 1000000L)
+      for (i <- 1 until stages.size) {
+        val want = if (expectCounts(i - 1) > 0)
+          expectCounts(i) * 1000000L / expectCounts(i - 1) else 0L
+        assert(ppm(i) == want, s"stage $i")
+      }
+    }
+    // equal timestamps do NOT satisfy the strictly-after contract
+    val eq = Seq((1L, 5L, "a"), (1L, 5L, "b"), (1L, 6L, "b"), (2L, 5L, "a"))
+      .toDF("user_id", "ts", "event_type")
+    val gotEq = Relational.funnelStages(eq, "user_id", "ts", "event_type", Seq("a", "b"))
+      .orderBy("stage_idx").collect().map(_.getLong(2)).toSeq
+    assert(gotEq == Seq(2L, 1L)) // user 1 reaches b only via ts=6
+    // an empty downstream stage yields zero users and zero conv
+    val none = Seq((1L, 1L, "a")).toDF("user_id", "ts", "event_type")
+    val gotNone = Relational.funnelStages(none, "user_id", "ts", "event_type",
+      Seq("a", "b", "c")).orderBy("stage_idx").collect()
+    assert(gotNone.map(_.getLong(2)).toSeq == Seq(1L, 0L, 0L))
+    assert(gotNone.map(_.getLong(3)).toSeq == Seq(1000000L, 0L, 0L))
+  }
 }
