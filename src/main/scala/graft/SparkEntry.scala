@@ -426,6 +426,29 @@ object SparkEntry {
     s.read.parquet(p)
   }
 
+  /** q242's batch coin: an md5 bit on event_id partitions events into
+    * a standing corpus (~90%) and an arriving batch (~10%) — the same
+    * ingest split the q203/q222/q238 maintenance queries use, on the
+    * HLL family.
+    */
+  private def hllBatchCoin = pmod(tokenHash64(concat(lit("hbatch_"),
+    col("event_id").cast("string"))), lit(10L)) === 0L
+
+  /** q242's persisted standing HLL sketch: the corpus events' per-type
+    * registers (64 longs per group FOREVER), written once per SF. At
+    * ingest the corpus is never rescanned — the sketch table is the
+    * only corpus state the query reads.
+    */
+  private def hllStandingFixture(s: SparkSession, d: String): DataFrame = synchronized {
+    val p = fixturePath(d, "hll_standing_regs.parquet")
+    ensureFixture(p) { tmp =>
+      Sketches.hllRegisters(events(s, d).filter(!hllBatchCoin),
+          "event_type", col("user_id"), "hll_")
+        .write.mode("overwrite").parquet(tmp)
+    }
+    s.read.parquet(p)
+  }
+
   /** The from-scratch ER labeling over any customer-shaped frame. */
   private def erLabelsOf(c: DataFrame): DataFrame = {
     val blocked = erNationBlocked(
@@ -4170,7 +4193,25 @@ object SparkEntry {
       // stage joins, never a per-user event buffer
       // (Relational.funnelStages scaladoc).
       Relational.funnelStages(events(s, d), "user_id", "ts",
-        "event_type", FunnelStages))
+        "event_type", FunnelStages)),
+
+    "q242_hll_ingest" -> ((s, d) => {
+      // HLL sketch INGEST against the persisted register table — the
+      // q203/q222/q238 standing-state pattern on the cardinality
+      // family: the corpus's per-type registers live in a write-once
+      // fixture (64 longs per group forever), an arriving batch
+      // (md5 coin on event_id, ~10%) hashes only ITSELF, and the
+      // groupwise-MAX merge touches sketch rows, never corpus events.
+      // Because MAX-merge == whole-corpus recompute bit-for-bit
+      // (q233's proven property), the oracle is the full-corpus
+      // sketch recomputation — the green row PROVES ingest == rebuild.
+      val standing = hllStandingFixture(s, d)
+      val batch = Sketches.hllRegisters(events(s, d).filter(hllBatchCoin),
+        "event_type", col("user_id"), "hll_")
+      Sketches.hllEstimate(Sketches.hllMerge(Seq(standing, batch)))
+        .withColumnRenamed("grp", "event_type")
+        .orderBy("event_type")
+    })
   )
 
   /** q210's deterministic raw-URL derivation (shared with its oracle by
@@ -8754,6 +8795,14 @@ object SparkEntry {
          | UNION ALL SELECT CAST(4 AS INTEGER), '$st4', CAST(n4 AS BIGINT),
          |  CAST(CASE WHEN n3 > 0 THEN n4 * 1000000 // n3 ELSE 0 END AS BIGINT) FROM c)
          |ORDER BY stage_idx""".stripMargin
-    }
+    },
+
+    // standing-sketch merge == whole-corpus recompute (MAX distributes
+    // over union, q233) — so the oracle IS the full rebuild, est side
+    // of q232
+    "q242_hll_ingest" ->
+      s"""$hllOracleCore
+         |SELECT event_type, n_present, s_scaled, est_hll FROM fin
+         |ORDER BY event_type""".stripMargin
   )
 }
