@@ -4211,6 +4211,66 @@ object SparkEntry {
       Sketches.hllEstimate(Sketches.hllMerge(Seq(standing, batch)))
         .withColumnRenamed("grp", "event_type")
         .orderBy("event_type")
+    }),
+
+    "q243_table_fingerprint" -> ((s, d) =>
+      // Order-invariant dataset content fingerprint — how two 100 TB
+      // replicas are compared without shipping data: 16 bucket rows of
+      // (count, bit_xor of the 60-bit row hash, modular sum), a pure
+      // function of each bucket's row multiset. ONE map-side-combined
+      // agg, 3 longs of state per bucket at any size
+      // (Relational.bucketFingerprints scaladoc).
+      Relational.bucketFingerprints(lineitem(s, d),
+          tokenHash64(concat(lit("fpb_"), col("l_orderkey").cast("string"))),
+          tokenHash64(concat(lit("fpr_"), concat_ws("|",
+            col("l_orderkey").cast("string"),
+            col("l_linenumber").cast("string"),
+            cents(col("l_extendedprice")).cast("string"),
+            col("l_returnflag")))),
+          nBuckets = 16)
+        .orderBy("bucket")),
+
+    "q244_merkle_diff" -> ((s, d) => {
+      // Merkle drill-down diff: compare two order snapshots (q123's
+      // insert/delete/update derivation, sparsified to 3 keys per
+      // 1000 so flagged buckets stay a strict subset) by exchanging
+      // 64 fingerprint rows per side, then re-scan ONLY the flagged
+      // buckets to classify changes — scan volume in the second pass
+      // is proportional to the changed fraction, never the table.
+      // Flagging is replayed by the oracle, so a (cryptographically
+      // negligible) fingerprint collision would change both sides
+      // identically.
+      val base = orders(s, d).select(col("o_orderkey"),
+        cents(col("o_totalprice")).as("total_c"))
+      val m = pmod(col("o_orderkey"), lit(1000L))
+      val v1 = base.filter(m =!= 3)
+      val v2 = base.filter(m =!= 5)
+        .withColumn("total_c",
+          when(m === 7, col("total_c") + 100L).otherwise(col("total_c")))
+      val bHash = tokenHash64(concat(lit("mdb_"),
+        col("o_orderkey").cast("string")))
+      val rHash = tokenHash64(concat(lit("mdr_"),
+        concat_ws("|", col("o_orderkey").cast("string"),
+          col("total_c").cast("string"))))
+      def fp(v: DataFrame, side: String) =
+        Relational.bucketFingerprints(v, bHash, rHash, nBuckets = 64)
+          .select(col("bucket"), col("n_rows").as(s"n_$side"),
+            col("xor_h").as(s"x_$side"), col("sum_mod").as(s"s_$side"))
+      val flagged = fp(v1, "a").join(fp(v2, "b"), Seq("bucket"), "full_outer")
+        .filter(!(col("n_a") <=> col("n_b")) || !(col("x_a") <=> col("x_b")) ||
+          !(col("s_a") <=> col("s_b")))
+        .select("bucket")
+      def restrict(v: DataFrame) = v
+        .withColumn("bucket", pmod(bHash, lit(64L)))
+        .join(broadcast(flagged), Seq("bucket"))
+      Relational.snapshotDiff(restrict(v1), restrict(v2),
+          Seq("bucket", "o_orderkey"))
+        .filter(col("change_type") =!= "unchanged")
+        .groupBy("bucket")
+        .agg(sum(when(col("change_type") === "insert", 1L).otherwise(0L)).as("n_insert"),
+          sum(when(col("change_type") === "delete", 1L).otherwise(0L)).as("n_delete"),
+          sum(when(col("change_type") === "update", 1L).otherwise(0L)).as("n_update"))
+        .orderBy("bucket")
     })
   )
 
@@ -8803,6 +8863,61 @@ object SparkEntry {
     "q242_hll_ingest" ->
       s"""$hllOracleCore
          |SELECT event_type, n_present, s_scaled, est_hll FROM fin
-         |ORDER BY event_type""".stripMargin
+         |ORDER BY event_type""".stripMargin,
+
+    // the multiset fingerprint recomputed in full: same md5 row/bucket
+    // hashes, same (count, bit_xor, modular sum) triple
+    "q243_table_fingerprint" -> {
+      val rh = duckHash("concat('fpr_', concat_ws('|', " +
+        "CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR), " +
+        "CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR), " +
+        "l_returnflag))", 15)
+      val bh = duckHash("concat('fpb_', CAST(l_orderkey AS VARCHAR))", 15)
+      s"""WITH r AS (SELECT $bh % 16 AS bucket, $rh AS h FROM lineitem)
+         |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         | CAST(bit_xor(h) AS BIGINT) AS xor_h,
+         | CAST(SUM(h % ${Relational.FingerprintSumMod}) AS BIGINT) AS sum_mod
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    // flag buckets whose fingerprint triple differs, then classify
+    // changes inside flagged buckets only — the oracle replays both
+    // the flagging and the drill-down
+    "q244_merkle_diff" -> {
+      val bh = duckHash("concat('mdb_', CAST(o_orderkey AS VARCHAR))", 15)
+      def rh(tc: String) = duckHash(
+        s"concat('mdr_', concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST($tc AS VARCHAR)))", 15)
+      s"""WITH base AS (SELECT o_orderkey,
+         |  CAST(round(o_totalprice * 100) AS BIGINT) AS total_c,
+         |  o_orderkey % 1000 AS m, $bh % 64 AS bucket
+         | FROM orders),
+         |v1 AS (SELECT o_orderkey, total_c, bucket FROM base WHERE m <> 3),
+         |v2 AS (SELECT o_orderkey,
+         |  CASE WHEN m = 7 THEN total_c + 100 ELSE total_c END AS total_c,
+         |  bucket FROM base WHERE m <> 5),
+         |f1 AS (SELECT bucket, COUNT(*) AS n, bit_xor(${rh("total_c")}) AS x,
+         |  SUM(${rh("total_c")} % ${Relational.FingerprintSumMod}) AS s
+         | FROM v1 GROUP BY 1),
+         |f2 AS (SELECT bucket, COUNT(*) AS n, bit_xor(${rh("total_c")}) AS x,
+         |  SUM(${rh("total_c")} % ${Relational.FingerprintSumMod}) AS s
+         | FROM v2 GROUP BY 1),
+         |flagged AS (SELECT COALESCE(f1.bucket, f2.bucket) AS bucket
+         | FROM f1 FULL OUTER JOIN f2 ON f1.bucket = f2.bucket
+         | WHERE f1.n IS DISTINCT FROM f2.n OR f1.x IS DISTINCT FROM f2.x
+         |  OR f1.s IS DISTINCT FROM f2.s),
+         |d AS (SELECT COALESCE(a.bucket, b.bucket) AS bucket,
+         |  CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+         |   WHEN b.o_orderkey IS NULL THEN 'delete'
+         |   WHEN a.total_c <> b.total_c THEN 'update'
+         |   ELSE 'unchanged' END AS ct
+         | FROM (SELECT v1.* FROM v1 JOIN flagged USING (bucket)) a
+         | FULL OUTER JOIN (SELECT v2.* FROM v2 JOIN flagged USING (bucket)) b
+         |  ON a.bucket = b.bucket AND a.o_orderkey = b.o_orderkey)
+         |SELECT bucket,
+         | CAST(SUM(CASE WHEN ct = 'insert' THEN 1 ELSE 0 END) AS BIGINT) AS n_insert,
+         | CAST(SUM(CASE WHEN ct = 'delete' THEN 1 ELSE 0 END) AS BIGINT) AS n_delete,
+         | CAST(SUM(CASE WHEN ct = 'update' THEN 1 ELSE 0 END) AS BIGINT) AS n_update
+         |FROM d WHERE ct <> 'unchanged' GROUP BY 1 ORDER BY 1""".stripMargin
+    }
   )
 }

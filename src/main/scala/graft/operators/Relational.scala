@@ -717,6 +717,36 @@ object Relational {
     rows.toDF("stage_idx", "stage", "n_users", "conv_ppm")
   }
 
+  /** q243/q244's modular-sum domain: small enough that 10¹² rows per
+    * bucket cannot overflow a Long (10¹² · 10⁶ < 2⁶³), large enough
+    * that sums rarely collide.
+    */
+  val FingerprintSumMod = 1000003L
+
+  /** Order-invariant per-bucket content fingerprint — the Merkle-style
+    * summary that lets two 100 TB replicas be compared by exchanging
+    * `nBuckets` rows instead of the data: bucket = bucketHash mod
+    * nBuckets, fingerprint = (row count, bit_xor of the 60-bit row
+    * hash, Σ rowHash mod [[FingerprintSumMod]]). XOR and modular sum
+    * are commutative/associative, so the fingerprint is a pure
+    * function of the bucket's row MULTISET (xor alone would miss a
+    * row added twice — count and sum see it; count alone would miss a
+    * swap — xor and sum see it). One map-side-combined hash agg, state
+    * = 3 longs per bucket regardless of data size; a mismatched
+    * bucket localizes the diff to 1/nBuckets of the data (the
+    * drill-down is q244).
+    */
+  def bucketFingerprints(df: DataFrame, bucketHash: Column, rowHash: Column,
+                         nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    df.select(pmod(bucketHash, lit(nBuckets.toLong)).as("bucket"),
+        rowHash.as("__h"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(__h)").as("xor_h"),
+        sum(pmod(col("__h"), lit(FingerprintSumMod))).as("sum_mod"))
+  }
+
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
                    keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "snapshotDiff needs at least one key column")

@@ -591,6 +591,39 @@ class ChunkingCurationSpec extends AnyFunSuite {
     assert(got("flat") == ((3L, 0.0)))
   }
 
+  test("bucketFingerprints: multiset function, change-sensitive, partition-invariant") {
+    import graft.operators.Relational
+    import graft.functions.TextFunctions.tokenHash64
+    def fp(rows: Seq[(Long, String)], nPart: Int) =
+      Relational.bucketFingerprints(
+          rows.toDF("k", "payload").repartition(nPart),
+          tokenHash64(concat(lit("b_"), col("k").cast("string"))),
+          tokenHash64(concat_ws("|", col("k").cast("string"), col("payload"))),
+          nBuckets = 8)
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+    val base = (1L to 200L).map(k => (k, s"v$k"))
+    val a = fp(base, 1)
+    // partitioning and row order never change the fingerprint
+    assert(fp(scala.util.Random.shuffle(base), 7) == a)
+    // a changed payload flags exactly the key's bucket
+    val changed = fp(base.map { case (k, v) => (k, if (k == 42L) "X" else v) }, 3)
+    val bucket42 = graft.functions.TextFunctions.tokenHash64Jvm("b_42") % 8
+    assert(changed.keySet == a.keySet)
+    assert(changed.filter { case (b, t) => a(b) != t }.keySet == Set(bucket42))
+    // adding a DUPLICATE of an existing row shifts each component by
+    // exactly the row hash's contribution (count +1, xor ^= h, sum += h mod M)
+    val dup = fp(base :+ base.head, 2)
+    val b1 = graft.functions.TextFunctions.tokenHash64Jvm("b_1") % 8
+    val h1 = graft.functions.TextFunctions.tokenHash64Jvm("1|v1")
+    assert(dup(b1)._1 == a(b1)._1 + 1)
+    assert(dup(b1)._2 == (a(b1)._2 ^ h1))
+    assert(dup(b1)._3 == a(b1)._3 + h1 % Relational.FingerprintSumMod)
+    // a removed row flags its bucket
+    val removed = fp(base.tail, 4)
+    assert(removed(b1) != a(b1))
+  }
+
   test("funnelStages equals the brute-force ordered-subsequence model") {
     import graft.operators.Relational
     val stages = Seq("a", "b", "c")
