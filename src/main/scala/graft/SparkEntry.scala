@@ -4271,6 +4271,32 @@ object SparkEntry {
           sum(when(col("change_type") === "delete", 1L).otherwise(0L)).as("n_delete"),
           sum(when(col("change_type") === "update", 1L).otherwise(0L)).as("n_update"))
         .orderBy("bucket")
+    }),
+
+    "q245_zipf_anchors" -> ((s, d) => {
+      // Zipf tail diagnostic without a float log: the rank-doubling
+      // document-frequency ratios df(r)/df(2r) at anchor ranks
+      // r = 1..256 (powers of two) over word 3-shingles — for an ideal
+      // Zipf(s) curve every ratio is 2^s, so drift across anchors
+      // exposes where the curve bends (the head/tail transition a
+      // tokenizer or dedup pass shifts). Shingle dfs are ONE
+      // map-side-combined agg; the global top-512 is a TakeOrdered
+      // (per-partition heap, never a global sort); ranking runs on
+      // those 512 rows only.
+      val freqs = documents(s, d)
+        .select(explode(Dedup.shingles(col("text"), 3)).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("freq"))
+      val top = freqs.orderBy(col("freq").desc, col("tok").asc).limit(512)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("freq").desc, col("tok").asc))
+            .cast("long"))
+      val anchors = (0 to 8).map(i => (1L << i))
+      top.filter(col("rank").isin(anchors: _*))
+        .join(top.select(col("rank").as("rank2"), col("freq").as("freq2")),
+          col("rank2") === col("rank") * 2)
+        .select(col("rank"), col("tok"), col("freq"), col("freq2"),
+          expr("freq * 1000000 div freq2").as("ratio_ppm"))
+        .orderBy("rank")
     })
   )
 
@@ -8918,6 +8944,21 @@ object SparkEntry {
          | CAST(SUM(CASE WHEN ct = 'delete' THEN 1 ELSE 0 END) AS BIGINT) AS n_delete,
          | CAST(SUM(CASE WHEN ct = 'update' THEN 1 ELSE 0 END) AS BIGINT) AS n_update
          |FROM d WHERE ct <> 'unchanged' GROUP BY 1 ORDER BY 1""".stripMargin
-    }
+    },
+
+    // same shingle-df table, same (freq DESC, tok ASC) ranking, same
+    // anchor self-join — integer ratios, no float log on either side
+    "q245_zipf_anchors" ->
+      s"""WITH w AS (SELECT sh AS tok FROM ($SHINGLES3)),
+         |f AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq FROM w GROUP BY 1),
+         |rk AS (SELECT tok, freq,
+         |  CAST(row_number() OVER (ORDER BY freq DESC, tok ASC) AS BIGINT) AS rank
+         | FROM f),
+         |top AS (SELECT * FROM rk WHERE rank <= 512)
+         |SELECT a.rank, a.tok, a.freq, b.freq AS freq2,
+         | CAST(a.freq * 1000000 // b.freq AS BIGINT) AS ratio_ppm
+         |FROM top a JOIN top b ON b.rank = a.rank * 2
+         |WHERE a.rank IN (1,2,4,8,16,32,64,128,256)
+         |ORDER BY a.rank""".stripMargin
   )
 }
