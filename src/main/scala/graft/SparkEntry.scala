@@ -4297,6 +4297,28 @@ object SparkEntry {
         .select(col("rank"), col("tok"), col("freq"), col("freq2"),
           expr("freq * 1000000 div freq2").as("ratio_ppm"))
         .orderBy("rank")
+    }),
+
+    "q246_gap_fill" -> ((s, d) => {
+      // Time-series regularization: each user's sparse event stream
+      // becomes a dense daily series via last-observation-carried-
+      // forward, then rolls up to "total carried value per day" —
+      // the state-as-of-day-D series a metrics warehouse serves.
+      // Daily close = struct-max argmax per (user, day); the grid and
+      // LOCF window are bounded by the DATE domain per user, never by
+      // event volume (Relational.gapFillLocf scaladoc).
+      val ev = events(s, d).select(col("user_id"),
+        to_date(col("ts")).as("day"), col("ts"), col("event_id"),
+        cents(col("value")).as("value_c"))
+      val closes = ev.groupBy("user_id", "day")
+        .agg(max(struct(col("ts"), col("event_id"), col("value_c"))).as("m"))
+        .select(col("user_id"), col("day"), col("m.value_c").as("value_c"))
+      Relational.gapFillLocf(closes, "user_id", "day", "value_c")
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_users"), sum("filled").as("sum_value_c"))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n_users"), col("sum_value_c"))
+        .orderBy("day")
     })
   )
 
@@ -8959,6 +8981,31 @@ object SparkEntry {
          | CAST(a.freq * 1000000 // b.freq AS BIGINT) AS ratio_ppm
          |FROM top a JOIN top b ON b.rank = a.rank * 2
          |WHERE a.rank IN (1,2,4,8,16,32,64,128,256)
-         |ORDER BY a.rank""".stripMargin
+         |ORDER BY a.rank""".stripMargin,
+
+    // same daily-close argmax, same per-user day grid, same LOCF
+    // (IGNORE NULLS running last) — the engine's window replayed
+    "q246_gap_fill" ->
+      """WITH e AS (SELECT user_id,
+        |  CAST(date_trunc('microseconds', ts) AS TIMESTAMP) AS ts,
+        |  event_id, CAST(round(value * 100) AS BIGINT) AS value_c,
+        |  CAST(ts AS DATE) AS day FROM events),
+        |cl AS (SELECT user_id, day, value_c FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, day
+        |    ORDER BY ts DESC, event_id DESC) AS rn FROM e) WHERE rn = 1),
+        |sp AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM cl GROUP BY 1),
+        |grid AS (SELECT user_id,
+        |  CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+        |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM sp),
+        |j AS (SELECT g.user_id, g.day, cl.value_c
+        | FROM grid g LEFT JOIN cl ON cl.user_id = g.user_id AND cl.day = g.day),
+        |f AS (SELECT user_id, day,
+        |  last_value(value_c IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        | FROM j)
+        |SELECT strftime(day, '%Y-%m-%d') AS day,
+        | CAST(COUNT(*) AS BIGINT) AS n_users,
+        | CAST(SUM(filled) AS BIGINT) AS sum_value_c
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -717,6 +717,34 @@ object Relational {
     rows.toDF("stage_idx", "stage", "n_users", "conv_ppm")
   }
 
+  /** Daily gap-fill with last-observation-carried-forward (LOCF) — the
+    * time-series regularization every "state as of day D" rollup needs:
+    * `df` holds one row per (key, day) (the key's daily close); the
+    * result has one row per (key, day) for EVERY day in the key's
+    * [min_day, max_day] span, `filled` carrying the latest non-null
+    * close at or before that day.
+    *
+    * Scale shape: the grid explode emits span-days rows per key —
+    * bounded by the DATE domain (a few thousand), never by the key's
+    * event count; the LOCF window partitions by key over that same
+    * bounded span, so no per-key state exceeds the day domain (the
+    * q101/q124 value-domain-bounded doctrine on the time axis). The
+    * first grid day is the key's first close, so `filled` is never
+    * null.
+    */
+  def gapFillLocf(df: DataFrame, keyCol: String, dayCol: String,
+                  valCol: String): DataFrame = {
+    val spans = df.groupBy(keyCol)
+      .agg(min(dayCol).as("__d0"), max(dayCol).as("__d1"))
+    val grid = spans.select(col(keyCol),
+      explode(expr("sequence(__d0, __d1, interval 1 day)")).as(dayCol))
+    val w = Window.partitionBy(keyCol).orderBy(dayCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(df, Seq(keyCol, dayCol), "left")
+      .withColumn("filled", last(col(valCol), ignoreNulls = true).over(w))
+      .drop(valCol)
+  }
+
   /** q243/q244's modular-sum domain: small enough that 10¹² rows per
     * bucket cannot overflow a Long (10¹² · 10⁶ < 2⁶³), large enough
     * that sums rarely collide.

@@ -624,6 +624,28 @@ class ChunkingCurationSpec extends AnyFunSuite {
     assert(removed(b1) != a(b1))
   }
 
+  test("gapFillLocf: dense per-key grid, LOCF across gaps, null closes skipped") {
+    import graft.operators.Relational
+    import java.sql.Date
+    def d(s: String) = Date.valueOf(s)
+    val closes = Seq(
+      (1L, d("2024-01-01"), Some(10L)),
+      (1L, d("2024-01-04"), Some(40L)),          // 3-day gap carries 10
+      (1L, d("2024-01-06"), Option.empty[Long]), // null close: keep carrying 40
+      (2L, d("2024-02-10"), Some(7L)))           // single-day span
+    for (nPart <- Seq(1, 3)) {
+      val got = Relational.gapFillLocf(
+          closes.toDF("k", "day", "v").repartition(nPart), "k", "day", "v")
+        .collect().map(r => (r.getLong(0), r.getDate(1).toString,
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      val expect = Set(
+        (1L, "2024-01-01", 10L), (1L, "2024-01-02", 10L), (1L, "2024-01-03", 10L),
+        (1L, "2024-01-04", 40L), (1L, "2024-01-05", 40L), (1L, "2024-01-06", 40L),
+        (2L, "2024-02-10", 7L))
+      assert(got == expect, s"nPart=$nPart")
+    }
+  }
+
   test("funnelStages equals the brute-force ordered-subsequence model") {
     import graft.operators.Relational
     val stages = Seq("a", "b", "c")
