@@ -179,6 +179,11 @@ object SparkEntry {
     */
   private val FunnelStages = Seq("signup", "view", "click", "purchase")
 
+  /** q248's minimum pair support (orders containing both brands),
+    * shared with the oracle SQL.
+    */
+  private val BasketMinSup = 50L
+
   /** q227's parent-snapshot cutoff (orders span 1995..2001 in the
     * testdata): lineitems referencing orders on/after it are the
     * late-arriving orphans the audit must count. Shared with the
@@ -4319,6 +4324,73 @@ object SparkEntry {
         .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
           col("n_users"), col("sum_value_c"))
         .orderBy("day")
+    }),
+
+    "q247_daily_anomaly" -> ((s, d) => {
+      // Robust outlier flags on the daily revenue series — the
+      // monitoring alarm a pipeline hangs on its output tables: a day
+      // is anomalous when its |total − median| exceeds 3× the median
+      // absolute deviation, with LOWER medians (rank ⌈n/2⌉) so every
+      // quantity is an exact integer and no interpolation crosses
+      // engines. The series is date-domain bounded (one agg row per
+      // day), so the rank windows run over ≤ a few thousand rows at
+      // any SF — the q101/q124 bounded-window doctrine.
+      val daily = events(s, d).filter(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(cents(col("value"))).as("total_c"))
+      def lowerMedian(df: DataFrame, c: String): Long = {
+        val n = df.count()
+        df.orderBy(col(c).asc).limit(((n + 1) / 2).toInt)
+          .orderBy(col(c).desc).limit(1).head().getLong(0)
+      }
+      val med = lowerMedian(daily.select(col("total_c")), "total_c")
+      val dev = daily.select(abs(col("total_c") - med).as("dev_c"))
+      val mad = lowerMedian(dev, "dev_c")
+      daily
+        .withColumn("dev_c", abs(col("total_c") - med))
+        .withColumn("med_c", lit(med))
+        .withColumn("mad_c", lit(mad))
+        .withColumn("is_anomaly",
+          when(col("dev_c") > lit(3L) * mad, 1L).otherwise(0L))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("total_c"), col("med_c"), col("mad_c"), col("dev_c"),
+          col("is_anomaly"))
+        .orderBy("day")
+    }),
+
+    "q248_basket_rules" -> ((s, d) => {
+      // Market-basket association rules over order brand-baskets:
+      // support, directed confidence and lift (exact integer ppm,
+      // canonical division order — the same floor-division contract
+      // the oracle replays) for every brand pair co-purchased in at
+      // least MinSup orders. The basket self-join fans C(brands,2) ≤
+      // 300 pairs per order — bounded by the BRAND domain, never by
+      // order size; both sides reuse one exchange on the order key.
+      // Lift's division order (conf first, then × N ÷ cnt_b) keeps
+      // every intermediate under 2⁶³ at any corpus size.
+      val li = lineitem(s, d).select(col("l_orderkey").as("o"),
+        col("l_partkey"))
+      val pt = part(s, d).select(col("p_partkey").as("l_partkey"),
+        col("p_brand"))
+      val baskets = li.join(pt, "l_partkey")
+        .select(col("o"), col("p_brand").as("b")).distinct()
+      val nOrders = baskets.select("o").distinct().count()
+      val cnt = baskets.groupBy("b").agg(count(lit(1)).as("cnt"))
+      val pairs = baskets.as("x")
+        .join(baskets.as("y"),
+          col("x.o") === col("y.o") && col("x.b") < col("y.b"))
+        .groupBy(col("x.b").as("b_a"), col("y.b").as("b_b"))
+        .agg(count(lit(1)).as("support"))
+      pairs
+        .join(cnt.select(col("b").as("b_a"), col("cnt").as("cnt_a")), "b_a")
+        .join(cnt.select(col("b").as("b_b"), col("cnt").as("cnt_b")), "b_b")
+        .filter(col("support") >= BasketMinSup)
+        .select(col("b_a"), col("b_b"), col("support"),
+          col("cnt_a"), col("cnt_b"),
+          expr("support * 1000000 div cnt_a").as("conf_ab_ppm"),
+          expr(s"((support * 1000000 div cnt_a) * ${nOrders}L) div cnt_b")
+            .as("lift_ppm"))
+        .orderBy("b_a", "b_b")
     })
   )
 
@@ -9006,6 +9078,44 @@ object SparkEntry {
         |SELECT strftime(day, '%Y-%m-%d') AS day,
         | CAST(COUNT(*) AS BIGINT) AS n_users,
         | CAST(SUM(filled) AS BIGINT) AS sum_value_c
-        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // lower medians at rank ceil(n/2) — exact integers, no
+    // interpolation to disagree on; 3xMAD rule replayed verbatim
+    "q247_daily_anomaly" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_c
+        | FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |m AS (SELECT total_c AS med FROM (
+        |  SELECT total_c, row_number() OVER (ORDER BY total_c) AS rn,
+        |   COUNT(*) OVER () AS n FROM daily) WHERE rn = (n + 1) // 2),
+        |md AS (SELECT dev AS mad FROM (
+        |  SELECT dev, row_number() OVER (ORDER BY dev) AS rn,
+        |   COUNT(*) OVER () AS n
+        |  FROM (SELECT abs(total_c - (SELECT med FROM m)) AS dev FROM daily))
+        | WHERE rn = (n + 1) // 2)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, total_c,
+        | CAST((SELECT med FROM m) AS BIGINT) AS med_c,
+        | CAST((SELECT mad FROM md) AS BIGINT) AS mad_c,
+        | CAST(abs(total_c - (SELECT med FROM m)) AS BIGINT) AS dev_c,
+        | CAST(CASE WHEN abs(total_c - (SELECT med FROM m))
+        |   > 3 * (SELECT mad FROM md) THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+        |FROM daily ORDER BY 1""".stripMargin,
+
+    // same brand baskets, same floor-division order for conf and lift
+    "q248_basket_rules" ->
+      s"""WITH bk AS (SELECT DISTINCT l_orderkey AS o, p_brand AS b
+         | FROM lineitem JOIN part ON p_partkey = l_partkey),
+         |n AS (SELECT COUNT(DISTINCT o) AS n FROM bk),
+         |c AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cnt FROM bk GROUP BY 1),
+         |p AS (SELECT x.b AS b_a, y.b AS b_b, CAST(COUNT(*) AS BIGINT) AS support
+         | FROM bk x JOIN bk y ON x.o = y.o AND x.b < y.b GROUP BY 1, 2)
+         |SELECT b_a, b_b, support, ca.cnt AS cnt_a, cb.cnt AS cnt_b,
+         | CAST(support * 1000000 // ca.cnt AS BIGINT) AS conf_ab_ppm,
+         | CAST(((support * 1000000 // ca.cnt) * (SELECT n FROM n)) // cb.cnt
+         |   AS BIGINT) AS lift_ppm
+         |FROM p JOIN c ca ON ca.b = p.b_a JOIN c cb ON cb.b = p.b_b
+         |WHERE support >= $BasketMinSup
+         |ORDER BY 1, 2""".stripMargin
   )
 }
