@@ -4391,6 +4391,35 @@ object SparkEntry {
           expr(s"((support * 1000000 div cnt_a) * ${nOrders}L) div cnt_b")
             .as("lift_ppm"))
         .orderBy("b_a", "b_b")
+    }),
+
+    "q249_retention_cohorts" -> ((s, d) => {
+      // Retention cohort triangle: users grouped by signup day, and
+      // for each day-offset k the share still active k days later —
+      // the growth-accounting matrix every product warehouse serves.
+      // Cohort = each user's FIRST signup day (one agg); activity =
+      // distinct (user, day) over all events (one agg); one
+      // co-partitioned join on user, then a (cohort, k) count agg.
+      // Matrix size is bounded by the date domain squared, never by
+      // user or event volume.
+      val ev = events(s, d)
+      val cohort = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("cohort_day"))
+      val active = ev.select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val sizes = cohort.groupBy("cohort_day")
+        .agg(count(lit(1)).as("n_cohort"))
+      cohort.join(active, "user_id")
+        .filter(col("day") >= col("cohort_day"))
+        .select(col("cohort_day"), datediff(col("day"), col("cohort_day")).as("k"))
+        .groupBy("cohort_day", "k")
+        .agg(count(lit(1)).as("n_active"))
+        .join(sizes, "cohort_day")
+        .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+          col("k").cast("long").as("k"), col("n_active"), col("n_cohort"),
+          expr("n_active * 1000000 div n_cohort").as("retained_ppm"))
+        .orderBy("cohort_day", "k")
     })
   )
 
@@ -9116,6 +9145,25 @@ object SparkEntry {
          |   AS BIGINT) AS lift_ppm
          |FROM p JOIN c ca ON ca.b = p.b_a JOIN c cb ON cb.b = p.b_b
          |WHERE support >= $BasketMinSup
-         |ORDER BY 1, 2""".stripMargin
+         |ORDER BY 1, 2""".stripMargin,
+
+    // same first-signup cohort, same distinct activity days, same
+    // day-offset counts in exact ppm
+    "q249_retention_cohorts" ->
+      """WITH co AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+        | FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |ac AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |sz AS (SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS n_cohort
+        | FROM co GROUP BY 1),
+        |m AS (SELECT co.cohort_day,
+        |  CAST(datediff('day', co.cohort_day, ac.day) AS BIGINT) AS k,
+        |  CAST(COUNT(*) AS BIGINT) AS n_active
+        | FROM co JOIN ac ON ac.user_id = co.user_id
+        | WHERE ac.day >= co.cohort_day GROUP BY 1, 2)
+        |SELECT strftime(m.cohort_day, '%Y-%m-%d') AS cohort_day, k,
+        | n_active, n_cohort,
+        | CAST(n_active * 1000000 // n_cohort AS BIGINT) AS retained_ppm
+        |FROM m JOIN sz ON sz.cohort_day = m.cohort_day
+        |ORDER BY 1, 2""".stripMargin
   )
 }
