@@ -4420,6 +4420,34 @@ object SparkEntry {
           col("k").cast("long").as("k"), col("n_active"), col("n_cohort"),
           expr("n_active * 1000000 div n_cohort").as("retained_ppm"))
         .orderBy("cohort_day", "k")
+    }),
+
+    "q250_activity_streaks" -> ((s, d) => {
+      // Islands-and-gaps: consecutive-day activity streaks per user
+      // via the classic (day_number − row_number) island key, rolled
+      // up to the streak-length distribution (islands of that length,
+      // and users whose LONGEST streak is that length). The per-user
+      // window runs over DISTINCT active days — bounded by the date
+      // domain, never event volume; the rollups are date-domain-sized
+      // aggs.
+      val active = events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val w = Window.partitionBy("user_id").orderBy("day")
+      val islands = active
+        .withColumn("g",
+          datediff(col("day"), lit("1990-01-01").cast("date"))
+            - row_number().over(w))
+        .groupBy("user_id", "g").agg(count(lit(1)).as("len"))
+      val perIsland = islands.groupBy("len")
+        .agg(count(lit(1)).as("n_islands"))
+      val perUserMax = islands.groupBy("user_id")
+        .agg(max(col("len")).as("len"))
+        .groupBy("len").agg(count(lit(1)).as("n_users_max"))
+      perIsland.join(perUserMax, Seq("len"), "full_outer")
+        .select(col("len").as("streak_len"),
+          coalesce(col("n_islands"), lit(0L)).as("n_islands"),
+          coalesce(col("n_users_max"), lit(0L)).as("n_users_max"))
+        .orderBy("streak_len")
     })
   )
 
@@ -9164,6 +9192,25 @@ object SparkEntry {
         | n_active, n_cohort,
         | CAST(n_active * 1000000 // n_cohort AS BIGINT) AS retained_ppm
         |FROM m JOIN sz ON sz.cohort_day = m.cohort_day
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+
+    // same island key (day_number - row_number), same two rollups
+    "q250_activity_streaks" ->
+      """WITH ac AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |isl AS (SELECT user_id,
+        |  datediff('day', DATE '1990-01-01', day)
+        |    - row_number() OVER (PARTITION BY user_id ORDER BY day) AS g
+        | FROM ac),
+        |runs AS (SELECT user_id, g, CAST(COUNT(*) AS BIGINT) AS len
+        | FROM isl GROUP BY 1, 2),
+        |pi AS (SELECT len, CAST(COUNT(*) AS BIGINT) AS n_islands
+        | FROM runs GROUP BY 1),
+        |pu AS (SELECT len, CAST(COUNT(*) AS BIGINT) AS n_users_max FROM (
+        |  SELECT user_id, MAX(len) AS len FROM runs GROUP BY 1) GROUP BY 1)
+        |SELECT COALESCE(pi.len, pu.len) AS streak_len,
+        | COALESCE(n_islands, 0) AS n_islands,
+        | COALESCE(n_users_max, 0) AS n_users_max
+        |FROM pi FULL OUTER JOIN pu ON pi.len = pu.len
+        |ORDER BY 1""".stripMargin
   )
 }
