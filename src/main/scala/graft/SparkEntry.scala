@@ -4448,6 +4448,35 @@ object SparkEntry {
           coalesce(col("n_islands"), lit(0L)).as("n_islands"),
           coalesce(col("n_users_max"), lit(0L)).as("n_users_max"))
         .orderBy("streak_len")
+    }),
+
+    "q251_time_in_state" -> ((s, d) => {
+      // TIME-WEIGHTED state accounting over the q160/q239 SCD2
+      // validity intervals: microseconds each user spends in each
+      // state (latest non-purchase event type), open intervals capped
+      // at the corpus horizon, with each state's share of total held
+      // time in ppm. Duration sums are additive over the collapse, so
+      // the oracle can replay on RAW per-event intervals while the
+      // engine aggregates the collapsed history — interval counts
+      // check the collapse itself. The window is per-user; every
+      // rollup is a state-domain-sized agg. share divides by
+      // (grand div 1e6), the canonical order that cannot overflow at
+      // any corpus size.
+      val np = events(s, d).filter(col("event_type") =!= "purchase")
+      val hist = Relational.scd2History(np, "user_id", "ts",
+        "event_type", "event_id")
+      val horizon = np.agg(max(col("ts"))).head().getTimestamp(0)
+      val agg = hist
+        .withColumn("end_ts", coalesce(col("valid_to"), lit(horizon)))
+        .select(col("event_type").as("state"),
+          (unix_micros(col("end_ts")) - unix_micros(col("valid_from")))
+            .as("d_us"))
+        .groupBy("state")
+        .agg(count(lit(1)).as("n_intervals"), sum("d_us").as("total_us"))
+      agg.crossJoin(broadcast(agg.select(sum("total_us").as("g"))))
+        .select(col("state"), col("n_intervals"), col("total_us"),
+          expr("total_us div (g div 1000000)").as("share_ppm"))
+        .orderBy("state")
     })
   )
 
@@ -9211,6 +9240,28 @@ object SparkEntry {
         | COALESCE(n_islands, 0) AS n_islands,
         | COALESCE(n_users_max, 0) AS n_users_max
         |FROM pi FULL OUTER JOIN pu ON pi.len = pu.len
-        |ORDER BY 1""".stripMargin
+        |ORDER BY 1""".stripMargin,
+
+    // replay on RAW per-event intervals (durations are additive over
+    // the collapse); interval count = state-change flags
+    "q251_time_in_state" ->
+      """WITH np AS (SELECT user_id,
+        |  CAST(date_trunc('microseconds', ts) AS TIMESTAMP) AS ts,
+        |  event_id, event_type FROM events WHERE event_type <> 'purchase'),
+        |r AS (SELECT event_type, ts,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        | FROM np),
+        |mx AS (SELECT MAX(ts) AS h FROM np),
+        |dur AS (SELECT event_type,
+        |  epoch_us(COALESCE(nxt, (SELECT h FROM mx))) - epoch_us(ts) AS d_us,
+        |  CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END AS st
+        | FROM r),
+        |agg AS (SELECT event_type AS state, CAST(SUM(st) AS BIGINT) AS n_intervals,
+        |  CAST(SUM(d_us) AS BIGINT) AS total_us FROM dur GROUP BY 1),
+        |t AS (SELECT CAST(SUM(total_us) AS BIGINT) AS g FROM agg)
+        |SELECT state, n_intervals, total_us,
+        | CAST(total_us // ((SELECT g FROM t) // 1000000) AS BIGINT) AS share_ppm
+        |FROM agg ORDER BY 1""".stripMargin
   )
 }

@@ -80,13 +80,15 @@ class ScaleSpec extends AnyFunSuite {
       grams, 24, sessionPartitions) == sessionPartitions, widths.take(500))
   }
 
-  test("semDedupNLists keeps 8 lists at every oracle-checked SF, grows past them") {
-    assert(SparkEntry.semDedupNLists(200) == 8)    // sf0.01
-    assert(SparkEntry.semDedupNLists(2000) == 8)   // sf0.1
-    assert(SparkEntry.semDedupNLists(20000) == 8)  // sf1 fixture
-    assert(SparkEntry.semDedupNLists(200000) == 80) // sf10 fixture
-    // cluster size stays ~constant from there on
-    assert(SparkEntry.semDedupNLists(2000000) == 800)
+  test("semDedupNLists: 8-list floor through sf0.1, then nLists grows with n") {
+    // 625-per-cluster sizing (q119's r11 fix): the floor binds only
+    // below sf0.1, so cluster size — hence pair volume per cluster —
+    // stays ~constant upward from there
+    assert(SparkEntry.semDedupNLists(200) == 8)      // sf0.01
+    assert(SparkEntry.semDedupNLists(2000) == 8)     // sf0.1 (2000/625 < 8)
+    assert(SparkEntry.semDedupNLists(20000) == 32)   // sf1 fixture
+    assert(SparkEntry.semDedupNLists(200000) == 320) // sf10 fixture
+    assert(SparkEntry.semDedupNLists(2000000) == 3200)
   }
 
   test("saltedEquiJoin returns exactly the plain join's rows under skew") {
