@@ -4477,6 +4477,35 @@ object SparkEntry {
         .select(col("state"), col("n_intervals"), col("total_us"),
           expr("total_us div (g div 1000000)").as("share_ppm"))
         .orderBy("state")
+    }),
+
+    "q252_k_anonymity" -> ((s, d) => {
+      // k-anonymity audit — the privacy gate a release pipeline runs
+      // beside q86's PII redaction: group customers by quasi-identifier
+      // tuple (nation, segment, $1000 balance band) and report, for
+      // each k, how many groups and rows fall below k members (a row
+      // in a small group is re-identifiable). ONE QI-domain-bounded
+      // group agg, then 3 bounded rollups via a broadcast k frame.
+      // The balance band offsets by +1 band before the integer
+      // division so truncation == floor on both engines for negative
+      // balances.
+      import s.implicits._
+      val groups = customer(s, d)
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          expr("(cast(round(c_acctbal * 100) as bigint) + 100000) div 100000")
+            .as("bal_band"))
+        .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(count(lit(1)).as("n"))
+      groups.crossJoin(broadcast(Seq(2L, 5L, 10L).toDF("k")))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("n") < col("k"), 1L).otherwise(0L)).as("n_small_groups"),
+          sum(when(col("n") < col("k"), col("n")).otherwise(0L)).as("n_risky_rows"),
+          sum(col("n")).as("n_rows"))
+        .select(col("k"), col("n_groups"), col("n_small_groups"),
+          col("n_risky_rows"),
+          expr("n_risky_rows * 1000000 div n_rows").as("risky_ppm"))
+        .orderBy("k")
     })
   )
 
@@ -9262,6 +9291,21 @@ object SparkEntry {
         |t AS (SELECT CAST(SUM(total_us) AS BIGINT) AS g FROM agg)
         |SELECT state, n_intervals, total_us,
         | CAST(total_us // ((SELECT g FROM t) // 1000000) AS BIGINT) AS share_ppm
-        |FROM agg ORDER BY 1""".stripMargin
+        |FROM agg ORDER BY 1""".stripMargin,
+
+    // same QI tuple, same +1-band offset so // == div on negatives
+    "q252_k_anonymity" ->
+      """WITH g AS (SELECT c_nationkey, c_mktsegment,
+        |  (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 100000 AS bal_band,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        | FROM customer GROUP BY 1, 2, 3),
+        |ks AS (SELECT unnest([2, 5, 10]) AS k)
+        |SELECT CAST(k AS BIGINT) AS k,
+        | CAST(COUNT(*) AS BIGINT) AS n_groups,
+        | CAST(SUM(CASE WHEN n < k THEN 1 ELSE 0 END) AS BIGINT) AS n_small_groups,
+        | CAST(SUM(CASE WHEN n < k THEN n ELSE 0 END) AS BIGINT) AS n_risky_rows,
+        | CAST(SUM(CASE WHEN n < k THEN n ELSE 0 END) * 1000000 // SUM(n)
+        |   AS BIGINT) AS risky_ppm
+        |FROM g CROSS JOIN ks GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
