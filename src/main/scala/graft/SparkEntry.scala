@@ -4506,6 +4506,26 @@ object SparkEntry {
           col("n_risky_rows"),
           expr("n_risky_rows * 1000000 div n_rows").as("risky_ppm"))
         .orderBy("k")
+    }),
+
+    "q253_decayed_leaderboard" -> ((s, d) => {
+      // Trending leaderboard with a one-week half-life, decay as an
+      // INTEGER right-shift (count >> age_weeks) so both engines agree
+      // bit-for-bit where an exponential float decay never would.
+      // Daily counts are one agg; the per-user score is a second agg
+      // over date-domain-bounded rows; top-20 is a TakeOrdered.
+      val daily = events(s, d)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val horizon = daily.agg(max(col("day"))).head().getDate(0)
+      daily
+        .withColumn("age_w",
+          (datediff(lit(horizon), col("day")) / 7).cast("int"))
+        .groupBy("user_id")
+        .agg(sum(expr("shiftright(c, age_w)")).as("score"),
+          sum("c").as("n_events"))
+        .orderBy(col("score").desc, col("user_id").asc)
+        .limit(20)
     })
   )
 
@@ -9306,6 +9326,18 @@ object SparkEntry {
         | CAST(SUM(CASE WHEN n < k THEN n ELSE 0 END) AS BIGINT) AS n_risky_rows,
         | CAST(SUM(CASE WHEN n < k THEN n ELSE 0 END) * 1000000 // SUM(n)
         |   AS BIGINT) AS risky_ppm
-        |FROM g CROSS JOIN ks GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM g CROSS JOIN ks GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same daily counts, same integer week-shift decay, same tie order
+    "q253_decayed_leaderboard" ->
+      """WITH dc AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |  CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+        |h AS (SELECT MAX(day) AS hd FROM dc)
+        |SELECT user_id,
+        | CAST(SUM(c >> (datediff('day', day, (SELECT hd FROM h)) // 7))
+        |   AS BIGINT) AS score,
+        | CAST(SUM(c) AS BIGINT) AS n_events
+        |FROM dc GROUP BY 1
+        |ORDER BY score DESC, user_id ASC LIMIT 20""".stripMargin
   )
 }
