@@ -101,6 +101,48 @@ object EventStreams {
   case class UserState(n_events: Long, total_value: Double)
   case class UserUpdate(user_id: Long, n_events: Long, total_value: Double)
 
+  case class FunnelState(depth: Int, lastTsUs: Long)
+  case class FunnelUpdate(user_id: Long, depth: Int)
+
+  /** Streaming twin of [[graft.operators.Relational.funnelStages]]
+    * (q241): per-user greedy funnel progress as keyed state — (stage
+    * depth, chosen ts), TWO fixed-size fields per user forever. Events
+    * are applied in ts order within each micro-batch; across batches
+    * the greedy frontier is the state, so for a ts-ordered stream (the
+    * usual ingest contract; same one [[streamingUpsert]] carries) the
+    * state after any prefix equals the batch funnel of that prefix —
+    * greedy earliest-advance is exactly the min-per-stage recursion,
+    * applied incrementally. Emits the user's depth each micro-batch;
+    * the per-stage conversion rollup is a bounded agg over the final
+    * updates (StreamingSpec asserts equality with the batch operator
+    * after multi-batch replay).
+    */
+  def streamingFunnel(events: DataFrame, stages: Seq[String])
+      : org.apache.spark.sql.Dataset[FunnelUpdate] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(stages.nonEmpty, "streamingFunnel needs at least one stage")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("user_id", "unix_micros(ts) AS ts_us", "event_type")
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (uid: Long, it: Iterator[(Long, Long, String)],
+         state: GroupState[FunnelState]) => {
+          var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          // ties on ts cannot advance two stages (strictly-after
+          // contract), so sorting by ts alone reproduces the batch
+          // greedy exactly
+          it.toArray.sortBy(_._2).foreach { case (_, tsUs, tp) =>
+            if (st.depth < stages.size && tp == stages(st.depth) &&
+                (st.depth == 0 || tsUs > st.lastTsUs))
+              st = FunnelState(st.depth + 1, tsUs)
+          }
+          state.update(st)
+          Iterator(FunnelUpdate(uid, st.depth))
+        })
+  }
+
   /** Custom keyed state via flatMapGroupsWithState (the engine's
     * arbitrary-stateful-operator surface, SURVEY.md §2b "streaming"):
     * per-user running event count + value total, emitted as an update per

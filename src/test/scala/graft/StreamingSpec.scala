@@ -451,4 +451,46 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(folded == merged)
   }
+
+  test("streaming funnel over a ts-ordered multi-batch stream equals the batch operator") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Relational
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val stages = Seq("a", "b", "c")
+    // deterministic per-user event streams incl. ts ties and skipped stages
+    val rnd = new scala.util.Random(29)
+    val rows = (for {
+      u <- 1L to 60L
+      i <- 1 to rnd.nextInt(9)
+    } yield (u, (rnd.nextInt(12) * 1000000L), stages(rnd.nextInt(3)))).toSeq
+    val batchDf = rows
+      .map { case (u, tsUs, tp) => (u, new java.sql.Timestamp(tsUs / 1000), tp) }
+      .toDF("user_id", "ts", "event_type")
+    val expect = Relational.funnelStages(batchDf, "user_id", "ts",
+        "event_type", stages)
+      .orderBy("stage_idx").collect().map(_.getLong(2)).toSeq
+    // stream the SAME events in ts order, split across 3 micro-batches
+    val src = MemoryStream[(Long, Long, String)]
+    val q = graft.streaming.EventStreams.streamingFunnel(
+        src.toDF().toDF("user_id", "ts_us", "event_type")
+          .selectExpr("user_id", "timestamp_micros(ts_us) AS ts", "event_type"),
+        stages)
+      .toDF().writeStream.outputMode("update")
+      .format("memory").queryName("t_funnel").start()
+    val ordered = rows.sortBy(_._2)
+    ordered.grouped(ordered.size / 3 + 1).foreach { chunk =>
+      src.addData(chunk: _*); q.processAllAvailable()
+    }
+    q.stop()
+    // LAST update per user carries the final depth
+    val finalDepth = spark.table("t_funnel").collect().zipWithIndex
+      .groupBy(_._1.getLong(0))
+      .map { case (u, rs) => u -> rs.maxBy(_._2)._1.getInt(1) }
+    val streamedCounts = stages.indices.map { k =>
+      finalDepth.values.count(_ >= k + 1).toLong
+    }
+    assert(streamedCounts == expect,
+      s"streamed $streamedCounts != batch $expect")
+  }
 }
