@@ -4526,6 +4526,34 @@ object SparkEntry {
           sum("c").as("n_events"))
         .orderBy(col("score").desc, col("user_id").asc)
         .limit(20)
+    }),
+
+    "q254_heaps_anchors" -> ((s, d) => {
+      // Heaps-law vocabulary-growth anchors — q245's companion
+      // diagnostic: |vocab(first N docs)| at doubling prefixes, with
+      // the doubling ratio in exact ppm (Heaps V = K·n^β makes every
+      // ratio 2^β, so drift shows where novelty decays — the signal a
+      // dedup/curation pass shifts). One shingle→min-doc agg, then
+      // ONE pass of conditional sums (a 1-row frame); no per-anchor
+      // rescan.
+      import s.implicits._
+      val first = documents(s, d)
+        .select(explode(Dedup.shingles(col("text"), 3)).as("sh"),
+          col("doc_id"))
+        .groupBy("sh").agg(min("doc_id").as("first_id"))
+      val anchors = (5 to 12).map(1L << _) // 32 .. 4096
+      val sums = first.agg(
+        sum(when(col("first_id") < anchors.head, 1L).otherwise(0L))
+          .as(s"v${anchors.head}"),
+        anchors.tail.map(n =>
+          sum(when(col("first_id") < n, 1L).otherwise(0L)).as(s"v$n")): _*)
+        .head()
+      val v = anchors.map(n => n -> sums.getAs[Long](s"v$n")).toMap
+      anchors.tail.map { n =>
+        val (h, f) = (v(n / 2), v(n))
+        (n, h, f, if (h > 0) f * 1000000L / h else 0L)
+      }.toDF("prefix_docs", "vocab_half", "vocab", "growth_ppm")
+        .orderBy("prefix_docs")
     })
   )
 
@@ -9338,6 +9366,24 @@ object SparkEntry {
         |   AS BIGINT) AS score,
         | CAST(SUM(c) AS BIGINT) AS n_events
         |FROM dc GROUP BY 1
-        |ORDER BY score DESC, user_id ASC LIMIT 20""".stripMargin
+        |ORDER BY score DESC, user_id ASC LIMIT 20""".stripMargin,
+
+    // same shingle first-seen table, same doubling-prefix counts
+    "q254_heaps_anchors" -> {
+      val anchors = (5 to 12).map(1L << _)
+      val sums = anchors.map(n =>
+        s"CAST(SUM(CASE WHEN first_id < $n THEN 1 ELSE 0 END) AS BIGINT) AS v$n")
+        .mkString(", ")
+      val rows = anchors.tail.map { n =>
+        s"""SELECT CAST($n AS BIGINT) AS prefix_docs, v${n / 2} AS vocab_half,
+           | v$n AS vocab,
+           | CAST(CASE WHEN v${n / 2} > 0 THEN v$n * 1000000 // v${n / 2}
+           |   ELSE 0 END AS BIGINT) AS growth_ppm FROM s""".stripMargin
+      }.mkString("\nUNION ALL ")
+      s"""WITH f AS (SELECT sh, MIN(id) AS first_id FROM ($SHINGLES3) GROUP BY 1),
+         |s AS (SELECT $sums FROM f)
+         |SELECT * FROM ($rows)
+         |ORDER BY prefix_docs""".stripMargin
+    }
   )
 }
