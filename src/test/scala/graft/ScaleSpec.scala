@@ -689,6 +689,45 @@ class ScaleSpec extends AnyFunSuite {
     assert(!p193.contains("Window"), p193.take(600))
   }
 
+  test("continuation plan shapes: fingerprint one exchange, funnel windowless, gap-fill join-bounded") {
+    import graft.operators.Relational
+    import graft.functions.TextFunctions.tokenHash64
+    val d = SparkTestSession.sfDir
+    // q243's operator: ONE hash exchange (the bucket agg) and no join —
+    // the whole fingerprint is a map-side-combined aggregation
+    val fp = Relational.bucketFingerprints(
+      graft.engine.Tables.lineitem(spark, d),
+      tokenHash64(concat(lit("b_"), col("l_orderkey").cast("string"))),
+      tokenHash64(col("l_returnflag")), nBuckets = 16)
+    val fpPlan = fp.queryExecution.executedPlan.toString
+    assert(graft.engine.Scale.exchangeCount(fp) == 1, fpPlan.take(600))
+    assert(!fpPlan.contains("Join"), fpPlan.take(600))
+    // q241: the funnel is min-aggs + equi-joins — NO Window operator
+    // (the collect_list/rank funnel would be the classic skew bug) and
+    // no nested-loop fallback
+    val p241 = graft.SparkEntry.queries("q241_funnel")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(!p241.contains("Window"), p241.take(600))
+    assert(!p241.contains("BroadcastNestedLoopJoin") &&
+      !p241.contains("CartesianProduct"), p241.take(600))
+    // q246's operator: exactly one join (grid LEFT JOIN closes), one
+    // LOCF window, no cartesian anywhere
+    import spark.implicits._
+    val closes = Seq((1L, java.sql.Date.valueOf("2024-01-01"), 1L))
+      .toDF("k", "day", "v")
+    val gf = Relational.gapFillLocf(closes, "k", "day", "v")
+    val gfPlan = gf.queryExecution.executedPlan.toString
+    assert("Join".r.findAllIn(gfPlan).length >= 1 &&
+      !gfPlan.contains("CartesianProduct"), gfPlan.take(600))
+    assert("Window".r.findAllIn(gfPlan).length == 1, gfPlan.take(600))
+    // q250: the island window partitions by user — never a global
+    // single-partition window
+    val p250 = graft.SparkEntry.queries("q250_activity_streaks")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(!p250.contains("Window [") ||
+      p250.contains("windowspecdefinition(user_id"), p250.take(800))
+  }
+
   test("bloom-pruned equi-join is a result-identity and prunes map-side") {
     import graft.operators.Relational
     val big = spark.range(0, 20000)
