@@ -4554,6 +4554,29 @@ object SparkEntry {
         (n, h, f, if (h > 0) f * 1000000L / h else 0L)
       }.toDF("prefix_docs", "vocab_half", "vocab", "growth_ppm")
         .orderBy("prefix_docs")
+    }),
+
+    "q255_interarrival_hist" -> ((s, d) => {
+      // Inter-arrival latency distribution per event type: the gap to
+      // each user's NEXT event of the same type, bucketed on
+      // floor(log2(seconds)) — the log-scale latency histogram a
+      // monitoring stack draws, in pure integer bit arithmetic
+      // (length(bin(x)), the q232 rho trick; no float log). One
+      // per-user window (lead), then a (type, bucket) count agg
+      // bounded by |types| × 64 buckets.
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts"), col("event_id"))
+      events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("nxt", lead(unix_micros(col("ts")), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .withColumn("gap_s", expr("(nxt - unix_micros(ts)) div 1000000"))
+        .withColumn("bucket",
+          when(col("gap_s") <= 0L, lit(0L))
+            .otherwise(length(bin(col("gap_s"))).cast("long")))
+        .groupBy("event_type", "bucket")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type", "bucket")
     })
   )
 
@@ -9384,6 +9407,24 @@ object SparkEntry {
          |s AS (SELECT $sums FROM f)
          |SELECT * FROM ($rows)
          |ORDER BY prefix_docs""".stripMargin
-    }
+    },
+
+    // same lead gap, same bit_length bucket (floor-log2 + 1, 0 for
+    // zero gaps) — integer bit arithmetic on both sides
+    "q255_interarrival_hist" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |  CAST(date_trunc('microseconds', ts) AS TIMESTAMP) AS ts, event_id
+        | FROM events),
+        |r AS (SELECT event_type,
+        |  epoch_us(lead(ts) OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts, event_id)) - epoch_us(ts) AS gap_us
+        | FROM e),
+        |g AS (SELECT event_type, gap_us // 1000000 AS gap_s FROM r
+        | WHERE gap_us IS NOT NULL)
+        |SELECT event_type,
+        | CAST(CASE WHEN gap_s <= 0 THEN 0 ELSE length(bin(gap_s)) END
+        |   AS BIGINT) AS bucket,
+        | CAST(COUNT(*) AS BIGINT) AS n
+        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }
