@@ -4577,7 +4577,24 @@ object SparkEntry {
         .groupBy("event_type", "bucket")
         .agg(count(lit(1)).as("n"))
         .orderBy("event_type", "bucket")
-    })
+    }),
+
+    "q256_unpivot_roundtrip" -> ((s, d) =>
+      // UNPIVOT (stack) completing the q56 reshape family: the
+      // priority × status matrix pivots WIDE (pinned value list — no
+      // value-discovery job) and stacks back to long form; the oracle
+      // is the direct long-form count, so the green row proves
+      // pivot∘unpivot is the identity on the contingency table. Both
+      // steps are one 5×3-cell agg; absent cells surface as NULL and
+      // are dropped to match the direct counts.
+      orders(s, d)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          expr("stack(3, 'F', `F`, 'O', `O`, 'P', `P`) AS (o_orderstatus, n)"))
+        .filter(col("n").isNotNull)
+        .orderBy("o_orderpriority", "o_orderstatus"))
   )
 
   /** q210's deterministic raw-URL derivation (shared with its oracle by
@@ -9425,6 +9442,12 @@ object SparkEntry {
         | CAST(CASE WHEN gap_s <= 0 THEN 0 ELSE length(bin(gap_s)) END
         |   AS BIGINT) AS bucket,
         | CAST(COUNT(*) AS BIGINT) AS n
-        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the direct long form — pivot∘unpivot must be its identity
+    "q256_unpivot_roundtrip" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        | CAST(COUNT(*) AS BIGINT) AS n
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }
