@@ -380,6 +380,55 @@ object StreamSoak {
       restarts, maxStateRows, pass)
   }
 
+  /** Phase 6: streaming funnel — the greedy-frontier keyed state must
+    * survive every restart and reproduce the batch funnel of the whole
+    * feed. The feeder's event_type is constant per user (id % 5 with a
+    * user-aligned id stride), so the phase derives a funnel type from
+    * event_id (f0..f3 cycling every 7 ids) that each user's stream
+    * actually traverses; the batch twin derives the SAME column. The
+    * feed is ts-ordered across feeder batches (minute i), the contract
+    * streamingFunnel carries; same-ts ties are order-insensitive (the
+    * strictly-after rule admits one advance per instant).
+    */
+  private def funnelPhase(spark: SparkSession, root: String, seconds: Int,
+                          restartSeconds: Int, batchEvents: Int): PhaseResult = {
+    val src = s"$root/src"; val ckpt = s"$root/ckpt"
+    new java.io.File(src).mkdirs()
+    val stages = Seq("f0", "f1", "f2", "f3")
+    def withFtype(df: DataFrame) = df.withColumn("event_type",
+      concat(lit("f"), pmod(expr("event_id div 7"), lit(4L))))
+    val state = new java.util.concurrent.ConcurrentHashMap[Long, Int]()
+    def startQuery() = EventStreams.streamingFunnel(
+        withFtype(EventStreams.readEventStream(spark, src)), stages).toDF()
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        // bounded collect: one (user, depth) row per user touched by
+        // the micro-batch, <= batchEvents rows
+        df.collect().foreach(r => state.put(r.getLong(0), r.getInt(1)))
+      }
+      .option("checkpointLocation", ckpt).start()
+    val (restarts, maxSoak, batches) =
+      soakLoop(spark, src, seconds, restartSeconds, batchEvents)(startQuery _)
+    val maxProbe = probeDrain(spark, src, batchEvents, batches)(startQuery _)
+    val streamedCounts = {
+      import scala.jdk.CollectionConverters._
+      val depths = state.asScala
+      stages.indices.map(k => depths.values.count(_ >= k + 1).toLong)
+    }
+    val batchCounts = graft.operators.Relational.funnelStages(
+        withFtype(spark.read.parquet(src)), "user_id", "ts", "event_type",
+        stages)
+      .orderBy("stage_idx").collect().map(_.getLong(2)).toSeq
+    val maxStateRows = math.max(maxSoak, maxProbe)
+    // state: one fixed-size record per user ever seen (user domain 50000)
+    val pass = streamedCounts == batchCounts && maxStateRows <= 50000L
+    if (!pass)
+      System.err.println(s"SOAK funnel streamed=$streamedCounts " +
+        s"batch=$batchCounts maxState=$maxStateRows")
+    PhaseResult((batches + 1).toLong * batchEvents, streamedCounts.head,
+      restarts, maxStateRows, pass)
+  }
+
   def main(args: Array[String]): Unit = {
     val soakSeconds = sys.env.getOrElse("SOAK_SECONDS", "180").toInt
     val twinSeconds = sys.env.getOrElse("SOAK_TWIN_SECONDS", "60").toInt
@@ -403,10 +452,14 @@ object StreamSoak {
       twinSeconds, restartSeconds, batchEvents)
     val lb = lbPhase(spark, "/tmp/graft-soak/lb",
       twinSeconds, restartSeconds, batchEvents)
+    val funnel = funnelPhase(spark, "/tmp/graft-soak/funnel",
+      twinSeconds, restartSeconds, batchEvents)
 
-    val pass = tumbling.pass && kmv.pass && cms.pass && mg.pass && lb.pass
+    val pass = tumbling.pass && kmv.pass && cms.pass && mg.pass &&
+      lb.pass && funnel.pass
     println(s"""{"tumbling":${tumbling.json()},"kmv":${kmv.json()},""" +
       s""""cms":${cms.json()},"mg":${mg.json()},"lb":${lb.json()},""" +
+      s""""funnel":${funnel.json()},""" +
       s""""result":"${if (pass) "PASS" else "FAIL"}"}""")
     spark.stop()
     if (!pass) sys.exit(1)
