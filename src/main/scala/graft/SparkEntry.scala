@@ -184,6 +184,11 @@ object SparkEntry {
     */
   private val BasketMinSup = 50L
 
+  /** q257's conversion deadline (7 days in microseconds), shared with
+    * the oracle SQL.
+    */
+  private val FunnelWindowUs = 7L * 86400L * 1000000L
+
   /** q227's parent-snapshot cutoff (orders span 1995..2001 in the
     * testdata): lineitems referencing orders on/after it are the
     * late-arriving orphans the audit must count. Shared with the
@@ -4595,6 +4600,17 @@ object SparkEntry {
           expr("stack(3, 'F', `F`, 'O', `O`, 'P', `P`) AS (o_orderstatus, n)"))
         .filter(col("n").isNotNull)
         .orderBy("o_orderpriority", "o_orderstatus"))
+,
+    "q257_windowed_funnel" -> ((s, d) =>
+      // Conversion-DEADLINE funnel: each stage within 7 days of the
+      // step it extends. Greedy-earliest (q241's shape) is provably
+      // insufficient under deadlines, so every stage carries its full
+      // reachable-timestamp closure — user-key joins with the band
+      // predicate inside the hash join, exchanges reused stage to
+      // stage (Relational.funnelStagesWindowed scaladoc + spec
+      // counterexample).
+      Relational.funnelStagesWindowed(events(s, d), "user_id", "ts",
+        "event_type", FunnelStages, windowUs = FunnelWindowUs))
   )
 
   /** q210's deterministic raw-URL derivation (shared with its oracle by
@@ -9448,6 +9464,39 @@ object SparkEntry {
     "q256_unpivot_roundtrip" ->
       """SELECT o_orderpriority, o_orderstatus,
         | CAST(COUNT(*) AS BIGINT) AS n
-        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // full reachable-set closure per stage (greedy-earliest is wrong
+    // under deadlines), replayed as distinct band joins
+    "q257_windowed_funnel" -> {
+      val sts = FunnelStages
+      s"""WITH e AS (SELECT user_id AS u,
+         |  epoch_us(CAST(date_trunc('microseconds', ts) AS TIMESTAMP)) AS t,
+         |  event_type AS tp FROM events),
+         |c1 AS (SELECT DISTINCT u, t FROM e WHERE tp = '${sts(0)}'),
+         |c2 AS (SELECT DISTINCT e.u, e.t FROM e JOIN c1
+         |  ON c1.u = e.u AND e.t > c1.t AND e.t <= c1.t + $FunnelWindowUs
+         | WHERE e.tp = '${sts(1)}'),
+         |c3 AS (SELECT DISTINCT e.u, e.t FROM e JOIN c2
+         |  ON c2.u = e.u AND e.t > c2.t AND e.t <= c2.t + $FunnelWindowUs
+         | WHERE e.tp = '${sts(2)}'),
+         |c4 AS (SELECT DISTINCT e.u, e.t FROM e JOIN c3
+         |  ON c3.u = e.u AND e.t > c3.t AND e.t <= c3.t + $FunnelWindowUs
+         | WHERE e.tp = '${sts(3)}'),
+         |n AS (SELECT (SELECT COUNT(DISTINCT u) FROM c1) AS n1,
+         |  (SELECT COUNT(DISTINCT u) FROM c2) AS n2,
+         |  (SELECT COUNT(DISTINCT u) FROM c3) AS n3,
+         |  (SELECT COUNT(DISTINCT u) FROM c4) AS n4)
+         |SELECT * FROM (
+         | SELECT CAST(1 AS INTEGER) AS stage_idx, '${sts(0)}' AS stage,
+         |  CAST(n1 AS BIGINT) AS n_users, CAST(1000000 AS BIGINT) AS conv_ppm FROM n
+         | UNION ALL SELECT CAST(2 AS INTEGER), '${sts(1)}', CAST(n2 AS BIGINT),
+         |  CAST(CASE WHEN n1 > 0 THEN n2 * 1000000 // n1 ELSE 0 END AS BIGINT) FROM n
+         | UNION ALL SELECT CAST(3 AS INTEGER), '${sts(2)}', CAST(n3 AS BIGINT),
+         |  CAST(CASE WHEN n2 > 0 THEN n3 * 1000000 // n2 ELSE 0 END AS BIGINT) FROM n
+         | UNION ALL SELECT CAST(4 AS INTEGER), '${sts(3)}', CAST(n4 AS BIGINT),
+         |  CAST(CASE WHEN n3 > 0 THEN n4 * 1000000 // n3 ELSE 0 END AS BIGINT) FROM n)
+         |ORDER BY stage_idx""".stripMargin
+    }
   )
 }

@@ -717,6 +717,56 @@ object Relational {
     rows.toDF("stage_idx", "stage", "n_users", "conv_ppm")
   }
 
+  /** Windowed funnel: stage k must fall STRICTLY AFTER the stage-(k-1)
+    * event it extends and WITHIN `windowUs` microseconds of it — the
+    * conversion-deadline funnel product analytics ships ("purchase
+    * within 7 days of the click"). Greedy-earliest is NOT sufficient
+    * here, unlike [[funnelStages]]: taking the earliest stage-1 event
+    * can strand a deadline a later stage-1 event would have met (the
+    * spec carries the counterexample), so each stage keeps the FULL
+    * set of reachable event timestamps — the exact forward closure.
+    *
+    * Distributed shape: per stage, one user-key equi-join between the
+    * stage's events and the previous stage's reachable set, with the
+    * (strictly-after, within-window) band predicate evaluated inside
+    * the hash join, then DISTINCT — all exchanges on the user key, so
+    * the partitioning is reused stage to stage. Per-user cost is
+    * |candidates| × |stage events| pair checks before the distinct —
+    * bounded by per-(user, stage) event volume, never the corpus;
+    * interval-merging the candidate set (windows of overlapping
+    * candidates collapse) is the documented refinement if per-user
+    * stage volumes ever explode.
+    */
+  def funnelStagesWindowed(events: DataFrame, userCol: String, tsCol: String,
+                           typeCol: String, stages: Seq[String],
+                           windowUs: Long): DataFrame = {
+    require(stages.nonEmpty, "funnelStagesWindowed needs at least one stage")
+    require(windowUs > 0, s"windowUs must be positive, got $windowUs")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ev = events.select(col(userCol).as("u"),
+      unix_micros(col(tsCol)).as("t"), col(typeCol).as("tp"))
+    val first = ev.filter(col("tp") === stages.head)
+      .select("u", "t").distinct()
+    val reachable = stages.tail.scanLeft(first) { (prev, stage) =>
+      ev.filter(col("tp") === stage)
+        .select(col("u"), col("t").as("t2"))
+        .join(prev, "u")
+        .filter(col("t2") > col("t") && col("t2") <= col("t") + windowUs)
+        .select(col("u"), col("t2").as("t")).distinct()
+    }
+    val counts = reachable.map(
+      _.select(countDistinct(col("u")).as("n")).head().getLong(0))
+    val rows = stages.zip(counts).zipWithIndex.map { case ((stage, n), i) =>
+      val convPpm =
+        if (i == 0) 1000000L
+        else if (counts(i - 1) > 0) n * 1000000L / counts(i - 1)
+        else 0L
+      (i + 1, stage, n, convPpm)
+    }
+    rows.toDF("stage_idx", "stage", "n_users", "conv_ppm")
+  }
+
   /** Daily gap-fill with last-observation-carried-forward (LOCF) — the
     * time-series regularization every "state as of day D" rollup needs:
     * `df` holds one row per (key, day) (the key's daily close); the

@@ -624,6 +624,56 @@ class ChunkingCurationSpec extends AnyFunSuite {
     assert(removed(b1) != a(b1))
   }
 
+  test("funnelStagesWindowed: closure beats greedy; equals brute-force DP") {
+    import graft.operators.Relational
+    val stages = Seq("a", "b", "c")
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    def run(rows: Seq[(Long, Long, String)], wUs: Long) =
+      Relational.funnelStagesWindowed(
+          rows.map { case (u, t, tp) => (u, ts(t), tp) }
+            .toDF("user_id", "ts", "event_type"),
+          "user_id", "ts", "event_type", stages, wUs)
+        .orderBy("stage_idx").collect().map(_.getLong(2)).toSeq
+    // THE counterexample: greedy-earliest picks a@0,b@3 and misses
+    // c@14000000 (deadline 13000000); the closure survives via a@5,b@12
+    val cx = Seq(
+      (1L, 0L, "a"), (1L, 5000000L, "a"), (1L, 3000000L, "b"),
+      (1L, 12000000L, "b"), (1L, 14000000L, "c"))
+    assert(run(cx, 10000000L) == Seq(1L, 1L, 1L))
+    // brute-force DP over random streams: user reaches stage k iff an
+    // increasing chain exists with every step within the window
+    val rnd = new scala.util.Random(41)
+    val rows = for {
+      u <- 1L to 50L
+      _ <- 1 to rnd.nextInt(8)
+    } yield (u, rnd.nextInt(30).toLong * 1000000L, stages(rnd.nextInt(3)))
+    def reach(evs: Seq[(Long, String)], wUs: Long): Int = {
+      var cands = evs.collect { case (t, "a") => t }.distinct
+      var depth = if (cands.nonEmpty) 1 else 0
+      for (st <- stages.tail if cands.nonEmpty) {
+        cands = evs.collect { case (t, `st`) if cands.exists(c => t > c && t <= c + wUs) => t }.distinct
+        if (cands.nonEmpty) depth += 1
+      }
+      depth
+    }
+    for (wUs <- Seq(3000000L, 9000000L, 100000000L)) {
+      val byUser = rows.groupBy(_._1).view
+        .mapValues(_.map(e => (e._2, e._3)).toSeq).toMap
+      val expect = stages.indices.map { k =>
+        byUser.values.count(reach(_, wUs) >= k + 1).toLong
+      }
+      assert(run(rows, wUs) == expect, s"wUs=$wUs")
+    }
+    // an unbounded window reduces to the strict-funnel semantics
+    val unbounded = run(rows, Long.MaxValue / 4)
+    val strict = Relational.funnelStages(
+        rows.map { case (u, t, tp) => (u, ts(t), tp) }
+          .toDF("user_id", "ts", "event_type"),
+        "user_id", "ts", "event_type", stages)
+      .orderBy("stage_idx").collect().map(_.getLong(2)).toSeq
+    assert(unbounded == strict)
+  }
+
   test("gapFillLocf: dense per-key grid, LOCF across gaps, null closes skipped") {
     import graft.operators.Relational
     import java.sql.Date
