@@ -174,6 +174,14 @@ object SparkEntry {
     */
   private val DedupEvalTPpm = 500000L
 
+  /** q240's evaluation-sample size: the eval runs on the md5-bottom-N
+    * docs, a FIXED-size deterministic sample, so ground-truth cost is
+    * sf-invariant above N docs (the unsampled form measured
+    * 13.3×/decade into sf10 — an eval must sample, not brute-force
+    * the corpus). Shared with the oracle SQL.
+    */
+  private val DedupEvalSampleN = 4000
+
   /** q241's ordered funnel definition, shared with the oracle SQL:
     * the strictly time-increasing subsequence a user must traverse.
     */
@@ -4176,10 +4184,17 @@ object SparkEntry {
       // near-dup candidates): ground truth = the EXACT Jaccard >= 0.5
       // pair set (ppJoinShingles — no recall loss by construction),
       // candidates = the 16-bit simhash equality buckets, metrics =
-      // precision/recall in exact ppm. One semi-join over two pair
-      // frames; counts are three bounded driver actions.
+      // precision/recall in exact ppm, both computed on the
+      // md5-bottom-N FIXED-size sample — the 100 TB-right eval shape:
+      // ground-truth cost never grows with the corpus (the unsampled
+      // form measured 13.3×/decade into sf10). One semi-join over two
+      // pair frames; counts are three bounded driver actions.
       import s.implicits._
       val docs = documents(s, d)
+        .withColumn("__k", tokenHash64(concat(lit("deval_"),
+          col("doc_id").cast("string"))))
+        .orderBy(col("__k"), col("doc_id")).limit(DedupEvalSampleN)
+        .drop("__k")
       val truth = Dedup.ppJoinShingles(docs, "doc_id", "text",
           tPpm = DedupEvalTPpm)
         .select("id_a", "id_b")
@@ -4368,23 +4383,32 @@ object SparkEntry {
       // support, directed confidence and lift (exact integer ppm,
       // canonical division order — the same floor-division contract
       // the oracle replays) for every brand pair co-purchased in at
-      // least MinSup orders. The basket self-join fans C(brands,2) ≤
-      // 300 pairs per order — bounded by the BRAND domain, never by
-      // order size; both sides reuse one exchange on the order key.
-      // Lift's division order (conf first, then × N ÷ cnt_b) keeps
-      // every intermediate under 2⁶³ at any corpus size.
+      // least MinSup orders. Pair fan-out is C(brands,2) ≤ 300 per
+      // order — bounded by the BRAND domain, never order size — and
+      // runs MAP-SIDE from one basket agg. Lift's division order
+      // (conf first, then × N ÷ cnt_b) keeps every intermediate under
+      // 2⁶³ at any corpus size.
       val li = lineitem(s, d).select(col("l_orderkey").as("o"),
         col("l_partkey"))
       val pt = part(s, d).select(col("p_partkey").as("l_partkey"),
         col("p_brand"))
-      val baskets = li.join(pt, "l_partkey")
-        .select(col("o"), col("p_brand").as("b")).distinct()
-      val nOrders = baskets.select("o").distinct().count()
-      val cnt = baskets.groupBy("b").agg(count(lit(1)).as("cnt"))
-      val pairs = baskets.as("x")
-        .join(baskets.as("y"),
-          col("x.o") === col("y.o") && col("x.b") < col("y.b"))
-        .groupBy(col("x.b").as("b_a"), col("y.b").as("b_b"))
+      // posting-list form, not a basket self-join (the q185 lesson,
+      // re-confirmed here: the self-join shape measured 25x/decade
+      // into sf10 — distinct exchange + two join sorts + the join
+      // exchange; this one collect_sets per order once and fans the
+      // <=C(25,2) pairs map-side): ONE order-keyed exchange, then two
+      // generators and a 300-key agg
+      val sets = li.join(pt, "l_partkey")
+        .select(col("o"), col("p_brand").as("b"))
+        .groupBy("o").agg(sort_array(collect_set(col("b"))).as("bs"))
+      val nOrders = sets.count()
+      val cnt = sets.select(explode(col("bs")).as("b"))
+        .groupBy("b").agg(count(lit(1)).as("cnt"))
+      val pairs = sets
+        .select(col("bs"), explode(col("bs")).as("ba"))
+        .select(col("ba"), explode(col("bs")).as("bb"))
+        .filter(col("ba") < col("bb"))
+        .groupBy(col("ba").as("b_a"), col("bb").as("b_b"))
         .agg(count(lit(1)).as("support"))
       pairs
         .join(cnt.select(col("b").as("b_a"), col("cnt").as("cnt_a")), "b_a")
@@ -9128,10 +9152,19 @@ object SparkEntry {
         | CAST(SUM(value_c) AS BIGINT) AS sum_value_c
         |FROM allp GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    // ground truth = brute-force exact Jaccard >= 0.5; candidates =
-    // the q105 simhash replay; metrics as exact integer ppm
+    // ground truth = brute-force exact Jaccard >= 0.5 over the SAME
+    // md5-bottom-N sample; candidates = the q105 simhash replay;
+    // metrics as exact integer ppm
     "q240_dedup_eval" ->
-      s"""WITH sh AS ($SHINGLES3),
+      s"""WITH sd AS (SELECT doc_id, text FROM (
+         |  SELECT doc_id, text, row_number() OVER (ORDER BY
+         |   ${duckHash("concat('deval_', CAST(doc_id AS VARCHAR))", 15)}, doc_id) AS rn
+         |  FROM documents) WHERE rn <= $DedupEvalSampleN),
+         |t0 AS (SELECT doc_id, $TOKS AS t FROM sd),
+         |sh AS (SELECT DISTINCT doc_id AS id, unnest(
+         |  CASE WHEN len(t) < 3 THEN [array_to_string(t,' ')]
+         |       ELSE list_transform(generate_series(1, len(t)-2), i -> array_to_string(t[i:i+2],' ')) END) AS sh
+         | FROM t0),
          |ss AS (SELECT id, list_sort(list(sh)) AS sset FROM sh GROUP BY 1),
          |tp AS (SELECT id_a, id_b FROM (
          |  SELECT a.id AS id_a, b.id AS id_b,
@@ -9139,7 +9172,7 @@ object SparkEntry {
          |   CAST(len(a.sset) AS BIGINT) AS na, CAST(len(b.sset) AS BIGINT) AS nb
          |  FROM ss a JOIN ss b ON a.id < b.id) t
          | WHERE inter * 1000000 // (na + nb - inter) >= $DedupEvalTPpm),
-         |w2 AS (SELECT doc_id AS id, unnest($TOKS) AS w FROM documents),
+         |w2 AS (SELECT doc_id AS id, unnest($TOKS) AS w FROM sd),
          |h2 AS (SELECT id, ${duckHash("w", 15)} AS h FROM w2),
          |bits AS (SELECT id, bit,
          |  SUM(CASE WHEN ((h >> bit) & 1) = 1 THEN 1 ELSE -1 END) AS v
