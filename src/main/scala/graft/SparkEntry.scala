@@ -4634,7 +4634,33 @@ object SparkEntry {
       // stage (Relational.funnelStagesWindowed scaladoc + spec
       // counterexample).
       Relational.funnelStagesWindowed(events(s, d), "user_id", "ts",
-        "event_type", FunnelStages, windowUs = FunnelWindowUs))
+        "event_type", FunnelStages, windowUs = FunnelWindowUs)),
+
+    "q258_ab_readout" -> ((s, d) =>
+      // Deterministic A/B experiment readout: users assigned to arms
+      // by an md5 coin (the same salt-keyed assignment a real
+      // experiment platform persists — restart-stable, no RNG), per
+      // arm the exposed-user count, converters (any purchase),
+      // conversion in exact ppm, and revenue. Two user-keyed aggs and
+      // a 2-row rollup; assignment is a map-side expression, so the
+      // readout costs one pass at any corpus size.
+      events(s, d)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("converted"),
+          sum(when(col("event_type") === "purchase",
+            cents(col("value"))).otherwise(0L)).as("value_c"))
+        .withColumn("arm",
+          when(pmod(tokenHash64(concat(lit("ab_"),
+            col("user_id").cast("string"))), lit(2L)) === 0L, "control")
+            .otherwise("treatment"))
+        .groupBy("arm")
+        .agg(count(lit(1)).as("n_users"),
+          sum("converted").as("n_converted"),
+          sum("value_c").as("sum_value_c"))
+        .withColumn("conv_ppm",
+          expr("n_converted * 1000000 div n_users"))
+        .orderBy("arm"))
   )
 
   /** q210's deterministic raw-URL derivation (shared with its oracle by
@@ -9530,6 +9556,23 @@ object SparkEntry {
          | UNION ALL SELECT CAST(4 AS INTEGER), '${sts(3)}', CAST(n4 AS BIGINT),
          |  CAST(CASE WHEN n3 > 0 THEN n4 * 1000000 // n3 ELSE 0 END AS BIGINT) FROM n)
          |ORDER BY stage_idx""".stripMargin
+    },
+
+    // same md5 arm coin, same per-user conversion/revenue rollup
+    "q258_ab_readout" -> {
+      val coin = duckHash("concat('ab_', CAST(user_id AS VARCHAR))", 15)
+      s"""WITH u AS (SELECT user_id,
+         |  MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted,
+         |  SUM(CASE WHEN event_type = 'purchase'
+         |    THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS value_c
+         | FROM events GROUP BY 1),
+         |a AS (SELECT CASE WHEN $coin % 2 = 0 THEN 'control'
+         |   ELSE 'treatment' END AS arm, converted, value_c FROM u)
+         |SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+         | CAST(SUM(converted) AS BIGINT) AS n_converted,
+         | CAST(SUM(value_c) AS BIGINT) AS sum_value_c,
+         | CAST(SUM(converted) * 1000000 // COUNT(*) AS BIGINT) AS conv_ppm
+         |FROM a GROUP BY 1 ORDER BY 1""".stripMargin
     }
   )
 }
