@@ -4660,7 +4660,32 @@ object SparkEntry {
           sum("value_c").as("sum_value_c"))
         .withColumn("conv_ppm",
           expr("n_converted * 1000000 div n_users"))
-        .orderBy("arm"))
+        .orderBy("arm")),
+
+    "q259_quality_dup_lift" -> ((s, d) => {
+      // Curation cross-signal: are low-quality docs more likely
+      // near-duplicates? Quality deciles (the q40 score; decile cut on
+      // the exact 4-decimal value scaled to an integer, so no float
+      // boundary crosses engines) × the q33 simhash dup membership,
+      // dup rate per decile in exact ppm — the lift table that decides
+      // whether a dedup pass doubles as a quality filter. One quality
+      // projection, one dup-id semi-structure, one 10-row agg.
+      val docs = documents(s, d)
+      val qual = docs.select(col("doc_id"),
+          qualityScore(col("text")).as("q"))
+        .withColumn("decile",
+          least(expr("cast(round(q * 10000) as bigint) div 1000"), lit(9L)))
+      val pairs = Dedup.simHashDup(docs, "doc_id", "text", nBits = 16)
+      val dupIds = pairs.select(col("id_a").as("doc_id"))
+        .unionByName(pairs.select(col("id_b").as("doc_id"))).distinct()
+        .withColumn("is_dup", lit(1L))
+      qual.join(dupIds, Seq("doc_id"), "left")
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("is_dup"), lit(0L))).as("n_dup"))
+        .withColumn("dup_ppm", expr("n_dup * 1000000 div n_docs"))
+        .orderBy("decile")
+    })
   )
 
   /** q210's deterministic raw-URL derivation (shared with its oracle by
@@ -9573,6 +9598,44 @@ object SparkEntry {
          | CAST(SUM(value_c) AS BIGINT) AS sum_value_c,
          | CAST(SUM(converted) * 1000000 // COUNT(*) AS BIGINT) AS conv_ppm
          |FROM a GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    // q40's quality replay cut into deciles on the exact 4-decimal
+    // value; dup membership from q33's 16-bit simhash replay
+    "q259_quality_dup_lift" -> {
+      val sw = StopWords.map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, text, $TOKS AS toks FROM documents),
+         |s AS (SELECT doc_id, text, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_filter(toks, x -> x IN ($sw))) AS BIGINT) AS n_stop FROM t),
+         |q AS (SELECT doc_id,
+         |  round(least(CAST(n_tokens AS DOUBLE)/50.0, 1.0)*0.4
+         |   + least((CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE)/n_tokens ELSE 0.0 END)*4.0, 1.0)*0.3
+         |   + (CASE WHEN length(text) > 0
+         |      THEN CAST(length(regexp_replace(text,'[^A-Za-z]','','g')) AS DOUBLE)/length(text)
+         |      ELSE 0.0 END)*0.3, 4) AS quality
+         | FROM s),
+         |dec AS (SELECT doc_id,
+         |  least(CAST(round(quality * 10000) AS BIGINT) // 1000, 9) AS decile
+         | FROM q),
+         |w2 AS (SELECT doc_id AS id, unnest($TOKS) AS w FROM documents),
+         |h2 AS (SELECT id, ${duckHash("w", 15)} AS h FROM w2),
+         |bits AS (SELECT id, bit,
+         |  SUM(CASE WHEN ((h >> bit) & 1) = 1 THEN 1 ELSE -1 END) AS v
+         | FROM h2 CROSS JOIN (SELECT unnest(generate_series(0,15)) AS bit) b
+         | GROUP BY 1, 2),
+         |sh2 AS (SELECT id,
+         |  CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+         | FROM bits GROUP BY 1),
+         |cp AS (SELECT a.id AS id_a, b.id AS id_b
+         | FROM sh2 a JOIN sh2 b ON a.simhash = b.simhash AND a.id < b.id),
+         |du AS (SELECT DISTINCT id FROM (
+         |  SELECT id_a AS id FROM cp UNION ALL SELECT id_b AS id FROM cp))
+         |SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         | CAST(SUM(CASE WHEN du.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         | CAST(SUM(CASE WHEN du.id IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+         |   // COUNT(*) AS BIGINT) AS dup_ppm
+         |FROM dec LEFT JOIN du ON du.id = dec.doc_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin
     }
   )
 }
