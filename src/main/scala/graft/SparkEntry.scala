@@ -4685,6 +4685,49 @@ object SparkEntry {
           sum(coalesce(col("is_dup"), lit(0L))).as("n_dup"))
         .withColumn("dup_ppm", expr("n_dup * 1000000 div n_docs"))
         .orderBy("decile")
+    }),
+
+    "q260_kaplan_meier" -> ((s, d) => {
+      // Survival analysis: the Kaplan-Meier estimator over
+      // time-to-first-purchase after signup, with users who never
+      // purchase RIGHT-CENSORED at the corpus horizon — the
+      // time-to-event curve a growth team reads. Survival is the
+      // running integer product S ← S·(n−d) div n in ppm (one floor
+      // per step, replayed by the oracle's recursive CTE — no float
+      // product to cross engines). Durations are two user-keyed aggs;
+      // the day table is date-domain bounded (≤ a few thousand rows at
+      // any SF), so the risk-set suffix sums and the product fold are
+      // the documented bounded-driver class.
+      val ev = events(s, d)
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(to_date(col("ts"))).as("s_day"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min(to_date(col("ts"))).as("p_day"))
+      val horizon = ev.agg(max(to_date(col("ts")))).head().getDate(0)
+      val dur = su.join(pu, Seq("user_id"), "left")
+        .select(
+          when(col("p_day").isNotNull && col("p_day") >= col("s_day"),
+            datediff(col("p_day"), col("s_day")))
+            .otherwise(datediff(lit(horizon), col("s_day"))).as("t"),
+          (col("p_day").isNotNull && col("p_day") >= col("s_day"))
+            .cast("long").as("is_event"))
+      val byDay = dur.groupBy("t")
+        .agg(sum("is_event").as("d"), sum(lit(1L) - col("is_event")).as("c"))
+        .orderBy("t")
+        .collect() // date-domain bounded
+      val total = byDay.map(r => r.getLong(1) + r.getLong(2)).sum
+      var atRisk = total
+      var surv = 1000000L
+      val rows = byDay.map { r =>
+        val (t, dd, cc) = (r.getInt(0), r.getLong(1), r.getLong(2))
+        val n = atRisk
+        if (dd > 0 && n > 0) surv = surv * (n - dd) / n
+        atRisk -= (dd + cc)
+        (t.toLong, n, dd, cc, surv)
+      }.toSeq
+      import s.implicits._
+      rows.toDF("t_days", "n_risk", "n_events", "n_censored", "surv_ppm")
+        .orderBy("t_days")
     })
   )
 
@@ -9636,6 +9679,42 @@ object SparkEntry {
          |   // COUNT(*) AS BIGINT) AS dup_ppm
          |FROM dec LEFT JOIN du ON du.id = dec.doc_id
          |GROUP BY 1 ORDER BY 1""".stripMargin
-    }
+    },
+
+    // same durations/censoring, same risk-set suffix sums, same
+    // per-step integer floor product via a recursive CTE
+    "q260_kaplan_meier" ->
+      """WITH RECURSIVE su AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS s_day
+        | FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |pu AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS p_day
+        | FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |h AS (SELECT MAX(CAST(ts AS DATE)) AS hd FROM events),
+        |dur AS (SELECT
+        |  CASE WHEN pu.p_day IS NOT NULL AND pu.p_day >= su.s_day
+        |   THEN datediff('day', su.s_day, pu.p_day)
+        |   ELSE datediff('day', su.s_day, (SELECT hd FROM h)) END AS t,
+        |  CASE WHEN pu.p_day IS NOT NULL AND pu.p_day >= su.s_day
+        |   THEN 1 ELSE 0 END AS is_event
+        | FROM su LEFT JOIN pu USING (user_id)),
+        |bd AS (SELECT t, CAST(SUM(is_event) AS BIGINT) AS d,
+        |  CAST(SUM(1 - is_event) AS BIGINT) AS c FROM dur GROUP BY 1),
+        |ord AS (SELECT t, d, c, row_number() OVER (ORDER BY t) AS rn,
+        |  (SELECT SUM(d + c) FROM bd)
+        |   - COALESCE(SUM(d + c) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+        | FROM bd),
+        |km AS (
+        | SELECT rn, t, n_risk, d, c,
+        |  CASE WHEN d > 0 AND n_risk > 0
+        |   THEN 1000000 * (n_risk - d) // n_risk ELSE 1000000 END AS surv
+        | FROM ord WHERE rn = 1
+        | UNION ALL
+        | SELECT o.rn, o.t, o.n_risk, o.d, o.c,
+        |  CASE WHEN o.d > 0 AND o.n_risk > 0
+        |   THEN km.surv * (o.n_risk - o.d) // o.n_risk ELSE km.surv END
+        | FROM ord o JOIN km ON o.rn = km.rn + 1)
+        |SELECT CAST(t AS BIGINT) AS t_days, CAST(n_risk AS BIGINT) AS n_risk,
+        | d AS n_events, c AS n_censored, CAST(surv AS BIGINT) AS surv_ppm
+        |FROM km ORDER BY 1""".stripMargin
   )
 }
