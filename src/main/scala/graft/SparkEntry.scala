@@ -4728,6 +4728,35 @@ object SparkEntry {
       import s.implicits._
       rows.toDF("t_days", "n_risk", "n_events", "n_censored", "surv_ppm")
         .orderBy("t_days")
+    }),
+
+    "q261_seasonal_baseline" -> ((s, d) => {
+      // Forecast-baseline evaluation: the seasonal-naive predictor
+      // (next value = same weekday last week) scored against the
+      // actual daily revenue, absolute percentage error in exact ppm
+      // per day — the baseline every forecasting model must beat, and
+      // the first question a metrics team asks of a series. One
+      // date-domain-bounded agg, a 7-day self-join on the day grid
+      // (lag-7 via join, not a global window), and an overall
+      // lower-median error row rides along (rank ⌈n/2⌉, the q247
+      // exact-integer convention).
+      val daily = events(s, d).filter(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(cents(col("value"))).as("total_c"))
+      val scored = daily.alias("a")
+        .join(daily.select(col("day").as("pd"), col("total_c").as("pred_c")),
+          col("pd") === date_sub(col("day"), 7))
+        .select(col("day"), col("total_c"), col("pred_c"),
+          expr("abs(total_c - pred_c) * 1000000 div total_c").as("ape_ppm"))
+      val n = scored.count()
+      val med = scored.select(col("ape_ppm"))
+        .orderBy(col("ape_ppm").asc).limit(((n + 1) / 2).toInt)
+        .orderBy(col("ape_ppm").desc).limit(1).head().getLong(0)
+      scored
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("total_c"), col("pred_c"), col("ape_ppm"),
+          lit(med).as("median_ape_ppm"))
+        .orderBy("day")
     })
   )
 
@@ -9715,6 +9744,22 @@ object SparkEntry {
         | FROM ord o JOIN km ON o.rn = km.rn + 1)
         |SELECT CAST(t AS BIGINT) AS t_days, CAST(n_risk AS BIGINT) AS n_risk,
         | d AS n_events, c AS n_censored, CAST(surv AS BIGINT) AS surv_ppm
-        |FROM km ORDER BY 1""".stripMargin
+        |FROM km ORDER BY 1""".stripMargin,
+
+    // same daily totals, same lag-7 join, same floor APE, same lower
+    // median
+    "q261_seasonal_baseline" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_c
+        | FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |sc AS (SELECT a.day, a.total_c, p.total_c AS pred_c,
+        |  CAST(abs(a.total_c - p.total_c) * 1000000 // a.total_c AS BIGINT) AS ape_ppm
+        | FROM daily a JOIN daily p ON p.day = a.day - INTERVAL 7 DAY),
+        |m AS (SELECT ape_ppm AS med FROM (
+        |  SELECT ape_ppm, row_number() OVER (ORDER BY ape_ppm) AS rn,
+        |   COUNT(*) OVER () AS n FROM sc) WHERE rn = (n + 1) // 2)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, total_c, pred_c, ape_ppm,
+        | CAST((SELECT med FROM m) AS BIGINT) AS median_ape_ppm
+        |FROM sc ORDER BY 1""".stripMargin
   )
 }
