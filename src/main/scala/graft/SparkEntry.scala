@@ -4757,6 +4757,36 @@ object SparkEntry {
           col("total_c"), col("pred_c"), col("ape_ppm"),
           lit(med).as("median_ape_ppm"))
         .orderBy("day")
+    }),
+
+    "q262_benford_audit" -> ((s, d) => {
+      // Benford first-digit audit — the classic fabricated-data
+      // screen: the leading significant digit of each order total
+      // (in cents — leading digit is scale-invariant) against the
+      // canonical Benford mass log10(1+1/d), carried as the 9
+      // hard-coded ppm constants so no engine computes a log. One
+      // map-side digit extraction + a 9-key agg; deviation in ppm.
+      val benford = Seq(1 -> 301030L, 2 -> 176091L, 3 -> 124939L,
+        4 -> 96910L, 5 -> 79181L, 6 -> 66947L, 7 -> 57992L,
+        8 -> 51153L, 9 -> 45757L)
+      import s.implicits._
+      val exp = broadcast(benford.toDF("digit", "benford_ppm"))
+      orders(s, d)
+        .select(cents(col("o_totalprice")).as("v"))
+        .filter(col("v") > 0L)
+        .withColumn("digit",
+          substring(col("v").cast("string"), 1, 1).cast("int"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(
+          orders(s, d).filter(cents(col("o_totalprice")) > 0L)
+            .agg(count(lit(1)).as("total"))))
+        .withColumn("observed_ppm", expr("n * 1000000 div total"))
+        .join(exp, Seq("digit"))
+        .withColumn("abs_diff_ppm",
+          abs(col("observed_ppm") - col("benford_ppm")))
+        .select(col("digit"), col("n"), col("observed_ppm"),
+          col("benford_ppm"), col("abs_diff_ppm"))
+        .orderBy("digit")
     })
   )
 
@@ -9760,6 +9790,24 @@ object SparkEntry {
         |   COUNT(*) OVER () AS n FROM sc) WHERE rn = (n + 1) // 2)
         |SELECT strftime(day, '%Y-%m-%d') AS day, total_c, pred_c, ape_ppm,
         | CAST((SELECT med FROM m) AS BIGINT) AS median_ape_ppm
-        |FROM sc ORDER BY 1""".stripMargin
+        |FROM sc ORDER BY 1""".stripMargin,
+
+    // same cents first digit, same hard-coded Benford ppm constants
+    "q262_benford_audit" ->
+      """WITH v AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        | FROM orders WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0),
+        |g AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+        |  CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY 1),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM v),
+        |e AS (SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+        |  (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153),
+        |  (9, 45757)) AS b(digit, benford_ppm))
+        |SELECT g.digit, g.n,
+        | CAST(g.n * 1000000 // (SELECT total FROM t) AS BIGINT) AS observed_ppm,
+        | CAST(e.benford_ppm AS BIGINT) AS benford_ppm,
+        | CAST(abs(g.n * 1000000 // (SELECT total FROM t) - e.benford_ppm)
+        |   AS BIGINT) AS abs_diff_ppm
+        |FROM g JOIN e ON e.digit = g.digit
+        |ORDER BY 1""".stripMargin
   )
 }
