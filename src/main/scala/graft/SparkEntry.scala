@@ -4787,6 +4787,23 @@ object SparkEntry {
         .select(col("digit"), col("n"), col("observed_ppm"),
           col("benford_ppm"), col("abs_diff_ppm"))
         .orderBy("digit")
+    }),
+
+    "q263_cluster_size_hist" -> ((s, d) => {
+      // Duplicate-cluster SIZE distribution — the dedup report a
+      // curation run ships beside the keeper pass (q217): how many
+      // clusters of each size, and how many docs they hold, over the
+      // q63 simhash dup graph's connected components. Star CC labels
+      // (O(log² n) rounds, checkpointed) then two domain-bounded aggs
+      // — the histogram is as wide as the largest cluster, never the
+      // corpus.
+      val pairs = Dedup.simHashDup(documents(s, d), "doc_id", "text",
+        nBits = 16)
+      Dedup.dupClustersStar(pairs, "id_a", "id_b")
+        .groupBy("label").agg(count(lit(1)).as("size"))
+        .groupBy("size").agg(count(lit(1)).as("n_clusters"))
+        .withColumn("n_docs", col("size") * col("n_clusters"))
+        .orderBy("size")
     })
   )
 
@@ -9808,6 +9825,37 @@ object SparkEntry {
         | CAST(abs(g.n * 1000000 // (SELECT total FROM t) - e.benford_ppm)
         |   AS BIGINT) AS abs_diff_ppm
         |FROM g JOIN e ON e.digit = g.digit
-        |ORDER BY 1""".stripMargin
+        |ORDER BY 1""".stripMargin,
+
+    // q63's min-label propagation chain, rolled to the size histogram
+    "q263_cluster_size_hist" -> {
+      val iters = 4
+      val prop = (1 to iters).map { k =>
+        s"""l$k AS (SELECT node, MIN(label) AS label FROM (
+           | SELECT node, label FROM l${k - 1}
+           | UNION ALL
+           | SELECT e.u AS node, l.label FROM edges e JOIN l${k - 1} l ON e.v = l.node) t
+           | GROUP BY node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH w AS (SELECT doc_id AS id, unnest($TOKS) AS w FROM documents),
+         |h AS (SELECT id, ${duckHash("w", 15)} AS h FROM w),
+         |bits AS (SELECT id, bit,
+         |  SUM(CASE WHEN ((h >> bit) & 1) = 1 THEN 1 ELSE -1 END) AS v
+         | FROM h CROSS JOIN (SELECT unnest(generate_series(0,15)) AS bit) b GROUP BY 1,2),
+         |sh AS (SELECT id,
+         |  CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+         | FROM bits GROUP BY 1),
+         |p AS (SELECT a.id AS id_a, b.id AS id_b
+         | FROM sh a JOIN sh b ON a.simhash = b.simhash AND a.id < b.id),
+         |edges AS (SELECT id_a AS u, id_b AS v FROM p
+         | UNION ALL SELECT id_b AS u, id_a AS v FROM p),
+         |l0 AS (SELECT DISTINCT u AS node, u AS label FROM edges),
+         |$prop,
+         |sz AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS size
+         | FROM l$iters GROUP BY 1)
+         |SELECT size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         | CAST(size * COUNT(*) AS BIGINT) AS n_docs
+         |FROM sz GROUP BY 1 ORDER BY 1""".stripMargin
+    }
   )
 }
