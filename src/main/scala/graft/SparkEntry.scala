@@ -4551,7 +4551,10 @@ object SparkEntry {
         .withColumn("age_w",
           (datediff(lit(horizon), col("day")) / 7).cast("int"))
         .groupBy("user_id")
-        .agg(sum(expr("shiftright(c, age_w)")).as("score"),
+        // Clamp the shift at 63: JVM long shifts mask the count mod
+        // 64, so an unclamped >= 64-week age would silently STOP
+        // decaying (c >> 64 == c); at 63 any positive count is 0.
+        .agg(sum(expr("shiftright(c, least(age_w, 63))")).as("score"),
           sum("c").as("n_events"))
         .orderBy(col("score").desc, col("user_id").asc)
         .limit(20)
@@ -9621,7 +9624,7 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
         |h AS (SELECT MAX(day) AS hd FROM dc)
         |SELECT user_id,
-        | CAST(SUM(c >> (datediff('day', day, (SELECT hd FROM h)) // 7))
+        | CAST(SUM(c >> LEAST(datediff('day', day, (SELECT hd FROM h)) // 7, 63))
         |   AS BIGINT) AS score,
         | CAST(SUM(c) AS BIGINT) AS n_events
         |FROM dc GROUP BY 1

@@ -1104,6 +1104,14 @@ object Ann {
     * NO part of the probe: this is the compressed-corpus + pruned-scan
     * composition production vector stores ship as their default
     * (FAISS IVFPQ). Returns (query_id, neighbor_id, adist, rank).
+    *
+    * CONTRACT — bounded query set: the QUERIES frame is collected to
+    * the driver and its per-query LUTs (|queries| × m × codes doubles)
+    * ship inside the scoring UDF closure — the standard ADC shape; at
+    * any scale the query batch stays small (a probe batch, not a
+    * corpus). The coded lists MUST have been encoded with these same
+    * codebooks and m ([[pqEncodeWith]]); a mismatched code fails fast
+    * with an explicit message rather than an opaque lookup error.
     */
   def ivfPqTopKProbe(queries: DataFrame, centroids: DataFrame,
                      codedLists: DataFrame, codebooks: DataFrame,
@@ -1149,9 +1157,20 @@ object Ann {
       }
     }.toMap
     val adistUdf = udf { (qid: Long, codes: Seq[Long]) =>
+      if (codes.length != m)
+        throw new IllegalArgumentException(
+          s"ivfPqTopKProbe: coded list row has ${codes.length} codes but " +
+            s"m=$m — codes do not match the supplied codebooks")
       var sacc = 0.0
       var j = 0
-      while (j < codes.length) { sacc += lut((qid, j, codes(j))); j += 1 }
+      while (j < codes.length) {
+        sacc += lut.getOrElse((qid, j, codes(j)),
+          throw new IllegalArgumentException(
+            s"ivfPqTopKProbe: code ${codes(j)} in subspace $j is absent " +
+              "from the supplied codebooks — codes do not match the " +
+              "codebooks they were encoded with"))
+        j += 1
+      }
       sacc
     }
     val w = Window.partitionBy("query_id")

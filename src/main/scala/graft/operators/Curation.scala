@@ -1028,11 +1028,30 @@ object Curation {
     }
   }
 
+  /** Per-JVM automaton cache, BOUNDED: a small synchronized
+    * access-order LRU (capacity 8) so a long-lived executor that sees
+    * many distinct pattern sets (ad-hoc screens, per-tenant blocklists)
+    * cannot leak an automaton per set for the process lifetime —
+    * automata over large pattern sets are multi-MB tries. Eight slots
+    * cover the realistic case (a handful of standing blocklists reused
+    * across every task) while capping worst-case growth.
+    */
   private val acCache =
-    new java.util.concurrent.ConcurrentHashMap[java.util.List[String], AcAutomaton]()
-  private def acFor(pats: Array[String]): AcAutomaton =
-    acCache.computeIfAbsent(java.util.Arrays.asList(pats: _*),
-      _ => new AcAutomaton(pats))
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[java.util.List[String], AcAutomaton](
+          16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[java.util.List[String], AcAutomaton]) =
+          size() > 8
+      })
+  private def acFor(pats: Array[String]): AcAutomaton = {
+    val key = java.util.Arrays.asList(pats: _*)
+    acCache.synchronized {
+      var a = acCache.get(key)
+      if (a == null) { a = new AcAutomaton(pats); acCache.put(key, a) }
+      a
+    }
+  }
 
   /** Deterministic negative-pair sampling — the contrastive-training
     * data op (every dual-encoder/embedding trainer needs k negatives

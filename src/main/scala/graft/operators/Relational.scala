@@ -697,14 +697,22 @@ object Relational {
     require(stages.nonEmpty, "funnelStages needs at least one stage")
     val spark = events.sparkSession
     import spark.implicits._
+    // Materialize each stage frame: the count action below and the
+    // next stage's join both consume it, and an unmaterialized
+    // scanLeft chain would re-execute all k-1 upstream stages for
+    // stage k's count (O(|stages|²) stage evaluations). Each frame is
+    // one row per surviving user — cheap to hold, expensive to replay.
+    import graft.engine.Scale.MaterializeOps
     val first = events.filter(col(typeCol) === stages.head)
       .groupBy(col(userCol).as("u")).agg(min(col(tsCol)).as("t_prev"))
+      .materialized
     val reachedPerStage = stages.tail.scanLeft(first) { (prev, stage) =>
       events.filter(col(typeCol) === stage)
         .select(col(userCol).as("u"), col(tsCol).as("t_cur"))
         .join(prev, "u")
         .filter(col("t_cur") > col("t_prev"))
         .groupBy("u").agg(min(col("t_cur")).as("t_prev"))
+        .materialized
     }
     val counts = reachedPerStage.map(_.select(count(lit(1)).as("n")).head().getLong(0))
     val rows = stages.zip(counts).zipWithIndex.map { case ((stage, n), i) =>
@@ -746,14 +754,18 @@ object Relational {
     import spark.implicits._
     val ev = events.select(col(userCol).as("u"),
       unix_micros(col(tsCol)).as("t"), col(typeCol).as("tp"))
+    // Same materialization rationale as funnelStages: each reachable
+    // set feeds both its count action and the next stage's join.
+    import graft.engine.Scale.MaterializeOps
     val first = ev.filter(col("tp") === stages.head)
-      .select("u", "t").distinct()
+      .select("u", "t").distinct().materialized
     val reachable = stages.tail.scanLeft(first) { (prev, stage) =>
       ev.filter(col("tp") === stage)
         .select(col("u"), col("t").as("t2"))
         .join(prev, "u")
         .filter(col("t2") > col("t") && col("t2") <= col("t") + windowUs)
         .select(col("u"), col("t2").as("t")).distinct()
+        .materialized
     }
     val counts = reachable.map(
       _.select(countDistinct(col("u")).as("n")).head().getLong(0))

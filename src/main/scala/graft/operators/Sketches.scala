@@ -441,18 +441,32 @@ object Sketches {
     s"shiftleft(1L, greatest(cast($k div ${w}L as int) - $subBits, 0))"
   }
 
+  /** Runtime guard enforcing the sketch's v >= 1 contract: a
+    * non-positive value would map to bucket -1 (length(bin(0))-1 = 0)
+    * whose decode DIVERGES between Spark (`div` truncates toward zero)
+    * and a floor-division oracle — silently wrong quantiles. Fail fast
+    * with the offending value instead.
+    */
+  private[graft] def requirePositive(v: Column, site: String): Column =
+    when(v >= 1L, v).otherwise(raise_error(concat(
+      lit(s"$site: v must be a positive integer (>= 1), got "),
+      coalesce(v.cast("string"), lit("NULL")))))
+
   /** Build the per-group log-bucket sketch: (grp, bucket, cnt). ONE hash
     * aggregation over a ≤ 64·2^subBits key domain per group — map-side
     * partials bound the shuffle at |groups|·|buckets| cells regardless
     * of corpus size (the cmsBuild shape for quantiles). `v` must be a
     * positive integer column (money in cents, latencies in µs, token
-    * counts — the quantile targets of a pipeline dashboard).
+    * counts — the quantile targets of a pipeline dashboard); the
+    * contract is ENFORCED at runtime — a v < 1 row raises rather than
+    * silently corrupting the sketch (see [[requirePositive]]).
     */
   def logBucketCells(df: DataFrame, grpCol: String, v: Column,
                      subBits: Int): DataFrame = {
     require(subBits >= 1 && subBits <= 16,
       s"need 1 <= subBits <= 16, got $subBits")
-    df.select(col(grpCol).as("grp"), v.cast("long").as("__v"))
+    df.select(col(grpCol).as("grp"),
+        requirePositive(v.cast("long"), "logBucketCells").as("__v"))
       .withColumn("bucket", expr(logBucketIdxSql("__v", subBits)))
       .groupBy("grp", "bucket").agg(count(lit(1)).as("cnt"))
   }

@@ -433,7 +433,9 @@ object EventStreams {
     val spark = records.sparkSession
     import spark.implicits._
     records
-      .select(col(grpCol).cast("string").as("grp"), vCents.cast("long").as("__v"))
+      .select(col(grpCol).cast("string").as("grp"),
+        graft.operators.Sketches.requirePositive(vCents.cast("long"),
+          "streamingLogBucketCells").as("__v"))
       .withColumn("bucket",
         expr(graft.operators.Sketches.logBucketIdxSql("__v", subBits)))
       .select(col("grp"), col("bucket"))
