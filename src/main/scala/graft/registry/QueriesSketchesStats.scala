@@ -1,0 +1,1010 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.Scale.MaterializeOps
+import graft.engine.Tables._
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions
+import graft.multimodal.Multimodal
+import graft.operators.{Ann, Bpe, Chunking, Curation, Dedup, GraphOps, Indexing, Relational, Sketches, TextJobs}
+
+import graft.QueryShared._
+
+/** SketchesStats query registry — KMV/CMS/MG/HLL/log-bucket sketches, robust stats, sampling, audits.
+  * Split verbatim from SparkEntry (round 12): every entry is the
+  * original closure/SQL, unchanged; SparkEntry concatenates the
+  * family maps back into the driver contract.
+  */
+private[graft] object QueriesSketchesStats {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q39_approx_distinct" -> ((s, d) => {
+      // HLL++ sketch as an oracle-checked ACCURACY CONTRACT: the raw
+      // estimate differs from DuckDB's approx_distinct by design, so
+      // the checked columns are the exact counts (both engines compute
+      // them) plus a boolean "sketch within 5% of exact" — the oracle
+      // asserts TRUE, so a drifting sketch turns this row red instead
+      // of hiding behind a rows-only check. rsd 0.02, not the 0.05
+      // default: rsd is a STANDARD deviation and the default measured
+      // 7.8% off at sf1's 1.5M-key cardinality; 0.02 holds the 5%
+      // contract everywhere for ~2.7K registers. (Accuracy also
+      // regression-guarded per-SF in SketchAccuracySpec.)
+      // each column pre-distincts ONCE (map-side partial distinct),
+      // then exact count and HLL run over the distinct set — HLL is a
+      // function of the distinct SET, so the estimate is identical to
+      // running it on the multiset, and the plan avoids the 4x Expand
+      // Spark needs for two countDistinct + two HLL in one aggregate
+      // (measured 3.6 s -> the two-shuffle form at sf0.1)
+      val li = lineitem(s, d)
+      def side(c: String, exactName: String, okName: String) =
+        li.select(col(c)).distinct().agg(
+            count(lit(1)).as(exactName),
+            approx_count_distinct(col(c), 0.02).as("__a"))
+          .select(col(exactName),
+            (abs(col("__a") - col(exactName)) <=
+              col(exactName) * 0.05).cast("long").as(okName))
+      side("l_partkey", "exact_parts", "parts_ok")
+        .crossJoin(side("l_orderkey", "exact_orders", "orders_ok"))
+        .select(col("exact_parts"), col("exact_orders"),
+          col("parts_ok"), col("orders_ok"))
+    }),
+
+    "q95_heavy_hitters" -> ((s, d) => {
+      // exact corpus-level heavy hitters (tokens above 1/200 of all
+      // occurrences): ONE scan of documents, one shuffle on the token
+      // (partial agg map-side); the corpus total re-aggregates the
+      // already-reduced counts frame — not the corpus — into a
+      // broadcast 1-row frame. Sketches (Misra-Gries) only matter when
+      // the DISTINCT token count itself cannot be aggregated.
+      val tok = documents(s, d).select(explode(tokens(col("text"))).as("word"))
+      val counts = tok.groupBy("word").agg(count(lit(1)).as("cnt"))
+      val total = counts.agg(sum(col("cnt")).as("total"))
+      counts.join(broadcast(total))
+        .filter(col("cnt") * 200 > col("total"))
+        .select(col("word"), col("cnt"),
+          round(col("cnt").cast("double") / col("total").cast("double"), 6)
+            .as("freq"))
+        .orderBy(col("cnt").desc, col("word"))
+    }),
+
+    "q97_histogram" -> ((s, d) =>
+      // equi-width histogram via width_bucket over exact cents (integer
+      // arithmetic => bucket boundaries cannot float-flip cross-engine)
+      orders(s, d)
+        .select(width_bucket(cents(col("o_totalprice")),
+          lit(0L), lit(50000000L), lit(20)).as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket")),
+
+    "q101_histogram_percentile" -> ((s, d) => {
+      // exact interpolated quartiles WITHOUT the per-group multiset
+      // buffer Spark's percentile() holds (scale twin of q51): value
+      // histogram + cumulative counts over the bounded cents domain
+      // (Relational.histogramPercentiles); same (n-1)*p rule, so the
+      // two must agree bit-for-bit
+      Relational.histogramPercentiles(
+          orders(s, d).select(col("o_orderstatus"),
+            cents(col("o_totalprice")).as("c")),
+          "o_orderstatus", "c",
+          Seq("median_c" -> 0.5, "q1_c" -> 0.25, "q3_c" -> 0.75))
+        .select(col("o_orderstatus"), round(col("median_c"), 2).as("median_c"),
+          round(col("q1_c"), 2).as("q1_c"), round(col("q3_c"), 2).as("q3_c"))
+        .orderBy("o_orderstatus")
+    }),
+
+    "q137_kmv_distinct" -> ((s, d) =>
+      // KMV distinct-count sketch, the DETERMINISTIC alternative to
+      // q39's HLL: the k smallest md5 hashes are a pure function of the
+      // data, so DuckDB recomputes the sketch itself and the estimate
+      // hash-compares exactly (Sketches.KmvAgg scaladoc). Per-group
+      // state = 64 longs, map-side combined — shuffle is |groups|×64
+      // longs at any corpus size.
+      Sketches.kmvDistinct(events(s, d), "event_type", col("user_id"),
+          k = KmvK, saltPrefix = "kmv_")
+        .orderBy("event_type")),
+
+    "q138_cms_heavy" -> ((s, d) => {
+      // Count-min sketch frequency probe: the whole sketch is d·w=4096
+      // cells from ONE bounded-domain hash agg; the probe list and
+      // cells both broadcast, so probing adds no shuffle
+      // (Sketches.cmsBuild scaladoc). Overestimate-only guarantee
+      // asserted vs exact counts in SketchesSpec.
+      val cells = Sketches.cmsBuild(documents(s, d), "text",
+        d = CmsDepth, w = CmsWidth, saltPrefix = "cms")
+      Sketches.cmsProbe(s, cells, CmsProbeWords,
+          d = CmsDepth, w = CmsWidth, saltPrefix = "cms")
+        .orderBy("word")
+    }),
+
+    "q144_kmv_jaccard" -> ((s, d) =>
+      // Pairwise customer-set overlap between order statuses from the
+      // per-group KMV sketches alone — the theta-sketch trick: the raw
+      // sets are never compared, so the pair stage costs |G|^2 * k at
+      // any corpus size (Sketches.kmvJaccard scaladoc).
+      Sketches.kmvJaccard(orders(s, d), "o_orderstatus", col("o_custkey"),
+          k = KmvK, saltPrefix = "kj_")
+        .orderBy("g_a", "g_b")),
+
+    "q154_table_profile" -> ((s, d) =>
+      // One-pass ingest audit: per-column nulls + KMV distinct
+      // estimates from a SINGLE aggregation over one scan — the
+      // Deequ-class delivery check (Sketches.profileTable scaladoc).
+      // value canonicalizes to cents so both engines hash the same
+      // string.
+      Sketches.profileTable(events(s, d), Seq(
+          "event_id" -> col("event_id"),
+          "event_type" -> col("event_type"),
+          "props" -> col("props"),
+          "user_id" -> col("user_id"),
+          "value_cents" -> cents(col("value"))),
+          k = KmvK, saltPrefix = "prof_")
+        .orderBy("column")),
+
+    "q155_linreg_train" -> ((s, d) => {
+      // In-engine model TRAINING: exact integer sufficient statistics
+      // (one map-side-combined agg) + exact BigInt Cramer solve — the
+      // trainer behind q114's frozen-weight scorer; weights are a
+      // deterministic function of the corpus, oracle re-derives them
+      // through a generated 24-term determinant expansion in HUGEINT
+      // (Curation.linearFitStats/linearFitSolve scaladoc).
+      val w = Curation.linearFitSolve(
+        Curation.linearFitStats(documents(s, d), "text").head())
+      import s.implicits._
+      w.toDF("feature", "weight_ppm").orderBy("feature")
+    }),
+
+    "q158_perceptron_train" -> ((s, d) =>
+      // In-engine CLASSIFIER training: batch perceptron on int8-quantized
+      // embeddings (y = label <= 4), exact integer trajectory — one
+      // bounded aggregation per epoch, weights never leave the driver
+      // (Ann.perceptronTrain scaladoc). The oracle replays all three
+      // epochs in unrolled CTEs.
+      Ann.perceptronTrain(embeddings(s, d), "vec_id", "embedding",
+          "label", posMax = PerceptronPosMax, epochs = PerceptronEpochs)
+        .orderBy("epoch")),
+
+    "q162_hashsample_quantile" -> ((s, d) => {
+      // Deterministic approximate quantiles: a 1-in-4 md5-coin sample
+      // (reproducible, engine-neutral — the q137-for-q39 move applied
+      // to q70's opaque percentile sketch) feeding the bounded-state
+      // histogram percentile machinery; error vs the exact q101
+      // medians is regression-guarded in SketchAccuracySpec.
+      val sampled = orders(s, d).filter(
+        pmod(tokenHash64(concat(lit("qsamp_"), col("o_orderkey").cast("string"))),
+          lit(QsampOneIn)) === 0)
+      Relational.histogramPercentiles(
+          sampled.select(col("o_orderstatus"), cents(col("o_totalprice")).as("price_c")),
+          "o_orderstatus", "price_c",
+          Seq("est_median_c" -> 0.5, "est_p90_c" -> 0.9))
+        .select(col("o_orderstatus"),
+          round(col("est_median_c"), 2).as("est_median_c"),
+          round(col("est_p90_c"), 2).as("est_p90_c"))
+        .orderBy("o_orderstatus")
+    }),
+
+    "q168_kmv_merge" -> ((s, d) => {
+      // Sketch MERGEABILITY, proven: sketch each md5-half of events
+      // separately, merge the bounded sketch tables, and the result
+      // must be BIT-IDENTICAL to the whole-corpus sketch — the oracle
+      // is q137's whole-corpus SQL verbatim. This is the property that
+      // lets incremental/partitioned ingest maintain distinct counts
+      // without ever rescanning history (Sketches.kmvMergeEstimate
+      // scaladoc).
+      val ev = events(s, d)
+      val coin = pmod(tokenHash64(concat(lit("half_"),
+        col("event_id").cast("string"))), lit(2L))
+      def half(m: Int) = Sketches.kmvSketches(ev.filter(coin === m),
+        "event_type", col("user_id"), k = KmvK, saltPrefix = "kmv_")
+      Sketches.kmvMergeEstimate(half(0), half(1), "event_type", k = KmvK)
+        .orderBy("event_type")
+    }),
+
+    "q169_equidepth_buckets" -> ((s, d) => {
+      // Equi-depth (quartile) binning of order value — the feature
+      // discretization step: boundaries from the bounded-state
+      // histogram percentiles (ONE collect of 3 doubles), assignment a
+      // map-only comparison against broadcast literals, stats one agg.
+      val o = orders(s, d).select(cents(col("o_totalprice")).as("price_c"))
+        .withColumn("__g", lit(1))
+      val b = Relational.histogramPercentiles(o, "__g", "price_c",
+        Seq("b1" -> 0.25, "b2" -> 0.5, "b3" -> 0.75)).head()
+      val (b1, b2, b3) = (b.getDouble(1), b.getDouble(2), b.getDouble(3))
+      o.withColumn("bucket",
+          (lit(1L) + when(col("price_c") > b1, 1L).otherwise(0L)
+            + when(col("price_c") > b2, 1L).otherwise(0L)
+            + when(col("price_c") > b3, 1L).otherwise(0L)))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), min("price_c").as("min_c"),
+          max("price_c").as("max_c"), sum("price_c").as("sum_c"))
+        .orderBy("bucket")
+    }),
+
+    "q170_benford_audit" -> ((s, d) => {
+      // Benford first-digit audit of prices (fraud/synthetic-data
+      // screen for numeric columns): observed vs expected leading-digit
+      // mix in exact integer ppm; expectations are fixed log10(1+1/d)
+      // literals shared with the oracle. One map-side-combinable
+      // 9-key agg.
+      // leading digit by integer range dispatch, not substring(cast):
+      // the string path materializes 60M Long.toString calls at sf10 —
+      // measured 13.2 s vs 9.2 s for this all-integer when-chain (both
+      // engines agree on the VALUE; the oracle keeps its string form)
+      val leadDigit = {
+        val c = col("c")
+        (1 to 18).foldLeft(when(lit(false), 0L)) { (acc, k) =>
+          val lo = math.pow(10, k - 1).toLong
+          val hi = if (k == 18) Long.MaxValue else math.pow(10, k).toLong
+          acc.when(c >= lo && c < hi, expr(s"c div ${lo}L"))
+        }
+      }
+      // ONE corpus scan collapses to <= 9 rows; the ppm arithmetic
+      // happens on the collected rows (the q141 bounded-collect class —
+      // a broadcast-total formulation re-executed the scan subtree for
+      // the total, measured 2x the scan cost at sf10)
+      val byDigit = lineitem(s, d)
+        .select(cents(col("l_extendedprice")).as("c"))
+        .filter(col("c") > 0)
+        .withColumn("digit", leadDigit.cast("long"))
+        .groupBy("digit")
+        .agg(count(lit(1)).as("n_obs"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val n = byDigit.map(_._2).sum
+      import s.implicits._
+      byDigit.toSeq.map { case (digit, obs) =>
+        val obsPpm = obs * 1000000L / n
+        val exp = BenfordPpm(digit.toInt - 1)
+        (digit, obs, obsPpm, exp, obsPpm - exp)
+      }.toDF("digit", "n_obs", "obs_ppm", "exp_ppm", "dev_ppm")
+        .orderBy("digit")
+    }),
+
+    "q173_nb_confusion" -> ((s, d) =>
+      // In-engine Naive Bayes language classifier: log2-quantized
+      // add-one likelihoods (integer-exact train -> predict ->
+      // confusion; Curation.naiveBayesConfusion scaladoc). The model is
+      // one vocabulary-bounded (class, token) agg; scoring joins each
+      // eval token once per class.
+      Curation.naiveBayesConfusion(documents(s, d), "doc_id", "text", "lang")
+        .orderBy("actual", "predicted")),
+
+    "q178_cms_merge" -> ((s, d) => {
+      // CMS MERGEABILITY, proven: sketch each md5-half of documents
+      // separately, merge cellwise, probe — must be BIT-IDENTICAL to
+      // the q138 whole-corpus sketch (CMS is linear; the q168 property
+      // for frequencies). The oracle is q138's SQL verbatim.
+      val docs = documents(s, d)
+      val coin = pmod(tokenHash64(concat(lit("half_"),
+        col("doc_id").cast("string"))), lit(2L))
+      def half(m: Int) = Sketches.cmsBuild(docs.filter(coin === m), "text",
+        d = CmsDepth, w = CmsWidth, saltPrefix = "cms")
+      Sketches.cmsProbe(s, Sketches.cmsMerge(Seq(half(0), half(1))),
+          CmsProbeWords, d = CmsDepth, w = CmsWidth, saltPrefix = "cms")
+        .orderBy("word")
+    }),
+
+    "q190_theilsen_trend" -> ((s, d) => {
+      // Robust revenue trend per return flag: exact Theil-Sen over the
+      // daily series — median-of-slopes is immune to the outlier days
+      // that tilt q155's least-squares fit (Relational.theilSenSlope
+      // scaladoc; pair fan-out bounded by the day domain, never the
+      // corpus).
+      val daily = lineitem(s, d).groupBy(col("l_returnflag"),
+          to_date(col("l_shipdate")).as("day"))
+        .agg(sum(cents(col("l_extendedprice"))).as("rev_c"))
+        .select(col("l_returnflag"),
+          datediff(col("day"), lit("1970-01-01")).cast("long").as("x"),
+          col("rev_c").as("y"))
+      Relational.theilSenSlope(daily, "l_returnflag", "x", "y")
+        .select(col("grp").as("l_returnflag"), col("n_pairs"),
+          col("slope_milli"))
+        .orderBy("l_returnflag")
+    }),
+
+    "q194_cms_joinsize" -> ((s, d) => {
+      // Join-size estimation from two count-min sketches (the
+      // count-min inner-product estimator): overestimate-only sizing
+      // of |events ⋈ orders on customer| from d·w cells per side —
+      // the sketch algebra a join planner consults without reading
+      // either table (Sketches.cmsJoinSizeEstimate scaladoc).
+      val ev = events(s, d).select(col("user_id").as("k"))
+      val od = orders(s, d).select(col("o_custkey").as("k"))
+      val est = Sketches.cmsJoinSizeEstimate(
+        Sketches.cmsBuildKeys(ev, "k", CmsDepth, CmsWidth, JoinSizeSalt),
+        Sketches.cmsBuildKeys(od, "k", CmsDepth, CmsWidth, JoinSizeSalt))
+      val exact = ev.groupBy("k").agg(count(lit(1)).as("na"))
+        .join(od.groupBy("k").agg(count(lit(1)).as("nb")), Seq("k"))
+        .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).cast("long")
+          .as("exact_join_size"))
+      est.crossJoin(exact)
+        .select(col("est_join_size"), col("exact_join_size"),
+          // explicit NULL on exact=0 (disjoint key sets) — mirrors the
+          // oracle's guarded CASE; Spark's div yields null there anyway
+          // but the contract should be stated, not incidental
+          when(col("exact_join_size") > 0,
+            expr("est_join_size * 1000000 div exact_join_size"))
+            .as("over_ppm"))
+    }),
+
+    "q198_kmv_window_rollup" -> ((s, d) => {
+      // Trailing-7-day distinct-user rollup from MERGED per-day KMV
+      // sketches — days sketch once, windows merge buffers, raw rows
+      // never re-read per window (Sketches.kmvWindowRollup scaladoc;
+      // exactness of the merge is q168's proven property). The oracle
+      // recomputes each window's sketch from scratch — merge must
+      // equal it bit-for-bit.
+      val ev = events(s, d).select(
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long")
+          .as("day_num"),
+        col("user_id"))
+      Sketches.kmvWindowRollup(ev, "day_num", col("user_id"), k = KmvK,
+          windowDays = 7, saltPrefix = "kmvw_")
+        .select(col("wday").as("day_num"), col("n_kept"), col("kth_min"),
+          col("est_distinct"))
+        .orderBy("day_num")
+    }),
+
+    "q214_heavy_hitters" -> ((s, d) => {
+      // Misra-Gries heavy hitters with the PODS-mergeable merge rule:
+      // the summary is <= k-1 counters per task at ANY corpus size, and
+      // the output is the q39-style accuracy contract — every exact
+      // heavy hitter (count*k > n) must be retained, never overcounted,
+      // and undercounted by at most n/k (Sketches.mgHeavyHitters
+      // scaladoc; guarantees proven property-style in SketchesSpec).
+      Sketches.mgHeavyHitters(
+          documents(s, d).select(explode(tokens(col("text"))).as("w")),
+          col("w"), k = 100)
+        .select(col("w"), col("exact_cnt"),
+          col("found").cast("long").as("found"),
+          col("no_over").cast("long").as("no_over"),
+          col("within_bound").cast("long").as("within_bound"))
+        .orderBy("w")
+    }),
+
+    "q223_logbucket_quantiles" -> ((s, d) => {
+      // Log-bucket quantile sketch (HdrHistogram bucketing / DDSketch
+      // with gamma = 2^-5): p50/p90/p99 of order value per priority
+      // class from a sketch whose state is <= 64*2^5 cells per group
+      // FOREVER — one map-side-combined agg, no corpus sort (the
+      // latency/price dashboard quantile at 100 TB). est = selected
+      // bucket's lower bound; the exact discrete quantile (same integer
+      // rank rule over q92's value-domain histogram) rides along, and
+      // the two contract booleans assert the structural guarantee
+      // est <= exact < est + width (relative error < 2^-5). The oracle
+      // recomputes sketch AND exact, so every column hash-compares
+      // (Sketches.logBucketCells scaladoc).
+      val o = orders(s, d).select(col("o_orderpriority").as("grp"),
+        cents(col("o_totalprice")).as("v"))
+      val cells = Sketches.logBucketCells(o, "grp", col("v"), LbSubBits)
+      val est = Sketches.logBucketQuantiles(cells, LbQPpms, LbSubBits)
+      val exact = Sketches.exactDiscQuantiles(o, "grp", col("v"), LbQPpms)
+      est.join(exact.select("grp", "q_ppm", "exact"), Seq("grp", "q_ppm"))
+        .select(col("grp"), col("q_ppm"), col("n_total"), col("est"),
+          col("exact"),
+          (col("est") <= col("exact")).cast("long").as("le_exact"),
+          (col("exact") < col("est") + col("width")).cast("long").as("lt_ub"))
+        .orderBy("grp", "q_ppm")
+    }),
+
+    "q224_logbucket_merge" -> ((s, d) => {
+      // Sketch LINEARITY proven for quantiles (the q168/q178 property
+      // on the log-bucket sketch): sketch each md5-half of orders
+      // separately, merge cellwise, and the quantile rows must equal
+      // the whole-corpus sketch's — the oracle is q223's est side
+      // verbatim. This is what lets a warehouse keep per-day/partition
+      // quantile-sketch columns and answer global percentiles without
+      // re-reading history (Sketches.logBucketMerge scaladoc).
+      val o = orders(s, d).select(col("o_orderkey"),
+        col("o_orderpriority").as("grp"), cents(col("o_totalprice")).as("v"))
+      val coin = pmod(tokenHash64(concat(lit("lbq_"),
+        col("o_orderkey").cast("string"))), lit(2L))
+      def half(m: Int) = Sketches.logBucketCells(
+        o.filter(coin === m), "grp", col("v"), LbSubBits)
+      Sketches.logBucketQuantiles(
+          Sketches.logBucketMerge(Seq(half(0), half(1))), LbQPpms, LbSubBits)
+        .drop("width")
+        .orderBy("grp", "q_ppm")
+    }),
+
+    "q232_hll_distinct" -> ((s, d) => {
+      // Deterministic HyperLogLog (md5-register form): unlike q39's
+      // engine-private native HLL (whose binary state forced an
+      // accuracy-contract oracle), these registers are a pure function
+      // of the key set — bucket/rho from the shared 60-bit md5, MAX
+      // per bucket — so the DuckDB oracle recomputes the SKETCH and
+      // the integer raw estimator hash-compares exactly, with the
+      // exact count and its error riding along in the row. State: 64
+      // registers per group forever; ONE map-side-combined hash agg
+      // (Sketches.hllRegisters scaladoc). The KMV counterpart at the
+      // same (group, key) domain is q137.
+      val ev = events(s, d)
+      val est = Sketches.hllEstimate(
+        Sketches.hllRegisters(ev, "event_type", col("user_id"), "hll_"))
+      val exact = ev.filter(col("user_id").isNotNull)
+        .groupBy(col("event_type").as("grp"))
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+      est.join(exact, Seq("grp"))
+        .withColumn("err_ppm", expr(
+          "(abs(est_hll - exact_distinct) * 1000000L) div exact_distinct"))
+        .withColumnRenamed("grp", "event_type")
+        .orderBy("event_type")
+    }),
+
+    "q233_hll_merge" -> ((s, d) => {
+      // HLL MERGEABILITY proven (the q168/q178/q224 property on the
+      // max-semilattice sketch): registers of each md5-half merged by
+      // groupwise MAX must reproduce the whole-corpus registers
+      // bit-for-bit — the oracle is q232's est side verbatim. MAX
+      // merge is also IDEMPOTENT (re-merging a sketch is a no-op),
+      // the property that makes HLL columns safe under at-least-once
+      // ingest (Sketches.hllMerge scaladoc).
+      val ev = events(s, d)
+      val coin = pmod(tokenHash64(concat(lit("hhalf_"),
+        col("event_id").cast("string"))), lit(2L))
+      def half(m: Int) = Sketches.hllRegisters(ev.filter(coin === m),
+        "event_type", col("user_id"), "hll_")
+      Sketches.hllEstimate(Sketches.hllMerge(Seq(half(0), half(1))))
+        .withColumnRenamed("grp", "event_type")
+        .orderBy("event_type")
+    }),
+
+    "q235_quantile_rollup" -> ((s, d) =>
+      // Trailing-7-day p50/p99 of event value from MERGED per-day
+      // log-bucket sketches (the q198 sketch-OLAP pattern for
+      // QUANTILES): days sketch once, windows merge bounded cell
+      // tables — raw rows never re-read per window; the oracle
+      // recomputes every window FROM SCRATCH, so the hash match proves
+      // merge == direct (Sketches.logBucketWindowRollup scaladoc).
+      Sketches.logBucketWindowRollup(
+          events(s, d).select(
+            datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+              .cast("long").as("day"),
+            cents(col("value")).as("v")),
+          "day", col("v"), LbSubBits, windowDays = 7,
+          qPpms = Seq(500000L, 990000L))
+        .orderBy("wday", "q_ppm")),
+
+    "q242_hll_ingest" -> ((s, d) => {
+      // HLL sketch INGEST against the persisted register table — the
+      // q203/q222/q238 standing-state pattern on the cardinality
+      // family: the corpus's per-type registers live in a write-once
+      // fixture (64 longs per group forever), an arriving batch
+      // (md5 coin on event_id, ~10%) hashes only ITSELF, and the
+      // groupwise-MAX merge touches sketch rows, never corpus events.
+      // Because MAX-merge == whole-corpus recompute bit-for-bit
+      // (q233's proven property), the oracle is the full-corpus
+      // sketch recomputation — the green row PROVES ingest == rebuild.
+      val standing = hllStandingFixture(s, d)
+      val batch = Sketches.hllRegisters(events(s, d).filter(hllBatchCoin),
+        "event_type", col("user_id"), "hll_")
+      Sketches.hllEstimate(Sketches.hllMerge(Seq(standing, batch)))
+        .withColumnRenamed("grp", "event_type")
+        .orderBy("event_type")
+    }),
+
+    "q247_daily_anomaly" -> ((s, d) => {
+      // Robust outlier flags on the daily revenue series — the
+      // monitoring alarm a pipeline hangs on its output tables: a day
+      // is anomalous when its |total − median| exceeds 3× the median
+      // absolute deviation, with LOWER medians (rank ⌈n/2⌉) so every
+      // quantity is an exact integer and no interpolation crosses
+      // engines. The series is date-domain bounded (one agg row per
+      // day), so the rank windows run over ≤ a few thousand rows at
+      // any SF — the q101/q124 bounded-window doctrine.
+      val daily = events(s, d).filter(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(cents(col("value"))).as("total_c"))
+      def lowerMedian(df: DataFrame, c: String): Long = {
+        val n = df.count()
+        df.orderBy(col(c).asc).limit(((n + 1) / 2).toInt)
+          .orderBy(col(c).desc).limit(1).head().getLong(0)
+      }
+      val med = lowerMedian(daily.select(col("total_c")), "total_c")
+      val dev = daily.select(abs(col("total_c") - med).as("dev_c"))
+      val mad = lowerMedian(dev, "dev_c")
+      daily
+        .withColumn("dev_c", abs(col("total_c") - med))
+        .withColumn("med_c", lit(med))
+        .withColumn("mad_c", lit(mad))
+        .withColumn("is_anomaly",
+          when(col("dev_c") > lit(3L) * mad, 1L).otherwise(0L))
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("total_c"), col("med_c"), col("mad_c"), col("dev_c"),
+          col("is_anomaly"))
+        .orderBy("day")
+    }),
+
+    "q262_benford_audit" -> ((s, d) => {
+      // Benford first-digit audit — the classic fabricated-data
+      // screen: the leading significant digit of each order total
+      // (in cents — leading digit is scale-invariant) against the
+      // canonical Benford mass log10(1+1/d), carried as the 9
+      // hard-coded ppm constants so no engine computes a log. One
+      // map-side digit extraction + a 9-key agg; deviation in ppm.
+      val benford = Seq(1 -> 301030L, 2 -> 176091L, 3 -> 124939L,
+        4 -> 96910L, 5 -> 79181L, 6 -> 66947L, 7 -> 57992L,
+        8 -> 51153L, 9 -> 45757L)
+      import s.implicits._
+      val exp = broadcast(benford.toDF("digit", "benford_ppm"))
+      orders(s, d)
+        .select(cents(col("o_totalprice")).as("v"))
+        .filter(col("v") > 0L)
+        .withColumn("digit",
+          substring(col("v").cast("string"), 1, 1).cast("int"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(
+          orders(s, d).filter(cents(col("o_totalprice")) > 0L)
+            .agg(count(lit(1)).as("total"))))
+        .withColumn("observed_ppm", expr("n * 1000000 div total"))
+        .join(exp, Seq("digit"))
+        .withColumn("abs_diff_ppm",
+          abs(col("observed_ppm") - col("benford_ppm")))
+        .select(col("digit"), col("n"), col("observed_ppm"),
+          col("benford_ppm"), col("abs_diff_ppm"))
+        .orderBy("digit")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    // accuracy-contract oracles (the q39/q70 sketches): the oracle
+    // recomputes the EXACT statistic both engines agree on and asserts
+    // the engine's within-tolerance flags are 1 — a drifting sketch
+    // flips a flag to 0 and the row hash-mismatches
+    "q39_approx_distinct" ->
+      """SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        | CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+        | CAST(1 AS BIGINT) AS parts_ok,
+        | CAST(1 AS BIGINT) AS orders_ok
+        |FROM lineitem""".stripMargin,
+
+    // the EXACT heavy-hitter set (count*k > n, k=100) with the three
+    // contract booleans claimed true — retention, no overcount, and
+    // undercount <= n/k are GUARANTEED by Misra-Gries theory, so the
+    // hash match proves the guarantees held on this corpus
+    "q214_heavy_hitters" ->
+      s"""WITH tok AS (SELECT unnest($TOKS) AS w FROM documents),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM tok),
+         |e AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+         | FROM tok GROUP BY 1)
+         |SELECT w, exact_cnt, CAST(1 AS BIGINT) AS found,
+         | CAST(1 AS BIGINT) AS no_over,
+         | CAST(1 AS BIGINT) AS within_bound
+         |FROM e, n WHERE exact_cnt * 100 > n_total ORDER BY w""".stripMargin,
+
+    "q95_heavy_hitters" ->
+      s"""WITH tok AS (SELECT unnest($TOKS) AS word FROM documents),
+         |c AS (SELECT word, COUNT(*) AS cnt FROM tok GROUP BY 1),
+         |t AS (SELECT COUNT(*) AS total FROM tok)
+         |SELECT word, cnt, round(CAST(cnt AS DOUBLE)/total, 6) AS freq
+         |FROM c, t WHERE cnt*200 > total
+         |ORDER BY cnt DESC, word""".stripMargin,
+
+    // the width_bucket DEFINITION spelled out (like percentile_disc):
+    // both engines must satisfy the semantics, not share an implementation
+    "q97_histogram" ->
+      """WITH b AS (SELECT CAST(CASE WHEN c < 0 THEN 0
+        |    WHEN c >= 50000000 THEN 21
+        |    ELSE c // 2500000 + 1 END AS BIGINT) AS bucket
+        | FROM (SELECT CAST(round(o_totalprice*100, 0) AS BIGINT) AS c FROM orders))
+        |SELECT bucket, COUNT(*) AS n FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same oracle as q51: the histogram formulation must reproduce the
+    // buffered exact percentile bit-for-bit
+    "q101_histogram_percentile" ->
+      """SELECT o_orderstatus,
+        | round(quantile_cont(CAST(round(o_totalprice*100,0) AS BIGINT), 0.5), 2) AS median_c,
+        | round(quantile_cont(CAST(round(o_totalprice*100,0) AS BIGINT), 0.25), 2) AS q1_c,
+        | round(quantile_cont(CAST(round(o_totalprice*100,0) AS BIGINT), 0.75), 2) AS q3_c
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The oracle recomputes the KMV sketch itself (distinct salted
+    // hashes -> k smallest via row_number) and the (k-1)·2^60/h_k
+    // estimator in HUGEINT — the estimate hash-compares exactly, unlike
+    // q39's engine-private HLL state
+    "q137_kmv_distinct" -> kmvWholeCorpusOracle,
+
+    // q168's merged half-sketches must equal the WHOLE-corpus sketch
+    // bit-for-bit — mergeability IS the claim, so the oracle is q137's
+    // whole-corpus SQL verbatim
+    "q168_kmv_merge" -> kmvWholeCorpusOracle,
+
+    // the sketch cells are a pure function of the corpus: row r's hash
+    // is bits [15r, 15r+15) of ONE 60-bit md5 hash (Sketches.cmsBuild
+    // scaladoc), so the oracle rebuilds the identical d x w cell table
+    // and takes the same min over rows per probe word
+    "q138_cms_heavy" -> cmsWholeCorpusOracle,
+
+    // the oracle rebuilds both KMV sketches (k smallest distinct salted
+    // hashes), takes the k smallest of their union and counts common
+    // membership — the same integers the Spark UDF computes
+    "q144_kmv_jaccard" ->
+      s"""WITH h AS (SELECT DISTINCT o_orderstatus AS g,
+         |  ${duckHash("concat('kj_', CAST(o_custkey AS VARCHAR))", 15)} AS h FROM orders),
+         |r AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM h),
+         |sk AS (SELECT g, list(h ORDER BY h) AS buf FROM r WHERE rn <= $KmvK GROUP BY 1),
+         |p AS (SELECT a.g AS g_a, b.g AS g_b, a.buf AS ba, b.buf AS bb
+         | FROM sk a JOIN sk b ON a.g < b.g),
+         |m AS (SELECT g_a, g_b, ba, bb,
+         |  list_sort(list_distinct(list_concat(ba, bb)))[1:$KmvK] AS mu FROM p),
+         |c AS (SELECT g_a, g_b,
+         |  CAST(len(list_filter(mu, x -> list_contains(ba, x) AND list_contains(bb, x))) AS BIGINT) AS n_common,
+         |  CAST(len(mu) AS BIGINT) AS m_size FROM m)
+         |SELECT g_a, g_b, n_common, m_size,
+         | (n_common * 1000000) // m_size AS jaccard_ppm
+         |FROM c ORDER BY g_a, g_b""".stripMargin,
+
+    // per-column KMV blocks over the canonicalized source, unioned —
+    // the same estimator as q137 in HUGEINT
+    "q154_table_profile" -> {
+      val cols = Seq("event_id", "event_type", "props", "user_id", "value_cents")
+      val blocks = cols.map { c =>
+        s"""SELECT '$c' AS "column",
+           | (SELECT CAST(COUNT(*) AS BIGINT) FROM src) AS n_rows,
+           | (SELECT CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM src) AS n_null,
+           | (SELECT CASE WHEN CAST(COUNT(*) AS BIGINT) < $KmvK THEN CAST(COUNT(*) AS BIGINT)
+           |   ELSE CAST((CAST(${KmvK - 1} AS HUGEINT) * ${Sketches.HashDomain})
+           |     // GREATEST(MAX(h), 1) AS BIGINT) END
+           |  FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM
+           |    (SELECT DISTINCT ${duckHash(s"concat('prof_', CAST($c AS VARCHAR))", 15)} AS h
+           |     FROM src WHERE $c IS NOT NULL))
+           |  WHERE rn <= $KmvK) AS est_distinct""".stripMargin
+      }
+      s"""WITH src AS (SELECT event_id, event_type, props, user_id,
+         |  CAST(round(value*100, 0) AS BIGINT) AS value_cents FROM events)
+         |""".stripMargin + blocks.mkString("\nUNION ALL\n") +
+        "\nORDER BY \"column\""
+    },
+
+    // the same sufficient statistics in HUGEINT and the same Cramer
+    // rule through the GENERATED 24-term determinant expansion;
+    // HUGEINT holds det magnitudes up to ~sf0.1 corpus sums (bound in
+    // the linearFitStats scaladoc)
+    "q155_linreg_train" -> {
+      def h(c: String) = s"CAST($c AS HUGEINT)"
+      val m = Array(
+        Array(h("n"), h("s1"), h("s2"), h("s3")),
+        Array(h("s1"), h("s11"), h("s12"), h("s13")),
+        Array(h("s2"), h("s12"), h("s22"), h("s23")),
+        Array(h("s3"), h("s13"), h("s23"), h("s33")))
+      val b = Array(h("sy"), h("s1y"), h("s2y"), h("s3y"))
+      val names = Seq("intercept", "w_ntok", "w_nstop", "w_nalpha")
+      val sw = StopWords.map(w => s"'$w'").mkString(", ")
+      val weightRows = names.zipWithIndex.map { case (name, j) =>
+        val mj = m.map(_.clone())
+        (0 to 3).foreach(i => mj(i)(j) = b(i))
+        s"""SELECT '$name' AS feature,
+           | CAST(((${det4Sql(mj)}) * 1000000) // (${det4Sql(m)}) AS BIGINT) AS weight_ppm
+           |FROM st""".stripMargin
+      }
+      s"""WITH f AS (SELECT
+         |  CAST(len($TOKS) AS BIGINT) AS x1,
+         |  CAST(len(list_filter($TOKS, t -> t IN ($sw))) AS BIGINT) AS x2,
+         |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS x3,
+         |  CAST(length(text) AS BIGINT) AS y FROM documents
+         | WHERE text IS NOT NULL),
+         |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+         |  CAST(SUM(x3) AS BIGINT) AS s3,
+         |  CAST(SUM(x1*x1) AS BIGINT) AS s11, CAST(SUM(x1*x2) AS BIGINT) AS s12,
+         |  CAST(SUM(x1*x3) AS BIGINT) AS s13,
+         |  CAST(SUM(x2*x2) AS BIGINT) AS s22, CAST(SUM(x2*x3) AS BIGINT) AS s23,
+         |  CAST(SUM(x3*x3) AS BIGINT) AS s33,
+         |  CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x1*y) AS BIGINT) AS s1y,
+         |  CAST(SUM(x2*y) AS BIGINT) AS s2y, CAST(SUM(x3*y) AS BIGINT) AS s3y
+         | FROM f)
+         |""".stripMargin + weightRows.mkString("\nUNION ALL\n") +
+        "\nORDER BY feature"
+    },
+
+    // replays the exact integer trajectory: quantize once, then one
+    // (misclassify -> per-dim delta -> new weights) CTE pair per epoch;
+    // integer products stay far below 2^53 so list_dot_product's double
+    // accumulation is exact
+    "q158_perceptron_train" -> {
+      def iter(prevW: String, e: Int) =
+        s"""m$e AS (SELECT q.y, q.xq,
+           |  CASE WHEN q.y * list_dot_product(q.xq::DOUBLE[], $prevW.w::DOUBLE[]) <= 0
+           |   THEN 1 ELSE 0 END AS wrong FROM q, $prevW),
+           |d$e AS (SELECT pos, CAST(SUM(CASE WHEN wrong = 1 THEN y * x ELSE 0 END) AS BIGINT) AS dv
+           | FROM (SELECT y, wrong, unnest(xq) AS x, generate_subscripts(xq, 1) AS pos FROM m$e) u
+           | GROUP BY pos),
+           |w$e AS (SELECT list(we.wv + COALESCE(d$e.dv, 0) ORDER BY we.pos) AS w
+           | FROM (SELECT unnest(w) AS wv, generate_subscripts(w, 1) AS pos FROM $prevW) we
+           | LEFT JOIN d$e USING (pos)),
+           |s$e AS (SELECT CAST($e AS BIGINT) AS epoch,
+           |  (SELECT CAST(SUM(wrong) AS BIGINT) FROM m$e) AS n_wrong,
+           |  (SELECT CAST(SUM(abs(wv)) AS BIGINT)
+           |    FROM (SELECT unnest(w) AS wv FROM w$e) x) AS w_l1)""".stripMargin
+      val iters = (1 to PerceptronEpochs)
+        .map(e => iter(if (e == 1) "w0" else s"w${e - 1}", e))
+      val sel = (1 to PerceptronEpochs)
+        .map(e => s"SELECT epoch, n_wrong, w_l1 FROM s$e")
+      s"""WITH e AS (SELECT embedding::DOUBLE[] AS v,
+         |  CASE WHEN label <= $PerceptronPosMax THEN 1 ELSE -1 END AS y
+         | FROM embeddings WHERE embedding IS NOT NULL),
+         |st AS (SELECT MAX(abs(x)) AS m FROM (SELECT unnest(v) AS x FROM e)),
+         |q AS (SELECT y, list_append(list_transform(v, x ->
+         |   CASE WHEN st.m <= 0 THEN 0 ELSE CAST(floor(x * 127.0 / st.m) AS BIGINT) END),
+         |   127) AS xq FROM e, st),
+         |dim AS (SELECT len(xq) AS d FROM q LIMIT 1),
+         |w0 AS (SELECT list_transform(generate_series(1, dim.d), i -> CAST(0 AS BIGINT)) AS w
+         | FROM dim),
+         |${iters.mkString(",\n")}
+         |${sel.mkString("\nUNION ALL\n")}
+         |ORDER BY epoch""".stripMargin
+    },
+
+    // identical md5 coin, then quantile_cont with q101's rounding
+    "q162_hashsample_quantile" ->
+      s"""WITH s AS (SELECT o_orderstatus,
+         |  CAST(round(o_totalprice*100,0) AS BIGINT) AS price_c FROM orders
+         | WHERE ${duckHash("concat('qsamp_', CAST(o_orderkey AS VARCHAR))", 15)} % $QsampOneIn = 0)
+         |SELECT o_orderstatus,
+         | round(quantile_cont(price_c, 0.5), 2) AS est_median_c,
+         | round(quantile_cont(price_c, 0.9), 2) AS est_p90_c
+         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // quantile_cont boundaries (bit-equal to histogramPercentiles per
+    // the q101 parity) + the same three broadcast comparisons
+    "q169_equidepth_buckets" ->
+      """WITH o AS (SELECT CAST(round(o_totalprice*100,0) AS BIGINT) AS price_c FROM orders),
+        |b AS (SELECT quantile_cont(price_c, 0.25) AS b1,
+        |  quantile_cont(price_c, 0.5) AS b2,
+        |  quantile_cont(price_c, 0.75) AS b3 FROM o)
+        |SELECT CAST(1 + CAST(price_c > b.b1 AS INT) + CAST(price_c > b.b2 AS INT)
+        |   + CAST(price_c > b.b3 AS INT) AS BIGINT) AS bucket,
+        | CAST(COUNT(*) AS BIGINT) AS n, MIN(price_c) AS min_c,
+        | MAX(price_c) AS max_c, CAST(SUM(price_c) AS BIGINT) AS sum_c
+        |FROM o, b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // fixed expectation literals; leading digit via the string cast of
+    // a positive BIGINT, identical on both engines
+    "q170_benford_audit" -> {
+      val vals = BenfordPpm.zipWithIndex
+        .map { case (p, i) => s"(${i + 1}, $p)" }.mkString(", ")
+      s"""WITH c AS (SELECT CAST(round(l_extendedprice*100,0) AS BIGINT) AS c
+         | FROM lineitem WHERE round(l_extendedprice*100,0) > 0),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c),
+         |e AS (SELECT * FROM (VALUES $vals) AS t(digit, exp_ppm)),
+         |d AS (SELECT CAST(substr(CAST(c AS VARCHAR),1,1) AS BIGINT) AS digit,
+         |  COUNT(*) AS n_obs FROM c GROUP BY 1)
+         |SELECT d.digit, CAST(d.n_obs AS BIGINT) AS n_obs,
+         | CAST(d.n_obs*1000000 // n.n AS BIGINT) AS obs_ppm,
+         | CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+         | CAST(d.n_obs*1000000 // n.n - e.exp_ppm AS BIGINT) AS dev_ppm
+         |FROM d JOIN e ON d.digit = e.digit, n ORDER BY d.digit""".stripMargin
+    },
+
+    // same md5 split, same floor-log2 add-one likelihood bits, same
+    // argmin-with-class-tiebreak
+    "q173_nb_confusion" ->
+      s"""WITH t AS (SELECT doc_id AS id, lang AS actual,
+         |  ${duckHash("concat('nb_', CAST(doc_id AS VARCHAR))", 15)} % 1000000 < 800000 AS is_train,
+         |  $TOKS AS toks FROM documents),
+         |cnt AS (SELECT actual AS cls, w, CAST(COUNT(*) AS BIGINT) AS cnt
+         | FROM (SELECT actual, unnest(toks) AS w FROM t WHERE is_train) GROUP BY 1, 2),
+         |voc AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM cnt),
+         |totc AS (SELECT cls, CAST(SUM(cnt) AS BIGINT) AS tot_c FROM cnt GROUP BY 1),
+         |nd AS (SELECT actual AS cls, CAST(COUNT(*) AS BIGINT) AS nd_c
+         | FROM t WHERE is_train GROUP BY 1),
+         |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_cls,
+         |  CAST(SUM(nd_c) AS BIGINT) AS n_train FROM nd),
+         |cl AS (SELECT cls, tot_c, v,
+         |  length(bin((n_train + k_cls) // (nd_c + 1))) - 1 AS prior_bits
+         | FROM totc JOIN nd USING (cls) CROSS JOIN voc CROSS JOIN st),
+         |ev AS (SELECT id, actual, w, CAST(COUNT(*) AS BIGINT) AS n_w
+         | FROM (SELECT id, actual, unnest(toks) AS w FROM t WHERE NOT is_train)
+         | GROUP BY 1, 2, 3),
+         |sc AS (SELECT ev.id, ev.actual, cl.cls,
+         |  MAX(cl.prior_bits) + SUM(ev.n_w *
+         |    (length(bin((cl.tot_c + cl.v) // (COALESCE(cnt.cnt, 0) + 1))) - 1)) AS cost
+         | FROM ev CROSS JOIN cl
+         | LEFT JOIN cnt ON cnt.cls = cl.cls AND cnt.w = ev.w
+         | GROUP BY 1, 2, 3),
+         |pr AS (SELECT id, actual, cls,
+         |  row_number() OVER (PARTITION BY id ORDER BY cost, cls) AS rn FROM sc)
+         |SELECT actual, cls AS predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |FROM pr WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the whole-corpus probe verbatim — the merged half-sketches must
+    // reproduce it bit-for-bit
+    "q178_cms_merge" -> cmsWholeCorpusOracle,
+
+    // pairwise slopes brute force; // floors like the engine's
+    // (dy - pmod) div spelling; lower median via the q150 rule
+    "q190_theilsen_trend" ->
+      """WITH daily AS (SELECT l_returnflag, CAST(l_shipdate AS DATE) AS day,
+        |  CAST(SUM(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS BIGINT) AS y
+        | FROM lineitem GROUP BY 1, 2),
+        |d2 AS (SELECT l_returnflag,
+        |  CAST(day - DATE '1970-01-01' AS BIGINT) AS x, y FROM daily),
+        |pr AS (SELECT a.l_returnflag AS g,
+        |  ((b.y - a.y) * 1000) // (b.x - a.x) AS s
+        | FROM d2 a JOIN d2 b ON a.l_returnflag = b.l_returnflag AND a.x < b.x),
+        |h AS (SELECT g, s, CAST(COUNT(*) AS BIGINT) AS wv FROM pr GROUP BY 1, 2),
+        |c AS (SELECT g, s, wv,
+        |  SUM(wv) OVER (PARTITION BY g ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  SUM(wv) OVER (PARTITION BY g) AS tot FROM h)
+        |SELECT g AS l_returnflag, CAST(MAX(tot) AS BIGINT) AS n_pairs,
+        | CAST(MIN(s) AS BIGINT) AS slope_milli
+        |FROM c WHERE cum * 2 >= tot GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // both sketches rebuilt cellwise, inner product per row, min over
+    // rows; exact side is the key-count product sum
+    "q194_cms_joinsize" ->
+      s"""WITH rr AS (SELECT unnest(generate_series(0, ${CmsDepth - 1})) AS r),
+         |ta AS (SELECT CAST(user_id AS VARCHAR) AS w, COUNT(*) AS cnt
+         | FROM events GROUP BY 1),
+         |cellsa AS (SELECT r,
+         |  (${duckHash(s"concat('$JoinSizeSalt', w)", 15)} >> (15 * r)) % $CmsWidth AS c,
+         |  SUM(cnt) AS cnt
+         | FROM ta CROSS JOIN rr GROUP BY 1, 2),
+         |tb AS (SELECT CAST(o_custkey AS VARCHAR) AS w, COUNT(*) AS cnt
+         | FROM orders GROUP BY 1),
+         |cellsb AS (SELECT r,
+         |  (${duckHash(s"concat('$JoinSizeSalt', w)", 15)} >> (15 * r)) % $CmsWidth AS c,
+         |  SUM(cnt) AS cnt
+         | FROM tb CROSS JOIN rr GROUP BY 1, 2),
+         |ip AS (SELECT COALESCE(a.r, b.r) AS r,
+         |  SUM(COALESCE(a.cnt, 0) * COALESCE(b.cnt, 0)) AS ip
+         | FROM cellsa a FULL OUTER JOIN cellsb b
+         |   ON a.r = b.r AND a.c = b.c GROUP BY 1),
+         |est AS (SELECT CAST(MIN(ip) AS BIGINT) AS est_join_size FROM ip),
+         |ex AS (SELECT CAST(COALESCE(SUM(x.cnt * y.cnt), 0) AS BIGINT) AS exact_join_size
+         | FROM ta x JOIN tb y USING (w))
+         |SELECT est_join_size, exact_join_size,
+         | CASE WHEN exact_join_size = 0 THEN NULL
+         |  ELSE CAST(est_join_size * 1000000 // exact_join_size AS BIGINT)
+         | END AS over_ppm
+         |FROM est, ex""".stripMargin,
+
+    // each window's sketch recomputed FROM SCRATCH (distinct hashes in
+    // the window, k smallest, q137's estimator) — the engine's per-day
+    // merge must reproduce it exactly
+    "q198_kmv_window_rollup" ->
+      s"""WITH h AS (SELECT DISTINCT
+         |  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+         |  ${duckHash("concat('kmvw_', CAST(user_id AS VARCHAR))", 15)} AS h
+         | FROM events),
+         |days AS (SELECT DISTINCT day FROM h),
+         |wm AS (SELECT d.day AS wday, h.h FROM days d
+         |  JOIN h ON h.day BETWEEN d.day - 6 AND d.day),
+         |dh AS (SELECT DISTINCT wday, h FROM wm),
+         |r AS (SELECT wday, h,
+         |  row_number() OVER (PARTITION BY wday ORDER BY h) AS rn FROM dh),
+         |b AS (SELECT wday, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |  MAX(h) AS kth_min FROM r WHERE rn <= $KmvK GROUP BY 1)
+         |SELECT wday AS day_num, n_kept, kth_min,
+         | CASE WHEN n_kept < $KmvK THEN n_kept
+         |  ELSE CAST((CAST(${KmvK - 1} AS HUGEINT) * ${Sketches.HashDomain})
+         |    // GREATEST(kth_min, 1) AS BIGINT) END AS est_distinct
+         |FROM b ORDER BY 1""".stripMargin,
+
+    // the full contract row: sketch estimate + exact discrete quantile
+    // (shared integer rank rule) + the two structural-guarantee booleans
+    "q223_logbucket_quantiles" ->
+      s"""$logBucketOracleCore
+         |SELECT e.grp, e.q_ppm, e.n_total, e.est, x.exact,
+         |  CAST(e.est <= x.exact AS BIGINT) AS le_exact,
+         |  CAST(x.exact < e.est + e.width AS BIGINT) AS lt_ub
+         |FROM est e JOIN exact x ON e.grp = x.grp AND e.q_ppm = x.q_ppm
+         |ORDER BY e.grp, e.q_ppm""".stripMargin,
+
+    // merged half-sketches must reproduce the WHOLE-corpus sketch's
+    // quantile rows exactly (the sketch is linear) — est side of q223
+    "q224_logbucket_merge" ->
+      s"""$logBucketOracleCore
+         |SELECT grp, q_ppm, n_total, est FROM est
+         |ORDER BY grp, q_ppm""".stripMargin,
+
+    // the register table and integer estimator recomputed in full; the
+    // exact count and its error ride the row
+    "q232_hll_distinct" ->
+      s"""$hllOracleCore,
+         |ex AS (SELECT event_type,
+         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+         | FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+         |SELECT f.event_type, n_present, s_scaled, est_hll, exact_distinct,
+         | CAST((abs(est_hll - exact_distinct) * 1000000) // exact_distinct
+         |   AS BIGINT) AS err_ppm
+         |FROM fin f JOIN ex USING (event_type)
+         |ORDER BY event_type""".stripMargin,
+
+    // merged half-registers must reproduce the whole-corpus registers
+    // (MAX distributes over union) — est side of q232
+    "q233_hll_merge" ->
+      s"""$hllOracleCore
+         |SELECT event_type, n_present, s_scaled, est_hll FROM fin
+         |ORDER BY event_type""".stripMargin,
+
+    // every trailing window recomputed FROM SCRATCH (values re-binned
+    // per window) — the engine's per-day cell merge must reproduce it
+    "q235_quantile_rollup" -> {
+      val s = LbSubBits
+      val w = 1L << s
+      val idx = s"""CAST(length(bin(v)) - 1 AS BIGINT) * $w
+        + (v >> GREATEST(length(bin(v)) - 1 - $s, 0))
+        - (CAST(1 AS BIGINT) << ((length(bin(v)) - 1)
+            - GREATEST(length(bin(v)) - 1 - $s, 0)))"""
+      val e = s"CAST(kb // $w AS INT)"
+      s"""WITH v AS (SELECT
+         |  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+         |  CAST(round(value * 100) AS BIGINT) AS v FROM events),
+         |days AS (SELECT DISTINCT day FROM v),
+         |wm AS (SELECT d.day AS wday, v.v FROM days d
+         |  JOIN v ON v.day BETWEEN d.day - 6 AND d.day),
+         |cells AS (SELECT wday, $idx AS k, COUNT(*) AS cnt
+         | FROM wm GROUP BY 1, 2),
+         |n AS (SELECT wday, CAST(SUM(cnt) AS BIGINT) AS n_total
+         | FROM cells GROUP BY 1),
+         |q AS (SELECT CAST(unnest([500000, 990000]) AS BIGINT) AS q_ppm),
+         |r AS (SELECT wday, n_total, q_ppm,
+         |  GREATEST((n_total * q_ppm + 999999) // 1000000, 1) AS rnk
+         | FROM n CROSS JOIN q),
+         |cum AS (SELECT wday, k,
+         |  SUM(cnt) OVER (PARTITION BY wday ORDER BY k) AS c FROM cells),
+         |sel AS (SELECT r.wday, q_ppm, n_total,
+         |  MIN(CASE WHEN c >= rnk THEN k END) AS kb
+         | FROM r JOIN cum ON r.wday = cum.wday GROUP BY 1, 2, 3)
+         |SELECT wday, q_ppm, n_total,
+         | CAST(((kb % $w) + (CAST(1 AS BIGINT)
+         |    << ($e - GREATEST($e - $s, 0)))) << GREATEST($e - $s, 0)
+         |  AS BIGINT) AS est
+         |FROM sel ORDER BY wday, q_ppm""".stripMargin
+    },
+
+    // standing-sketch merge == whole-corpus recompute (MAX distributes
+    // over union, q233) — so the oracle IS the full rebuild, est side
+    // of q232
+    "q242_hll_ingest" ->
+      s"""$hllOracleCore
+         |SELECT event_type, n_present, s_scaled, est_hll FROM fin
+         |ORDER BY event_type""".stripMargin,
+
+    // lower medians at rank ceil(n/2) — exact integers, no
+    // interpolation to disagree on; 3xMAD rule replayed verbatim
+    "q247_daily_anomaly" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_c
+        | FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |m AS (SELECT total_c AS med FROM (
+        |  SELECT total_c, row_number() OVER (ORDER BY total_c) AS rn,
+        |   COUNT(*) OVER () AS n FROM daily) WHERE rn = (n + 1) // 2),
+        |md AS (SELECT dev AS mad FROM (
+        |  SELECT dev, row_number() OVER (ORDER BY dev) AS rn,
+        |   COUNT(*) OVER () AS n
+        |  FROM (SELECT abs(total_c - (SELECT med FROM m)) AS dev FROM daily))
+        | WHERE rn = (n + 1) // 2)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, total_c,
+        | CAST((SELECT med FROM m) AS BIGINT) AS med_c,
+        | CAST((SELECT mad FROM md) AS BIGINT) AS mad_c,
+        | CAST(abs(total_c - (SELECT med FROM m)) AS BIGINT) AS dev_c,
+        | CAST(CASE WHEN abs(total_c - (SELECT med FROM m))
+        |   > 3 * (SELECT mad FROM md) THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+        |FROM daily ORDER BY 1""".stripMargin,
+
+    // same cents first digit, same hard-coded Benford ppm constants
+    "q262_benford_audit" ->
+      """WITH v AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        | FROM orders WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0),
+        |g AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+        |  CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY 1),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM v),
+        |e AS (SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+        |  (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153),
+        |  (9, 45757)) AS b(digit, benford_ppm))
+        |SELECT g.digit, g.n,
+        | CAST(g.n * 1000000 // (SELECT total FROM t) AS BIGINT) AS observed_ppm,
+        | CAST(e.benford_ppm AS BIGINT) AS benford_ppm,
+        | CAST(abs(g.n * 1000000 // (SELECT total FROM t) - e.benford_ppm)
+        |   AS BIGINT) AS abs_diff_ppm
+        |FROM g JOIN e ON e.digit = g.digit
+        |ORDER BY 1""".stripMargin,
+  )
+}

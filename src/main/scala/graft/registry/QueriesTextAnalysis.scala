@@ -1,0 +1,899 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.Scale.MaterializeOps
+import graft.engine.Tables._
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions
+import graft.multimodal.Multimodal
+import graft.operators.{Ann, Bpe, Chunking, Curation, Dedup, GraphOps, Indexing, Relational, Sketches, TextJobs}
+
+import graft.QueryShared._
+
+/** TextAnalysis query registry — tokenization, n-grams, BPE, surprisal, quality, search scoring, reference text jobs.
+  * Split verbatim from SparkEntry (round 12): every entry is the
+  * original closure/SQL, unchanged; SparkEntry concatenates the
+  * family maps back into the driver contract.
+  */
+private[graft] object QueriesTextAnalysis {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q62_bpe_tokens" -> ((s, d) =>
+      // token counting both ways: whitespace tokens and a GPT-2-style
+      // BPE pre-tokenizer regex (simplified to the RE2-safe subset so the
+      // DuckDB oracle runs the identical pattern)
+      documents(s, d)
+        .select(col("doc_id"),
+          tokenCount(col("text")).cast("long").as("n_ws"),
+          regexp_count(col("text"), lit(BpePattern)).cast("long").as("n_bpe"))
+        .orderBy("doc_id")),
+
+    // --- reference-parity text jobs over the documents table ---
+
+    "q25_letter_count" -> ((s, d) =>
+      TextJobs.letterCount(s, documents(s, d), "text")),
+
+    "q26_word_finder" -> ((s, d) =>
+      TextJobs.wordFind(documents(s, d), "text", "spark")
+        .select("doc_id").orderBy("doc_id")),
+
+    // --- text analysis ---
+
+    "q15_wordcount" -> ((s, d) => {
+      documents(s, d)
+        .select(explode(tokens(col("text"))).as("word"))
+        .groupBy("word")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word"))
+        .limit(20)
+    }),
+
+    "q27_text_stats" -> ((s, d) => {
+      // one tokenize + one stats pass per document; quality is computed
+      // expression-side from the integer stats (rounding stays Spark's)
+      documents(s, d)
+        .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("text"),
+          textStats(col("text"), col("toks")).as("st"))
+        .select(
+          col("doc_id"),
+          col("st._1").as("n_tokens"),
+          col("st._2").as("n_subwords"),
+          col("st._3").as("n_stop"),
+          qualityScoreFromCounts(col("text"), col("st._1"), col("st._3"))
+            .as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    "q28_langid" -> ((s, d) => {
+      documents(s, d)
+        .select(col("doc_id"), langId(col("text")).as("lang_guess"))
+        .orderBy("doc_id")
+    }),
+
+    "q37_rolling_hash" -> ((s, d) => {
+      documents(s, d)
+        .select(col("doc_id"), rollingHash(col("text")).as("rhash"))
+        .orderBy("doc_id")
+    }),
+
+    "q78_ngram_freq" -> ((s, d) => {
+      // corpus trigram frequency table (occurrences, not doc frequency —
+      // positional n-grams, the LM/contamination-index building block)
+      val posGrams = udf { toks: Seq[String] =>
+        if (toks == null || toks.size < 3) Array.empty[String]
+        else Array.tabulate(toks.size - 2)(i => toks.slice(i, i + 3).mkString(" "))
+      }.asNondeterministic()
+      documents(s, d)
+        .select(explode(posGrams(tokens(col("text")))).as("gram"))
+        .groupBy("gram")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("gram").asc)
+        .limit(50)
+    }),
+
+    // --- tf-idf-lite (SURVEY.md §2b text analysis) ---
+
+    "q41_tfidf" -> ((s, d) => {
+      // integer-arithmetic tf-idf: idf_x1000 = (N*1000) div df — exact on
+      // both engines (no cross-engine log()/double-accumulation drift)
+      val docs = documents(s, d)
+      val tf = docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      tf.join(dfreq, "word")
+        .crossJoin(broadcast(n))
+        // `div` is integral long division like DuckDB's // — the `/`
+        // operator would round through double and can disagree by 1
+        .withColumn("tfidf", col("tf") * expr("(n_docs * 1000) div df"))
+        .filter(col("tf") >= 3)
+        .select(col("doc_id"), col("word"), col("tf"), col("df"), col("tfidf"))
+        .orderBy(col("tfidf").desc, col("doc_id"), col("word"))
+        .limit(50)
+    }),
+
+    // --- LLM-pipeline round 4: repetition quality, PII redaction,
+    //     chunking, sequence packing, boilerplate detection ---
+
+    "q85_repetition_metrics" -> ((s, d) =>
+      // Gopher-style repetition signals; integer counts come from one
+      // map-only UDF pass, ratios are expression-side (one rounding site)
+      documents(s, d)
+        .select(col("doc_id"), repetitionStats(tokens(col("text"))).as("r"))
+        .select(col("doc_id"),
+          col("r._1").as("n_2grams"), col("r._2").as("top_2gram_n"),
+          col("r._3").as("n_3grams"), col("r._4").as("dup_3gram_occ"),
+          round(when(col("r._1") > 0,
+            col("r._2").cast("double") / col("r._1").cast("double"))
+            .otherwise(lit(0.0)), 4).as("top_2gram_ratio"),
+          round(when(col("r._3") > 0,
+            col("r._4").cast("double") / col("r._3").cast("double"))
+            .otherwise(lit(0.0)), 4).as("dup_3gram_ratio"))
+        .orderBy("doc_id")),
+
+    "q86_pii_redact" -> ((s, d) => {
+      // documents carry no natural PII, so a deterministic fixture
+      // derived from doc_id is appended inside the query (the oracle
+      // appends the identical string) — the redaction chain then runs on
+      // real match positions in real text
+      val withPii = documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          lit(" mail u"), col("doc_id").cast("string"),
+          lit("@h"), pmod(col("doc_id"), lit(100L)).cast("string"), lit(".example.com"),
+          lit(" tel 555-"), lpad(pmod(col("doc_id"), lit(1000L)).cast("string"), 3, "0"),
+          lit("-"), lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0"),
+          lit(" ip 10.0."), pmod(col("doc_id"), lit(256L)).cast("string"),
+          lit("."), pmod(col("doc_id") * 7, lit(256L)).cast("string")).as("text"))
+      withPii
+        .select(col("doc_id"), Curation.piiCounts(col("text")).as("p"),
+          md5(Curation.redactPii(col("text"))).as("red_hash"))
+        .select(col("doc_id"), col("p.n_emails"), col("p.n_phones"),
+          col("p.n_ips"), col("red_hash"))
+        .orderBy("doc_id")
+    }),
+
+    "q87_chunk_tokens" -> ((s, d) =>
+      Chunking.chunkTokens(documents(s, d), "doc_id", "text",
+          chunkSize = 16, stride = 12)
+        .orderBy("id", "chunk_idx")),
+
+    "q88_seq_packing" -> ((s, d) =>
+      Chunking.packedSpans(documents(s, d), "doc_id", "text", budget = 256)
+        .withColumnRenamed("offset", "tok_offset") // OFFSET is reserved in DuckDB
+        .orderBy("doc_id")),
+
+    "q89_boilerplate_ratio" -> ((s, d) =>
+      Curation.boilerplateRatio(documents(s, d), "doc_id", "text",
+          k = 3, minDocFreq = 5)
+        .orderBy("id")),
+
+    "q110_bpe_vocab" -> ((s, d) =>
+      // BPE vocabulary LEARNING (Sennrich ACL'16): 4 rounds of pick the
+      // heaviest adjacent symbol pair (ties -> lexicographically
+      // smallest) and fuse it corpus-wide. State is the distinct-word
+      // table, never the corpus; each round = one pair groupBy + a
+      // driver top-1 + a map-only rewrite (Bpe.bpeMerges scaladoc).
+      // Oracle = the same 4 rounds unrolled in SQL, like q105.
+      Bpe.bpeMerges(documents(s, d), "text", iters = 4).orderBy("rank")),
+
+    "q111_bpe_encode" -> ((s, d) =>
+      // BPE ENCODING — q110's learned merges APPLIED: each distinct
+      // word's segmentation after the 4 merge rounds. The word column
+      // rides through the learner's map-only rewrites (Bpe.bpeEncode),
+      // so encode costs nothing beyond the learn; state stays
+      // vocabulary-bounded. Oracle = q110's unrolled CTE chain carrying
+      // w into the rewrite CTEs.
+      Bpe.bpeEncode(documents(s, d), "text", iters = 4)
+        .filter(col("freq") >= 3).orderBy("w")),
+
+    "q120_unigram_surprisal" -> ((s, d) =>
+      // Perplexity-proxy quality filter: per-doc unigram surprisal in
+      // all-integer bits (floor-log2 via length(bin(x)) - 1, identical
+      // in DuckDB) — one corpus scan, vocab derived from the per-doc
+      // occurrence agg (Curation.unigramSurprisal scaladoc).
+      Curation.unigramSurprisal(documents(s, d), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
+    "q135_pmi_collocations" -> ((s, d) => {
+      // Bigram collocation mining, PMI-ranked: score =
+      // cnt_ab·1e6 div (cnt_a·cnt_b) is a positive constant times
+      // P(ab)/(P(a)·P(b)), so ranking by it IS ranking by PMI (log is
+      // monotone) — and it stays in exact Long arithmetic, no float
+      // log to diverge between engines. cnt_ab >= 5 is the standard
+      // sparse-pair cutoff. Scale shape: two hash aggs (words,
+      // bigrams) + two shuffled joins on word keys; top-50 goes
+      // through TakeOrdered, never a global sort.
+      val biGrams = udf { toks: Seq[String] =>
+        if (toks == null || toks.size < 2) Array.empty[String]
+        else Array.tabulate(toks.size - 1)(i => toks(i) + " " + toks(i + 1))
+      }.asNondeterministic()
+      val toksDf = documents(s, d).select(tokens(col("text")).as("t"))
+      val uni = toksDf.select(explode(col("t")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+      val bi = toksDf.select(explode(biGrams(col("t"))).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("cnt_ab"))
+        .filter(col("cnt_ab") >= 5)
+        .select(split(col("gram"), " ").getItem(0).as("w1"),
+          split(col("gram"), " ").getItem(1).as("w2"), col("cnt_ab"))
+      bi.join(uni.select(col("w").as("w1"), col("cnt").as("cnt_a")), "w1")
+        .join(uni.select(col("w").as("w2"), col("cnt").as("cnt_b")), "w2")
+        .withColumn("score", expr("cnt_ab * 1000000 DIV (cnt_a * cnt_b)"))
+        .select("w1", "w2", "cnt_ab", "score")
+        .orderBy(col("score").desc, col("cnt_ab").desc, col("w1"), col("w2"))
+        .limit(50)
+    }),
+
+    "q142_bigram_surprisal" -> ((s, d) =>
+      // Stupid-backoff bigram LM surprisal in exact integer bits,
+      // train/eval md5-split — the deterministic stand-in for the
+      // CCNet-style LM perplexity filter (Curation.bigramSurprisal
+      // scaladoc).
+      Curation.bigramSurprisal(documents(s, d), "doc_id", "text")
+        .orderBy("id")),
+
+    "q146_perplexity_buckets" -> ((s, d) =>
+      // CCNet-style head/middle/tail LM-score terciles per source: the
+      // thresholds come from a value-domain histogram (two collected
+      // integers), never a global sort (Curation.perplexityBuckets
+      // scaladoc).
+      Curation.perplexityBuckets(documents(s, d), "doc_id", "text", "source")
+        .orderBy("src", "bucket")),
+
+    "q148_inverted_index" -> ((s, d) =>
+      // Capped inverted index: exact per-term df + the 10 lowest doc
+      // ids; the cap prunes per-partition BEFORE the exchange
+      // (WindowGroupLimit), so stopword postings never serialize onto
+      // one task (Indexing.invertedIndex scaladoc).
+      Indexing.invertedIndex(documents(s, d), "doc_id", "text", cap = 10)
+        // fixed-width posting rendering: the harness comparator hashes
+        // scalar cells only (ArrayType crashes its pandas sort), so the
+        // sorted id list rides as one comma-joined string — content
+        // identical, type oracle-comparable
+        .withColumn("doc_ids", array_join(col("doc_ids"), ","))
+        .orderBy("w")),
+
+    "q149_ngram_novelty" -> ((s, d) =>
+      // Per-doc 8-gram novelty vs the md5 train half — the memorization
+      // screen; grams ride the exchange as 60-bit hashes (q125's
+      // hashGrams trade; a collision can only undercount by one gram)
+      // (Indexing.ngramNovelty scaladoc).
+      Indexing.ngramNovelty(documents(s, d), "doc_id", "text", n = 8)
+        .orderBy("id")),
+
+    "q152_bm25_topk" -> ((s, d) =>
+      // BM25-lite ranked retrieval in exact integers: floor-log2 idf
+      // bits + milli-scaled tf saturation, canonical division order —
+      // a float log would not cross engines (Indexing.bm25LiteTopK
+      // scaladoc).
+      Indexing.bm25LiteTopK(documents(s, d), "doc_id", "text",
+          Bm25Terms, k = 20)
+        .orderBy(col("score_milli").desc, col("id"))),
+
+    "q166_phrase_match" -> ((s, d) =>
+      // Exact positional phrase search — the retrieval operator the
+      // doc-level inverted index (q148) cannot answer: candidate
+      // postings filter to the phrase words BEFORE any exchange, then
+      // adjacency verifies via (doc, pos+offset) equi-joins
+      // (Indexing.phraseMatch scaladoc).
+      Indexing.phraseMatch(documents(s, d), "doc_id", "text", PhraseQ166)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
+    "q172_gopher_rules" -> ((s, d) =>
+      // Gopher-style quality-rule dashboard per source: five integer-
+      // exact rules (word count, mean word length, long-word, unique-
+      // ratio repetition, distinct-stopword prose screen), flag counts
+      // and pass ppm (Curation.gopherRules scaladoc).
+      Curation.gopherRules(documents(s, d), "doc_id", "text", "source",
+          stopWords = GopherStop)
+        .orderBy("src")),
+
+    "q188_textrank_keywords" -> ((s, d) => {
+      // TextRank keyword extraction (Mihalcea & Tarau 2004): windowed
+      // co-occurrence edges (offsets 1-2, ONE doc-partitioned window
+      // exchange — no position self-join) weighted by corpus count,
+      // WEIGHTED integer PageRank, top-20. Unweighted ranks collapse
+      // to uniform on this near-complete vocabulary graph — the
+      // weights carry all the signal (GraphOps.weightedPageRankInt
+      // scaladoc).
+      val edges = documents(s, d)
+        .select(explode(cooccurPairsUdf(2)(tokens(col("text")))).as("pr"))
+        .groupBy(col("pr._1").as("u"), col("pr._2").as("v"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= TextRankMinCount)
+      GraphOps.weightedPageRankInt(edges, "u", "v", "w",
+          iters = TextRankIters)
+        .orderBy(col("r").desc, col("id").asc)
+        .limit(TextRankTopK)
+        .select(col("id").as("word"), col("r").as("rank_i"))
+    }),
+
+    "q213_bm25_ingest" -> ((s, d) => {
+      // BM25 against a PERSISTED standing inverted index (the ingest
+      // pattern applied to retrieval): the wb-partitioned postings are
+      // probed with plan-time shard literals, so the measured time is
+      // the touched postings + the doclen join — never a corpus text
+      // scan (Indexing.bm25ProbeTopK scaladoc). Same rows as q152.
+      val (postings, doclen, stats) = bm25IndexFixture(s, d)
+      Indexing.bm25ProbeTopK(postings, doclen, stats, Bm25Terms,
+          buckets = Bm25IndexBuckets, k = 20)
+        .orderBy(col("score_milli").desc, col("id"))
+    }),
+
+    "q226_blocklist_screen" -> ((s, d) =>
+      // Phrase-denylist screening via ONE Aho-Corasick pass per
+      // document (map-only; the automaton is KBs in the closure):
+      // every occurrence of every pattern — overlapping, mid-word,
+      // cross-word-boundary — counted at its end position, then rolled
+      // up per pattern. The oracle replays the count positionally
+      // (substr at every start), so the hash match proves the
+      // automaton's occurrence semantics (Curation.blocklistScreen
+      // scaladoc).
+      Curation.blocklistScreen(documents(s, d), "doc_id", "text",
+          BlockPatterns)
+        .groupBy("pat")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum("cnt").cast("long").as("total_occ"))
+        .orderBy("pat")),
+
+    "q245_zipf_anchors" -> ((s, d) => {
+      // Zipf tail diagnostic without a float log: the rank-doubling
+      // document-frequency ratios df(r)/df(2r) at anchor ranks
+      // r = 1..256 (powers of two) over word 3-shingles — for an ideal
+      // Zipf(s) curve every ratio is 2^s, so drift across anchors
+      // exposes where the curve bends (the head/tail transition a
+      // tokenizer or dedup pass shifts). Shingle dfs are ONE
+      // map-side-combined agg; the global top-512 is a TakeOrdered
+      // (per-partition heap, never a global sort); ranking runs on
+      // those 512 rows only.
+      val freqs = documents(s, d)
+        .select(explode(Dedup.shingles(col("text"), 3)).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("freq"))
+      val top = freqs.orderBy(col("freq").desc, col("tok").asc).limit(512)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("freq").desc, col("tok").asc))
+            .cast("long"))
+      val anchors = (0 to 8).map(i => (1L << i))
+      top.filter(col("rank").isin(anchors: _*))
+        .join(top.select(col("rank").as("rank2"), col("freq").as("freq2")),
+          col("rank2") === col("rank") * 2)
+        .select(col("rank"), col("tok"), col("freq"), col("freq2"),
+          expr("freq * 1000000 div freq2").as("ratio_ppm"))
+        .orderBy("rank")
+    }),
+
+    "q254_heaps_anchors" -> ((s, d) => {
+      // Heaps-law vocabulary-growth anchors — q245's companion
+      // diagnostic: |vocab(first N docs)| at doubling prefixes, with
+      // the doubling ratio in exact ppm (Heaps V = K·n^β makes every
+      // ratio 2^β, so drift shows where novelty decays — the signal a
+      // dedup/curation pass shifts). One shingle→min-doc agg, then
+      // ONE pass of conditional sums (a 1-row frame); no per-anchor
+      // rescan.
+      import s.implicits._
+      val first = documents(s, d)
+        .select(explode(Dedup.shingles(col("text"), 3)).as("sh"),
+          col("doc_id"))
+        .groupBy("sh").agg(min("doc_id").as("first_id"))
+      val anchors = (5 to 12).map(1L << _) // 32 .. 4096
+      val sums = first.agg(
+        sum(when(col("first_id") < anchors.head, 1L).otherwise(0L))
+          .as(s"v${anchors.head}"),
+        anchors.tail.map(n =>
+          sum(when(col("first_id") < n, 1L).otherwise(0L)).as(s"v$n")): _*)
+        .head()
+      val v = anchors.map(n => n -> sums.getAs[Long](s"v$n")).toMap
+      anchors.tail.map { n =>
+        val (h, f) = (v(n / 2), v(n))
+        (n, h, f, if (h > 0) f * 1000000L / h else 0L)
+      }.toDF("prefix_docs", "vocab_half", "vocab", "growth_ppm")
+        .orderBy("prefix_docs")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q62_bpe_tokens" ->
+      s"""SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS n_ws,
+         | CAST(len(regexp_extract_all(text, '$BpePattern')) AS BIGINT) AS n_bpe
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q25_letter_count" -> (
+      ('A' to 'Z').map { u =>
+        val l = u.toLower
+        s"SELECT '$u' AS letter, CAST(COALESCE(sum(length(text) - length(replace(replace(text,'$l',''),'$u',''))),0) AS BIGINT) AS cnt FROM documents"
+      }.mkString("SELECT letter, cnt FROM (", " UNION ALL ", ") ORDER BY letter")),
+
+    "q26_word_finder" ->
+      """SELECT doc_id FROM documents
+        |WHERE regexp_matches(text, '(^|[^0-9A-Za-z])spark($|[^0-9A-Za-z])')
+        |ORDER BY doc_id""".stripMargin,
+
+    "q15_wordcount" ->
+      s"""SELECT word, COUNT(*) AS cnt
+         |FROM (SELECT unnest($TOKS) AS word FROM documents)
+         |GROUP BY word ORDER BY cnt DESC, word LIMIT 20""".stripMargin,
+
+    "q27_text_stats" -> {
+      val sw = StopWords.map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, text, $TOKS AS toks FROM documents),
+         |s AS (SELECT doc_id, text,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(COALESCE(list_sum(list_transform(
+         |    list_filter(string_split_regex(text,'[^0-9A-Za-z]+'), x -> length(x) > 0),
+         |    x -> CAST(ceil(length(x)/4.0) AS BIGINT))),0)
+         |   + length(regexp_replace(text,'[0-9A-Za-z\\s]','','g')) AS BIGINT) AS n_subwords,
+         |  CAST(len(list_filter(toks, x -> x IN ($sw))) AS BIGINT) AS n_stop
+         | FROM t)
+         |SELECT doc_id, n_tokens, n_subwords, n_stop,
+         | round(least(CAST(n_tokens AS DOUBLE)/50.0, 1.0)*0.4
+         |  + least((CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE)/n_tokens ELSE 0.0 END)*4.0, 1.0)*0.3
+         |  + (CASE WHEN length(text) > 0
+         |     THEN CAST(length(regexp_replace(text,'[^A-Za-z]','','g')) AS DOUBLE)/length(text)
+         |     ELSE 0.0 END)*0.3, 4) AS quality
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+
+    "q28_langid" -> {
+      def cnt(markers: Seq[String]) = {
+        val in = markers.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(toks, x -> x IN ($in)))"
+      }
+      val m = LangMarkers.toMap
+      s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |  ${cnt(m("en"))} AS s_en, ${cnt(m("de"))} AS s_de,
+         |  ${cnt(m("fr"))} AS s_fr, ${cnt(m("es"))} AS s_es
+         | FROM t)
+         |SELECT doc_id,
+         | CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+         |      WHEN s_es > greatest(s_en, s_de, s_fr) THEN 'es'
+         |      WHEN s_fr > greatest(s_en, s_de) THEN 'fr'
+         |      WHEN s_de > s_en THEN 'de'
+         |      ELSE 'en' END AS lang_guess
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+
+    "q37_rolling_hash" ->
+      """SELECT doc_id,
+        | CAST(list_reduce(
+        |   list_prepend(CAST(0 AS BIGINT),
+        |     list_transform(regexp_split_to_array(text,''), c -> CAST(ascii(c) AS BIGINT))),
+        |   (a, b) -> (a*257 + b) % 2147483647) AS BIGINT) AS rhash
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q78_ngram_freq" ->
+      s"""WITH tt AS (SELECT $TOKS AS t FROM documents),
+         |g AS (SELECT unnest(
+         |  CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+         |       ELSE list_transform(generate_series(1, len(t)-2), i -> array_to_string(t[i:i+2],' ')) END) AS gram
+         | FROM tt)
+         |SELECT gram, COUNT(*) AS n FROM g GROUP BY 1
+         |ORDER BY n DESC, gram ASC LIMIT 50""".stripMargin,
+
+    "q41_tfidf" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($TOKS) AS word FROM documents),
+         |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM toks GROUP BY 1,2),
+         |dfreq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+         |SELECT tf.doc_id, tf.word, tf.tf, dfreq.df,
+         | tf.tf * ((n.n_docs * 1000) // dfreq.df) AS tfidf
+         |FROM tf JOIN dfreq USING (word) CROSS JOIN n
+         |WHERE tf.tf >= 3
+         |ORDER BY tfidf DESC, doc_id, word LIMIT 50""".stripMargin,
+
+    // floor(log2(N // c)) = length(bin(x)) - 1 on both engines (x >= 1
+    // always: c <= N); token-less docs drop on both sides (unnest /
+    // explode emit nothing).
+    "q120_unigram_surprisal" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($TOKS) AS w FROM documents),
+         |occ AS (SELECT doc_id, w, COUNT(*) AS occ FROM toks GROUP BY 1, 2),
+         |vocab AS (SELECT w, CAST(SUM(occ) AS BIGINT) AS cnt FROM occ GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM vocab)
+         |SELECT occ.doc_id,
+         | CAST(SUM(occ.occ) AS BIGINT) AS n_tokens,
+         | CAST(SUM(occ.occ * (length(bin(tot.n // vocab.cnt)) - 1)) AS BIGINT) AS surprisal_bits,
+         | CAST((CAST(SUM(occ.occ * (length(bin(tot.n // vocab.cnt)) - 1)) AS BIGINT) * 1000)
+         |   // CAST(SUM(occ.occ) AS BIGINT) AS BIGINT) AS bits_per_1k
+         |FROM occ JOIN vocab USING (w) CROSS JOIN tot
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q85_repetition_metrics" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS tk FROM documents),
+         |g2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk)-1),
+         |        i -> tk[i] || ' ' || tk[i+1])) AS g FROM t WHERE len(tk) >= 2),
+         |c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+         |a2 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_2grams,
+         |        CAST(MAX(c) AS BIGINT) AS top_2gram_n FROM c2 GROUP BY 1),
+         |g3 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk)-2),
+         |        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+         |       FROM t WHERE len(tk) >= 3),
+         |c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY 1, 2),
+         |a3 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_3grams,
+         |        CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_3gram_occ
+         |       FROM c3 GROUP BY 1)
+         |SELECT t.doc_id,
+         | COALESCE(a2.n_2grams, 0) AS n_2grams,
+         | COALESCE(a2.top_2gram_n, 0) AS top_2gram_n,
+         | COALESCE(a3.n_3grams, 0) AS n_3grams,
+         | COALESCE(a3.dup_3gram_occ, 0) AS dup_3gram_occ,
+         | round(CASE WHEN COALESCE(a2.n_2grams, 0) > 0
+         |   THEN CAST(a2.top_2gram_n AS DOUBLE)/a2.n_2grams ELSE 0.0 END, 4) AS top_2gram_ratio,
+         | round(CASE WHEN COALESCE(a3.n_3grams, 0) > 0
+         |   THEN CAST(a3.dup_3gram_occ AS DOUBLE)/a3.n_3grams ELSE 0.0 END, 4) AS dup_3gram_ratio
+         |FROM t LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q86_pii_redact" ->
+      s"""WITH w AS (SELECT doc_id, text || ' mail u' || CAST(doc_id AS VARCHAR)
+         |  || '@h' || CAST(doc_id % 100 AS VARCHAR) || '.example.com'
+         |  || ' tel 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+         |  || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |  || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+         |  || '.' || CAST((doc_id*7) % 256 AS VARCHAR) AS text FROM documents),
+         |e AS (SELECT doc_id, text,
+         |  regexp_replace(text, '${Curation.EmailPattern}', '<EMAIL>', 'g') AS t1 FROM w),
+         |p AS (SELECT doc_id, text, t1,
+         |  regexp_replace(t1, '${Curation.PhonePattern}', '<PHONE>', 'g') AS t2 FROM e)
+         |SELECT doc_id,
+         | CAST(len(regexp_extract_all(text, '${Curation.EmailPattern}')) AS BIGINT) AS n_emails,
+         | CAST(len(regexp_extract_all(t1, '${Curation.PhonePattern}')) AS BIGINT) AS n_phones,
+         | CAST(len(regexp_extract_all(t2, '${Curation.Ipv4Pattern}')) AS BIGINT) AS n_ips,
+         | md5(regexp_replace(t2, '${Curation.Ipv4Pattern}', '<IP>', 'g')) AS red_hash
+         |FROM p ORDER BY doc_id""".stripMargin,
+
+    // chunk geometry (nc, the [s:e] slice) mirrors Chunking.numChunks /
+    // chunkTokens: one chunk starts every 12 tokens while any token is
+    // uncovered; DuckDB list slicing is 1-based inclusive and clamps
+    "q87_chunk_tokens" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS tk FROM documents),
+         |n AS (SELECT doc_id, tk,
+         |  CASE WHEN len(tk) <= 16 THEN 1
+         |       ELSE 1 + CAST(ceil((len(tk)-16)/12.0) AS INT) END AS nc FROM t),
+         |c AS (SELECT doc_id, tk, unnest(generate_series(1, nc)) AS i FROM n),
+         |s AS (SELECT doc_id, CAST(i-1 AS BIGINT) AS chunk_idx,
+         |  array_to_string(tk[(i-1)*12+1 : (i-1)*12+16], ' ') AS chunk FROM c)
+         |SELECT doc_id AS id, chunk_idx,
+         | CAST(CASE WHEN length(trim(chunk)) = 0 THEN 0
+         |   ELSE len(string_split_regex(trim(chunk), '\\s+')) END AS BIGINT) AS n_tokens,
+         | md5(chunk) AS chunk_hash
+         |FROM s ORDER BY id, chunk_idx""".stripMargin,
+
+    "q88_seq_packing" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |    ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
+         | FROM documents),
+         |o AS (SELECT doc_id, n_tokens,
+         |  COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+         | FROM t)
+         |SELECT doc_id, n_tokens, CAST(tok_offset AS BIGINT) AS tok_offset,
+         | CAST(tok_offset // 256 AS BIGINT) AS start_pack,
+         | CAST(CASE WHEN n_tokens > 0 THEN (tok_offset + n_tokens - 1) // 256
+         |      ELSE tok_offset // 256 END AS BIGINT) AS end_pack,
+         | CAST(tok_offset % 256 AS BIGINT) AS pack_offset
+         |FROM o ORDER BY doc_id""".stripMargin,
+
+    "q89_boilerplate_ratio" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS tk FROM documents),
+         |g AS (SELECT doc_id AS id, unnest(
+         |  CASE WHEN len(tk) < 3 THEN [${duckHash("array_to_string(tk, ' ')", 15)}]
+         |       ELSE list_transform(generate_series(1, len(tk)-2),
+         |         i -> ${duckHash("array_to_string(tk[i:i+2], ' ')", 15)}) END) AS g
+         | FROM t),
+         |occ AS (SELECT id, g, COUNT(*) AS occ FROM g GROUP BY 1, 2),
+         |freq AS (SELECT *, COUNT(*) OVER (PARTITION BY g) AS doc_freq FROM occ)
+         |SELECT id, CAST(SUM(occ) AS BIGINT) AS n_grams,
+         | CAST(SUM(CASE WHEN doc_freq >= 5 THEN occ ELSE 0 END) AS BIGINT) AS n_boiler,
+         | round(CAST(SUM(CASE WHEN doc_freq >= 5 THEN occ ELSE 0 END) AS DOUBLE)
+         |   / CAST(SUM(occ) AS DOUBLE), 4) AS boiler_ratio
+         |FROM freq GROUP BY id ORDER BY id""".stripMargin,
+
+    // BPE merge learning: 4 unrolled rounds. Each stage derives pair
+    // counts from the current spaced-symbol strings, takes the
+    // (cnt DESC, pair ASC) top-1 as a 1-row CTE, and rewrites via plain
+    // string replace — replace() is left-to-right non-overlapping in
+    // BOTH engines, which is exactly BPE's greedy application order.
+    "q110_bpe_vocab" -> {
+      def pairs(src: String, c: String) =
+        s"""$c AS (SELECT p AS pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM
+           |  (SELECT freq, unnest(list_transform(
+           |     generate_series(1, len(string_split(s,' '))-1),
+           |     i -> string_split(s,' ')[i] || ' ' || string_split(s,' ')[i+1])) AS p
+           |   FROM $src) GROUP BY 1)""".stripMargin
+      def top(c: String, t: String) =
+        s"$t AS (SELECT pair, cnt FROM $c ORDER BY cnt DESC, pair LIMIT 1)"
+      def apply(src: String, t: String, dst: String) =
+        s"""$dst AS (SELECT trim(replace(' '||s||' ', ' '||$t.pair||' ',
+           |  ' '||replace($t.pair,' ','')||' ')) AS s, freq FROM $src, $t)""".stripMargin
+      s"""WITH w0 AS (SELECT w, COUNT(*) AS freq FROM
+         |  (SELECT unnest($TOKS) AS w FROM documents)
+         |  WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY 1),
+         |s0 AS (SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s, freq FROM w0),
+         |${pairs("s0", "c1")}, ${top("c1", "t1")}, ${apply("s0", "t1", "s1")},
+         |${pairs("s1", "c2")}, ${top("c2", "t2")}, ${apply("s1", "t2", "s2")},
+         |${pairs("s2", "c3")}, ${top("c3", "t3")}, ${apply("s2", "t3", "s3")},
+         |${pairs("s3", "c4")}, ${top("c4", "t4")}
+         |SELECT * FROM (
+         | SELECT CAST(1 AS BIGINT) AS rank, pair, replace(pair,' ','') AS merged, cnt AS weighted_count FROM t1
+         | UNION ALL SELECT 2, pair, replace(pair,' ',''), cnt FROM t2
+         | UNION ALL SELECT 3, pair, replace(pair,' ',''), cnt FROM t3
+         | UNION ALL SELECT 4, pair, replace(pair,' ',''), cnt FROM t4)
+         |ORDER BY rank""".stripMargin
+    },
+
+    // q110's unrolled merge rounds with the word column carried through
+    // each rewrite CTE; the final symbol table IS the encoding.
+    "q111_bpe_encode" -> {
+      def pairs(src: String, c: String) =
+        s"""$c AS (SELECT p AS pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM
+           |  (SELECT freq, unnest(list_transform(
+           |     generate_series(1, len(string_split(s,' '))-1),
+           |     i -> string_split(s,' ')[i] || ' ' || string_split(s,' ')[i+1])) AS p
+           |   FROM $src) GROUP BY 1)""".stripMargin
+      def top(c: String, t: String) =
+        s"$t AS (SELECT pair, cnt FROM $c ORDER BY cnt DESC, pair LIMIT 1)"
+      def apply(src: String, t: String, dst: String) =
+        s"""$dst AS (SELECT w, trim(replace(' '||s||' ', ' '||$t.pair||' ',
+           |  ' '||replace($t.pair,' ','')||' ')) AS s, freq FROM $src, $t)""".stripMargin
+      s"""WITH w0 AS (SELECT w, COUNT(*) AS freq FROM
+         |  (SELECT unnest($TOKS) AS w FROM documents)
+         |  WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY 1),
+         |s0 AS (SELECT w, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s, freq FROM w0),
+         |${pairs("s0", "c1")}, ${top("c1", "t1")}, ${apply("s0", "t1", "s1")},
+         |${pairs("s1", "c2")}, ${top("c2", "t2")}, ${apply("s1", "t2", "s2")},
+         |${pairs("s2", "c3")}, ${top("c3", "t3")}, ${apply("s2", "t3", "s3")},
+         |${pairs("s3", "c4")}, ${top("c4", "t4")}, ${apply("s3", "t4", "s4")}
+         |SELECT w, s AS encoded, CAST(len(string_split(s, ' ')) AS BIGINT) AS n_tokens,
+         |  CAST(freq AS BIGINT) AS freq
+         |FROM s4 WHERE freq >= 3 ORDER BY w""".stripMargin
+    },
+
+    // Same integer-scaled association score as the engine: DuckDB's
+    // `//` and Spark's `div` both floor for positive Longs, so the
+    // PMI ranking and the score values are engine-exact
+    "q135_pmi_collocations" ->
+      s"""WITH tt AS (SELECT $TOKS AS t FROM documents),
+         |uc AS (SELECT w, COUNT(*) AS cnt
+         |  FROM (SELECT unnest(t) AS w FROM tt) GROUP BY 1),
+         |bc AS (SELECT gram, COUNT(*) AS cnt_ab FROM (
+         |  SELECT unnest(CASE WHEN len(t) < 2 THEN []::VARCHAR[]
+         |    ELSE list_transform(generate_series(1, len(t)-1),
+         |      i -> array_to_string(t[i:i+1], ' ')) END) AS gram FROM tt) g
+         | GROUP BY 1 HAVING COUNT(*) >= 5),
+         |sp AS (SELECT string_split(gram, ' ')[1] AS w1,
+         |  string_split(gram, ' ')[2] AS w2, cnt_ab FROM bc),
+         |j AS (SELECT sp.w1, sp.w2, sp.cnt_ab, a.cnt AS cnt_a, b.cnt AS cnt_b
+         |  FROM sp JOIN uc a ON sp.w1 = a.w JOIN uc b ON sp.w2 = b.w)
+         |SELECT w1, w2, cnt_ab,
+         | cnt_ab * 1000000 // (cnt_a * cnt_b) AS score
+         |FROM j ORDER BY score DESC, cnt_ab DESC, w1, w2 LIMIT 50""".stripMargin,
+
+    // train-half LM counts + the same integer-bits stupid-backoff CASE;
+    // DuckDB's zip-unnest pairs toks[1:n-1] with toks[2:n] positionally
+    "q142_bigram_surprisal" ->
+      s"""WITH t AS (SELECT doc_id AS id,
+         |  ${duckHash("concat('bglm_', CAST(doc_id AS VARCHAR))", 15)} % 1000000 < 800000 AS is_train,
+         |  $TOKS AS toks FROM documents),
+         |p AS (SELECT id, is_train,
+         |  unnest(toks[1:len(toks)-1]) AS w1, unnest(toks[2:len(toks)]) AS w2
+         | FROM t WHERE len(toks) >= 2),
+         |uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+         | FROM (SELECT unnest(toks) AS w FROM t WHERE is_train) GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM uni),
+         |bi AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt_bi
+         | FROM p WHERE is_train GROUP BY 1, 2),
+         |ev AS (SELECT p.id,
+         |  CASE WHEN bi.cnt_bi IS NOT NULL THEN length(bin(u1.cnt // bi.cnt_bi)) - 1
+         |    ELSE 3 + length(bin(tot.n // (COALESCE(u2.cnt, 0) + 1))) - 1 END AS cost
+         | FROM p LEFT JOIN bi USING (w1, w2)
+         | LEFT JOIN uni u1 ON p.w1 = u1.w
+         | LEFT JOIN uni u2 ON p.w2 = u2.w
+         | CROSS JOIN tot
+         | WHERE NOT p.is_train)
+         |SELECT id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         | CAST(SUM(cost) AS BIGINT) AS total_bits,
+         | CAST((CAST(SUM(cost) AS BIGINT) * 1000) // COUNT(*) AS BIGINT) AS bits_per_1k
+         |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q120's integer surprisal feeding rank-derived tercile thresholds:
+    // the value at rank r is well-defined under ties, so row_number's
+    // arbitrary tie order cannot change t1/t2
+    "q146_perplexity_buckets" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($TOKS) AS w FROM documents),
+         |occ AS (SELECT doc_id, w, COUNT(*) AS occ FROM toks GROUP BY 1, 2),
+         |vocab AS (SELECT w, CAST(SUM(occ) AS BIGINT) AS cnt FROM occ GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM vocab),
+         |s AS (SELECT occ.doc_id AS id,
+         |  CAST((CAST(SUM(occ.occ * (length(bin(tot.n // vocab.cnt)) - 1)) AS BIGINT) * 1000)
+         |    // CAST(SUM(occ.occ) AS BIGINT) AS BIGINT) AS bits_per_1k
+         | FROM occ JOIN vocab USING (w) CROSS JOIN tot GROUP BY 1),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s),
+         |r AS (SELECT bits_per_1k, row_number() OVER (ORDER BY bits_per_1k) AS rn FROM s),
+         |t AS (SELECT
+         |  MIN(CASE WHEN rn >= (nn.n + 2) // 3 THEN bits_per_1k END) AS t1,
+         |  MIN(CASE WHEN rn >= (2 * nn.n + 2) // 3 THEN bits_per_1k END) AS t2
+         | FROM r, nn),
+         |b AS (SELECT d.source AS src,
+         |  CASE WHEN s.bits_per_1k <= t.t1 THEN 'head'
+         |       WHEN s.bits_per_1k <= t.t2 THEN 'middle'
+         |       ELSE 'tail' END AS bucket,
+         |  s.bits_per_1k
+         | FROM s JOIN documents d ON s.id = d.doc_id CROSS JOIN t)
+         |SELECT src, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         | CAST((CAST(SUM(bits_per_1k) AS BIGINT) * 1000) // COUNT(*) AS BIGINT) AS mean_bits_milli
+         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // exact df over the distinct (token, doc) pairs; the capped list is
+    // the 10 smallest ids — list_sort + slice reproduces the engine's
+    // row_number <= cap + sort_array exactly, rendered as a comma-joined
+    // string (scalar cell) to match the engine's array_join
+    "q148_inverted_index" ->
+      s"""WITH p AS (SELECT DISTINCT id, w FROM
+         |  (SELECT doc_id AS id, unnest($TOKS) AS w FROM documents))
+         |SELECT w, CAST(COUNT(*) AS BIGINT) AS df,
+         | array_to_string(list_sort(list(id))[1:10], ',') AS doc_ids
+         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the oracle joins the exact gram STRINGS (the engine's xxhash64
+    // keys are internal — a collision there can only undercount one
+    // gram, ~2e-10; the string join is collision-free by construction)
+    "q149_ngram_novelty" ->
+      s"""WITH t AS (SELECT doc_id AS id,
+         |  ${duckHash("concat('novel_', CAST(doc_id AS VARCHAR))", 15)} % 1000000 < 800000 AS is_train,
+         |  $TOKS AS toks FROM documents),
+         |h AS (SELECT id, is_train,
+         |  unnest(CASE WHEN len(toks) < 8 THEN []::VARCHAR[]
+         |    ELSE list_transform(generate_series(1, len(toks) - 7),
+         |      i -> array_to_string(toks[i:i+7], ' ')) END) AS g FROM t),
+         |tr AS (SELECT DISTINCT g FROM h WHERE is_train),
+         |ev AS (SELECT h.id, CASE WHEN tr.g IS NULL THEN 1 ELSE 0 END AS unseen
+         | FROM h LEFT JOIN tr USING (g) WHERE NOT h.is_train)
+         |SELECT id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         | CAST(SUM(unseen) AS BIGINT) AS n_unseen,
+         | CAST((CAST(SUM(unseen) AS BIGINT) * 1000000) // COUNT(*) AS BIGINT) AS novelty_ppm
+         |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the same integer BM25: bits idf, milli-scaled saturation, one
+    // canonical division order
+    "q152_bm25_topk" -> bm25LiteOracle,
+
+    // persisted-inverted-index probe scores the SAME docs (the split is
+    // definitional: bm25LiteTopK == bm25ProbeTopK over bm25Index, and
+    // Long tfs / dls parquet-round-trip losslessly) — same oracle
+    "q213_bm25_ingest" -> bm25LiteOracle,
+
+    // positional adjacency over unnest-with-subscripts; DuckDB arrays
+    // are 1-based where Spark's posexplode is 0-based, so first_pos =
+    // p0 (SQL) = pos+1 (engine) line up at 1-based
+    "q166_phrase_match" -> {
+      val conds = PhraseQ166.zipWithIndex
+        .map { case (w, i) => s"toks[p0+$i] = '$w'" }.mkString(" AND ")
+      s"""WITH t AS (SELECT doc_id AS id, $TOKS AS toks FROM documents),
+         |p AS (SELECT id, p0 FROM t, LATERAL (SELECT
+         |   unnest(generate_series(1, GREATEST(len(toks)-${PhraseQ166.size - 1}, 0))) AS p0) s
+         | WHERE $conds)
+         |SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+         | CAST(MIN(p0) AS BIGINT) AS first_pos
+         |FROM p GROUP BY 1 ORDER BY doc_id""".stripMargin
+    },
+
+    // same five integer rules; the LEFT JOIN keeps zero-token docs as
+    // rows that fail the word-count rule
+    "q172_gopher_rules" -> {
+      val stops = GopherStop.map(w => s"'$w'").mkString(", ")
+      s"""WITH tok AS (SELECT doc_id AS id, unnest(t) AS w
+         | FROM (SELECT doc_id, $TOKS AS t FROM documents)),
+         |pd AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(length(w)) AS BIGINT) AS sl,
+         |  CAST(MAX(length(w)) AS BIGINT) AS mx,
+         |  CAST(COUNT(DISTINCT w) AS BIGINT) AS nd,
+         |  CAST(COUNT(DISTINCT CASE WHEN w IN ($stops) THEN w END) AS BIGINT) AS stp
+         | FROM tok GROUP BY 1),
+         |fl AS (SELECT d.source AS src,
+         |  CASE WHEN COALESCE(n, 0) < 25 OR COALESCE(n, 0) > 100 THEN 1 ELSE 0 END AS f_words,
+         |  CASE WHEN n IS NULL OR (sl*1000)//n < 4200 OR (sl*1000)//n > 4900 THEN 1 ELSE 0 END AS f_mwl,
+         |  CASE WHEN COALESCE(mx, 0) > 10 THEN 1 ELSE 0 END AS f_longword,
+         |  CASE WHEN n IS NULL OR (nd*1000)//n < 350 THEN 1 ELSE 0 END AS f_unique,
+         |  CASE WHEN COALESCE(stp, 0) < 2 THEN 1 ELSE 0 END AS f_stop
+         | FROM documents d LEFT JOIN pd ON d.doc_id = pd.id),
+         |a AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(f_words) AS BIGINT) AS f_words,
+         |  CAST(SUM(f_mwl) AS BIGINT) AS f_mwl,
+         |  CAST(SUM(f_longword) AS BIGINT) AS f_longword,
+         |  CAST(SUM(f_unique) AS BIGINT) AS f_unique,
+         |  CAST(SUM(f_stop) AS BIGINT) AS f_stop,
+         |  CAST(SUM(CASE WHEN f_words + f_mwl + f_longword + f_unique + f_stop = 0
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+         | FROM fl GROUP BY 1)
+         |SELECT src, n_docs, f_words, f_mwl, f_longword, f_unique, f_stop,
+         | n_pass, CAST((n_pass * 1000000) // n_docs AS BIGINT) AS pass_ppm
+         |FROM a ORDER BY src""".stripMargin
+    },
+
+    // same windowed edges, weighted PageRank unrolled per iteration
+    // (the q105 oracle shape with swt in place of degree)
+    "q188_textrank_keywords" -> {
+      val base = "CAST(1000000000 AS BIGINT) // nn.n"
+      val iterCtes = (1 to TextRankIters).map { i =>
+        s"""s$i AS (SELECT e.v AS id,
+           |  CAST(SUM((r${i - 1}.r * e.w) // r${i - 1}.swt) AS BIGINT) AS s
+           | FROM e JOIN r${i - 1} ON e.u = r${i - 1}.id GROUP BY 1),
+           |r$i AS (SELECT sw.id, sw.swt,
+           |  (15 * ($base)) // 100 + (85 * COALESCE(s$i.s, 0)) // 100 AS r
+           | FROM sw LEFT JOIN s$i USING (id), nn)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH t AS (SELECT doc_id AS id, $TOKS AS toks FROM documents),
+         |adj AS (SELECT toks[p] AS a, toks[p+o] AS b
+         | FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS p) pp,
+         |      LATERAL (SELECT unnest([1, 2]) AS o) oo
+         | WHERE p + o <= len(toks) AND toks[p] <> toks[p+o]),
+         |eh AS (SELECT LEAST(a, b) AS u, GREATEST(a, b) AS v,
+         |  CAST(COUNT(*) AS BIGINT) AS w
+         | FROM adj GROUP BY 1, 2 HAVING COUNT(*) >= $TextRankMinCount),
+         |e AS (SELECT u, v, w FROM eh UNION ALL SELECT v, u, w FROM eh),
+         |sw AS (SELECT u AS id, SUM(w) AS swt FROM e GROUP BY 1),
+         |nn AS (SELECT COUNT(*) AS n FROM sw),
+         |r0 AS (SELECT id, swt, $base AS r FROM sw, nn),
+         |$iterCtes
+         |SELECT id AS word, CAST(r AS BIGINT) AS rank_i FROM r$TextRankIters
+         |ORDER BY r DESC, id LIMIT $TextRankTopK""".stripMargin
+    },
+
+    // occurrence counts replayed POSITIONALLY: substr at every start
+    // position (overlapping matches counted, like the automaton)
+    "q226_blocklist_screen" -> {
+      val pl = BlockPatterns.map(p => s"'$p'").mkString(", ")
+      s"""WITH pats AS (SELECT unnest([$pl]) AS pat),
+         |occ AS (SELECT d.doc_id AS id, p.pat, COUNT(*) AS cnt
+         | FROM documents d, pats p, LATERAL (SELECT unnest(generate_series(1,
+         |   greatest(length(d.text) - length(p.pat) + 1, 0))) AS i) t
+         | WHERE substr(d.text, CAST(t.i AS INT), length(p.pat)) = p.pat
+         | GROUP BY 1, 2)
+         |SELECT pat, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         | CAST(SUM(cnt) AS BIGINT) AS total_occ
+         |FROM occ GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    // same shingle-df table, same (freq DESC, tok ASC) ranking, same
+    // anchor self-join — integer ratios, no float log on either side
+    "q245_zipf_anchors" ->
+      s"""WITH w AS (SELECT sh AS tok FROM ($SHINGLES3)),
+         |f AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq FROM w GROUP BY 1),
+         |rk AS (SELECT tok, freq,
+         |  CAST(row_number() OVER (ORDER BY freq DESC, tok ASC) AS BIGINT) AS rank
+         | FROM f),
+         |top AS (SELECT * FROM rk WHERE rank <= 512)
+         |SELECT a.rank, a.tok, a.freq, b.freq AS freq2,
+         | CAST(a.freq * 1000000 // b.freq AS BIGINT) AS ratio_ppm
+         |FROM top a JOIN top b ON b.rank = a.rank * 2
+         |WHERE a.rank IN (1,2,4,8,16,32,64,128,256)
+         |ORDER BY a.rank""".stripMargin,
+
+    // same shingle first-seen table, same doubling-prefix counts
+    "q254_heaps_anchors" -> {
+      val anchors = (5 to 12).map(1L << _)
+      val sums = anchors.map(n =>
+        s"CAST(SUM(CASE WHEN first_id < $n THEN 1 ELSE 0 END) AS BIGINT) AS v$n")
+        .mkString(", ")
+      val rows = anchors.tail.map { n =>
+        s"""SELECT CAST($n AS BIGINT) AS prefix_docs, v${n / 2} AS vocab_half,
+           | v$n AS vocab,
+           | CAST(CASE WHEN v${n / 2} > 0 THEN v$n * 1000000 // v${n / 2}
+           |   ELSE 0 END AS BIGINT) AS growth_ppm FROM s""".stripMargin
+      }.mkString("\nUNION ALL ")
+      s"""WITH f AS (SELECT sh, MIN(id) AS first_id FROM ($SHINGLES3) GROUP BY 1),
+         |s AS (SELECT $sums FROM f)
+         |SELECT * FROM ($rows)
+         |ORDER BY prefix_docs""".stripMargin
+    },
+  )
+}

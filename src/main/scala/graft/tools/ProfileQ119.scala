@@ -36,7 +36,7 @@ object ProfileQ119 {
 
     val e = graft.engine.Tables.embeddings(spark, d)
     val n = e.count()
-    val nLists = graft.SparkEntry.semDedupNLists(n)
+    val nLists = graft.QueryShared.semDedupNLists(n)
     println(s"n=$n nLists=$nLists")
 
     val cents = time("kmeansCentroidsLocal")(

@@ -84,11 +84,11 @@ class ScaleSpec extends AnyFunSuite {
     // 625-per-cluster sizing (q119's r11 fix): the floor binds only
     // below sf0.1, so cluster size — hence pair volume per cluster —
     // stays ~constant upward from there
-    assert(SparkEntry.semDedupNLists(200) == 8)      // sf0.01
-    assert(SparkEntry.semDedupNLists(2000) == 8)     // sf0.1 (2000/625 < 8)
-    assert(SparkEntry.semDedupNLists(20000) == 32)   // sf1 fixture
-    assert(SparkEntry.semDedupNLists(200000) == 320) // sf10 fixture
-    assert(SparkEntry.semDedupNLists(2000000) == 3200)
+    assert(QueryShared.semDedupNLists(200) == 8)      // sf0.01
+    assert(QueryShared.semDedupNLists(2000) == 8)     // sf0.1 (2000/625 < 8)
+    assert(QueryShared.semDedupNLists(20000) == 32)   // sf1 fixture
+    assert(QueryShared.semDedupNLists(200000) == 320) // sf10 fixture
+    assert(QueryShared.semDedupNLists(2000000) == 3200)
   }
 
   test("saltedEquiJoin returns exactly the plain join's rows under skew") {
