@@ -1906,6 +1906,47 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("inter"), col("jac_ppm"))
   }
 
+  /** Growth-attribution instrumentation for [[ppJoinShingles]] (the
+    * SCALING gate's q182 watch row): one row with the volumes of each
+    * pipeline stage — docs, raw shingle postings, prefix postings (the
+    * join side), candidate pairs surviving prefix+size filters, truth
+    * pairs (J ≥ t), and the hottest prefix-posting list length. Lets a
+    * per-SF sweep decide whether super-linear time growth is candidate
+    * physics (cand_pairs growing faster than docs) or output volume
+    * (truth_pairs) — the q100 playbook applied to PPJoin.
+    */
+  def ppJoinStats(docs: DataFrame, idCol: String, textCol: String,
+                  tPpm: Long): DataFrame = {
+    require(tPpm > 0 && tPpm <= 1000000L, s"tPpm in (0, 1e6], got $tPpm")
+    val sh = docs.select(col(idCol).cast("long").as("id"),
+      explode(shingles(col(textCol), 3)).as("sh"))
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val wRank = Window.partitionBy("id").orderBy(col("df").asc, col("sh").asc)
+    val wSz = Window.partitionBy("id")
+    val prefix = sh.join(dfreq, Seq("sh"))
+      .select(col("id"), col("sh"),
+        row_number().over(wRank).as("pos"),
+        count(lit(1)).over(wSz).as("sz"))
+      .filter(col("pos") <= col("sz") -
+        expr(s"(($tPpm * sz) + 999999) div 1000000") + 1)
+      .select("id", "sh", "sz")
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id") &&
+          col("a.sz") * 1000000L >= lit(tPpm) * col("b.sz") &&
+          col("b.sz") * 1000000L >= lit(tPpm) * col("a.sz"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val truth = ppJoinShingles(docs, idCol, textCol, tPpm)
+    val hot = prefix.groupBy("sh").agg(count(lit(1)).as("plen"))
+      .agg(max("plen").as("max_plen"), sum("plen").as("n_prefix"))
+    docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(sh.agg(count(lit(1)).as("n_shingle_rows")))
+      .crossJoin(hot)
+      .crossJoin(cand.agg(count(lit(1)).as("n_cand_pairs")))
+      .crossJoin(truth.agg(count(lit(1)).as("n_truth_pairs")))
+  }
+
   /** The STANDING half of [[ppJoinShingles]] split for ingest-time
     * reuse (the persisted-index pattern applied to exact set
     * similarity): from the corpus, ONE shingle pass yields
