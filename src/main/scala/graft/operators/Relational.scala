@@ -612,6 +612,99 @@ object Relational {
         col("valid_to").isNull.as("is_current"))
   }
 
+  /** Kaplan-Meier survival estimator over per-subject durations:
+    * `dur` carries one row per subject with `tCol` (integer duration,
+    * e.g. days to event or to censoring) and `eventCol` (1 = the event
+    * happened, 0 = right-censored at t). Returns one row per observed
+    * t: (t_days, n_risk, n_events, n_censored, surv_ppm) where
+    * surv_ppm is the running integer product S ← S·(n−d) div n in ppm
+    * — one floor per step, exactly replayable by a recursive-CTE
+    * oracle (q260) and by a driver-side model (the property spec).
+    *
+    * Scale contract: the per-t table is DURATION-DOMAIN bounded (≤ a
+    * few thousand rows at any corpus size — the q101/q124 doctrine),
+    * so the risk-set suffix sums and the product fold run on the
+    * driver over that bounded table; the subject-level aggregation is
+    * the only distributed pass.
+    */
+  def kaplanMeier(dur: DataFrame, tCol: String, eventCol: String): DataFrame = {
+    val spark = dur.sparkSession
+    import spark.implicits._
+    val byDay = dur.select(col(tCol).cast("long").as("t"),
+        col(eventCol).cast("long").as("is_event"))
+      .groupBy("t")
+      .agg(sum("is_event").as("d"), sum(lit(1L) - col("is_event")).as("c"))
+      .orderBy("t")
+      .collect() // duration-domain bounded
+    val total = byDay.map(r => r.getLong(1) + r.getLong(2)).sum
+    var atRisk = total
+    var surv = 1000000L
+    val rows = byDay.map { r =>
+      val (t, dd, cc) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val n = atRisk
+      if (dd > 0 && n > 0) surv = surv * (n - dd) / n
+      atRisk -= (dd + cc)
+      (t, n, dd, cc, surv)
+    }.toSeq
+    rows.toDF("t_days", "n_risk", "n_events", "n_censored", "surv_ppm")
+      .orderBy("t_days")
+  }
+
+  /** Robust outlier flags on a bounded series (the q247 monitoring
+    * alarm): a row is anomalous when |v − median| > kTimes × MAD, with
+    * LOWER medians (rank ⌈n/2⌉) so every quantity is an exact integer
+    * and no interpolation crosses engines. Appends (med_c, mad_c,
+    * dev_c, is_anomaly) to the input. The two median selections each
+    * run as a bounded orderBy/limit (the series is expected
+    * date-domain bounded — one row per day/key at any corpus size).
+    */
+  def madOutlierFlags(df: DataFrame, vCol: String,
+                      kTimes: Long = 3L): DataFrame = {
+    require(kTimes >= 1, s"kTimes must be >= 1, got $kTimes")
+    def lowerMedian(d: DataFrame, c: String): Long = {
+      val n = d.count()
+      d.orderBy(col(c).asc).limit(((n + 1) / 2).toInt)
+        .orderBy(col(c).desc).limit(1).head().getLong(0)
+    }
+    val med = lowerMedian(df.select(col(vCol)), vCol)
+    val mad = lowerMedian(
+      df.select(abs(col(vCol) - med).as("dev_c")), "dev_c")
+    df.withColumn("dev_c", abs(col(vCol) - med))
+      .withColumn("med_c", lit(med))
+      .withColumn("mad_c", lit(mad))
+      .withColumn("is_anomaly",
+        when(col("dev_c") > lit(kTimes) * mad, 1L).otherwise(0L))
+  }
+
+  /** Time-weighted state accounting over [[scd2History]] validity
+    * intervals: microseconds each key spends in each state, open
+    * intervals capped at the input's max timestamp (the corpus
+    * horizon), with each state's share of total held time in ppm
+    * (share = total_us div (grand div 1e6) — the division order that
+    * cannot overflow a Long at any corpus size). Duration sums are
+    * ADDITIVE over the SCD2 collapse — summing collapsed intervals
+    * equals summing raw per-event intervals (the property the spec
+    * brute-forces); n_intervals counts the COLLAPSED runs, checking
+    * the collapse itself. Returns (state, n_intervals, total_us,
+    * share_ppm), one row per state.
+    */
+  def timeInState(events: DataFrame, keyCol: String, tsCol: String,
+                  stateCol: String, tieCol: String): DataFrame = {
+    val hist = scd2History(events, keyCol, tsCol, stateCol, tieCol)
+    val horizon = events.agg(max(col(tsCol))).head().getTimestamp(0)
+    val agg = hist
+      .withColumn("end_ts", coalesce(col("valid_to"), lit(horizon)))
+      .select(col(stateCol).as("state"),
+        (unix_micros(col("end_ts")) - unix_micros(col("valid_from")))
+          .as("d_us"))
+      .groupBy("state")
+      .agg(count(lit(1)).as("n_intervals"), sum("d_us").as("total_us"))
+    agg.crossJoin(broadcast(agg.select(sum("total_us").as("g"))))
+      .select(col("state"), col("n_intervals"), col("total_us"),
+        expr("total_us div (g div 1000000)").as("share_ppm"))
+      .orderBy("state")
+  }
+
   /** 2-D skyline (Pareto frontier): the rows no other row strictly
     * dominates, minimizing `minCol` and maximizing `maxCol` (b dominates
     * a iff b.min <= a.min, b.max >= a.max, and at least one is strict).

@@ -340,21 +340,9 @@ private[graft] object QueriesEventsStreams {
       // rollup is a state-domain-sized agg. share divides by
       // (grand div 1e6), the canonical order that cannot overflow at
       // any corpus size.
-      val np = events(s, d).filter(col("event_type") =!= "purchase")
-      val hist = Relational.scd2History(np, "user_id", "ts",
-        "event_type", "event_id")
-      val horizon = np.agg(max(col("ts"))).head().getTimestamp(0)
-      val agg = hist
-        .withColumn("end_ts", coalesce(col("valid_to"), lit(horizon)))
-        .select(col("event_type").as("state"),
-          (unix_micros(col("end_ts")) - unix_micros(col("valid_from")))
-            .as("d_us"))
-        .groupBy("state")
-        .agg(count(lit(1)).as("n_intervals"), sum("d_us").as("total_us"))
-      agg.crossJoin(broadcast(agg.select(sum("total_us").as("g"))))
-        .select(col("state"), col("n_intervals"), col("total_us"),
-          expr("total_us div (g div 1000000)").as("share_ppm"))
-        .orderBy("state")
+      Relational.timeInState(
+        events(s, d).filter(col("event_type") =!= "purchase"),
+        "user_id", "ts", "event_type", "event_id")
     }),
 
     "q253_decayed_leaderboard" -> ((s, d) => {
@@ -463,23 +451,7 @@ private[graft] object QueriesEventsStreams {
             .otherwise(datediff(lit(horizon), col("s_day"))).as("t"),
           (col("p_day").isNotNull && col("p_day") >= col("s_day"))
             .cast("long").as("is_event"))
-      val byDay = dur.groupBy("t")
-        .agg(sum("is_event").as("d"), sum(lit(1L) - col("is_event")).as("c"))
-        .orderBy("t")
-        .collect() // date-domain bounded
-      val total = byDay.map(r => r.getLong(1) + r.getLong(2)).sum
-      var atRisk = total
-      var surv = 1000000L
-      val rows = byDay.map { r =>
-        val (t, dd, cc) = (r.getInt(0), r.getLong(1), r.getLong(2))
-        val n = atRisk
-        if (dd > 0 && n > 0) surv = surv * (n - dd) / n
-        atRisk -= (dd + cc)
-        (t.toLong, n, dd, cc, surv)
-      }.toSeq
-      import s.implicits._
-      rows.toDF("t_days", "n_risk", "n_events", "n_censored", "surv_ppm")
-        .orderBy("t_days")
+      Relational.kaplanMeier(dur, "t", "is_event")
     }),
 
     "q261_seasonal_baseline" -> ((s, d) => {

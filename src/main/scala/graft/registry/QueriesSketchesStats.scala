@@ -498,20 +498,7 @@ private[graft] object QueriesSketchesStats {
       val daily = events(s, d).filter(col("event_type") === "purchase")
         .groupBy(to_date(col("ts")).as("day"))
         .agg(sum(cents(col("value"))).as("total_c"))
-      def lowerMedian(df: DataFrame, c: String): Long = {
-        val n = df.count()
-        df.orderBy(col(c).asc).limit(((n + 1) / 2).toInt)
-          .orderBy(col(c).desc).limit(1).head().getLong(0)
-      }
-      val med = lowerMedian(daily.select(col("total_c")), "total_c")
-      val dev = daily.select(abs(col("total_c") - med).as("dev_c"))
-      val mad = lowerMedian(dev, "dev_c")
-      daily
-        .withColumn("dev_c", abs(col("total_c") - med))
-        .withColumn("med_c", lit(med))
-        .withColumn("mad_c", lit(mad))
-        .withColumn("is_anomaly",
-          when(col("dev_c") > lit(3L) * mad, 1L).otherwise(0L))
+      Relational.madOutlierFlags(daily, "total_c", kTimes = 3L)
         .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
           col("total_c"), col("med_c"), col("mad_c"), col("dev_c"),
           col("is_anomaly"))
