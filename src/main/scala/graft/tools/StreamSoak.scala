@@ -429,6 +429,96 @@ object StreamSoak {
       restarts, maxStateRows, pass)
   }
 
+  /** Phase 7: streaming LSH ingest (q206's standing-index near-dup
+    * check as a continuous foreachBatch job) — the one streaming path
+    * the soak did not cover (VERDICT r11 #5). Stateless by design (the
+    * index is static, signatures are per-doc), so the properties under
+    * induced restarts are OUTPUT properties:
+    *  1. completeness — after the feed drains, the union of all
+    *     batch_id partitions equals the one-shot batch join over
+    *     everything the feeder wrote (no batch lost to a restart, no
+    *     duplicate rows from a re-run batch, because each batch
+    *     overwrites its own partition);
+    *  2. effectively-once replay — FORCE a replay by deleting the
+    *     checkpoint's last commit marker and restarting: Structured
+    *     Streaming re-executes that batch from the offset log, and the
+    *     re-written partition must be content-identical (sorted-row
+    *     equality; file names carry fresh UUIDs so byte-compare is the
+    *     wrong check) to the snapshot taken before the replay.
+    * Docs are derived from the event feed (doc_id = event_id, text a
+    * pure function of event_id % 500), so streamed docs repeatedly
+    * near-match a 300-doc static corpus and the join output is dense;
+    * the batch twin derives the SAME columns.
+    */
+  private def lshPhase(spark: SparkSession, root: String, seconds: Int,
+                       restartSeconds: Int, batchEvents: Int): PhaseResult = {
+    val src = s"$root/src"; val ckpt = s"$root/ckpt"; val out = s"$root/out"
+    new java.io.File(src).mkdirs()
+    def textOf(idCol: org.apache.spark.sql.Column) = {
+      val m = pmod(idCol, lit(500L))
+      concat_ws(" ", (0 until 12).map(i =>
+        concat(lit("w"), pmod(m * (31 + i) + i * i, lit(40)))): _*)
+    }
+    def withDoc(df: DataFrame) = df.select(
+      col("event_id").cast("long").as("doc_id"),
+      textOf(col("event_id")).as("text"))
+    val corpus = spark.range(300).select(col("id").as("doc_id"),
+      textOf(col("id")).as("text"))
+    val postings = graft.operators.Dedup.minHashBandPostings(
+      corpus, "doc_id", "text", k = 3, bands = 4, rowsPerBand = 4)
+    postings.write.mode("overwrite").parquet(s"$root/postings")
+    val idx = spark.read.parquet(s"$root/postings")
+    def startQuery() = EventStreams.streamingLshIngest(
+      withDoc(EventStreams.readEventStream(spark, src)), idx,
+      out, ckpt, "doc_id", "text",
+      k = 3, bands = 4, rowsPerBand = 4, minEstJaccard = 0.25)
+    val (restarts, maxSoak, batches) =
+      soakLoop(spark, src, seconds, restartSeconds, batchEvents)(startQuery _)
+    // drain: restart on the same checkpoint and process the tail the
+    // induced kills left unread
+    locally {
+      val q = startQuery(); q.processAllAvailable(); q.stop()
+    }
+    def readOut() = spark.read
+      .option("basePath", out).parquet(out)
+      .select("new_id", "corpus_id", "est_jaccard")
+    def rows(df: DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val streamed = rows(readOut()).toSet
+    val expected = rows(graft.operators.Dedup.minHashLshJoinPostings(
+      withDoc(spark.read.parquet(src)), idx, "doc_id", "text",
+      k = 3, bands = 4, rowsPerBand = 4, minEstJaccard = 0.25)).toSet
+    val complete = streamed == expected
+    // forced replay of the LAST committed batch
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).map(_.getName.toLong)
+    val last = commits.max
+    val partDir = s"$out/batch_id=$last"
+    def partContent() = spark.read.parquet(partDir)
+      .select("new_id", "corpus_id", "est_jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sorted.toSeq
+    val before = partContent()
+    assert(new java.io.File(s"$ckpt/commits/$last").delete(),
+      s"could not delete commit marker $last")
+    // the local checkpoint FS writes a CRC sidecar next to every
+    // marker; leaving it behind makes the replayed commit's rename
+    // fail with FileAlreadyExistsException
+    new java.io.File(s"$ckpt/commits/.$last.crc").delete(): Unit
+    locally {
+      val q = startQuery(); q.processAllAvailable(); q.stop()
+    }
+    val after = partContent()
+    val replayIdentical = before == after && before.nonEmpty
+    val pass = complete && replayIdentical && maxSoak == 0L
+    if (!pass)
+      System.err.println(s"SOAK lsh complete=$complete (streamed=" +
+        s"${streamed.size} expected=${expected.size}) replay=" +
+        s"$replayIdentical (rows=${before.size}) maxState=$maxSoak")
+    PhaseResult((batches + 1).toLong * batchEvents, streamed.size.toLong,
+      restarts, maxSoak, pass)
+  }
+
   def main(args: Array[String]): Unit = {
     val soakSeconds = sys.env.getOrElse("SOAK_SECONDS", "180").toInt
     val twinSeconds = sys.env.getOrElse("SOAK_TWIN_SECONDS", "60").toInt
@@ -454,12 +544,14 @@ object StreamSoak {
       twinSeconds, restartSeconds, batchEvents)
     val funnel = funnelPhase(spark, "/tmp/graft-soak/funnel",
       twinSeconds, restartSeconds, batchEvents)
+    val lsh = lshPhase(spark, "/tmp/graft-soak/lsh",
+      twinSeconds, restartSeconds, batchEvents)
 
     val pass = tumbling.pass && kmv.pass && cms.pass && mg.pass &&
-      lb.pass && funnel.pass
+      lb.pass && funnel.pass && lsh.pass
     println(s"""{"tumbling":${tumbling.json()},"kmv":${kmv.json()},""" +
       s""""cms":${cms.json()},"mg":${mg.json()},"lb":${lb.json()},""" +
-      s""""funnel":${funnel.json()},""" +
+      s""""funnel":${funnel.json()},"lsh":${lsh.json()},""" +
       s""""result":"${if (pass) "PASS" else "FAIL"}"}""")
     spark.stop()
     if (!pass) sys.exit(1)

@@ -5,10 +5,20 @@ Usage: check_oracle.py <verify_out_dir> <sf_dir>
 Reads each <name>/ parquet written by graft.Verify plus oracle_sql.json,
 runs the oracle in DuckDB over the same tables, and compares values
 (columns sorted by name, rows sorted, stringified values hashed).
+
+Env (for large-SF spot drives, VERDICT r11 #4):
+  ORACLE_TIMEOUT_S   per-oracle watchdog; an overrunning DuckDB query
+                     is interrupted and reported ORACLE-TIMEOUT (not a
+                     failure — the ENGINE side still verified, the
+                     oracle just could not keep up at that SF)
+  ORACLE_MEM_LIMIT   duckdb memory_limit (e.g. "80GB")
 """
-import sys, os, json, glob
+import sys, os, json, glob, threading
 import duckdb
 import pandas as pd
+
+TIMEOUT_S = float(os.environ.get("ORACLE_TIMEOUT_S", "0") or 0)
+MEM_LIMIT = os.environ.get("ORACLE_MEM_LIMIT", "")
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -36,8 +46,20 @@ def canon_val(v):
 def main():
     outdir, sfdir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    if MEM_LIMIT:
+        con.sql(f"SET memory_limit='{MEM_LIMIT}'")
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    n_timeout = 0
+    def run_oracle(sql):
+        if TIMEOUT_S <= 0:
+            return con.sql(sql).df()
+        timer = threading.Timer(TIMEOUT_S, con.interrupt)
+        timer.start()
+        try:
+            return con.sql(sql).df()
+        finally:
+            timer.cancel()
     oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
     names = sorted([d for d in os.listdir(outdir)
                     if os.path.isdir(os.path.join(outdir, d))])
@@ -51,9 +73,16 @@ def main():
             print(f"{name:28s} rows-only ({len(spark_df)} rows)"); n_noora += 1
             continue
         try:
-            duck_df = con.sql(oracle[name]).df()
+            duck_df = run_oracle(oracle[name])
+        except duckdb.InterruptException:
+            print(f"{name:28s} ORACLE-TIMEOUT (> {TIMEOUT_S:.0f}s)")
+            n_timeout += 1; continue
         except Exception as e:
-            print(f"{name:28s} ORACLE-ERROR {str(e).splitlines()[0][:90]}")
+            msg = str(e).splitlines()[0][:90]
+            if "INTERRUPT" in msg.upper():
+                print(f"{name:28s} ORACLE-TIMEOUT (> {TIMEOUT_S:.0f}s)")
+                n_timeout += 1; continue
+            print(f"{name:28s} ORACLE-ERROR {msg}")
             n_fail += 1; continue
         a, b = canon(spark_df), canon(duck_df)
         if list(a.columns) != list(b.columns):
@@ -73,7 +102,8 @@ def main():
                 print(f"   spark: {a.loc[i].to_dict()}")
                 print(f"   duck : {b.loc[i].to_dict()}")
             n_fail += 1
-    print(f"\n== {n_pass} pass, {n_fail} fail, {n_noora} rows-only ==")
+    extra = f", {n_timeout} oracle-timeout" if n_timeout else ""
+    print(f"\n== {n_pass} pass, {n_fail} fail, {n_noora} rows-only{extra} ==")
     sys.exit(1 if n_fail else 0)
 
 if __name__ == "__main__":
