@@ -435,6 +435,38 @@ object Curation {
       .drop("__h")
   }
 
+  /** Priority sampling (Duffield, Lund & Thorup, JACM 2007) — the
+    * weighted bottom-k every "sample big documents proportionally"
+    * request wants when [[ppsSample]]'s expected-rate form is the
+    * wrong fit and an EXACT sample size k is required: each row draws
+    * the deterministic 60-bit coin u = tokenHash64(salt‖id) and the
+    * sample is the k smallest u div w (equivalent to the paper's
+    * top-k by w∕u — positive w flips the order under reciprocal —
+    * with the floor division and (key, id) tie-break making the
+    * selection integer-exact and engine-replayable). Heavier rows
+    * draw smaller keys in distribution, so inclusion probability
+    * rises with weight; the same corpus yields the same sample on
+    * every run and engine — reproducible training-data selection.
+    *
+    * Scale shape: map-only key computation + TakeOrdered(k) — no
+    * shuffle, no global sort; the k-row result is the only thing that
+    * ever leaves the executors. Returns (rank, idCol, weight, pkey).
+    */
+  def prioritySample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int, salt: String = "ps_"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    df.select(col(idCol), col(weightCol).cast("long").as("weight"))
+      .filter(col("weight") >= 1L)
+      .withColumn("__u",
+        tokenHash64(concat(lit(salt), col(idCol).cast("string"))))
+      .withColumn("pkey", expr("__u div weight"))
+      .orderBy(col("pkey").asc, col(idCol).asc)
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("pkey").asc, col(idCol).asc)))
+      .select(col("rank").cast("long"), col(idCol), col("weight"), col("pkey"))
+  }
+
   def budgetSelect(scored: DataFrame, idCol: String, scoreCol: String,
                    tokensCol: String, budget: Long,
                    numPartitions: Int = 32): DataFrame = {

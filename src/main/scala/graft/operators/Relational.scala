@@ -705,6 +705,81 @@ object Relational {
       .orderBy("state")
   }
 
+  /** Mann-Whitney U readout for a two-arm experiment — the
+    * nonparametric effect test an A/B platform runs when the metric is
+    * skewed (revenue, latency) and a means test misleads. Tie-corrected
+    * with AVERAGE ranks, kept in exact integers by the 2× trick: for a
+    * tie group occupying ranks [a, a+t−1], 2·avgrank = 2a + t − 1, so
+    * every per-arm rank sum and U statistic is carried DOUBLED
+    * (rank2_sum = 2·ΣR, u2 = 2·U) and stays a Long. Effect size is the
+    * rank-biserial r = 2U/(n₁n₂) − 1 in ppm, with the overflow-safe
+    * division order u2 div ((n₁·n₂) div 10⁶) that both engines replay.
+    *
+    * Scale shape (the q92/q101 value-domain doctrine): ranks come from
+    * the VALUE HISTOGRAM, not a global row sort — one (value) agg
+    * bounds the window at |distinct values| rows, a second (arm,
+    * value) agg joins back; no per-row window, no single-partition
+    * sort at any corpus size. Returns one row per arm:
+    * (arm, n_users, rank2_sum, u2, rb_ppm).
+    */
+  def mannWhitney(df: DataFrame, armCol: String, vCol: String): DataFrame = {
+    val byV = Window.orderBy(vCol) // histogram-bounded window
+    val hist = df.groupBy(vCol).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__cum", sum("__cnt").over(byV) - col("__cnt"))
+      // 2×average rank of every row holding this value:
+      // ranks [cum+1, cum+cnt] -> 2·avg = 2·cum + cnt + 1
+      .withColumn("__rank2", lit(2L) * col("__cum") + col("__cnt") + 1L)
+      .select(col(vCol), col("__rank2"))
+    val armStats = df.groupBy(armCol, vCol).agg(count(lit(1)).as("__n"))
+      .join(hist, Seq(vCol))
+      .groupBy(armCol)
+      .agg(sum("__n").cast("long").as("n_users"),
+        sum(col("__n") * col("__rank2")).cast("long").as("rank2_sum"))
+    val arms = armStats.withColumn("u2",
+      col("rank2_sum") - col("n_users") * (col("n_users") + 1L))
+    val other = arms.select(col(armCol).as("__o_arm"),
+      col("n_users").as("__o_n"))
+    arms.join(other, col(armCol) =!= col("__o_arm"))
+      // greatest(...,1): a degenerate arm product under 10⁶ (tiny test
+      // fixtures) must floor the denominator, not divide by zero; the
+      // oracle carries the same GREATEST
+      .withColumn("rb_ppm",
+        expr("u2 div greatest((n_users * __o_n) div 1000000, 1) - 1000000"))
+      .select(col(armCol), col("n_users"), col("rank2_sum"), col("u2"),
+        col("rb_ppm"))
+      .orderBy(armCol)
+  }
+
+  /** Observed/expected independence lift for two categorical columns —
+    * the contingency-table audit behind every "is the mix shifting"
+    * question (device × event type, source × language): per cell the
+    * observed count, the independence-expected count ⌊r·c∕n⌋, and the
+    * observed/expected ratio in ppm with the overflow-safe order
+    * (o·10⁶) div ((r·c) div n) — every quantity an exact integer at
+    * any corpus size (r·c ≤ n², div n first keeps it ≤ n). Three hash
+    * aggregations (cells, row totals, column totals — the margins
+    * broadcast; they are category-domain bounded), one map-side join
+    * back. Returns (rowVal, colVal, n_obs, n_exp, lift_ppm).
+    */
+  def independenceLift(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
+    val cells = df.groupBy(rowCol, colCol).agg(count(lit(1)).as("n_obs"))
+    val rt = df.groupBy(rowCol).agg(count(lit(1)).as("__r"))
+    val ct = df.groupBy(colCol).agg(count(lit(1)).as("__c"))
+    val n = df.agg(count(lit(1)).as("__n"))
+    cells
+      .join(broadcast(rt), Seq(rowCol))
+      .join(broadcast(ct), Seq(colCol))
+      .crossJoin(broadcast(n))
+      .withColumn("n_exp", expr("(__r * __c) div __n"))
+      // a rare-margin cell can floor to 0 expected; greatest(...,1)
+      // keeps the ratio defined (both engines carry it)
+      .withColumn("lift_ppm",
+        expr("(n_obs * 1000000) div greatest((__r * __c) div __n, 1)"))
+      .select(col(rowCol), col(colCol), col("n_obs"), col("n_exp"),
+        col("lift_ppm"))
+      .orderBy(rowCol, colCol)
+  }
+
   /** 2-D skyline (Pareto frontier): the rows no other row strictly
     * dominates, minimizing `minCol` and maximizing `maxCol` (b dominates
     * a iff b.min <= a.min, b.max >= a.max, and at least one is strict).

@@ -366,6 +366,17 @@ private[graft] object QueriesCurationPipeline {
         .withColumn("dup_ppm", expr("n_dup * 1000000 div n_docs"))
         .orderBy("decile")
     }),
+
+    "q266_priority_sample" -> ((s, d) =>
+      // Priority sampling (Duffield et al. 2007): EXACT-size weighted
+      // sample of k=50 documents, weight = text length — bottom-k of
+      // the integer key u div w over a deterministic 60-bit md5 coin,
+      // so heavier docs are likelier in; map-only + TakeOrdered, and
+      // the same corpus yields the same sample on every engine
+      // (Curation.prioritySample scaladoc).
+      Curation.prioritySample(
+        documents(s, d).select(col("doc_id"), length(col("text")).as("w")),
+        "doc_id", "w", k = 50)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -803,6 +814,20 @@ private[graft] object QueriesCurationPipeline {
          |   // COUNT(*) AS BIGINT) AS dup_ppm
          |FROM dec LEFT JOIN du ON du.id = dec.doc_id
          |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    // identical 60-bit coin and floor-division key; LIMIT after the
+    // total (pkey, doc_id) order is the same bottom-k
+    "q266_priority_sample" -> {
+      val h = duckHash("concat('ps_', CAST(doc_id AS VARCHAR))", 15)
+      s"""WITH dcs AS (SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS weight FROM documents),
+        |k AS (SELECT doc_id, weight, $h // weight AS pkey
+        |  FROM dcs WHERE weight >= 1)
+        |SELECT CAST(row_number() OVER (ORDER BY pkey, doc_id)
+        |   AS BIGINT) AS "rank",
+        | doc_id, weight, CAST(pkey AS BIGINT) AS pkey
+        |FROM k ORDER BY pkey, doc_id LIMIT 50""".stripMargin
     },
   )
 }

@@ -534,6 +534,35 @@ private[graft] object QueriesSketchesStats {
           col("benford_ppm"), col("abs_diff_ppm"))
         .orderBy("digit")
     }),
+
+    "q264_mann_whitney" -> ((s, d) => {
+      // Nonparametric A/B effect test on per-user revenue — the
+      // readout a platform runs when the metric is skewed and q258's
+      // means mislead: tie-corrected Mann-Whitney U in exact integers
+      // (2×-scaled average ranks) with the rank-biserial effect in
+      // ppm. Ranks come from the value HISTOGRAM (one bounded window),
+      // never a global row sort (Relational.mannWhitney scaladoc).
+      val users = events(s, d)
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase",
+          cents(col("value"))).otherwise(0L)).as("value_c"))
+        .withColumn("arm",
+          when(pmod(tokenHash64(concat(lit("ab_"),
+            col("user_id").cast("string"))), lit(2L)) === 0L, "control")
+            .otherwise("treatment"))
+      Relational.mannWhitney(users, "arm", "value_c")
+    }),
+
+    "q265_independence_lift" -> ((s, d) =>
+      // Contingency-table independence audit (event type × weekday):
+      // observed vs independence-expected counts and the
+      // observed/expected lift in exact ppm — the "is the mix
+      // shifting" screen. Three hash aggs; margins broadcast
+      // (category-domain bounded); overflow-safe division order.
+      Relational.independenceLift(
+        events(s, d).select(col("event_type"),
+          dayofweek(col("ts")).cast("long").as("weekday")),
+        "event_type", "weekday")),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -993,5 +1022,51 @@ private[graft] object QueriesSketchesStats {
         |   AS BIGINT) AS abs_diff_ppm
         |FROM g JOIN e ON e.digit = g.digit
         |ORDER BY 1""".stripMargin,
+
+    // same md5 arm coin as q258; 2×-rank arithmetic from the value
+    // histogram, the identical floor-division order for rb_ppm
+    "q264_mann_whitney" -> {
+      val coin = duckHash("concat('ab_', CAST(user_id AS VARCHAR))", 15)
+      s"""WITH u AS (SELECT user_id,
+        |  SUM(CASE WHEN event_type = 'purchase'
+        |    THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS value_c
+        | FROM events GROUP BY 1),
+        |a AS (SELECT CASE WHEN $coin % 2 = 0 THEN 'control'
+        |  ELSE 'treatment' END AS arm, value_c FROM u),
+        |h AS (SELECT value_c, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM a GROUP BY 1),
+        |r AS (SELECT value_c,
+        |  2 * (CAST(SUM(cnt) OVER (ORDER BY value_c) AS BIGINT) - cnt)
+        |    + cnt + 1 AS rank2 FROM h),
+        |s AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |   CAST(SUM(r.rank2) AS BIGINT) AS rank2_sum
+        |  FROM a JOIN r USING (value_c) GROUP BY 1),
+        |t AS (SELECT s.*,
+        |  s.rank2_sum - s.n_users * (s.n_users + 1) AS u2 FROM s)
+        |SELECT t.arm, t.n_users, t.rank2_sum, CAST(t.u2 AS BIGINT) AS u2,
+        | CAST(t.u2 // GREATEST((t.n_users * o.n_users) // 1000000, 1)
+        |   - 1000000 AS BIGINT) AS rb_ppm
+        |FROM t JOIN t o ON t.arm <> o.arm
+        |ORDER BY t.arm""".stripMargin
+    },
+
+    // DuckDB dayofweek is 0=Sunday..6; Spark's is 1..7 — shift by one
+    "q265_independence_lift" ->
+      """WITH e AS (SELECT event_type,
+        |  CAST(dayofweek(ts) + 1 AS BIGINT) AS weekday FROM events),
+        |c AS (SELECT event_type, weekday, CAST(COUNT(*) AS BIGINT) AS n_obs
+        |  FROM e GROUP BY 1, 2),
+        |r AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS rt
+        |  FROM e GROUP BY 1),
+        |co AS (SELECT weekday, CAST(COUNT(*) AS BIGINT) AS ct
+        |  FROM e GROUP BY 1),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM e)
+        |SELECT c.event_type, c.weekday, c.n_obs,
+        | CAST((r.rt * co.ct) // n.nt AS BIGINT) AS n_exp,
+        | CAST((c.n_obs * 1000000) // GREATEST((r.rt * co.ct) // n.nt, 1)
+        |   AS BIGINT) AS lift_ppm
+        |FROM c JOIN r USING (event_type) JOIN co USING (weekday)
+        |CROSS JOIN n
+        |ORDER BY 1, 2""".stripMargin,
   )
 }

@@ -76,6 +76,94 @@ class InlineFoldPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("mannWhitney: tie-corrected U equals the driver rank model on random arms") {
+    val rnd = new scala.util.Random(264)
+    for (trial <- 1 to 25) {
+      // heavy ties (values from a small domain) — the average-rank
+      // correction is the part a naive dense-rank version gets wrong
+      val n1 = 2 + rnd.nextInt(30)
+      val n2 = 2 + rnd.nextInt(30)
+      val vals = Seq.fill(n1)(("control", rnd.nextInt(9).toLong * 5L)) ++
+        Seq.fill(n2)(("treatment", rnd.nextInt(9).toLong * 5L))
+      val got = operators.Relational.mannWhitney(
+          vals.toDF("arm", "v"), "arm", "v")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+        .toSeq
+      // model: 2×average rank by sorting the pooled sample
+      val sorted = vals.map(_._2).sorted
+      def rank2(v: Long): Long = {
+        val lo = sorted.indexOf(v)          // 0-based first position
+        val t = sorted.count(_ == v)
+        2L * (lo + 1) + t - 1               // 2a + t - 1, a = lo+1
+      }
+      def armRow(arm: String, nSelf: Int, nOther: Int) = {
+        val r2 = vals.filter(_._1 == arm).map(v => rank2(v._2)).sum
+        val u2 = r2 - nSelf.toLong * (nSelf + 1)
+        val rb = u2 / math.max(nSelf.toLong * nOther / 1000000L, 1L) - 1000000L
+        (arm, nSelf.toLong, r2, u2, rb)
+      }
+      val want = Seq(armRow("control", n1, n2), armRow("treatment", n2, n1))
+      assert(got == want, s"trial $trial: got $got want $want")
+      // invariant: U_c + U_t == 2·n1·n2 (doubled on both sides)
+      assert(got.map(_._4).sum == 2L * n1 * n2)
+    }
+  }
+
+  test("independenceLift: cells equal the driver contingency model") {
+    val rnd = new scala.util.Random(265)
+    for (trial <- 1 to 20) {
+      val rows = Seq.fill(20 + rnd.nextInt(200))(
+        (s"r${rnd.nextInt(4)}", s"c${rnd.nextInt(3)}"))
+      val got = operators.Relational.independenceLift(
+          rows.toDF("rv", "cv"), "rv", "cv")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+        .toSeq
+      val n = rows.size.toLong
+      val rt = rows.groupBy(_._1).map { case (k, g) => k -> g.size.toLong }
+      val ct = rows.groupBy(_._2).map { case (k, g) => k -> g.size.toLong }
+      val want = rows.groupBy(identity).toSeq
+        .map { case ((r, c), g) =>
+          val e = rt(r) * ct(c) / n
+          (r, c, g.size.toLong, e, g.size.toLong * 1000000L / math.max(e, 1L))
+        }
+        .sortBy(t => (t._1, t._2))
+      assert(got == want, s"trial $trial: got $got want $want")
+    }
+  }
+
+  test("prioritySample: bottom-k matches the driver key model and favors weight") {
+    import graft.functions.TextFunctions.tokenHash64Jvm
+    val rnd = new scala.util.Random(266)
+    for (trial <- 1 to 15) {
+      val n = 30 + rnd.nextInt(100)
+      val k = 1 + rnd.nextInt(20)
+      val docs = (0 until n).map(i => (i.toLong, 1L + rnd.nextInt(5000)))
+      val got = operators.Curation.prioritySample(
+          docs.toDF("doc_id", "w"), "doc_id", "w", k)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      val want = docs
+        .map { case (id, w) => (tokenHash64Jvm(s"ps_$id") / w, id, w) }
+        .sortBy(t => (t._1, t._2))
+        .take(k)
+        .zipWithIndex
+        .map { case ((key, id, w), i) => (i + 1L, id, w, key) }
+      assert(got == want, s"trial $trial: got $got want $want")
+    }
+    // weight monotonicity in distribution: with ids fixed, doubling
+    // every weight can only shrink keys, so the all-heavier corpus
+    // keeps the same relative order (key = u div w is antitone in w)
+    val ids = (0 until 50).map(_.toLong)
+    val k1 = ids.map(id => tokenHash64Jvm(s"ps_$id") / 10L)
+    val k2 = ids.map(id => tokenHash64Jvm(s"ps_$id") / 20L)
+    assert(k1.zip(k2).forall { case (a, b) => b <= a })
+  }
+
   test("timeInState: totals are additive over the SCD2 collapse on random streams") {
     val rnd = new scala.util.Random(251)
     val base = java.sql.Timestamp.valueOf("2026-03-01 00:00:00").getTime
