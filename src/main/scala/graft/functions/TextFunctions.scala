@@ -52,8 +52,14 @@ object TextFunctions {
   /** Quality score in [0,1]: blends length saturation, stopword ratio and
     * alpha ratio — the standard cheap heuristics (length/punct/stopword)
     * used in public web-scale pipelines (C4/Gopher-style rules). Rounded
-    * to 4 decimals so double math matches the oracle bit-for-bit after
-    * rounding.
+    * to 4 decimals via floor(x·10⁴ + 0.5)/10⁴ — half-up ON THE BINARY
+    * VALUE, which both engines compute bit-identically. Spark's round()
+    * is BigDecimal half-up on the double's SHORTEST DECIMAL STRING,
+    * which disagrees with a binary-value rounder exactly when the
+    * double sits just under a .00005 boundary whose shortest rendering
+    * crosses it — a real sf1 document hit that edge (round-12 sf1 spot
+    * drive, q104 kept_q off by one), so the boundary rule is now the
+    * engine-neutral one everywhere quality is computed.
     */
   def qualityScore(text: Column): Column = qualityScoreFrom(text, tokens(text))
 
@@ -77,7 +83,8 @@ object TextFunctions {
     val swRatio = when(nTokens > 0, nStop.cast("double") / nTok).otherwise(lit(0.0))
     val alpha = length(regexp_replace(text, "[^A-Za-z]", "")).cast("double")
     val alphaRatio = when(length(text) > 0, alpha / length(text).cast("double")).otherwise(lit(0.0))
-    round(lengthSat * 0.4 + least(swRatio * lit(4.0), lit(1.0)) * 0.3 + alphaRatio * 0.3, 4)
+    floor((lengthSat * 0.4 + least(swRatio * lit(4.0), lit(1.0)) * 0.3
+      + alphaRatio * 0.3) * 10000.0 + lit(0.5)).cast("double") / 10000.0
   }
 
   /** One-pass integer stats struct `(n_tokens, n_subwords, n_stop)` —

@@ -718,9 +718,13 @@ object Relational {
     * Scale shape (the q92/q101 value-domain doctrine): ranks come from
     * the VALUE HISTOGRAM, not a global row sort — one (value) agg
     * bounds the window at |distinct values| rows, a second (arm,
-    * value) agg joins back; no per-row window, no single-partition
-    * sort at any corpus size. Returns one row per arm:
-    * (arm, n_users, rank2_sum, u2, rb_ppm).
+    * value) agg joins back; no per-row window. The histogram window is
+    * single-partition by construction, so the contract is a BOUNDED
+    * value domain (cents-quantized metrics cluster hard); for a metric
+    * whose distinct-value count grows with the corpus, pre-bucket
+    * (the q92 discipline) before ranking — U on bucketed values is U
+    * with ties, which the average-rank correction already handles.
+    * Returns one row per arm: (arm, n_users, rank2_sum, u2, rb_ppm).
     */
   def mannWhitney(df: DataFrame, armCol: String, vCol: String): DataFrame = {
     val byV = Window.orderBy(vCol) // histogram-bounded window

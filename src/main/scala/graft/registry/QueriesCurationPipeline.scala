@@ -354,7 +354,7 @@ private[graft] object QueriesCurationPipeline {
       val qual = docs.select(col("doc_id"),
           qualityScore(col("text")).as("q"))
         .withColumn("decile",
-          least(expr("cast(round(q * 10000) as bigint) div 1000"), lit(9L)))
+          least(expr("cast(floor(q * 10000 + 0.5d) as bigint) div 1000"), lit(9L)))
       val pairs = Dedup.simHashDup(docs, "doc_id", "text", nBits = 16)
       val dupIds = pairs.select(col("id_a").as("doc_id"))
         .unionByName(pairs.select(col("id_b").as("doc_id"))).distinct()
@@ -387,11 +387,11 @@ private[graft] object QueriesCurationPipeline {
          |s AS (SELECT source, text, CAST(len(toks) AS BIGINT) AS n_tokens,
          |  CAST(len(list_filter(toks, x -> x IN ($sw))) AS BIGINT) AS n_stop FROM t),
          |q AS (SELECT source, n_tokens,
-         |  round(least(CAST(n_tokens AS DOUBLE)/50.0, 1.0)*0.4
+         |  floor((least(CAST(n_tokens AS DOUBLE)/50.0, 1.0)*0.4
          |   + least((CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE)/n_tokens ELSE 0.0 END)*4.0, 1.0)*0.3
          |   + (CASE WHEN length(text) > 0
          |      THEN CAST(length(regexp_replace(text,'[^A-Za-z]','','g')) AS DOUBLE)/length(text)
-         |      ELSE 0.0 END)*0.3, 4) AS quality
+         |      ELSE 0.0 END)*0.3)*10000 + 0.5)/10000.0 AS quality
          | FROM s)
          |SELECT source, COUNT(*) AS n_docs, round(avg(quality), 4) AS avg_quality,
          | CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
@@ -422,11 +422,11 @@ private[graft] object QueriesCurationPipeline {
          |       WHEN s_fr > greatest(s_en, s_de) THEN 'fr'
          |       WHEN s_de > s_en THEN 'de'
          |       ELSE 'en' END AS lang,
-         |  round(least(CAST(n_tokens AS DOUBLE)/50.0, 1.0)*0.4
+         |  floor((least(CAST(n_tokens AS DOUBLE)/50.0, 1.0)*0.4
          |   + least((CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE)/n_tokens ELSE 0.0 END)*4.0, 1.0)*0.3
          |   + (CASE WHEN length(text) > 0
          |      THEN CAST(length(regexp_replace(text,'[^A-Za-z]','','g')) AS DOUBLE)/length(text)
-         |      ELSE 0.0 END)*0.3, 4) AS quality
+         |      ELSE 0.0 END)*0.3)*10000 + 0.5)/10000.0 AS quality
          | FROM s)
          |SELECT source, COUNT(*) AS n_kept, CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens
          |FROM q WHERE lang = 'en' AND quality >= 0.5
@@ -786,14 +786,14 @@ private[graft] object QueriesCurationPipeline {
          |s AS (SELECT doc_id, text, CAST(len(toks) AS BIGINT) AS n_tokens,
          |  CAST(len(list_filter(toks, x -> x IN ($sw))) AS BIGINT) AS n_stop FROM t),
          |q AS (SELECT doc_id,
-         |  round(least(CAST(n_tokens AS DOUBLE)/50.0, 1.0)*0.4
+         |  floor((least(CAST(n_tokens AS DOUBLE)/50.0, 1.0)*0.4
          |   + least((CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE)/n_tokens ELSE 0.0 END)*4.0, 1.0)*0.3
          |   + (CASE WHEN length(text) > 0
          |      THEN CAST(length(regexp_replace(text,'[^A-Za-z]','','g')) AS DOUBLE)/length(text)
-         |      ELSE 0.0 END)*0.3, 4) AS quality
+         |      ELSE 0.0 END)*0.3)*10000 + 0.5)/10000.0 AS quality
          | FROM s),
          |dec AS (SELECT doc_id,
-         |  least(CAST(round(quality * 10000) AS BIGINT) // 1000, 9) AS decile
+         |  least(CAST(floor(quality * 10000 + 0.5) AS BIGINT) // 1000, 9) AS decile
          | FROM q),
          |w2 AS (SELECT doc_id AS id, unnest($TOKS) AS w FROM documents),
          |h2 AS (SELECT id, ${duckHash("w", 15)} AS h FROM w2),

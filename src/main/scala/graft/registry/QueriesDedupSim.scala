@@ -121,7 +121,11 @@ private[graft] object QueriesDedupSim {
       // with millions of copies never materializes as a group
       documents(s, d)
         .select(fingerprint(col("text")).as("fp"), col("doc_id"),
-          round(qualityScore(col("text")) * 10000).cast("long").as("q"))
+          // quality is k/10⁴ with integer k, so ×10⁴ is k ± ulp and
+          // floor(+0.5) recovers k exactly on both engines (Spark's
+          // round() would re-round the decimal string — the sf1 edge)
+          floor(qualityScore(col("text")) * 10000 + lit(0.5))
+            .cast("long").as("q"))
         .groupBy("fp")
         .agg(count(lit(1)).as("n_copies"),
           max(struct(col("q").as("q"), (-col("doc_id")).as("nid"))).as("m"))
@@ -979,11 +983,11 @@ private[graft] object QueriesDedupSim {
          |  CAST(len(list_filter(toks, x -> x IN ($sw))) AS BIGINT) AS n_stop
          | FROM t),
          |q AS (SELECT doc_id, fp,
-         |  round(least(CAST(n_tokens AS DOUBLE)/50.0, 1.0)*0.4
+         |  floor((least(CAST(n_tokens AS DOUBLE)/50.0, 1.0)*0.4
          |   + least((CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE)/n_tokens ELSE 0.0 END)*4.0, 1.0)*0.3
          |   + (CASE WHEN length(text) > 0
          |      THEN CAST(length(regexp_replace(text,'[^A-Za-z]','','g')) AS DOUBLE)/length(text)
-         |      ELSE 0.0 END)*0.3, 4) AS quality
+         |      ELSE 0.0 END)*0.3)*10000 + 0.5)/10000.0 AS quality
          | FROM s),
          |r AS (SELECT fp, doc_id, quality,
          |  CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS n_copies,
@@ -1022,11 +1026,11 @@ private[graft] object QueriesDedupSim {
          |  CAST(len(list_filter(toks, x -> x IN ($sw))) AS BIGINT) AS n_stop
          | FROM t),
          |q AS (SELECT doc_id,
-         |  round(least(CAST(n_tokens AS DOUBLE)/50.0, 1.0)*0.4
+         |  floor((least(CAST(n_tokens AS DOUBLE)/50.0, 1.0)*0.4
          |   + least((CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE)/n_tokens ELSE 0.0 END)*4.0, 1.0)*0.3
          |   + (CASE WHEN length(text) > 0
          |      THEN CAST(length(regexp_replace(text,'[^A-Za-z]','','g')) AS DOUBLE)/length(text)
-         |      ELSE 0.0 END)*0.3, 4) AS quality
+         |      ELSE 0.0 END)*0.3)*10000 + 0.5)/10000.0 AS quality
          | FROM st),
          |m AS (SELECT CAST(COALESCE(l.label, q.doc_id) AS BIGINT) AS cluster,
          |  q.doc_id, q.quality
@@ -1289,14 +1293,14 @@ private[graft] object QueriesDedupSim {
          |s AS (SELECT doc_id, fp, text, CAST(len(toks) AS BIGINT) AS n_tokens,
          |  CAST(len(list_filter(toks, x -> x IN ($sw))) AS BIGINT) AS n_stop FROM t),
          |q AS (SELECT doc_id, fp,
-         |  round(least(CAST(n_tokens AS DOUBLE)/50.0, 1.0)*0.4
+         |  floor((least(CAST(n_tokens AS DOUBLE)/50.0, 1.0)*0.4
          |   + least((CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE)/n_tokens ELSE 0.0 END)*4.0, 1.0)*0.3
          |   + (CASE WHEN length(text) > 0
          |      THEN CAST(length(regexp_replace(text,'[^A-Za-z]','','g')) AS DOUBLE)/length(text)
-         |      ELSE 0.0 END)*0.3, 4) AS quality
+         |      ELSE 0.0 END)*0.3)*10000 + 0.5)/10000.0 AS quality
          | FROM s),
-         |r AS (SELECT fp, doc_id, CAST(round(quality*10000, 0) AS BIGINT) AS q,
-         |  row_number() OVER (PARTITION BY fp ORDER BY CAST(round(quality*10000, 0) AS BIGINT) DESC, doc_id ASC) AS rn,
+         |r AS (SELECT fp, doc_id, CAST(floor(quality*10000 + 0.5) AS BIGINT) AS q,
+         |  row_number() OVER (PARTITION BY fp ORDER BY CAST(floor(quality*10000 + 0.5) AS BIGINT) DESC, doc_id ASC) AS rn,
          |  COUNT(*) OVER (PARTITION BY fp) AS n_copies
          | FROM q)
          |SELECT fp, doc_id AS keep_id, q AS kept_q, n_copies

@@ -433,11 +433,11 @@ private[graft] object QueriesTextAnalysis {
          |  CAST(len(list_filter(toks, x -> x IN ($sw))) AS BIGINT) AS n_stop
          | FROM t)
          |SELECT doc_id, n_tokens, n_subwords, n_stop,
-         | round(least(CAST(n_tokens AS DOUBLE)/50.0, 1.0)*0.4
+         | floor((least(CAST(n_tokens AS DOUBLE)/50.0, 1.0)*0.4
          |  + least((CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE)/n_tokens ELSE 0.0 END)*4.0, 1.0)*0.3
          |  + (CASE WHEN length(text) > 0
          |     THEN CAST(length(regexp_replace(text,'[^A-Za-z]','','g')) AS DOUBLE)/length(text)
-         |     ELSE 0.0 END)*0.3, 4) AS quality
+         |     ELSE 0.0 END)*0.3)*10000 + 0.5)/10000.0 AS quality
          |FROM s ORDER BY doc_id""".stripMargin
     },
 
