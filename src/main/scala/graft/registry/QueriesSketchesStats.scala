@@ -459,11 +459,16 @@ private[graft] object QueriesSketchesStats {
       // tables — raw rows never re-read per window; the oracle
       // recomputes every window FROM SCRATCH, so the hash match proves
       // merge == direct (Sketches.logBucketWindowRollup scaladoc).
+      // Zero-value events are excluded on BOTH sides: the log-bucket
+      // sketch is defined on v >= 1 (enforced at runtime since round
+      // 12 — the sf0.1 fixture has a handful of zero-cent events,
+      // which previously landed silently in bucket -1).
       Sketches.logBucketWindowRollup(
           events(s, d).select(
             datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
               .cast("long").as("day"),
-            cents(col("value")).as("v")),
+            cents(col("value")).as("v"))
+            .filter(col("v") >= 1L),
           "day", col("v"), LbSubBits, windowDays = 7,
           qPpms = Seq(500000L, 990000L))
         .orderBy("wday", "q_ppm")),
@@ -949,9 +954,10 @@ private[graft] object QueriesSketchesStats {
         - (CAST(1 AS BIGINT) << ((length(bin(v)) - 1)
             - GREATEST(length(bin(v)) - 1 - $s, 0)))"""
       val e = s"CAST(kb // $w AS INT)"
-      s"""WITH v AS (SELECT
+      s"""WITH v0 AS (SELECT
          |  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
          |  CAST(round(value * 100) AS BIGINT) AS v FROM events),
+         |v AS (SELECT day, v FROM v0 WHERE v >= 1),
          |days AS (SELECT DISTINCT day FROM v),
          |wm AS (SELECT d.day AS wday, v.v FROM days d
          |  JOIN v ON v.day BETWEEN d.day - 6 AND d.day),
