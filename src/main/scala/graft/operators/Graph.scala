@@ -378,4 +378,55 @@ object GraphOps {
     }
     lab
   }
+
+  /** Degree assortativity coefficient (Newman 2002, Phys. Rev. Lett.
+    * 89) of an undirected pair list: the Pearson correlation of the
+    * endpoint degrees taken over the DIRECTED edge list (each
+    * undirected edge contributes both orientations — the standard
+    * convention that makes the statistic symmetric without
+    * half-weights). Positive = hubs attach to hubs (social-network
+    * shape); negative = hubs attach to leaves (star/dup-cluster
+    * shape) — the one-number structural fingerprint that tells a
+    * dedup-graph consumer whether near-dup mass sits in cliques or in
+    * hub-and-spoke template families.
+    *
+    * Determinism: exact Long moment sums (n, Σdu, Σdv, Σdu·dv, Σdu²,
+    * Σdv²) → ONE final IEEE double ratio with round(·, 6) — the
+    * [[Relational.autocorrLag1]] discipline: int→double cast, sqrt and
+    * divide are all exactly specified, so the value is bit-identical
+    * cross-engine. Zero-variance degree sequences return 0.0.
+    *
+    * Scale: degrees = one map-side-combinable agg on the edge
+    * endpoints; moments = two hash joins of the edge list against the
+    * |V|-row degree frame + one global agg — state never exceeds
+    * |V| + |E| and nothing is ever collected. Overflow bound:
+    * n·Σdu² must fit a signed 64-bit (holds while 2m·dmax² < 2⁶³/2m,
+    * e.g. m = 10⁹ directed edges with dmax ≈ 2 000); past that, widen
+    * the moment sums to decimal(38,0) — DuckDB's HUGEINT widening is
+    * already exact.
+    */
+  def degreeAssortativity(pairs: DataFrame, aCol: String,
+                          bCol: String): DataFrame = {
+    val p = pairs.select(col(aCol).cast("long").as("a"),
+      col(bCol).cast("long").as("b"))
+    val e = p.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(p.select(col("b").as("u"), col("a").as("v")))
+    val deg = e.groupBy(col("u").as("id"))
+      .agg(count(lit(1)).cast("long").as("d"))
+    val m = e
+      .join(deg.select(col("id").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("id").as("v"), col("d").as("dv")), Seq("v"))
+      .agg(count(lit(1)).as("n"), sum("du").as("sx"), sum("dv").as("sy"),
+        sum(col("du") * col("dv")).as("sxy"),
+        sum(col("du") * col("du")).as("sxx"),
+        sum(col("dv") * col("dv")).as("syy"))
+    m.select(col("n").cast("long").as("n_dir_edges"),
+      round(
+        when(col("n") * col("sxx") - col("sx") * col("sx") > 0 &&
+             col("n") * col("syy") - col("sy") * col("sy") > 0,
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+             sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+          .otherwise(lit(0.0)), 6).as("assortativity6"))
+  }
 }

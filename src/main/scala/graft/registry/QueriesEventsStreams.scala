@@ -185,6 +185,31 @@ private[graft] object QueriesEventsStreams {
         .orderBy("from_type", "to_type")
     }),
 
+    "q268_path_trigrams" -> ((s, d) => {
+      // Sequential-pattern mining one order up from q181's bigram
+      // transitions: the top-20 event-type TRIGRAM paths across
+      // per-user time-ordered sequences (the PrefixSpan-lite readout a
+      // product team uses to see the actual journeys, not just the
+      // one-step matrix). Window state is per-user bounded; the agg
+      // domain is |type|^3; top-20 is a deterministic
+      // count-desc-then-path-asc sort over that bounded table, with
+      // each path's corpus share in exact ppm.
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val tri = events(s, d)
+        .withColumn("t2", lead(col("event_type"), 1).over(w))
+        .withColumn("t3", lead(col("event_type"), 2).over(w))
+        .filter(col("t2").isNotNull && col("t3").isNotNull)
+        .groupBy(col("event_type").as("s1"), col("t2").as("s2"),
+          col("t3").as("s3"))
+        .agg(count(lit(1)).as("n"))
+      tri.crossJoin(broadcast(tri.agg(sum("n").as("n_total"))))
+        .select(col("s1"), col("s2"), col("s3"),
+          col("n").cast("long").as("n"),
+          expr("n * 1000000 div n_total").as("share_ppm"))
+        .orderBy(col("n").desc, col("s1"), col("s2"), col("s3"))
+        .limit(20)
+    }),
+
     "q186_changepoint" -> ((s, d) => {
       // At-most-one mean-shift detection per user over the daily spend
       // series: exact integer CUSUM statistic, argmax split point,
@@ -389,6 +414,39 @@ private[graft] object QueriesEventsStreams {
         .groupBy("event_type", "bucket")
         .agg(count(lit(1)).as("n"))
         .orderBy("event_type", "bucket")
+    }),
+
+    "q270_revenue_concentration" -> ((s, d) => {
+      // Lorenz-style concentration curve: per-user purchase revenue
+      // bucketed on floor(log2(cents)) (q255's bit trick — no float
+      // log), then cumulative-from-the-top user and revenue shares in
+      // exact ppm: the "what share of revenue do the top spenders
+      // carry" monitor. Scale: one user-keyed agg, then BOTH windows
+      // (cumulative + total) run over the ≤64-row bucket domain — the
+      // curve never sorts |users|, unlike an ntile/percentile cut.
+      val perUser = events(s, d)
+        .filter(col("event_type") === "purchase" && col("value").isNotNull)
+        .groupBy("user_id").agg(sum(cents(col("value"))).as("v"))
+        .filter(col("v") > 0L)
+      val b = perUser
+        .withColumn("bucket", length(bin(col("v"))).cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_users"), sum("v").as("rev_c"))
+      val wTop = Window.orderBy(col("bucket").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      b.withColumn("cum_users", sum("n_users").over(wTop))
+        .withColumn("cum_rev", sum("rev_c").over(wTop))
+        .withColumn("t_users", sum("n_users").over(wAll))
+        .withColumn("t_rev", sum("rev_c").over(wAll))
+        .select(col("bucket"), col("n_users").cast("long").as("n_users"),
+          col("rev_c").cast("long").as("rev_c"),
+          col("cum_users").cast("long").as("cum_users"),
+          col("cum_rev").cast("long").as("cum_rev"),
+          expr("cum_users * 1000000 div t_users").as("user_share_ppm"),
+          expr("cum_rev * 1000000 div t_rev").as("rev_share_ppm"))
+        .orderBy(col("bucket").desc)
     }),
     "q257_windowed_funnel" -> ((s, d) =>
       // Conversion-DEADLINE funnel: each stage within 7 days of the
@@ -654,6 +712,21 @@ private[graft] object QueriesEventsStreams {
         |FROM tr JOIN tot USING (from_type)
         |ORDER BY 1, 2""".stripMargin,
 
+    // q181's per-user ordered window taken two steps forward; the
+    // top-20 cut is deterministic (count DESC, then path ASC)
+    "q268_path_trigrams" ->
+      """WITH l AS (SELECT event_type AS s1,
+        |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS s2,
+        |  lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS s3
+        | FROM events),
+        |tri AS (SELECT s1, s2, s3, CAST(COUNT(*) AS BIGINT) AS n
+        | FROM l WHERE s2 IS NOT NULL AND s3 IS NOT NULL GROUP BY 1, 2, 3),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM tri)
+        |SELECT s1, s2, s3, n,
+        | CAST(n * 1000000 // n_total AS BIGINT) AS share_ppm
+        |FROM tri, tot
+        |ORDER BY n DESC, s1, s2, s3 LIMIT 20""".stripMargin,
+
     // same prefix-sum statistic; numerator squared before the floor
     // division, so Spark div and DuckDB // agree
     "q186_changepoint" ->
@@ -858,6 +931,28 @@ private[graft] object QueriesEventsStreams {
         |   AS BIGINT) AS bucket,
         | CAST(COUNT(*) AS BIGINT) AS n
         |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // same log2 buckets; both window sums run over the bounded bucket
+    // frame (buckets unique, so the default RANGE frame == ROWS)
+    "q270_revenue_concentration" ->
+      """WITH pu AS (SELECT user_id,
+        |  CAST(SUM(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS v
+        | FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+        | GROUP BY 1),
+        |p AS (SELECT v FROM pu WHERE v > 0),
+        |b AS (SELECT CAST(length(bin(v)) AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(v) AS BIGINT) AS rev_c FROM p GROUP BY 1),
+        |c AS (SELECT bucket, n_users, rev_c,
+        |  CAST(SUM(n_users) OVER (ORDER BY bucket DESC) AS BIGINT) AS cum_users,
+        |  CAST(SUM(rev_c) OVER (ORDER BY bucket DESC) AS BIGINT) AS cum_rev,
+        |  CAST(SUM(n_users) OVER () AS BIGINT) AS t_users,
+        |  CAST(SUM(rev_c) OVER () AS BIGINT) AS t_rev
+        | FROM b)
+        |SELECT bucket, n_users, rev_c, cum_users, cum_rev,
+        | CAST(cum_users * 1000000 // t_users AS BIGINT) AS user_share_ppm,
+        | CAST(cum_rev * 1000000 // t_rev AS BIGINT) AS rev_share_ppm
+        |FROM c ORDER BY bucket DESC""".stripMargin,
 
     // full reachable-set closure per stage (greedy-earliest is wrong
     // under deadlines), replayed as distinct band joins

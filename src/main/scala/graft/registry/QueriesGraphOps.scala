@@ -129,9 +129,51 @@ private[graft] object QueriesGraphOps {
         .agg(count(lit(1)).as("n_members"), min("id").as("min_id"))
         .select(col("lbl").as("community"), col("n_members"), col("min_id"))
         .orderBy("community")),
+
+    "q267_degree_assortativity" -> ((s, d) =>
+      // Structural fingerprint of the q105 dup graph: Newman's degree
+      // assortativity — do high-degree docs link to other hubs
+      // (clique-shaped near-dup mass) or to leaves (hub-and-spoke
+      // template families)? Exact Long moment sums over the directed
+      // edge list, one final IEEE double (the q177 discipline);
+      // degrees are one agg, moments two node-key joins + one global
+      // agg (GraphOps.degreeAssortativity scaladoc).
+      GraphOps.degreeAssortativity(
+        Dedup.simHashDup(documents(s, d), "doc_id", "text", nBits = 16),
+        "id_a", "id_b")),
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    // q105's simhash edge CTEs, then Newman assortativity as exact
+    // BIGINT moment sums over the directed edge list -> one double
+    // Pearson ratio (the q177 pattern: CAST/sqrt/divide/round(.,6)
+    // are IEEE-exact on both engines)
+    "q267_degree_assortativity" ->
+      s"""WITH w AS (SELECT doc_id AS id, unnest($TOKS) AS w FROM documents),
+         |h AS (SELECT id, ${duckHash("w", 15)} AS h FROM w),
+         |bits AS (SELECT id, bit,
+         |  SUM(CASE WHEN ((h >> bit) & 1) = 1 THEN 1 ELSE -1 END) AS v
+         | FROM h CROSS JOIN (SELECT unnest(generate_series(0,15)) AS bit) b GROUP BY 1,2),
+         |sh AS (SELECT id,
+         |  CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+         | FROM bits GROUP BY 1),
+         |p AS (SELECT a.id AS id_a, b.id AS id_b
+         | FROM sh a JOIN sh b ON a.simhash = b.simhash AND a.id < b.id),
+         |e AS (SELECT id_a AS u, id_b AS v FROM p UNION ALL SELECT id_b, id_a FROM p),
+         |deg AS (SELECT u AS id, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY 1),
+         |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(da.d) AS BIGINT) AS sx, CAST(SUM(db.d) AS BIGINT) AS sy,
+         |  CAST(SUM(da.d * db.d) AS BIGINT) AS sxy,
+         |  CAST(SUM(da.d * da.d) AS BIGINT) AS sxx,
+         |  CAST(SUM(db.d * db.d) AS BIGINT) AS syy
+         | FROM e JOIN deg da ON e.u = da.id JOIN deg db ON e.v = db.id)
+         |SELECT n AS n_dir_edges,
+         | round(CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+         |  THEN CAST(n*sxy - sx*sy AS DOUBLE) /
+         |    (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+         |  ELSE 0.0 END, 6) AS assortativity6
+         |FROM m""".stripMargin,
 
     // q105's simhash edge CTEs, then triangles as the a<b<c triple join
     // (the oracle may enumerate naively; Spark's rank-oriented wedge

@@ -396,6 +396,42 @@ private[graft] object QueriesTextAnalysis {
       }.toDF("prefix_docs", "vocab_half", "vocab", "growth_ppm")
         .orderBy("prefix_docs")
     }),
+
+    "q269_source_token_drift" -> ((s, d) => {
+      // Distribution-drift monitor for training-mix curation: per
+      // source, the total-variation distance between its unigram
+      // distribution and the corpus-wide one, on the ppm-rounded
+      // distributions (both engines floor the same integers, so the
+      // statistic is exact). Missing-word mass is NOT materialized as
+      // source×vocab rows: TVD = ½(Σ_present |p_s−q| + (Q − Σ_present q))
+      // where Q = Σ_vocab q is ONE broadcast scalar — so the plan is
+      // two vocab-bounded hash aggs + one vocab-keyed join, never a
+      // source×vocab cross.
+      val t = documents(s, d).select(col("source"),
+        explode(tokens(col("text"))).as("w"))
+      val sw = t.groupBy("source", "w").agg(count(lit(1)).as("n_sw"))
+      val ns = sw.groupBy("source").agg(sum("n_sw").as("n_s"))
+      // corpus total from the tiny per-source frame — the corpus is
+      // scanned once for sw and once for the vocab agg, never a third
+      // time for a scalar
+      val qw = t.groupBy("w").agg(count(lit(1)).as("n_w"))
+        .crossJoin(broadcast(ns.agg(sum("n_s").as("n_corpus"))))
+        .select(col("w"), expr("n_w * 1000000 div n_corpus").as("q"))
+      sw.join(broadcast(ns), Seq("source"))
+        .join(qw, Seq("w"))
+        .withColumn("p", expr("n_sw * 1000000 div n_s"))
+        .groupBy("source")
+        .agg(max("n_s").as("n_tokens"),
+          count(lit(1)).as("vocab"),
+          sum(abs(col("p") - col("q"))).as("present_diff"),
+          sum("q").as("q_present"))
+        .crossJoin(broadcast(qw.agg(sum("q").as("q_total"))))
+        .select(col("source"), col("n_tokens").cast("long").as("n_tokens"),
+          col("vocab").cast("long").as("vocab"),
+          expr("(present_diff + (q_total - q_present)) div 2")
+            .cast("long").as("tvd_ppm"))
+        .orderBy("source")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -895,5 +931,26 @@ private[graft] object QueriesTextAnalysis {
          |SELECT * FROM ($rows)
          |ORDER BY prefix_docs""".stripMargin
     },
+
+    // same ppm-rounded distributions; missing mass folded in as
+    // Q_total − Q_present, never a source×vocab cross
+    "q269_source_token_drift" ->
+      s"""WITH t AS (SELECT source, unnest($TOKS) AS w FROM documents),
+         |sw AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS n_sw
+         | FROM t GROUP BY 1, 2),
+         |ns AS (SELECT source, CAST(SUM(n_sw) AS BIGINT) AS n_s
+         | FROM sw GROUP BY 1),
+         |nn AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n_corpus FROM ns),
+         |qw AS (SELECT w, CAST(SUM(n_sw) * 1000000 // nn.n_corpus AS BIGINT) AS q
+         | FROM sw, nn GROUP BY w, nn.n_corpus),
+         |qq AS (SELECT CAST(SUM(q) AS BIGINT) AS q_total FROM qw),
+         |pres AS (SELECT sw.source,
+         |  CAST(SUM(abs(sw.n_sw * 1000000 // ns.n_s - qw.q)) AS BIGINT) AS present_diff,
+         |  CAST(SUM(qw.q) AS BIGINT) AS q_present,
+         |  CAST(COUNT(*) AS BIGINT) AS vocab
+         | FROM sw JOIN ns USING (source) JOIN qw USING (w) GROUP BY 1)
+         |SELECT pres.source, ns.n_s AS n_tokens, pres.vocab,
+         | CAST((present_diff + (qq.q_total - q_present)) // 2 AS BIGINT) AS tvd_ppm
+         |FROM pres JOIN ns USING (source), qq ORDER BY 1""".stripMargin,
   )
 }
