@@ -357,6 +357,47 @@ private[graft] object QueriesAnnVec {
         .withColumnRenamed("rank", "rnk")
         .orderBy("query_id", "rnk")
     }),
+
+    "q272_mutual_nn_align" -> ((s, d) => {
+      // Bitext-mining shape (Artetxe & Schwenk 2019, mutual nearest
+      // neighbors): align a FIXED md5-bottom-N batch of the even-label
+      // side against the odd-label corpus — forward top-1 over the
+      // corpus, then the reverse check of each hit against the same
+      // bounded batch; only pairs that pick each other survive (the
+      // asymmetric-hub filter that raw top-1 lacks). Scale: batch is
+      // bounded by construction (q240's sampling doctrine), so forward
+      // = ONE broadcast-batch corpus scan with no corpus shuffle, and
+      // reverse touches ≤ |batch| corpus rows via a broadcast semi
+      // filter — corpus-size-independent state end to end; ties break
+      // cos DESC then id ASC via the struct-max idiom.
+      val e = embeddings(s, d)
+      val batch = e.filter(pmod(col("label").cast("long"), lit(2L)) === 0L)
+        .withColumn("__k", tokenHash64(concat(lit("mnn_"),
+          col("vec_id").cast("string"))))
+        .orderBy(col("__k"), col("vec_id")).limit(MutualNnBatchN)
+        .select(col("vec_id").as("a_id"), col("embedding").as("av"))
+      val corpus = e.filter(pmod(col("label").cast("long"), lit(2L)) === 1L)
+        .select(col("vec_id").as("b_id"), col("embedding").as("bv"))
+      val fwd = corpus.crossJoin(broadcast(batch))
+        .select(col("a_id"), col("b_id"),
+          round(VectorFunctions.cosine(col("av"), col("bv")), 4).as("cos4"))
+        .groupBy("a_id")
+        .agg(max(struct(col("cos4"), (-col("b_id")).as("nb"))).as("m"))
+        .select(col("a_id"), (-col("m.nb")).as("b_id"),
+          col("m.cos4").as("cos"))
+      val rev = corpus
+        .join(broadcast(fwd.select("b_id")), Seq("b_id"), "left_semi")
+        .crossJoin(broadcast(batch))
+        .select(col("b_id"), col("a_id"),
+          round(VectorFunctions.cosine(col("bv"), col("av")), 4).as("cos4"))
+        .groupBy("b_id")
+        .agg(max(struct(col("cos4"), (-col("a_id")).as("na"))).as("m"))
+        .select(col("b_id"), (-col("m.na")).as("best_a"))
+      fwd.join(rev, Seq("b_id"))
+        .filter(col("a_id") === col("best_a"))
+        .select(col("a_id"), col("b_id"), col("cos"))
+        .orderBy("a_id")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -912,5 +953,30 @@ private[graft] object QueriesAnnVec {
          |SELECT query_id, neighbor_id, adist, rnk FROM r WHERE rnk <= $PqK
          |ORDER BY query_id, rnk""".stripMargin
     },
+
+    // same md5-bottom-N batch, forward top-1 over the odd-label
+    // corpus, reverse top-1 of each hit against the batch; mutual
+    // pairs only (ties cos DESC then id ASC on both directions)
+    "q272_mutual_nn_align" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |batch AS (SELECT a_id, av FROM (
+         |  SELECT vec_id AS a_id, v AS av, row_number() OVER (ORDER BY
+         |   ${duckHash("concat('mnn_', CAST(vec_id AS VARCHAR))", 15)}, vec_id) AS rn
+         |  FROM e WHERE label % 2 = 0) WHERE rn <= $MutualNnBatchN),
+         |corpus AS (SELECT vec_id AS b_id, v AS bv FROM e WHERE label % 2 = 1),
+         |sc AS (SELECT a_id, b_id, round(${duckCos("av", "bv")}, 4) AS cos4
+         | FROM corpus CROSS JOIN batch),
+         |fwd AS (SELECT a_id, b_id, cos4 AS cos FROM (
+         |  SELECT a_id, b_id, cos4, row_number() OVER (PARTITION BY a_id
+         |    ORDER BY cos4 DESC, b_id) AS rn FROM sc) WHERE rn = 1),
+         |rs AS (SELECT c.b_id, b.a_id, round(${duckCos("c.bv", "b.av")}, 4) AS cos4
+         | FROM corpus c JOIN (SELECT DISTINCT b_id FROM fwd) fb USING (b_id)
+         | CROSS JOIN batch b),
+         |rev AS (SELECT b_id, a_id AS best_a FROM (
+         |  SELECT b_id, a_id, row_number() OVER (PARTITION BY b_id
+         |    ORDER BY cos4 DESC, a_id) AS rn FROM rs) WHERE rn = 1)
+         |SELECT fwd.a_id, fwd.b_id, fwd.cos
+         |FROM fwd JOIN rev USING (b_id) WHERE fwd.a_id = rev.best_a
+         |ORDER BY fwd.a_id""".stripMargin,
   )
 }

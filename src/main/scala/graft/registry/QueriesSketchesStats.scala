@@ -568,6 +568,53 @@ private[graft] object QueriesSketchesStats {
         events(s, d).select(col("event_type"),
           dayofweek(col("ts")).cast("long").as("weekday")),
         "event_type", "weekday")),
+
+    "q271_kendall_tau" -> ((s, d) => {
+      // Rank-correlation audit between two curation signals WITHOUT a
+      // global sort: Kendall tau-b between the quality decile (q259's
+      // integer band) and the log2 length band (q255's bit trick),
+      // computed entirely from the bounded 2D histogram — concordant/
+      // discordant mass via a broadcast self-join of ≤10×64 cells, tie
+      // terms from the marginals, one final IEEE double (the q177
+      // discipline). A 100 TB corpus contributes |cells|² = O(1) pair
+      // terms, never n² row pairs; ties make tau-b the right variant
+      // on banded data.
+      val b = documents(s, d)
+        .select(qualityScore(col("text")).as("q"), col("n_chars"))
+        .select(
+          least(expr("cast(floor(q * 10000 + 0.5d) as bigint) div 1000"),
+            lit(9L)).as("qb"),
+          when(col("n_chars") <= 0L, lit(0L))
+            .otherwise(length(bin(col("n_chars"))).cast("long")).as("lb"))
+      val cells = b.groupBy("qb", "lb").agg(count(lit(1)).as("c"))
+      val cd = cells.select(col("qb").as("qb1"), col("lb").as("lb1"),
+          col("c").as("c1"))
+        .join(broadcast(cells.select(col("qb").as("qb2"),
+          col("lb").as("lb2"), col("c").as("c2"))),
+          col("qb1") < col("qb2"))
+        .agg(
+          coalesce(sum(when(col("lb1") < col("lb2"),
+            col("c1") * col("c2")).otherwise(0L)), lit(0L)).as("conc"),
+          coalesce(sum(when(col("lb1") > col("lb2"),
+            col("c1") * col("c2")).otherwise(0L)), lit(0L)).as("disc"))
+      val nTot = cells.agg(sum("c").as("n"))
+      val tieQ = cells.groupBy("qb").agg(sum("c").as("t"))
+        .agg(sum(expr("t * (t - 1) div 2")).as("tie_q"))
+      val tieL = cells.groupBy("lb").agg(sum("c").as("t"))
+        .agg(sum(expr("t * (t - 1) div 2")).as("tie_l"))
+      cd.crossJoin(broadcast(nTot)).crossJoin(broadcast(tieQ))
+        .crossJoin(broadcast(tieL))
+        .withColumn("n0", expr("n * (n - 1) div 2"))
+        .select(col("n").cast("long").as("n_docs"),
+          col("conc").cast("long").as("concordant"),
+          col("disc").cast("long").as("discordant"),
+          round(when(col("n0") - col("tie_q") > 0 &&
+               col("n0") - col("tie_l") > 0,
+            (col("conc") - col("disc")).cast("double") /
+              (sqrt((col("n0") - col("tie_q")).cast("double")) *
+               sqrt((col("n0") - col("tie_l")).cast("double"))))
+            .otherwise(lit(0.0)), 6).as("tau_b6"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1074,5 +1121,44 @@ private[graft] object QueriesSketchesStats {
         |FROM c JOIN r USING (event_type) JOIN co USING (weekday)
         |CROSS JOIN n
         |ORDER BY 1, 2""".stripMargin,
+
+    // q259's quality decile + q255's log2 band, then tau-b entirely
+    // from the bounded 2D histogram; tie terms from the marginals
+    "q271_kendall_tau" -> {
+      val sw = StopWords.map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, text, n_chars, $TOKS AS toks FROM documents),
+         |s AS (SELECT doc_id, text, n_chars,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_filter(toks, x -> x IN ($sw))) AS BIGINT) AS n_stop FROM t),
+         |q AS (SELECT n_chars,
+         |  floor((least(CAST(n_tokens AS DOUBLE)/50.0, 1.0)*0.4
+         |   + least((CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE)/n_tokens ELSE 0.0 END)*4.0, 1.0)*0.3
+         |   + (CASE WHEN length(text) > 0
+         |      THEN CAST(length(regexp_replace(text,'[^A-Za-z]','','g')) AS DOUBLE)/length(text)
+         |      ELSE 0.0 END)*0.3)*10000 + 0.5)/10000.0 AS quality
+         | FROM s),
+         |b AS (SELECT
+         |  least(CAST(floor(quality * 10000 + 0.5) AS BIGINT) // 1000, 9) AS qb,
+         |  CAST(CASE WHEN n_chars <= 0 THEN 0 ELSE length(bin(n_chars)) END AS BIGINT) AS lb
+         | FROM q),
+         |cells AS (SELECT qb, lb, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
+         |cd AS (SELECT
+         |  CAST(COALESCE(SUM(CASE WHEN a.lb < b2.lb THEN a.c * b2.c ELSE 0 END), 0) AS BIGINT) AS conc,
+         |  CAST(COALESCE(SUM(CASE WHEN a.lb > b2.lb THEN a.c * b2.c ELSE 0 END), 0) AS BIGINT) AS disc
+         | FROM cells a JOIN cells b2 ON a.qb < b2.qb),
+         |nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+         |tq AS (SELECT CAST(SUM(t*(t-1)//2) AS BIGINT) AS tie_q
+         | FROM (SELECT CAST(SUM(c) AS BIGINT) AS t FROM cells GROUP BY qb)),
+         |tl AS (SELECT CAST(SUM(t*(t-1)//2) AS BIGINT) AS tie_l
+         | FROM (SELECT CAST(SUM(c) AS BIGINT) AS t FROM cells GROUP BY lb))
+         |SELECT nn.n AS n_docs, cd.conc AS concordant, cd.disc AS discordant,
+         | round(CASE WHEN (nn.n*(nn.n-1)//2 - tq.tie_q) > 0
+         |   AND (nn.n*(nn.n-1)//2 - tl.tie_l) > 0
+         |  THEN CAST(cd.conc - cd.disc AS DOUBLE) /
+         |   (sqrt(CAST(nn.n*(nn.n-1)//2 - tq.tie_q AS DOUBLE)) *
+         |    sqrt(CAST(nn.n*(nn.n-1)//2 - tl.tie_l AS DOUBLE)))
+         |  ELSE 0.0 END, 6) AS tau_b6
+         |FROM cd, nn, tq, tl""".stripMargin
+    },
   )
 }

@@ -162,6 +162,13 @@ private[graft] object QueryShared {
     */
   private[graft] val DedupEvalSampleN = 4000
 
+  /** q272's alignment-batch size: mutual-NN mining runs a FIXED-size
+    * md5-bottom-N batch of the even-label side against the odd-label
+    * corpus (alignment batches are bounded by construction — the q240
+    * sampling doctrine). Shared with the oracle SQL.
+    */
+  private[graft] val MutualNnBatchN = 32
+
   /** q241's ordered funnel definition, shared with the oracle SQL:
     * the strictly time-increasing subsequence a user must traverse.
     */
