@@ -1269,4 +1269,43 @@ object Ann {
     p.join(posOut, Seq("x", "y"))
       .select(col("id"), col("role"), col("label"))
   }
+
+  /** Mutual nearest-neighbor alignment (the bitext-mining primitive of
+    * Artetxe & Schwenk 2019): forward = each batch vector's exact
+    * cosine top-1 over the corpus; reverse = each hit's top-1 BACK
+    * against the same batch; only pairs that pick each other survive —
+    * the asymmetric-hub filter raw top-1 lacks. Ties break cos DESC
+    * then id ASC on both directions via the struct-max idiom, and the
+    * scored cosine is round(·, 4) (the [[bruteForceTopK]] contract) so
+    * the pair set is engine-exact.
+    *
+    * The batch MUST be bounded (an alignment batch, not a corpus
+    * half): it is broadcast twice, so forward is ONE corpus scan with
+    * no corpus shuffle and reverse touches ≤ |batch| corpus rows via a
+    * broadcast semi filter — corpus-size-independent state end to end.
+    * Inputs are (idCol, vecCol) on both sides; returns
+    * (a_id, b_id, cos) for the mutual pairs.
+    */
+  def mutualTop1(batch: DataFrame, corpus: DataFrame, idCol: String,
+                 vecCol: String): DataFrame = {
+    val a = batch.select(col(idCol).as("a_id"), col(vecCol).as("av"))
+    val b = corpus.select(col(idCol).as("b_id"), col(vecCol).as("bv"))
+    val fwd = b.crossJoin(broadcast(a))
+      .select(col("a_id"), col("b_id"),
+        round(cosine(col("av"), col("bv")), 4).as("cos4"))
+      .groupBy("a_id")
+      .agg(max(struct(col("cos4"), (-col("b_id")).as("nb"))).as("m"))
+      .select(col("a_id"), (-col("m.nb")).as("b_id"), col("m.cos4").as("cos"))
+    val rev = b
+      .join(broadcast(fwd.select("b_id")), Seq("b_id"), "left_semi")
+      .crossJoin(broadcast(a))
+      .select(col("b_id"), col("a_id"),
+        round(cosine(col("bv"), col("av")), 4).as("cos4"))
+      .groupBy("b_id")
+      .agg(max(struct(col("cos4"), (-col("a_id")).as("na"))).as("m"))
+      .select(col("b_id"), (-col("m.na")).as("best_a"))
+    fwd.join(rev, Seq("b_id"))
+      .filter(col("a_id") === col("best_a"))
+      .select(col("a_id"), col("b_id"), col("cos"))
+  }
 }

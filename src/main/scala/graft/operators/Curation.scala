@@ -1194,4 +1194,42 @@ object Curation {
     docs.select(col(idCol).as("id"),
         explode(countsUdf(col(textCol))).as(Seq("pat", "cnt")))
   }
+
+  /** Per-group unigram-distribution drift against the pooled corpus:
+    * total-variation distance on the ppm-ROUNDED distributions (both
+    * engines floor the same integers, so the statistic is exact) — the
+    * training-mix monitor that flags a source whose token mix has
+    * wandered from the blend it feeds. Input is the exploded
+    * (group, token) frame; returns (group, n_tokens, vocab, tvd_ppm)
+    * where vocab counts the group's distinct tokens.
+    *
+    * Scale: TVD = ½(Σ_present |p_g − q| + (Q − Σ_present q)) — the
+    * missing-token mass is folded in via the broadcast scalar
+    * Q = Σ_vocab q, so the plan is two vocab-bounded hash aggs + one
+    * vocab-keyed join, NEVER a group×vocab cross; the corpus total
+    * comes from the tiny per-group frame, not a third corpus scan.
+    */
+  def unigramDrift(tokens: DataFrame, groupCol: String,
+                   tokCol: String): DataFrame = {
+    val t = tokens.select(col(groupCol).as("g"), col(tokCol).as("w"))
+    val gw = t.groupBy("g", "w").agg(count(lit(1)).as("n_gw"))
+    val ng = gw.groupBy("g").agg(sum("n_gw").as("n_g"))
+    val qw = t.groupBy("w").agg(count(lit(1)).as("n_w"))
+      .crossJoin(broadcast(ng.agg(sum("n_g").as("n_corpus"))))
+      .select(col("w"), expr("n_w * 1000000 div n_corpus").as("q"))
+    gw.join(broadcast(ng), Seq("g"))
+      .join(qw, Seq("w"))
+      .withColumn("p", expr("n_gw * 1000000 div n_g"))
+      .groupBy("g")
+      .agg(max("n_g").as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(abs(col("p") - col("q"))).as("present_diff"),
+        sum("q").as("q_present"))
+      .crossJoin(broadcast(qw.agg(sum("q").as("q_total"))))
+      .select(col("g").as(groupCol),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("vocab").cast("long").as("vocab"),
+        expr("(present_diff + (q_total - q_present)) div 2")
+          .cast("long").as("tvd_ppm"))
+  }
 }

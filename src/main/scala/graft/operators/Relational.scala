@@ -784,6 +784,58 @@ object Relational {
       .orderBy(rowCol, colCol)
   }
 
+  /** Kendall tau-b between two ALREADY-BANDED integer columns, computed
+    * entirely from their bounded 2-D histogram — the rank-correlation
+    * audit ([[mannWhitney]]'s companion for two ordinal signals) that
+    * never sorts or pairs raw rows: concordant/discordant mass comes
+    * from a broadcast self-join of the |xBands|·|yBands| cells (each
+    * unordered cell pair counted once via xb1 < xb2), tie terms n1/n2
+    * from the marginals, and the only float is the ONE final IEEE
+    * double tau-b ratio with round(·, 6) (the [[autocorrLag1]]
+    * discipline) — so a 100 TB input contributes |cells|² = O(1) pair
+    * terms, never n² row pairs. Tau-b (not tau-a) because banding
+    * guarantees heavy ties. C − D and each tie-corrected denominator
+    * factor fit a signed 64-bit while n ≤ ~4.2e9 rows (n0 = n(n−1)/2
+    * < 2⁶³); beyond that widen to decimal(38,0).
+    *
+    * Returns ONE row (n_docs, concordant, discordant, tau_b6);
+    * zero-variance inputs (all mass in one band on either axis)
+    * return tau_b6 = 0.0.
+    */
+  def kendallTauBands(banded: DataFrame, xCol: String,
+                      yCol: String): DataFrame = {
+    val cells = banded
+      .select(col(xCol).cast("long").as("xb"), col(yCol).cast("long").as("yb"))
+      .groupBy("xb", "yb").agg(count(lit(1)).as("c"))
+    val cd = cells.select(col("xb").as("xb1"), col("yb").as("yb1"),
+        col("c").as("c1"))
+      .join(broadcast(cells.select(col("xb").as("xb2"),
+        col("yb").as("yb2"), col("c").as("c2"))),
+        col("xb1") < col("xb2"))
+      .agg(
+        coalesce(sum(when(col("yb1") < col("yb2"),
+          col("c1") * col("c2")).otherwise(0L)), lit(0L)).as("conc"),
+        coalesce(sum(when(col("yb1") > col("yb2"),
+          col("c1") * col("c2")).otherwise(0L)), lit(0L)).as("disc"))
+    val nTot = cells.agg(sum("c").as("n"))
+    val tieX = cells.groupBy("xb").agg(sum("c").as("t"))
+      .agg(sum(expr("t * (t - 1) div 2")).as("tie_x"))
+    val tieY = cells.groupBy("yb").agg(sum("c").as("t"))
+      .agg(sum(expr("t * (t - 1) div 2")).as("tie_y"))
+    cd.crossJoin(broadcast(nTot)).crossJoin(broadcast(tieX))
+      .crossJoin(broadcast(tieY))
+      .withColumn("n0", expr("n * (n - 1) div 2"))
+      .select(col("n").cast("long").as("n_docs"),
+        col("conc").cast("long").as("concordant"),
+        col("disc").cast("long").as("discordant"),
+        round(when(col("n0") - col("tie_x") > 0 &&
+             col("n0") - col("tie_y") > 0,
+          (col("conc") - col("disc")).cast("double") /
+            (sqrt((col("n0") - col("tie_x")).cast("double")) *
+             sqrt((col("n0") - col("tie_y")).cast("double"))))
+          .otherwise(lit(0.0)), 6).as("tau_b6"))
+  }
+
   /** 2-D skyline (Pareto frontier): the rows no other row strictly
     * dominates, minimizing `minCol` and maximizing `maxCol` (b dominates
     * a iff b.min <= a.min, b.max >= a.max, and at least one is strict).

@@ -375,27 +375,8 @@ private[graft] object QueriesAnnVec {
         .withColumn("__k", tokenHash64(concat(lit("mnn_"),
           col("vec_id").cast("string"))))
         .orderBy(col("__k"), col("vec_id")).limit(MutualNnBatchN)
-        .select(col("vec_id").as("a_id"), col("embedding").as("av"))
       val corpus = e.filter(pmod(col("label").cast("long"), lit(2L)) === 1L)
-        .select(col("vec_id").as("b_id"), col("embedding").as("bv"))
-      val fwd = corpus.crossJoin(broadcast(batch))
-        .select(col("a_id"), col("b_id"),
-          round(VectorFunctions.cosine(col("av"), col("bv")), 4).as("cos4"))
-        .groupBy("a_id")
-        .agg(max(struct(col("cos4"), (-col("b_id")).as("nb"))).as("m"))
-        .select(col("a_id"), (-col("m.nb")).as("b_id"),
-          col("m.cos4").as("cos"))
-      val rev = corpus
-        .join(broadcast(fwd.select("b_id")), Seq("b_id"), "left_semi")
-        .crossJoin(broadcast(batch))
-        .select(col("b_id"), col("a_id"),
-          round(VectorFunctions.cosine(col("bv"), col("av")), 4).as("cos4"))
-        .groupBy("b_id")
-        .agg(max(struct(col("cos4"), (-col("a_id")).as("na"))).as("m"))
-        .select(col("b_id"), (-col("m.na")).as("best_a"))
-      fwd.join(rev, Seq("b_id"))
-        .filter(col("a_id") === col("best_a"))
-        .select(col("a_id"), col("b_id"), col("cos"))
+      Ann.mutualTop1(batch, corpus, "vec_id", "embedding")
         .orderBy("a_id")
     }),
   )

@@ -586,34 +586,7 @@ private[graft] object QueriesSketchesStats {
             lit(9L)).as("qb"),
           when(col("n_chars") <= 0L, lit(0L))
             .otherwise(length(bin(col("n_chars"))).cast("long")).as("lb"))
-      val cells = b.groupBy("qb", "lb").agg(count(lit(1)).as("c"))
-      val cd = cells.select(col("qb").as("qb1"), col("lb").as("lb1"),
-          col("c").as("c1"))
-        .join(broadcast(cells.select(col("qb").as("qb2"),
-          col("lb").as("lb2"), col("c").as("c2"))),
-          col("qb1") < col("qb2"))
-        .agg(
-          coalesce(sum(when(col("lb1") < col("lb2"),
-            col("c1") * col("c2")).otherwise(0L)), lit(0L)).as("conc"),
-          coalesce(sum(when(col("lb1") > col("lb2"),
-            col("c1") * col("c2")).otherwise(0L)), lit(0L)).as("disc"))
-      val nTot = cells.agg(sum("c").as("n"))
-      val tieQ = cells.groupBy("qb").agg(sum("c").as("t"))
-        .agg(sum(expr("t * (t - 1) div 2")).as("tie_q"))
-      val tieL = cells.groupBy("lb").agg(sum("c").as("t"))
-        .agg(sum(expr("t * (t - 1) div 2")).as("tie_l"))
-      cd.crossJoin(broadcast(nTot)).crossJoin(broadcast(tieQ))
-        .crossJoin(broadcast(tieL))
-        .withColumn("n0", expr("n * (n - 1) div 2"))
-        .select(col("n").cast("long").as("n_docs"),
-          col("conc").cast("long").as("concordant"),
-          col("disc").cast("long").as("discordant"),
-          round(when(col("n0") - col("tie_q") > 0 &&
-               col("n0") - col("tie_l") > 0,
-            (col("conc") - col("disc")).cast("double") /
-              (sqrt((col("n0") - col("tie_q")).cast("double")) *
-               sqrt((col("n0") - col("tie_l")).cast("double"))))
-            .otherwise(lit(0.0)), 6).as("tau_b6"))
+      Relational.kendallTauBands(b, "qb", "lb")
     }),
   )
 

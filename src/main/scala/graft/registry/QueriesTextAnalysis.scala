@@ -407,29 +407,10 @@ private[graft] object QueriesTextAnalysis {
       // where Q = Σ_vocab q is ONE broadcast scalar — so the plan is
       // two vocab-bounded hash aggs + one vocab-keyed join, never a
       // source×vocab cross.
-      val t = documents(s, d).select(col("source"),
-        explode(tokens(col("text"))).as("w"))
-      val sw = t.groupBy("source", "w").agg(count(lit(1)).as("n_sw"))
-      val ns = sw.groupBy("source").agg(sum("n_sw").as("n_s"))
-      // corpus total from the tiny per-source frame — the corpus is
-      // scanned once for sw and once for the vocab agg, never a third
-      // time for a scalar
-      val qw = t.groupBy("w").agg(count(lit(1)).as("n_w"))
-        .crossJoin(broadcast(ns.agg(sum("n_s").as("n_corpus"))))
-        .select(col("w"), expr("n_w * 1000000 div n_corpus").as("q"))
-      sw.join(broadcast(ns), Seq("source"))
-        .join(qw, Seq("w"))
-        .withColumn("p", expr("n_sw * 1000000 div n_s"))
-        .groupBy("source")
-        .agg(max("n_s").as("n_tokens"),
-          count(lit(1)).as("vocab"),
-          sum(abs(col("p") - col("q"))).as("present_diff"),
-          sum("q").as("q_present"))
-        .crossJoin(broadcast(qw.agg(sum("q").as("q_total"))))
-        .select(col("source"), col("n_tokens").cast("long").as("n_tokens"),
-          col("vocab").cast("long").as("vocab"),
-          expr("(present_diff + (q_total - q_present)) div 2")
-            .cast("long").as("tvd_ppm"))
+      Curation.unigramDrift(
+          documents(s, d).select(col("source"),
+            explode(tokens(col("text"))).as("w")),
+          "source", "w")
         .orderBy("source")
     }),
   )
