@@ -1177,8 +1177,43 @@ private[graft] object QueriesRelational {
         .select(col("o_orderpriority"),
           expr("stack(3, 'F', `F`, 'O', `O`, 'P', `P`) AS (o_orderstatus, n)"))
         .filter(col("n").isNotNull)
-        .orderBy("o_orderpriority", "o_orderstatus"))
-,
+        .orderBy("o_orderpriority", "o_orderstatus")),
+
+    "q274_reshard_moves" -> ((s, d) => {
+      // Resharding-cost audit: when the keyspace grows 8 → 9 shards,
+      // what fraction of user keys RELOCATE under naive mod placement
+      // vs rendezvous/HRW hashing (Thaler & Ravishankar 1998)? mod
+      // moves ~8/9 of every key's data; HRW provably moves only the
+      // ~1/9 the new shard claims — the audit that justifies
+      // consistent placement before rebalancing a 100 TB keyspace.
+      // Map-only per key: 17 md5 coins (the 8- and 9-shard HRW
+      // scores; argmax via greatest(struct) with ties to the higher
+      // shard id) and two mods; then ONE 1-row agg exploded to the
+      // 2-strategy report.
+      def hrw(n: Int): Column = greatest((0 until n).map(i => struct(
+        tokenHash64(concat(lit("hrw_"), col("user_id").cast("string"),
+          lit("_"), lit(i.toString))).as("h"),
+        lit(i.toLong).as("sid"))): _*).getField("sid")
+      events(s, d).select(col("user_id")).filter(col("user_id").isNotNull)
+        .distinct()
+        .select(
+          (pmod(col("user_id"), lit(8L)) =!=
+            pmod(col("user_id"), lit(9L))).as("mod_moved"),
+          (hrw(8) =!= hrw(9)).as("hrw_moved"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("mod_moved"), 1L).otherwise(0L)).as("mv_mod"),
+          sum(when(col("hrw_moved"), 1L).otherwise(0L)).as("mv_hrw"))
+        .select(explode(array(
+          struct(lit("hrw").as("strategy"), col("n_keys"),
+            col("mv_hrw").as("n_moved")),
+          struct(lit("mod").as("strategy"), col("n_keys"),
+            col("mv_mod").as("n_moved")))).as("r"))
+        .select(col("r.strategy").as("strategy"),
+          col("r.n_keys").cast("long").as("n_keys"),
+          col("r.n_moved").cast("long").as("n_moved"),
+          expr("r.n_moved * 1000000 div r.n_keys").as("moved_ppm"))
+        .orderBy("strategy")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2000,5 +2035,37 @@ private[graft] object QueriesRelational {
       """SELECT o_orderpriority, o_orderstatus,
         | CAST(COUNT(*) AS BIGINT) AS n
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // same 17 md5 coins per key; HRW argmax replayed as row_number
+    // ORDER BY h DESC, s DESC (ties to the higher shard id, matching
+    // Spark's greatest(struct))
+    "q274_reshard_moves" ->
+      s"""WITH k AS (SELECT DISTINCT user_id FROM events
+         | WHERE user_id IS NOT NULL),
+         |s8 AS (SELECT user_id, s,
+         |  ${duckHash("concat('hrw_', CAST(user_id AS VARCHAR), '_', CAST(s AS VARCHAR))", 15)} AS h
+         | FROM k CROSS JOIN (SELECT unnest(generate_series(0,7)) AS s)),
+         |h8 AS (SELECT user_id, s AS hrw8 FROM (
+         |  SELECT user_id, s, row_number() OVER (PARTITION BY user_id
+         |    ORDER BY h DESC, s DESC) AS rn FROM s8) WHERE rn = 1),
+         |s9 AS (SELECT user_id, s,
+         |  ${duckHash("concat('hrw_', CAST(user_id AS VARCHAR), '_', CAST(s AS VARCHAR))", 15)} AS h
+         | FROM k CROSS JOIN (SELECT unnest(generate_series(0,8)) AS s)),
+         |h9 AS (SELECT user_id, s AS hrw9 FROM (
+         |  SELECT user_id, s, row_number() OVER (PARTITION BY user_id
+         |    ORDER BY h DESC, s DESC) AS rn FROM s9) WHERE rn = 1),
+         |m AS (SELECT k.user_id,
+         |  CASE WHEN k.user_id % 8 <> k.user_id % 9 THEN 1 ELSE 0 END AS mod_moved,
+         |  CASE WHEN h8.hrw8 <> h9.hrw9 THEN 1 ELSE 0 END AS hrw_moved
+         | FROM k JOIN h8 USING (user_id) JOIN h9 USING (user_id)),
+         |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         |  CAST(SUM(mod_moved) AS BIGINT) AS mv_mod,
+         |  CAST(SUM(hrw_moved) AS BIGINT) AS mv_hrw FROM m)
+         |SELECT 'hrw' AS strategy, n_keys, mv_hrw AS n_moved,
+         | CAST(mv_hrw * 1000000 // n_keys AS BIGINT) AS moved_ppm FROM a
+         |UNION ALL
+         |SELECT 'mod', n_keys, mv_mod,
+         | CAST(mv_mod * 1000000 // n_keys AS BIGINT) FROM a
+         |ORDER BY strategy""".stripMargin,
   )
 }

@@ -413,6 +413,24 @@ private[graft] object QueriesTextAnalysis {
           "source", "w")
         .orderBy("source")
     }),
+
+    "q273_value_drift" -> ((s, d) => {
+      // Numeric-distribution drift (the PSI-style monitor, float-free):
+      // per market segment, TVD of the order-value distribution vs the
+      // pooled book — Curation.unigramDrift REUSED verbatim on log2
+      // cents buckets (q255's bit trick): the operator is
+      // distribution-agnostic, any (group, symbol) frame works. One
+      // orders⋈customer equi-join (co-partitioned on custkey at scale)
+      // + the operator's two bucket-bounded aggs.
+      val t = orders(s, d)
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"),
+          when(cents(col("o_totalprice")) <= 0L, lit(0L))
+            .otherwise(length(bin(cents(col("o_totalprice")))).cast("long"))
+            .as("b"))
+      Curation.unigramDrift(t, "seg", "b")
+        .orderBy("seg")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -933,5 +951,29 @@ private[graft] object QueriesTextAnalysis {
          |SELECT pres.source, ns.n_s AS n_tokens, pres.vocab,
          | CAST((present_diff + (qq.q_total - q_present)) // 2 AS BIGINT) AS tvd_ppm
          |FROM pres JOIN ns USING (source), qq ORDER BY 1""".stripMargin,
+
+    // q269's drift fold on log2 cents buckets per market segment
+    "q273_value_drift" ->
+      """WITH t AS (SELECT c.c_mktsegment AS g,
+        |  CAST(CASE WHEN o.v <= 0 THEN 0 ELSE length(bin(o.v)) END AS BIGINT) AS w
+        | FROM (SELECT o_custkey,
+        |   CAST(round(o_totalprice*100,0) AS BIGINT) AS v FROM orders) o
+        | JOIN customer c ON o.o_custkey = c.c_custkey),
+        |gw AS (SELECT g, w, CAST(COUNT(*) AS BIGINT) AS n_gw
+        | FROM t GROUP BY 1, 2),
+        |ng AS (SELECT g, CAST(SUM(n_gw) AS BIGINT) AS n_g
+        | FROM gw GROUP BY 1),
+        |nn AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n_corpus FROM ng),
+        |qw AS (SELECT w, CAST(SUM(n_gw) * 1000000 // nn.n_corpus AS BIGINT) AS q
+        | FROM gw, nn GROUP BY w, nn.n_corpus),
+        |qq AS (SELECT CAST(SUM(q) AS BIGINT) AS q_total FROM qw),
+        |pres AS (SELECT gw.g,
+        |  CAST(SUM(abs(gw.n_gw * 1000000 // ng.n_g - qw.q)) AS BIGINT) AS present_diff,
+        |  CAST(SUM(qw.q) AS BIGINT) AS q_present,
+        |  CAST(COUNT(*) AS BIGINT) AS vocab
+        | FROM gw JOIN ng USING (g) JOIN qw USING (w) GROUP BY 1)
+        |SELECT pres.g AS seg, ng.n_g AS n_tokens, pres.vocab,
+        | CAST((present_diff + (qq.q_total - q_present)) // 2 AS BIGINT) AS tvd_ppm
+        |FROM pres JOIN ng USING (g), qq ORDER BY 1""".stripMargin,
   )
 }
