@@ -104,6 +104,50 @@ object EventStreams {
   case class FunnelState(depth: Int, lastTsUs: Long)
   case class FunnelUpdate(user_id: Long, depth: Int)
 
+  case class TriPrefix(t1: String, t2: String)
+  case class TriDelta(s1: String, s2: String, s3: String, n: Long)
+
+  /** Streaming twin of q268's trigram path mining: per-user keyed
+    * state = the LAST TWO event types (two strings per user forever —
+    * the minimal sequence memory), so each micro-batch emits exactly
+    * the trigram occurrences its events complete, including the ones
+    * that straddle batch boundaries. Events are applied in
+    * (ts, event_id) order within each batch; for a ts-ordered stream
+    * (the same ingest contract [[streamingFunnel]] carries) the
+    * union of emitted deltas grouped by trigram equals the batch
+    * window's counts after any prefix — counts are additive, so no
+    * replay or reconciliation is ever needed downstream. Emits
+    * per-user per-batch (s1, s2, s3, n) deltas; the corpus rollup is
+    * a bounded |type|³ agg (StreamingSpec asserts multi-batch
+    * equivalence with the batch window).
+    */
+  def streamingPathTrigrams(events: DataFrame)
+      : org.apache.spark.sql.Dataset[TriDelta] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("user_id", "unix_micros(ts) AS ts_us", "event_id",
+        "event_type")
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (_: Long, it: Iterator[(Long, Long, Long, String)],
+         state: GroupState[TriPrefix]) => {
+          var st = state.getOption.getOrElse(TriPrefix(null, null))
+          val out = scala.collection.mutable.HashMap
+            .empty[(String, String, String), Long]
+          it.toArray.sortBy(e => (e._2, e._3)).foreach { case (_, _, _, tp) =>
+            if (st.t1 != null && st.t2 != null) {
+              val k = (st.t1, st.t2, tp)
+              out(k) = out.getOrElse(k, 0L) + 1L
+            }
+            st = TriPrefix(st.t2, tp)
+          }
+          state.update(st)
+          out.iterator.map { case ((a, b, c), n) => TriDelta(a, b, c, n) }
+        })
+  }
+
   /** Streaming twin of [[graft.operators.Relational.funnelStages]]
     * (q241): per-user greedy funnel progress as keyed state — (stage
     * depth, chosen ts), TWO fixed-size fields per user forever. Events

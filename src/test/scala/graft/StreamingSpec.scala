@@ -493,4 +493,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamedCounts == expect,
       s"streamed $streamedCounts != batch $expect")
   }
+
+  test("streaming path trigrams over a ts-ordered multi-batch stream equal the batch window") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val types = Vector("view", "click", "cart", "purchase")
+    val rnd = new scala.util.Random(268)
+    // strictly increasing ts per user so the ingest contract holds
+    // across any batch split; event_id is the global tiebreaker
+    val rows = (for {
+      u <- 1L to 40L
+      i <- 0 until (2 + rnd.nextInt(8))
+    } yield (u, i * 1000000L, types(rnd.nextInt(types.size))))
+      .zipWithIndex
+      .map { case ((u, tsUs, tp), eid) => (u, tsUs, eid.toLong, tp) }
+    // batch model: per-user ordered trigrams
+    val expect = rows.groupBy(_._1).toSeq.flatMap { case (_, evs) =>
+      val ts = evs.sortBy(e => (e._2, e._3)).map(_._4)
+      ts.sliding(3).filter(_.size == 3).map(w => (w(0), w(1), w(2)))
+    }.groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+    // stream the SAME events in ts order, split across 4 micro-batches
+    // (trigram windows straddle the splits — the state must bridge them)
+    val src = MemoryStream[(Long, Long, Long, String)]
+    val q = EventStreams.streamingPathTrigrams(
+        src.toDF().toDF("user_id", "ts_us", "event_id", "event_type")
+          .selectExpr("user_id", "timestamp_micros(ts_us) AS ts",
+            "event_id", "event_type"))
+      .toDF().writeStream.outputMode("update")
+      .format("memory").queryName("t_trigrams").start()
+    val ordered = rows.sortBy(e => (e._2, e._3))
+    ordered.grouped(ordered.size / 4 + 1).foreach { chunk =>
+      src.addData(chunk: _*); q.processAllAvailable()
+    }
+    q.stop()
+    // deltas are additive: their trigram-grouped sum IS the count table
+    val streamed = spark.table("t_trigrams").collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+        r.getLong(3)))
+      .groupBy(_._1).map { case (k, g) => k -> g.map(_._2).sum }
+    assert(streamed == expect, s"streamed $streamed != batch $expect")
+  }
 }
