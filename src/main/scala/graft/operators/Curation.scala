@@ -849,6 +849,54 @@ object Curation {
   def naiveBayesConfusion(docs: DataFrame, idCol: String, textCol: String,
                           classCol: String, trainPpm: Long = 800000L)
       : DataFrame = {
+    val w = Window.partitionBy("id").orderBy(col("cost").asc, col("cls").asc)
+    naiveBayesScores(docs, idCol, textCol, classCol, trainPpm)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("actual"), col("cls").as("predicted"))
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+  }
+
+  /** Confidence calibration for [[naiveBayesConfusion]]'s classifier:
+    * does a wider decision margin actually mean a more accurate
+    * prediction? Per eval doc, margin = cost(runner-up) − cost(argmin)
+    * in quantized bits (≥ 0, integer by construction); docs are banded
+    * on floor_log2(margin) (band 0 = tied costs) and each band reports
+    * n_docs, n_correct and accuracy in exact ppm — the table that
+    * decides whether the margin is usable as an acceptance threshold.
+    *
+    * Scale: the scoring plan is [[naiveBayesConfusion]]'s verbatim;
+    * the margin adds one lead() inside the same per-doc window (state
+    * = |classes| rows per doc), and the report is a ≤64-row band agg.
+    */
+  def naiveBayesCalibration(docs: DataFrame, idCol: String, textCol: String,
+                            classCol: String, trainPpm: Long = 800000L)
+      : DataFrame = {
+    val w = Window.partitionBy("id").orderBy(col("cost").asc, col("cls").asc)
+    naiveBayesScores(docs, idCol, textCol, classCol, trainPpm)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("next_cost", lead(col("cost"), 1).over(w))
+      .filter(col("rn") === 1 && col("next_cost").isNotNull)
+      .withColumn("margin", col("next_cost") - col("cost"))
+      .withColumn("band",
+        when(col("margin") <= 0L, lit(0L))
+          .otherwise(length(bin(col("margin"))).cast("long")))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cls") === col("actual"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("band"), col("n_docs").cast("long").as("n_docs"),
+        col("n_correct").cast("long").as("n_correct"),
+        expr("n_correct * 1000000 div n_docs").as("acc_ppm"))
+      .orderBy("band")
+  }
+
+  /** Shared scoring frame for [[naiveBayesConfusion]] /
+    * [[naiveBayesCalibration]]: (id, actual, cls, cost) for every
+    * eval doc × class.
+    */
+  private def naiveBayesScores(docs: DataFrame, idCol: String,
+                               textCol: String, classCol: String,
+                               trainPpm: Long): DataFrame = {
     val base = docs.select(col(idCol).cast("long").as("id"),
       col(classCol).as("actual"),
       (hashKey("nb_", idCol) < trainPpm).as("is_train"),
@@ -868,16 +916,12 @@ object Curation {
     val evalTok = base.filter(!col("is_train"))
       .select(col("id"), col("actual"), explode(col("toks")).as("w"))
       .groupBy("id", "actual", "w").agg(count(lit(1)).as("n_w"))
-    val perDocClass = evalTok.crossJoin(broadcast(classes))
+    evalTok.crossJoin(broadcast(classes))
       .join(cnt, Seq("cls", "w"), "left")
       .groupBy("id", "actual", "cls")
       .agg((max(col("prior_bits")) +
         sum(col("n_w") * bits(expr("(tot_c + v) div (coalesce(cnt, 0) + 1)"))))
         .as("cost"))
-    val w = Window.partitionBy("id").orderBy(col("cost").asc, col("cls").asc)
-    perDocClass.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .groupBy(col("actual"), col("cls").as("predicted"))
-      .agg(count(lit(1)).cast("long").as("n_docs"))
   }
 
   /** Gopher-style rule filter (Rae et al. 2021 §A1.1), thresholds scaled

@@ -588,6 +588,17 @@ private[graft] object QueriesSketchesStats {
             .otherwise(length(bin(col("n_chars"))).cast("long")).as("lb"))
       Relational.kendallTauBands(b, "qb", "lb")
     }),
+
+    "q275_nb_calibration" -> ((s, d) =>
+      // Confidence calibration of the q173 NB classifier: per
+      // log2(margin) band (margin = runner-up cost − best cost in
+      // quantized bits), n_docs / n_correct / accuracy ppm — the table
+      // that decides whether the margin works as an acceptance
+      // threshold. Scoring plan identical to q173; + one lead() in the
+      // same per-doc window and a ≤64-row band agg
+      // (Curation.naiveBayesCalibration scaladoc).
+      Curation.naiveBayesCalibration(documents(s, d), "doc_id", "text",
+        "lang")),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -851,6 +862,46 @@ private[graft] object QueriesSketchesStats {
          |  row_number() OVER (PARTITION BY id ORDER BY cost, cls) AS rn FROM sc)
          |SELECT actual, cls AS predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
          |FROM pr WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q173's scoring CTEs verbatim, then the margin via lead() in the
+    // same per-doc window and the log2 band agg
+    "q275_nb_calibration" ->
+      s"""WITH t AS (SELECT doc_id AS id, lang AS actual,
+         |  ${duckHash("concat('nb_', CAST(doc_id AS VARCHAR))", 15)} % 1000000 < 800000 AS is_train,
+         |  $TOKS AS toks FROM documents),
+         |cnt AS (SELECT actual AS cls, w, CAST(COUNT(*) AS BIGINT) AS cnt
+         | FROM (SELECT actual, unnest(toks) AS w FROM t WHERE is_train) GROUP BY 1, 2),
+         |voc AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM cnt),
+         |totc AS (SELECT cls, CAST(SUM(cnt) AS BIGINT) AS tot_c FROM cnt GROUP BY 1),
+         |nd AS (SELECT actual AS cls, CAST(COUNT(*) AS BIGINT) AS nd_c
+         | FROM t WHERE is_train GROUP BY 1),
+         |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS k_cls,
+         |  CAST(SUM(nd_c) AS BIGINT) AS n_train FROM nd),
+         |cl AS (SELECT cls, tot_c, v,
+         |  length(bin((n_train + k_cls) // (nd_c + 1))) - 1 AS prior_bits
+         | FROM totc JOIN nd USING (cls) CROSS JOIN voc CROSS JOIN st),
+         |ev AS (SELECT id, actual, w, CAST(COUNT(*) AS BIGINT) AS n_w
+         | FROM (SELECT id, actual, unnest(toks) AS w FROM t WHERE NOT is_train)
+         | GROUP BY 1, 2, 3),
+         |sc AS (SELECT ev.id, ev.actual, cl.cls,
+         |  MAX(cl.prior_bits) + SUM(ev.n_w *
+         |    (length(bin((cl.tot_c + cl.v) // (COALESCE(cnt.cnt, 0) + 1))) - 1)) AS cost
+         | FROM ev CROSS JOIN cl
+         | LEFT JOIN cnt ON cnt.cls = cl.cls AND cnt.w = ev.w
+         | GROUP BY 1, 2, 3),
+         |pr AS (SELECT id, actual, cls, cost,
+         |  row_number() OVER (PARTITION BY id ORDER BY cost, cls) AS rn,
+         |  lead(cost) OVER (PARTITION BY id ORDER BY cost, cls) AS next_cost
+         | FROM sc),
+         |m AS (SELECT actual, cls, CAST(next_cost - cost AS BIGINT) AS margin
+         | FROM pr WHERE rn = 1 AND next_cost IS NOT NULL),
+         |b AS (SELECT
+         |  CAST(CASE WHEN margin <= 0 THEN 0 ELSE length(bin(margin)) END AS BIGINT) AS band,
+         |  CASE WHEN cls = actual THEN 1 ELSE 0 END AS ok FROM m)
+         |SELECT band, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         | CAST(SUM(ok) AS BIGINT) AS n_correct,
+         | CAST(SUM(ok) * 1000000 // COUNT(*) AS BIGINT) AS acc_ppm
+         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the whole-corpus probe verbatim — the merged half-sketches must
     // reproduce it bit-for-bit
