@@ -130,6 +130,34 @@ private[graft] object QueriesGraphOps {
         .select(col("lbl").as("community"), col("n_members"), col("min_id"))
         .orderBy("community")),
 
+    "q276_community_purity" -> ((s, d) => {
+      // Label-quality eval for q234's LPA communities: per community
+      // SIZE band (log2), how pure are communities w.r.t. the doc
+      // source — Σ majority-source members / Σ members in exact ppm.
+      // The eval a curation team runs to decide whether graph
+      // communities can stand in for provenance labels. One node-key
+      // join to the doc table + two bounded aggs on top of the LPA
+      // rounds; the report is ≤64 band rows.
+      val lab = GraphOps.labelPropagation(
+        Dedup.simHashDup(documents(s, d), "doc_id", "text", nBits = 16),
+        "id_a", "id_b", rounds = 3)
+      val perCS = lab
+        .join(documents(s, d).select(col("doc_id").as("id"), col("source")),
+          Seq("id"))
+        .groupBy("lbl", "source").agg(count(lit(1)).as("c"))
+      perCS.groupBy("lbl").agg(sum("c").as("sz"), max("c").as("maj"))
+        .withColumn("band", length(bin(col("sz"))).cast("long"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_communities"), sum("sz").as("n_docs"),
+          sum("maj").as("n_majority"))
+        .select(col("band"),
+          col("n_communities").cast("long").as("n_communities"),
+          col("n_docs").cast("long").as("n_docs"),
+          col("n_majority").cast("long").as("n_majority"),
+          expr("n_majority * 1000000 div n_docs").as("purity_ppm"))
+        .orderBy("band")
+    }),
+
     "q267_degree_assortativity" -> ((s, d) =>
       // Structural fingerprint of the q105 dup graph: Newman's degree
       // assortativity — do high-degree docs link to other hubs
@@ -385,6 +413,43 @@ private[graft] object QueriesGraphOps {
          |SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_members,
          | CAST(MIN(id) AS BIGINT) AS min_id
          |FROM l3 GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    // q234's three unrolled LPA rounds + the source join and the
+    // size-band purity rollup
+    "q276_community_purity" -> {
+      def round(prev: String, out: String) =
+        s"""v$out AS (SELECT e.u, $prev.lbl, COUNT(*) AS c
+           | FROM e JOIN $prev ON e.v = $prev.id GROUP BY 1, 2),
+           |$out AS (SELECT u AS id, lbl FROM (
+           |  SELECT u, lbl, row_number() OVER (PARTITION BY u
+           |    ORDER BY c DESC, lbl) AS rn FROM v$out) t WHERE rn = 1)""".stripMargin
+      s"""WITH w AS (SELECT doc_id AS id, unnest($TOKS) AS w FROM documents),
+         |h AS (SELECT id, ${duckHash("w", 15)} AS h FROM w),
+         |bits AS (SELECT id, bit,
+         |  SUM(CASE WHEN ((h >> bit) & 1) = 1 THEN 1 ELSE -1 END) AS v
+         | FROM h CROSS JOIN (SELECT unnest(generate_series(0,15)) AS bit) b GROUP BY 1,2),
+         |sh AS (SELECT id,
+         |  CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+         | FROM bits GROUP BY 1),
+         |p AS (SELECT a.id AS id_a, b.id AS id_b
+         | FROM sh a JOIN sh b ON a.simhash = b.simhash AND a.id < b.id),
+         |e AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM p
+         | UNION ALL SELECT id_b, id_a FROM p),
+         |l0 AS (SELECT DISTINCT u AS id, u AS lbl FROM e),
+         |${round("l0", "l1")},
+         |${round("l1", "l2")},
+         |${round("l2", "l3")},
+         |cs AS (SELECT l3.lbl, d.source, CAST(COUNT(*) AS BIGINT) AS c
+         | FROM l3 JOIN documents d ON d.doc_id = l3.id GROUP BY 1, 2),
+         |pc AS (SELECT lbl, CAST(SUM(c) AS BIGINT) AS sz,
+         |  CAST(MAX(c) AS BIGINT) AS maj FROM cs GROUP BY 1)
+         |SELECT CAST(length(bin(sz)) AS BIGINT) AS band,
+         | CAST(COUNT(*) AS BIGINT) AS n_communities,
+         | CAST(SUM(sz) AS BIGINT) AS n_docs,
+         | CAST(SUM(maj) AS BIGINT) AS n_majority,
+         | CAST(SUM(maj) * 1000000 // SUM(sz) AS BIGINT) AS purity_ppm
+         |FROM pc GROUP BY 1 ORDER BY 1""".stripMargin
     },
   )
 }
