@@ -358,6 +358,31 @@ private[graft] object QueriesAnnVec {
         .orderBy("query_id", "rnk")
     }),
 
+    "q277_quantization_recall" -> ((s, d) => {
+      // Quantization-quality audit: does int8 scalar quantization
+      // (q140) preserve the float-cosine neighbor ranking (q35)?
+      // Per query, |float top-10 ∩ int8 top-10| and overlap in exact
+      // ppm — the recall@k acceptance test a team runs before shipping
+      // the 4× smaller quantized index. Both rankings are the already
+      // oracle-validated operators; the audit adds one left-semi join
+      // on (query, neighbor) and a |queries|-row agg.
+      val e = embeddings(s, d)
+      val qs = e.filter(col("vec_id") < 5)
+      val f = Ann.bruteForceTopK(e, qs, "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val z = Ann.int8QuantTopK(e, qs, "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val hit = f.join(z, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_overlap"))
+      f.groupBy("query_id").agg(count(lit(1)).as("k_eff"))
+        .join(hit, Seq("query_id"), "left")
+        .select(col("query_id"), col("k_eff").cast("long").as("k_eff"),
+          coalesce(col("n_overlap"), lit(0L)).cast("long").as("n_overlap"),
+          expr("coalesce(n_overlap, 0) * 1000000 div k_eff")
+            .as("overlap_ppm"))
+        .orderBy("query_id")
+    }),
+
     "q272_mutual_nn_align" -> ((s, d) => {
       // Bitext-mining shape (Artetxe & Schwenk 2019, mutual nearest
       // neighbors): align a FIXED md5-bottom-N batch of the even-label
@@ -934,6 +959,40 @@ private[graft] object QueriesAnnVec {
          |SELECT query_id, neighbor_id, adist, rnk FROM r WHERE rnk <= $PqK
          |ORDER BY query_id, rnk""".stripMargin
     },
+
+    // q35's float top-10 ∩ q140's int8 top-10 per query, overlap ppm
+    "q277_quantization_recall" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+         |fs AS (SELECT query_id, e.vec_id AS neighbor_id,
+         |  round(${duckCos("qv", "e.v")}, 4) AS cos
+         | FROM e CROSS JOIN q WHERE e.vec_id <> query_id),
+         |fr AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |   row_number() OVER (PARTITION BY query_id
+         |     ORDER BY cos DESC, neighbor_id) AS rnk FROM fs) WHERE rnk <= 10),
+         |st AS (SELECT MAX(abs(x)) AS m FROM (SELECT unnest(v) AS x FROM e)),
+         |qe AS (SELECT vec_id, list_transform(v, x ->
+         |  CASE WHEN st.m <= 0 THEN 0
+         |    ELSE CAST(floor(x * 127.0 / st.m) AS BIGINT) END) AS qv
+         | FROM e, st),
+         |qq AS (SELECT vec_id AS query_id, qv AS qvec FROM qe WHERE vec_id < 5),
+         |zs AS (SELECT query_id, c.vec_id AS neighbor_id,
+         |  CAST(list_dot_product(qvec::DOUBLE[], c.qv::DOUBLE[]) AS BIGINT) AS qdot
+         | FROM qe c CROSS JOIN qq WHERE c.vec_id <> query_id),
+         |zr AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |   row_number() OVER (PARTITION BY query_id
+         |     ORDER BY qdot DESC, neighbor_id) AS rnk FROM zs) WHERE rnk <= 10),
+         |hit AS (SELECT fr.query_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+         | FROM fr JOIN zr USING (query_id, neighbor_id) GROUP BY 1),
+         |base AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS k_eff
+         | FROM fr GROUP BY 1)
+         |SELECT base.query_id, base.k_eff,
+         | CAST(COALESCE(hit.n_overlap, 0) AS BIGINT) AS n_overlap,
+         | CAST(COALESCE(hit.n_overlap, 0) * 1000000 // base.k_eff AS BIGINT) AS overlap_ppm
+         |FROM base LEFT JOIN hit USING (query_id)
+         |ORDER BY query_id""".stripMargin,
 
     // same md5-bottom-N batch, forward top-1 over the odd-label
     // corpus, reverse top-1 of each hit against the batch; mutual
