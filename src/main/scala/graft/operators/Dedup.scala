@@ -252,14 +252,28 @@ object Dedup {
     // hash values are identical to the tokenHash32/pmod expression form
     // (and the DuckDB oracle); the tight loop replaces numHashes
     // interpreted array_min(transform(...)) evaluations per row.
+    //
+    // Permutation i is (h·aᵢ + bᵢ) mod P with aᵢ = (i·2654435761) mod
+    // P + 1 (Knuth's multiplicative constant — multipliers spread over
+    // the whole field). The original small multipliers (2i+1 ≤ 31)
+    // were a measured estimator defect (the q278 error report caught
+    // it): h·(2i+1) never wraps P for small h, so a shingle with a
+    // globally tiny 28-bit hash won EVERY permutation and two docs
+    // sharing one such shingle estimated J = 1.0 against a true 1% —
+    // max error 989 474 ppm at sf0.01. Field-sized multipliers wrap
+    // every h, restoring min-wise mixing: same report, max error
+    // ≤ ~3σ of the 16-hash binomial. h·aᵢ ≤ 2²⁸·2³¹ = 2⁵⁹ fits a
+    // signed 64-bit on both engines.
     val f = udf { toks: Seq[String] =>
       if (toks == null) null
       else {
         val hs = shingleList(toks, k).map(tokenHash32Jvm)
         Array.tabulate(numHashes) { i =>
+          val a = (i * 2654435761L) % P + 1L
+          val b = i * 40503L + 7L
           var m = Long.MaxValue
           hs.foreach { h =>
-            val v = (h * (2L * i + 1) + (i * 40503L + 7L)) % P
+            val v = (h * a + b) % P
             if (v < m) m = v
           }
           m

@@ -46,6 +46,48 @@ private[graft] object QueriesDedupSim {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
+    "q278_minhash_error" -> ((s, d) => {
+      // Estimator-quality report for q31's MinHash: per LSH candidate
+      // pair, |16-hash estimate − exact 3-shingle Jaccard| in exact
+      // ppm, rolled up to n_pairs / floor-mean / max / within-one-
+      // hash-quantum (62 500 ppm = 1/16). Every quantity is
+      // deterministic (md5 hash family + fixed corpus), so the report
+      // hash-compares with NO stochastic tolerance; exact J runs ONLY
+      // on the candidate pairs (semi-filtered shingle postings), never
+      // all pairs — the q240 eval doctrine.
+      val docs = documents(s, d)
+      val cand = Dedup.minHashLsh(docs, "doc_id", "text",
+          k = 3, bands = 4, rowsPerBand = 4, minEstJaccard = 0.25,
+          maxBucketSize = 10000)
+        .withColumn("est_ppm",
+          expr("cast(round(est_jaccard * 1000000) as bigint)"))
+      val ids = cand.select(col("id_a").as("id"))
+        .unionByName(cand.select(col("id_b").as("id"))).distinct()
+      val shc = docs.select(col("doc_id").as("id"),
+          explode(Dedup.shingles(col("text"), 3)).as("sh")).distinct()
+        .join(ids, Seq("id"), "left_semi")
+      val sz = shc.groupBy("id").agg(count(lit(1)).as("n"))
+      val inter = shc.select(col("id").as("id_a"), col("sh"))
+        .join(shc.select(col("id").as("id_b"), col("sh")), Seq("sh"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      cand
+        .join(sz.select(col("id").as("id_a"), col("n").as("na")), Seq("id_a"))
+        .join(sz.select(col("id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+        .join(inter, Seq("id_a", "id_b"), "left")
+        .withColumn("err_ppm", abs(col("est_ppm") -
+          expr("coalesce(inter, 0) * 1000000 div (na + nb - coalesce(inter, 0))")))
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("sum(err_ppm) div count(1)").as("mean_err_ppm"),
+          max("err_ppm").as("max_err_ppm"),
+          sum(when(col("err_ppm") <= 62500L, 1L).otherwise(0L))
+            .as("n_within_1q"))
+        .select(col("n_pairs").cast("long").as("n_pairs"),
+          col("mean_err_ppm").cast("long").as("mean_err_ppm"),
+          col("max_err_ppm").cast("long").as("max_err_ppm"),
+          col("n_within_1q").cast("long").as("n_within_1q"))
+    }),
+
     "q75_winnow_overlap" -> ((s, d) =>
       // winnowing (MOSS) partial-overlap detection: local fingerprints,
       // pairs sharing >= 2
@@ -633,7 +675,7 @@ private[graft] object QueriesDedupSim {
       s"""WITH sh AS ($SHINGLES3),
          |h AS (SELECT id, ${duckHash("sh", 7)} AS h FROM sh),
          |mh AS (SELECT id, i AS hash_idx,
-         |  min((h*(2*i+1) + i*40503 + 7) % 2147483647) AS min_hash
+         |  min((h*((i*2654435761) % 2147483647 + 1) + i*40503 + 7) % 2147483647) AS min_hash
          | FROM h CROSS JOIN (SELECT unnest(generate_series(0,15)) AS i) GROUP BY 1,2),
          |bk0 AS (SELECT id, hash_idx // 4 AS band,
          |  md5(string_agg(CAST(min_hash AS VARCHAR), ',' ORDER BY hash_idx)) AS band_key
@@ -651,6 +693,48 @@ private[graft] object QueriesDedupSim {
          | GROUP BY 1,2)
          |SELECT id_a, id_b, est_jaccard FROM est
          |WHERE est_jaccard >= 0.25 ORDER BY id_a, id_b""".stripMargin,
+
+    // q31's candidate CTEs verbatim, exact 3-shingle Jaccard on the
+    // candidate ids only, error rollup in exact ppm
+    "q278_minhash_error" ->
+      s"""WITH sh AS ($SHINGLES3),
+         |h AS (SELECT id, ${duckHash("sh", 7)} AS h FROM sh),
+         |mh AS (SELECT id, i AS hash_idx,
+         |  min((h*((i*2654435761) % 2147483647 + 1) + i*40503 + 7) % 2147483647) AS min_hash
+         | FROM h CROSS JOIN (SELECT unnest(generate_series(0,15)) AS i) GROUP BY 1,2),
+         |bk0 AS (SELECT id, hash_idx // 4 AS band,
+         |  md5(string_agg(CAST(min_hash AS VARCHAR), ',' ORDER BY hash_idx)) AS band_key
+         | FROM mh GROUP BY 1,2),
+         |bsz AS (SELECT band AS b2, band_key AS k2, COUNT(*) AS n FROM bk0 GROUP BY 1,2),
+         |bk AS (SELECT bk0.* FROM bk0 JOIN bsz ON band = b2 AND band_key = k2
+         | WHERE n <= 10000),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         | FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id),
+         |est AS (SELECT c.id_a, c.id_b,
+         |  round(avg(CASE WHEN ma.min_hash = mb.min_hash THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END), 4) AS est_jaccard
+         | FROM cand c
+         |  JOIN mh ma ON ma.id = c.id_a
+         |  JOIN mh mb ON mb.id = c.id_b AND mb.hash_idx = ma.hash_idx
+         | GROUP BY 1,2),
+         |ep AS (SELECT id_a, id_b,
+         |  CAST(round(est_jaccard * 1000000) AS BIGINT) AS est_ppm
+         | FROM est WHERE est_jaccard >= 0.25),
+         |ids AS (SELECT DISTINCT id FROM (
+         |  SELECT id_a AS id FROM ep UNION ALL SELECT id_b FROM ep)),
+         |sc AS (SELECT sh.id, sh.sh FROM sh JOIN ids USING (id)),
+         |sz AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n FROM sc GROUP BY 1),
+         |iv AS (SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter
+         | FROM sc a JOIN sc b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2),
+         |er AS (SELECT abs(ep.est_ppm - (COALESCE(iv.inter, 0) * 1000000
+         |    // (sa.n + sb.n - COALESCE(iv.inter, 0)))) AS err_ppm
+         | FROM ep JOIN sz sa ON sa.id = ep.id_a
+         |  JOIN sz sb ON sb.id = ep.id_b
+         |  LEFT JOIN iv ON iv.id_a = ep.id_a AND iv.id_b = ep.id_b)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         | CAST(SUM(err_ppm) // COUNT(*) AS BIGINT) AS mean_err_ppm,
+         | CAST(MAX(err_ppm) AS BIGINT) AS max_err_ppm,
+         | CAST(SUM(CASE WHEN err_ppm <= 62500 THEN 1 ELSE 0 END) AS BIGINT) AS n_within_1q
+         |FROM er""".stripMargin,
 
     // POSITIONAL k-gram hashes (no DISTINCT — repeats matter for window
     // minima), window-of-4 minima, distinct per doc, then the same
@@ -1053,7 +1137,7 @@ private[graft] object QueriesDedupSim {
       s"""WITH sh AS (SELECT id, sh FROM ($SHINGLES3) WHERE id % 10 <> 0),
          |h AS (SELECT id, ${duckHash("sh", 7)} AS h FROM sh),
          |mh AS (SELECT id, i AS hash_idx,
-         |  min((h*(2*i+1) + i*40503 + 7) % 2147483647) AS min_hash
+         |  min((h*((i*2654435761) % 2147483647 + 1) + i*40503 + 7) % 2147483647) AS min_hash
          | FROM h CROSS JOIN (SELECT unnest(generate_series(0,15)) AS i) GROUP BY 1,2),
          |bk0 AS (SELECT id, hash_idx // 4 AS band,
          |  md5(string_agg(CAST(min_hash AS VARCHAR), ',' ORDER BY hash_idx)) AS band_key
@@ -1098,7 +1182,7 @@ private[graft] object QueriesDedupSim {
       s"""WITH sh AS ($SHINGLES3),
          |h AS (SELECT id, ${duckHash("sh", 7)} AS h FROM sh),
          |mh AS (SELECT id, i AS hash_idx,
-         |  min((h*(2*i+1) + i*40503 + 7) % 2147483647) AS min_hash
+         |  min((h*((i*2654435761) % 2147483647 + 1) + i*40503 + 7) % 2147483647) AS min_hash
          | FROM h CROSS JOIN (SELECT unnest(generate_series(0,15)) AS i) GROUP BY 1,2),
          |bk0 AS (SELECT id, hash_idx // 4 AS band,
          |  md5(string_agg(CAST(min_hash AS VARCHAR), ',' ORDER BY hash_idx)) AS band_key

@@ -715,9 +715,14 @@ private[graft] object QueryShared {
     * convention): built once per SF from the corpus split, parquet'd,
     * read back.
     */
+  // The _v2 suffix on the three LSH fixture names versions them past
+  // the round-12 MinHash-family fix (field-sized multipliers — see
+  // Dedup.minHashSignature): a cached fixture built with the old
+  // family would silently mismatch the oracle's recomputation, so the
+  // name changes whenever the signature family does.
   private[graft] def lshPostingsFixture(s: SparkSession, d: String,
                                  docs: DataFrame): DataFrame = synchronized {
-    val path = fixturePath(d, "lsh_band_postings.parquet")
+    val path = fixturePath(d, "lsh_band_postings_v2.parquet")
     ensureFixture(path) { tmp =>
       operators.Dedup.minHashBandPostings(
           docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0L),
@@ -735,7 +740,7 @@ private[graft] object QueryShared {
     */
   private[graft] def lshIndexFixture(s: SparkSession, d: String,
                               e: DataFrame): DataFrame = synchronized {
-    val path = fixturePath(d, "lsh_buckets.parquet")
+    val path = fixturePath(d, "lsh_buckets_v2.parquet")
     ensureFixture(path) { tmp =>
       operators.Ann.lshBucketAssignments(e, "vec_id", "embedding", nBits = 4)
         .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
@@ -803,7 +808,7 @@ private[graft] object QueryShared {
     */
   private[graft] def lshPostingsFullFixture(s: SparkSession, d: String,
                                      docs: DataFrame): DataFrame = synchronized {
-    val path = fixturePath(d, "lsh_band_postings_full.parquet")
+    val path = fixturePath(d, "lsh_band_postings_full_v2.parquet")
     ensureFixture(path) { tmp =>
       operators.Dedup.minHashBandPostings(
           docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0L),
@@ -953,7 +958,7 @@ private[graft] object QueryShared {
       s"""WITH sh AS ($SHINGLES3),
          |h AS (SELECT id, ${duckHash("sh", 7)} AS h FROM sh),
          |mh AS (SELECT id, i AS hash_idx,
-         |  min((h*(2*i+1) + i*40503 + 7) % 2147483647) AS min_hash
+         |  min((h*((i*2654435761) % 2147483647 + 1) + i*40503 + 7) % 2147483647) AS min_hash
          | FROM h CROSS JOIN (SELECT unnest(generate_series(0,15)) AS i) GROUP BY 1,2),
          |bk0 AS (SELECT id, hash_idx // 4 AS band,
          |  md5(string_agg(CAST(min_hash AS VARCHAR), ',' ORDER BY hash_idx)) AS band_key
