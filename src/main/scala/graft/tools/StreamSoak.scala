@@ -519,6 +519,70 @@ object StreamSoak {
       restarts, maxSoak, pass)
   }
 
+  /** Phase 8: streaming trigram deltas (q268's twin,
+    * [[EventStreams.streamingPathTrigrams]]) — ADDITIVE output under
+    * induced kills. A mid-flight stop() can abort a batch after
+    * foreachBatch ran but before the commit, so the replayed batch
+    * re-emits its deltas; a plain sum accumulator would double-count.
+    * The sink is therefore idempotent PER BATCH ID (the replay
+    * overwrites its own slot with content-identical deltas — state
+    * rolls back to the checkpoint, the offsets replay, the fold is
+    * deterministic), the exactly-once pattern every additive
+    * streaming sink needs. After the drain, the summed deltas must
+    * equal the batch window's trigram counts over everything the
+    * feeder wrote, and keyed state stays ≤ the 50 000-user domain
+    * (two strings per user).
+    */
+  private def triPhase(spark: SparkSession, root: String, seconds: Int,
+                       restartSeconds: Int, batchEvents: Int): PhaseResult = {
+    val src = s"$root/src"; val ckpt = s"$root/ckpt"
+    new java.io.File(src).mkdirs()
+    val perBatch = new java.util.concurrent.ConcurrentHashMap[
+      Long, Map[(String, String, String), Long]]()
+    def startQuery() = EventStreams.streamingPathTrigrams(
+        EventStreams.readEventStream(spark, src)).toDF()
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: DataFrame, bid: Long) =>
+        // bounded collect: <= |type|^3 = 125 aggregated delta rows
+        // per user per batch, and users/batch <= batchEvents
+        perBatch.put(bid, df.collect()
+          .map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+            r.getLong(3)))
+          .groupBy(_._1).map { case (k, g) => k -> g.map(_._2).sum })
+        ()
+      }
+      .option("checkpointLocation", ckpt).start()
+    val (restarts, maxSoak, batches) =
+      soakLoop(spark, src, seconds, restartSeconds, batchEvents)(startQuery _)
+    val maxProbe = probeDrain(spark, src, batchEvents, batches)(startQuery _)
+    val streamed = {
+      import scala.jdk.CollectionConverters._
+      perBatch.values.asScala.flatten
+        .groupBy(_._1).map { case (k, g) => k -> g.map(_._2).sum }
+    }
+    val batchCounts = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      spark.read.parquet(src)
+        .withColumn("t2", lead(col("event_type"), 1).over(w))
+        .withColumn("t3", lead(col("event_type"), 2).over(w))
+        .filter(col("t2").isNotNull && col("t3").isNotNull)
+        .groupBy("event_type", "t2", "t3").count()
+        .collect()
+        .map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+          r.getLong(3))).toMap
+    }
+    val maxStateRows = math.max(maxSoak, maxProbe)
+    val pass = streamed == batchCounts && maxStateRows <= 50000L
+    if (!pass)
+      System.err.println(s"SOAK tri |streamed|=${streamed.size} " +
+        s"|batch|=${batchCounts.size} maxState=$maxStateRows " +
+        s"diff=${(streamed.toSet diff batchCounts.toSet).take(3)} " +
+        s"rdiff=${(batchCounts.toSet diff streamed.toSet).take(3)}")
+    PhaseResult((batches + 1).toLong * batchEvents,
+      streamed.values.sum, restarts, maxStateRows, pass)
+  }
+
   def main(args: Array[String]): Unit = {
     val soakSeconds = sys.env.getOrElse("SOAK_SECONDS", "180").toInt
     val twinSeconds = sys.env.getOrElse("SOAK_TWIN_SECONDS", "60").toInt
@@ -546,12 +610,15 @@ object StreamSoak {
       twinSeconds, restartSeconds, batchEvents)
     val lsh = lshPhase(spark, "/tmp/graft-soak/lsh",
       twinSeconds, restartSeconds, batchEvents)
+    val tri = triPhase(spark, "/tmp/graft-soak/tri",
+      twinSeconds, restartSeconds, batchEvents)
 
     val pass = tumbling.pass && kmv.pass && cms.pass && mg.pass &&
-      lb.pass && funnel.pass && lsh.pass
+      lb.pass && funnel.pass && lsh.pass && tri.pass
     println(s"""{"tumbling":${tumbling.json()},"kmv":${kmv.json()},""" +
       s""""cms":${cms.json()},"mg":${mg.json()},"lb":${lb.json()},""" +
       s""""funnel":${funnel.json()},"lsh":${lsh.json()},""" +
+      s""""tri":${tri.json()},""" +
       s""""result":"${if (pass) "PASS" else "FAIL"}"}""")
     spark.stop()
     if (!pass) sys.exit(1)
