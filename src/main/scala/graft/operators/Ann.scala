@@ -1308,4 +1308,62 @@ object Ann {
       .filter(col("a_id") === col("best_a"))
       .select(col("a_id"), col("b_id"), col("cos"))
   }
+
+  /** Contrastive-margin audit of an embedding space: the histogram of
+    * EXACT int8 dot products over a fixed-size sampled pair set, split
+    * same-label vs cross-label — the one-glance answer to "do my
+    * labels separate in this space" (a collapsed or shuffled embedding
+    * shows the two histograms on top of each other). Sampling is the
+    * q240 md5-bottom-N doctrine: the `sampleN` vectors with the
+    * smallest md5(id) form the panel, so the audit's cost is
+    * sampleN²/2 pairs FOREVER — corpus growth changes which vectors
+    * land in the panel, never the work. Quantization is the sample's
+    * own symmetric max-abs scale (floor(v·127/m), [[int8QuantTopK]]'s
+    * trade), dots are exact Longs, and buckets are (qdot + shift) div
+    * width with `shift` sized so the numerator is nonnegative — floor
+    * and trunc division agree, so DuckDB replays bit-for-bit.
+    *
+    * Returns one row per (same_label, bucket): (same_label, bucket,
+    * n_pairs, sum_qdot) — sum_qdot gives exact per-side means
+    * downstream without a float.
+    */
+  def int8PairMarginHist(df: DataFrame, idCol: String, vecCol: String,
+                         labelCol: String, sampleN: Int,
+                         bucketWidth: Long, shift: Long): DataFrame = {
+    require(sampleN >= 2, s"sampleN must be >= 2, got $sampleN")
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    val samp = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"),
+        col(labelCol).cast("long").as("lab"),
+        md5(col(idCol).cast("string")).as("__m"))
+      .orderBy(col("__m"), col("id")) // TakeOrdered — never a full sort
+      .limit(sampleN)
+      .materialized
+    val mRow = samp.select(explode(col("v")).as("x"))
+      .agg(max(abs(col("x").cast("double")))).head()
+    val m = if (mRow.isNullAt(0)) 0.0 else mRow.getDouble(0)
+    val quant = udf { (v: Seq[Float]) =>
+      Array.tabulate(v.size) { i =>
+        if (m <= 0) 0L else math.floor(v(i).toDouble * 127.0 / m).toLong
+      }
+    }
+    val idot = udf { (a: Seq[Long], b: Seq[Long]) =>
+      var s = 0L; var i = 0
+      while (i < a.size) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val q = samp.select(col("id"), quant(col("v")).as("qv"), col("lab"))
+    val pairs = q.select(col("id").as("a_id"), col("qv").as("aq"),
+        col("lab").as("a_lab"))
+      .join(broadcast(q.select(col("id").as("b_id"), col("qv").as("bq"),
+        col("lab").as("b_lab"))), col("a_id") < col("b_id"))
+      .select((col("a_lab") === col("b_lab")).as("same_label"),
+        idot(col("aq"), col("bq")).as("qdot"))
+    pairs
+      .withColumn("bucket", expr(s"(qdot + $shift) div $bucketWidth"))
+      .groupBy("same_label", "bucket")
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        sum("qdot").cast("long").as("sum_qdot"))
+      .orderBy("same_label", "bucket")
+  }
 }

@@ -429,4 +429,52 @@ object GraphOps {
              sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
           .otherwise(lit(0.0)), 6).as("assortativity6"))
   }
+
+  /** Adamic-Adar link prediction over a BIPARTITE incidence list
+    * (left entity, right feature) — "which two left entities that
+    * never co-occurred are most likely the same/linked": score(a,b) =
+    * Σ over shared features f of 1/log(deg f), here the integer-exact
+    * variant w_ppm(f) = 10⁶ div bitlen(deg f) (bitlen = ⌊log₂⌋+1, the
+    * q255/q273 bit trick) so ranking is engine-exact and no float log
+    * ever forms. Rarer shared features weigh more — the whole point
+    * of Adamic-Adar over plain common-neighbor counting.
+    *
+    * Scale shape is the posting-list candidate doctrine (q30/q193):
+    * pair fan-out comes from a per-FEATURE self-join of the feature's
+    * left-entity list, never left × left — and features more popular
+    * than `maxDeg` are dropped up front (the standard frequency cap:
+    * a feature shared by everyone carries ~zero Adamic-Adar weight
+    * and quadratic pair cost; the cap removes ≤ 10⁶ div bitlen(maxDeg)
+    * ppm per pair, documented, deterministic). Per-feature fan-out is
+    * ≤ maxDeg²/2; the topK cut is one TakeOrdered. Ordered (a < b)
+    * pairs only — the score is symmetric.
+    *
+    * Returns topK rows: (a, b, n_shared, score_ppm), ties broken by
+    * (a, b).
+    */
+  def adamicAdarTopK(incidence: DataFrame, leftCol: String,
+                     featureCol: String, maxDeg: Int,
+                     topK: Int): DataFrame = {
+    require(maxDeg >= 2, s"maxDeg must be >= 2, got $maxDeg")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val inc = incidence
+      .select(col(leftCol).cast("long").as("l"), col(featureCol).as("f"))
+      .distinct()
+    val posting = inc.groupBy("f")
+      .agg(sort_array(collect_set(col("l"))).as("ls"),
+        count(lit(1)).cast("long").as("deg"))
+      .filter(col("deg").between(2L, maxDeg.toLong))
+      // 10^6 div bitlen(deg): deg >= 2 so bitlen >= 2, weight <= 500000
+      .withColumn("w_ppm",
+        expr("1000000 div length(bin(deg))"))
+    posting
+      .select(col("w_ppm"), explode(col("ls")).as("a"), col("ls"))
+      .select(col("w_ppm"), col("a"), explode(col("ls")).as("b"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).cast("long").as("n_shared"),
+        sum("w_ppm").cast("long").as("score_ppm"))
+      .orderBy(col("score_ppm").desc, col("a").asc, col("b").asc)
+      .limit(topK)
+  }
 }

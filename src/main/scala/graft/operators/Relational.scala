@@ -1599,4 +1599,216 @@ object Relational {
       GraftSqlShim.expression(xxhash64(col(bigKey))))))
     pruned.join(small, pruned(bigKey) === small(smallKey))
   }
+
+  /** Two-sample Kolmogorov-Smirnov distance between the `vCol`
+    * distributions of two named arms — the drift test that catches a
+    * SHAPE change ([[mannWhitney]] catches location; q273's TVD is
+    * band-resolution-limited): D = max over the value domain of the
+    * absolute ECDF gap, in ppm, with floor division replayed on both
+    * engines. Ties inside an arm are no issue — the ECDF jump absorbs
+    * them.
+    *
+    * Scale shape is the [[mannWhitney]] value-histogram doctrine: one
+    * (arm, value) agg, one value-domain-bounded cumulative window, one
+    * TakeOrdered(1) for the argmax — never a per-row sort. The window
+    * is single-partition by construction, so the contract is a BOUNDED
+    * value domain (quantize to domain-bounded units — dollars, buckets
+    * — before calling, as q279 does). The argmax tie breaks to the
+    * SMALLEST value attaining D, so the row is unique.
+    *
+    * Returns one row: (n_a, n_b, ks_ppm, at_v).
+    */
+  def ksTwoSample(df: DataFrame, armCol: String, vCol: String,
+                  armA: String, armB: String): DataFrame = {
+    val counts = df
+      .filter(col(armCol).isin(armA, armB))
+      .groupBy(col(vCol).as("at_v"))
+      .agg(sum(when(col(armCol) === armA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col(armCol) === armB, 1L).otherwise(0L)).as("__cb"))
+    val byV = Window.orderBy("at_v") // value-domain-bounded window
+    val cum = counts
+      .withColumn("__cuma", sum("__ca").over(byV))
+      .withColumn("__cumb", sum("__cb").over(byV))
+    val totals = cum.agg(sum("__ca").as("n_a"), sum("__cb").as("n_b"))
+    cum.crossJoin(broadcast(totals))
+      // both cums and totals are nonnegative: floor div == trunc div,
+      // identical on Spark (`div`) and DuckDB (`//`)
+      .withColumn("__da", expr("(__cuma * 1000000) div greatest(n_a, 1)"))
+      .withColumn("__db", expr("(__cumb * 1000000) div greatest(n_b, 1)"))
+      .withColumn("ks_ppm", abs(col("__da") - col("__db")))
+      .orderBy(col("ks_ppm").desc, col("at_v").asc)
+      .limit(1)
+      .select(col("n_a"), col("n_b"), col("ks_ppm"), col("at_v"))
+  }
+
+  /** Spearman rank correlation between two numeric columns of one
+    * frame, with DETERMINISTIC dense row ranks: ties on a value break
+    * by `idCol`, so both engines produce the identical permutation and
+    * the classic no-tie identity ρ = 1 − 6·Σd²/(n(n²−1)) holds in
+    * exact integers end-to-end (ppm via the overflow-safe division
+    * order 6Σd² div (n(n²−1) div 10⁶)). This is the tie-broken exact
+    * companion to [[kendallTauBands]] — reach for the banded tau when
+    * ties should AVERAGE rather than split by id, or when n exceeds
+    * the long bound below.
+    *
+    * Scale shape: ranks are built in two stages so no global
+    * single-partition row window ever forms — a value histogram gives
+    * each value its rank BASE (cumulative count of strictly smaller
+    * values; value-domain-bounded window), and a row_number
+    * partitioned BY VALUE (bounded by the largest tie group) splits
+    * ties by id. base + within == row_number over (value, id) exactly.
+    * Long bound: 6·Σd² < 2n³ needs n ≤ ~1.6·10⁶ rows; band first
+    * (q271) beyond that.
+    *
+    * Returns one row: (n, sum_d2, rho_ppm).
+    */
+  def spearmanRho(df: DataFrame, idCol: String, xCol: String,
+                  yCol: String): DataFrame = {
+    def rankBy(vCol: String, out: String)(in: DataFrame): DataFrame = {
+      val hist = in.groupBy(col(vCol)).agg(count(lit(1)).as("__cnt"))
+        .withColumn("__base",
+          coalesce(sum("__cnt").over(
+            Window.orderBy(vCol).rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+        .select(col(vCol), col("__base"))
+      in.join(hist, Seq(vCol))
+        .withColumn(out, col("__base") + row_number().over(
+          Window.partitionBy(vCol).orderBy(idCol)))
+        .drop("__base")
+    }
+    val ranked = rankBy(yCol, "__ry")(rankBy(xCol, "__rx")(
+      df.select(col(idCol), col(xCol), col(yCol))))
+    ranked
+      .select((col("__rx") - col("__ry")).as("__d"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__d") * col("__d")).cast("long").as("sum_d2"))
+      .withColumn("rho_ppm",
+        lit(1000000L) - expr(
+          "(6 * sum_d2) div greatest((n * (n * n - 1)) div 1000000, 1)"))
+      .select(col("n"), col("sum_d2"), col("rho_ppm"))
+  }
+
+  /** CUSUM change alarms over an ordered series — the one-sided page
+    * test a pipeline hangs on its daily volume/revenue tables to catch
+    * a sustained upward drift that per-day thresholds (q247's MAD
+    * flags) miss. The textbook recursion s_i = max(0, s_{i−1} + x_i −
+    * target − slack) is NOT a window function; it is computed through
+    * the exact prefix identity s_i = p_i − min(0, min_{j≤i} p_j) where
+    * p is the plain prefix sum of the slack-adjusted deviations — two
+    * ordinary cumulative windows, no recursion, proven equal to the
+    * fold in StatsFoldPropertySpec. target = ⌊Σx/n⌋ (self-calibrated),
+    * slack = target div slackDen, alarm when s_i > target·threshNum.
+    * All integers; subtraction is exact so negative p needs no
+    * engine-specific division.
+    *
+    * Scale: the input is one row per series point (day-domain
+    * bounded — the q124/q247 doctrine), so the ordered windows run
+    * over ≤ a few thousand rows at any corpus size; the corpus-sized
+    * work is whatever aggregation BUILT the series.
+    *
+    * Returns one row per point: (ord, x, cusum, alarm).
+    */
+  def cusumAlerts(series: DataFrame, ordCol: String, vCol: String,
+                  slackDen: Long = 20L, threshNum: Long = 4L): DataFrame = {
+    require(slackDen >= 1 && threshNum >= 1,
+      s"slackDen/threshNum must be >= 1, got $slackDen/$threshNum")
+    val base = series.select(col(ordCol).as("ord"),
+      col(vCol).cast("long").as("x"))
+    // series values are totals (nonnegative by contract), so the
+    // truncating div that both engines share IS the floor
+    val cal = base.agg(sum("x").cast("long").as("__sum"),
+        count(lit(1)).as("__n"))
+      .select(expr("__sum div __n").as("__target"))
+      .withColumn("__slack", expr(s"__target div $slackDen"))
+    val byOrd = Window.orderBy("ord") // series-domain-bounded window
+    base.crossJoin(broadcast(cal))
+      .withColumn("__p",
+        sum(col("x") - col("__target") - col("__slack")).over(byOrd))
+      .withColumn("__pmin", min("__p").over(byOrd))
+      .withColumn("cusum", col("__p") - least(lit(0L), col("__pmin")))
+      .withColumn("alarm", col("cusum") > col("__target") * threshNum)
+      .select(col("ord"), col("x"), col("cusum"), col("alarm"))
+  }
+
+  /** Wilcoxon signed-rank readout over a column of PAIRED differences
+    * — the matched-pairs companion to [[mannWhitney]] (same metric,
+    * same population, two moments in time): zero differences drop (the
+    * standard Pratt-free treatment), magnitudes rank with tie-AVERAGED
+    * ranks via the exact 2× integer trick, and W⁺/W⁻ are the doubled
+    * rank sums of the positive/negative sides. The effect readout is
+    * W⁺'s share of the total rank mass in ppm — kept nonnegative so no
+    * signed floor/trunc division ever crosses engines — with the
+    * overflow-safe order w2_plus div ((w2_plus+w2_minus) div 10⁶).
+    *
+    * Scale shape: ranks come from the |d| value histogram exactly as
+    * in [[mannWhitney]] — same bounded-value-domain contract, same
+    * pre-bucket discipline for metrics whose distinct-value count
+    * grows with the corpus (q283 buckets cents to whole dollars).
+    *
+    * Returns one row: (n_pairs, w2_plus, w2_minus, wplus_share_ppm).
+    */
+  def wilcoxonSignedRank(diffs: DataFrame, dCol: String): DataFrame = {
+    val nz = diffs.filter(col(dCol) =!= 0L)
+      .select(abs(col(dCol)).cast("long").as("__a"),
+        (col(dCol) > 0L).as("__pos"))
+    val byA = Window.orderBy("__a") // magnitude-histogram window
+    val hist = nz.groupBy("__a").agg(count(lit(1)).as("__cnt"))
+      .withColumn("__cum", sum("__cnt").over(byA) - col("__cnt"))
+      .withColumn("__rank2", lit(2L) * col("__cum") + col("__cnt") + 1L)
+      .select(col("__a"), col("__rank2"))
+    nz.groupBy("__a", "__pos").agg(count(lit(1)).as("__n"))
+      .join(hist, Seq("__a"))
+      .agg(sum("__n").cast("long").as("n_pairs"),
+        sum(when(col("__pos"), col("__n") * col("__rank2"))
+          .otherwise(0L)).cast("long").as("w2_plus"),
+        sum(when(!col("__pos"), col("__n") * col("__rank2"))
+          .otherwise(0L)).cast("long").as("w2_minus"))
+      // degenerate inputs (all zeros dropped): total rank mass 0 →
+      // greatest(…,1) keeps the division defined; both engines carry it
+      .withColumn("wplus_share_ppm",
+        expr("w2_plus div greatest((w2_plus + w2_minus) div 1000000, 1)"))
+      .select(col("n_pairs"), col("w2_plus"), col("w2_minus"),
+        col("wplus_share_ppm"))
+  }
+
+  /** Per-group ordinary-least-squares trend over a (group, x, y)
+    * series — the parametric companion to [[theilSenSlope]] (exact
+    * moments, one agg, no pair loop): slope = (nΣxy − ΣxΣy) div (nΣx²
+    * − (Σx)²) with TRUNCATING division — Spark's `div` and DuckDB's
+    * integer `//` both round toward zero (measured: −7//2 = −3 on
+    * both), so a negative slope divides identically with no floor
+    * shim. The intercept is re-derived under the truncated slope:
+    * (Σy − slope·Σx) div n — deterministic by construction,
+    * documented as such.
+    *
+    * Scale: ONE map-side-combinable aggregation over the series — the
+    * five sufficient statistics are the entire shuffle (5 longs per
+    * group). Long bound: n·Σxy must fit a signed 64-bit — with x as a
+    * small ordinal (month index) and y in cents this holds to ~10³×
+    * the sf0.1 fixture; scale y to coarser units first beyond that.
+    * Zero-variance groups (one distinct x) drop — slope undefined.
+    *
+    * Returns one row per group: (grp, n, slope_num, slope_den, slope,
+    * intercept).
+    */
+  def groupOlsTrend(series: DataFrame, groupCol: String, xCol: String,
+                    yCol: String): DataFrame = {
+    series
+      .select(col(groupCol).as("grp"), col(xCol).cast("long").as("__x"),
+        col(yCol).cast("long").as("__y"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"),
+        sum("__x").cast("long").as("__sx"),
+        sum("__y").cast("long").as("__sy"),
+        sum(col("__x") * col("__y")).cast("long").as("__sxy"),
+        sum(col("__x") * col("__x")).cast("long").as("__sxx"))
+      .withColumn("slope_num", expr("n * __sxy - __sx * __sy"))
+      .withColumn("slope_den", expr("n * __sxx - __sx * __sx"))
+      .filter(col("slope_den") > 0L)
+      .withColumn("slope", expr("slope_num div slope_den"))
+      .withColumn("intercept",
+        expr("(__sy - slope * __sx) div n"))
+      .select(col("grp"), col("n"), col("slope_num"), col("slope_den"),
+        col("slope"), col("intercept"))
+  }
 }

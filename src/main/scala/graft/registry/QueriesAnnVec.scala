@@ -404,6 +404,20 @@ private[graft] object QueriesAnnVec {
       Ann.mutualTop1(batch, corpus, "vec_id", "embedding")
         .orderBy("a_id")
     }),
+
+    "q284_embedding_margin" -> ((s, d) =>
+      // Contrastive-margin audit: same-label vs cross-label histogram
+      // of EXACT int8 dot products over the md5-bottom-256 panel — the
+      // one-glance "do my labels separate in this space" check (a
+      // collapsed embedding shows both histograms on top of each
+      // other). Panel cost is 256²/2 pairs FOREVER — corpus growth
+      // changes which vectors land in the panel, never the work; dots
+      // are exact Longs and buckets are shifted-nonnegative so floor
+      // and trunc division agree (Ann.int8PairMarginHist scaladoc).
+      // dim=64, |q|≤127 ⇒ |qdot| ≤ 64·127² ≈ 1.03e6: shift 2²¹ covers,
+      // width 2¹⁶ gives ~32 live buckets.
+      Ann.int8PairMarginHist(embeddings(s, d), "vec_id", "embedding",
+        "label", sampleN = 256, bucketWidth = 65536L, shift = 2097152L)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1018,5 +1032,29 @@ private[graft] object QueriesAnnVec {
          |SELECT fwd.a_id, fwd.b_id, fwd.cos
          |FROM fwd JOIN rev USING (b_id) WHERE fwd.a_id = rev.best_a
          |ORDER BY fwd.a_id""".stripMargin,
+
+    // same md5-bottom-256 panel, panel-scoped max-abs int8 quantize
+    // (the q140 floor(v·127/m) expression), exact integer dots and
+    // shifted-nonnegative bucket division
+    "q284_embedding_margin" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |  CAST(label AS BIGINT) AS lab FROM embeddings
+        | WHERE embedding IS NOT NULL),
+        |samp AS (SELECT vec_id, v, lab FROM e
+        | ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 256),
+        |st AS (SELECT MAX(abs(x)) AS m
+        | FROM (SELECT unnest(v) AS x FROM samp)),
+        |q AS (SELECT vec_id, lab, list_transform(v, x ->
+        |  CASE WHEN st.m <= 0 THEN 0
+        |    ELSE CAST(floor(x * 127.0 / st.m) AS BIGINT) END) AS qv
+        | FROM samp, st),
+        |p AS (SELECT (a.lab = b.lab) AS same_label,
+        |  CAST(list_dot_product(a.qv::DOUBLE[], b.qv::DOUBLE[]) AS BIGINT) AS qdot
+        | FROM q a JOIN q b ON a.vec_id < b.vec_id)
+        |SELECT same_label,
+        | CAST((qdot + 2097152) // 65536 AS BIGINT) AS bucket,
+        | CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        | CAST(SUM(qdot) AS BIGINT) AS sum_qdot
+        |FROM p GROUP BY 1, 2 ORDER BY same_label, bucket""".stripMargin,
   )
 }

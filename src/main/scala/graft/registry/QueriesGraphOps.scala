@@ -169,6 +169,19 @@ private[graft] object QueriesGraphOps {
       GraphOps.degreeAssortativity(
         Dedup.simHashDup(documents(s, d), "doc_id", "text", nBits = 16),
         "id_a", "id_b")),
+
+    "q282_adamic_adar" -> ((s, d) =>
+      // Link prediction on the supplier↔part incidence: the top-20
+      // supplier pairs by Adamic-Adar over shared parts — rare shared
+      // parts weigh more than commodity ones via the integer-exact
+      // 10⁶ div bitlen(deg) weight, so no float log forms. Pair
+      // fan-out is per-part posting lists under the deg ≤ 64
+      // frequency cap, never supplier × supplier
+      // (GraphOps.adamicAdarTopK scaladoc; weights vs the O(n²)
+      // driver model in StatsFoldPropertySpec).
+      GraphOps.adamicAdarTopK(
+        lineitem(s, d).select(col("l_suppkey"), col("l_partkey")),
+        "l_suppkey", "l_partkey", maxDeg = 64, topK = 20)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -451,5 +464,22 @@ private[graft] object QueriesGraphOps {
          | CAST(SUM(maj) * 1000000 // SUM(sz) AS BIGINT) AS purity_ppm
          |FROM pc GROUP BY 1 ORDER BY 1""".stripMargin
     },
+
+    // same distinct incidence, bitlen weights, deg∈[2,64] cap and
+    // (score desc, a, b) top-20 cut
+    "q282_adamic_adar" ->
+      """WITH inc AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS l,
+        |  l_partkey AS f FROM lineitem),
+        |deg AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS deg
+        | FROM inc GROUP BY 1),
+        |el AS (SELECT f, CAST(1000000 // length(bin(deg)) AS BIGINT) AS w
+        | FROM deg WHERE deg BETWEEN 2 AND 64),
+        |pairs AS (SELECT a.l AS a, b.l AS b, el.w
+        | FROM el JOIN inc a USING (f) JOIN inc b USING (f)
+        | WHERE a.l < b.l),
+        |sc AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_shared,
+        |  CAST(SUM(w) AS BIGINT) AS score_ppm FROM pairs GROUP BY 1, 2)
+        |SELECT a, b, n_shared, score_ppm FROM sc
+        |ORDER BY score_ppm DESC, a, b LIMIT 20""".stripMargin,
   )
 }

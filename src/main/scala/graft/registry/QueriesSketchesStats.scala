@@ -599,6 +599,131 @@ private[graft] object QueriesSketchesStats {
       // (Curation.naiveBayesCalibration scaladoc).
       Curation.naiveBayesCalibration(documents(s, d), "doc_id", "text",
         "lang")),
+
+    "q279_ks_drift" -> ((s, d) => {
+      // Two-sample Kolmogorov-Smirnov drift between two market
+      // segments' order-value DISTRIBUTIONS — the shape test that
+      // fires when q264's location test and q273's banded TVD both
+      // sleep. Values quantize to whole dollars (price-DOMAIN-bounded,
+      // not corpus-bounded, so the ECDF window never grows with the
+      // data); D and its arg-value in exact ppm integers
+      // (Relational.ksTwoSample scaladoc).
+      val t = orders(s, d)
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .withColumn("__v_c", cents(col("o_totalprice")))
+        .withColumn("dollars", expr("__v_c div 100"))
+        .select(col("c_mktsegment").as("arm"), col("dollars"))
+      Relational.ksTwoSample(t, "arm", "dollars", "BUILDING", "MACHINERY")
+    }),
+
+    "q280_spearman_corr" -> ((s, d) => {
+      // Spearman rank correlation between a customer's account balance
+      // and their lifetime spend — monotone-association readout with
+      // DETERMINISTIC id-broken ranks so the classic no-tie identity
+      // runs in exact integers end-to-end; ranks build from the value
+      // histogram in two stages, never a global single-partition row
+      // window (Relational.spearmanRho scaladoc; equality to the
+      // row_number-over-(v,id) definition proven in
+      // StatsFoldPropertySpec).
+      val spend = orders(s, d).groupBy(col("o_custkey"))
+        .agg(sum(cents(col("o_totalprice"))).as("__spend"))
+      val t = customer(s, d)
+        .join(spend, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey").as("id"),
+          cents(col("c_acctbal")).as("x"),
+          coalesce(col("__spend"), lit(0L)).as("y"))
+      Relational.spearmanRho(t, "id", "x", "y")
+    }),
+
+    "q281_cusum_daily" -> ((s, d) => {
+      // CUSUM drift alarms on the daily purchase-revenue series — the
+      // sustained-shift monitor q247's per-day MAD flags can't express
+      // (ten days each 1 MAD high never trip a point test; their
+      // cumulative sum trips this one). The max(0, ·) recursion runs
+      // as two cumulative windows via the exact prefix-min identity
+      // (Relational.cusumAlerts scaladoc; identity proven in
+      // StatsFoldPropertySpec). Day-domain-bounded windows; the
+      // corpus-sized work is the one daily aggregation.
+      val daily = events(s, d).filter(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(cents(col("value"))).as("x_c"))
+      Relational.cusumAlerts(daily, "day", "x_c")
+        .select(date_format(col("ord"), "yyyy-MM-dd").as("day"),
+          col("x").as("x_c"), col("cusum").as("cusum_c"), col("alarm"))
+        .orderBy("day")
+    }),
+
+    "q283_wilcoxon_pairs" -> ((s, d) => {
+      // Wilcoxon signed-rank on paired per-customer spend, 1996 vs
+      // 1997 (customers active in BOTH years) — the matched-pairs
+      // "did the same population move" test, robust where a paired
+      // t-test is wrecked by spend skew. Differences stay in cents;
+      // tie-averaged magnitude ranks via the exact 2× integer trick
+      // (Relational.wilcoxonSignedRank scaladoc; W⁺/W⁻ vs the O(n log
+      // n) driver model in StatsFoldPropertySpec).
+      val y96 = sum(when(year(col("o_orderdate")) === 1996,
+        cents(col("o_totalprice"))).otherwise(0L))
+      val y97 = sum(when(year(col("o_orderdate")) === 1997,
+        cents(col("o_totalprice"))).otherwise(0L))
+      val t = orders(s, d)
+        .filter(year(col("o_orderdate")).isin(1996, 1997))
+        .groupBy(col("o_custkey"))
+        .agg(y96.as("a_c"), y97.as("b_c"),
+          max(when(year(col("o_orderdate")) === 1996, 1L)
+            .otherwise(0L)).as("__ha"),
+          max(when(year(col("o_orderdate")) === 1997, 1L)
+            .otherwise(0L)).as("__hb"))
+        .filter(col("__ha") === 1L && col("__hb") === 1L)
+        .select((col("b_c") - col("a_c")).as("d_c"))
+      Relational.wilcoxonSignedRank(t, "d_c")
+    }),
+
+    "q285_seg_trend_ols" -> ((s, d) => {
+      // Per-segment OLS revenue trend over the monthly series — the
+      // parametric companion to q190's Theil-Sen (exact moment sums,
+      // ONE map-side-combinable agg, no pair loop): slope in cents per
+      // month under the truncating division both engines share
+      // (Spark div == DuckDB integer //, both toward zero), intercept
+      // re-derived under the truncated slope
+      // (Relational.groupOlsTrend scaladoc). Month index is
+      // calendar-domain bounded; the sufficient statistics are the
+      // entire shuffle.
+      val monthly = orders(s, d)
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("seg"),
+          ((year(col("o_orderdate")) - 1995) * 12
+            + month(col("o_orderdate")) - 1).cast("long").as("mx"))
+        .agg(sum(cents(col("o_totalprice"))).as("y_c"))
+      Relational.groupOlsTrend(monthly, "seg", "mx", "y_c")
+        .withColumnRenamed("grp", "seg")
+        .orderBy("seg")
+    }),
+
+    "q286_fano_burstiness" -> ((s, d) => {
+      // Burstiness screen per event type: the Fano factor (index of
+      // dispersion, var/mean) of the DAILY count series in ppm — 10⁶
+      // for a Poisson-flat stream, far above for bursty types; the
+      // signal that tells a capacity planner which event families
+      // spike vs trickle. Exact integers end-to-end: variance
+      // numerator n·Σx²−(Σx)² over mean denominator n·Σx, fused as
+      // (num·10⁶) div (n·Σx) — fits a signed 64-bit while n·Σx² stays
+      // under ~9·10¹² (holds to ~sf10 on this fixture; coarsen to
+      // weekly counts beyond). Observed days only: a type absent all
+      // day contributes no row, stated contract.
+      val daily = events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("__day"))
+        .agg(count(lit(1)).as("x"))
+      daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          sum("x").cast("long").as("sum_x"),
+          sum(col("x") * col("x")).cast("long").as("__sxx"))
+        .withColumn("fano_ppm", expr(
+          "((n_days * __sxx - sum_x * sum_x) * 1000000) div greatest(n_days * sum_x, 1)"))
+        .select(col("event_type"), col("n_days"), col("sum_x"),
+          col("fano_ppm"))
+        .orderBy("event_type")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1184,5 +1309,128 @@ private[graft] object QueriesSketchesStats {
          |  ELSE 0.0 END, 6) AS tau_b6
          |FROM cd, nn, tq, tl""".stripMargin
     },
+
+    // the same dollar quantization, ECDF windows, ppm floor divisions
+    // and smallest-argmax tiebreak
+    "q279_ks_drift" ->
+      """WITH t AS (SELECT c.c_mktsegment AS arm,
+        |  CAST(round(o.o_totalprice*100,0) AS BIGINT) // 100 AS v
+        | FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        | WHERE c.c_mktsegment IN ('BUILDING','MACHINERY')),
+        |h AS (SELECT v,
+        |  CAST(SUM(CASE WHEN arm='BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |  CAST(SUM(CASE WHEN arm='MACHINERY' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        | FROM t GROUP BY v),
+        |c AS (SELECT v, SUM(ca) OVER (ORDER BY v) AS cuma,
+        |  SUM(cb) OVER (ORDER BY v) AS cumb FROM h),
+        |n AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+        |  CAST(SUM(cb) AS BIGINT) AS n_b FROM h),
+        |d AS (SELECT n.n_a, n.n_b,
+        |  CAST(abs((cuma*1000000) // greatest(n.n_a,1)
+        |    - (cumb*1000000) // greatest(n.n_b,1)) AS BIGINT) AS ks_ppm,
+        |  CAST(v AS BIGINT) AS at_v FROM c, n)
+        |SELECT n_a, n_b, ks_ppm, at_v FROM d
+        |ORDER BY ks_ppm DESC, at_v ASC LIMIT 1""".stripMargin,
+
+    // the two-stage histogram ranks equal row_number over (value, id),
+    // so the oracle uses the direct definition
+    "q280_spearman_corr" ->
+      """WITH sp AS (SELECT o_custkey,
+        |  CAST(SUM(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS y
+        | FROM orders GROUP BY 1),
+        |t AS (SELECT c.c_custkey AS id,
+        |  CAST(round(c.c_acctbal*100,0) AS BIGINT) AS x,
+        |  COALESCE(sp.y, 0) AS y
+        | FROM customer c LEFT JOIN sp ON c.c_custkey = sp.o_custkey),
+        |r AS (SELECT row_number() OVER (ORDER BY x, id) AS rx,
+        |  row_number() OVER (ORDER BY y, id) AS ry FROM t),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM((rx-ry)*(rx-ry)) AS BIGINT) AS sum_d2 FROM r)
+        |SELECT n, sum_d2,
+        | CAST(1000000 - (6*sum_d2) // greatest((n*(n*n-1)) // 1000000, 1)
+        |   AS BIGINT) AS rho_ppm
+        |FROM a""".stripMargin,
+
+    // same self-calibrated target/slack floors, prefix-sum + prefix-min
+    // identity and 4x-target alarm line
+    "q281_cusum_daily" ->
+      """WITH daily AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |  CAST(SUM(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS x_c
+        | FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |cal AS (SELECT SUM(x_c) // COUNT(*) AS target,
+        |  (SUM(x_c) // COUNT(*)) // 20 AS slack FROM daily),
+        |p AS (SELECT day, x_c, cal.target,
+        |  SUM(x_c - cal.target - cal.slack) OVER (ORDER BY day) AS pp
+        | FROM daily, cal),
+        |s AS (SELECT day, x_c, target,
+        |  pp - least(0, MIN(pp) OVER (ORDER BY day)) AS cusum_c FROM p)
+        |SELECT day, x_c, CAST(cusum_c AS BIGINT) AS cusum_c,
+        | (cusum_c > target*4) AS alarm
+        |FROM s ORDER BY day""".stripMargin,
+
+    // same 1996/1997 pairing, zero-diff drop, 2x-scaled average
+    // magnitude ranks and nonnegative share division
+    "q283_wilcoxon_pairs" ->
+      """WITH t AS (SELECT o_custkey,
+        |  SUM(CASE WHEN year(o_orderdate)=1996
+        |    THEN CAST(round(o_totalprice*100,0) AS BIGINT) ELSE 0 END) AS a_c,
+        |  SUM(CASE WHEN year(o_orderdate)=1997
+        |    THEN CAST(round(o_totalprice*100,0) AS BIGINT) ELSE 0 END) AS b_c,
+        |  MAX(CASE WHEN year(o_orderdate)=1996 THEN 1 ELSE 0 END) AS ha,
+        |  MAX(CASE WHEN year(o_orderdate)=1997 THEN 1 ELSE 0 END) AS hb
+        | FROM orders WHERE year(o_orderdate) IN (1996, 1997) GROUP BY 1),
+        |d AS (SELECT b_c - a_c AS dv FROM t
+        | WHERE ha = 1 AND hb = 1 AND b_c - a_c <> 0),
+        |h AS (SELECT abs(dv) AS a, CAST(COUNT(*) AS BIGINT) AS cnt
+        | FROM d GROUP BY 1),
+        |r AS (SELECT a,
+        |  2*(SUM(cnt) OVER (ORDER BY a) - cnt) + cnt + 1 AS rank2 FROM h),
+        |sgn AS (SELECT abs(dv) AS a, dv > 0 AS pos,
+        |  CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1, 2),
+        |w AS (SELECT CAST(SUM(n) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(CASE WHEN pos THEN n*rank2 ELSE 0 END) AS BIGINT) AS w2_plus,
+        |  CAST(SUM(CASE WHEN NOT pos THEN n*rank2 ELSE 0 END) AS BIGINT) AS w2_minus
+        | FROM sgn JOIN r USING (a))
+        |SELECT n_pairs, w2_plus, w2_minus,
+        | CAST(w2_plus // greatest((w2_plus + w2_minus) // 1000000, 1)
+        |   AS BIGINT) AS wplus_share_ppm
+        |FROM w""".stripMargin,
+
+    // DuckDB integer // truncates toward zero exactly like Spark div,
+    // so a negative slope numerator divides identically
+    "q285_seg_trend_ols" ->
+      """WITH m AS (SELECT c.c_mktsegment AS seg,
+        |  CAST((year(o_orderdate)-1995)*12 + month(o_orderdate)-1 AS BIGINT) AS x,
+        |  CAST(SUM(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS y
+        | FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        | GROUP BY 1, 2),
+        |a AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |  CAST(SUM(x*y) AS BIGINT) AS sxy, CAST(SUM(x*x) AS BIGINT) AS sxx
+        | FROM m GROUP BY 1),
+        |b AS (SELECT seg, n, sx, sy,
+        |  n*sxy - sx*sy AS slope_num, n*sxx - sx*sx AS slope_den
+        | FROM a WHERE n*sxx - sx*sx > 0),
+        |c2 AS (SELECT seg, n, slope_num, slope_den,
+        |  slope_num // slope_den AS slope, sx, sy FROM b)
+        |SELECT seg, n, CAST(slope_num AS BIGINT) AS slope_num,
+        | CAST(slope_den AS BIGINT) AS slope_den,
+        | CAST(slope AS BIGINT) AS slope,
+        | CAST((sy - slope*sx) // n AS BIGINT) AS intercept
+        |FROM c2 ORDER BY seg""".stripMargin,
+
+    // same daily-count moments and fused var/mean ppm division
+    "q286_fano_burstiness" ->
+      """WITH daily AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |  CAST(COUNT(*) AS BIGINT) AS x
+        | FROM events GROUP BY 1, 2),
+        |a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |  CAST(SUM(x) AS BIGINT) AS sum_x,
+        |  CAST(SUM(x*x) AS BIGINT) AS sxx
+        | FROM daily GROUP BY 1)
+        |SELECT event_type, n_days, sum_x,
+        | CAST(((n_days*sxx - sum_x*sum_x) * 1000000)
+        |   // greatest(n_days*sum_x, 1) AS BIGINT) AS fano_ppm
+        |FROM a ORDER BY event_type""".stripMargin,
   )
 }

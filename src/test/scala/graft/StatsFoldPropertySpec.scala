@@ -1,0 +1,177 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{GraphOps, Relational}
+
+/** Brute-force driver models for the round-12 statistics operators
+  * (the AlignStatsPropertySpec pattern): CUSUM's prefix-min identity
+  * vs the literal max(0, ·) recursion, Spearman's two-stage histogram
+  * ranks vs row_number over (value, id), Wilcoxon's 2×-integer
+  * tie-averaged rank sums vs an O(n log n) driver model, two-sample
+  * KS vs the literal max-over-values ECDF gap, Adamic-Adar's capped
+  * posting fan-out vs the O(n²) shared-feature definition, and
+  * per-group OLS vs the closed-form driver fit. Every compared
+  * quantity is an exact integer, so equality is exact.
+  */
+class StatsFoldPropertySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("cusumAlerts: prefix-min identity equals the max(0,.) recursion") {
+    val rnd = new scala.util.Random(279)
+    for (trial <- 1 to 25) {
+      val n = 1 + rnd.nextInt(40)
+      // nonnegative series (the operator's stated contract)
+      val xs = Seq.fill(n)(rnd.nextInt(1000).toLong)
+      val series = xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }
+      val got = Relational.cusumAlerts(series.toDF("ord", "x"), "ord", "x")
+        .orderBy("ord").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      val target = xs.sum / n
+      val slack = target / 20
+      var s = 0L
+      val want = xs.zipWithIndex.map { case (x, i) =>
+        s = math.max(0L, s + x - target - slack)
+        (i.toLong, x, s, s > target * 4)
+      }
+      assert(got.toSeq == want, s"trial $trial")
+    }
+  }
+
+  test("spearmanRho: histogram ranks equal row_number over (value, id)") {
+    val rnd = new scala.util.Random(280)
+    for (trial <- 1 to 25) {
+      val n = 2 + rnd.nextInt(60)
+      // small value domains force heavy ties through the id tiebreak
+      val rows = (0 until n).map(i =>
+        (i.toLong, rnd.nextInt(8).toLong, rnd.nextInt(8).toLong))
+      val got = Relational.spearmanRho(rows.toDF("id", "x", "y"),
+          "id", "x", "y")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).head
+      def ranks(key: ((Long, Long, Long)) => Long): Map[Long, Long] =
+        rows.sortBy(r => (key(r), r._1)).zipWithIndex
+          .map { case (r, i) => r._1 -> (i + 1).toLong }.toMap
+      val (rx, ry) = (ranks(_._2), ranks(_._3))
+      val sumd2 = rows.map(r => { val d = rx(r._1) - ry(r._1); d * d }).sum
+      val den = math.max(n.toLong * (n.toLong * n - 1) / 1000000L, 1L)
+      val want = (n.toLong, sumd2, 1000000L - (6 * sumd2) / den)
+      assert(got == want, s"trial $trial: got $got want $want")
+    }
+  }
+
+  test("wilcoxonSignedRank: 2x rank sums equal the driver tie-average model") {
+    val rnd = new scala.util.Random(283)
+    for (trial <- 1 to 25) {
+      val n = 1 + rnd.nextInt(60)
+      // small magnitude domain forces tie groups; zeros exercise the drop
+      val ds = Seq.fill(n)((rnd.nextInt(11) - 5).toLong)
+      val got = Relational.wilcoxonSignedRank(ds.toDF("d"), "d")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .head
+      val nz = ds.filter(_ != 0L)
+      // 2x average rank per |d|: ranks [a, a+t-1] -> 2*avg = 2a + t - 1
+      val byMag = nz.map(math.abs).groupBy(identity).view
+        .mapValues(_.size.toLong).toMap
+      val mags = byMag.keys.toSeq.sorted
+      val rank2 = {
+        var cum = 0L
+        mags.map { m =>
+          val t = byMag(m); val r = 2 * cum + t + 1; cum += t; m -> r
+        }.toMap
+      }
+      val w2p = nz.filter(_ > 0).map(d => rank2(math.abs(d))).sum
+      val w2m = nz.filter(_ < 0).map(d => rank2(math.abs(d))).sum
+      val share = w2p / math.max((w2p + w2m) / 1000000L, 1L)
+      val want = (nz.size.toLong, w2p, w2m, share)
+      assert(got == want, s"trial $trial: got $got want $want")
+      // total doubled rank mass is n(n+1) by construction
+      assert(w2p + w2m == nz.size.toLong * (nz.size + 1))
+    }
+  }
+
+  test("ksTwoSample: histogram windows equal the literal ECDF gap max") {
+    val rnd = new scala.util.Random(281)
+    for (trial <- 1 to 25) {
+      val na = 1 + rnd.nextInt(40)
+      val nb = 1 + rnd.nextInt(40)
+      val as = Seq.fill(na)(rnd.nextInt(15).toLong)
+      val bs = Seq.fill(nb)(rnd.nextInt(15).toLong)
+      val df = (as.map(("a", _)) ++ bs.map(("b", _))).toDF("arm", "v")
+      val got = Relational.ksTwoSample(df, "arm", "v", "a", "b")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .head
+      val vs = (as ++ bs).distinct.sorted
+      val gaps = vs.map { v =>
+        val da = as.count(_ <= v).toLong * 1000000L / na
+        val db = bs.count(_ <= v).toLong * 1000000L / nb
+        (math.abs(da - db), v)
+      }
+      val best = gaps.maxBy { case (d, v) => (d, -v) }
+      val want = (na.toLong, nb.toLong, best._1, best._2)
+      assert(got == want, s"trial $trial: got $got want $want")
+    }
+  }
+
+  test("adamicAdarTopK: posting fan-out equals the O(n^2) shared-feature model") {
+    val rnd = new scala.util.Random(282)
+    for (trial <- 1 to 20) {
+      val nL = 3 + rnd.nextInt(10)
+      val nF = 2 + rnd.nextInt(8)
+      val inc = (for {
+        l <- 0 until nL; f <- 0 until nF
+        if rnd.nextInt(3) == 0
+      } yield (l.toLong, f.toLong)).distinct
+      if (inc.nonEmpty) {
+        val maxDeg = 2 + rnd.nextInt(6)
+        val got = GraphOps.adamicAdarTopK(inc.toDF("l", "f"), "l", "f",
+            maxDeg = maxDeg, topK = 1000)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        val deg = inc.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+        def bitlen(x: Long) = 64 - java.lang.Long.numberOfLeadingZeros(x)
+        val want = (for {
+          (a, b) <- inc.map(_._1).distinct.combinations(2).map(s =>
+            (s.min, s.max)).toSeq
+          shared = inc.filter(e => deg(e._2) >= 2 && deg(e._2) <= maxDeg)
+            .groupBy(_._2).filter { case (_, es) =>
+              es.exists(_._1 == a) && es.exists(_._1 == b) }.keys.toSeq
+          if shared.nonEmpty
+        } yield (a, b, shared.size.toLong,
+          shared.map(f => 1000000L / bitlen(deg(f))).sum))
+          .sortBy { case (a, b, _, s) => (-s, a, b) }
+        assert(got.toSeq == want, s"trial $trial: got ${got.toSeq} want $want")
+      }
+    }
+  }
+
+  test("groupOlsTrend: moment fold equals the closed-form driver fit") {
+    val rnd = new scala.util.Random(285)
+    for (trial <- 1 to 25) {
+      val n = 2 + rnd.nextInt(30)
+      val pts = (0 until n).map(i =>
+        ("g", i.toLong, (rnd.nextInt(2001) - 1000).toLong))
+      val got = Relational.groupOlsTrend(pts.toDF("g", "x", "y"),
+          "g", "x", "y")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).head
+      val (sx, sy) = (pts.map(_._2).sum, pts.map(_._3).sum)
+      val sxy = pts.map(p => p._2 * p._3).sum
+      val sxx = pts.map(p => p._2 * p._2).sum
+      val num = n * sxy - sx * sy
+      val den = n * sxx - sx * sx
+      val slope = num / den // JVM / truncates like Spark div
+      val want = ("g", n.toLong, num, den, slope, (sy - slope * sx) / n)
+      assert(got == want, s"trial $trial: got $got want $want")
+      // truncated-slope residual sum stays within n*|den| of zero at
+      // the optimum's neighborhood: sanity that slope is the argmin
+      // to integer resolution
+      val sse = (s: Long) => pts.map(p =>
+        { val e = p._3 - s * p._2 - (sy - s * sx) / n; e * e }).sum
+      assert(sse(slope) <= math.min(sse(slope - 2), sse(slope + 2)),
+        s"trial $trial: slope not a local optimum")
+    }
+  }
+}
