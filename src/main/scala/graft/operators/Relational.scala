@@ -1771,6 +1771,52 @@ object Relational {
         col("wplus_share_ppm"))
   }
 
+  /** Weighted isotonic (non-decreasing) calibration fit over a BANDED
+    * rate table — the monotone regression a pipeline runs to turn a
+    * raw score into a calibrated probability (Zadrozny & Elkan 2002):
+    * given per-band success/total counts, the least-squares monotone
+    * fit. Computed NOT by the sequential pool-adjacent-violators fold
+    * but by the closed-form minimax identity fit_b = max_{i≤b}
+    * min_{j≥b} avg(i..j) (Robertson, Wright & Dykstra 1988) — every
+    * pooled average is a prefix-sum difference in exact integers
+    * (ppm via floor division on nonnegative sums), so the fit is
+    * engine-exact and the whole computation is three tiny broadcast
+    * joins over the |bands|² ≤ 64² pair frame, never a sequential
+    * driver loop. Equality to the literal weighted-PAV fold proven in
+    * StatsFoldPropertySpec.
+    *
+    * Input: one row per band (bandCol ascending defines the order)
+    * with sumCol = successes, cntCol = trials (cnt ≥ 1). Returns one
+    * row per band: (band, n, s, rate_ppm, iso_fit_ppm), iso_fit_ppm
+    * non-decreasing in band by construction.
+    */
+  def isotonicFitPpm(bands: DataFrame, bandCol: String, sumCol: String,
+                     cntCol: String): DataFrame = {
+    val byB = Window.orderBy("b") // band-domain-bounded window
+    val base = bands.select(col(bandCol).cast("long").as("b"),
+        col(sumCol).cast("long").as("s"), col(cntCol).cast("long").as("n"))
+      .withColumn("cs", sum("s").over(byB))
+      .withColumn("cn", sum("n").over(byB))
+    val lo = base.select(col("b").as("i"),
+      (col("cs") - col("s")).as("cs_lo"), (col("cn") - col("n")).as("cn_lo"))
+    val hi = base.select(col("b").as("j"), col("cs").as("cs_hi"),
+      col("cn").as("cn_hi"))
+    val pairs = lo.join(broadcast(hi), col("i") <= col("j"))
+      .withColumn("avg_ppm",
+        expr("((cs_hi - cs_lo) * 1000000) div (cn_hi - cn_lo)"))
+      .select(col("i"), col("j"), col("avg_ppm"))
+    val inner = pairs
+      .join(broadcast(base.select(col("b"))),
+        col("i") <= col("b") && col("b") <= col("j"))
+      .groupBy("i", "b").agg(min("avg_ppm").as("m"))
+    val fit = inner.groupBy("b").agg(max("m").as("iso_fit_ppm"))
+    base.join(fit, Seq("b"))
+      .select(col("b").as(bandCol), col("n"), col("s"),
+        expr("(s * 1000000) div n").as("rate_ppm"),
+        col("iso_fit_ppm"))
+      .orderBy(bandCol)
+  }
+
   /** Per-group ordinary-least-squares trend over a (group, x, y)
     * series — the parametric companion to [[theilSenSlope]] (exact
     * moments, one agg, no pair loop): slope = (nΣxy − ΣxΣy) div (nΣx²

@@ -644,6 +644,26 @@ private[graft] object QueriesDedupSim {
         .withColumn("n_docs", col("size") * col("n_clusters"))
         .orderBy("size")
     }),
+
+    "q291_jaro_winkler" -> ((s, d) =>
+      // Jaro-Winkler ER scoring — the classic record-linkage name
+      // scorer (q121's edit-distance companion with prefix emphasis):
+      // top-40 most-similar DISTINCT part-name pairs. The name DOMAIN
+      // is catalog-bounded (64 values at every SF), so the all-pairs
+      // scoring is a broadcast self-join over ≤64 rows forever — the
+      // corpus-sized work is only the distinct. The UDF is the
+      // DuckDB-compatible variant (transpositions TRUNCATED, boost
+      // threshold 0.7), verified bit-identical against the native
+      // function on 16 000 random pairs (TextFunctions.jaroWinklerJvm
+      // scaladoc + StatsFoldPropertySpec), so the oracle uses DuckDB's
+      // jaro_winkler_similarity directly.
+      part(s, d).select(col("p_name").as("name_a")).distinct()
+        .join(broadcast(
+          part(s, d).select(col("p_name").as("name_b")).distinct()),
+          col("name_a") < col("name_b"))
+        .withColumn("jw6", jaroWinkler6(col("name_a"), col("name_b")))
+        .orderBy(col("jw6").desc, col("name_a"), col("name_b"))
+        .limit(40)),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1571,5 +1591,16 @@ private[graft] object QueriesDedupSim {
          | CAST(size * COUNT(*) AS BIGINT) AS n_docs
          |FROM sz GROUP BY 1 ORDER BY 1""".stripMargin
     },
+
+    // the native function — the engine UDF replicates its exact
+    // variant (truncated transpositions, 0.7 boost threshold) and
+    // IEEE op order, verified on 16k random pairs
+    "q291_jaro_winkler" ->
+      """WITH n AS (SELECT DISTINCT p_name AS name FROM part),
+        |p AS (SELECT a.name AS name_a, b.name AS name_b,
+        |  round(jaro_winkler_similarity(a.name, b.name), 6) AS jw6
+        | FROM n a JOIN n b ON a.name < b.name)
+        |SELECT name_a, name_b, jw6 FROM p
+        |ORDER BY jw6 DESC, name_a, name_b LIMIT 40""".stripMargin,
   )
 }

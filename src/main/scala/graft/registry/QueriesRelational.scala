@@ -1214,6 +1214,81 @@ private[graft] object QueriesRelational {
           expr("r.n_moved * 1000000 div r.n_keys").as("moved_ppm"))
         .orderBy("strategy")
     }),
+
+    "q287_delta_join_view" -> ((s, d) => {
+      // Incremental maintenance of a materialized JOIN view (the
+      // delta-join identity every warehouse refresh pipeline runs on):
+      // the standing view V₀ = facts ⋈ dim is maintained under a fact
+      // INSERT batch (~10% of orders, md5 coin) and a dim UPDATE batch
+      // (~5% of customers change segment) WITHOUT rejoining the
+      // standing sides — retract the rows whose dim key changed
+      // (broadcast anti on the ≤5% delta), re-derive them from ΔC
+      // (broadcast delta join against the old facts), append the new
+      // facts against the post-update dim (delta-fact-sized equi
+      // join). The oracle is the FULL recompute over the post-update
+      // tables, so the green row PROVES incremental == recompute —
+      // the q242/q219 ingest doctrine applied to view maintenance.
+      // At 100 TB the ledger: every maintenance join is delta-sized
+      // or broadcast; V₀ itself never reshuffles.
+      val newCoin = pmod(tokenHash64(concat(lit("ivm_o_"),
+        col("o_orderkey").cast("string"))), lit(10L)) === 0L
+      val updCoin = pmod(tokenHash64(concat(lit("ivm_c_"),
+        col("c_custkey").cast("string"))), lit(20L)) === 0L
+      val o = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        cents(col("o_totalprice")).as("price_c"))
+      val cOld = customer(s, d).select(col("c_custkey"),
+        col("c_mktsegment"))
+      val cDelta = cOld.filter(updCoin)
+        .withColumn("c_mktsegment", concat(col("c_mktsegment"), lit("#2")))
+      val cNew = cOld.filter(!updCoin).unionByName(cDelta)
+      val oOld = o.filter(!newCoin)
+      val oNew = o.filter(newCoin)
+      def proj(df: DataFrame) = df.select(col("o_orderkey"),
+        col("o_custkey"), col("c_mktsegment").as("seg"), col("price_c"))
+      val v0 = proj(oOld.join(cOld, col("o_custkey") === col("c_custkey")))
+      val kept = v0.join(
+        broadcast(cDelta.select(col("c_custkey").as("__dk"))),
+        col("o_custkey") === col("__dk"), "left_anti")
+      val rederived = proj(oOld.join(broadcast(cDelta),
+        col("o_custkey") === col("c_custkey")))
+      val appended = proj(oNew.join(cNew,
+        col("o_custkey") === col("c_custkey")))
+      kept.unionByName(rederived).unionByName(appended)
+        .orderBy("o_orderkey")
+    }),
+
+    "q288_fd_audit" -> ((s, d) => {
+      // Functional-dependency audit — the data-profiling check behind
+      // "can I key/partition on this": for each ASSERTED dependency
+      // key → attr, the exact count of keys whose attr is not unique,
+      // in ppm. One countDistinct agg per FD (map-side-combinable;
+      // the key-grouped frame is the only shuffle), three FDs
+      // unioned: o_orderkey → o_orderpriority (a real key: must be
+      // 0), l_orderkey → l_returnflag (flags vary per line — the
+      // measured violation), (l_partkey, l_suppkey) → unit price
+      // (the "is price vendor-determined" question).
+      def fd(name: String, grouped: DataFrame): DataFrame =
+        grouped.agg(count(lit(1)).as("n_keys"),
+          sum(when(col("__nd") > 1L, 1L).otherwise(0L)).as("n_violating"))
+          .select(lit(name).as("fd"), col("n_keys").cast("long").as("n_keys"),
+            col("n_violating").cast("long").as("n_violating"),
+            expr("(n_violating * 1000000) div n_keys").as("viol_ppm"))
+      val li = lineitem(s, d)
+      val f1 = fd("o_orderkey->o_orderpriority", orders(s, d)
+        .groupBy("o_orderkey")
+        .agg(countDistinct(col("o_orderpriority")).as("__nd")))
+      val f2 = fd("l_orderkey->l_returnflag", li
+        .groupBy("l_orderkey")
+        .agg(countDistinct(col("l_returnflag")).as("__nd")))
+      // unit price in cents, per-row rounded (the cents doctrine):
+      // floor division keeps it integral and engine-exact
+      val f3 = fd("l_partkey,l_suppkey->unit_price", li
+        .withColumn("__unit",
+          expr("cast(round(l_extendedprice * 100) as bigint) div cast(l_quantity as bigint)"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(countDistinct(col("__unit")).as("__nd")))
+      f1.unionByName(f2).unionByName(f3).orderBy("fd")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2067,5 +2142,44 @@ private[graft] object QueriesRelational {
          |SELECT 'mod', n_keys, mv_mod,
          | CAST(mv_mod * 1000000 // n_keys AS BIGINT) FROM a
          |ORDER BY strategy""".stripMargin,
+
+    // the oracle is the FULL recompute over the post-update tables —
+    // the green row proves the incremental plan == recompute
+    "q287_delta_join_view" -> {
+      val upd = duckHash("concat('ivm_c_', CAST(c_custkey AS VARCHAR))", 15)
+      s"""WITH cn AS (SELECT c_custkey,
+         |  CASE WHEN $upd % 20 = 0 THEN c_mktsegment || '#2'
+         |    ELSE c_mktsegment END AS seg FROM customer)
+         |SELECT o.o_orderkey, o.o_custkey, cn.seg,
+         | CAST(round(o.o_totalprice*100,0) AS BIGINT) AS price_c
+         |FROM orders o JOIN cn ON o.o_custkey = cn.c_custkey
+         |ORDER BY o.o_orderkey""".stripMargin
+    },
+
+    // same three asserted dependencies, countDistinct > 1 per key
+    "q288_fd_audit" ->
+      """WITH f1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating
+        | FROM (SELECT o_orderkey, COUNT(DISTINCT o_orderpriority) AS nd
+        |   FROM orders GROUP BY 1)),
+        |f2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating
+        | FROM (SELECT l_orderkey, COUNT(DISTINCT l_returnflag) AS nd
+        |   FROM lineitem GROUP BY 1)),
+        |f3 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating
+        | FROM (SELECT l_partkey, l_suppkey, COUNT(DISTINCT
+        |     CAST(round(l_extendedprice*100,0) AS BIGINT)
+        |       // CAST(l_quantity AS BIGINT)) AS nd
+        |   FROM lineitem GROUP BY 1, 2))
+        |SELECT fd, n_keys, n_violating,
+        | CAST((n_violating * 1000000) // n_keys AS BIGINT) AS viol_ppm
+        |FROM (
+        | SELECT 'l_orderkey->l_returnflag' AS fd, * FROM f2
+        | UNION ALL
+        | SELECT 'l_partkey,l_suppkey->unit_price', * FROM f3
+        | UNION ALL
+        | SELECT 'o_orderkey->o_orderpriority', * FROM f1)
+        |ORDER BY fd""".stripMargin,
   )
 }

@@ -724,6 +724,39 @@ private[graft] object QueriesSketchesStats {
           col("fano_ppm"))
         .orderBy("event_type")
     }),
+
+    "q290_isotonic_calibration" -> ((s, d) => {
+      // Isotonic (monotone) calibration of the duplicate rate as a
+      // function of the quality decile — "can the quality score be
+      // read as a dup-risk probability": weighted PAV computed by the
+      // closed-form minimax identity over the ≤10-band table, exact
+      // ppm integers end to end (Relational.isotonicFitPpm scaladoc;
+      // equality to the literal PAV fold in StatsFoldPropertySpec).
+      // Dup rate falls as quality rises, so the fit runs ANTITONIC
+      // via band reversal (rb = 9 − qb) and reads back in qb order.
+      // Corpus-sized work: one quality scan + one md5-group dup agg;
+      // everything after is the 10-row band table.
+      val docs = documents(s, d)
+        .select(col("doc_id"), col("text"),
+          qualityScore(col("text")).as("q"))
+        .withColumn("qb",
+          least(expr("cast(floor(q * 10000 + 0.5d) as bigint) div 1000"),
+            lit(9L)))
+        .withColumn("__h", md5(col("text")))
+      val dupc = documents(s, d).groupBy(md5(col("text")).as("__h"))
+        .agg(count(lit(1)).as("__c"))
+      val bands = docs.join(dupc, Seq("__h"))
+        .select(col("qb"),
+          when(col("__c") > 1L, 1L).otherwise(0L).as("is_dup"))
+        .groupBy("qb")
+        .agg(sum("is_dup").as("s"), count(lit(1)).as("n"))
+        .withColumn("rb", lit(9L) - col("qb"))
+      Relational.isotonicFitPpm(bands, "rb", "s", "n")
+        .withColumn("qb", lit(9L) - col("rb"))
+        .select(col("qb"), col("n"), col("s"), col("rate_ppm"),
+          col("iso_fit_ppm"))
+        .orderBy("qb")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1432,5 +1465,47 @@ private[graft] object QueriesSketchesStats {
         | CAST(((n_days*sxx - sum_x*sum_x) * 1000000)
         |   // greatest(n_days*sum_x, 1) AS BIGINT) AS fano_ppm
         |FROM a ORDER BY event_type""".stripMargin,
+
+    // q271's quality CTE, the md5 dup-group flag, then the minimax
+    // identity over reversed bands (floor commutes with max/min, so
+    // floored pairwise averages give the floored exact fit)
+    "q290_isotonic_calibration" -> {
+      val sw = StopWords.map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, text, $TOKS AS toks FROM documents),
+         |s AS (SELECT doc_id, text,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_filter(toks, x -> x IN ($sw))) AS BIGINT) AS n_stop FROM t),
+         |q AS (SELECT doc_id,
+         |  floor((least(CAST(n_tokens AS DOUBLE)/50.0, 1.0)*0.4
+         |   + least((CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE)/n_tokens ELSE 0.0 END)*4.0, 1.0)*0.3
+         |   + (CASE WHEN length(text) > 0
+         |      THEN CAST(length(regexp_replace(text,'[^A-Za-z]','','g')) AS DOUBLE)/length(text)
+         |      ELSE 0.0 END)*0.3)*10000 + 0.5)/10000.0 AS quality
+         | FROM s),
+         |qb AS (SELECT doc_id,
+         |  least(CAST(floor(quality * 10000 + 0.5) AS BIGINT) // 1000, 9) AS qb
+         | FROM q),
+         |hh AS (SELECT doc_id, md5(text) AS h FROM documents),
+         |hc AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS c FROM hh GROUP BY 1),
+         |fl AS (SELECT qb.qb,
+         |  CASE WHEN hc.c > 1 THEN 1 ELSE 0 END AS is_dup
+         | FROM qb JOIN hh USING (doc_id) JOIN hc USING (h)),
+         |bd AS (SELECT CAST(9 - qb AS BIGINT) AS rb,
+         |  CAST(SUM(is_dup) AS BIGINT) AS s,
+         |  CAST(COUNT(*) AS BIGINT) AS n FROM fl GROUP BY 1),
+         |pf AS (SELECT rb, s, n, SUM(s) OVER (ORDER BY rb) AS cs,
+         |  SUM(n) OVER (ORDER BY rb) AS cn FROM bd),
+         |pr AS (SELECT a.rb AS i, b2.rb AS j,
+         |  ((b2.cs - (a.cs - a.s)) * 1000000) // (b2.cn - (a.cn - a.n)) AS avg_ppm
+         | FROM pf a JOIN pf b2 ON a.rb <= b2.rb),
+         |inn AS (SELECT pr.i, pf.rb AS b, MIN(pr.avg_ppm) AS m
+         | FROM pr JOIN pf ON pr.i <= pf.rb AND pf.rb <= pr.j GROUP BY 1, 2),
+         |ft AS (SELECT b AS rb, CAST(MAX(m) AS BIGINT) AS iso_fit_ppm
+         | FROM inn GROUP BY 1)
+         |SELECT CAST(9 - pf.rb AS BIGINT) AS qb, pf.n, pf.s,
+         | CAST((pf.s * 1000000) // pf.n AS BIGINT) AS rate_ppm,
+         | ft.iso_fit_ppm
+         |FROM pf JOIN ft USING (rb) ORDER BY qb""".stripMargin
+    },
   )
 }

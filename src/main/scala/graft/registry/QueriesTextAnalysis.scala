@@ -431,6 +431,52 @@ private[graft] object QueriesTextAnalysis {
       Curation.unigramDrift(t, "seg", "b")
         .orderBy("seg")
     }),
+
+    "q289_quantile_transform" -> ((s, d) => {
+      // Per-group quantile (percentile-rank) normalization — the
+      // feature transform that makes a skewed signal comparable
+      // across sources before mixing/thresholding: each doc's length
+      // maps to its within-source mid-rank percentile (the (rank−½)/n
+      // convention) in exact ppm via the 2× trick: pct = (2·cntLess +
+      // cntEq)·10⁶ div 2n. Ranks come from the per-source value
+      // HISTOGRAM (windows PARTITIONED by source, value-domain
+      // bounded — never a global row sort), joined back map-side; the
+      // checked projection is the doc_id ≡ 0 (mod 37) sample so the
+      // output stays a bounded slice of the corpus.
+      val docs = documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val hist = docs.groupBy("source", "n_chars")
+        .agg(count(lit(1)).as("__cnt"))
+        .withColumn("__cum", sum("__cnt").over(
+          Window.partitionBy("source").orderBy("n_chars")) - col("__cnt"))
+      val ng = docs.groupBy("source").agg(count(lit(1)).as("__n_g"))
+      docs.filter(pmod(col("doc_id"), lit(37L)) === 0L)
+        .join(hist, Seq("source", "n_chars"))
+        .join(broadcast(ng), Seq("source"))
+        .withColumn("pct_ppm",
+          expr("((2*__cum + __cnt) * 1000000) div (2*__n_g)"))
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("pct_ppm"))
+        .orderBy("doc_id")
+    }),
+
+    "q292_langid_confusion" -> ((s, d) => {
+      // Language-ID confusion matrix — the eval q28's heuristic
+      // classifier never had: predicted vs the fixture's TRUTH lang
+      // column, per-cell count and per-truth share in ppm (the
+      // diagonal is the per-language recall). One map-only scoring
+      // pass + a |langs|²-bounded cell agg + a broadcast margin join —
+      // the q265/q173 contingency shape.
+      val scored = documents(s, d)
+        .select(col("lang"), langId(col("text")).as("lang_guess"))
+      val cells = scored.groupBy("lang", "lang_guess")
+        .agg(count(lit(1)).as("n"))
+      val truth = scored.groupBy("lang").agg(count(lit(1)).as("__n_truth"))
+      cells.join(broadcast(truth), Seq("lang"))
+        .withColumn("share_ppm", expr("(n * 1000000) div __n_truth"))
+        .select(col("lang"), col("lang_guess"), col("n"), col("share_ppm"))
+        .orderBy("lang", "lang_guess")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -975,5 +1021,52 @@ private[graft] object QueriesTextAnalysis {
         |SELECT pres.g AS seg, ng.n_g AS n_tokens, pres.vocab,
         | CAST((present_diff + (qq.q_total - q_present)) // 2 AS BIGINT) AS tvd_ppm
         |FROM pres JOIN ng USING (g), qq ORDER BY 1""".stripMargin,
+
+    // same per-source histogram ranks, 2x mid-rank ppm and mod-37
+    // checked sample
+    "q289_quantile_transform" ->
+      """WITH h AS (SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS cnt
+        | FROM documents GROUP BY 1, 2),
+        |c AS (SELECT source, n_chars, cnt,
+        |  SUM(cnt) OVER (PARTITION BY source ORDER BY n_chars) - cnt AS cum
+        | FROM h),
+        |g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_g
+        | FROM documents GROUP BY 1)
+        |SELECT d.doc_id, d.source, d.n_chars,
+        | CAST(((2*c.cum + c.cnt) * 1000000) // (2*g.n_g) AS BIGINT) AS pct_ppm
+        |FROM documents d
+        |JOIN c ON d.source = c.source AND d.n_chars = c.n_chars
+        |JOIN g ON d.source = g.source
+        |WHERE d.doc_id % 37 = 0
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // q28's marker-count CTE joined back to the truth lang column
+    "q292_langid_confusion" -> {
+      def cnt(markers: Seq[String]) = {
+        val in = markers.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(toks, x -> x IN ($in)))"
+      }
+      val m = LangMarkers.toMap
+      s"""WITH t AS (SELECT doc_id, lang, $TOKS AS toks FROM documents),
+         |s AS (SELECT doc_id, lang,
+         |  ${cnt(m("en"))} AS s_en, ${cnt(m("de"))} AS s_de,
+         |  ${cnt(m("fr"))} AS s_fr, ${cnt(m("es"))} AS s_es
+         | FROM t),
+         |g AS (SELECT lang,
+         | CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+         |      WHEN s_es > greatest(s_en, s_de, s_fr) THEN 'es'
+         |      WHEN s_fr > greatest(s_en, s_de) THEN 'fr'
+         |      WHEN s_de > s_en THEN 'de'
+         |      ELSE 'en' END AS lang_guess
+         | FROM s),
+         |cells AS (SELECT lang, lang_guess, CAST(COUNT(*) AS BIGINT) AS n
+         | FROM g GROUP BY 1, 2),
+         |tt AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_truth
+         | FROM cells GROUP BY 1)
+         |SELECT cells.lang, lang_guess, n,
+         | CAST((n * 1000000) // tt.n_truth AS BIGINT) AS share_ppm
+         |FROM cells JOIN tt USING (lang)
+         |ORDER BY lang, lang_guess""".stripMargin
+    },
   )
 }

@@ -147,6 +147,66 @@ class StatsFoldPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("isotonicFitPpm: minimax identity equals the literal weighted-PAV fold") {
+    val rnd = new scala.util.Random(290)
+    for (trial <- 1 to 30) {
+      val nB = 1 + rnd.nextInt(10)
+      val bands = (0 until nB).map { b =>
+        val n = 1L + rnd.nextInt(50)
+        (b.toLong, rnd.nextInt(n.toInt + 1).toLong, n)
+      }
+      val got = Relational.isotonicFitPpm(bands.toDF("b", "s", "n"),
+          "b", "s", "n")
+        .orderBy("b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      // literal weighted PAV: pool adjacent blocks while the previous
+      // block's exact average exceeds the current's; fit = the block's
+      // pooled average, floored to ppm like the operator
+      val blocks = scala.collection.mutable.ArrayBuffer[(Long, Long, Int)]()
+      for ((_, s, n) <- bands) {
+        var (cs, cn, cb) = (s, n, 1)
+        while (blocks.nonEmpty &&
+               blocks.last._1 * cn >= cs * blocks.last._2) {
+          val (ps, pn, pb) = blocks.remove(blocks.size - 1)
+          cs += ps; cn += pn; cb += pb
+        }
+        blocks += ((cs, cn, cb))
+      }
+      val fits = blocks.flatMap { case (s, n, cb) =>
+        Seq.fill(cb)((s * 1000000L) / n) }.toSeq
+      val want = bands.zip(fits).map { case ((b, s, n), f) =>
+        (b, n, s, (s * 1000000L) / n, f) }
+      assert(got.toSeq == want, s"trial $trial: got ${got.toSeq} want $want")
+      // monotone by construction
+      assert(got.map(_._5).sliding(2).forall(p =>
+        p.length < 2 || p(0) <= p(1)))
+    }
+  }
+
+  test("jaroWinklerJvm: canonical values, bounds, identity, symmetry") {
+    import graft.functions.TextFunctions.jaroWinklerJvm
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // the canonical record-linkage triple, values DuckDB's native
+    // function returns (the variant this UDF replicates)
+    assert(r6(jaroWinklerJvm("martha", "marhta")) == 0.961111)
+    assert(r6(jaroWinklerJvm("dwayne", "duane")) == 0.84)
+    assert(r6(jaroWinklerJvm("dixon", "dicksonx")) == 0.813333)
+    assert(jaroWinklerJvm("", "abc") == 0.0)
+    assert(jaroWinklerJvm("abc", "") == 0.0)
+    val rnd = new scala.util.Random(291)
+    for (_ <- 1 to 500) {
+      def str() = (0 until rnd.nextInt(10)).map(_ =>
+        ('a' + rnd.nextInt(5)).toChar).mkString
+      val (a, b) = (str(), str())
+      val v = jaroWinklerJvm(a, b)
+      assert(v >= 0.0 && v <= 1.0, s"($a,$b) -> $v")
+      assert(v == jaroWinklerJvm(b, a), s"asymmetric on ($a,$b)")
+      if (a.nonEmpty) assert(jaroWinklerJvm(a, a) == 1.0)
+    }
+  }
+
   test("groupOlsTrend: moment fold equals the closed-form driver fit") {
     val rnd = new scala.util.Random(285)
     for (trial <- 1 to 25) {
