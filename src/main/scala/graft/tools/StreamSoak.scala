@@ -583,6 +583,69 @@ object StreamSoak {
       streamed.values.sum, restarts, maxStateRows, pass)
   }
 
+  /** Phase 9: session windows under induced kills — the one stateful
+    * shape the soak did not cover: MERGING state. The 30-minute gap
+    * exceeds each user's ~25-minute re-arrival period (user = id mod
+    * 50000 at 2000 events/batch-minute), so every arrival EXTENDS the
+    * user's open session — state is a growing per-user session row
+    * that must survive every restart and keep merging, and nothing
+    * emits until the final sentinel pushes the watermark past every
+    * real session's close. The sink is the exactly-once parquet file
+    * sink (its _spark_metadata manifest hides files from aborted
+    * batches — the property a kill lands on). After the flush, the
+    * emitted session set must equal the batch `sessionizeSW` twin —
+    * the SAME session_window expression — over everything the feeder
+    * wrote, EXACTLY (start, end, user, n_events): a lost batch breaks
+    * n_events, a replayed-but-manifest-committed duplicate breaks set
+    * cardinality, a state rollback that dropped a merge breaks the
+    * start/end bounds.
+    */
+  private def sessionPhase(spark: SparkSession, root: String, seconds: Int,
+                           restartSeconds: Int, batchEvents: Int): PhaseResult = {
+    import spark.implicits._
+    val src = s"$root/src"; val sink = s"$root/sink"; val ckpt = s"$root/ckpt"
+    new java.io.File(src).mkdirs()
+    def startQuery() = EventStreams.sessionCounts(
+        EventStreams.readEventStream(spark, src), "30 minutes", "5 minutes")
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt).start()
+    val (restarts, maxStateRows0, batches) =
+      soakLoop(spark, src, seconds, restartSeconds, batchEvents)(startQuery _)
+    var maxStateRows = maxStateRows0
+
+    // sentinel: one far-future event (sentinel user) closes every real
+    // session; its own session stays open and is excluded below
+    Seq((Long.MaxValue, new java.sql.Timestamp(base + (batches + 2000) * 60000L),
+        99999999L, "sentinel", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(src)
+    val qf = startQuery()
+    qf.processAllAvailable()
+    val p = qf.lastProgress
+    if (p != null && p.stateOperators.nonEmpty)
+      maxStateRows = math.max(maxStateRows, p.stateOperators.head.numRowsTotal)
+    qf.stop()
+
+    val all = spark.read.parquet(src).filter(col("user_id") =!= 99999999L)
+    def rows(df: DataFrame) = df
+      .select(col("user_id"), col("session_start").cast("string"),
+        col("session_end").cast("string"), col("n_events"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+    val expect = rows(graft.operators.Relational.sessionizeSW(
+      all, "user_id", "ts", gapSeconds = 1800L))
+    val got = rows(spark.read.parquet(sink)
+      .filter(col("user_id") =!= 99999999L))
+    // state bound: one open merged session per live user + the
+    // provider's in-merge scratch rows — never past ~3x the 50k domain
+    val pass = got == expect && maxStateRows <= 150000L
+    if (!pass)
+      System.err.println(s"SOAK session missing=${(expect -- got).take(5)} " +
+        s"extra=${(got -- expect).take(5)} maxState=$maxStateRows")
+    PhaseResult(all.count(), expect.size.toLong, restarts, maxStateRows, pass)
+  }
+
   def main(args: Array[String]): Unit = {
     val soakSeconds = sys.env.getOrElse("SOAK_SECONDS", "180").toInt
     val twinSeconds = sys.env.getOrElse("SOAK_TWIN_SECONDS", "60").toInt
@@ -612,13 +675,15 @@ object StreamSoak {
       twinSeconds, restartSeconds, batchEvents)
     val tri = triPhase(spark, "/tmp/graft-soak/tri",
       twinSeconds, restartSeconds, batchEvents)
+    val session = sessionPhase(spark, "/tmp/graft-soak/session",
+      twinSeconds, restartSeconds, batchEvents)
 
     val pass = tumbling.pass && kmv.pass && cms.pass && mg.pass &&
-      lb.pass && funnel.pass && lsh.pass && tri.pass
+      lb.pass && funnel.pass && lsh.pass && tri.pass && session.pass
     println(s"""{"tumbling":${tumbling.json()},"kmv":${kmv.json()},""" +
       s""""cms":${cms.json()},"mg":${mg.json()},"lb":${lb.json()},""" +
       s""""funnel":${funnel.json()},"lsh":${lsh.json()},""" +
-      s""""tri":${tri.json()},""" +
+      s""""tri":${tri.json()},"session":${session.json()},""" +
       s""""result":"${if (pass) "PASS" else "FAIL"}"}""")
     spark.stop()
     if (!pass) sys.exit(1)
