@@ -449,6 +449,22 @@ object GraphOps {
     * ≤ maxDeg²/2; the topK cut is one TakeOrdered. Ordered (a < b)
     * pairs only — the score is symmetric.
     *
+    * The (a, b) aggregation is fed through an EXPLICIT repartition on
+    * the pair key, sized from the measured pair volume Σ_f C(deg_f, 2)
+    * (ONE scalar off the degree histogram — the bounded-collect
+    * class). Without it the aggregation's map side sees each task's
+    * ~tens of millions of generated rows scattered across the whole
+    * pair-key space: the partial-agg hash table overflows with
+    * near-zero compression and falls back to sort-spill, degrading
+    * super-linearly even though the pair volume itself is exactly
+    * linear (measured 8.7M/87.2M/872M rows at sf0.1/1/10,
+    * 10.000×/decade; wall 13.9×/decade before this shape, 10.5× after
+    * — A/B in tools/ProfileQ282, sweep in SCALING_sweep_r12_newq.log).
+    * After the pair-key exchange each task aggregates a LOCAL slice
+    * (~12M rows over ~1/parts of the key space), so the hash agg
+    * never spills; the exchange itself streams narrow 3-long rows
+    * with no per-row state.
+    *
     * Returns topK rows: (a, b, n_shared, score_ppm), ties broken by
     * (a, b).
     */
@@ -460,6 +476,20 @@ object GraphOps {
     val inc = incidence
       .select(col(leftCol).cast("long").as("l"), col(featureCol).as("f"))
       .distinct()
+    // exact pair volume from the degree histogram — ONE cheap scalar
+    // job; deliberately NOT a localCheckpoint of inc: pinning a
+    // corpus-sized frame in block storage starves the downstream
+    // aggregation's execution pool (measured AGGREGATE_OUT_OF_MEMORY
+    // at sf10), while recomputing the distinct costs one extra scan
+    val pairVolume = inc.groupBy("f")
+      .agg(count(lit(1)).cast("long").as("deg"))
+      .filter(col("deg").between(2L, maxDeg.toLong))
+      .agg(coalesce(sum(expr("deg * (deg - 1) div 2")), lit(0L)))
+      .head().getLong(0)
+    val basePartitions =
+      inc.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val aggParts = math.min(4096L, math.max(basePartitions.toLong,
+      pairVolume / 12000000L + 1L)).toInt
     val posting = inc.groupBy("f")
       .agg(sort_array(collect_set(col("l"))).as("ls"),
         count(lit(1)).cast("long").as("deg"))
@@ -471,6 +501,7 @@ object GraphOps {
       .select(col("w_ppm"), explode(col("ls")).as("a"), col("ls"))
       .select(col("w_ppm"), col("a"), explode(col("ls")).as("b"))
       .filter(col("a") < col("b"))
+      .repartition(aggParts, col("a"), col("b"))
       .groupBy("a", "b")
       .agg(count(lit(1)).cast("long").as("n_shared"),
         sum("w_ppm").cast("long").as("score_ppm"))
