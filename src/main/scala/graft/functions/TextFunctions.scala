@@ -306,6 +306,40 @@ object TextFunctions {
   private def md5Jvm(s: String): Array[Byte] =
     Md5Digest.get().digest(s.getBytes("UTF-8"))
 
+  /** Deterministic Poisson-surrogate bootstrap weights for resamples
+    * 0..n−1 of one keyed row: weight = {0,1,1,2} (E=1, Var=½) from the
+    * low 2 bits of hex char (b mod 32) of md5("<prefix><id>_<b div
+    * 32>") — 32 coins per digest, so a row pays ⌈n∕32⌉ md5s in ONE
+    * tight JVM pass (the measured 5-10× over interpreted higher-order
+    * array expressions, SURVEY §perf). The hex-string definition is
+    * the contract: an engine-independent oracle replays it with
+    * md5()/substr()/% only.
+    */
+  def bootstrapWeights(idCol: Column, n: Int,
+                       prefix: String = "bs_"): Column = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val f = udf { (id: Long) =>
+      val out = new Array[Long](n)
+      var k = 0
+      while (k * 32 < n) {
+        val d = md5Jvm(s"$prefix${id}_$k")
+        var j = 0
+        while (j < 32 && k * 32 + j < n) {
+          val nib = if (j % 2 == 0) (d(j / 2) >> 4) & 0xf else d(j / 2) & 0xf
+          out(k * 32 + j) = (nib % 4) match {
+            case 0 => 0L
+            case 3 => 2L
+            case _ => 1L
+          }
+          j += 1
+        }
+        k += 1
+      }
+      out
+    }
+    f(idCol)
+  }
+
   /** 28-bit stable token hash (first 7 md5 hex chars). Small enough that
     * affine permutations (a*h+b) never overflow 63 bits — the JVM wraps
     * silently on Long overflow but DuckDB raises, so oracle-checkable

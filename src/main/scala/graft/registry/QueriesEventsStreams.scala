@@ -540,6 +540,115 @@ private[graft] object QueriesEventsStreams {
           lit(med).as("median_ape_ppm"))
         .orderBy("day")
     }),
+
+    "q294_cuped_readout" -> ((s, d) => {
+      // CUPED variance-reduced A/B readout (Deng et al. 2013) — the
+      // adjustment every experimentation platform applies before
+      // q258/q264: per-user PRE-period spend (days 1-15) explains
+      // post-period variance, θ = cov(pre,post)/var(pre) from POOLED
+      // exact integer moments, and the arm means adjust as ȳ_arm −
+      // θ·(x̄_arm − x̄_all) — arm-LEVEL means only, no per-row
+      // adjustment pass. Dollars (cents div 100, nonneg) keep the
+      // moment products inside a signed 64-bit at 100× this fixture;
+      // θ in ppm via the overflow-safe order num div (den div 10⁶);
+      // the one signed division (θ·diff) truncates identically on
+      // both engines. Two hash aggs (user, then arm) + broadcast
+      // scalars.
+      val users = events(s, d).filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(to_date(col("ts")) <= lit("2024-01-15"),
+            cents(col("value"))).otherwise(0L)).as("__x_c"),
+          sum(when(to_date(col("ts")) > lit("2024-01-15"),
+            cents(col("value"))).otherwise(0L)).as("__y_c"))
+        .select(
+          when(pmod(tokenHash64(concat(lit("ab_"),
+            col("user_id").cast("string"))), lit(2L)) === 0L, "control")
+            .otherwise("treatment").as("arm"),
+          expr("__x_c div 100").as("x_d"), expr("__y_c div 100").as("y_d"))
+      val pooled = users.agg(count(lit(1)).as("n"),
+          sum("x_d").as("sx"), sum("y_d").as("sy"),
+          sum(col("x_d") * col("y_d")).as("sxy"),
+          sum(col("x_d") * col("x_d")).as("sxx"))
+        .select(
+          expr("(n * sxy - sx * sy) div greatest((n * sxx - sx * sx) div 1000000, 1)")
+            .as("theta_ppm"),
+          expr("(sx * 1000) div n").as("xbar_all_milli"))
+      users.groupBy("arm")
+        .agg(count(lit(1)).as("n_users"),
+          sum("x_d").cast("long").as("__sx_a"),
+          sum("y_d").cast("long").as("__sy_a"))
+        .crossJoin(broadcast(pooled))
+        .withColumn("mean_y_milli", expr("(__sy_a * 1000) div n_users"))
+        .withColumn("__xbar_milli", expr("(__sx_a * 1000) div n_users"))
+        .withColumn("mean_adj_milli", expr(
+          "mean_y_milli - (theta_ppm * (__xbar_milli - xbar_all_milli)) div 1000000"))
+        .select(col("arm"), col("n_users"), col("mean_y_milli"),
+          col("theta_ppm"), col("mean_adj_milli"))
+        .orderBy("arm")
+    }),
+
+    "q295_bootstrap_ci" -> ((s, d) => {
+      // Bootstrap confidence band for the per-type mean event value —
+      // the error bar a metrics platform attaches to every reported
+      // mean, via the DETERMINISTIC Poisson-surrogate bootstrap: 200
+      // resamples where event e's weight in resample b is md5-derived
+      // w ∈ {0,1,1,2} (E[w]=1, Var=½ — the replayable stand-in for
+      // Poisson(1) weights), so both engines draw the IDENTICAL
+      // resamples and the band hash-compares exactly. Coins come 32
+      // per digest (one hex char each, low 2 bits via mod 4), so an
+      // event pays ⌈200∕32⌉ = 7 md5s, not 200 — measured 28× off the
+      // per-(event, b) hash form. The 200× fan-out is MAP-ONLY
+      // compute: the (type, b) partial agg collapses it to
+      // |types|·200 rows before the exchange; the percentile windows
+      // run over 200 rows per type. lo/hi = the 10th/190th ranked
+      // resample mean (the 5%/95% bounds).
+      val means = events(s, d)
+        .select(col("event_type"), col("event_id"),
+          cents(col("value")).as("x_c"))
+        // the generate's 200× blow-up happens AFTER the scan, so the
+        // pre-explode frame must spread across the cluster FIRST — a
+        // compact events file scans as a couple of splits, and AQE
+        // coalesces a size-less repartition right back to one
+        // partition because the PRE-explode bytes look tiny; the
+        // explicit count pins the exchange (REPARTITION_BY_NUM is
+        // exempt from coalescing). One tiny |events|-row exchange
+        // buys a fully parallel 200× stage — the q282 fan-out lesson.
+        .repartition(
+          s.conf.get("spark.sql.shuffle.partitions").toInt,
+          col("event_id"))
+        // all 200 weights in ONE tight JVM pass per event
+        // (TextFunctions.bootstrapWeights: ⌈200∕32⌉ digests, 32 coins
+        // each), then a single posexplode — the interpreted
+        // transform(...) form measured 5× slower on the same rows
+        .select(col("event_type"), col("x_c"),
+          posexplode(bootstrapWeights(col("event_id"), 200)))
+        .withColumnRenamed("pos", "b").withColumnRenamed("col", "w")
+        .groupBy("event_type", "b")
+        .agg(sum("w").as("__nw"),
+          sum(col("w") * col("x_c")).as("__swx"))
+        .withColumn("mean_b_c",
+          expr("__swx div greatest(__nw, 1)"))
+      val ranked = means.withColumn("rn", row_number().over(
+        Window.partitionBy("event_type")
+          .orderBy(col("mean_b_c"), col("b"))))
+      val base = events(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(cents(col("value"))).as("__sx"))
+        .withColumn("mean_c", expr("__sx div n_events"))
+      base.join(
+          ranked.filter(col("rn") === 10)
+            .select(col("event_type"), col("mean_b_c").as("lo_c")),
+          Seq("event_type"))
+        .join(
+          ranked.filter(col("rn") === 190)
+            .select(col("event_type"), col("mean_b_c").as("hi_c")),
+          Seq("event_type"))
+        .select(col("event_type"), col("n_events"), col("mean_c"),
+          col("lo_c"), col("hi_c"))
+        .orderBy("event_type")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1055,5 +1164,67 @@ private[graft] object QueriesEventsStreams {
         |SELECT strftime(day, '%Y-%m-%d') AS day, total_c, pred_c, ape_ppm,
         | CAST((SELECT med FROM m) AS BIGINT) AS median_ape_ppm
         |FROM sc ORDER BY 1""".stripMargin,
+
+    // same pooled integer moments, arm-level mean adjustment, and
+    // engine-shared truncating division on the one signed term
+    "q294_cuped_readout" -> {
+      val arm = duckHash("concat('ab_', CAST(user_id AS VARCHAR))", 15)
+      s"""WITH u AS (SELECT user_id,
+         |  SUM(CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15'
+         |    THEN CAST(round(value*100,0) AS BIGINT) ELSE 0 END) // 100 AS x_d,
+         |  SUM(CASE WHEN CAST(ts AS DATE) > DATE '2024-01-15'
+         |    THEN CAST(round(value*100,0) AS BIGINT) ELSE 0 END) // 100 AS y_d
+         | FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         |a AS (SELECT CASE WHEN $arm % 2 = 0 THEN 'control'
+         |    ELSE 'treatment' END AS arm, x_d, y_d FROM u),
+         |p AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(x_d) AS BIGINT) AS sx, CAST(SUM(y_d) AS BIGINT) AS sy,
+         |  CAST(SUM(x_d*y_d) AS BIGINT) AS sxy,
+         |  CAST(SUM(x_d*x_d) AS BIGINT) AS sxx FROM a),
+         |th AS (SELECT
+         |  CAST((n*sxy - sx*sy) // greatest((n*sxx - sx*sx) // 1000000, 1)
+         |    AS BIGINT) AS theta_ppm,
+         |  CAST((sx * 1000) // n AS BIGINT) AS xbar_all_milli FROM p),
+         |g AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+         |  CAST(SUM(x_d) AS BIGINT) AS sx_a,
+         |  CAST(SUM(y_d) AS BIGINT) AS sy_a FROM a GROUP BY 1)
+         |SELECT g.arm, g.n_users,
+         | CAST((g.sy_a * 1000) // g.n_users AS BIGINT) AS mean_y_milli,
+         | th.theta_ppm,
+         | CAST((g.sy_a * 1000) // g.n_users
+         |   - (th.theta_ppm * ((g.sx_a * 1000) // g.n_users - th.xbar_all_milli))
+         |     // 1000000 AS BIGINT) AS mean_adj_milli
+         |FROM g, th ORDER BY g.arm""".stripMargin
+    },
+
+    // identical 32-coins-per-digest md5 resample weights, (type, b)
+    // partial means, and rank-10/rank-190 band cut
+    "q295_bootstrap_ci" ->
+      s"""WITH e AS (SELECT event_type, event_id,
+         |  CAST(round(value*100,0) AS BIGINT) AS x_c FROM events),
+         |bb AS (SELECT unnest(generate_series(0, 199)) AS b),
+         |w AS (SELECT e.event_type, bb.b, e.x_c,
+         |  CASE CAST(concat('0x', substr(
+         |      md5(concat('bs_', CAST(event_id AS VARCHAR), '_',
+         |        CAST(bb.b // 32 AS VARCHAR))),
+         |      CAST(bb.b % 32 + 1 AS BIGINT), 1)) AS BIGINT) % 4
+         |   WHEN 0 THEN 0 WHEN 3 THEN 2 ELSE 1 END AS w
+         | FROM e CROSS JOIN bb),
+         |m AS (SELECT event_type, b,
+         |  CAST(SUM(w*x_c) // greatest(SUM(w), 1) AS BIGINT) AS mean_b_c
+         | FROM w GROUP BY 1, 2),
+         |r AS (SELECT event_type, mean_b_c, row_number() OVER (
+         |  PARTITION BY event_type ORDER BY mean_b_c, b) AS rn FROM m),
+         |base AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+         |  CAST(SUM(x_c) // COUNT(*) AS BIGINT) AS mean_c
+         | FROM e GROUP BY 1)
+         |SELECT base.event_type, base.n_events, base.mean_c,
+         | lo.mean_b_c AS lo_c, hi.mean_b_c AS hi_c
+         |FROM base
+         |JOIN (SELECT event_type, mean_b_c FROM r WHERE rn = 10) lo
+         |  USING (event_type)
+         |JOIN (SELECT event_type, mean_b_c FROM r WHERE rn = 190) hi
+         |  USING (event_type)
+         |ORDER BY base.event_type""".stripMargin,
   )
 }

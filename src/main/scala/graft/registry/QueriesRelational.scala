@@ -1289,6 +1289,39 @@ private[graft] object QueriesRelational {
         .agg(countDistinct(col("__unit")).as("__nd")))
       f1.unionByName(f2).unionByName(f3).orderBy("fd")
     }),
+
+    "q293_l_diversity" -> ((s, d) => {
+      // l-diversity audit — q252's k-anonymity companion on a RELEASED
+      // fact table: small groups aren't the only leak; a large QI
+      // group whose SENSITIVE attribute (order priority) takes < l
+      // distinct values still discloses it. Same QI tuple as q252
+      // (nation, segment, $1000 balance band, negative-safe band
+      // offset), one join + one QI-domain-bounded distinct agg, three
+      // bounded rollups via a broadcast l frame.
+      import s.implicits._
+      val released = orders(s, d)
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          expr("(cast(round(c_acctbal * 100) as bigint) + 100000) div 100000")
+            .as("bal_band"),
+          col("o_orderpriority"))
+      val groups = released
+        .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("o_orderpriority")).as("div_n"))
+      groups.crossJoin(broadcast(Seq(2L, 3L, 5L).toDF("l")))
+        .groupBy("l")
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("div_n") < col("l"), 1L).otherwise(0L))
+            .as("n_low_div_groups"),
+          sum(when(col("div_n") < col("l"), col("n")).otherwise(0L))
+            .as("n_risky_rows"),
+          sum(col("n")).as("n_rows"))
+        .select(col("l"), col("n_groups"), col("n_low_div_groups"),
+          col("n_risky_rows"),
+          expr("n_risky_rows * 1000000 div n_rows").as("risky_ppm"))
+        .orderBy("l")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2181,5 +2214,27 @@ private[graft] object QueriesRelational {
         | UNION ALL
         | SELECT 'o_orderkey->o_orderpriority', * FROM f1)
         |ORDER BY fd""".stripMargin,
+
+    // same QI tuple, distinct-sensitive count per group, broadcast l
+    // rollups
+    "q293_l_diversity" ->
+      """WITH rel AS (SELECT c.c_nationkey, c.c_mktsegment,
+        |  (CAST(round(c.c_acctbal * 100, 0) AS BIGINT) + 100000) // 100000 AS bal_band,
+        |  o.o_orderpriority
+        | FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |g AS (SELECT c_nationkey, c_mktsegment, bal_band,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS div_n
+        | FROM rel GROUP BY 1, 2, 3),
+        |ks AS (SELECT unnest([2, 3, 5]) AS l)
+        |SELECT CAST(ks.l AS BIGINT) AS l,
+        | CAST(COUNT(*) AS BIGINT) AS n_groups,
+        | CAST(SUM(CASE WHEN g.div_n < ks.l THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_low_div_groups,
+        | CAST(SUM(CASE WHEN g.div_n < ks.l THEN g.n ELSE 0 END) AS BIGINT)
+        |   AS n_risky_rows,
+        | CAST(SUM(CASE WHEN g.div_n < ks.l THEN g.n ELSE 0 END) * 1000000
+        |   // SUM(g.n) AS BIGINT) AS risky_ppm
+        |FROM g CROSS JOIN ks GROUP BY ks.l ORDER BY l""".stripMargin,
   )
 }
