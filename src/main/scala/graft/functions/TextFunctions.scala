@@ -288,11 +288,15 @@ object TextFunctions {
   }
 
   /** Column form of [[jaroWinklerJvm]], rounded to 6 places (the
-    * engine-neutral rounding both sides share).
+    * engine-neutral rounding both sides share). NULL on either side
+    * propagates to NULL — matching DuckDB's native
+    * jaro_winkler_similarity, so a q291-style oracle stays exact on
+    * nullable columns too (ADVICE r12: the old 0.0-on-null silently
+    * diverged from the oracle's null semantics).
     */
   def jaroWinkler6(a: Column, b: Column): Column = {
     val f = udf { (x: String, y: String) =>
-      if (x == null || y == null) 0.0 else jaroWinklerJvm(x, y)
+      if (x == null || y == null) None else Some(jaroWinklerJvm(x, y))
     }
     round(f(a, b), 6)
   }
@@ -313,29 +317,36 @@ object TextFunctions {
     * tight JVM pass (the measured 5-10× over interpreted higher-order
     * array expressions, SURVEY §perf). The hex-string definition is
     * the contract: an engine-independent oracle replays it with
-    * md5()/substr()/% only.
+    * md5()/substr()/% only. A NULL id propagates to NULL (boxed-Long
+    * UDF; ADVICE r12: the primitive form coerced null ids to 0L, so
+    * all null-id rows silently shared the id-0 weight vector —
+    * identical resamples, a biased bootstrap).
     */
   def bootstrapWeights(idCol: Column, n: Int,
                        prefix: String = "bs_"): Column = {
     require(n >= 1, s"n must be >= 1, got $n")
-    val f = udf { (id: Long) =>
-      val out = new Array[Long](n)
-      var k = 0
-      while (k * 32 < n) {
-        val d = md5Jvm(s"$prefix${id}_$k")
-        var j = 0
-        while (j < 32 && k * 32 + j < n) {
-          val nib = if (j % 2 == 0) (d(j / 2) >> 4) & 0xf else d(j / 2) & 0xf
-          out(k * 32 + j) = (nib % 4) match {
-            case 0 => 0L
-            case 3 => 2L
-            case _ => 1L
+    val f = udf { (boxed: java.lang.Long) =>
+      if (boxed == null) None
+      else {
+        val id = boxed.longValue()
+        val out = new Array[Long](n)
+        var k = 0
+        while (k * 32 < n) {
+          val d = md5Jvm(s"$prefix${id}_$k")
+          var j = 0
+          while (j < 32 && k * 32 + j < n) {
+            val nib = if (j % 2 == 0) (d(j / 2) >> 4) & 0xf else d(j / 2) & 0xf
+            out(k * 32 + j) = (nib % 4) match {
+              case 0 => 0L
+              case 3 => 2L
+              case _ => 1L
+            }
+            j += 1
           }
-          j += 1
+          k += 1
         }
-        k += 1
+        Some(out)
       }
-      out
     }
     f(idCol)
   }

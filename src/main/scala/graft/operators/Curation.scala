@@ -1129,6 +1129,13 @@ object Curation {
     }
   }
 
+  /** Test hook: current automaton-cache occupancy (the LRU bound is a
+    * permanent regression contract — VERDICT r12 #9 asked for a spec
+    * on the r11 advisory fix, and the bound is unobservable through
+    * the public surface).
+    */
+  private[graft] def acCacheSize: Int = acCache.synchronized(acCache.size())
+
   /** Deterministic negative-pair sampling — the contrastive-training
     * data op (every dual-encoder/embedding trainer needs k negatives
     * per anchor): documents are ranked on an md5 RING (rank by

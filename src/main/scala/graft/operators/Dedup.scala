@@ -1860,6 +1860,42 @@ object Dedup {
       .select(col("id"), col("s"), explode(delUdf(col("s"))).as("k"))
   }
 
+  /** PPJoin's pair-level POSITIONAL filter (Xiao et al. WWW'08 §3.1),
+    * applied GROUP-wise over the prefix-collision rows of one candidate
+    * pair. Input: (id_a, id_b, pos_a, pos_b, sz_a, sz_b) — one row per
+    * shared PREFIX token, with each side's 1-based rank of that token
+    * in the shared rare-first total order and the side's full set size.
+    * Output: the distinct (id_a, id_b) pairs that can still reach
+    * J ≥ t, i.e. the subset the verify stage must touch.
+    *
+    * Soundness (no false negatives): J(x,y) ≥ t ⟺ overlap O ≥
+    * α = ⌈t·(|x|+|y|)/(1+t)⌉. Let w be the globally FIRST common token
+    * of x and y. Every other common token follows w in BOTH orderings,
+    * so O ≤ 1 + min(|x| − i_w, |y| − j_w). For a qualifying pair w is
+    * guaranteed to be a prefix-prefix collision (the first common
+    * token's position in x is ≤ |x| − O + 1 ≤ |x| − ⌈t|x|⌉ + 1, the
+    * prefix bound — symmetrically for y), and among the collision rows
+    * w is exactly the one minimizing pos_a (equivalently pos_b: the
+    * shared total order ranks the collided tokens consistently on both
+    * sides, so both minima come from the same token). Hence pruning
+    * pairs with 1 + min(sz_a − min pos_a, sz_b − min pos_b) < α drops
+    * no qualifying pair — only verify work. The groupBy replaces the
+    * pair `.distinct()` the un-positional form needed anyway, so the
+    * filter adds no exchange of its own. All arithmetic is
+    * integer-exact in ppm (α computed by ceiling division over the
+    * 1e6-scaled threshold).
+    */
+  private def positionalFilter(collisions: DataFrame, tPpm: Long): DataFrame = {
+    val denom = 1000000L + tPpm
+    collisions
+      .groupBy("id_a", "id_b", "sz_a", "sz_b")
+      .agg(min(col("pos_a")).as("pa"), min(col("pos_b")).as("pb"))
+      .filter(lit(1L) +
+        least(col("sz_a") - col("pa"), col("sz_b") - col("pb")) >=
+        expr(s"(($tPpm * (sz_a + sz_b)) + ${denom - 1}) div $denom"))
+      .select("id_a", "id_b")
+  }
+
   /** EXACT set-similarity self-join via prefix filtering (PPJoin-lite,
     * Bayardo et al. WWW'07 / Xiao et al. WWW'08): every pair of
     * documents whose 3-shingle Jaccard ≥ tPpm/1e6 — no
@@ -1878,7 +1914,10 @@ object Dedup {
     * published point of the technique). Work = one df agg + one
     * rank window + prefix self-join (shuffle bounded by prefix posting
     * volume) + a candidates-only verify join that ships full arrays for
-    * |candidates| rows, not the corpus. Returns
+    * |candidates| rows, not the corpus. The pair-level POSITIONAL
+    * filter (Xiao et al. WWW'08 §3.1, PPJoin proper) then prunes
+    * candidates the prefix filter admits BEFORE any full array ships:
+    * see [[positionalFilter]]. Returns
     * (id_a, id_b, inter, jac_ppm) with jac_ppm ≥ tPpm.
     */
   def ppJoinShingles(docs: DataFrame, idCol: String, textCol: String,
@@ -1896,17 +1935,20 @@ object Dedup {
     val prefix = pos
       .filter(col("pos") <= col("sz") -
         expr(s"(($tPpm * sz) + 999999) div 1000000") + 1)
-      .select("id", "sh", "sz")
+      .select("id", "sh", "pos", "sz")
     // size filter (Arasu et al. VLDB'06): J(a,b) >= t forces
     // t·|b| <= |a| (and symmetrically) — a length-mismatched pair can
-    // never verify, so it is dropped BEFORE the distinct/verify joins
-    val cand = prefix.as("a")
-      .join(prefix.as("b"),
-        col("a.sh") === col("b.sh") && col("a.id") < col("b.id") &&
-          col("a.sz") * 1000000L >= lit(tPpm) * col("b.sz") &&
-          col("b.sz") * 1000000L >= lit(tPpm) * col("a.sz"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    // never verify, so it is dropped BEFORE the group/verify stages
+    val cand = positionalFilter(
+      prefix.as("a")
+        .join(prefix.as("b"),
+          col("a.sh") === col("b.sh") && col("a.id") < col("b.id") &&
+            col("a.sz") * 1000000L >= lit(tPpm) * col("b.sz") &&
+            col("b.sz") * 1000000L >= lit(tPpm) * col("a.sz"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          col("a.pos").as("pos_a"), col("b.pos").as("pos_b"),
+          col("a.sz").as("sz_a"), col("b.sz").as("sz_b")),
+      tPpm)
     val sets = sh.groupBy("id")
       .agg(sort_array(collect_list("sh")).as("sset"), count(lit(1)).as("n"))
     cand
@@ -1943,14 +1985,17 @@ object Dedup {
         count(lit(1)).over(wSz).as("sz"))
       .filter(col("pos") <= col("sz") -
         expr(s"(($tPpm * sz) + 999999) div 1000000") + 1)
-      .select("id", "sh", "sz")
-    val cand = prefix.as("a")
-      .join(prefix.as("b"),
-        col("a.sh") === col("b.sh") && col("a.id") < col("b.id") &&
-          col("a.sz") * 1000000L >= lit(tPpm) * col("b.sz") &&
-          col("b.sz") * 1000000L >= lit(tPpm) * col("a.sz"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+      .select("id", "sh", "pos", "sz")
+    val cand = positionalFilter(
+      prefix.as("a")
+        .join(prefix.as("b"),
+          col("a.sh") === col("b.sh") && col("a.id") < col("b.id") &&
+            col("a.sz") * 1000000L >= lit(tPpm) * col("b.sz") &&
+            col("b.sz") * 1000000L >= lit(tPpm) * col("a.sz"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          col("a.pos").as("pos_a"), col("b.pos").as("pos_b"),
+          col("a.sz").as("sz_a"), col("b.sz").as("sz_b")),
+      tPpm)
     val truth = ppJoinShingles(docs, idCol, textCol, tPpm)
     val hot = prefix.groupBy("sh").agg(count(lit(1)).as("plen"))
       .agg(max("plen").as("max_plen"), sum("plen").as("n_prefix"))
@@ -1967,8 +2012,9 @@ object Dedup {
     *  - dfreq (sh, df): the global rarity order's key — the batch must
     *    rank its shingles in the SAME total order (df asc, sh asc) or
     *    the prefix theorem breaks;
-    *  - postings (sh, id, sz): the corpus's PREFIX postings only
-    *    (position ≤ |set| − ⌈t·|set|⌉ + 1 in that order) — the join
+    *  - postings (sh, id, pos, sz): the corpus's PREFIX postings only
+    *    (position ≤ |set| − ⌈t·|set|⌉ + 1 in that order, position
+    *    retained for the probe-time positional filter) — the join
     *    side, far smaller than the full shingle volume;
     *  - sets (id, sset, n): sorted full shingle arrays for the exact
     *    verify, equi-joined for CANDIDATE ids only.
@@ -1988,7 +2034,7 @@ object Dedup {
         count(lit(1)).over(wSz).as("sz"))
       .filter(col("pos") <= col("sz") -
         expr(s"(($tPpm * sz) + 999999) div 1000000") + 1)
-      .select("sh", "id", "sz")
+      .select("sh", "id", "pos", "sz")
     val sets = sh.groupBy("id")
       .agg(sort_array(collect_list("sh")).as("sset"), count(lit(1)).as("n"))
     (dfreq, postings, sets)
@@ -2025,15 +2071,25 @@ object Dedup {
         count(lit(1)).over(wSz).as("sz"))
       .filter(col("pos") <= col("sz") -
         expr(s"(($tPpm * sz) + 999999) div 1000000") + 1)
-      .select(col("id").as("new_id"), col("sh"), col("sz").as("sza"))
-    val cand = prefix
-      .join(postings.select(col("sh"), col("id").as("corpus_id"),
-          col("sz").as("szb")),
-        Seq("sh"))
-      .filter(col("sza") * 1000000L >= lit(tPpm) * col("szb") &&
-        col("szb") * 1000000L >= lit(tPpm) * col("sza"))
-      .select("new_id", "corpus_id")
-      .distinct()
+      .select(col("id").as("new_id"), col("sh"),
+        col("pos").as("pos_a"), col("sz").as("sza"))
+    // positional filter holds across batch × corpus too: both sides
+    // rank under the INDEX's (df, sh) total order (unseen batch
+    // shingles take df = 0 and can never be common tokens), so the
+    // first common token of a qualifying pair is a prefix-prefix
+    // collision minimizing both positions — see positionalFilter.
+    val cand = positionalFilter(
+      prefix
+        .join(postings.select(col("sh"), col("id").as("corpus_id"),
+            col("pos").as("pos_b"), col("sz").as("szb")),
+          Seq("sh"))
+        .filter(col("sza") * 1000000L >= lit(tPpm) * col("szb") &&
+          col("szb") * 1000000L >= lit(tPpm) * col("sza"))
+        .select(col("new_id").as("id_a"), col("corpus_id").as("id_b"),
+          col("pos_a"), col("pos_b"),
+          col("sza").as("sz_a"), col("szb").as("sz_b")),
+      tPpm)
+      .select(col("id_a").as("new_id"), col("id_b").as("corpus_id"))
     val batchSets = sh.groupBy("id")
       .agg(sort_array(collect_list("sh")).as("sa"), count(lit(1)).as("na"))
       .withColumnRenamed("id", "new_id")

@@ -607,18 +607,22 @@ private[graft] object QueriesDedupSim {
       // md5-bottom-N FIXED-size sample — the 100 TB-right eval shape:
       // ground-truth cost never grows with the corpus (the unsampled
       // form measured 13.3×/decade into sf10). One semi-join over two
-      // pair frames; counts are three bounded driver actions.
+      // pair frames; counts are three bounded driver actions — the
+      // pair frames MATERIALIZE first (the funnelStages doctrine):
+      // truth and cand share the sampled-docs lineage, and three
+      // actions over live lineage would re-run the whole PPJoin truth
+      // pipeline per action.
       import s.implicits._
       val docs = documents(s, d)
         .withColumn("__k", tokenHash64(concat(lit("deval_"),
           col("doc_id").cast("string"))))
         .orderBy(col("__k"), col("doc_id")).limit(DedupEvalSampleN)
-        .drop("__k")
+        .drop("__k").materialized // fixed-size; feeds BOTH pair frames
       val truth = Dedup.ppJoinShingles(docs, "doc_id", "text",
           tPpm = DedupEvalTPpm)
-        .select("id_a", "id_b")
+        .select("id_a", "id_b").materialized
       val cand = Dedup.simHashDup(docs, "doc_id", "text", nBits = 16)
-        .select("id_a", "id_b")
+        .select("id_a", "id_b").materialized
       val nT = truth.count()
       val nC = cand.count()
       val nH = cand.join(truth, Seq("id_a", "id_b"), "left_semi").count()

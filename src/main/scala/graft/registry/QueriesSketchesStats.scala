@@ -705,23 +705,17 @@ private[graft] object QueriesSketchesStats {
       // dispersion, var/mean) of the DAILY count series in ppm — 10⁶
       // for a Poisson-flat stream, far above for bursty types; the
       // signal that tells a capacity planner which event families
-      // spike vs trickle. Exact integers end-to-end: variance
-      // numerator n·Σx²−(Σx)² over mean denominator n·Σx, fused as
-      // (num·10⁶) div (n·Σx) — fits a signed 64-bit while n·Σx² stays
-      // under ~9·10¹² (holds to ~sf10 on this fixture; coarsen to
-      // weekly counts beyond). Observed days only: a type absent all
-      // day contributes no row, stated contract.
+      // spike vs trickle. Exact integer moments with the n·Σx² ≤ 9e12
+      // Long bound ENFORCED at runtime (Relational.fanoPpm scaladoc;
+      // holds to ~sf10 on this fixture, coarsen to weekly counts
+      // beyond — the guard names that remedy). Observed days only: a
+      // type absent all day contributes no row, stated contract.
       val daily = events(s, d)
         .groupBy(col("event_type"), to_date(col("ts")).as("__day"))
         .agg(count(lit(1)).as("x"))
-      daily.groupBy("event_type")
-        .agg(count(lit(1)).as("n_days"),
-          sum("x").cast("long").as("sum_x"),
-          sum(col("x") * col("x")).cast("long").as("__sxx"))
-        .withColumn("fano_ppm", expr(
-          "((n_days * __sxx - sum_x * sum_x) * 1000000) div greatest(n_days * sum_x, 1)"))
-        .select(col("event_type"), col("n_days"), col("sum_x"),
-          col("fano_ppm"))
+      Relational.fanoPpm(daily, "event_type", "x")
+        .select(col("grp").as("event_type"), col("n_pts").as("n_days"),
+          col("sum_x"), col("fano_ppm"))
         .orderBy("event_type")
     }),
 
@@ -1380,7 +1374,9 @@ private[graft] object QueriesSketchesStats {
         |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM((rx-ry)*(rx-ry)) AS BIGINT) AS sum_d2 FROM r)
         |SELECT n, sum_d2,
-        | CAST(1000000 - (6*sum_d2) // greatest((n*(n*n-1)) // 1000000, 1)
+        | CAST(1000000 - CASE WHEN n <= 16000
+        |   THEN (6*sum_d2*1000000) // greatest(n*(n*n-1), 1)
+        |   ELSE (6*sum_d2) // greatest((n*(n*n-1)) // 1000000, 1) END
         |   AS BIGINT) AS rho_ppm
         |FROM a""".stripMargin,
 
@@ -1425,7 +1421,9 @@ private[graft] object QueriesSketchesStats {
         |  CAST(SUM(CASE WHEN NOT pos THEN n*rank2 ELSE 0 END) AS BIGINT) AS w2_minus
         | FROM sgn JOIN r USING (a))
         |SELECT n_pairs, w2_plus, w2_minus,
-        | CAST(w2_plus // greatest((w2_plus + w2_minus) // 1000000, 1)
+        | CAST(CASE WHEN w2_plus + w2_minus <= 9000000000000
+        |   THEN (w2_plus * 1000000) // greatest(w2_plus + w2_minus, 1)
+        |   ELSE w2_plus // ((w2_plus + w2_minus) // 1000000) END
         |   AS BIGINT) AS wplus_share_ppm
         |FROM w""".stripMargin,
 

@@ -847,7 +847,9 @@ private[graft] object QueryShared {
   private[graft] def ppJoinIndexFixture(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame) = synchronized {
     val fPath = fixturePath(d, "ppjoin_dfreq.parquet")
-    val pPath = fixturePath(d, "ppjoin_postings.parquet")
+    // v2: postings gained the `pos` column for the probe-time
+    // positional filter — new name so a stale v1 fixture is never read
+    val pPath = fixturePath(d, "ppjoin_postings_v2.parquet")
     val sPath = fixturePath(d, "ppjoin_sets.parquet")
     lazy val built = operators.Dedup.ppJoinIndex(
       documents(s, d).filter(pmod(col("doc_id"), lit(10L)) =!= 0L),

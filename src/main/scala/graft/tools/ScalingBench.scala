@@ -37,12 +37,20 @@ object ScalingBench {
     // a second derived decade (make_sf1.py with K=100) joins the table
     // when present — growth is then measured over TWO decades
     val sf10Dir = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR", "/tmp/graft-sf10")
+    // a documents-ONLY third derived decade (make_docs_sf100.py,
+    // K=1000): opt-in via SPARK_GRAFT_SF100_DIR because only
+    // documents-backed queries can run there — pass them explicitly
+    // through SPARK_GRAFT_SCALING_QUERIES (VERDICT r12 #6)
+    val sf100Dir = sys.env.get("SPARK_GRAFT_SF100_DIR")
     def present(d: String) = new java.io.File(s"$d/lineitem.parquet").exists()
     val sfs = Seq("sf0.001" -> "/root/testdata/sf0.001",
       "sf0.01" -> "/root/testdata/sf0.01",
       "sf0.1" -> "/root/testdata/sf0.1") ++
       (if (present(sf1Dir)) Seq("sf1*" -> sf1Dir) else Seq.empty) ++
-      (if (present(sf10Dir)) Seq("sf10*" -> sf10Dir) else Seq.empty)
+      (if (present(sf10Dir)) Seq("sf10*" -> sf10Dir) else Seq.empty) ++
+      sf100Dir.filter(d =>
+        new java.io.File(s"$d/documents.parquet").exists())
+        .map("sf100*" -> _).toSeq
     val queries = sys.env.get("SPARK_GRAFT_SCALING_QUERIES")
       .map {
         case "ALL" => graft.SparkEntry.queries.keys.toSeq.sorted

@@ -646,6 +646,89 @@ object StreamSoak {
     PhaseResult(all.count(), expect.size.toLong, restarts, maxStateRows, pass)
   }
 
+  /** Phase 10: streaming CDC upsert ([[EventStreams.streamingUpsert]],
+    * q123/q159's ingest twin) under induced kills — the one stateful
+    * twin SOAK had not covered (VERDICT r12 #8). Ops derive from the
+    * shared feeder rows (k = user_id — unique within a feeder file
+    * because ids are consecutive and a batch is ≤ the 50k user
+    * domain; op = del on event_id % 5 == 0, else put of event_id),
+    * and the source is pinned to ONE file per micro-batch so a key
+    * folds at most once per batch — the per-key linearization is then
+    * the feeder's file order, replayed identically from the offset
+    * WAL after every kill. After the soak a PROBE batch puts v = −1
+    * at EVERY key in the domain; its emissions expose the entire
+    * recovered state (update's old_v per live key; insert = key
+    * absent), which must equal the driver fold model — per key the
+    * max-event_id row decides: del ⇒ absent, put ⇒ its event_id.
+    * Fold-equivalence post-recovery, asserted exactly.
+    */
+  private def upsertPhase(spark: SparkSession, root: String, seconds: Int,
+                          restartSeconds: Int, batchEvents: Int): PhaseResult = {
+    import spark.implicits._
+    val src = s"$root/src"; val sink = s"$root/sink"; val ckpt = s"$root/ckpt"
+    val domain = 50000L
+    new java.io.File(src).mkdirs()
+    def opsOf(df: DataFrame) = df.select(
+        col("user_id").cast("long").as("k"),
+        when(col("event_type") === "probe", lit(-1L))
+          .otherwise(col("event_id")).cast("long").as("v"),
+        when(col("event_type") === "probe", lit("put"))
+          .when(pmod(col("event_id"), lit(5L)) === 0L, lit("del"))
+          .otherwise(lit("put")).as("op"))
+      .as[EventStreams.UpsertOp]
+    def startQuery() = EventStreams.streamingUpsert(
+        opsOf(spark.readStream.schema(EventStreams.eventSchema)
+          .option("maxFilesPerTrigger", "1").parquet(src)))
+      .toDF().writeStream.outputMode("append").format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt).start()
+    val (restarts, maxSoak, batches) =
+      soakLoop(spark, src, seconds, restartSeconds, batchEvents)(startQuery _)
+    var maxStateRows = maxSoak
+    def sample(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      val p = q.lastProgress
+      if (p != null && p.stateOperators.nonEmpty)
+        maxStateRows = math.max(maxStateRows, p.stateOperators.head.numRowsTotal)
+    }
+    // drain the backlog the kills left unread, then the probe batch
+    locally { val q = startQuery(); q.processAllAvailable(); sample(q); q.stop() }
+    spark.range(domain).select(
+        (col("id") + batches.toLong * batchEvents + 1000000L).as("event_id"),
+        lit(new java.sql.Timestamp(base + (batches + 1) * 60000L)).as("ts"),
+        col("id").as("user_id"), lit("probe").as("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+      .coalesce(1).write.mode("append").parquet(src)
+    locally { val q = startQuery(); q.processAllAvailable(); sample(q); q.stop() }
+    // probe emissions expose the recovered state: new_v = -1 rows only
+    val probeRows = spark.read.parquet(sink).filter(col("new_v") === -1L)
+      .select(col("k"), col("change_type"), col("old_v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    // driver fold model over everything the feeder wrote (per key the
+    // max-event_id op decides; keys whose last op is del are absent)
+    val model = spark.read.parquet(src)
+      .filter(col("event_type") =!= "probe")
+      .groupBy(col("user_id").cast("long").as("k"))
+      .agg(max(col("event_id")).cast("long").as("last_id"))
+      .collect().map { r =>
+        val (k, lastId) = (r.getLong(0), r.getLong(1))
+        if (lastId % 5 == 0) (k, "insert", None) // del last: probe inserts
+        else (k, "update", Some(lastId))
+      }.toSet
+    val neverSeen = (0L until domain).map(k => (k, "insert", None)).toSet --
+      model.map(t => (t._1, "insert", None: Option[Long]))
+    val expect = model.map {
+      case (k, "insert", _) => (k, "insert", None: Option[Long])
+      case (k, _, v)        => (k, "update", v)
+    } ++ neverSeen
+    val pass = probeRows == expect && maxStateRows <= 120000L
+    if (!pass)
+      System.err.println(s"SOAK upsert missing=${(expect -- probeRows).take(5)} " +
+        s"extra=${(probeRows -- expect).take(5)} maxState=$maxStateRows")
+    PhaseResult((batches.toLong * batchEvents) + domain,
+      probeRows.size.toLong, restarts, maxStateRows, pass)
+  }
+
   def main(args: Array[String]): Unit = {
     val soakSeconds = sys.env.getOrElse("SOAK_SECONDS", "180").toInt
     val twinSeconds = sys.env.getOrElse("SOAK_TWIN_SECONDS", "60").toInt
@@ -677,13 +760,17 @@ object StreamSoak {
       twinSeconds, restartSeconds, batchEvents)
     val session = sessionPhase(spark, "/tmp/graft-soak/session",
       twinSeconds, restartSeconds, batchEvents)
+    val upsert = upsertPhase(spark, "/tmp/graft-soak/upsert",
+      twinSeconds, restartSeconds, batchEvents)
 
     val pass = tumbling.pass && kmv.pass && cms.pass && mg.pass &&
-      lb.pass && funnel.pass && lsh.pass && tri.pass && session.pass
+      lb.pass && funnel.pass && lsh.pass && tri.pass && session.pass &&
+      upsert.pass
     println(s"""{"tumbling":${tumbling.json()},"kmv":${kmv.json()},""" +
       s""""cms":${cms.json()},"mg":${mg.json()},"lb":${lb.json()},""" +
       s""""funnel":${funnel.json()},"lsh":${lsh.json()},""" +
       s""""tri":${tri.json()},"session":${session.json()},""" +
+      s""""upsert":${upsert.json()},""" +
       s""""result":"${if (pass) "PASS" else "FAIL"}"}""")
     spark.stop()
     if (!pass) sys.exit(1)

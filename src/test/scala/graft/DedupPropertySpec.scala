@@ -289,6 +289,42 @@ class DedupPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("ppJoin positional filter admits no false negatives on run-structured corpora") {
+    // The r13 positional filter (Xiao et al. WWW'08 §3.1,
+    // Dedup.positionalFilter) prunes pairs whose first shared prefix
+    // token sits too late in either ordering. This corpus is built to
+    // stress exactly that: docs are consecutive-token RUNS over one
+    // shared 100-token line, so two docs' shingle sets overlap in one
+    // contiguous block whose size (and position in the rare-first
+    // order) varies smoothly — Jaccard lands densely around every
+    // threshold, and shared blocks sit at controlled depths. The
+    // filter must still equal brute force EXACTLY at thresholds
+    // straddling the α boundaries.
+    val rnd = new scala.util.Random(1813)
+    val line = Array.tabulate(100)(i => s"t$i")
+    val runDocs: Vector[(Long, String)] = (0 until 120).toVector.map { i =>
+      val start = rnd.nextInt(70)
+      val len = 3 + rnd.nextInt(30)
+      (i.toLong, line.slice(start, math.min(100, start + len)).mkString(" "))
+    }
+    val df = runDocs.toDF("doc_id", "text")
+    val sets = runDocs.map { case (i, t) => i -> shingles3(t) }
+    for (t <- Seq(166667L, 250000L, 333333L, 499999L, 500000L, 500001L,
+        700000L, 900000L)) {
+      val model = (for {
+        (ai, as) <- sets; (bi, bs) <- sets if ai < bi
+        inter = (as intersect bs).size.toLong
+        jac = inter * 1000000L / (as.size + bs.size - inter)
+        if jac >= t
+      } yield (ai, bi, inter, jac)).toSet
+      val got = Dedup.ppJoinShingles(df, "doc_id", "text", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(got == model, s"t=$t got=${got.size} model=${model.size} " +
+        s"missed=${(model -- got).take(3)} extra=${(got -- model).take(3)}")
+    }
+  }
+
   test("Misra-Gries: contract holds on random skewed streams at random partitionings") {
     // ScalaCheck-generated zipf-ish streams: for every (k, partitioning)
     // the exact heavy hitters must be retained, never overcounted, and

@@ -54,8 +54,9 @@ class StatsFoldPropertySpec extends AnyFunSuite {
           .map { case (r, i) => r._1 -> (i + 1).toLong }.toMap
       val (rx, ry) = (ranks(_._2), ranks(_._3))
       val sumd2 = rows.map(r => { val d = rx(r._1) - ry(r._1); d * d }).sum
-      val den = math.max(n.toLong * (n.toLong * n - 1) / 1000000L, 1L)
-      val want = (n.toLong, sumd2, 1000000L - (6 * sumd2) / den)
+      // small-n branch: numerator-scaled exact ppm (ADVICE r12)
+      val den = math.max(n.toLong * (n.toLong * n - 1), 1L)
+      val want = (n.toLong, sumd2, 1000000L - (6 * sumd2 * 1000000L) / den)
       assert(got == want, s"trial $trial: got $got want $want")
     }
   }
@@ -83,7 +84,8 @@ class StatsFoldPropertySpec extends AnyFunSuite {
       }
       val w2p = nz.filter(_ > 0).map(d => rank2(math.abs(d))).sum
       val w2m = nz.filter(_ < 0).map(d => rank2(math.abs(d))).sum
-      val share = w2p / math.max((w2p + w2m) / 1000000L, 1L)
+      // small-mass branch: numerator-scaled exact ppm (ADVICE r12)
+      val share = (w2p * 1000000L) / math.max(w2p + w2m, 1L)
       val want = (nz.size.toLong, w2p, w2m, share)
       assert(got == want, s"trial $trial: got $got want $want")
       // total doubled rank mass is n(n+1) by construction
