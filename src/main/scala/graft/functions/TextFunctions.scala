@@ -351,6 +351,39 @@ object TextFunctions {
     f(idCol)
   }
 
+  /** Deterministic ±1 sign flips for permutation resamples 0..n−1 of
+    * one keyed row — [[bootstrapWeights]]'s sibling for sign-flip
+    * (paired) permutation tests: sign b = +1 when hex char (b mod 32)
+    * of md5("<prefix><id>_<b div 32>") has even nibble value, −1
+    * otherwise (exactly P(+1)=½ per coin: 8 even hex digits of 16).
+    * Same one-digest-per-32-coins economics, same engine-independent
+    * hex-string contract (an oracle replays it with md5/substr and a
+    * hex-digit parity table), same boxed-Long null propagation.
+    */
+  def signFlips(idCol: Column, n: Int, prefix: String = "sf_"): Column = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val f = udf { (boxed: java.lang.Long) =>
+      if (boxed == null) None
+      else {
+        val id = boxed.longValue()
+        val out = new Array[Long](n)
+        var k = 0
+        while (k * 32 < n) {
+          val d = md5Jvm(s"$prefix${id}_$k")
+          var j = 0
+          while (j < 32 && k * 32 + j < n) {
+            val nib = if (j % 2 == 0) (d(j / 2) >> 4) & 0xf else d(j / 2) & 0xf
+            out(k * 32 + j) = if (nib % 2 == 0) 1L else -1L
+            j += 1
+          }
+          k += 1
+        }
+        Some(out)
+      }
+    }
+    f(idCol)
+  }
+
   /** 28-bit stable token hash (first 7 md5 hex chars). Small enough that
     * affine permutations (a*h+b) never overflow 63 bits — the JVM wraps
     * silently on Long overflow but DuckDB raises, so oracle-checkable

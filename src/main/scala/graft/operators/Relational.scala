@@ -1810,6 +1810,178 @@ object Relational {
       .select(col("grp"), col("n_pts"), col("sum_x"), col("fano_ppm"))
   }
 
+  /** Deterministic sign-flip PERMUTATION test per group over PAIRED
+    * differences — the exact-p companion to [[wilcoxonSignedRank]]
+    * (same input shape) when the readout must be a REAL p-value a
+    * multiple-testing step ([[bhStepUp]]) can consume: under H₀ the
+    * pair differences are sign-symmetric, so the null distribution of
+    * S = Σd is replayed by R md5-derived ±1 reassignments
+    * ([[graft.functions.TextFunctions.signFlips]]; both engines draw
+    * identical resamples, so p hash-compares exactly), and
+    * p = (1 + #{r : |S_r| ≥ |S_obs|}) / (R+1) — the standard
+    * add-one permutation p, in ppm by integer division.
+    *
+    * Scale shape is q295's bootstrap ledger verbatim: the R× fan-out
+    * is MAP-ONLY (all R signs in one tight JVM pass per row, one
+    * posexplode), collapsed to |groups|·R rows by the partial agg
+    * before the only exchange; the comparison windows run over R rows
+    * per group. `diffs` must carry one row per pair: (grpCol, idCol
+    * — the resample key, dCol — the paired difference, cents-scaled).
+    *
+    * Returns one row per group: (grp, n_pairs, sum_obs, p_ppm).
+    */
+  def permutationTestPpm(diffs: DataFrame, grpCol: String, idCol: String,
+                         dCol: String, r: Int = 199,
+                         prefix: String = "pt_"): DataFrame = {
+    require(r >= 1, s"r must be >= 1, got $r")
+    val base = diffs.select(col(grpCol).as("grp"),
+      col(idCol).cast("long").as("__id"), col(dCol).cast("long").as("__d"))
+    val obs = base.groupBy("grp")
+      .agg(count(lit(1)).as("n_pairs"), sum("__d").cast("long").as("sum_obs"))
+    val resamples = base
+      // pin a by-num exchange BEFORE the R× generate: the pre-explode
+      // frame looks tiny to AQE (it would coalesce to one partition)
+      // but the post-explode stage is the expensive one — the q295
+      // bootstrap / q282 fan-out lesson
+      .repartition(base.sparkSession.conf
+        .get("spark.sql.shuffle.partitions").toInt, col("__id"))
+      .select(col("grp"), col("__d"),
+        posexplode(graft.functions.TextFunctions.signFlips(
+          col("__id"), r, prefix)))
+      .withColumnRenamed("pos", "__r").withColumnRenamed("col", "__s")
+      .groupBy("grp", "__r")
+      .agg(sum(col("__s") * col("__d")).cast("long").as("__sr"))
+    resamples.join(obs, Seq("grp"))
+      .groupBy(col("grp"), col("n_pairs"), col("sum_obs"))
+      .agg(sum(when(abs(col("__sr")) >= abs(col("sum_obs")), 1L)
+        .otherwise(0L)).as("__ge"))
+      .withColumn("p_ppm",
+        expr(s"((1 + __ge) * 1000000) div ${r + 1}"))
+      .select(col("grp"), col("n_pairs"), col("sum_obs"), col("p_ppm"))
+  }
+
+  /** Benjamini-Hochberg STEP-UP selection over per-hypothesis p-values
+    * (ppm) at each requested FDR level α — the multiple-testing
+    * control a metrics platform applies before announcing "these m
+    * segments moved": rank p ascending (key tie-break), select every
+    * hypothesis ranked ≤ k* where k* = max{k : p_(k)·m ≤ k·α}. All
+    * comparisons in exact integer ppm (p·m ≤ 10⁶·m and k·α ≤ m·10⁶
+    * both sit far inside Long).
+    *
+    * Scale: the input IS the hypothesis table (m rows — domain-
+    * bounded by construction; the corpus-sized work happened in
+    * whatever computed the p-values), so the rank window and the
+    * k* max run over m rows per α.
+    *
+    * Returns one row per (alpha_ppm, key): (alpha_ppm, key, p_ppm,
+    * rnk, selected).
+    */
+  def bhStepUp(pvals: DataFrame, keyCol: String, pCol: String,
+               alphasPpm: Seq[Long]): DataFrame = {
+    require(alphasPpm.nonEmpty && alphasPpm.forall(a => a >= 1 && a <= 1000000L),
+      s"alphas must be ppm in [1, 1e6], got $alphasPpm")
+    val spark = pvals.sparkSession
+    import spark.implicits._
+    val m = Window.partitionBy("alpha_ppm")
+    val byP = m.orderBy(col("p_ppm").asc, col("key").asc)
+    pvals.select(col(keyCol).cast("string").as("key"),
+        col(pCol).cast("long").as("p_ppm"))
+      .crossJoin(broadcast(alphasPpm.toDF("alpha_ppm")))
+      .withColumn("rnk", row_number().over(byP))
+      .withColumn("__m", count(lit(1)).over(m))
+      .withColumn("__kstar", max(when(
+          col("p_ppm") * col("__m") <= col("rnk") * col("alpha_ppm"),
+          col("rnk"))).over(m))
+      .withColumn("selected",
+        col("__kstar").isNotNull && col("rnk") <= col("__kstar"))
+      .select(col("alpha_ppm"), col("key"), col("p_ppm"),
+        col("rnk").cast("long").as("rnk"), col("selected"))
+  }
+
+  /** First-digit BENFORD deviation per group — the data-forensics
+    * screen (fabricated or unit-mangled numbers rarely follow the
+    * log-uniform first-digit law): per group, the total-variation
+    * distance in ppm between the observed first-significant-digit
+    * distribution of a positive integer metric and Benford's
+    * log₁₀(1+1/d), whose ppm weights are EXACT CONSTANTS summing to
+    * 10⁶ (301030..45757) — no runtime logarithms anywhere. Shares
+    * floor per digit; missing digits count their full Benford mass
+    * (the broadcast digit spine guarantees 9 rows per group).
+    *
+    * One (grp, digit) hash agg over the corpus — ≤ 9 cells per group
+    * forever — then digit-domain-bounded arithmetic. Returns one row
+    * per group: (grp, n, tvd_ppm, worst_digit, worst_dev_ppm), worst
+    * = the digit with the largest |deviation| (smallest digit wins
+    * ties).
+    */
+  def benfordDeviation(df: DataFrame, grpCol: String, v: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val benford = Seq(1L -> 301030L, 2L -> 176091L, 3L -> 124939L,
+      4L -> 96910L, 5L -> 79181L, 6L -> 66947L, 7L -> 57992L,
+      8L -> 51153L, 9L -> 45757L)
+    val spine = benford.toDF("digit", "benford_ppm")
+    val counts = df
+      .select(col(grpCol).as("grp"),
+        Sketches.requirePositive(v.cast("long"), "benfordDeviation").as("__v"))
+      .withColumn("digit", substring(col("__v").cast("string"), 1, 1)
+        .cast("long"))
+      .groupBy("grp", "digit").agg(count(lit(1)).as("cnt"))
+    val grps = counts.groupBy("grp").agg(sum("cnt").as("n"))
+    val cells = grps.crossJoin(broadcast(spine))
+      .join(counts, Seq("grp", "digit"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .withColumn("share_ppm", expr("(cnt * 1000000) div n"))
+      .withColumn("dev_ppm", abs(col("share_ppm") - col("benford_ppm")))
+    cells
+      .withColumn("__w", row_number().over(Window.partitionBy("grp")
+        .orderBy(col("dev_ppm").desc, col("digit").asc)))
+      .groupBy("grp")
+      .agg(first(col("n")).as("n"),
+        sum("dev_ppm").cast("long").as("__sumdev"),
+        max(when(col("__w") === 1, col("digit"))).as("worst_digit"),
+        max(when(col("__w") === 1, col("dev_ppm"))).as("worst_dev_ppm"))
+      // integer halving (both engines floor nonnegative div identically)
+      .withColumn("tvd_ppm", expr("__sumdev div 2"))
+      .select(col("grp"), col("n"), col("tvd_ppm"), col("worst_digit"),
+        col("worst_dev_ppm"))
+  }
+
+  /** Mann-Kendall trend test over an ordered series — the
+    * distribution-free "is this drifting monotonically" companion to
+    * [[cusumAlerts]] (CUSUM catches a level SHIFT; this scores a
+    * sustained TREND): S = Σ_{i<j} sgn(x_j − x_i) over all ordered
+    * point pairs, reported with the tau-a normalization
+    * τ = S·10⁶ div C(n,2) — exact integers end-to-end (sgn and the
+    * pair join are integral; the division is the only floor, and S
+    * may be negative so both engines must truncate toward zero,
+    * which Spark `div` and DuckDB `//` share).
+    *
+    * Scale: the input is one row per series point (day-domain
+    * bounded, the [[cusumAlerts]] contract), so the C(n,2) pair join
+    * is a broadcast self-join over ≤ a few thousand rows at any
+    * corpus size — the corpus-sized work built the series.
+    *
+    * Returns one row: (n_pts, s_stat, tau_ppm).
+    */
+  def mannKendall(series: DataFrame, ordCol: String, vCol: String): DataFrame = {
+    val base = series.select(col(ordCol).as("__o"),
+      col(vCol).cast("long").as("__x"))
+    val a = base.select(col("__o").as("oa"), col("__x").as("xa"))
+    val b = base.select(col("__o").as("ob"), col("__x").as("xb"))
+    a.join(broadcast(b), col("oa") < col("ob"))
+      // integer sgn (signum() is a DOUBLE function — floats never
+      // enter the statistic)
+      .agg(count(lit(1)).as("__npairs"),
+        sum(when(col("xb") > col("xa"), 1L)
+          .when(col("xb") < col("xa"), -1L).otherwise(0L))
+          .cast("long").as("s_stat"))
+      .crossJoin(broadcast(base.agg(count(lit(1)).as("n_pts"))))
+      .withColumn("tau_ppm",
+        expr("(s_stat * 1000000) div greatest(__npairs, 1)"))
+      .select(col("n_pts"), col("s_stat"), col("tau_ppm"))
+  }
+
   /** Wilcoxon signed-rank readout over a column of PAIRED differences
     * — the matched-pairs companion to [[mannWhitney]] (same metric,
     * same population, two moments in time): zero differences drop (the

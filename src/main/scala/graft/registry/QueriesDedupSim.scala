@@ -668,6 +668,46 @@ private[graft] object QueriesDedupSim {
         .withColumn("jw6", jaroWinkler6(col("name_a"), col("name_b")))
         .orderBy(col("jw6").desc, col("name_a"), col("name_b"))
         .limit(40)),
+
+    "q299_fellegi_sunter" -> ((s, d) => {
+      // Fellegi-Sunter record-linkage DECISION scoring (the 1969
+      // probabilistic-ER framework q121/q191 stop short of): SymSpell
+      // ed≤1 candidate pairs scored by per-field agreement weights
+      // (integer centi-ban log-odds surrogates — name exact +40 /
+      // ed1 +25, nation ±15/−10, segment +8/−6, $1000 balance band
+      // +5/−3) and classified match / possible / non_match by the
+      // fixed thresholds 45/20. Candidates come from the proven
+      // deletion-key join (never all-pairs); the attribute joins are
+      // pair-bounded equi joins. The oracle replays the weights over
+      // the brute-force levenshtein≤1 pair set — equality re-proves
+      // SymSpell's exactness AND the scoring.
+      val pairs = Dedup.editDistance1Join(customer(s, d),
+        "c_custkey", "c_name").select("id_a", "id_b", "dist")
+      val attrs = customer(s, d).select(
+        col("c_custkey").cast("long").as("cid"),
+        col("c_nationkey").cast("long").as("nat"),
+        col("c_mktsegment").as("seg"),
+        // negative-safe $1000 band (the q252/q293 offset doctrine)
+        expr("(cast(round(c_acctbal * 100) as bigint) + 100000) div 100000")
+          .as("bal"))
+      pairs
+        .join(attrs.select(col("cid").as("id_a"), col("nat").as("nat_a"),
+          col("seg").as("seg_a"), col("bal").as("bal_a")), Seq("id_a"))
+        .join(attrs.select(col("cid").as("id_b"), col("nat").as("nat_b"),
+          col("seg").as("seg_b"), col("bal").as("bal_b")), Seq("id_b"))
+        .withColumn("score",
+          when(col("dist") === 0L, 40L).otherwise(25L) +
+          when(col("nat_a") === col("nat_b"), 15L).otherwise(-10L) +
+          when(col("seg_a") === col("seg_b"), 8L).otherwise(-6L) +
+          when(col("bal_a") === col("bal_b"), 5L).otherwise(-3L))
+        .withColumn("decision",
+          when(col("score") >= 45L, "match")
+            .when(col("score") >= 20L, "possible")
+            .otherwise("non_match"))
+        .select(col("id_a"), col("id_b"),
+          col("score").cast("long").as("score"), col("decision"))
+        .orderBy("id_a", "id_b")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1606,5 +1646,30 @@ private[graft] object QueriesDedupSim {
         | FROM n a JOIN n b ON a.name < b.name)
         |SELECT name_a, name_b, jw6 FROM p
         |ORDER BY jw6 DESC, name_a, name_b LIMIT 40""".stripMargin,
+
+    // brute-force levenshtein<=1 pair set (q121's oracle) + the same
+    // integer agreement weights and decision thresholds
+    "q299_fellegi_sunter" ->
+      """WITH attrs AS (SELECT c_custkey AS cid, c_name,
+        |  c_nationkey AS nat, c_mktsegment AS seg,
+        |  (CAST(round(c_acctbal*100,0) AS BIGINT) + 100000) // 100000 AS bal
+        | FROM customer),
+        |p AS (SELECT a.cid AS id_a, b.cid AS id_b,
+        |  levenshtein(a.c_name, b.c_name) AS dist,
+        |  a.nat AS nat_a, b.nat AS nat_b, a.seg AS seg_a, b.seg AS seg_b,
+        |  a.bal AS bal_a, b.bal AS bal_b
+        | FROM attrs a JOIN attrs b ON a.cid < b.cid
+        | WHERE levenshtein(a.c_name, b.c_name) <= 1),
+        |sc AS (SELECT id_a, id_b,
+        |  (CASE WHEN dist = 0 THEN 40 ELSE 25 END
+        |   + CASE WHEN nat_a = nat_b THEN 15 ELSE -10 END
+        |   + CASE WHEN seg_a = seg_b THEN 8 ELSE -6 END
+        |   + CASE WHEN bal_a = bal_b THEN 5 ELSE -3 END) AS score
+        | FROM p)
+        |SELECT id_a, id_b, CAST(score AS BIGINT) AS score,
+        | CASE WHEN score >= 45 THEN 'match'
+        |      WHEN score >= 20 THEN 'possible'
+        |      ELSE 'non_match' END AS decision
+        |FROM sc ORDER BY id_a, id_b""".stripMargin,
   )
 }

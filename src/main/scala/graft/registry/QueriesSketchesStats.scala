@@ -751,6 +751,74 @@ private[graft] object QueriesSketchesStats {
           col("iso_fit_ppm"))
         .orderBy("qb")
     }),
+
+    "q296_permutation_test" -> ((s, d) => {
+      // (shared pair construction: permPairedDiffs below the maps)
+      // Exact sign-flip permutation test per market segment on q283's
+      // paired per-customer spend (1996 vs 1997): the REAL p-value a
+      // multiple-testing step can consume, with the null replayed by
+      // 199 md5-derived ±1 reassignments so both engines draw
+      // identical resamples and p hash-compares exactly
+      // (Relational.permutationTestPpm scaladoc). The 199× fan-out is
+      // map-only behind a pinned pre-explode exchange (the q295
+      // bootstrap ledger).
+      Relational.permutationTestPpm(
+          permPairedDiffs(s, d).select(col("c_mktsegment").as("seg"),
+            col("o_custkey"), col("d_c")),
+          "seg", "o_custkey", "d_c")
+        .select(col("grp").as("seg"), col("n_pairs"), col("sum_obs"),
+          col("p_ppm"))
+        .orderBy("seg")
+    }),
+
+    "q297_bh_fdr" -> ((s, d) => {
+      // Benjamini-Hochberg step-up over PER-NATION permutation
+      // p-values (q296's machinery at 25 hypotheses) at three FDR
+      // levels — the control a platform applies before announcing
+      // "these nations moved"; selection is exact integer ppm
+      // (Relational.bhStepUp scaladoc). The p-value table is the only
+      // input: m = 25 rows, so every BH window is domain-bounded.
+      val pvals = Relational.permutationTestPpm(
+        permPairedDiffs(s, d).select(col("c_nationkey").cast("long")
+            .as("nat"), col("o_custkey"), col("d_c")),
+        "nat", "o_custkey", "d_c", prefix = "ptn_")
+      Relational.bhStepUp(pvals, "grp", "p_ppm",
+          alphasPpm = Seq(10000L, 50000L, 100000L))
+        .select(col("alpha_ppm"), col("key").as("nat"), col("p_ppm"),
+          col("rnk"), col("selected").cast("long").as("selected"))
+        .orderBy("alpha_ppm", "rnk")
+    }),
+
+    "q298_benford" -> ((s, d) =>
+      // First-digit Benford screen per nation over order totals in
+      // cents — the forensics readout for fabricated or unit-mangled
+      // money columns; Benford masses are exact ppm constants summing
+      // to 10⁶, so no runtime logarithm exists anywhere
+      // (Relational.benfordDeviation scaladoc). One 9-cell-per-group
+      // agg over the corpus.
+      Relational.benfordDeviation(
+          orders(s, d).join(customer(s, d),
+            col("o_custkey") === col("c_custkey"))
+            .select(col("c_nationkey").cast("long").as("nat"),
+              col("o_totalprice")),
+          "nat", cents(col("o_totalprice")))
+        .select(col("grp").as("nat"), col("n"), col("tvd_ppm"),
+          col("worst_digit"), col("worst_dev_ppm"))
+        .orderBy("nat")),
+
+    "q300_mann_kendall" -> ((s, d) => {
+      // Mann-Kendall monotone-trend test on the daily purchase-revenue
+      // series — the trend companion to q281's CUSUM level-shift
+      // monitor: S = Σ sgn over all C(n,2) day pairs, τ-a in ppm
+      // (Relational.mannKendall scaladoc). The series is day-domain
+      // bounded, so the pair join is a broadcast self-join forever;
+      // the corpus-sized work is the daily aggregation.
+      val daily = events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(sum(cents(col("value"))).as("x_c"))
+      Relational.mannKendall(daily, "day", "x_c")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1505,5 +1573,121 @@ private[graft] object QueriesSketchesStats {
          | ft.iso_fit_ppm
          |FROM pf JOIN ft USING (rb) ORDER BY qb""".stripMargin
     },
+
+    // q283's paired-diff CTE + the md5 hex-parity sign replay (the
+    // signFlips contract: sign r of id = parity of hex char (r mod 32)
+    // of md5(prefix||id||'_'||r//32)) + the add-one permutation p
+    "q296_permutation_test" ->
+      s"""WITH t AS ($PermPairsSql),
+         |obs AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(SUM(d_c) AS BIGINT) AS sum_obs FROM t GROUP BY 1),
+         |rs AS (SELECT seg, r,
+         |  SUM((${permSignSql("pt_")}) * d_c) AS sr
+         | FROM t CROSS JOIN (SELECT unnest(generate_series(0,198)) AS r)
+         | GROUP BY 1, 2),
+         |p AS (SELECT rs.seg,
+         |  SUM(CASE WHEN abs(rs.sr) >= abs(obs.sum_obs) THEN 1 ELSE 0 END) AS ge
+         | FROM rs JOIN obs ON rs.seg = obs.seg GROUP BY 1)
+         |SELECT obs.seg, obs.n_pairs, obs.sum_obs,
+         | CAST(((1 + p.ge) * 1000000) // 200 AS BIGINT) AS p_ppm
+         |FROM obs JOIN p ON obs.seg = p.seg ORDER BY obs.seg""".stripMargin,
+
+    // per-nation p-values (same replay, 'ptn_' prefix) + BH step-up:
+    // rank p ascending (string-key tie-break, matching the engine's
+    // cast), select rank <= max{k : p*m <= k*alpha}
+    "q297_bh_fdr" ->
+      s"""WITH t AS ($PermPairsSql),
+         |obs AS (SELECT nat, CAST(SUM(d_c) AS BIGINT) AS sum_obs
+         | FROM t GROUP BY 1),
+         |rs AS (SELECT nat, r,
+         |  SUM((${permSignSql("ptn_")}) * d_c) AS sr
+         | FROM t CROSS JOIN (SELECT unnest(generate_series(0,198)) AS r)
+         | GROUP BY 1, 2),
+         |pv AS (SELECT CAST(rs.nat AS VARCHAR) AS nat,
+         |  CAST(((1 + SUM(CASE WHEN abs(rs.sr) >= abs(obs.sum_obs)
+         |    THEN 1 ELSE 0 END)) * 1000000) // 200 AS BIGINT) AS p_ppm
+         | FROM rs JOIN obs ON rs.nat = obs.nat GROUP BY 1),
+         |sel AS (SELECT alpha_ppm, nat, p_ppm,
+         |  row_number() OVER (PARTITION BY alpha_ppm
+         |    ORDER BY p_ppm, nat) AS rnk,
+         |  COUNT(*) OVER (PARTITION BY alpha_ppm) AS m
+         | FROM pv CROSS JOIN (SELECT CAST(unnest([10000, 50000, 100000])
+         |   AS BIGINT) AS alpha_ppm)),
+         |k AS (SELECT alpha_ppm, MAX(CASE WHEN p_ppm * m <= rnk * alpha_ppm
+         |   THEN rnk END) AS kstar
+         | FROM sel GROUP BY 1)
+         |SELECT sel.alpha_ppm, sel.nat, sel.p_ppm,
+         | CAST(sel.rnk AS BIGINT) AS rnk,
+         | CAST(CASE WHEN k.kstar IS NOT NULL AND sel.rnk <= k.kstar
+         |   THEN 1 ELSE 0 END AS BIGINT) AS selected
+         |FROM sel JOIN k USING (alpha_ppm)
+         |ORDER BY alpha_ppm, rnk""".stripMargin,
+
+    // exact Benford ppm constants (they sum to 1e6); floored shares;
+    // missing digits keep their full Benford mass via the spine
+    "q298_benford" ->
+      """WITH v AS (SELECT c.c_nationkey AS nat,
+        |  CAST(round(o.o_totalprice*100,0) AS BIGINT) AS vc
+        | FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |cnt AS (SELECT nat,
+        |  CAST(substr(CAST(vc AS VARCHAR),1,1) AS BIGINT) AS digit,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt FROM v GROUP BY 1, 2),
+        |n AS (SELECT nat, SUM(cnt) AS n FROM cnt GROUP BY 1),
+        |spine AS (SELECT unnest([1,2,3,4,5,6,7,8,9]) AS digit,
+        |  unnest([301030,176091,124939,96910,79181,66947,57992,51153,45757])
+        |    AS bppm),
+        |cells AS (SELECT n.nat, n.n, s.digit, s.bppm,
+        |  COALESCE(c.cnt, 0) AS cnt
+        | FROM n CROSS JOIN spine s
+        | LEFT JOIN cnt c ON c.nat = n.nat AND c.digit = s.digit),
+        |dev AS (SELECT nat, n, digit,
+        |  abs((cnt*1000000)//n - bppm) AS dev FROM cells),
+        |w AS (SELECT nat, n, digit, dev, row_number() OVER
+        |  (PARTITION BY nat ORDER BY dev DESC, digit) AS rw FROM dev)
+        |SELECT CAST(nat AS BIGINT) AS nat, CAST(n AS BIGINT) AS n,
+        | CAST(SUM(dev) // 2 AS BIGINT) AS tvd_ppm,
+        | CAST(MAX(CASE WHEN rw=1 THEN digit END) AS BIGINT) AS worst_digit,
+        | CAST(MAX(CASE WHEN rw=1 THEN dev END) AS BIGINT) AS worst_dev_ppm
+        |FROM w GROUP BY 1, 2 ORDER BY nat""".stripMargin,
+
+    // q281's daily CTE, then the literal C(n,2) sgn sum (the series is
+    // day-domain bounded, so the quadratic join is the oracle's to pay)
+    "q300_mann_kendall" ->
+      """WITH daily AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |  CAST(SUM(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS x_c
+        | FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |p AS (SELECT COUNT(*) AS npairs,
+        |  SUM(CASE WHEN b.x_c > a.x_c THEN 1
+        |      WHEN b.x_c < a.x_c THEN -1 ELSE 0 END) AS s
+        | FROM daily a JOIN daily b ON a.day < b.day)
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_pts,
+        | CAST(p.s AS BIGINT) AS s_stat,
+        | CAST((p.s * 1000000) // greatest(p.npairs, 1) AS BIGINT) AS tau_ppm
+        |FROM p""".stripMargin,
   )
+
+  /** q283's paired per-customer spend (1996 vs 1997, both years
+    * present) with the customer's segment/nation attached — the shared
+    * input of the q296/q297 permutation tests. Zero diffs stay in
+    * (they contribute 0 to every resample sum; only the rank-based
+    * q283 drops them).
+    */
+  private def permPairedDiffs(s: SparkSession, d: String): DataFrame = {
+    val y96 = sum(when(year(col("o_orderdate")) === 1996,
+      cents(col("o_totalprice"))).otherwise(0L))
+    val y97 = sum(when(year(col("o_orderdate")) === 1997,
+      cents(col("o_totalprice"))).otherwise(0L))
+    orders(s, d)
+      .filter(year(col("o_orderdate")).isin(1996, 1997))
+      .groupBy(col("o_custkey"))
+      .agg(y96.as("a_c"), y97.as("b_c"),
+        max(when(year(col("o_orderdate")) === 1996, 1L)
+          .otherwise(0L)).as("__ha"),
+        max(when(year(col("o_orderdate")) === 1997, 1L)
+          .otherwise(0L)).as("__hb"))
+      .filter(col("__ha") === 1L && col("__hb") === 1L)
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("o_custkey"), (col("b_c") - col("a_c")).as("d_c"),
+        col("c_mktsegment"), col("c_nationkey"))
+  }
 }

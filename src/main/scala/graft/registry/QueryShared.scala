@@ -618,6 +618,34 @@ private[graft] object QueryShared {
        |       ELSE list_transform(generate_series(1, len(t)-2), i -> array_to_string(t[i:i+2],' ')) END) AS sh
        |FROM (SELECT doc_id, $TOKS AS t FROM documents)""".stripMargin
 
+  /** DuckDB twin of QueriesSketchesStats.permPairedDiffs: q283's
+    * paired per-customer spend (1996 vs 1997, both present) with
+    * segment/nation attached — (id, d_c, seg, nat).
+    */
+  private[graft] val PermPairsSql =
+    """SELECT t.o_custkey AS id, t.b_c - t.a_c AS d_c,
+      |  c.c_mktsegment AS seg, c.c_nationkey AS nat
+      | FROM (SELECT o_custkey,
+      |   SUM(CASE WHEN year(o_orderdate)=1996
+      |     THEN CAST(round(o_totalprice*100,0) AS BIGINT) ELSE 0 END) AS a_c,
+      |   SUM(CASE WHEN year(o_orderdate)=1997
+      |     THEN CAST(round(o_totalprice*100,0) AS BIGINT) ELSE 0 END) AS b_c,
+      |   MAX(CASE WHEN year(o_orderdate)=1996 THEN 1 ELSE 0 END) AS ha,
+      |   MAX(CASE WHEN year(o_orderdate)=1997 THEN 1 ELSE 0 END) AS hb
+      |  FROM orders WHERE year(o_orderdate) IN (1996, 1997) GROUP BY 1) t
+      | JOIN customer c ON t.o_custkey = c.c_custkey
+      | WHERE t.ha = 1 AND t.hb = 1""".stripMargin
+
+  /** DuckDB twin of TextFunctions.signFlips for pair id `id` and
+    * resample `r`: +1 iff hex char (r mod 32) of
+    * md5(prefix||id||'_'||r//32) has even nibble value.
+    */
+  private[graft] def permSignSql(prefix: String): String =
+    s"""CASE WHEN (strpos('0123456789abcdef',
+       |  substr(md5('$prefix' || CAST(id AS VARCHAR) || '_' ||
+       |    CAST(r // 32 AS VARCHAR)), (r % 32) + 1, 1)) - 1) % 2 = 0
+       | THEN 1 ELSE -1 END""".stripMargin
+
   /** GPT-2-style BPE pre-tokenizer pattern, simplified to the subset
     * Java regex and RE2 (DuckDB) interpret identically: optional leading
     * space + letter run / digit run / punctuation run. No lookarounds

@@ -236,4 +236,118 @@ class StatsFoldPropertySpec extends AnyFunSuite {
         s"trial $trial: slope not a local optimum")
     }
   }
+
+  /** Independent sign replay from the hex-string contract (never
+    * through TextFunctions — that would be circular).
+    */
+  private def modelSign(prefix: String, id: Long, r: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$prefix${id}_${r / 32}".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    if ("0123456789abcdef".indexOf(hex.charAt(r % 32)) % 2 == 0) 1L else -1L
+  }
+
+  test("permutationTestPpm equals the driver sign-replay fold") {
+    val rnd = new scala.util.Random(296)
+    for (trial <- 1 to 8) {
+      val n = 3 + rnd.nextInt(40)
+      val rows = (0 until n).map(i =>
+        (if (i % 2 == 0) "a" else "b", 1000L + i,
+          (rnd.nextInt(21) - 10).toLong))
+      val got = Relational.permutationTestPpm(
+          rows.toDF("grp", "id", "d"), "grp", "id", "d", r = 64,
+          prefix = "spec_")
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      val want = rows.groupBy(_._1).map { case (g, rs) =>
+        val sObs = rs.map(_._3).sum
+        val ge = (0 until 64).count { r =>
+          math.abs(rs.map(t => modelSign("spec_", t._2, r) * t._3).sum) >=
+            math.abs(sObs)
+        }
+        g -> (rs.size.toLong, sObs, (1L + ge) * 1000000L / 65L)
+      }
+      assert(got == want, s"trial $trial: got $got want $want")
+    }
+  }
+
+  test("bhStepUp equals the literal step-up rule at every alpha") {
+    val rnd = new scala.util.Random(297)
+    for (trial <- 1 to 20) {
+      val m = 1 + rnd.nextInt(30)
+      val ps = (0 until m).map(i => (s"h$i", rnd.nextInt(1000001).toLong))
+      val alphas = Seq(10000L, 50000L, 100000L, 500000L)
+      val got = Relational.bhStepUp(ps.toDF("key", "p"), "key", "p", alphas)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+      val sorted = ps.sortBy(t => (t._2, t._1))
+      for (a <- alphas) {
+        val ks = (1 to m).filter(k => sorted(k - 1)._2 * m <= k.toLong * a)
+        val kstar = if (ks.isEmpty) 0 else ks.max
+        sorted.zipWithIndex.foreach { case ((key, p), i) =>
+          val want = (p, (i + 1).toLong, i + 1 <= kstar)
+          assert(got((a, key)) == want,
+            s"trial $trial alpha=$a key=$key: got ${got((a, key))} want $want")
+        }
+      }
+    }
+  }
+
+  test("benfordDeviation equals the constant-table driver fold") {
+    val benford = Map(1L -> 301030L, 2L -> 176091L, 3L -> 124939L,
+      4L -> 96910L, 5L -> 79181L, 6L -> 66947L, 7L -> 57992L,
+      8L -> 51153L, 9L -> 45757L)
+    assert(benford.values.sum == 1000000L) // masses are an exact ppm split
+    val rnd = new scala.util.Random(298)
+    for (trial <- 1 to 10) {
+      val n = 5 + rnd.nextInt(60)
+      // skewed magnitudes so several digits go missing per group
+      val rows = (0 until n).map(i =>
+        (s"g${i % 2}", 1L + rnd.nextInt(2000)))
+      val got = Relational.benfordDeviation(
+          rows.toDF("grp", "v"), "grp", col("v"))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      val want = rows.groupBy(_._1).map { case (g, rs) =>
+        val nG = rs.size.toLong
+        val cnt = rs.groupBy(_._2.toString.head.asDigit.toLong)
+          .view.mapValues(_.size.toLong).toMap
+        val devs = (1L to 9L).map { d =>
+          d -> math.abs(cnt.getOrElse(d, 0L) * 1000000L / nG - benford(d))
+        }
+        val worst = devs.minBy { case (d, dev) => (-dev, d) }
+        g -> (nG, devs.map(_._2).sum / 2, worst._1, worst._2)
+      }
+      assert(got == want, s"trial $trial: got $got want $want")
+    }
+  }
+
+  test("mannKendall equals the O(n^2) driver fold, including negatives") {
+    val rnd = new scala.util.Random(300)
+    for (trial <- 1 to 20) {
+      val n = 2 + rnd.nextInt(50)
+      val xs = (0 until n).map(i => (f"d$i%03d", (rnd.nextInt(9) - 4).toLong))
+      val got = Relational.mannKendall(xs.toDF("ord", "x"), "ord", "x")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).head
+      val pairs = for (i <- 0 until n; j <- i + 1 until n) yield
+        java.lang.Long.signum(xs(j)._2 - xs(i)._2).toLong
+      val s = pairs.sum
+      val want = (n.toLong, s, s * 1000000L / pairs.size) // JVM / truncates
+      assert(got == want, s"trial $trial: got $got want $want")
+    }
+  }
+
+  test("signFlips: null id propagates; coins are exactly +-1 and replayable") {
+    val df = Seq(Some(42L), None).toDF("id")
+      .select(col("id"), graft.functions.TextFunctions
+        .signFlips(col("id"), 40, "spec_").as("s"))
+      .collect()
+    val live = df.find(!_.isNullAt(0)).get.getSeq[Long](1)
+    assert(live.length == 40 && live.forall(v => v == 1L || v == -1L))
+    assert(live.zipWithIndex.forall { case (v, r) =>
+      v == modelSign("spec_", 42L, r) })
+    assert(df.find(_.isNullAt(0)).get.isNullAt(1), "null id must yield null")
+  }
 }
