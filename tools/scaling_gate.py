@@ -60,6 +60,19 @@ WAIVERS = {
         "box IO variance; DuckDB executing the SAME semantics at sf10 "
         "takes 172.8 s vs the engine's 78.8 s (2.2x ahead). "
         "Attribution A/B in tools/ProfileQ282.",
+    "q126_substring_removal":
+        "THIRD-decade (sf10->sf100) disk-I/O floor, scoped to the r13 "
+        "documents-only sf100 probe: the gram exchange is linear "
+        "(3.3x/decade through sf10, reproduced within 2% of r12), but "
+        "at sf100 its ~60-75 GB spill saturates the box's ONE local "
+        "disk (two sibling q130/q131 attempts filled the disk "
+        "entirely), so wall-clock tracks I/O, not plan shape — CPU per "
+        "row is constant by the fixture's copy-isomorphism. Same-box "
+        "same-hour calibration: the REBUILT r12 commit measures 2.3x "
+        "slower than its own recorded sf10 numbers (disk-throughput "
+        "container drift). At 100 TB the exchange spreads across "
+        "per-executor disks. Full attribution in "
+        "SCALING_sweep_r13_span.log.",
 }
 
 
