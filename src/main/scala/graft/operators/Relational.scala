@@ -1982,6 +1982,71 @@ object Relational {
       .select(col("n_pts"), col("s_stat"), col("tau_ppm"))
   }
 
+  /** McNemar's test readout over PAIRED binary outcomes — the paired
+    * companion for CONVERSION-style metrics (did the same customer
+    * convert in each period) where [[wilcoxonSignedRank]] needs
+    * magnitudes: only the discordant pairs carry signal, and the
+    * statistic is χ² = (b−c)²/(b+c) over b = yes→no and c = no→yes
+    * counts, in exact integer ppm. One map-side-combinable agg over
+    * the pair frame; the ×10⁶ bound (b+c ≤ 3·10⁶ discordant pairs)
+    * is ENFORCED with the remedy named.
+    *
+    * Returns one row: (n_pairs, n_b, n_c, chi2_ppm).
+    */
+  def mcnemarPpm(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
+    pairs.agg(count(lit(1)).as("n_pairs"),
+        sum(when(col(aCol) && !col(bCol), 1L).otherwise(0L))
+          .cast("long").as("n_b"),
+        sum(when(!col(aCol) && col(bCol), 1L).otherwise(0L))
+          .cast("long").as("n_c"))
+      .withColumn("chi2_ppm",
+        when(col("n_b") + col("n_c") > 3000000L, raise_error(concat(
+          lit("mcnemarPpm: > 3e6 discordant pairs overflows the x1e6 " +
+            "ppm scale in Long — pre-aggregate (e.g. weekly cohorts), got "),
+          (col("n_b") + col("n_c")).cast("string"))))
+        .otherwise(expr(
+          "((n_b - n_c) * (n_b - n_c) * 1000000) div greatest(n_b + n_c, 1)")))
+      .select(col("n_pairs"), col("n_b"), col("n_c"), col("chi2_ppm"))
+
+  /** Cohen's kappa between two categorical label columns — the
+    * chance-corrected agreement a classifier eval reports beside the
+    * q292-style confusion matrix (raw agreement flatters a skewed
+    * label prior): κ = (N·Σdiag − Σₖ rowₖ·colₖ) / (N² − Σₖ rowₖ·colₖ),
+    * in exact integer ppm — the numerator may be negative
+    * (worse-than-chance), and both engines truncate that division
+    * toward zero identically. Degenerate N² = Σrow·col (a single
+    * label on both sides) is defined as κ = 0.
+    *
+    * Scale: ONE |labels|²-bounded cell agg over the corpus; every
+    * derived frame (row/col margins, pe) is label-domain-bounded.
+    * The ×10⁶ Long bound (N ≤ 3·10⁶ rows) is ENFORCED with the
+    * remedy named.
+    *
+    * Returns one row: (n, n_agree, kappa_ppm).
+    */
+  def cohensKappaPpm(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.select(col(aCol).cast("string").as("__a"),
+        col(bCol).cast("string").as("__b"))
+      .groupBy("__a", "__b").agg(count(lit(1)).as("cnt"))
+    val rows = cells.groupBy("__a").agg(sum("cnt").as("ra"))
+    val colsums = cells.groupBy("__b").agg(sum("cnt").as("cb"))
+    val pe = rows.join(colsums, col("__a") === col("__b"))
+      .agg(coalesce(sum(col("ra") * col("cb")), lit(0L))
+        .cast("long").as("pe_num"))
+    cells.agg(sum("cnt").cast("long").as("n"),
+        sum(when(col("__a") === col("__b"), col("cnt")).otherwise(0L))
+          .cast("long").as("n_agree"))
+      .crossJoin(broadcast(pe))
+      .withColumn("kappa_ppm",
+        when(col("n") > 3000000L, raise_error(concat(
+          lit("cohensKappaPpm: n > 3e6 overflows the x1e6 ppm scale in " +
+            "Long — compute kappa per shard and pool the cell tables, got "),
+          col("n").cast("string"))))
+        .otherwise(expr("CASE WHEN n * n = pe_num THEN 0 ELSE " +
+          "((n * n_agree - pe_num) * 1000000) div (n * n - pe_num) END")))
+      .select(col("n"), col("n_agree"), col("kappa_ppm"))
+  }
+
   /** Wilcoxon signed-rank readout over a column of PAIRED differences
     * — the matched-pairs companion to [[mannWhitney]] (same metric,
     * same population, two moments in time): zero differences drop (the

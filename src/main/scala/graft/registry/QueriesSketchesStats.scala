@@ -819,6 +819,28 @@ private[graft] object QueriesSketchesStats {
         .agg(sum(cents(col("value"))).as("x_c"))
       Relational.mannKendall(daily, "day", "x_c")
     }),
+
+    "q301_mcnemar" -> ((s, d) => {
+      // McNemar's test on paired binary CONVERSION — did the same
+      // customer place an URGENT-priority order in 1996 vs 1997
+      // (customers active in both years, q283's pairing): only the
+      // discordant pairs carry signal, χ² = (b−c)²/(b+c) in exact
+      // ppm (Relational.mcnemarPpm scaladoc; driver-fold property
+      // spec). One map-side-combinable agg end-to-end.
+      val y = (yr: Int) => max(when(year(col("o_orderdate")) === yr &&
+        col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L))
+      val t = orders(s, d)
+        .filter(year(col("o_orderdate")).isin(1996, 1997))
+        .groupBy(col("o_custkey"))
+        .agg(y(1996).as("a"), y(1997).as("b"),
+          max(when(year(col("o_orderdate")) === 1996, 1L)
+            .otherwise(0L)).as("__ha"),
+          max(when(year(col("o_orderdate")) === 1997, 1L)
+            .otherwise(0L)).as("__hb"))
+        .filter(col("__ha") === 1L && col("__hb") === 1L)
+        .select((col("a") === 1L).as("y96"), (col("b") === 1L).as("y97"))
+      Relational.mcnemarPpm(t, "y96", "y97")
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1663,6 +1685,26 @@ private[graft] object QueriesSketchesStats {
         |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_pts,
         | CAST(p.s AS BIGINT) AS s_stat,
         | CAST((p.s * 1000000) // greatest(p.npairs, 1) AS BIGINT) AS tau_ppm
+        |FROM p""".stripMargin,
+
+    // the same paired-years CTE shape as q283/q296, binary outcome =
+    // "placed an URGENT order that year", then (b-c)^2/(b+c) in ppm
+    "q301_mcnemar" ->
+      """WITH t AS (SELECT o_custkey,
+        |  MAX(CASE WHEN year(o_orderdate)=1996
+        |    AND o_orderpriority='1-URGENT' THEN 1 ELSE 0 END) AS a,
+        |  MAX(CASE WHEN year(o_orderdate)=1997
+        |    AND o_orderpriority='1-URGENT' THEN 1 ELSE 0 END) AS b,
+        |  MAX(CASE WHEN year(o_orderdate)=1996 THEN 1 ELSE 0 END) AS ha,
+        |  MAX(CASE WHEN year(o_orderdate)=1997 THEN 1 ELSE 0 END) AS hb
+        | FROM orders WHERE year(o_orderdate) IN (1996, 1997) GROUP BY 1),
+        |p AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(CASE WHEN a=1 AND b=0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |  CAST(SUM(CASE WHEN a=0 AND b=1 THEN 1 ELSE 0 END) AS BIGINT) AS n_c
+        | FROM t WHERE ha = 1 AND hb = 1)
+        |SELECT n_pairs, n_b, n_c,
+        | CAST(((n_b - n_c) * (n_b - n_c) * 1000000)
+        |   // greatest(n_b + n_c, 1) AS BIGINT) AS chi2_ppm
         |FROM p""".stripMargin,
   )
 

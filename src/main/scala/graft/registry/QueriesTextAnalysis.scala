@@ -477,6 +477,18 @@ private[graft] object QueriesTextAnalysis {
         .select(col("lang"), col("lang_guess"), col("n"), col("share_ppm"))
         .orderBy("lang", "lang_guess")
     }),
+
+    "q302_cohens_kappa" -> ((s, d) =>
+      // Chance-corrected agreement for q292's language-ID eval —
+      // Cohen's κ between the heuristic guess and the fixture truth,
+      // the single-number readout raw accuracy flatters under a
+      // skewed language prior (Relational.cohensKappaPpm scaladoc:
+      // exact integer ppm incl. the negative worse-than-chance range,
+      // one |langs|²-bounded cell agg, enforced n ≤ 3e6 Long bound).
+      Relational.cohensKappaPpm(
+        documents(s, d).select(col("lang"),
+          langId(col("text")).as("lang_guess")),
+        "lang", "lang_guess")),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1067,6 +1079,42 @@ private[graft] object QueriesTextAnalysis {
          | CAST((n * 1000000) // tt.n_truth AS BIGINT) AS share_ppm
          |FROM cells JOIN tt USING (lang)
          |ORDER BY lang, lang_guess""".stripMargin
+    },
+
+    // q292's langid replay, then the exact integer kappa identity
+    // (N·Σdiag − Σ row·col) / (N² − Σ row·col) in ppm
+    "q302_cohens_kappa" -> {
+      def cnt(markers: Seq[String]) = {
+        val in = markers.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(toks, x -> x IN ($in)))"
+      }
+      val m = LangMarkers.toMap
+      s"""WITH t AS (SELECT doc_id, lang, $TOKS AS toks FROM documents),
+         |s AS (SELECT doc_id, lang,
+         |  ${cnt(m("en"))} AS s_en, ${cnt(m("de"))} AS s_de,
+         |  ${cnt(m("fr"))} AS s_fr, ${cnt(m("es"))} AS s_es
+         | FROM t),
+         |g AS (SELECT lang AS a,
+         | CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+         |      WHEN s_es > greatest(s_en, s_de, s_fr) THEN 'es'
+         |      WHEN s_fr > greatest(s_en, s_de) THEN 'fr'
+         |      WHEN s_de > s_en THEN 'de'
+         |      ELSE 'en' END AS b
+         | FROM s),
+         |cells AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cnt
+         | FROM g GROUP BY 1, 2),
+         |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+         |  CAST(SUM(CASE WHEN a = b THEN cnt ELSE 0 END) AS BIGINT)
+         |    AS n_agree FROM cells),
+         |r AS (SELECT a, SUM(cnt) AS ra FROM cells GROUP BY 1),
+         |c AS (SELECT b, SUM(cnt) AS cb FROM cells GROUP BY 1),
+         |pe AS (SELECT CAST(COALESCE(SUM(r.ra * c.cb), 0) AS BIGINT)
+         |  AS pe_num FROM r JOIN c ON r.a = c.b)
+         |SELECT n, n_agree,
+         | CAST(CASE WHEN n * n = pe_num THEN 0
+         |   ELSE ((n * n_agree - pe_num) * 1000000) // (n * n - pe_num)
+         |   END AS BIGINT) AS kappa_ppm
+         |FROM tot, pe""".stripMargin
     },
   )
 }

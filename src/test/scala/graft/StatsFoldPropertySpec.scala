@@ -339,6 +339,43 @@ class StatsFoldPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("mcnemarPpm equals the discordant-pair driver fold") {
+    val rnd = new scala.util.Random(301)
+    for (trial <- 1 to 20) {
+      val n = 1 + rnd.nextInt(60)
+      val rows = Seq.fill(n)((rnd.nextBoolean(), rnd.nextBoolean()))
+      val got = Relational.mcnemarPpm(rows.toDF("a", "b"), "a", "b")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).head
+      val b = rows.count(t => t._1 && !t._2).toLong
+      val c = rows.count(t => !t._1 && t._2).toLong
+      val want = (n.toLong, b, c,
+        (b - c) * (b - c) * 1000000L / math.max(b + c, 1L))
+      assert(got == want, s"trial $trial: got $got want $want")
+    }
+  }
+
+  test("cohensKappaPpm equals the margin-product driver fold, incl. negative kappa") {
+    val rnd = new scala.util.Random(302)
+    for (trial <- 1 to 20) {
+      val n = 2 + rnd.nextInt(80)
+      val k = 1 + rnd.nextInt(4) // incl. the single-label degenerate case
+      val rows = Seq.fill(n)((s"l${rnd.nextInt(k)}", s"l${rnd.nextInt(k)}"))
+      val got = Relational.cohensKappaPpm(rows.toDF("a", "b"), "a", "b")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).head
+      val agree = rows.count(t => t._1 == t._2).toLong
+      val ra = rows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val cb = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      // iterator, NOT ra.keys.map: a Set.map would dedupe equal products
+      val pe = ra.iterator.map { case (l, r) => r * cb.getOrElse(l, 0L) }.sum
+      val nn = n.toLong * n
+      val kap = if (nn == pe) 0L
+        else (n * agree - pe) * 1000000L / (nn - pe) // JVM / truncates
+      assert(got == (n.toLong, agree, kap),
+        s"trial $trial: got $got want ${(n.toLong, agree, kap)}")
+    }
+  }
+
   test("signFlips: null id propagates; coins are exactly +-1 and replayable") {
     val df = Seq(Some(42L), None).toDF("id")
       .select(col("id"), graft.functions.TextFunctions
