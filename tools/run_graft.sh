@@ -11,7 +11,9 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
-exec java $OPENS \
+# GRAFT_EXTRA_OPTS: optional extra -D flags (e.g. a shuffle codec for a
+# disk-bound probe) — documented in the artifact that uses them.
+exec java $OPENS $GRAFT_EXTRA_OPTS \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
   -Dspark.sql.adaptive.advisoryPartitionSizeInBytes=16m \
