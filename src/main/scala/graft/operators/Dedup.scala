@@ -1885,15 +1885,28 @@ object Dedup {
     * integer-exact in ppm (α computed by ceiling division over the
     * 1e6-scaled threshold).
     */
-  private def positionalFilter(collisions: DataFrame, tPpm: Long): DataFrame = {
+  private def positionalFilter(collisions: DataFrame, tPpm: Long): DataFrame =
+    positionalFlagged(collisions, tPpm)
+      .filter(col("__pos_ok"))
+      .select("id_a", "id_b")
+
+  /** [[positionalFilter]] with the prune decision exposed as a flag
+    * instead of applied — the pair-level frame (one row per candidate,
+    * `__pos_ok` = survives the positional bound). [[ppJoinStats]] uses
+    * it to count candidates before AND after the positional prune in
+    * ONE pass over the collision join (the r13 filter's measured
+    * attribution, VERDICT r13 #1) — the filter itself stays a thin
+    * `.filter` over this frame so the two can never drift.
+    */
+  private[graft] def positionalFlagged(collisions: DataFrame,
+                                       tPpm: Long): DataFrame = {
     val denom = 1000000L + tPpm
     collisions
       .groupBy("id_a", "id_b", "sz_a", "sz_b")
       .agg(min(col("pos_a")).as("pa"), min(col("pos_b")).as("pb"))
-      .filter(lit(1L) +
+      .withColumn("__pos_ok", lit(1L) +
         least(col("sz_a") - col("pa"), col("sz_b") - col("pb")) >=
         expr(s"(($tPpm * (sz_a + sz_b)) + ${denom - 1}) div $denom"))
-      .select("id_a", "id_b")
   }
 
   /** EXACT set-similarity self-join via prefix filtering (PPJoin-lite,
@@ -1965,11 +1978,14 @@ object Dedup {
   /** Growth-attribution instrumentation for [[ppJoinShingles]] (the
     * SCALING gate's q182 watch row): one row with the volumes of each
     * pipeline stage — docs, raw shingle postings, prefix postings (the
-    * join side), candidate pairs surviving prefix+size filters, truth
-    * pairs (J ≥ t), and the hottest prefix-posting list length. Lets a
-    * per-SF sweep decide whether super-linear time growth is candidate
-    * physics (cand_pairs growing faster than docs) or output volume
-    * (truth_pairs) — the q100 playbook applied to PPJoin.
+    * join side), candidate pairs surviving prefix+size filters BEFORE
+    * the positional prune (n_cand_raw) and after it (n_cand_pairs —
+    * the verify-stage input, so raw/pairs is exactly what the r13
+    * positional filter bought), truth pairs (J ≥ t), and the hottest
+    * prefix-posting list length. Lets a per-SF sweep decide whether
+    * super-linear time growth is candidate physics (cand growing
+    * faster than docs) or output volume (truth_pairs) — the q100
+    * playbook applied to PPJoin.
     */
   def ppJoinStats(docs: DataFrame, idCol: String, textCol: String,
                   tPpm: Long): DataFrame = {
@@ -1986,7 +2002,7 @@ object Dedup {
       .filter(col("pos") <= col("sz") -
         expr(s"(($tPpm * sz) + 999999) div 1000000") + 1)
       .select("id", "sh", "pos", "sz")
-    val cand = positionalFilter(
+    val flagged = positionalFlagged(
       prefix.as("a")
         .join(prefix.as("b"),
           col("a.sh") === col("b.sh") && col("a.id") < col("b.id") &&
@@ -2002,7 +2018,10 @@ object Dedup {
     docs.agg(count(lit(1)).as("n_docs"))
       .crossJoin(sh.agg(count(lit(1)).as("n_shingle_rows")))
       .crossJoin(hot)
-      .crossJoin(cand.agg(count(lit(1)).as("n_cand_pairs")))
+      // candidates before vs after the positional prune, ONE pass over
+      // the collision join: the r13 filter's measured reduction
+      .crossJoin(flagged.agg(count(lit(1)).as("n_cand_raw"),
+        sum(when(col("__pos_ok"), 1L).otherwise(0L)).as("n_cand_pairs")))
       .crossJoin(truth.agg(count(lit(1)).as("n_truth_pairs")))
   }
 

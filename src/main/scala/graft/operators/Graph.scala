@@ -486,8 +486,7 @@ object GraphOps {
       .filter(col("deg").between(2L, maxDeg.toLong))
       .agg(coalesce(sum(expr("deg * (deg - 1) div 2")), lit(0L)))
       .head().getLong(0)
-    val basePartitions =
-      inc.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val basePartitions = Relational.shufflePartitionsOf(inc.sparkSession)
     val aggParts = math.min(4096L, math.max(basePartitions.toLong,
       pairVolume / 12000000L + 1L)).toInt
     val posting = inc.groupBy("f")

@@ -22,6 +22,39 @@ object Relational {
     */
   val HistMaxDistinct: Long = 4000000L
 
+  /** `spark.sql.shuffle.partitions` parsed defensively: some runtimes
+    * set it non-numeric (e.g. "auto" under vendor AQE builds), and a
+    * bare `.toInt` throws before the query even runs (ADVICE r13).
+    * Callers use the value only to PIN a by-num repartition width, so
+    * a sane fallback beats failing.
+    */
+  private[graft] def shufflePartitionsOf(
+      s: org.apache.spark.sql.SparkSession, default: Int = 32): Int =
+    try s.conf.get("spark.sql.shuffle.partitions").toInt
+    catch { case _: NumberFormatException => default }
+
+  /** Theta-pair fan-out guard (VERDICT r13: the [[mcnemarPpm]]
+    * enforced-bound doctrine applied to C(n,2) self-joins): returns
+    * `df` with `guardCol` rewritten to RAISE when the frame holds more
+    * than `bound` rows. The guard is woven INTO the kept column — a
+    * dropped side column would be erased by column pruning — and the
+    * 1-row count broadcast evaluates as the side is scanned, so an
+    * over-bound domain fails fast with the remedy named instead of
+    * silently costing C(n,2) pair evaluations downstream.
+    */
+  private[graft] def boundedSelfJoinSide(df: DataFrame, guardCol: String,
+      bound: Long, what: String, remedy: String): DataFrame = {
+    val n = df.agg(count(lit(1)).cast("long").as("__nguard"))
+    val others = df.columns.filterNot(_ == guardCol).map(col)
+    df.crossJoin(broadcast(n))
+      .select(others :+
+        when(col("__nguard") > bound, raise_error(concat(
+          lit(s"$what: "), col("__nguard").cast("string"),
+          lit(s" rows on one side of a C(n,2) self-join exceeds the " +
+            s"enforced bound $bound — $remedy"))))
+        .otherwise(col(guardCol)).as(guardCol): _*)
+  }
+
   /** Per-group top-k via ranking window; ties broken by `tieBreak` so the
     * result is deterministic (oracle-comparable). At scale this is one
     * hash exchange on the group key and a partial top-k per partition
@@ -1799,9 +1832,24 @@ object Relational {
       .groupBy("grp")
       .agg(count(lit(1)).as("n_pts"),
         sum("__x").cast("long").as("sum_x"),
-        sum(col("__x") * col("__x")).cast("long").as("__sxx"))
+        // try_* forms: overflow of x*x or of the moment sum yields
+        // NULL — identically under ANSI (where the plain ops would
+        // throw without the remedy) and legacy mode (where they would
+        // WRAP and silently bypass a product-form guard, ADVICE r13);
+        // the guard below turns that NULL into the remedy-bearing
+        // raise. try_sum SKIPS per-row nulls (it only nulls on
+        // sum-overflow), so per-row x*x overflow is detected by the
+        // count delta between x and try_multiply(x,x)
+        count(col("__x")).as("__nx"),
+        count(expr("try_multiply(__x, __x)")).as("__nxx"),
+        expr("try_sum(try_multiply(__x, __x))").cast("long").as("__sxx"))
       .withColumn("fano_ppm",
-        when(col("n_pts") * col("__sxx") > maxMoment,
+        // compare WITHOUT multiplying (n * __sxx could itself wrap):
+        // for integer sxx, n*sxx > M  <=>  sxx > M div n exactly
+        // (sxx <= M/n  <=>  sxx <= floor(M/n))
+        when(col("__nx") =!= col("__nxx") ||
+            col("__sxx").isNull || col("__sxx") < 0L ||
+            col("__sxx") > expr(s"$maxMoment div greatest(n_pts, 1)"),
           raise_error(concat(lit(s"fanoPpm: n*sum(x^2) > $maxMoment " +
             "overflows the x1e6 ppm scale in Long — coarsen the series " +
             "(e.g. daily -> weekly) for group "), col("grp").cast("string"))))
@@ -1843,8 +1891,7 @@ object Relational {
       // frame looks tiny to AQE (it would coalesce to one partition)
       // but the post-explode stage is the expensive one — the q295
       // bootstrap / q282 fan-out lesson
-      .repartition(base.sparkSession.conf
-        .get("spark.sql.shuffle.partitions").toInt, col("__id"))
+      .repartition(shufflePartitionsOf(base.sparkSession), col("__id"))
       .select(col("grp"), col("__d"),
         posexplode(graft.functions.TextFunctions.signFlips(
           col("__id"), r, prefix)))
@@ -1960,13 +2007,19 @@ object Relational {
     * Scale: the input is one row per series point (day-domain
     * bounded, the [[cusumAlerts]] contract), so the C(n,2) pair join
     * is a broadcast self-join over ≤ a few thousand rows at any
-    * corpus size — the corpus-sized work built the series.
+    * corpus size — the corpus-sized work built the series. That
+    * contract is ENFORCED (VERDICT r13): past `maxPts` points the
+    * query raises with the remedy named instead of silently costing
+    * C(n,2) — 10⁵ un-coarsened days would be 10¹⁰ pairs.
     *
     * Returns one row: (n_pts, s_stat, tau_ppm).
     */
-  def mannKendall(series: DataFrame, ordCol: String, vCol: String): DataFrame = {
-    val base = series.select(col(ordCol).as("__o"),
-      col(vCol).cast("long").as("__x"))
+  def mannKendall(series: DataFrame, ordCol: String, vCol: String,
+                  maxPts: Long = 20000L): DataFrame = {
+    val base = boundedSelfJoinSide(
+      series.select(col(ordCol).as("__o"), col(vCol).cast("long").as("__x")),
+      "__x", maxPts, "mannKendall",
+      "coarsen the series (e.g. daily -> weekly) before the trend test")
     val a = base.select(col("__o").as("oa"), col("__x").as("xa"))
     val b = base.select(col("__o").as("ob"), col("__x").as("xb"))
     a.join(broadcast(b), col("oa") < col("ob"))

@@ -660,8 +660,14 @@ private[graft] object QueriesDedupSim {
       // threshold 0.7), verified bit-identical against the native
       // function on 16 000 random pairs (TextFunctions.jaroWinklerJvm
       // scaladoc + StatsFoldPropertySpec), so the oracle uses DuckDB's
-      // jaro_winkler_similarity directly.
-      part(s, d).select(col("p_name").as("name_a")).distinct()
+      // jaro_winkler_similarity directly. The catalog-bounded contract
+      // is ENFORCED (VERDICT r13): past 20k distinct names the scoring
+      // raises (C(n,2) would explode) instead of silently running —
+      // the mcnemarPpm guard template via boundedSelfJoinSide.
+      Relational.boundedSelfJoinSide(
+          part(s, d).select(col("p_name").as("name_a")).distinct(),
+          "name_a", 20000L, "q291 jaro-winkler scoring",
+          "pre-block the names (e.g. by prefix) before all-pairs scoring")
         .join(broadcast(
           part(s, d).select(col("p_name").as("name_b")).distinct()),
           col("name_a") < col("name_b"))
@@ -671,18 +677,31 @@ private[graft] object QueriesDedupSim {
 
     "q299_fellegi_sunter" -> ((s, d) => {
       // Fellegi-Sunter record-linkage DECISION scoring (the 1969
-      // probabilistic-ER framework q121/q191 stop short of): SymSpell
-      // ed≤1 candidate pairs scored by per-field agreement weights
-      // (integer centi-ban log-odds surrogates — name exact +40 /
-      // ed1 +25, nation ±15/−10, segment +8/−6, $1000 balance band
-      // +5/−3) and classified match / possible / non_match by the
-      // fixed thresholds 45/20. Candidates come from the proven
-      // deletion-key join (never all-pairs); the attribute joins are
-      // pair-bounded equi joins. The oracle replays the weights over
-      // the brute-force levenshtein≤1 pair set — equality re-proves
-      // SymSpell's exactness AND the scoring.
-      val pairs = Dedup.editDistance1Join(customer(s, d),
-        "c_custkey", "c_name").select("id_a", "id_b", "dist")
+      // probabilistic-ER framework q121/q191 stop short of) in its
+      // INGEST shape (VERDICT r13 #2, the q203 pattern): SymSpell ed≤1
+      // candidates for the md5-coin 20% batch — batch self-join + batch
+      // keys vs the PERSISTED corpus deletion-key postings
+      // (erStandingFixturePaths), so the measured time is the per-batch
+      // cost, not a standing-index rebuild — scored by per-field
+      // agreement weights (integer centi-ban log-odds surrogates —
+      // name exact +40 / ed1 +25, nation ±15/−10, segment +8/−6,
+      // $1000 balance band +5/−3) and classified match / possible /
+      // non_match by the fixed thresholds 45/20. Never all-pairs; the
+      // attribute joins are pair-bounded equi joins. The oracle
+      // replays the weights over the brute-force levenshtein≤1 pairs
+      // TOUCHING the batch — equality re-proves SymSpell's exactness,
+      // the persisted-postings join, AND the scoring.
+      val c = customer(s, d)
+      val batch = c.filter(erBatchCoin)
+      val (_, postingsPath) = erStandingFixturePaths(s, d)
+      val postings = s.read.parquet(postingsPath)
+      val pairs = Dedup.editDistance1Join(batch, "c_custkey", "c_name")
+          .select("id_a", "id_b", "dist")
+        .unionAll(Dedup
+          .editDistance1JoinPostings(batch, postings, "c_custkey", "c_name")
+          .select(least(col("batch_id"), col("corpus_id")).as("id_a"),
+            greatest(col("batch_id"), col("corpus_id")).as("id_b"),
+            col("dist")))
       val attrs = customer(s, d).select(
         col("c_custkey").cast("long").as("cid"),
         col("c_nationkey").cast("long").as("nat"),
@@ -1647,19 +1666,25 @@ private[graft] object QueriesDedupSim {
         |SELECT name_a, name_b, jw6 FROM p
         |ORDER BY jw6 DESC, name_a, name_b LIMIT 40""".stripMargin,
 
-    // brute-force levenshtein<=1 pair set (q121's oracle) + the same
+    // brute-force levenshtein<=1 pairs TOUCHING the md5-coin batch
+    // (q121's oracle restricted to the ingest frontier — corpus-corpus
+    // pairs are yesterday's scores, not this batch's) + the same
     // integer agreement weights and decision thresholds
     "q299_fellegi_sunter" ->
       """WITH attrs AS (SELECT c_custkey AS cid, c_name,
         |  c_nationkey AS nat, c_mktsegment AS seg,
-        |  (CAST(round(c_acctbal*100,0) AS BIGINT) + 100000) // 100000 AS bal
+        |  (CAST(round(c_acctbal*100,0) AS BIGINT) + 100000) // 100000 AS bal,
+        |  (CAST(concat('0x', substr(md5(concat('erb_',
+        |     CAST(c_custkey AS VARCHAR))),1,15)) AS BIGINT) % 5 = 0)
+        |    AS in_batch
         | FROM customer),
         |p AS (SELECT a.cid AS id_a, b.cid AS id_b,
         |  levenshtein(a.c_name, b.c_name) AS dist,
         |  a.nat AS nat_a, b.nat AS nat_b, a.seg AS seg_a, b.seg AS seg_b,
         |  a.bal AS bal_a, b.bal AS bal_b
         | FROM attrs a JOIN attrs b ON a.cid < b.cid
-        | WHERE levenshtein(a.c_name, b.c_name) <= 1),
+        | WHERE (a.in_batch OR b.in_batch)
+        |   AND levenshtein(a.c_name, b.c_name) <= 1),
         |sc AS (SELECT id_a, id_b,
         |  (CASE WHEN dist = 0 THEN 40 ELSE 25 END
         |   + CASE WHEN nat_a = nat_b THEN 15 ELSE -10 END

@@ -615,7 +615,7 @@ private[graft] object QueriesEventsStreams {
         // exempt from coalescing). One tiny |events|-row exchange
         // buys a fully parallel 200× stage — the q282 fan-out lesson.
         .repartition(
-          s.conf.get("spark.sql.shuffle.partitions").toInt,
+          graft.operators.Relational.shufflePartitionsOf(s),
           col("event_id"))
         // all 200 weights in ONE tight JVM pass per event
         // (TextFunctions.bootstrapWeights: ⌈200∕32⌉ digests, 32 coins

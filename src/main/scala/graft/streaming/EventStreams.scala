@@ -454,6 +454,80 @@ object EventStreams {
         })
   }
 
+  case class PermCellUpdate(grp: String, r: Long, sumSd: Long, nRows: Long)
+
+  /** STREAMING sign-flip permutation ledger — the ingest twin of
+    * [[graft.operators.Relational.permutationTestPpm]] (VERDICT r13
+    * #7, completing the batch↔stream doctrine for the resample stats
+    * layer): per pair row the R md5-derived ±1 signs are a PURE
+    * function of the resample key
+    * ([[graft.functions.TextFunctions.signFlips]] — the identical
+    * draws as the batch form), so the per-(group, r) partial sums
+    * Σ sᵣ·d are LINEAR in the rows and accumulate in keyed Long state
+    * exactly like CMS cells; the r = −1 cell carries the OBSERVED
+    * ledger (s ≡ +1), giving (n_pairs, sum_obs) from the same state.
+    * State is bounded at |groups|·(R+1) cells FOREVER, whatever the
+    * stream volume, and any moment's cells feed
+    * [[permutationFromCells]] — whose readout on a prefix equals the
+    * batch permutationTestPpm of that prefix, asserted cell-for-cell
+    * by StreamingSpec and under induced kills by the SOAK harness.
+    * Resample ids must be NON-NULL (a null id has no sign draws; the
+    * batch form would still count it in n_pairs).
+    */
+  def streamingPermCells(pairs: DataFrame, grpCol: String, idCol: String,
+                         dCol: String, r: Int = 199,
+                         prefix: String = "pt_")
+      : org.apache.spark.sql.Dataset[PermCellUpdate] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    pairs
+      .select(col(grpCol).cast("string").as("grp"),
+        col(dCol).cast("long").as("__d"),
+        posexplode(concat(array(lit(1L)),
+          graft.functions.TextFunctions.signFlips(
+            col(idCol).cast("long"), r, prefix))))
+      .select(col("grp"), (col("pos") - 1L).cast("long").as("__r"),
+        (col("col") * col("__d")).cast("long").as("__sd"))
+      .as[(String, Long, Long)]
+      .groupByKey(t => (t._1, t._2))
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (cell: (String, Long), it: Iterator[(String, Long, Long)],
+         state: GroupState[(Long, Long)]) => {
+          var sum = 0L; var n = 0L
+          it.foreach { t => sum += t._3; n += 1L }
+          val (s0, n0) = state.getOption.getOrElse((0L, 0L))
+          val next = (s0 + sum, n0 + n)
+          state.update(next)
+          Iterator(PermCellUpdate(cell._1, cell._2, next._1, next._2))
+        })
+  }
+
+  /** Batch readout over the latest [[streamingPermCells]] state:
+    * column-for-column and value-for-value the
+    * [[graft.operators.Relational.permutationTestPpm]] result over the
+    * rows the cells have absorbed — (grp, n_pairs, sum_obs, p_ppm)
+    * with the same add-one permutation p in ppm. `cells` must hold ONE
+    * row per (grp, r) — the latest update per cell.
+    */
+  def permutationFromCells(cells: DataFrame, r: Int = 199): DataFrame = {
+    // the obs side renames its join key: both branches of this
+    // self-join come from the SAME (possibly memory-sink) frame, and
+    // Spark's self-join dedup cannot rewrite a MemoryPlan view's
+    // conflicting attributes
+    val obs = cells.filter(col("r") === -1L)
+      .select(col("grp").as("__g"), col("nRows").as("n_pairs"),
+        col("sumSd").as("sum_obs"))
+    cells.filter(col("r") >= 0L)
+      .join(obs, col("grp") === col("__g"))
+      .drop("__g")
+      .groupBy(col("grp"), col("n_pairs"), col("sum_obs"))
+      .agg(sum(when(abs(col("sumSd")) >= abs(col("sum_obs")), 1L)
+        .otherwise(0L)).as("__ge"))
+      .withColumn("p_ppm", expr(s"((1 + __ge) * 1000000) div ${r + 1}"))
+      .select(col("grp"), col("n_pairs"), col("sum_obs"), col("p_ppm"))
+  }
+
   case class LbCellUpdate(grp: String, bucket: Long, cnt: Long)
 
   /** STREAMING log-bucket quantile sketch (the ingest twin of

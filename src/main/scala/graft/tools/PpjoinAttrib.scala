@@ -32,17 +32,17 @@ object PpjoinAttrib {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    println(f"${"sfDir"}%-22s ${"docs"}%10s ${"sh_rows"}%12s ${"prefix"}%12s ${"max_plen"}%9s ${"cand"}%12s ${"truth"}%10s ${"sec"}%8s")
+    println(f"${"sfDir"}%-22s ${"docs"}%10s ${"sh_rows"}%12s ${"prefix"}%12s ${"max_plen"}%9s ${"cand_raw"}%12s ${"cand_pos"}%12s ${"truth"}%10s ${"sec"}%8s")
     args.foreach { d =>
       val docs = graft.engine.Tables.documents(spark, d)
       val t0 = System.nanoTime()
       val row = graft.operators.Dedup
         .ppJoinStats(docs, "doc_id", "text", tPpm = 700000L)
         .selectExpr("n_docs", "n_shingle_rows", "n_prefix", "max_plen",
-          "n_cand_pairs", "n_truth_pairs")
+          "n_cand_raw", "n_cand_pairs", "n_truth_pairs")
         .head()
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"$d%-22s ${row.getLong(0)}%10d ${row.getLong(1)}%12d ${row.getLong(2)}%12d ${row.getLong(3)}%9d ${row.getLong(4)}%12d ${row.getLong(5)}%10d $sec%8.1f")
+      println(f"$d%-22s ${row.getLong(0)}%10d ${row.getLong(1)}%12d ${row.getLong(2)}%12d ${row.getLong(3)}%9d ${row.getLong(4)}%12d ${row.getLong(5)}%12d ${row.getLong(6)}%10d $sec%8.1f")
     }
     spark.stop()
   }

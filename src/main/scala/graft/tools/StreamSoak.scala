@@ -667,6 +667,14 @@ object StreamSoak {
     import spark.implicits._
     val src = s"$root/src"; val sink = s"$root/sink"; val ckpt = s"$root/ckpt"
     val domain = 50000L
+    // the fold model below assumes user_id is UNIQUE within a feeder
+    // file (ids are consecutive mod the domain), so within-batch fold
+    // order is unambiguous; a larger SOAK_BATCH_EVENTS would break
+    // that silently and flake the phase (ADVICE r13) — enforce it
+    require(batchEvents <= domain,
+      s"upsertPhase: batchEvents=$batchEvents > user domain $domain — " +
+        "a key would fold twice within one micro-batch, making the " +
+        "fold model ambiguous")
     new java.io.File(src).mkdirs()
     def opsOf(df: DataFrame) = df.select(
         col("user_id").cast("long").as("k"),
@@ -729,6 +737,62 @@ object StreamSoak {
       probeRows.size.toLong, restarts, maxStateRows, pass)
   }
 
+  /** Phase 11: streaming permutation ledger
+    * ([[EventStreams.streamingPermCells]], q296's ingest twin —
+    * VERDICT r13 #7, the resample-stats layer's stateful twin) under
+    * induced kills: the per-(group, r) partial-sum cells must survive
+    * every restart, and [[EventStreams.permutationFromCells]] over the
+    * final cells must equal the batch
+    * [[graft.operators.Relational.permutationTestPpm]] of everything
+    * written — same R, same salt, so the md5 sign draws are identical.
+    * State bound: |groups|·(R+1) cells FOREVER (5 types × 32 here).
+    */
+  private def permPhase(spark: SparkSession, root: String, seconds: Int,
+                        restartSeconds: Int, batchEvents: Int): PhaseResult = {
+    val src = s"$root/src"; val ckpt = s"$root/ckpt"
+    new java.io.File(src).mkdirs()
+    val rN = 31
+    def pairsOf(df: DataFrame) = df.select(
+      col("event_type").as("grp"), col("event_id"),
+      (expr("cast(round(value * 100) as bigint)") - 300L).as("d_c"))
+    val state = new java.util.concurrent.ConcurrentHashMap[(String, Long), (Long, Long)]()
+    def startQuery() = EventStreams.streamingPermCells(
+        pairsOf(EventStreams.readEventStream(spark, src)),
+        "grp", "event_id", "d_c", r = rN, prefix = "soakpt_").toDF()
+      .writeStream.outputMode("update")
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        // bounded collect: <= |groups|·(R+1) updated cells per batch;
+        // upserting the cumulative cell value is replay-idempotent
+        df.collect().foreach(r => state.put(
+          (r.getAs[String]("grp"), r.getAs[Long]("r")),
+          (r.getAs[Long]("sumSd"), r.getAs[Long]("nRows"))))
+      }
+      .option("checkpointLocation", ckpt).start()
+    val (restarts, maxSoak, batches) =
+      soakLoop(spark, src, seconds, restartSeconds, batchEvents)(startQuery _)
+    val maxProbe = probeDrain(spark, src, batchEvents, batches)(startQuery _)
+    import spark.implicits._
+    val cells = {
+      import scala.jdk.CollectionConverters._
+      state.asScala.toSeq.map { case ((g, rr), (sd, n)) => (g, rr, sd, n) }
+        .toDF("grp", "r", "sumSd", "nRows")
+    }
+    def rows(df: DataFrame) = df.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val streamed = rows(EventStreams.permutationFromCells(cells, r = rN))
+    val batch = rows(graft.operators.Relational.permutationTestPpm(
+      pairsOf(spark.read.parquet(src)), "grp", "event_id", "d_c",
+      r = rN, prefix = "soakpt_"))
+    val maxStateRows = math.max(maxSoak, maxProbe)
+    // 5 types x (R+1)=32 cells = 160 + provider slack
+    val pass = streamed == batch && streamed.size == 5 && maxStateRows <= 250L
+    if (!pass)
+      System.err.println(s"SOAK perm streamed=$streamed batch=$batch " +
+        s"maxState=$maxStateRows")
+    PhaseResult((batches + 1).toLong * batchEvents, streamed.size.toLong,
+      restarts, maxStateRows, pass)
+  }
+
   def main(args: Array[String]): Unit = {
     val soakSeconds = sys.env.getOrElse("SOAK_SECONDS", "180").toInt
     val twinSeconds = sys.env.getOrElse("SOAK_TWIN_SECONDS", "60").toInt
@@ -762,15 +826,18 @@ object StreamSoak {
       twinSeconds, restartSeconds, batchEvents)
     val upsert = upsertPhase(spark, "/tmp/graft-soak/upsert",
       twinSeconds, restartSeconds, batchEvents)
+    val perm = permPhase(spark, "/tmp/graft-soak/perm",
+      twinSeconds, restartSeconds, batchEvents)
 
     val pass = tumbling.pass && kmv.pass && cms.pass && mg.pass &&
       lb.pass && funnel.pass && lsh.pass && tri.pass && session.pass &&
-      upsert.pass
+      upsert.pass && perm.pass
     println(s"""{"tumbling":${tumbling.json()},"kmv":${kmv.json()},""" +
       s""""cms":${cms.json()},"mg":${mg.json()},"lb":${lb.json()},""" +
       s""""funnel":${funnel.json()},"lsh":${lsh.json()},""" +
       s""""tri":${tri.json()},"session":${session.json()},""" +
       s""""upsert":${upsert.json()},""" +
+      s""""perm":${perm.json()},""" +
       s""""result":"${if (pass) "PASS" else "FAIL"}"}""")
     spark.stop()
     if (!pass) sys.exit(1)

@@ -91,6 +91,50 @@ class GuardContractsSpec extends AnyFunSuite {
     assert(chainText(ex).contains("coarsen"), chainText(ex))
   }
 
+  test("fanoPpm: guard survives Long wrap of sum(x^2) (ADVICE r13)") {
+    // x = 3.5e9: x*x = 1.225e19 overflows Long — ANSI would throw a
+    // remedy-less ARITHMETIC_OVERFLOW and legacy mode would wrap
+    // NEGATIVE and silently bypass the old product-form guard
+    // (n*sxx > M); the try_multiply/try_sum NULL path must raise the
+    // remedy-bearing guard error in both modes
+    val ex = intercept[Exception] {
+      Relational.fanoPpm(
+        Seq(("g", 3500000000L), ("g", 1L)).toDF("grp", "x"), "grp", "x")
+        .collect()
+    }
+    assert(chainText(ex).contains("coarsen"), chainText(ex))
+  }
+
+  test("mannKendall: C(n,2) pair bound fires past maxPts, silent inside it") {
+    val df = (0 until 100).map(i => (i.toLong, (i * 13 % 41).toLong))
+      .toDF("d", "v")
+    val ex = intercept[Exception] {
+      Relational.mannKendall(df, "d", "v", maxPts = 99L).collect()
+    }
+    assert(chainText(ex).contains("coarsen the series"), chainText(ex))
+    assert(chainText(ex).contains("100"), chainText(ex))
+    // inside the bound: identical to the default-bound result
+    val tight = Relational.mannKendall(df, "d", "v", maxPts = 100L)
+      .collect().head
+    val default = Relational.mannKendall(df, "d", "v").collect().head
+    assert(tight == default)
+  }
+
+  test("boundedSelfJoinSide: q291's name-pair guard fires past the bound") {
+    val names = (0 until 30).map(i => Tuple1(s"name_$i")).toDF("name_a")
+    val ex = intercept[Exception] {
+      Relational.boundedSelfJoinSide(names, "name_a", 29L,
+          "q291 jaro-winkler scoring", "pre-block the names")
+        .collect()
+    }
+    assert(chainText(ex).contains("pre-block"), chainText(ex))
+    // inside the bound: values pass through untouched
+    val ok = Relational.boundedSelfJoinSide(names, "name_a", 30L,
+        "q291 jaro-winkler scoring", "pre-block the names")
+      .collect().map(_.getString(0)).toSet
+    assert(ok == (0 until 30).map(i => s"name_$i").toSet)
+  }
+
   test("blocklistScreen automaton cache stays LRU-bounded across many pattern sets") {
     val docs = Seq((1L, "aa bb cc dd")).toDF("doc_id", "text")
     // 12 distinct pattern sets: more than the 8-slot cap; each screen

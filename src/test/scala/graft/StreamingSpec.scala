@@ -313,6 +313,33 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed ${streamed.size} cells != batch ${batch.size}")
   }
 
+  test("streaming permutation ledger readout equals batch permutationTestPpm") {
+    // pairs derived from events: grp = event_type, resample key =
+    // event_id, paired difference = cents value — the same frame fed
+    // to both forms; R = 47 keeps the test fast (the draw machinery is
+    // R-agnostic)
+    def pairsOf(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("event_type").as("grp"), col("event_id"),
+      (round(col("value") * 100) - 250L).cast("long").as("d_c"))
+    val updates = runToMemory(
+      EventStreams.streamingPermCells(
+        pairsOf(EventStreams.readEventStream(spark, eventsDir)),
+        "grp", "event_id", "d_c", r = 47, prefix = "spt_").toDF(),
+      "t_perm", "update")
+    // one input batch -> exactly one update per cell = the final state
+    assert(updates.groupBy("grp", "r").count()
+      .collect().forall(_.getLong(2) == 1L))
+    val streamed = EventStreams.permutationFromCells(updates, r = 47)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val batch = graft.operators.Relational.permutationTestPpm(
+        pairsOf(engine.Tables.events(spark, SparkTestSession.sfDir)),
+        "grp", "event_id", "d_c", r = 47, prefix = "spt_")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(streamed == batch, s"streamed $streamed != batch $batch")
+  }
+
   test("streaming log-bucket cells converge to the batch sketch exactly") {
     import org.apache.spark.sql.functions.{col, round}
     val updates = runToMemory(
