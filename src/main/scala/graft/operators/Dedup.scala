@@ -2059,6 +2059,70 @@ object Dedup {
     (dfreq, postings, sets)
   }
 
+  /** Index MAINTENANCE for the standing PPJoin index (the q219
+    * doctrine applied to exact set similarity — VERDICT r14 #7): the
+    * rows an accepted `batch` APPENDS to a persisted [[ppJoinIndex]] —
+    * its prefix postings and its full shingle sets, both computed
+    * under the index's FROZEN (df asc, sh asc) total order. Batch ids
+    * must be new to the index (append semantics, q219's shape; a
+    * re-ingest of an existing id is a tombstone + append).
+    *
+    * Why frozen-order fold-in stays EXACT: the prefix theorem
+    * (Chaudhuri/Bayardo — a qualifying pair must collide within the
+    * two prefixes taken under one COMMON total order) needs a shared
+    * order, not the true-rarity order; rarity only makes prefixes
+    * selective. The index's dfreq is that frozen order's key: folded
+    * batches and future probes ALL rank under it (unseen shingles take
+    * df = 0 and sort first — deterministic, shared, harmless), so
+    * every pair — probe × corpus, probe × folded batch, and folded ×
+    * folded — collides under the one order and the positional filter's
+    * first-common-token argument holds unchanged. NO recall loss, ever,
+    * regardless of how many batches fold in; proven against brute
+    * force in DedupAnnSpec, along with fold-in's batch-order
+    * independence (upsert(upsert(I,B1),B2) == upsert(I,B1∪B2),
+    * frame-bit-exact — postings and sets are pure per-doc functions of
+    * the frozen dfreq).
+    *
+    * What DOES drift is prefix SELECTIVITY, not correctness: a shingle
+    * that was rare at build time but common in folded batches keeps
+    * its low frozen df, keeps landing early in prefixes, and its
+    * posting list grows — candidate volume creeps up while results
+    * stay exact. The REBUILD-THRESHOLD contract: re-rank (rebuild the
+    * index, refreshing dfreq to true dfs) once folded volume exceeds
+    * ~10-20% of the indexed corpus, or earlier if the q182-style
+    * candidate-attribution row (ppJoinStats' n_cand_raw vs n_docs)
+    * shows super-linear candidate growth. A standing index that is
+    * mostly folds is an index whose order describes a corpus it no
+    * longer contains.
+    *
+    * Cost/plan shape: only the batch shingles and ranks (two windows
+    * over batch rows); the standing index is not read at all — the
+    * caller appends the returned frames (parquet append of new files;
+    * untouched files untouched). Returns (postings', sets') in the
+    * index's own schemas: (sh, id, pos, sz) and (id, sset, n).
+    */
+  def ppJoinIndexUpsert(dfreq: DataFrame, batch: DataFrame,
+                        idCol: String, textCol: String,
+                        tPpm: Long): (DataFrame, DataFrame) = {
+    require(tPpm > 0 && tPpm <= 1000000L, s"tPpm in (0, 1e6], got $tPpm")
+    val sh = batch.select(col(idCol).cast("long").as("id"),
+      explode(shingles(col(textCol), 3)).as("sh"))
+    val ranked = sh.join(dfreq, Seq("sh"), "left")
+      .select(col("id"), col("sh"), coalesce(col("df"), lit(0L)).as("df"))
+    val wRank = Window.partitionBy("id").orderBy(col("df").asc, col("sh").asc)
+    val wSz = Window.partitionBy("id")
+    val postings = ranked
+      .select(col("id"), col("sh"),
+        row_number().over(wRank).as("pos"),
+        count(lit(1)).over(wSz).as("sz"))
+      .filter(col("pos") <= col("sz") -
+        expr(s"(($tPpm * sz) + 999999) div 1000000") + 1)
+      .select("sh", "id", "pos", "sz")
+    val sets = sh.groupBy("id")
+      .agg(sort_array(collect_list("sh")).as("sset"), count(lit(1)).as("n"))
+    (postings, sets)
+  }
+
   /** Batch-vs-standing-corpus EXACT set-similarity join — the ingest
     * form of [[ppJoinShingles]], probing a persisted [[ppJoinIndex]]:
     * every (new doc, corpus doc) pair with 3-shingle Jaccard ≥ tPpm,

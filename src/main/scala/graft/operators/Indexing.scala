@@ -254,6 +254,94 @@ object Indexing {
     (postings, doclen, stats)
   }
 
+  /** Index MAINTENANCE for the standing BM25 index — the q219/q221 LSH
+    * upsert doctrine applied to retrieval (a corpus receives documents
+    * continuously; probing is read-only, an accepted batch must be
+    * FOLDED INTO the standing index, never force a rebuild): merge
+    * `batch` into a prebuilt [[bm25Index]] triple with UPSERT
+    * semantics — a batch id already present REPLACES its old rows (the
+    * re-ingest of an edited document), a new id appends. Batch ids
+    * must be unique within the batch.
+    *
+    * Exactness is structural: postings and doclen are pure PER-DOCUMENT
+    * functions of the text (tf, dl — no cross-document state), so
+    * `postings MINUS batch-ids' rows UNION postings(batch)` is
+    * row-identical to `bm25Index(corpus with batch applied)`; df is
+    * not stored (derived at probe time from the postings themselves,
+    * [[bm25Index]] scaladoc), so nothing else can go stale. The stats
+    * row folds incrementally — n_docs/n_tokens are Long sums, so
+    * `old − replaced docs' contribution + batch contribution` is exact
+    * integer arithmetic. merge == rebuild is proven bit-exact per
+    * frame in Bm25MaintenanceSpec, including the zero-token
+    * replacement edge (a doc re-ingested empty leaves the doclen/stats
+    * domain, exactly as a rebuild would drop it).
+    *
+    * Cost/plan shape: only the BATCH tokenizes; the batch-id set
+    * BROADCASTS into one anti join, so the standing postings stream
+    * once map-side and never shuffle, and the removed-contribution
+    * aggregate reads the (much smaller) doclen table with the same
+    * broadcast semi join. Physical write story for a wb-partitioned
+    * store: new rows land only in the batch's terms' shards and the
+    * replaced ids' shards are identifiable from the same stream, so an
+    * upsert rewrites TOUCHED term shards only — untouched shard files
+    * are untouched.
+    */
+  def bm25IndexUpsert(postings: DataFrame, doclen: DataFrame,
+                      stats: DataFrame, batch: DataFrame,
+                      idCol: String, textCol: String,
+                      buckets: Int): (DataFrame, DataFrame, DataFrame) = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val (bPostings, bDoclen, _) = bm25Index(batch, idCol, textCol, buckets)
+    val bIds = batch.select(col(idCol).cast("long").as("id")).distinct()
+    val p2 = postings.join(broadcast(bIds), Seq("id"), "left_anti")
+      .select("wb", "w", "id", "tf")
+      .unionByName(bPostings)
+    val d2 = doclen.join(broadcast(bIds), Seq("id"), "left_anti")
+      .unionByName(bDoclen)
+    // replaced contribution: bounded by the batch (semi join on doclen);
+    // count/sum over zero rows -> 0/NULL, coalesced so an append-only
+    // batch folds cleanly
+    val removed = doclen.join(broadcast(bIds), Seq("id"), "left_semi")
+      .agg(count(lit(1)).as("__r_docs"),
+        coalesce(sum("dl"), lit(0L)).as("__r_tokens"))
+    val added = bDoclen.agg(count(lit(1)).as("__a_docs"),
+      coalesce(sum("dl"), lit(0L)).as("__a_tokens"))
+    val s2 = stats.crossJoin(broadcast(removed)).crossJoin(broadcast(added))
+      .select(
+        (col("n_docs") - col("__r_docs") + col("__a_docs")).as("n_docs"),
+        (col("n_tokens") - col("__r_tokens") + col("__a_tokens")).as("n_tokens"))
+    (p2, d2, s2)
+  }
+
+  /** The DELETE half of BM25 index maintenance (the tombstone pass a
+    * takedown or retention policy runs — [[bm25IndexUpsert]]'s sibling,
+    * q221's shape): remove `deletedIds` (one id column; ids absent from
+    * the index are no-ops) from a prebuilt [[bm25Index]] triple. The
+    * deleted-id set BROADCASTS into the two anti joins, so postings and
+    * doclen each stream once map-side and never shuffle; the stats row
+    * folds down by the deleted docs' (bounded, semi-joined) dl
+    * contribution in exact Long arithmetic. delete == rebuild over
+    * (corpus MINUS deleted) bit-exactly, by the same per-document
+    * purity argument as the upsert — proven per frame in
+    * Bm25MaintenanceSpec.
+    */
+  def bm25IndexDelete(postings: DataFrame, doclen: DataFrame,
+                      stats: DataFrame,
+                      deletedIds: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val del = deletedIds
+      .select(col(deletedIds.columns.head).cast("long").as("id")).distinct()
+    val p2 = postings.join(broadcast(del), Seq("id"), "left_anti")
+      .select("wb", "w", "id", "tf")
+    val d2 = doclen.join(broadcast(del), Seq("id"), "left_anti")
+    val removed = doclen.join(broadcast(del), Seq("id"), "left_semi")
+      .agg(count(lit(1)).as("__r_docs"),
+        coalesce(sum("dl"), lit(0L)).as("__r_tokens"))
+    val s2 = stats.crossJoin(broadcast(removed))
+      .select((col("n_docs") - col("__r_docs")).as("n_docs"),
+        (col("n_tokens") - col("__r_tokens")).as("n_tokens"))
+    (p2, d2, s2)
+  }
+
   /** The PROBE half: score `terms` against a persisted [[bm25Index]] —
     * row-identical to [[bm25LiteTopK]] over the same corpus (the split
     * is definitional; spec'd). The postings filter carries BOTH the

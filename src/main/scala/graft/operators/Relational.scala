@@ -41,6 +41,16 @@ object Relational {
     * 1-row count broadcast evaluates as the side is scanned, so an
     * over-bound domain fails fast with the remedy named instead of
     * silently costing C(n,2) pair evaluations downstream.
+    *
+    * Cost note (ADVICE r14): the embedded count aggregate re-evaluates
+    * for EVERY downstream reference of the guarded frame — a caller
+    * that fans the result out k ways (mannKendall: a side, b side, and
+    * its own n_pts agg — three) re-scans and re-counts the base up to
+    * k extra times per call. Acceptable under the guard's own contract
+    * (the side is day-/domain-bounded, thousands of rows, and the
+    * re-scan is a bounded agg, not the C(n,2) join being guarded);
+    * callers fanning out a frame whose SCAN is expensive should
+    * `.materialized` the guarded result once first.
     */
   private[graft] def boundedSelfJoinSide(df: DataFrame, guardCol: String,
       bound: Long, what: String, remedy: String): DataFrame = {
@@ -1847,8 +1857,12 @@ object Relational {
         // compare WITHOUT multiplying (n * __sxx could itself wrap):
         // for integer sxx, n*sxx > M  <=>  sxx > M div n exactly
         // (sxx <= M/n  <=>  sxx <= floor(M/n))
+        // NULL __sxx means overflow only when non-null rows EXIST — a
+        // group whose x values are all NULL has __nx = 0 and a
+        // vacuously-NULL sum, and keeps the product-form guard's old
+        // contract (NULL fano_ppm, no raise; ADVICE r14)
         when(col("__nx") =!= col("__nxx") ||
-            col("__sxx").isNull || col("__sxx") < 0L ||
+            (col("__sxx").isNull && col("__nx") > 0L) || col("__sxx") < 0L ||
             col("__sxx") > expr(s"$maxMoment div greatest(n_pts, 1)"),
           raise_error(concat(lit(s"fanoPpm: n*sum(x^2) > $maxMoment " +
             "overflows the x1e6 ppm scale in Long — coarsen the series " +

@@ -521,6 +521,29 @@ private[graft] object QueriesDedupSim {
         .orderBy("new_id", "corpus_id")
     }),
 
+    "q305_ppjoin_index_upsert" -> ((s, d) => {
+      // PPJoin index MAINTENANCE (the last create/probe-only candidate
+      // index gains its fold-in — VERDICT r14 #7): the q218 batch
+      // APPENDS its prefix postings + sets under the index's FROZEN
+      // rarity order (exactness needs a shared total order, not the
+      // true-df order — Dedup.ppJoinIndexUpsert scaladoc, incl. the
+      // re-rank/rebuild drift contract), then the SAME batch probes the
+      // post-fold index. The batch×batch near-dup pairs now surface
+      // THROUGH the index — the pairs q218's create/probe split cannot
+      // see; self-pairs drop. Oracle = brute-force exact Jaccard of
+      // batch × (corpus ∪ batch) minus self — fold-in loses no recall.
+      val (dfreq, postings, sets) = ppJoinIndexFixture(s, d)
+      val batch = documents(s, d)
+        .filter(pmod(col("doc_id"), lit(10L)) === 0L)
+      val (np, ns) = Dedup.ppJoinIndexUpsert(dfreq, batch,
+        "doc_id", "text", PpJoinTPpm)
+      Dedup.ppJoinAgainstPostings(batch, dfreq,
+          postings.unionByName(np), sets.unionByName(ns),
+          "doc_id", "text", PpJoinTPpm)
+        .filter(col("new_id") =!= col("corpus_id"))
+        .orderBy("new_id", "corpus_id")
+    }),
+
     "q219_lsh_index_upsert" -> ((s, d) => {
       // Index MAINTENANCE (the other half of the q206 ingest story:
       // probing is read-only, an accepted batch must also be FOLDED
@@ -1287,6 +1310,22 @@ private[graft] object QueriesDedupSim {
          |  CAST(len(list_intersect(a.sset, b.sset)) AS BIGINT) AS inter,
          |  CAST(len(a.sset) AS BIGINT) AS na, CAST(len(b.sset) AS BIGINT) AS nb
          | FROM ss a JOIN ss b ON a.id % 10 = 0 AND b.id % 10 <> 0)
+         |SELECT new_id, corpus_id, inter,
+         | CAST(inter * 1000000 // (na + nb - inter) AS BIGINT) AS jac_ppm
+         |FROM p WHERE inter * 1000000 // (na + nb - inter) >= $PpJoinTPpm
+         |ORDER BY new_id, corpus_id""".stripMargin,
+
+    // q218's brute-force truth widened to the POST-FOLD corpus: the
+    // probe batch against everything (corpus ∪ batch) minus self —
+    // batch×batch pairs appear in both orders, exactly as the engine's
+    // probe-over-folded-index emits them
+    "q305_ppjoin_index_upsert" ->
+      s"""WITH sh AS ($SHINGLES3),
+         |ss AS (SELECT id, list_sort(list(sh)) AS sset FROM sh GROUP BY 1),
+         |p AS (SELECT a.id AS new_id, b.id AS corpus_id,
+         |  CAST(len(list_intersect(a.sset, b.sset)) AS BIGINT) AS inter,
+         |  CAST(len(a.sset) AS BIGINT) AS na, CAST(len(b.sset) AS BIGINT) AS nb
+         | FROM ss a JOIN ss b ON a.id % 10 = 0 AND a.id <> b.id)
          |SELECT new_id, corpus_id, inter,
          | CAST(inter * 1000000 // (na + nb - inter) AS BIGINT) AS jac_ppm
          |FROM p WHERE inter * 1000000 // (na + nb - inter) >= $PpJoinTPpm

@@ -327,6 +327,48 @@ private[graft] object QueriesTextAnalysis {
         .orderBy(col("score_milli").desc, col("id"))
     }),
 
+    "q303_bm25_index_upsert" -> ((s, d) => {
+      // The UPSERT half of BM25 index maintenance (the q219 doctrine
+      // applied to the last create/probe-only standing index): 10% of
+      // the corpus re-arrives EDITED (the probe terms appended —
+      // Bm25UpsertSuffix), folds into the persisted q213 index with
+      // replace-on-id semantics, and the probe runs over the merged
+      // triple. Only the batch tokenizes; the standing postings stream
+      // once through a broadcast anti join, never shuffle
+      // (Indexing.bm25IndexUpsert scaladoc). Oracle = the same integer
+      // BM25 over the post-upsert corpus — the green row proves
+      // fold-in == rebuild at the scorer level; Bm25MaintenanceSpec
+      // proves the frames bit-exact.
+      val (postings, doclen, stats) = bm25IndexFixture(s, d)
+      val batch = documents(s, d)
+        .filter(pmod(col("doc_id"), lit(10L)) === 0L)
+        .withColumn("text", concat(col("text"), lit(Bm25UpsertSuffix)))
+      val (p2, d2, s2) = Indexing.bm25IndexUpsert(postings, doclen, stats,
+        batch, "doc_id", "text", buckets = Bm25IndexBuckets)
+      Indexing.bm25ProbeTopK(p2, d2, s2, Bm25Terms,
+          buckets = Bm25IndexBuckets, k = 20)
+        .orderBy(col("score_milli").desc, col("id"))
+    }),
+
+    "q304_bm25_index_delete" -> ((s, d) => {
+      // The DELETE half (q221's tombstone pass on the retrieval index):
+      // ids with doc_id%7=0 are taken down; the standing postings and
+      // doclen stream once through broadcast anti joins and the stats
+      // row folds down by the tombstoned docs' bounded dl contribution
+      // (Indexing.bm25IndexDelete scaladoc). Oracle = the same integer
+      // BM25 over the corpus MINUS the tombstones — delete == rebuild
+      // at the scorer level.
+      val (postings, doclen, stats) = bm25IndexFixture(s, d)
+      val deleted = documents(s, d)
+        .filter(pmod(col("doc_id"), lit(7L)) === 0L)
+        .select("doc_id")
+      val (p2, d2, s2) =
+        Indexing.bm25IndexDelete(postings, doclen, stats, deleted)
+      Indexing.bm25ProbeTopK(p2, d2, s2, Bm25Terms,
+          buckets = Bm25IndexBuckets, k = 20)
+        .orderBy(col("score_milli").desc, col("id"))
+    }),
+
     "q226_blocklist_screen" -> ((s, d) =>
       // Phrase-denylist screening via ONE Aho-Corasick pass per
       // document (map-only; the automaton is KBs in the closure):
@@ -863,6 +905,18 @@ private[graft] object QueriesTextAnalysis {
     // definitional: bm25LiteTopK == bm25ProbeTopK over bm25Index, and
     // Long tfs / dls parquet-round-trip losslessly) — same oracle
     "q213_bm25_ingest" -> bm25LiteOracle,
+
+    // the same scorer over the POST-UPSERT corpus: doc_id%10=0 docs
+    // re-ingested with the probe terms appended — the oracle rebuilds
+    // from scratch, the engine folds into the standing index
+    "q303_bm25_index_upsert" -> bm25LiteOracleOver(
+      s"""SELECT doc_id, CASE WHEN doc_id % 10 = 0
+         | THEN text || '$Bm25UpsertSuffix' ELSE text END AS text
+         |FROM documents""".stripMargin),
+
+    // the same scorer over the corpus MINUS the tombstoned ids
+    "q304_bm25_index_delete" -> bm25LiteOracleOver(
+      "SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0"),
 
     // positional adjacency over unnest-with-subscripts; DuckDB arrays
     // are 1-based where Spark's posexplode is 0-based, so first_pos =

@@ -329,8 +329,15 @@ private[graft] object QueryShared {
     * deterministic, so regeneration is value-identical.
     */
   private[graft] def erStandingFixturePaths(s: SparkSession, d: String): (String, String) = synchronized {
-    val labels = fixturePath(d, "er_standing_labels.parquet")
-    val postings = fixturePath(d, "er_standing_postings.parquet")
+    // the semantic parameters the fixture content depends on ride in
+    // the filename (ADVICE r14): ensureFixture keys on the path only,
+    // so a future change to the batch coin (salt/modulus) or the
+    // postings cap must INVALIDATE the cache, not silently reuse an
+    // index built under the old semantics and diverge from the oracle
+    val coinTag = "erb5"          // tokenHash64("erb_" ...) % 5 == 0
+    val capTag = "cap1000"        // deletionKeyPostings maxKeyFreq
+    val labels = fixturePath(d, s"er_standing_labels_$coinTag.parquet")
+    val postings = fixturePath(d, s"er_standing_postings_${coinTag}_$capTag.parquet")
     lazy val corpus = customer(s, d)
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
       .filter(!erBatchCoin)
@@ -339,7 +346,8 @@ private[graft] object QueryShared {
         .write.mode("overwrite").parquet(tmp)
     }
     ensureFixture(postings) { tmp =>
-      operators.Dedup.deletionKeyPostings(corpus, "c_custkey", "c_name")
+      operators.Dedup.deletionKeyPostings(corpus, "c_custkey", "c_name",
+          maxKeyFreq = 1000)
         .write.mode("overwrite").parquet(tmp)
     }
     (labels, postings)
@@ -1014,11 +1022,16 @@ private[graft] object QueryShared {
     * flipped, exact cosine top-5 within the probed buckets.
     */
   /** q152/q213's shared integer BM25 oracle: bits idf, milli-scaled
-    * saturation, one canonical division order.
+    * saturation, one canonical division order — parameterized over the
+    * corpus body so the q303/q304 index-maintenance rows replay the
+    * SAME scorer over the post-maintenance corpus (upsert: batch text
+    * applied; delete: tombstoned ids gone), which is exactly the
+    * maintenance contract the green row proves.
     */
-  private[graft] lazy val bm25LiteOracle: String = {
+  private[graft] def bm25LiteOracleOver(corpus: String): String = {
     val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
-    s"""WITH tok AS (SELECT doc_id AS id, unnest($TOKS) AS w FROM documents),
+    s"""WITH corpus AS ($corpus),
+       |tok AS (SELECT doc_id AS id, unnest($TOKS) AS w FROM corpus),
        |dl AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
        |  CAST(SUM(dl) AS BIGINT) AS n_tokens FROM dl),
@@ -1041,6 +1054,16 @@ private[graft] object QueryShared {
        |SELECT id, n_terms_hit, score_milli FROM a
        |ORDER BY score_milli DESC, id LIMIT 20""".stripMargin
   }
+
+  private[graft] lazy val bm25LiteOracle: String =
+    bm25LiteOracleOver("SELECT doc_id, text FROM documents")
+
+  /** q303's deterministic re-ingest edit: the upsert batch (doc_id%10=0)
+    * re-arrives with the three probe terms appended, so the post-upsert
+    * top-20 MUST reflect the replacement path (a silent append-only or
+    * no-op upsert would hash-mismatch). Shared with the oracle SQL.
+    */
+  private[graft] val Bm25UpsertSuffix = " spark window hash"
 
   private[graft] lazy val lshMultiprobeOracle: String = {
     val planes =

@@ -471,8 +471,14 @@ object EventStreams {
     * [[permutationFromCells]] — whose readout on a prefix equals the
     * batch permutationTestPpm of that prefix, asserted cell-for-cell
     * by StreamingSpec and under induced kills by the SOAK harness.
-    * Resample ids must be NON-NULL (a null id has no sign draws; the
-    * batch form would still count it in n_pairs).
+    * Resample ids must be NON-NULL, and that precondition is ENFORCED
+    * (ADVICE r14): a null id has no sign draws, so before this guard
+    * the NULL sign array made posexplode drop the row from EVERY cell
+    * — including the r = −1 observed ledger — and n_pairs/sum_obs
+    * silently diverged from the batch permutationTestPpm, which counts
+    * the row. Now a null id raises with the remedy named, keeping the
+    * batch↔stream equality contract enforceable rather than
+    * documented.
     */
   def streamingPermCells(pairs: DataFrame, grpCol: String, idCol: String,
                          dCol: String, r: Int = 199,
@@ -484,7 +490,16 @@ object EventStreams {
     pairs
       .select(col(grpCol).cast("string").as("grp"),
         col(dCol).cast("long").as("__d"),
-        posexplode(concat(array(lit(1L)),
+        // the observed cell's +1 doubles as the null-id guard: it
+        // raises INSTEAD of letting a NULL sign array drop the row
+        posexplode(concat(array(
+          when(col(idCol).isNull,
+            raise_error(lit("streamingPermCells: resample id is NULL — " +
+              "the batch permutationTestPpm counts this row but no sign " +
+              "draws exist for it; assign a non-null resample key " +
+              "upstream (or filter null-keyed rows on BOTH forms)"))
+              .cast("long"))
+            .otherwise(lit(1L))),
           graft.functions.TextFunctions.signFlips(
             col(idCol).cast("long"), r, prefix))))
       .select(col("grp"), (col("pos") - 1L).cast("long").as("__r"),

@@ -289,6 +289,53 @@ class DedupPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("ppJoinIndexUpsert: probe over the folded index equals brute force; fold-in is batch-order-independent") {
+    // the frozen-order contract (Dedup.ppJoinIndexUpsert scaladoc):
+    // corpus = id%10 != 0 docs, two disjoint arriving batches B1
+    // (id%20 == 0) and B2 (id%20 == 10); B1 folds in, then B2 probes
+    // the post-fold index — probe results must equal exact shingle-set
+    // Jaccard over B2 × (corpus ∪ B1), INCLUDING B2×B1 pairs whose B1
+    // side entered under stale (frozen) dfs and pairs on shingles the
+    // built index never saw (df=0 rank).
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val df = docs.toDF("doc_id", "text")
+    val corpus = df.filter(pmod(col("doc_id"), lit(10L)) =!= 0L)
+    val b1 = df.filter(pmod(col("doc_id"), lit(20L)) === 0L)
+    val b2 = df.filter(pmod(col("doc_id"), lit(20L)) === 10L)
+    val b2Sets = docs.filter(_._1 % 20 == 10).map { case (i, t) => i -> shingles3(t) }
+    val tgtSets = docs.filter(p => p._1 % 10 != 0 || p._1 % 20 == 0)
+      .map { case (i, t) => i -> shingles3(t) }
+    for (t <- Seq(200000L, 500000L, 800000L)) {
+      val model = (for {
+        (bi, bs) <- b2Sets; (ci, cs) <- tgtSets
+        inter = (bs intersect cs).size.toLong
+        jac = inter * 1000000L / (bs.size + cs.size - inter)
+        if jac >= t
+      } yield (bi, ci, inter, jac)).toSet
+      val (dfreq, postings, sets) = Dedup.ppJoinIndex(corpus, "doc_id", "text", t)
+      val (np, ns) = Dedup.ppJoinIndexUpsert(dfreq, b1, "doc_id", "text", t)
+      val got = Dedup.ppJoinAgainstPostings(b2, dfreq,
+          postings.unionByName(np), sets.unionByName(ns),
+          "doc_id", "text", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == model, s"t=$t got=${got.size} model=${model.size} " +
+        s"missed=${(model -- got).take(3)} extra=${(got -- model).take(3)}")
+    }
+    // batch-order independence, frame-bit-exact: folding B1 then B2
+    // appends the same rows as folding B1 ∪ B2 in one pass — postings
+    // and sets are pure per-doc functions of the FROZEN dfreq, so the
+    // fold sequence cannot matter
+    val t0 = 500000L
+    val (dfreq0, _, _) = Dedup.ppJoinIndex(corpus, "doc_id", "text", t0)
+    val (p1, s1) = Dedup.ppJoinIndexUpsert(dfreq0, b1, "doc_id", "text", t0)
+    val (p2, s2) = Dedup.ppJoinIndexUpsert(dfreq0, b2, "doc_id", "text", t0)
+    val (pu, su) = Dedup.ppJoinIndexUpsert(dfreq0, b1.unionByName(b2),
+      "doc_id", "text", t0)
+    def rs(d: org.apache.spark.sql.DataFrame) = d.collect().map(_.toSeq).toSet
+    assert(rs(p1.unionByName(p2)) == rs(pu), "postings fold-order")
+    assert(rs(s1.unionByName(s2)) == rs(su), "sets fold-order")
+  }
+
   test("ppJoin positional filter admits no false negatives on run-structured corpora") {
     // The r13 positional filter (Xiao et al. WWW'08 §3.1,
     // Dedup.positionalFilter) prunes pairs whose first shared prefix

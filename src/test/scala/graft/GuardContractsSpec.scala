@@ -91,6 +91,21 @@ class GuardContractsSpec extends AnyFunSuite {
     assert(chainText(ex).contains("coarsen"), chainText(ex))
   }
 
+  test("fanoPpm: all-NULL group keeps the NULL-result contract, no spurious raise (ADVICE r14)") {
+    // a group whose x values are ALL NULL has a vacuously-NULL moment
+    // sum — the overflow guard must not misread that as wrap (the old
+    // product-form guard returned NULL fano_ppm for it); a normal
+    // group alongside still computes
+    val df = Seq(("dead", None: Option[Long]), ("dead", None),
+      ("live", Some(2L)), ("live", Some(4L)), ("live", Some(6L)))
+      .toDF("grp", "x")
+    val got = Relational.fanoPpm(df, "grp", "x").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got("dead").isNullAt(3), "all-NULL group must yield NULL fano_ppm")
+    assert(got("dead").getLong(1) == 2L)
+    assert(got("live").getLong(3) == 24000000L / 36L)
+  }
+
   test("fanoPpm: guard survives Long wrap of sum(x^2) (ADVICE r13)") {
     // x = 3.5e9: x*x = 1.225e19 overflows Long — ANSI would throw a
     // remedy-less ARITHMETIC_OVERFLOW and legacy mode would wrap

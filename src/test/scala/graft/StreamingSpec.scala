@@ -340,6 +340,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch, s"streamed $streamed != batch $batch")
   }
 
+  test("streaming permutation ledger raises on a NULL resample id (ADVICE r14)") {
+    // before the guard, a null id's NULL sign array made posexplode
+    // drop the row from every cell INCLUDING the observed ledger —
+    // silently diverging from batch permutationTestPpm, which counts
+    // the row; the contract is now enforced, not documented
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(String, Option[Long], Long)]
+    src.addData(("g", Some(1L), 10L), ("g", None, 20L))
+    val df = EventStreams.streamingPermCells(
+      src.toDF().toDF("grp", "rid", "d_c"), "grp", "rid", "d_c",
+      r = 7, prefix = "nul_").toDF()
+    val q = df.writeStream.outputMode("update")
+      .format("memory").queryName("t_perm_null").start()
+    val ex = intercept[Exception] { q.processAllAvailable() }
+    q.stop()
+    def chain(e: Throwable): String =
+      if (e == null) "" else e.toString + "\n" + chain(e.getCause)
+    assert(chain(ex).contains("resample id is NULL"), chain(ex))
+  }
+
   test("streaming log-bucket cells converge to the batch sketch exactly") {
     import org.apache.spark.sql.functions.{col, round}
     val updates = runToMemory(

@@ -88,6 +88,20 @@ WAIVERS = {
         "sf10 — inside the gate, no waiver).",
 }
 
+# ATTRIBUTIONS annotate rows that are INSIDE the gate but close enough
+# to the bar that an unexplained number invites re-investigation
+# (VERDICT r14: "the worst non-waived row should carry the same
+# attribution quality as the waived ones"). They never affect the
+# verdict — the note rides on the row wherever it appears.
+ATTRIBUTIONS = {
+    "q165_video_scene_cuts":
+        "map-only AVI frame decode saturates all 32 cores, so LINEAR "
+        "work = 10x wall per data decade IS the single-box floor — no "
+        "shuffle, no join, nothing to re-plan; at cluster scale more "
+        "executors absorb it (decode parallelism = file splits), and "
+        "the frame-SAMPLED variant q202 exists for budgeted scans.",
+}
+
 
 def main():
     path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scaling_all.log"
@@ -119,8 +133,11 @@ def main():
                    "last_sec": r["times"][-1]} for r in flags],
         "waived": waived,
         "worst": sorted(
-            [{"query": r["query"], "growth": r["growth"],
-              "last_sec": r["times"][-1]} for r in rows],
+            [dict({"query": r["query"], "growth": r["growth"],
+                   "last_sec": r["times"][-1]},
+                  **({"note": ATTRIBUTIONS[r["query"]]}
+                     if r["query"] in ATTRIBUTIONS else {}))
+             for r in rows],
             key=lambda r: -r["growth"])[:10],
         "verdict": "FAIL" if flags else "PASS",
     }
