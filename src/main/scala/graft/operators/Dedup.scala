@@ -1641,6 +1641,69 @@ object Dedup {
     (postings, postings.groupBy("g").agg(count(lit(1)).as("df")))
   }
 
+  /** Index MAINTENANCE for the standing substring gram index — the
+    * q219 fold-in doctrine applied to the Lee et al. family (round 15,
+    * closing the last create/probe-only standing index): the rows an
+    * accepted `batch` contributes to a persisted [[substringGramIndex]].
+    * Batch ids must be new to the index (append semantics; a re-ingest
+    * is a tombstone + append). Returns
+    *  - the batch's gram postings (g, id, pos) to APPEND — postings are
+    *    a pure per-document function of the text, so append == rebuild
+    *    bit-exactly;
+    *  - the TOUCHED gram-frequency rows only — each gram the batch
+    *    contains, with its post-merge df (corpus df + batch df; a
+    *    batch-only gram enters at its batch df). df is a SUM, so
+    *    touched-row replacement == rebuild bit-exactly (spec'd as
+    *    untouched ∪ touched == full recompute in DedupAnnSpec).
+    * Untouched grams are untouched — the point: a df-sharded store
+    * rewrites only the shards holding batch grams.
+    *
+    * Plan shape: only the batch generates grams; the standing gramDf
+    * streams ONCE map-side through a broadcast semi join (the touched
+    * filter) and the merge joins two batch-proportional frames — the
+    * index never shuffles, and the postings table is not read at all.
+    * Unlike the PPJoin fold-in there is NO drift: df here is only the
+    * probe-time fan-out cap, not an ordering, so folded counts are the
+    * TRUE counts forever and no re-rank contract is needed.
+    */
+  def substringGramIndexUpsert(gramDf: DataFrame, batch: DataFrame,
+                               idCol: String, textCol: String,
+                               minLen: Int): (DataFrame, DataFrame) = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    val (bPostings, bDf) = substringGramIndex(batch, idCol, textCol, minLen)
+    val touched = gramDf
+      .join(broadcast(bDf.select("g")), Seq("g"), "left_semi")
+      .select(col("g"), col("df").as("__cdf"))
+    val mergedDf = bDf.select(col("g"), col("df").as("__bdf"))
+      .join(touched, Seq("g"), "left")
+      .select(col("g"),
+        (coalesce(col("__cdf"), lit(0L)) + col("__bdf")).as("df"))
+    (bPostings, mergedDf)
+  }
+
+  /** The DELETE half of PPJoin index maintenance ([[ppJoinIndexUpsert]]'s
+    * tombstone sibling, q221's shape): remove `deletedIds` (one id
+    * column; absent ids are no-ops) from a persisted [[ppJoinIndex]]'s
+    * postings and sets. The deleted-id set BROADCASTS into two anti
+    * joins, so each table streams once map-side and never shuffles.
+    * dfreq stays FROZEN — it is the index's shared total order, and
+    * prefixes depend only on a doc's own shingles plus that order, so
+    * delete == recompute-under-the-frozen-order bit-exactly (per-doc
+    * purity; spec'd in DedupPropertySpec) and every future probe stays
+    * EXACT. The deleted docs' shingle counts now overstate df — the
+    * same selectivity-only drift as the upsert, covered by the same
+    * re-rank/rebuild threshold contract ([[ppJoinIndexUpsert]]
+    * scaladoc).
+    */
+  def ppJoinIndexDelete(postings: DataFrame, sets: DataFrame,
+                        deletedIds: DataFrame): (DataFrame, DataFrame) = {
+    val del = deletedIds
+      .select(col(deletedIds.columns.head).cast("long").as("id")).distinct()
+    (postings.join(broadcast(del), Seq("id"), "left_anti")
+       .select("sh", "id", "pos", "sz"),
+     sets.join(broadcast(del), Seq("id"), "left_anti"))
+  }
+
   /** Batch-vs-standing-corpus EXACT substring spans — the ingest form
     * of [[exactSubstringSpans]], probing a persisted
     * [[substringGramIndex]]: every maximal ≥ minLen-char span a NEW

@@ -544,6 +544,59 @@ private[graft] object QueriesDedupSim {
         .orderBy("new_id", "corpus_id")
     }),
 
+    "q306_substring_index_upsert" -> ((s, d) => {
+      // Substring gram-index MAINTENANCE (round 15 — the LAST standing
+      // index to gain its fold-in, closing the maintenance matrix): the
+      // q220 batch's gram postings APPEND (pure per-doc function) and
+      // the TOUCHED gram dfs fold by summation — no drift contract
+      // needed, df is only the fan-out cap, so folded counts are true
+      // counts forever (Dedup.substringGramIndexUpsert scaladoc). The
+      // same batch then probes the post-fold index: batch×batch
+      // verbatim spans now surface THROUGH the index (self-spans drop),
+      // and the fan-out cap reads the post-merge dfs. Oracle = the
+      // q220 brute force widened to batch × (corpus ∪ batch) minus
+      // self, cap over ALL docs' gram counts.
+      val (postings, gramdf) = substringIndexFixture(s, d)
+      val batch = documents(s, d)
+        .filter(pmod(col("doc_id"), lit(10L)) === 0L)
+      val (np, touchedDf) = Dedup.substringGramIndexUpsert(gramdf, batch,
+        "doc_id", "text", minLen = 40)
+      val mergedDf = gramdf
+        .join(touchedDf.select("g"), Seq("g"), "left_anti")
+        .unionByName(touchedDf)
+      Dedup.exactSubstringSpansAgainstPostings(batch,
+          postings.unionByName(np), mergedDf,
+          "doc_id", "text", minLen = 40, maxGramFreq = 1000)
+        .filter(col("id_a") =!= col("id_b"))
+        .select(col("id_a").as("new_id"), col("id_b").as("corpus_id"),
+          col("start_a"), col("start_b"), col("span_len"))
+        .orderBy("new_id", "corpus_id", "start_a", "start_b")
+    }),
+
+    "q307_ppjoin_index_delete" -> ((s, d) => {
+      // The DELETE half of PPJoin index maintenance (q305's tombstone
+      // sibling, completing the family's CRUD): ~14% of the standing
+      // corpus (id%7==0) is taken down; postings and sets stream once
+      // through broadcast anti joins, dfreq stays FROZEN (prefixes are
+      // per-doc functions of the frozen order, so delete == recompute
+      // under it bit-exactly and probes stay EXACT — the deleted
+      // shingles' overstated dfs are the same selectivity-only drift
+      // as the upsert; Dedup.ppJoinIndexDelete scaladoc). The q218
+      // batch then probes the post-delete index. Oracle = brute-force
+      // exact Jaccard of batch × (corpus MINUS deleted).
+      val (dfreq, postings, sets) = ppJoinIndexFixture(s, d)
+      val deleted = documents(s, d)
+        .filter(pmod(col("doc_id"), lit(10L)) =!= 0L &&
+          pmod(col("doc_id"), lit(7L)) === 0L)
+        .select(col("doc_id"))
+      val (p2, s2) = Dedup.ppJoinIndexDelete(postings, sets, deleted)
+      val batch = documents(s, d)
+        .filter(pmod(col("doc_id"), lit(10L)) === 0L)
+      Dedup.ppJoinAgainstPostings(batch, dfreq, p2, s2,
+          "doc_id", "text", PpJoinTPpm)
+        .orderBy("new_id", "corpus_id")
+    }),
+
     "q219_lsh_index_upsert" -> ((s, d) => {
       // Index MAINTENANCE (the other half of the q206 ingest story:
       // probing is read-only, an accepted batch must also be FOLDED
@@ -1330,6 +1383,45 @@ private[graft] object QueriesDedupSim {
          | CAST(inter * 1000000 // (na + nb - inter) AS BIGINT) AS jac_ppm
          |FROM p WHERE inter * 1000000 // (na + nb - inter) >= $PpJoinTPpm
          |ORDER BY new_id, corpus_id""".stripMargin,
+
+    // q218's brute-force truth over corpus MINUS the tombstoned ids —
+    // delete-then-probe must equal recompute-then-probe
+    "q307_ppjoin_index_delete" ->
+      s"""WITH sh AS ($SHINGLES3),
+         |ss AS (SELECT id, list_sort(list(sh)) AS sset FROM sh GROUP BY 1),
+         |p AS (SELECT a.id AS new_id, b.id AS corpus_id,
+         |  CAST(len(list_intersect(a.sset, b.sset)) AS BIGINT) AS inter,
+         |  CAST(len(a.sset) AS BIGINT) AS na, CAST(len(b.sset) AS BIGINT) AS nb
+         | FROM ss a JOIN ss b ON a.id % 10 = 0 AND b.id % 10 <> 0
+         |   AND b.id % 7 <> 0)
+         |SELECT new_id, corpus_id, inter,
+         | CAST(inter * 1000000 // (na + nb - inter) AS BIGINT) AS jac_ppm
+         |FROM p WHERE inter * 1000000 // (na + nb - inter) >= $PpJoinTPpm
+         |ORDER BY new_id, corpus_id""".stripMargin,
+
+    // q220's brute force widened to the POST-FOLD corpus: batch grams
+    // against ALL docs' grams minus self, the fan-out cap over the
+    // post-merge (whole-corpus) gram counts — fold-in == rebuild
+    "q306_substring_index_upsert" ->
+      """WITH grams AS (
+        |  SELECT doc_id AS id, p AS pos, substring(text, p, 40) AS g
+        |  FROM documents, LATERAL (SELECT unnest(generate_series(1,
+        |    greatest(length(text) - 39, 1))) AS p) t
+        |  WHERE p <= length(text) - 39),
+        |bg AS (SELECT * FROM grams WHERE id % 10 = 0),
+        |gf AS (SELECT g FROM grams GROUP BY g HAVING count(*) <= 1000),
+        |pairs AS (
+        |  SELECT b.id AS new_id, b.pos AS pos_a, c.id AS corpus_id, c.pos AS pos_b
+        |  FROM bg b JOIN gf USING (g) JOIN grams c USING (g)
+        |  WHERE b.id <> c.id),
+        |d AS (SELECT *, pos_a - pos_b AS diag,
+        |  pos_a - row_number() OVER (PARTITION BY new_id, corpus_id, pos_a - pos_b
+        |    ORDER BY pos_a) AS isl FROM pairs)
+        |SELECT new_id, corpus_id, CAST(min(pos_a) AS BIGINT) AS start_a,
+        | CAST(min(pos_b) AS BIGINT) AS start_b,
+        | CAST(count(*) + 39 AS BIGINT) AS span_len
+        |FROM d GROUP BY new_id, corpus_id, diag, isl
+        |ORDER BY new_id, corpus_id, start_a, start_b""".stripMargin,
 
     // brute-force ground truth: the oracle MAY cross-join (DuckDB local
     // correctness run at sf0.01); the Spark side must not, and its plan

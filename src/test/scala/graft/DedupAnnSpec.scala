@@ -208,6 +208,35 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(persisted == inline)
   }
 
+  test("substring gram-index upsert: folded frames bit-equal the rebuild; probe agrees") {
+    // q306's contract: (1) standing postings ∪ batch postings ==
+    // rebuild postings over corpus ∪ batch, bit-exact (per-doc purity);
+    // (2) untouched gramdf rows ∪ the upsert's touched rows == rebuild
+    // gramdf, bit-exact (df is a sum); (3) probing the folded index
+    // equals probing the rebuilt one
+    val docs = engine.Tables.documents(spark, SparkTestSession.sfDir)
+    val batch = docs.filter(pmod(col("doc_id"), lit(10L)) === 0L)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(10L)) =!= 0L)
+    val L = 20
+    val (postings, gramdf) = Dedup.substringGramIndex(corpus, "doc_id", "text", L)
+    val (np, touched) = Dedup.substringGramIndexUpsert(gramdf, batch,
+      "doc_id", "text", L)
+    val foldedPostings = postings.unionByName(np)
+    val foldedDf = gramdf.join(touched.select("g"), Seq("g"), "left_anti")
+      .unionByName(touched)
+    val (rp, rdf) = Dedup.substringGramIndex(docs, "doc_id", "text", L)
+    def rs(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    assert(rs(foldedPostings) == rs(rp), "postings fold != rebuild")
+    assert(rs(foldedDf) == rs(rdf), "gramdf fold != rebuild")
+    def spans(p: org.apache.spark.sql.DataFrame, f: org.apache.spark.sql.DataFrame) =
+      rs(Dedup.exactSubstringSpansAgainstPostings(batch, p, f,
+          "doc_id", "text", L, maxGramFreq = 1000)
+        .filter(col("id_a") =!= col("id_b")))
+    val got = spans(foldedPostings, foldedDf)
+    assert(got.nonEmpty)
+    assert(got == spans(rp, rdf), "probe-over-fold != probe-over-rebuild")
+  }
+
   test("LSH index upsert: merged touched buckets bit-equal the recompute over the union") {
     // q219's contract: on UNCAPPED postings, merging the batch's band
     // lists into the standing index reproduces, for every touched

@@ -336,6 +336,39 @@ class DedupPropertySpec extends AnyFunSuite {
     assert(rs(s1.unionByName(s2)) == rs(su), "sets fold-order")
   }
 
+  test("ppJoinIndexDelete: probe over the tombstoned index equals brute force over the survivors") {
+    // q307's contract: dfreq stays FROZEN (prefixes are per-doc
+    // functions of the frozen order), the deleted ids' rows vanish, and
+    // the probe loses exactly the tombstoned docs' pairs — brute-force
+    // equality over batch × (corpus MINUS deleted), including the
+    // no-op tombstone of an id the index never held
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val df = docs.toDF("doc_id", "text")
+    val corpus = df.filter(pmod(col("doc_id"), lit(10L)) =!= 0L)
+    val batch = df.filter(pmod(col("doc_id"), lit(10L)) === 0L)
+    val deletedIds = docs.map(_._1)
+      .filter(i => i % 10 != 0 && i % 7 == 0).toSet
+    val bSets = docs.filter(_._1 % 10 == 0).map { case (i, t) => i -> shingles3(t) }
+    val cSets = docs.filter(p => p._1 % 10 != 0 && !deletedIds(p._1))
+      .map { case (i, t) => i -> shingles3(t) }
+    for (t <- Seq(200000L, 500000L)) {
+      val model = (for {
+        (bi, bs) <- bSets; (ci, cs) <- cSets
+        inter = (bs intersect cs).size.toLong
+        jac = inter * 1000000L / (bs.size + cs.size - inter)
+        if jac >= t
+      } yield (bi, ci, inter, jac)).toSet
+      val (dfreq, postings, sets) = Dedup.ppJoinIndex(corpus, "doc_id", "text", t)
+      val (p2, s2) = Dedup.ppJoinIndexDelete(postings, sets,
+        (deletedIds.toSeq :+ 999999L).toDF("doc_id")) // +no-op tombstone
+      val got = Dedup.ppJoinAgainstPostings(batch, dfreq, p2, s2,
+          "doc_id", "text", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == model, s"t=$t got=${got.size} model=${model.size} " +
+        s"missed=${(model -- got).take(3)} extra=${(got -- model).take(3)}")
+    }
+  }
+
   test("ppJoin positional filter admits no false negatives on run-structured corpora") {
     // The r13 positional filter (Xiao et al. WWW'08 §3.1,
     // Dedup.positionalFilter) prunes pairs whose first shared prefix
