@@ -105,6 +105,35 @@ class Bm25MaintenanceSpec extends AnyFunSuite {
       inline.collect().map(_.toSeq).toSeq, "probe-after-delete")
   }
 
+  test("probe-through-upsert keeps the term filter pushed to the postings scan (scale contract)") {
+    // the 100 TB contract behind q303: composing UPSERT + PROBE must
+    // not cost the probe its scan pruning — the probed terms' In(w)
+    // filter has to reach the PARQUET postings scan THROUGH the
+    // upsert's anti-join/union, or maintenance would turn every probe
+    // into a full-index scan. (Verified in the live plan by
+    // ExplainAudit r15; this pins it as a red test.)
+    val standing = Indexing.bm25Index(corpus, "doc_id", "text", Buckets)
+    val dir = java.nio.file.Files.createTempDirectory("bm25-push").toString
+    standing._1.write.mode("overwrite").partitionBy("wb").parquet(s"$dir/p")
+    standing._2.write.mode("overwrite").parquet(s"$dir/d")
+    standing._3.write.mode("overwrite").parquet(s"$dir/s")
+    val batch = Seq((80L, "spark anew")).toDF("doc_id", "text")
+    val (p2, d2, s2) = Indexing.bm25IndexUpsert(
+      spark.read.parquet(s"$dir/p").withColumn("wb", col("wb").cast("long")),
+      spark.read.parquet(s"$dir/d"), spark.read.parquet(s"$dir/s"),
+      batch, "doc_id", "text", Buckets)
+    val probe = Indexing.bm25ProbeTopK(p2, d2, s2,
+      Seq("spark", "hash"), Buckets, k = 5)
+    val plan = probe.queryExecution.executedPlan.toString
+    val scanLines = plan.linesIterator
+      .filter(l => l.contains(s"$dir/p") && l.contains("PushedFilters"))
+      .toSeq
+    assert(scanLines.nonEmpty, s"no postings parquet scan found:\n${plan.take(4000)}")
+    assert(scanLines.exists(_.matches(".*In\\(w, \\[.*(spark|hash).*\\]\\).*")),
+      s"term filter not pushed to the postings scan:\n${scanLines.mkString("\n")}")
+    assert(probe.collect().nonEmpty)
+  }
+
   test("maintained index parquet round-trips and still probes exactly") {
     // the standing index lives in parquet between batches — prove the
     // maintained frames survive the wb-partitioned write/read cycle
