@@ -1,6 +1,7 @@
 #!/usr/bin/env python3
-"""Decomposed sf1+ oracle for the PPJoin MAINTENANCE probes q305
-(fold-in upsert) and q307 (tombstone delete) — round 15.
+"""Decomposed sf1+ oracle for the PPJoin standing-index probes: q218
+(create/probe ingest), q305 (fold-in upsert) and q307 (tombstone
+delete) — round 15.
 
 CORRECTNESS_sf1_bm25.json gave the BM25 maintenance rows a direct
 deep-tier measurement; the PPJoin maintenance rows' deep tier was
@@ -23,7 +24,7 @@ verify_q182_sf1.py halves applied to the maintenance output:
       EXACTLY — a fold-in that loses batch x batch pairs, or a delete
       that keeps emitting tombstoned partners, fails here.
 
-Usage: verify_q305_sf1.py <q305|q307> [sfdir] [pairs_parquet]
+Usage: verify_q305_sf1.py <q218|q305|q307> [sfdir] [pairs_parquet]
                           [out_json] [sampleN]
 """
 import json
@@ -34,7 +35,8 @@ import time
 import duckdb
 
 WHICH = sys.argv[1] if len(sys.argv) > 1 else "q305"
-QNAME = {"q305": "q305_ppjoin_index_upsert",
+QNAME = {"q218": "q218_ppjoin_ingest",
+         "q305": "q305_ppjoin_index_upsert",
          "q307": "q307_ppjoin_index_delete"}[WHICH]
 SFDIR = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft-sf1"
 PAIRS = sys.argv[3] if len(sys.argv) > 3 else \
@@ -51,9 +53,11 @@ T_PPM = 700000  # QueryShared.PpJoinTPpm
 # folded batch id%10==0, i.e. every doc) so the partner domain is
 # "anything but self"; q307 probes the post-DELETE index, so partners
 # are the tombstone survivors only.
-PARTNER_PRED = {"q305": "TRUE",
+PARTNER_PRED = {"q218": "id % 10 <> 0",
+                "q305": "TRUE",
                 "q307": "id % 10 <> 0 AND id % 7 <> 0"}[WHICH]
-BAD_PARTNER = {"q305": "FALSE",
+BAD_PARTNER = {"q218": "corpus_id % 10 = 0",
+               "q305": "FALSE",
                "q307": "corpus_id % 10 = 0 OR corpus_id % 7 = 0"}[WHICH]
 
 SH_FOR = """
