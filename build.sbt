@@ -41,5 +41,17 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // when the threshold >= the advisory partition size; both pinned.
   "-Dspark.sql.adaptive.advisoryPartitionSizeInBytes=16m",
   "-Dspark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold=16m",
+  // AQE's parallelismFirst coalescing floors post-shuffle partitions at
+  // minPartitionSize (default 1m) — a byte heuristic that starves
+  // CPU-DENSE stages whose bytes are small but whose per-byte work is
+  // huge (posting-list pair explosion + levenshtein/jaccard/hamming
+  // verify: the cost multiplies AFTER the exchange). Measured r15:
+  // q121's verify stage got 4 tasks on 32 cores (2.0 s); at 128k it
+  // spreads to the cores (1.3 s). Scale-adaptive by construction: the
+  // floor only binds when a stage's input is under cores × 1m — at
+  // cluster scale partitions are advisory-sized (16m) and this is a
+  // no-op. (optimization guide §2.5 — partition sizing interacts with
+  // per-task CPU, not just bytes)
+  "-Dspark.sql.adaptive.coalescePartitions.minPartitionSize=128k",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -974,12 +974,8 @@ object Ann {
     val dim = corpus.select(size(col(vecCol))).as[Int].head()
     require(dim % m == 0, s"dim $dim must split into $m subspaces")
     val sub = dim / m
-    val books: Array[Array[(Long, Array[Double])]] = (0 until m).map { j =>
-      kmeansCentroidsLocal(
-        corpus.select(col(idCol).as("sid2"),
-          slice(col(vecCol), j * sub + 1, sub).as("sv")),
-        "sid2", "sv", codesPerSub, iters)
-    }.toArray
+    val books: Array[Array[(Long, Array[Double])]] =
+      parSubspaceBooks(corpus, idCol, vecCol, m, sub, codesPerSub, iters)
     val vecType = corpus.schema(vecCol).dataType
     var enc = corpus.select(col(idCol).cast("long").as("neighbor_id"),
       col(vecCol).as("v"))
@@ -1047,13 +1043,41 @@ object Ann {
     val dim = corpus.select(size(col(vecCol))).as[Int].head()
     require(dim % m == 0, s"dim $dim must split into $m subspaces")
     val sub = dim / m
-    (0 until m).flatMap { j =>
-      kmeansCentroidsLocal(
-        corpus.select(col(idCol).as("sid2"),
-          slice(col(vecCol), j * sub + 1, sub).as("sv")),
-        "sid2", "sv", codesPerSub, iters)
-        .map { case (cid, cv) => (j.toLong, cid, cv) }
-    }.toDF("j", "cid", "cv")
+    parSubspaceBooks(corpus, idCol, vecCol, m, sub, codesPerSub, iters)
+      .zipWithIndex
+      .flatMap { case (book, j) =>
+        book.map { case (cid, cv) => (j.toLong, cid, cv) }
+      }.toSeq.toDF("j", "cid", "cv")
+  }
+
+  /** The m per-subspace [[kmeansCentroidsLocal]] builds, submitted from
+    * a small driver thread pool so their (independent, deterministic)
+    * Spark jobs overlap instead of running serially — the scheduler
+    * back-fills each build's straggler tail with the next build's tasks
+    * (optimization guide §2.6). Each subspace's build is the exact
+    * per-call computation the serial loop ran (same seed scan, same
+    * Lloyd iterations over its own slice), so the returned codebooks
+    * are bit-identical to the serial form's; only wall-clock changes.
+    * Results are collected back in subspace order.
+    */
+  private def parSubspaceBooks(corpus: DataFrame, idCol: String,
+                               vecCol: String, m: Int, sub: Int,
+                               codesPerSub: Int,
+                               iters: Int): Array[Array[(Long, Array[Double])]] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(m, 8))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try Await.result(
+      Future.sequence((0 until m).toSeq.map { j =>
+        Future {
+          kmeansCentroidsLocal(
+            corpus.select(col(idCol).as("sid2"),
+              slice(col(vecCol), j * sub + 1, sub).as("sv")),
+            "sid2", "sv", codesPerSub, iters)
+        }
+      }), Duration.Inf).toArray
+    finally pool.shutdown()
   }
 
   /** Collect a [[pqCodebooks]] frame to the driver, indexed by

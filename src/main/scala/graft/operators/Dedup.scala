@@ -908,7 +908,8 @@ object Dedup {
     */
   def dupClustersStar(pairs: DataFrame, aCol: String, bCol: String,
                       maxRounds: Int = 25,
-                      reliable: Boolean = false): DataFrame = {
+                      reliable: Boolean = false,
+                      localLimit: Long = 200000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def materialize(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint(true) else df.materialized
@@ -948,14 +949,38 @@ object Dedup {
       pairs.select(col(aCol).as("u"), col(bCol).as("v"))
         .filter(col("u") =!= col("v")).distinct())
     var sig = signature(edges)
-    var round = 0
-    var converged = false
-    while (round < maxRounds && !converged) {
-      edges = materialize(smallStar(largeStar(edges)))
-      val next = signature(edges)
-      converged = next == sig
-      sig = next
-      round += 1
+    // Bounded-threshold local path (the incrementalClusterLabels /
+    // BPE merge-selection doctrine, optimization guide §1.2 "the
+    // distributed algorithm"): the initial signature row already
+    // carries the DISTINCT edge count, and below `localLimit` edges a
+    // driver union-find is value-identical to the star fixpoint
+    // (component-min labels; equality spec'd in DedupSpec) while the
+    // distributed loop pays ~8 scheduler round-trips per round ×
+    // O(log² n) rounds — measured 5-8 rounds / 50+ AQE jobs on the ER
+    // name-chain graphs (q191/q201), ~60% of those queries' wall time
+    // at sf0.1. Above the limit the O(log² n) loop takes over
+    // unchanged, so 100 TB-scale graphs keep the distributed shape.
+    // The local labels re-enter the SAME star-forest final join below,
+    // so output schema and lineage shape are identical on both paths.
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val integralIds = edges.schema.head.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    if (integralIds && sig.getLong(0) <= localLimit) {
+      edges = unionFindLocal(edges)
+        .filter(col("node") =!= col("label"))
+        .select(col("node").as("u"), col("label").as("v"))
+    } else {
+      var round = 0
+      var converged = false
+      while (round < maxRounds && !converged) {
+        edges = materialize(smallStar(largeStar(edges)))
+        val next = signature(edges)
+        converged = next == sig
+        sig = next
+        round += 1
+      }
     }
     // At the star fixpoint every non-root node has exactly the edge
     // (node, componentMin); roots (and isolated nodes) label themselves.
@@ -1138,6 +1163,26 @@ object Dedup {
       .groupBy("k")
       .agg(sort_array(collect_list(struct(col("id"), col("s")))).as("lst"))
       .filter(size(col("lst")) <= maxKeyFreq)
+
+  /** The SELF-join half of [[editDistance1Join]] over a prebuilt
+    * [[deletionKeyPostings]] frame — value-identical to
+    * `editDistance1Join(corpus, ...)` built with the same `maxKeyFreq`:
+    * the self-join's posting filter is `size BETWEEN 2 AND cap` and
+    * [[deletionKeyPostings]] applies `size <= cap`, so filtering `>= 2`
+    * here recovers the exact same posting set (same sort_array agg,
+    * same [[postingPairs]] expansion, same levenshtein <= 1 verify,
+    * same distinct). Callers that need BOTH the self-join and a
+    * batch-vs-corpus join (q201's incremental ER) build the postings
+    * once and feed both, instead of paying the corpus deletion-key
+    * explode + posting aggregation twice (optimization guide §1.2:
+    * don't compute things twice).
+    */
+  def editDistance1SelfJoinPostings(postings: DataFrame): DataFrame =
+    postingPairs(postings.filter(size(col("lst")) >= 2))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        levenshtein(col("a.s"), col("b.s")).cast("long").as("dist"))
+      .filter(col("dist") <= 1)
+      .distinct()
 
   /** [[editDistance1JoinAgainst]] against a prebuilt (possibly
     * parquet-persisted) [[deletionKeyPostings]] frame. Same disjoint-id
@@ -1542,6 +1587,16 @@ object Dedup {
     val shuffleBytesPerRow = if (hashGrams) 24 else 24 + L
     val nPart = gramExchangePartitions(gramRowCount, shuffleBytesPerRow,
       docs.sparkSession.sessionState.conf.numShufflePartitions)
+    // r15 note: Catalyst's column pruning SPECIALIZES each consumer's
+    // copy of this exchange ((g,id,pos) / (g,id) / (g) in q130's
+    // plan), so the three copies are not canonically equal and the
+    // gram UDF re-runs per consumer. A size-gated localCheckpoint of
+    // the exchange was tried (one explode, shared blocks) and MEASURED
+    // SLOWER at sf0.1 — q125 1.43 s → 2.15 s, q130 2.49 → 2.69 — the
+    // checkpoint round-trip of deserialized full-width rows costs more
+    // than the repeated explode reading narrow pruned exchanges, and
+    // at corpus scale pinning the postings is the adamicAdarTopK
+    // AGGREGATE_OUT_OF_MEMORY lesson. Kept as-is, deliberately.
     pruned.repartition(nPart, col("g"))
   }
 

@@ -1341,7 +1341,13 @@ object Relational {
       if (s.isEmpty) (0L, 0L)
       // lower median: first rank with 2·rank >= tot, i.e. idx ceil(t/2)-1
       else (s.length.toLong, s((s.length + 1) / 2 - 1))
-    }
+      // asNondeterministic: the function IS deterministic, but the
+      // marker stops Catalyst duplicating the O(|days|²) pair loop —
+      // the n_pairs filter below otherwise becomes
+      // Filter(UDF(pts)._1 > 0) UNDER Project(UDF(pts)), evaluating
+      // the whole loop twice per group (optimization guide §4.4;
+      // measured in the q190 plan: two identical 2.07 s jobs)
+    }.asNondeterministic()
     series
       .groupBy(col(groupCol).as("grp"))
       .agg(collect_list(struct(col(xCol).cast("long").as("x"),

@@ -359,12 +359,21 @@ private[graft] object QueriesDedupSim {
         .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
       val corpus = c.filter(!erBatchCoin)
       val batch = c.filter(erBatchCoin)
-      val standing = erLabelsOf(corpus).withColumnRenamed("cust_id", "node")
+      // the corpus deletion-key postings feed BOTH the standing
+      // self-join and the batch-vs-standing join — built once,
+      // materialized, shared (editDistance1SelfJoinPostings scaladoc:
+      // value-identical to the previous per-call builds; the oracle —
+      // the full recompute — re-proves it)
+      val postings = operators.Dedup
+        .deletionKeyPostings(corpus, "c_custkey", "c_name").materialized
+      val standing = erLabelsOfPairs(corpus,
+        operators.Dedup.editDistance1SelfJoinPostings(postings))
+        .withColumnRenamed("cust_id", "node")
       val newEdges = erNationBlocked(
           operators.Dedup.editDistance1Join(batch, "c_custkey", "c_name"), c)
         .unionAll(erNationBlocked(
           operators.Dedup
-            .editDistance1JoinAgainst(batch, corpus, "c_custkey", "c_name")
+            .editDistance1JoinPostings(batch, postings, "c_custkey", "c_name")
             .select(col("batch_id").as("id_a"), col("corpus_id").as("id_b")),
           c))
         .materialized
@@ -693,12 +702,27 @@ private[graft] object QueriesDedupSim {
         .withColumn("__k", tokenHash64(concat(lit("deval_"),
           col("doc_id").cast("string"))))
         .orderBy(col("__k"), col("doc_id")).limit(DedupEvalSampleN)
-        .drop("__k").materialized // fixed-size; feeds BOTH pair frames
-      val truth = Dedup.ppJoinShingles(docs, "doc_id", "text",
-          tPpm = DedupEvalTPpm)
-        .select("id_a", "id_b").materialized
-      val cand = Dedup.simHashDup(docs, "doc_id", "text", nBits = 16)
-        .select("id_a", "id_b").materialized
+        .drop("__k")
+        // limit() collapses the sample to ONE partition, and the
+        // checkpoint preserves that: both downstream pair pipelines'
+        // shingle/simhash passes ran single-task (job profile: one
+        // 3.2 s 1-task job of 4.7 s total). Hash-spread the FIXED-size
+        // sample across the session's shuffle width before
+        // materializing — bounded cost at any corpus scale, rows and
+        // aggregates unchanged (guide §2.5 input-skew remedy).
+        .repartition(operators.Relational.shufflePartitionsOf(s),
+          col("doc_id"))
+        .materialized // fixed-size; feeds BOTH pair frames
+      // truth and cand are INDEPENDENT pipelines over the shared
+      // materialized sample — their job chains overlap via the driver
+      // pool (guide §2.6) instead of running serially; each half is
+      // the exact computation the serial form ran
+      val (truth, cand) = inParallel(
+        Dedup.ppJoinShingles(docs, "doc_id", "text",
+            tPpm = DedupEvalTPpm)
+          .select("id_a", "id_b").materialized,
+        Dedup.simHashDup(docs, "doc_id", "text", nBits = 16)
+          .select("id_a", "id_b").materialized)
       val nT = truth.count()
       val nC = cand.count()
       val nH = cand.join(truth, Seq("id_a", "id_b"), "left_semi").count()

@@ -24,6 +24,25 @@ private[graft] object QueryShared {
     */
   private[graft] def cents(c: Column): Column = round(c * 100).cast("long")
 
+  /** Run two INDEPENDENT eager builds (materialize/collect chains)
+    * concurrently from the driver, so the second chain's jobs back-fill
+    * the first's straggler tail (optimization guide §2.6). Each side is
+    * evaluated exactly once, on its own thread; use ONLY for sides with
+    * no data dependency on each other. Deterministic results stay
+    * deterministic — only wall-clock changes.
+    */
+  private[graft] def inParallel[A, B](a: => A, b: => B): (A, B) = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val fa = Future(a)
+      val fb = Future(b)
+      (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf))
+    } finally pool.shutdown()
+  }
+
   private[graft] def fmtTs(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
 
 
@@ -463,10 +482,19 @@ private[graft] object QueryShared {
   }
 
   /** The from-scratch ER labeling over any customer-shaped frame. */
-  private[graft] def erLabelsOf(c: DataFrame): DataFrame = {
-    val blocked = erNationBlocked(
-      operators.Dedup.editDistance1Join(c, "c_custkey", "c_name"), c)
-      .materialized
+  private[graft] def erLabelsOf(c: DataFrame): DataFrame =
+    erLabelsOfPairs(c,
+      operators.Dedup.editDistance1Join(c, "c_custkey", "c_name"))
+
+  /** [[erLabelsOf]] with the SymSpell candidate pairs supplied by the
+    * caller — q201 builds the corpus deletion-key postings ONCE and
+    * derives both its self-join pairs (editDistance1SelfJoinPostings)
+    * and its batch-vs-corpus pairs from them, so the standing-label
+    * half must accept the shared pair frame instead of re-running the
+    * corpus explode + posting agg inside editDistance1Join.
+    */
+  private[graft] def erLabelsOfPairs(c: DataFrame, pairs: DataFrame): DataFrame = {
+    val blocked = erNationBlocked(pairs, c).materialized
     val labels = operators.Dedup.dupClustersStar(blocked, "id_a", "id_b")
     c.select(col("c_custkey").as("cust_id"))
       .join(labels.withColumnRenamed("node", "cust_id"), Seq("cust_id"),

@@ -737,6 +737,25 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(got == truth)
   }
 
+  test("star CC bounded local path equals the distributed star loop") {
+    import spark.implicits._
+    // r15 optimization: below localLimit edges dupClustersStar labels
+    // via a driver union-find instead of the multi-round star loop.
+    // Both paths must agree label-for-label on a graph that mixes a
+    // long chain (high diameter), a clique, self-pairs and isolated
+    // self-loop nodes; localLimit = 0 forces the distributed loop.
+    val pairs = ((0L until 40L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (100L, 102L), (101L, 102L), (200L, 200L)) ++
+      (0 until 8).map(i => (300L + i, 300L + (i * 3) % 8))).toDF("id_a", "id_b")
+    def labels(limit: Long) =
+      Dedup.dupClustersStar(pairs, "id_a", "id_b", localLimit = limit)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = labels(200000L)
+    val dist = labels(0L)
+    assert(local == dist, s"local != distributed: ${
+      (local.toSet diff dist.toSet).take(5)} / ${(dist.toSet diff local.toSet).take(5)}")
+  }
+
   test("reliable-checkpoint cluster collapse equals the localCheckpoint path") {
     val dir = "/tmp/graft-test-reliable-ckpt"
     spark.sparkContext.setCheckpointDir(dir)
