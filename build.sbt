@@ -41,17 +41,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // when the threshold >= the advisory partition size; both pinned.
   "-Dspark.sql.adaptive.advisoryPartitionSizeInBytes=16m",
   "-Dspark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold=16m",
-  // AQE's parallelismFirst coalescing floors post-shuffle partitions at
-  // minPartitionSize (default 1m) — a byte heuristic that starves
-  // CPU-DENSE stages whose bytes are small but whose per-byte work is
-  // huge (posting-list pair explosion + levenshtein/jaccard/hamming
-  // verify: the cost multiplies AFTER the exchange). Measured r15:
-  // q121's verify stage got 4 tasks on 32 cores (2.0 s); at 128k it
-  // spreads to the cores (1.3 s). Scale-adaptive by construction: the
-  // floor only binds when a stage's input is under cores × 1m — at
-  // cluster scale partitions are advisory-sized (16m) and this is a
-  // no-op. (optimization guide §2.5 — partition sizing interacts with
-  // per-task CPU, not just bytes)
-  "-Dspark.sql.adaptive.coalescePartitions.minPartitionSize=128k",
+  // AQE coalescing minPartitionSize stays at its 1m DEFAULT — r15
+  // measured both directions: 128k un-starves CPU-dense pair-verify
+  // stages at sf0.1 (q121 2.0 → 1.3 s: 4 tasks → 32 on a 4 MB
+  // exchange whose pair explosion multiplies CPU per byte), but the
+  // SAME floor fragments every iterative loop's small per-round
+  // exchanges one decade up (sf1: q184 9.1 → 12.7 s, q84 5.0 → 7.2,
+  // q191 17.4 → 21.8 — hundreds of extra 2-3 ms tasks across rounds).
+  // A byte knob cannot see CPU density; a value tuned to the sf0.1
+  // bench is exactly the local[32]-only win the optimization rules
+  // reject, so the default stands and the pair-verify parallelism is
+  // left to the posting-family's derived-width repartitions.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

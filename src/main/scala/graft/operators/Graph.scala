@@ -14,6 +14,35 @@ import graft.engine.Scale.MaterializeOps
   */
 object GraphOps {
 
+  /** Bounded-threshold local twins for the iterative graph loops (the
+    * Dedup.dupClustersStar / incrementalClusterLabels doctrine, r15):
+    * below this many rows of the EXPANDED (bidirectional) edge frame,
+    * a loop of per-round exchanges + checkpoints + driver scalars pays
+    * more in scheduler round-trips than the whole graph costs to
+    * traverse on the driver (measured: q184's peel ran 45 AQE jobs for
+    * ~1 MB of edges). Each local twin replays the distributed
+    * algorithm's EXACT semantics — synchronous rounds, same caps, same
+    * integer arithmetic, same tie rules — so results are value-
+    * identical (spec'd per operator in GraphOpsSpec); above the limit
+    * the distributed loop runs unchanged, keeping the 100 TB shape.
+    * Integral node ids only — non-integral ids stay distributed (the
+    * unionFindLocal rule).
+    */
+  private val LocalEdgeLimit = 200000L
+
+  private def integralIds(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    df.schema.head.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+  }
+
+  /** Collect an expanded (u, v[, w]) edge frame to long tuples. */
+  private def collectEdges(e: DataFrame): Array[(Long, Long)] =
+    e.collect().map(r => (r.get(0).asInstanceOf[Number].longValue,
+      r.get(1).asInstanceOf[Number].longValue))
+
   /** PageRank with INTEGER arithmetic (ranks are longs scaled by
     * `scale`; every division is integral `div`), fixed iteration count,
     * over the undirected graph of `pairs`. Float PageRank is not
@@ -176,23 +205,66 @@ object GraphOps {
     * diameter rounds.
     */
   def bfsHops(pairs: DataFrame, aCol: String, bCol: String,
-              seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
+              seeds: DataFrame, seedCol: String, maxHops: Int,
+              localLimit: Long = LocalEdgeLimit): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
     val e = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
       .materialized
     var dist = seeds.select(col(seedCol).as("id")).distinct()
       .withColumn("hops", lit(0L)).materialized
-    for (h <- 1 to maxHops) {
-      val frontier = dist.filter(col("hops") === (h - 1).toLong)
-        .select(col("id").as("fid"))
-      val next = e.join(frontier, col("u") === col("fid"))
-        .select(col("v").as("id"), lit(h.toLong).as("hops"))
-      dist = dist.unionByName(next)
-        .groupBy("id").agg(min("hops").as("hops"))
-        .materialized
+    // bounded local twin ([[LocalEdgeLimit]] doctrine): BFS layers ARE
+    // the min-hop distances, so a driver BFS over the collected edges
+    // equals the per-hop join+min-agg loop exactly (same cap, seeds
+    // not in the graph still report 0). One count on the checkpointed
+    // edges replaces maxHops × (join + agg + checkpoint) actions.
+    if (integralIds(e) && integralIds(dist) && e.count() <= localLimit) {
+      val adj = scala.collection.mutable.LongMap.empty[List[Long]]
+      collectEdges(e).foreach { case (u, v) =>
+        adj(u) = v :: adj.getOrElse(u, Nil)
+      }
+      val hops = scala.collection.mutable.LongMap.empty[Long]
+      var frontier = dist.collect()
+        .map(_.get(0).asInstanceOf[Number].longValue).toSeq.distinct
+      frontier.foreach(s => hops(s) = 0L)
+      for (h <- 1 to maxHops) {
+        frontier = frontier.flatMap(f => adj.getOrElse(f, Nil))
+          .distinct.filterNot(hops.contains)
+        frontier.foreach(n => hops(n) = h.toLong)
+      }
+      localResult(dist, hops, "id", "hops")
+    } else {
+      for (h <- 1 to maxHops) {
+        val frontier = dist.filter(col("hops") === (h - 1).toLong)
+          .select(col("id").as("fid"))
+        val next = e.join(frontier, col("u") === col("fid"))
+          .select(col("v").as("id"), lit(h.toLong).as("hops"))
+        dist = dist.unionByName(next)
+          .groupBy("id").agg(min("hops").as("hops"))
+          .materialized
+      }
+      dist
     }
-    dist
+  }
+
+  /** A driver-computed (id → value) map as a DataFrame matching the
+    * distributed twin's schema: id cast back to `like`'s id column
+    * type, value as long, one partition (the [[LocalEdgeLimit]]
+    * results are bounded by construction).
+    */
+  private def localResult(like: DataFrame,
+                          m: scala.collection.mutable.LongMap[Long],
+                          idName: String, valName: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = like.sparkSession
+    val rows = m.toSeq.sortBy(_._1).map { case (n, v) =>
+      org.apache.spark.sql.Row(n, v) }
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField(idName, LongType, nullable = false),
+          StructField(valName, LongType, nullable = false))))
+      .select(col(idName).cast(like.schema.head.dataType).as(idName),
+        col(valName))
   }
 
   /** Weighted multi-source shortest paths (Bellman-Ford, `maxHops`
@@ -214,7 +286,8 @@ object GraphOps {
     * oracle's bounded recursive CTE enumerates).
     */
   def ssspHops(edges: DataFrame, aCol: String, bCol: String, wCol: String,
-               seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
+               seeds: DataFrame, seedCol: String, maxHops: Int,
+               localLimit: Long = LocalEdgeLimit): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
     val e = edges.select(col(aCol).as("u"), col(bCol).as("v"),
         col(wCol).cast("long").as("w"))
@@ -224,20 +297,54 @@ object GraphOps {
     var dist = seeds.select(col(seedCol).as("id")).distinct()
       .withColumn("dist", lit(0L)).withColumn("improved", lit(true))
       .materialized
-    for (_ <- 1 to maxHops) {
-      val frontier = dist.filter(col("improved"))
-        .select(col("id").as("fid"), col("dist").as("fd"))
-      val relaxed = e.join(frontier, col("u") === col("fid"))
-        .groupBy(col("v").as("id"))
-        .agg(min(col("fd") + col("w")).as("nd"))
-      dist = dist.select("id", "dist").join(relaxed, Seq("id"), "full")
-        .select(col("id"),
-          least(col("dist"), col("nd")).as("dist"),
-          (col("dist").isNull || (col("nd").isNotNull && col("nd") < col("dist")))
-            .as("improved"))
-        .materialized
+    // bounded local twin ([[LocalEdgeLimit]] doctrine): the sparse
+    // Bellman-Ford's per-round state transition — relax only from
+    // last round's improved set, nd = min(fd + w), improve iff unseen
+    // or strictly lower — replayed verbatim on the driver over the
+    // collected weighted edges. Integer min-of-sums, so the result is
+    // bit-identical to the distributed rounds at the same cap.
+    if (integralIds(e) && integralIds(dist) && e.count() <= localLimit) {
+      val adj = scala.collection.mutable.LongMap.empty[List[(Long, Long)]]
+      e.collect().foreach { r =>
+        val u = r.get(0).asInstanceOf[Number].longValue
+        adj(u) = (r.get(1).asInstanceOf[Number].longValue,
+          r.getLong(2)) :: adj.getOrElse(u, Nil)
+      }
+      val d = scala.collection.mutable.LongMap.empty[Long]
+      var improved = dist.collect()
+        .map(_.get(0).asInstanceOf[Number].longValue).toSeq.distinct
+      improved.foreach(s => d(s) = 0L)
+      for (_ <- 1 to maxHops) {
+        val relaxed = scala.collection.mutable.LongMap.empty[Long]
+        improved.foreach { f =>
+          adj.getOrElse(f, Nil).foreach { case (v, w) =>
+            val nd = d(f) + w
+            if (!relaxed.contains(v) || nd < relaxed(v)) relaxed(v) = nd
+          }
+        }
+        improved = relaxed.iterator.collect {
+          case (v, nd) if !d.contains(v) || nd < d(v) => v
+        }.toSeq
+        improved.foreach(v => d(v) = math.min(relaxed(v),
+          d.getOrElse(v, Long.MaxValue)))
+      }
+      localResult(dist, d, "id", "dist")
+    } else {
+      for (_ <- 1 to maxHops) {
+        val frontier = dist.filter(col("improved"))
+          .select(col("id").as("fid"), col("dist").as("fd"))
+        val relaxed = e.join(frontier, col("u") === col("fid"))
+          .groupBy(col("v").as("id"))
+          .agg(min(col("fd") + col("w")).as("nd"))
+        dist = dist.select("id", "dist").join(relaxed, Seq("id"), "full")
+          .select(col("id"),
+            least(col("dist"), col("nd")).as("dist"),
+            (col("dist").isNull || (col("nd").isNotNull && col("nd") < col("dist")))
+              .as("improved"))
+          .materialized
+      }
+      dist.select("id", "dist")
     }
-    dist.select("id", "dist")
   }
 
   /** WEIGHTED PageRank ([[pageRankInt]] with per-edge weights — the
@@ -306,35 +413,63 @@ object GraphOps {
     * per-round driver counts are scalars on checkpointed frames.
     */
   def kCore(pairs: DataFrame, aCol: String, bCol: String, k: Int,
-            maxRounds: Int): DataFrame = {
+            maxRounds: Int, localLimit: Long = LocalEdgeLimit): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
     var e = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
       .distinct()
       .materialized
-    var rounds = 0
-    var stable = false
-    while (!stable) {
-      val deg = e.groupBy("u").agg(count(lit(1)).as("d")).materialized
-      // ONE driver action per round: total and surviving node counts
-      // from the same (checkpointed) degree frame
-      val counts = deg.agg(count(lit(1)),
-        count(when(col("d") >= k, 1))).first()
-      if (counts.getLong(0) == counts.getLong(1)) stable = true
-      else {
-        rounds += 1
-        require(rounds <= maxRounds,
-          s"k-core not at fixpoint after $maxRounds peel rounds — " +
-            "raise maxRounds (and the oracle's unroll depth) together")
-        val keep = deg.filter(col("d") >= k).select(col("u").as("kid"))
-        e = e.join(keep, col("u") === col("kid"), "left_semi")
-          .join(keep, col("v") === col("kid"), "left_semi")
-          .materialized
+    // bounded local twin ([[LocalEdgeLimit]] doctrine): synchronous
+    // peel rounds over the collected (distinct, bidirectional) edges —
+    // identical rounds, identical maxRounds contract (the require
+    // throws with the same message at the same round count), and the
+    // fixpoint is confluent (scaladoc), so survivors + in-core degrees
+    // match the distributed peel exactly.
+    if (integralIds(e) && e.count() <= localLimit) {
+      var edgesL = collectEdges(e)
+      var rounds = 0
+      var stable = false
+      while (!stable) {
+        val deg = scala.collection.mutable.LongMap.empty[Long]
+        edgesL.foreach { case (u, _) => deg(u) = deg.getOrElse(u, 0L) + 1L }
+        if (deg.valuesIterator.forall(_ >= k)) stable = true
+        else {
+          rounds += 1
+          require(rounds <= maxRounds,
+            s"k-core not at fixpoint after $maxRounds peel rounds — " +
+              "raise maxRounds (and the oracle's unroll depth) together")
+          edgesL = edgesL.filter { case (u, v) =>
+            deg(u) >= k && deg.getOrElse(v, 0L) >= k }
+        }
       }
+      val coreDeg = scala.collection.mutable.LongMap.empty[Long]
+      edgesL.foreach { case (u, _) => coreDeg(u) = coreDeg.getOrElse(u, 0L) + 1L }
+      localResult(e, coreDeg, "id", "core_deg")
+    } else {
+      var rounds = 0
+      var stable = false
+      while (!stable) {
+        val deg = e.groupBy("u").agg(count(lit(1)).as("d")).materialized
+        // ONE driver action per round: total and surviving node counts
+        // from the same (checkpointed) degree frame
+        val counts = deg.agg(count(lit(1)),
+          count(when(col("d") >= k, 1))).first()
+        if (counts.getLong(0) == counts.getLong(1)) stable = true
+        else {
+          rounds += 1
+          require(rounds <= maxRounds,
+            s"k-core not at fixpoint after $maxRounds peel rounds — " +
+              "raise maxRounds (and the oracle's unroll depth) together")
+          val keep = deg.filter(col("d") >= k).select(col("u").as("kid"))
+          e = e.join(keep, col("u") === col("kid"), "left_semi")
+            .join(keep, col("v") === col("kid"), "left_semi")
+            .materialized
+        }
+      }
+      e.groupBy("u").agg(count(lit(1)).as("core_deg"))
+        .select(col("u").as("id"), col("core_deg").cast("long").as("core_deg"))
     }
-    e.groupBy("u").agg(count(lit(1)).as("core_deg"))
-      .select(col("u").as("id"), col("core_deg").cast("long").as("core_deg"))
   }
 
   /** SYNCHRONOUS label propagation (Raghavan et al. 2007, Phys. Rev.

@@ -366,9 +366,17 @@ private[graft] object QueriesDedupSim {
       // the full recompute — re-proves it)
       val postings = operators.Dedup
         .deletionKeyPostings(corpus, "c_custkey", "c_name").materialized
+      // standing is referenced three times inside
+      // incrementalClusterLabels (two semi-joins + the untouched
+      // anti-join) and labels twice below (output + sizes); without
+      // checkpoints each reference re-runs the upstream join chain
+      // (guide §5 — cache exactly the reused frames). Both ARE the
+      // artifacts a real pipeline persists (q203 reads them from
+      // parquet fixtures).
       val standing = erLabelsOfPairs(corpus,
         operators.Dedup.editDistance1SelfJoinPostings(postings))
         .withColumnRenamed("cust_id", "node")
+        .materialized
       val newEdges = erNationBlocked(
           operators.Dedup.editDistance1Join(batch, "c_custkey", "c_name"), c)
         .unionAll(erNationBlocked(
@@ -379,6 +387,7 @@ private[graft] object QueriesDedupSim {
         .materialized
       val labels = operators.Dedup
         .incrementalClusterLabels(standing, newEdges, "id_a", "id_b")
+        .materialized // referenced twice below (output row + sizes agg)
       val all = c.select(col("c_custkey").as("cust_id"))
         .join(labels.withColumnRenamed("node", "cust_id"), Seq("cust_id"), "left")
         .select(col("cust_id"),
@@ -419,6 +428,7 @@ private[graft] object QueriesDedupSim {
         .materialized
       val labels = operators.Dedup
         .incrementalClusterLabels(standing, newEdges, "id_a", "id_b")
+        .materialized // referenced twice below (output row + sizes agg)
       val all = c.select(col("c_custkey").as("cust_id"))
         .join(labels.withColumnRenamed("node", "cust_id"), Seq("cust_id"), "left")
         .select(col("cust_id"),

@@ -1123,6 +1123,37 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(rep == got)
   }
 
+  test("graph local twins equal the distributed loops (bfs/sssp/kCore)") {
+    import spark.implicits._
+    // r15: below LocalEdgeLimit the iterative graph ops run a driver
+    // twin; localLimit = 0 forces the distributed loop on the same
+    // inputs — results must agree map-for-map on graphs that mix
+    // chains, branches, weights, islands and isolated seeds.
+    val pairs = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (3L, 30L), (7L, 8L)) ++ (0 until 10).map(i => (40L + i, 41L + i)))
+      .toDF("id_a", "id_b")
+    val seeds = Seq(1L, 30L, 99L, 45L).toDF("doc_id")
+    def mp(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mp(GraphOps.bfsHops(pairs, "id_a", "id_b", seeds, "doc_id", 3)) ==
+      mp(GraphOps.bfsHops(pairs, "id_a", "id_b", seeds, "doc_id", 3,
+        localLimit = 0L)))
+    val wedges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 10L),
+      (3L, 4L, 2L), (4L, 5L, 2L), (6L, 7L, 1L)).toDF("id_a", "id_b", "w")
+    val wseeds = Seq(1L).toDF("doc_id")
+    for (k <- Seq(1, 2, 4))
+      assert(mp(GraphOps.ssspHops(wedges, "id_a", "id_b", "w", wseeds,
+          "doc_id", k)) ==
+        mp(GraphOps.ssspHops(wedges, "id_a", "id_b", "w", wseeds,
+          "doc_id", k, localLimit = 0L)), s"sssp maxHops=$k")
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (6L, 4L), (4L, 3L)).toDF("id_a", "id_b")
+    for (k <- Seq(1, 2, 3))
+      assert(mp(GraphOps.kCore(g, "id_a", "id_b", k, maxRounds = 10)) ==
+        mp(GraphOps.kCore(g, "id_a", "id_b", k, maxRounds = 10,
+          localLimit = 0L)), s"kCore k=$k")
+  }
+
   test("ppJoinShingles equals the brute-force model at several thresholds") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)

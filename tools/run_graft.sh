@@ -18,6 +18,5 @@ exec java $OPENS $GRAFT_EXTRA_OPTS \
   -Dspark.sql.session.timeZone=UTC \
   -Dspark.sql.adaptive.advisoryPartitionSizeInBytes=16m \
   -Dspark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold=16m \
-  -Dspark.sql.adaptive.coalescePartitions.minPartitionSize=128k \
   -Xmx${SPARK_DRIVER_MEM:-8g} \
   -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" "$@"
